@@ -1,0 +1,242 @@
+"""SampledFrame — a DataFrame paired with its sampling metadata.
+
+The engine's core abstraction. Where the reference wires a sampling record
+reader under a MapReduce job and tracks (sampled, total) per task in
+ZooKeeper (RandomizedLineRecordReader.java:56-94, RandomSamplingUtil.java:
+264-328), we express the same dataflow as one declarative DataFrame chain:
+
+    observe(exact count)  ->  Sample(ratio, seed)  ->  user transforms
+                                                  ->  estimator-aware aggs
+
+Spark's ``Observation`` API replaces the entire ZooKeeper side channel: the
+exact pre-sample row count and the post-sample row count are collected by a
+``CollectMetrics`` node in the same job — no second pass, no external
+coordination service, and no read-modify-write race (the reference's ZK
+counter update at RandomSamplingUtil.java:290-294 is racy).
+
+Scale-at-100TB notes:
+- ``df.sample`` is a narrow, pipelined operator — rows are dropped before
+  any parse/shuffle cost, matching the reference's scan-level sampling win.
+- Sampling BEFORE parsing is query-construction discipline here: build a
+  SampledFrame from the raw source frame, then apply projections to
+  ``.df``. Catalyst never reorders user expressions below a Sample node,
+  so the cheap-scan property is stable.
+- Exact mode (ratio=1.0) skips the Sample node entirely: ``sample(1.0)``
+  would still draw a random number per row, and exact plans must
+  hash-match SQL oracles byte-for-byte.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, Observation
+from pyspark.sql import functions as F
+
+from . import stats
+from .config import SamplingConfig
+
+
+@dataclass
+class SamplingReport:
+    """Post-run sampling report (reference RandomSamplingUtil.java:306-328).
+
+    Mirrors the fields of the reference's human-readable result report:
+    job id, total/sampled records, designed vs. actual rate, confidence,
+    predicted error, and wall-clock.
+    """
+
+    job_id: str
+    total_records: int
+    sampled_records: int
+    designed_ratio: float
+    confidence: float
+    wall_clock_sec: float
+
+    @property
+    def actual_ratio(self) -> float:
+        return self.sampled_records / self.total_records if self.total_records else 0.0
+
+    @property
+    def achieved_error(self) -> float:
+        """A4: error bound from the exact counts (RandomSamplingUtil.java:376-378)."""
+        return stats.achieved_error(self.confidence, self.sampled_records, self.total_records)
+
+    def as_dict(self) -> dict[str, Any]:
+        return {
+            "job_id": self.job_id,
+            "total_records": self.total_records,
+            "sampled_records": self.sampled_records,
+            "designed_ratio": self.designed_ratio,
+            "actual_ratio": self.actual_ratio,
+            "confidence": self.confidence,
+            "achieved_error": self.achieved_error,
+            "wall_clock_sec": self.wall_clock_sec,
+        }
+
+    def __str__(self) -> str:  # the reference prints a similar block (:318-323)
+        return (
+            f"[Job id] {self.job_id}\n"
+            f"[Total records] {self.total_records}\n"
+            f"[Sampled records] {self.sampled_records}\n"
+            f"[Designed sample rate] {self.designed_ratio}\n"
+            f"[Actual sample rate] {self.actual_ratio}\n"
+            f"[Confidence level] {self.confidence}\n"
+            f"[Error rate] {self.achieved_error}\n"
+            f"[Wall clock sec] {self.wall_clock_sec}"
+        )
+
+
+_JOB_COUNTER = 0  # replaces the reference's ZK job-id znode sequencing (:264-288)
+
+
+def _next_job_id() -> str:
+    global _JOB_COUNTER
+    _JOB_COUNTER += 1
+    return f"job{_JOB_COUNTER}"
+
+
+@dataclass
+class SampledFrame:
+    """A DataFrame + its sampling provenance.
+
+    ``df`` is the post-sample frame; every aggregate computed through the
+    estimator methods is scaled by 1/ratio (Horvitz–Thompson, reference
+    RSMRResultComparator.java:66-70) and can carry a CI column.
+    """
+
+    df: DataFrame
+    ratio: float
+    config: SamplingConfig
+    observation: Observation | None = None
+    sample_observation: Observation | None = None
+    job_id: str = field(default_factory=_next_job_id)
+    _start_time: float = field(default_factory=time.monotonic)
+
+    # -- construction -----------------------------------------------------
+
+    @classmethod
+    def from_dataframe(
+        cls,
+        df: DataFrame,
+        config: SamplingConfig | None = None,
+        *,
+        observe: bool = True,
+    ) -> "SampledFrame":
+        """Wrap ``df`` with sampling per ``config``.
+
+        Exact mode (resolved ratio == 1.0) adds neither a Sample nor a
+        CollectMetrics node — a true no-op passthrough so exact plans
+        hash-match oracles and pay zero overhead.
+        """
+        cfg = config or SamplingConfig()
+        ratio = cfg.resolve()
+        if ratio >= 1.0:
+            return cls(df=df, ratio=1.0, config=cfg, observation=None)
+        obs = obs_sample = None
+        if observe:
+            obs = Observation()
+            df = df.observe(obs, F.count(F.lit(1)).alias("total_records"))
+        sampled = df.sample(withReplacement=False, fraction=ratio, seed=cfg.seed)
+        if observe:
+            obs_sample = Observation()
+            sampled = sampled.observe(obs_sample, F.count(F.lit(1)).alias("sampled_records"))
+        return cls(df=sampled, ratio=ratio, config=cfg, observation=obs, sample_observation=obs_sample)
+
+    # -- plumbing ---------------------------------------------------------
+
+    @property
+    def scale(self) -> float:
+        """Horvitz–Thompson scale-up factor 1/ratio (A6)."""
+        return 1.0 / self.ratio
+
+    def transform(self, fn) -> "SampledFrame":
+        """Apply a row-wise transform (select/filter/explode) keeping metadata.
+
+        Safe for any cardinality-per-input-row transform; the HT factor is
+        attached at sample time, so downstream filters estimate the filtered
+        population with the same ratio (SURVEY.md §4 caution).
+        """
+        return SampledFrame(
+            df=fn(self.df),
+            ratio=self.ratio,
+            config=self.config,
+            observation=self.observation,
+            sample_observation=self.sample_observation,
+            job_id=self.job_id,
+            _start_time=self._start_time,
+        )
+
+    # -- estimator-aware aggregations ------------------------------------
+
+    def _ci_half_width(self, est_col):
+        """Per-estimate CI half-width: z * sqrt(c_hat * (1-r)) / r.
+
+        Poisson/binomial variance of an HT count estimate: a raw sampled
+        count c has Var ~= c*(1-r) under Bernoulli(r); the estimate c/r has
+        std sqrt(c*(1-r))/r. This is per-group honesty the reference lacks
+        (it applies one global p=0.5 bound; SURVEY.md §7 "hard parts").
+        """
+        z = stats.z_score(self.config.confidence)
+        raw = est_col * F.lit(self.ratio)  # back out the raw sampled count
+        return F.lit(z) * F.sqrt(raw * F.lit(max(0.0, 1.0 - self.ratio))) / F.lit(self.ratio)
+
+    def approx_count(self, *group_cols: str, ci: bool = False, alias: str = "est_count") -> DataFrame:
+        """Grouped (or global) count estimate, HT-scaled to the population."""
+        est = (F.count(F.lit(1)) * F.lit(self.scale)).alias(alias)
+        base = self.df.groupBy(*[F.col(c) for c in group_cols]) if group_cols else self.df.groupBy()
+        out = base.agg(est)
+        if ci and self.ratio < 1.0:
+            out = out.withColumn(f"{alias}_ci", self._ci_half_width(F.col(alias)))
+        return out
+
+    def approx_sum(self, value_col: str, *group_cols: str, alias: str = "est_sum") -> DataFrame:
+        """Grouped (or global) sum estimate, HT-scaled."""
+        est = (F.sum(F.col(value_col)) * F.lit(self.scale)).alias(alias)
+        base = self.df.groupBy(*[F.col(c) for c in group_cols]) if group_cols else self.df.groupBy()
+        return base.agg(est)
+
+    def approx_mean(self, value_col: str, *group_cols: str, alias: str = "est_mean") -> DataFrame:
+        """Grouped (or global) mean — ratio-free (scale cancels in the ratio
+        of HT sums), documented deviation from count/sum estimators."""
+        est = F.avg(F.col(value_col)).alias(alias)
+        base = self.df.groupBy(*[F.col(c) for c in group_cols]) if group_cols else self.df.groupBy()
+        return base.agg(est)
+
+    # -- report -----------------------------------------------------------
+
+    def report(self, sampled_records: int | None = None, *, trigger: bool = False) -> SamplingReport:
+        """Build the sampling report (A5). Call after an action has run.
+
+        ``total_records`` comes from the Observation (exact, merged across
+        all tasks by Spark — the reference's ZK merge at
+        RandomSamplingUtil.java:310-315). For exact mode the report is
+        trivially total==sampled; pass ``sampled_records`` explicitly if the
+        caller counted, else both default to the observed total.
+
+        WARNING: ``Observation.get`` BLOCKS until an action has populated
+        the metrics. If no action has run yet, pass ``trigger=True`` to run
+        a count over the sampled frame first (costs one job).
+        """
+        if trigger and self.observation is not None:
+            self.df.count()
+        wall = time.monotonic() - self._start_time
+        if self.observation is not None:
+            total = int(self.observation.get["total_records"])
+        else:
+            total = sampled_records if sampled_records is not None else -1
+        if sampled_records is None:
+            if self.sample_observation is not None:
+                sampled_records = int(self.sample_observation.get["sampled_records"])
+            else:
+                sampled_records = total if self.ratio >= 1.0 else int(round(total * self.ratio))
+        return SamplingReport(
+            job_id=self.job_id,
+            total_records=total,
+            sampled_records=sampled_records,
+            designed_ratio=self.ratio,
+            confidence=self.config.confidence,
+            wall_clock_sec=wall,
+        )

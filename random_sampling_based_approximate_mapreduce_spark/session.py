@@ -1,0 +1,41 @@
+"""SparkSession factory with the engine's scale-oriented defaults.
+
+Local testing runs ``local[N]``; the same config block is what we would
+ship to a 1000-executor cluster — AQE for runtime re-planning (skew joins,
+partition coalescing), Arrow for any Pandas-UDF exchange, UTC session time
+so results are timezone-stable and DuckDB-oracle-comparable.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(app_name: str = "rsmr-spark", master: str | None = None) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(DEFAULT_SHUFFLE_PARTITIONS))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()
+
+
+def configure_existing(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable engine defaults to a session we didn't build
+    (the driver hands us one in ``__spark_entry__.entry``)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    return spark

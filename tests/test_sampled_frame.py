@@ -1,0 +1,86 @@
+"""SampledFrame behavior: exact-mode passthrough, observation counts,
+HT-scaled estimators, end-to-end error bound (FIXTURES.md F5)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from random_sampling_based_approximate_mapreduce_spark import SampledFrame, SamplingConfig
+
+
+@pytest.fixture(scope="module")
+def lineitem(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+
+
+class TestExactMode:
+    def test_ratio_one_is_passthrough(self, lineitem):
+        sf = SampledFrame.from_dataframe(lineitem, SamplingConfig.exact())
+        # no Sample / CollectMetrics node: plan identical to the input's
+        assert sf.df is lineitem
+        assert sf.ratio == 1.0 and sf.scale == 1.0
+
+    def test_exact_counts_match(self, lineitem):
+        sf = SampledFrame.from_dataframe(lineitem, SamplingConfig.exact())
+        exact = lineitem.count()
+        est = sf.approx_count().collect()[0]["est_count"]
+        assert est == exact
+
+
+class TestSampledMode:
+    def test_observation_tracks_total_and_sampled(self, lineitem):
+        sf = SampledFrame.from_dataframe(lineitem, SamplingConfig(ratio=0.2, seed=7))
+        n_sampled = sf.df.count()  # action -> observations populate
+        rep = sf.report()
+        assert rep.total_records == lineitem.count()
+        assert rep.sampled_records == n_sampled
+        assert rep.designed_ratio == 0.2
+        # Bernoulli sampling: actual rate within a loose band of designed
+        assert 0.15 < rep.actual_ratio < 0.25
+
+    def test_count_estimate_within_bound(self, lineitem):
+        exact = lineitem.count()
+        sf = SampledFrame.from_dataframe(lineitem, SamplingConfig(ratio=0.2, seed=7))
+        est = sf.approx_count().collect()[0]["est_count"]
+        assert est == pytest.approx(exact, rel=0.05)
+
+    def test_sum_estimate_within_bound(self, lineitem):
+        exact = lineitem.agg(F.sum("l_quantity")).collect()[0][0]
+        sf = SampledFrame.from_dataframe(lineitem, SamplingConfig(ratio=0.2, seed=7))
+        est = sf.approx_sum("l_quantity").collect()[0]["est_sum"]
+        assert est == pytest.approx(exact, rel=0.05)
+
+    def test_mean_needs_no_scale_up(self, lineitem):
+        exact = lineitem.agg(F.avg("l_quantity")).collect()[0][0]
+        sf = SampledFrame.from_dataframe(lineitem, SamplingConfig(ratio=0.2, seed=7))
+        est = sf.approx_mean("l_quantity").collect()[0]["est_mean"]
+        assert est == pytest.approx(exact, rel=0.05)
+
+    def test_grouped_estimate_with_ci(self, lineitem):
+        sf = SampledFrame.from_dataframe(lineitem, SamplingConfig(ratio=0.3, seed=11))
+        rows = sf.approx_count("l_returnflag", ci=True).collect()
+        exact = {r["l_returnflag"]: r["count"] for r in lineitem.groupBy("l_returnflag").count().collect()}
+        for r in rows:
+            # estimate within its own CI of the truth (seeded -> stable)
+            assert abs(r["est_count"] - exact[r["l_returnflag"]]) < 3 * r["est_count_ci"]
+
+    def test_transform_keeps_metadata(self, lineitem):
+        sf = SampledFrame.from_dataframe(lineitem, SamplingConfig(ratio=0.5, seed=3))
+        sf2 = sf.transform(lambda df: df.where(F.col("l_quantity") > 10))
+        assert sf2.ratio == 0.5
+        assert sf2.observation is sf.observation
+
+    def test_rel_l1_error_under_predicted_bound(self, lineitem):
+        """The reference's acceptance loop (RSMRResultComparator.java:58-82):
+        rel-L1 between exact and HT-scaled histograms <= k * predicted."""
+        exact = lineitem.groupBy("l_returnflag").count()
+        sf = SampledFrame.from_dataframe(lineitem, SamplingConfig(ratio=0.1, seed=42))
+        approx = sf.approx_count("l_returnflag")
+        sf.df.count()  # populate observations
+        rep = sf.report()
+        joined = exact.join(approx, "l_returnflag", "left").select(
+            F.sum(F.abs(F.col("count") - F.coalesce(F.col("est_count"), F.lit(0)))).alias("errsum"),
+            F.sum("count").alias("base"),
+        ).collect()[0]
+        rel_l1 = joined["errsum"] / joined["base"]
+        # grouped rel-L1 is looser than the global proportion bound; 3x margin
+        assert rel_l1 < 3 * max(rep.achieved_error, 0.01)
