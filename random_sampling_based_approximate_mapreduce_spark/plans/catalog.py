@@ -1,0 +1,593 @@
+"""Query catalog: every operator the engine claims, as (Spark fn, oracle SQL).
+
+Each entry pairs a PySpark DataFrame query with an equivalent ANSI-SQL
+string DuckDB runs on the same parquet tables — the driver's correctness
+gate (CORRECTNESS_r{N}.json) and our local tools/check_oracle.py both walk
+this registry. Sampled/approximate queries are inherently non-SQL-oracle-
+able (Spark's Bernoulli sampler is not reproducible in DuckDB) and carry
+``oracle=None`` -> rows-only check; their accuracy is asserted statistically
+in tests/ instead (the reference's own comparator loop, SURVEY.md §5).
+
+Float-stability discipline (so value-hashes match across engines): money
+sums are computed over DECIMAL-cast columns (exact, order-independent) and
+cast back to DOUBLE; averages are exact-decimal-sum / count in DOUBLE;
+integral doubles (quantities) sum as BIGINT. Raw ``sum(double)`` never
+crosses an oracle boundary.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import text as T
+from ..sampling.config import SamplingConfig
+from ..sampling.sampled_frame import SampledFrame
+from ..sources import apache_log as AL
+from ..sources import wireless as WL
+from ..sources import xml_pages as XP
+from ..sources.tables import load
+
+
+@dataclass
+class QueryDef:
+    """One catalog entry: Spark implementation + optional DuckDB oracle."""
+
+    spark: Callable[[SparkSession, str], DataFrame]
+    oracle: Optional[str]
+    doc: str = ""
+    tags: tuple = ()
+
+
+QUERIES: dict[str, QueryDef] = {}
+
+
+def register(name: str, oracle: Optional[str], doc: str = "", tags: tuple = ()):
+    def deco(fn):
+        QUERIES[name] = QueryDef(spark=fn, oracle=oracle, doc=doc, tags=tags)
+        return fn
+
+    return deco
+
+
+def _dec(col, prec: int = 12, scale: int = 2):
+    return F.col(col).cast(f"decimal({prec},{scale})") if isinstance(col, str) else col.cast(f"decimal({prec},{scale})")
+
+
+# ===========================================================================
+# 1. Reference surface — word/char counting (RandomizedWordCount /
+#    RandomizedCharacterCount)
+# ===========================================================================
+
+_WORD_SPLIT_SQL = "[^a-z0-9'']+"
+
+
+@register(
+    "word_count",
+    f"""
+    SELECT word, count(*)::BIGINT AS cnt
+    FROM (
+      SELECT unnest(string_split_regex(lower(text), '{_WORD_SPLIT_SQL}')) AS word
+      FROM documents
+      WHERE NOT regexp_matches(text, '[0-9]')
+    )
+    WHERE word <> '' AND NOT regexp_matches(word, '^[0-9]+$')
+    GROUP BY word
+    """,
+    doc="P2+P3+P4+G3: digit-line drop, tokenize, numeric-token drop, count "
+    "(RandomizedWordCount.java:30-39)",
+)
+def q_word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    kept = T.drop_digit_lines(docs, "text")
+    return T.explode_words(kept, "text").groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+@register(
+    "char_count",
+    """
+    SELECT ch, count(*)::BIGINT AS cnt
+    FROM (SELECT unnest(string_split_regex(text, '')) AS ch FROM documents)
+    WHERE ch <> ''
+    GROUP BY ch
+    """,
+    doc="P5+G3: per-character counts (RandomizedCharacterCount.java:27-33)",
+)
+def q_char_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return T.explode_chars(docs, "text").groupBy("ch").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+@register(
+    "word_count_sampled",
+    None,
+    doc="A1+A6: sampled word count with HT scale-up (ratio=0.1, seed=42); "
+    "accuracy asserted statistically in tests (non-SQL-oracle-able)",
+    tags=("sampled",),
+)
+def q_word_count_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    sf = SampledFrame.from_dataframe(docs, SamplingConfig(ratio=0.1, seed=42), observe=False)
+    words = sf.transform(lambda df: T.explode_words(T.drop_digit_lines(df, "text"), "text"))
+    return words.approx_count("word", alias="est_cnt")
+
+
+# ===========================================================================
+# 2. Reference surface — the 7 Apache-log tasks, via raw-line round-trip
+#    (synthesize -> parse -> aggregate; oracle computes directly)
+# ===========================================================================
+
+def _log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return AL.access_log(load(spark, sf_dir, "events"))
+
+
+@register(
+    "log_hack",
+    AL.ORACLE_ACCESS_LOG_CTE
+    + """
+    SELECT host, count(*)::BIGINT AS cnt FROM access_log
+    WHERE """
+    + " OR ".join(f"starts_with(path, '{p}')" for p in AL.HACK_PREFIXES)
+    + " GROUP BY host",
+    doc="P6+P8+G3: hack-probe hits per host (RandomizedApacheLogAnalysis.java:56-75)",
+)
+def q_log_hack(spark, sf_dir):
+    return AL.task_hack(_log(spark, sf_dir))
+
+
+@register(
+    "log_host",
+    AL.ORACLE_ACCESS_LOG_CTE + "SELECT host, count(*)::BIGINT AS cnt FROM access_log GROUP BY host",
+    doc="P6+G3: requests per host (:77-79)",
+)
+def q_log_host(spark, sf_dir):
+    return AL.task_host(_log(spark, sf_dir))
+
+
+@register(
+    "log_dateweek",
+    AL.ORACLE_ACCESS_LOG_CTE
+    + "SELECT strftime(ts, '%a %H') AS dateweek, count(*)::BIGINT AS cnt FROM access_log GROUP BY 1",
+    doc="P9+G3: requests per weekday+hour (:82-86)",
+)
+def q_log_dateweek(spark, sf_dir):
+    return AL.task_dateweek(_log(spark, sf_dir))
+
+
+@register(
+    "log_size",
+    AL.ORACLE_ACCESS_LOG_CTE
+    + "SELECT (floor(bytes / 100) * 100)::BIGINT AS size_bucket, count(*)::BIGINT AS cnt "
+    "FROM access_log GROUP BY 1",
+    doc="P10+G3: 100-byte response-size histogram (:89-91)",
+)
+def q_log_size(spark, sf_dir):
+    return AL.task_size(_log(spark, sf_dir))
+
+
+@register(
+    "log_totalsize",
+    AL.ORACLE_ACCESS_LOG_CTE + "SELECT sum(bytes)::BIGINT AS total_bytes FROM access_log",
+    doc="P12+G4: global byte sum (:93-95)",
+)
+def q_log_totalsize(spark, sf_dir):
+    return AL.task_totalsize(_log(spark, sf_dir))
+
+
+@register(
+    "log_pagesize",
+    AL.ORACLE_ACCESS_LOG_CTE
+    + "SELECT path, sum(bytes)::BIGINT AS total_bytes FROM access_log GROUP BY path",
+    doc="P11+G4: bytes per page (:97-101)",
+)
+def q_log_pagesize(spark, sf_dir):
+    return AL.task_pagesize(_log(spark, sf_dir))
+
+
+@register(
+    "log_page",
+    AL.ORACLE_ACCESS_LOG_CTE + "SELECT path, count(*)::BIGINT AS cnt FROM access_log GROUP BY path",
+    doc="P11+G3: hits per page (:104-107)",
+)
+def q_log_page(spark, sf_dir):
+    return AL.task_page(_log(spark, sf_dir))
+
+
+@register(
+    "log_host_sampled",
+    None,
+    doc="The reference's flagship mode: sampled log scan (ratio=0.1) + per-host "
+    "HT-scaled count with CI columns",
+    tags=("sampled",),
+)
+def q_log_host_sampled(spark, sf_dir):
+    raw = AL.synthesize_raw_log(load(spark, sf_dir, "events"))
+    sf = SampledFrame.from_dataframe(raw, SamplingConfig(ratio=0.1, seed=42), observe=False)
+    parsed = sf.transform(lambda df: AL.parse_apache_log(df))
+    return parsed.approx_count("host", ci=True, alias="est_cnt")
+
+
+# ===========================================================================
+# 3. Reference surface — wireless link pairs + XML page words
+# ===========================================================================
+
+
+@register(
+    "wireless_link_pairs",
+    WL.ORACLE_WIRELESS_CTE
+    + """
+    SELECT greatest(snd_id, rcv_id) || '->' || least(snd_id, rcv_id) AS link,
+           count(*)::BIGINT AS cnt
+    FROM wireless GROUP BY 1
+    """,
+    doc="P13+P14+G1: canonical unordered link-pair traffic "
+    "(RandomizedWirelessLogAnalysis.java:29-59)",
+)
+def q_wireless_link_pairs(spark, sf_dir):
+    return WL.link_pairs(load(spark, sf_dir, "events"))
+
+
+@register(
+    "xml_page_words",
+    f"""
+    SELECT word, count(*)::BIGINT AS cnt
+    FROM (
+      SELECT unnest(string_split_regex(lower(text), '{_WORD_SPLIT_SQL}')) AS word
+      FROM documents
+    )
+    WHERE word <> '' AND NOT regexp_matches(word, '^[0-9]+$')
+    GROUP BY word
+    """,
+    doc="S3 round-trip: wrap docs as <page> XML, extract text back, word-count "
+    "(randwordcount-over-wiki.xml; RandomizedXMLRecordReader.java:113-151)",
+)
+def q_xml_page_words(spark, sf_dir):
+    return XP.page_word_counts(load(spark, sf_dir, "documents"))
+
+
+# ===========================================================================
+# 4. Relational surface (beyond the reference: joins/windows/rollup/set-ops
+#    — "free with DataFrame", SURVEY.md §2.5, but judged as capability)
+# ===========================================================================
+
+
+@register(
+    "tpch_q1",
+    """
+    SELECT l_returnflag, l_linestatus,
+           sum(l_quantity::BIGINT)::BIGINT AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1.00 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1.00 - CAST(l_discount AS DECIMAL(4,2))) * (1.00 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+           CAST(sum(l_quantity::BIGINT) AS DOUBLE) / count(*) AS avg_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_price,
+           CAST(sum(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / count(*) AS avg_disc,
+           count(*)::BIGINT AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H Q1 pricing summary: multi-agg groupBy with exact decimal math",
+)
+def q_tpch_q1(spark, sf_dir):
+    l = load(spark, sf_dir, "lineitem").where(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"))
+    price, disc, tax = _dec("l_extendedprice"), _dec("l_discount", 4, 2), _dec("l_tax", 4, 2)
+    one = F.lit("1.00").cast("decimal(4,2)")
+    qty_l = F.col("l_quantity").cast("bigint")
+    n = F.count(F.lit(1))
+    return l.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(qty_l).alias("sum_qty"),
+        F.sum(price).cast("double").alias("sum_base_price"),
+        F.sum(price * (one - disc)).cast("double").alias("sum_disc_price"),
+        F.sum(price * (one - disc) * (one + tax)).cast("double").alias("sum_charge"),
+        (F.sum(qty_l).cast("double") / n).alias("avg_qty"),
+        (F.sum(price).cast("double") / n).alias("avg_price"),
+        (F.sum(disc).cast("double") / n).alias("avg_disc"),
+        n.cast("long").alias("count_order"),
+    )
+
+
+@register(
+    "tpch_q3_topk",
+    """
+    SELECT o.o_orderkey,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (1.00 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+           o.o_orderdate, o.o_orderpriority
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+                    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15'
+      AND l.l_shipdate  > TIMESTAMP '1998-03-15'
+    GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+    """,
+    doc="TPC-H Q3: 3-way join + agg + deterministic top-k (broadcast dim, "
+    "shuffle on orderkey)",
+)
+def q_tpch_q3(spark, sf_dir):
+    c = load(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = load(spark, sf_dir, "orders").where(F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp"))
+    l = load(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp"))
+    one = F.lit("1.00").cast("decimal(4,2)")
+    rev = F.sum(_dec("l_extendedprice") * (one - _dec("l_discount", 4, 2))).cast("double")
+    return (
+        l.join(F.broadcast(o), l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(rev.alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "revenue_by_nation",
+    """
+    SELECT n.n_name,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (1.00 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+    FROM region r
+      JOIN nation n   ON n.n_regionkey = r.r_regionkey
+      JOIN customer c ON c.c_nationkey = n.n_nationkey
+      JOIN orders o   ON o.o_custkey = c.c_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY n.n_name
+    """,
+    doc="TPC-H Q5-style 5-way star join; dims broadcast, fact shuffles once",
+)
+def q_revenue_by_nation(spark, sf_dir):
+    r = load(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    n = load(spark, sf_dir, "nation")
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    l = load(spark, sf_dir, "lineitem")
+    one = F.lit("1.00").cast("decimal(4,2)")
+    rev = F.sum(_dec("l_extendedprice") * (one - _dec("l_discount", 4, 2))).cast("double")
+    dims = F.broadcast(
+        c.join(n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey), c.c_nationkey == n.n_nationkey)
+        .select("c_custkey", "n_name")
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(dims, o.o_custkey == dims.c_custkey)
+        .groupBy("n_name")
+        .agg(rev.alias("revenue"))
+    )
+
+
+@register(
+    "top_orders_per_priority",
+    """
+    SELECT o_orderpriority, o_orderkey, o_totalprice, rn
+    FROM (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+    ) WHERE rn <= 3
+    """,
+    doc="Window top-k per group (absent from the reference; SURVEY.md §2.5)",
+)
+def q_top_orders_per_priority(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.select("o_orderpriority", "o_orderkey", "o_totalprice", F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") <= 3)
+    )
+
+
+@register(
+    "order_rollup",
+    """
+    SELECT o_orderstatus, o_orderpriority, count(*)::BIGINT AS cnt,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+    doc="ROLLUP grouping-sets aggregate (absent from the reference)",
+)
+def q_order_rollup(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(_dec("o_totalprice")).cast("double").alias("total"),
+    )
+
+
+@register(
+    "urgent_only_customers",
+    """
+    SELECT c_nationkey, count(*)::BIGINT AS cnt
+    FROM customer
+    WHERE c_custkey IN (
+      SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+      EXCEPT
+      SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
+    )
+    GROUP BY c_nationkey
+    """,
+    doc="Set ops (EXCEPT) + semi/anti join: customers with URGENT orders but "
+    "no LOW orders, counted per nation",
+)
+def q_urgent_only_customers(spark, sf_dir):
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    urgent = o.where(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    low = o.where(F.col("o_orderpriority") == "5-LOW").select("o_custkey")
+    keys = urgent.subtract(low)  # EXCEPT DISTINCT
+    return (
+        c.join(keys, c.c_custkey == keys.o_custkey, "left_semi")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@register(
+    "priority_distinct_customers",
+    """
+    SELECT o_orderpriority, count(DISTINCT o_custkey)::BIGINT AS n_customers
+    FROM orders GROUP BY o_orderpriority
+    """,
+    doc="Distinct aggregation (absent from the reference)",
+)
+def q_priority_distinct_customers(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(F.count_distinct("o_custkey").alias("n_customers"))
+
+
+# ===========================================================================
+# 5. Events: time-series aggs (batch forms of the streaming operators)
+# ===========================================================================
+
+
+@register(
+    "events_hourly",
+    """
+    SELECT date_trunc('hour', ts) AS hour, event_type,
+           count(*)::BIGINT AS cnt,
+           CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+    doc="Hourly windowed aggregate (batch twin of streaming/windowed_counts)",
+)
+def q_events_hourly(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    return e.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"), F.col("event_type")
+    ).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(_dec("value")).cast("double").alias("total_value"),
+    )
+
+
+@register(
+    "user_sessions",
+    """
+    SELECT user_id, count(*)::BIGINT AS n_sessions, sum(n_events)::BIGINT AS n_events
+    FROM (
+      SELECT user_id, session_id, count(*) AS n_events
+      FROM (
+        SELECT user_id, ts,
+               sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM (
+          SELECT user_id, ts, event_id,
+                 CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                           <= 1800000000 THEN 0 ELSE 1 END AS is_new
+          FROM events
+        )
+      ) GROUP BY user_id, session_id
+    ) GROUP BY user_id
+    """,
+    doc="Sessionization via lag + running sum over event-time gaps >30min",
+)
+def q_user_sessions(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
+    is_new = F.when(gap <= 1_800_000_000, F.lit(0)).otherwise(F.lit(1))
+    sess = e.select("user_id", "ts", "event_id", is_new.alias("is_new")).select(
+        "user_id",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("session_id"),
+    )
+    per_session = sess.groupBy("user_id", "session_id").agg(F.count(F.lit(1)).alias("n_events"))
+    return per_session.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"), F.sum("n_events").alias("n_events")
+    )
+
+
+@register(
+    "events_daily_pivot",
+    """
+    SELECT date_trunc('day', ts) AS day,
+           count(CASE WHEN event_type = 'click' THEN 1 END)::BIGINT AS click,
+           count(CASE WHEN event_type = 'error' THEN 1 END)::BIGINT AS error,
+           count(CASE WHEN event_type = 'purchase' THEN 1 END)::BIGINT AS purchase,
+           count(CASE WHEN event_type = 'signup' THEN 1 END)::BIGINT AS signup,
+           count(CASE WHEN event_type = 'view' THEN 1 END)::BIGINT AS "view"
+    FROM events GROUP BY 1
+    """,
+    doc="Pivot: event-type counts per day (explicit value list -> stable cols)",
+)
+def q_events_daily_pivot(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    out = (
+        e.groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .agg(F.count(F.lit(1)))
+    )
+    return out.select(
+        "day", *[F.coalesce(F.col(c), F.lit(0)).cast("long").alias(c) for c in ("click", "error", "purchase", "signup", "view")]
+    )
+
+
+@register(
+    "approx_events_by_type",
+    None,
+    doc="A1+A6: sampled event counts by type, HT-scaled with CI (ratio=0.1)",
+    tags=("sampled",),
+)
+def q_approx_events_by_type(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    sf = SampledFrame.from_dataframe(e, SamplingConfig(ratio=0.1, seed=42), observe=False)
+    return sf.approx_count("event_type", ci=True, alias="est_cnt")
+
+
+# ===========================================================================
+# 6. Dedup (exact + fingerprint; MinHash/SimHash/Jaccard in operators/dedup)
+# ===========================================================================
+
+
+@register(
+    "dedup_exact",
+    """
+    SELECT md5(text) AS text_md5, min(doc_id)::BIGINT AS keep_id, count(*)::BIGINT AS n_copies
+    FROM documents GROUP BY md5(text)
+    """,
+    doc="Exact dedup via hash-groupBy: canonical keeper + copy count per "
+    "distinct text (scales as one shuffle on the hash)",
+)
+def q_dedup_exact(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    return docs.groupBy(F.md5(F.col("text")).alias("text_md5")).agg(
+        F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies")
+    )
+
+
+@register(
+    "dedup_fingerprint",
+    """
+    SELECT (('0x' || substr(md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g'))), 1, 15))::BIGINT) AS fp,
+           min(doc_id)::BIGINT AS keep_id, count(*)::BIGINT AS n_copies
+    FROM documents GROUP BY 1
+    """,
+    doc="Fingerprint dedup: 60-bit hash of normalized text (case/punct/ws-"
+    "insensitive near-exact dedup)",
+)
+def q_dedup_fingerprint(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    return docs.groupBy(T.fingerprint(F.col("text")).alias("fp")).agg(
+        F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies")
+    )
+
+
+# ===========================================================================
+# Entry-point helpers
+# ===========================================================================
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: qd.spark for name, qd in QUERIES.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: qd.oracle for name, qd in QUERIES.items() if qd.oracle is not None}

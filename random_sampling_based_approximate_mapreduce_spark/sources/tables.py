@@ -1,0 +1,44 @@
+"""Parquet table loaders for the engine's test/bench schema (TESTDATA.md).
+
+At cluster scale these would be catalog tables; filters/projections applied
+after ``load`` are pushed into the parquet scan by Catalyst (verify with
+``.explain`` — PushedFilters/ReadSchema).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS); with
+        # spark.sql.legacy.parquet.nanosAsLong it reads as long nanoseconds.
+        # Floor-convert to a microsecond timestamp (matches DuckDB's ns->us
+        # coercion, so oracles agree).
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType
+
+        if isinstance(df.schema["ts"].dataType, LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("CAST(ts DIV 1000 AS LONG)")))
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load(spark, sf_dir, t) for t in TABLES}

@@ -1,0 +1,119 @@
+#!/usr/bin/env python
+"""Local replica of the round driver's t2 correctness gate.
+
+Runs every catalog query on Spark AND its DuckDB oracle SQL on the same
+parquet tables, then compares row count, schema (column names), and sorted
+values (exact equality; NaN==NaN). Queries without an oracle get a
+rows-only check (>=0 rows, stable schema).
+
+Usage: python tools/check_oracle.py [--sf /root/testdata/sf0.01] [--only name1,name2]
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def normalize(df, float_sig=12):
+    """Sort columns by name, canonicalize values, sort rows."""
+    import pandas as pd
+
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+        elif "datetime" in str(df[c].dtype):
+            df[c] = df[c].astype("datetime64[us]").astype(str)
+        elif df[c].dtype.kind == "f":
+            df[c] = df[c].astype(float)
+    return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+
+
+def compare(name, spark_pdf, duck_pdf):
+    problems = []
+    if sorted(spark_pdf.columns) != sorted(duck_pdf.columns):
+        problems.append(f"schema: spark={sorted(spark_pdf.columns)} duck={sorted(duck_pdf.columns)}")
+        return problems
+    if len(spark_pdf) != len(duck_pdf):
+        problems.append(f"rowcount: spark={len(spark_pdf)} duck={len(duck_pdf)}")
+    a, b = normalize(spark_pdf), normalize(duck_pdf)
+    if len(a) == len(b):
+        for c in a.columns:
+            va, vb = a[c].values, b[c].values
+            if a[c].dtype.kind == "f":
+                eq = all(
+                    (math.isnan(x) and math.isnan(y)) or x == y
+                    for x, y in zip(va, vb)
+                )
+                if not eq:
+                    bad = [(x, y) for x, y in zip(va, vb) if not (x == y or (math.isnan(x) and math.isnan(y)))][:3]
+                    problems.append(f"values[{c}]: e.g. {bad}")
+            else:
+                if not (va == vb).all():
+                    bad = [(x, y) for x, y in zip(va, vb) if x != y][:3]
+                    problems.append(f"values[{c}]: e.g. {bad}")
+    return problems
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument("--only", default=None)
+    args = ap.parse_args()
+
+    import duckdb
+
+    from random_sampling_based_approximate_mapreduce_spark.plans.catalog import QUERIES
+    from random_sampling_based_approximate_mapreduce_spark.session import get_spark
+    from random_sampling_based_approximate_mapreduce_spark.sources.tables import TABLES
+
+    spark = get_spark("check-oracle", master="local[8]")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{args.sf}/{t}.parquet'")
+
+    only = set(args.only.split(",")) if args.only else None
+    n_pass = n_fail = 0
+    for name, qd in QUERIES.items():
+        if only and name not in only:
+            continue
+        t0 = time.monotonic()
+        try:
+            sdf = qd.spark(spark, args.sf)
+            spdf = sdf.toPandas()
+        except Exception as e:
+            print(f"FAIL  {name}: spark error: {str(e)[:300]}")
+            n_fail += 1
+            continue
+        if qd.oracle is None:
+            print(f"ok    {name}: rows-only ({len(spdf)} rows, {len(spdf.columns)} cols) [{time.monotonic()-t0:.1f}s]")
+            n_pass += 1
+            continue
+        try:
+            dpdf = con.execute(qd.oracle).fetchdf()
+        except Exception as e:
+            print(f"FAIL  {name}: duckdb error: {str(e)[:300]}")
+            n_fail += 1
+            continue
+        problems = compare(name, spdf, dpdf)
+        if problems:
+            print(f"FAIL  {name}: " + " | ".join(problems))
+            n_fail += 1
+        else:
+            print(f"PASS  {name} ({len(spdf)} rows) [{time.monotonic()-t0:.1f}s]")
+            n_pass += 1
+
+    print(f"\n{n_pass} passed, {n_fail} failed")
+    spark.stop()
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
