@@ -1,0 +1,279 @@
+"""Deduplication operator family for training-data pipelines.
+
+Five tiers, each a pure DataFrame pipeline (no Python UDFs), each with an
+exact SQL mirror so the DuckDB oracle can verify it value-for-value:
+
+- exact           : hash-groupBy on the raw text (catalog: dedup_exact)
+- fingerprint     : hash-groupBy on normalized text (catalog: dedup_fingerprint)
+- MinHash + LSH   : shingle -> signature -> band -> bucket-join candidates
+- SimHash         : per-token hash bit-vote -> 32-bit doc signature
+- n-gram Jaccard  : shingle explode + self-join -> exact pairwise Jaccard
+
+Scale notes (100 TB):
+- MinHash/SimHash signatures are per-row column expressions (whole-stage
+  codegen); the only shuffle is the band-key (LSH) or doc_id (SimHash)
+  exchange. Band buckets bound the join fan-out, so the quadratic
+  candidate step never materializes globally — this is the standard
+  MinHashLSH blocking design (cf. Spark MLlib's MinHashLSH), re-derived
+  column-side so it composes with SampledFrame and needs no ML vectors.
+- n-gram Jaccard self-join is quadratic PER SHINGLE BUCKET; at scale it is
+  the verification stage AFTER LSH blocking, not a standalone sweep. The
+  catalog query runs it standalone only at test scale.
+- embedding near-dup brute force is the oracle baseline; the LSH-bucketed
+  variant in operators/similarity.py is the scale path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import text as T
+from ..functions.hashing import (
+    MERSENNE_P,
+    hash64,
+    hash64_sql,
+    minhash_coefficients,
+    minhash_signature,
+)
+
+# Fixed MinHash-LSH geometry for the catalog queries: 12 hashes = 4 bands
+# x 3 rows -> s-curve threshold (1/4)^(1/3) ~= 0.63 Jaccard.
+NUM_HASHES = 12
+NUM_BANDS = 4
+ROWS_PER_BAND = NUM_HASHES // NUM_BANDS
+SHINGLE_K = 3
+
+_WORD_SPLIT_SQL = "[^a-z0-9'']+"
+
+
+def minhash_signatures(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, sig array<long>) — empty-shingle docs dropped (no signature)."""
+    shingles = T.word_shingles(F.col(text_col), SHINGLE_K)
+    return (
+        docs.select(F.col(id_col), shingles.alias("shingles"))
+        .where(F.size("shingles") > 0)
+        .select(F.col(id_col), minhash_signature(F.col("shingles"), NUM_HASHES).alias("sig"))
+    )
+
+
+def lsh_band_keys(sigs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Explode signatures into (id, band, key) — the LSH bucketing relation."""
+    bands = []
+    for b in range(NUM_BANDS):
+        parts = [F.element_at(F.col("sig"), b * ROWS_PER_BAND + r + 1) for r in range(ROWS_PER_BAND)]
+        bands.append(F.struct(F.lit(b).alias("band"), F.concat_ws(",", *[p.cast("string") for p in parts]).alias("key")))
+    return sigs.select(F.col(id_col), F.explode(F.array(*bands)).alias("bk")).select(
+        id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+
+
+def minhash_lsh_candidates(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Distinct candidate near-dup pairs (doc_a < doc_b) sharing any LSH band.
+
+    One narrow signature projection + one shuffle on (band, key) + an
+    in-bucket join: the scalable blocking step of near-dup detection.
+    """
+    bands = lsh_band_keys(minhash_signatures(docs, text_col, id_col), id_col)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
+        .distinct()
+    )
+
+
+def minhash_lsh_candidates_sql() -> str:
+    """DuckDB mirror of minhash_lsh_candidates over the documents view."""
+    coeffs = minhash_coefficients(NUM_HASHES)
+    sig_exprs = ",\n      ".join(
+        f"list_min(list_transform(shingles, s -> ({a} * ({hash64_sql('s')} % {MERSENNE_P}) + {b}) % {MERSENNE_P})) AS s{j}"
+        for j, (a, b) in enumerate(coeffs)
+    )
+    band_selects = "\n      UNION ALL\n      ".join(
+        "SELECT doc_id, {b} AS band, ".format(b=b)
+        + " || ',' || ".join(f"s{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND))
+        + " AS key FROM sig"
+        for b in range(NUM_BANDS)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '{_WORD_SPLIT_SQL}'), t -> len(t) > 0) AS w
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(generate_series(1, len(w) - {SHINGLE_K - 1}),
+                                          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingles
+      FROM toks
+    ), sig AS (
+      SELECT doc_id,
+      {sig_exprs}
+      FROM sh WHERE len(shingles) > 0
+    ), bands AS (
+      {band_selects}
+    )
+    SELECT DISTINCT x.doc_id::BIGINT AS doc_a, y.doc_id::BIGINT AS doc_b
+    FROM bands x JOIN bands y
+      ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+    """
+
+
+# --- SimHash ---------------------------------------------------------------
+
+SIMHASH_BITS = 32
+
+
+def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, simhash) — 32-bit majority-vote signature over token hashes.
+
+    Explode tokens (with multiplicity), hash each JVM-side, take 32
+    per-bit +1/-1 sums in one hash aggregation (map-side partial combine,
+    one shuffle on id), then assemble sign bits.
+    """
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(F.filter(F.split(F.lower(F.col(text_col)), T.WORD_SPLIT_RE), lambda t: F.length(t) > 0)).alias("tok"),
+    )
+    h = hash64(F.col("tok"))
+    votes = toks.groupBy(id_col).agg(
+        *[
+            F.sum(F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"v{j}")
+            for j in range(SIMHASH_BITS)
+        ]
+    )
+    sim = None
+    for j in range(SIMHASH_BITS):
+        bit = F.when(F.col(f"v{j}") > 0, F.lit(2**j).cast("long")).otherwise(F.lit(0).cast("long"))
+        sim = bit if sim is None else sim + bit
+    return votes.select(F.col(id_col), sim.alias("simhash"))
+
+
+def simhash_sql() -> str:
+    """DuckDB mirror of simhash over the documents view."""
+    votes = ",\n      ".join(
+        f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v{j}" for j in range(SIMHASH_BITS)
+    )
+    assemble = " + ".join(f"(CASE WHEN v{j} > 0 THEN {2**j}::BIGINT ELSE 0 END)" for j in range(SIMHASH_BITS))
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '{_WORD_SPLIT_SQL}'), t -> len(t) > 0)) AS tok
+      FROM documents
+    ), hashed AS (
+      SELECT doc_id, {hash64_sql('tok')} AS h FROM toks
+    ), votes AS (
+      SELECT doc_id,
+      {votes}
+      FROM hashed GROUP BY doc_id
+    )
+    SELECT doc_id::BIGINT AS doc_id, ({assemble})::BIGINT AS simhash FROM votes
+    """
+
+
+def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance <= max_hamming.
+
+    Blocked self-join: at scale, block on bit-chunks (pigeonhole: distance
+    <=3 over 4 chunks => at least one chunk equal) instead of this test-
+    scale full pairing.
+    """
+    s = simhash(docs)
+    a, b = s.alias("a"), s.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .where(ham <= max_hamming)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.alias("hamming"),
+        )
+    )
+
+
+# --- exact n-gram Jaccard --------------------------------------------------
+
+
+def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """Exact pairwise word-shingle Jaccard >= threshold (doc_a < doc_b).
+
+    Shingle-explode + equi-join on shingle computes |A ∩ B| with one
+    shuffle; set sizes join back in. Quadratic only within identical-
+    shingle buckets — at 100 TB run AFTER LSH blocking.
+    """
+    sh = docs.select(
+        F.col("doc_id"), T.word_shingles(F.col("text"), SHINGLE_K).alias("shingles")
+    ).where(F.size("shingles") > 0)
+    sizes = sh.select("doc_id", F.size("shingles").alias("n"))
+    ex = sh.select("doc_id", F.explode("shingles").alias("s"))
+    a, b = ex.alias("a"), ex.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    na, nb = sizes.alias("na"), sizes.alias("nb")
+    jac = F.col("i").cast("double") / (F.col("na.n") + F.col("nb.n") - F.col("i"))
+    return (
+        inter.join(na, F.col("doc_a") == F.col("na.doc_id"))
+        .join(nb, F.col("doc_b") == F.col("nb.doc_id"))
+        .where(jac >= threshold)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+def ngram_jaccard_sql(threshold: float = 0.5) -> str:
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split_regex(lower(text), '{_WORD_SPLIT_SQL}'), t -> len(t) > 0) AS w
+      FROM documents
+    ), sh AS (
+      SELECT doc_id, list_distinct(list_transform(generate_series(1, len(w) - {SHINGLE_K - 1}),
+                                                  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingles
+      FROM toks
+    ), nonempty AS (SELECT * FROM sh WHERE len(shingles) > 0),
+    ex AS (SELECT doc_id, unnest(shingles) AS s FROM nonempty),
+    sz AS (SELECT doc_id, len(shingles) AS n FROM nonempty),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a::BIGINT AS doc_a, doc_b::BIGINT AS doc_b,
+           round(CAST(i AS DOUBLE) / (na.n + nb.n - i), 6) AS jaccard
+    FROM inter
+      JOIN sz na ON doc_a = na.doc_id
+      JOIN sz nb ON doc_b = nb.doc_id
+    WHERE CAST(i AS DOUBLE) / (na.n + nb.n - i) >= {threshold}
+    """
+
+
+# --- embedding cosine near-dup --------------------------------------------
+
+
+def embedding_dup_pairs(emb: DataFrame, threshold: float = 0.99) -> DataFrame:
+    """Near-identical embedding pairs by cosine >= threshold (brute force).
+
+    Double-precision fold so the result is engine-stable. This is the
+    oracle baseline; operators/similarity.ann_lsh is the blocked scale path.
+    """
+    from ..functions import vectors as V
+
+    e = emb.select("vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v"))
+    a, b = e.alias("a"), e.alias("b")
+    cos = V.cosine(F.col("a.v"), F.col("b.v"))
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(cos, 6).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,146 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``knn_brute_force``: exact top-k cosine neighbors — the correctness
+  baseline, and genuinely the right plan when the query set is small
+  (broadcast queries x one scan of the corpus; no shuffle of the corpus).
+- ``ann_lsh``: random-hyperplane LSH (sign bits -> bucket key) — the scale
+  path: candidates only within matching buckets, multi-probe via several
+  independent tables. Recall vs. brute force is asserted in tests.
+
+At 100 TB: brute force is O(corpus x queries) but embarrassingly parallel
+and shuffle-free (queries broadcast); LSH turns it into a bucket-join whose
+fan-out is controlled by planes/tables. An IVF variant would replace the
+random planes with k-means centroids; the plumbing (bucket -> join -> rank)
+is identical, so LSH is the representative implementation here.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions import vectors as V
+
+_PLANE_SEED = 1234
+
+
+def _as_double(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def knn_brute_force(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query vector.
+
+    Output: (query_id, rank, neighbor_id, cosine) — cosine rounded to 6dp
+    BEFORE ranking so ordering is engine-stable; ties break on neighbor id.
+    """
+    q = queries.select(
+        F.col(id_col).alias(query_id_col), _as_double(F.col(vec_col)).alias("qv")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv"))
+    scored = F.broadcast(q).crossJoin(c).select(
+        query_id_col,
+        "neighbor_id",
+        F.round(V.cosine(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.select(query_id_col, "neighbor_id", "cosine", F.row_number().over(w).alias("rank"))
+        .where(F.col("rank") <= k)
+    )
+
+
+def knn_brute_force_sql(k: int = 5, n_queries: int = 3) -> str:
+    """DuckDB mirror over the embeddings view (queries = vec_id < n_queries)."""
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {n_queries}),
+    scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             round(list_dot_product(q.qv, e.v) /
+                   (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v))), 6) AS cosine
+      FROM q, e
+    )
+    SELECT query_id::BIGINT AS query_id, neighbor_id::BIGINT AS neighbor_id, cosine,
+           rank::INT AS rank
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= {k}
+    """
+
+
+def hyperplanes(dim: int, n_planes: int, table: int = 0) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (frozen seed per table)."""
+    rnd = random.Random(_PLANE_SEED + 7919 * table)
+    return [[rnd.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
+
+
+def lsh_bucket(vec_col, planes: list[list[float]]):
+    """Sign-bit bucket id of a vector against fixed hyperplanes (a Column)."""
+    bucket = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        plane = F.array(*[F.lit(float(x)) for x in p])
+        d = V.dot(vec_col, plane)
+        bucket = bucket + F.when(d >= 0, F.lit(2**i).cast("long")).otherwise(F.lit(0).cast("long"))
+    return bucket
+
+
+def ann_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    dim: int = 64,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k: rank only candidates sharing an LSH bucket with
+    the query in ANY of ``n_tables`` independent tables.
+
+    Per table: one narrow bucket projection on each side + an equi-join on
+    (table, bucket) — the corpus never cross-joins. Expected bucket
+    occupancy n/2^planes controls cost; recall grows with n_tables.
+    """
+    q = queries.select(F.col(id_col).alias(query_id_col), _as_double(F.col(vec_col)).alias("qv"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv"))
+
+    q_buckets = []
+    c_buckets = []
+    for t in range(n_tables):
+        planes = hyperplanes(dim, n_planes, table=t)
+        q_buckets.append(q.select(query_id_col, "qv", F.lit(t).alias("tbl"), lsh_bucket(F.col("qv"), planes).alias("bucket")))
+        c_buckets.append(c.select("neighbor_id", "cv", F.lit(t).alias("tbl"), lsh_bucket(F.col("cv"), planes).alias("bucket")))
+    qb = q_buckets[0]
+    for x in q_buckets[1:]:
+        qb = qb.unionAll(x)
+    cb = c_buckets[0]
+    for x in c_buckets[1:]:
+        cb = cb.unionAll(x)
+
+    cand = (
+        F.broadcast(qb)
+        .join(cb, ["tbl", "bucket"])
+        .select(query_id_col, "neighbor_id", "qv", "cv")
+        .dropDuplicates([query_id_col, "neighbor_id"])
+    )
+    scored = cand.select(
+        query_id_col, "neighbor_id", F.round(V.cosine(F.col("qv"), F.col("cv")), 6).alias("cosine")
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.select(query_id_col, "neighbor_id", "cosine", F.row_number().over(w).alias("rank"))
+        .where(F.col("rank") <= k)
+    )

@@ -581,6 +581,176 @@ def q_dedup_fingerprint(spark, sf_dir):
 
 
 # ===========================================================================
+# 7. Near-dup dedup: MinHash-LSH, SimHash, exact n-gram Jaccard, embeddings
+# ===========================================================================
+
+
+def _register_dedup():
+    from ..operators import dedup as D
+
+    @register(
+        "dedup_minhash_lsh",
+        D.minhash_lsh_candidates_sql(),
+        doc="MinHash(12)+LSH(4x3) candidate near-dup pairs; signature is a "
+        "per-row column expression, one shuffle on band keys",
+    )
+    def q_dedup_minhash(spark, sf_dir):
+        return D.minhash_lsh_candidates(load(spark, sf_dir, "documents"))
+
+    @register(
+        "dedup_simhash",
+        D.simhash_sql(),
+        doc="SimHash-32 signature per doc (token-hash bit votes; one hash agg)",
+    )
+    def q_dedup_simhash(spark, sf_dir):
+        return D.simhash(load(spark, sf_dir, "documents"))
+
+    @register(
+        "dedup_ngram_jaccard",
+        D.ngram_jaccard_sql(0.5),
+        doc="Exact word-3-shingle Jaccard >= 0.5 pairs (shingle-explode join; "
+        "at scale runs after LSH blocking)",
+    )
+    def q_dedup_jaccard(spark, sf_dir):
+        return D.ngram_jaccard_pairs(load(spark, sf_dir, "documents"), 0.5)
+
+    @register(
+        "dedup_embedding",
+        """
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+        SELECT a.vec_id::BIGINT AS vec_a, b.vec_id::BIGINT AS vec_b,
+               round(list_dot_product(a.v, b.v) /
+                     (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+        WHERE round(list_dot_product(a.v, b.v) /
+                    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.95
+        """,
+        doc="Embedding cosine near-dup pairs (brute-force baseline; LSH "
+        "variant in operators/similarity)",
+    )
+    def q_dedup_embedding(spark, sf_dir):
+        from ..operators.dedup import embedding_dup_pairs
+
+        return embedding_dup_pairs(load(spark, sf_dir, "embeddings"), threshold=0.95)
+
+
+_register_dedup()
+
+
+# ===========================================================================
+# 8. Similarity search
+# ===========================================================================
+
+
+def _register_similarity():
+    from ..operators import similarity as S
+
+    @register(
+        "knn_brute_force",
+        S.knn_brute_force_sql(k=5, n_queries=3),
+        doc="Exact top-5 cosine neighbors for 3 query vectors (broadcast "
+        "queries x corpus scan; shuffle-free)",
+    )
+    def q_knn(spark, sf_dir):
+        emb = load(spark, sf_dir, "embeddings")
+        return S.knn_brute_force(emb, emb.where(F.col("vec_id") < 3), k=5)
+
+    @register(
+        "knn_lsh",
+        None,
+        doc="LSH-bucketed ANN top-5 (approximate; recall vs brute force "
+        "asserted in tests/test_similarity.py)",
+        tags=("approx",),
+    )
+    def q_knn_lsh(spark, sf_dir):
+        emb = load(spark, sf_dir, "embeddings")
+        return S.ann_lsh(emb, emb.where(F.col("vec_id") < 3), k=5, n_planes=4, n_tables=8)
+
+
+_register_similarity()
+
+
+# ===========================================================================
+# 9. Text analysis (training-data pipeline operators)
+# ===========================================================================
+
+
+def _lang_id_sql() -> str:
+    """DuckDB mirror of functions.text.lang_id + counts per predicted lang."""
+    langs = sorted(T.LANG_MARKERS.items())
+    score = {
+        lang: "(" + " + ".join(
+            f"(CASE WHEN ' ' || lower(text) || ' ' LIKE '% {m} %' THEN 1 ELSE 0 END)" for m in ms
+        ) + ")"
+        for lang, ms in langs
+    }
+    best = "greatest(" + ", ".join(score[lang] for lang, _ in langs) + ")"
+    pick = "'und'"
+    for lang, _ in reversed(langs):
+        pick = f"(CASE WHEN {score[lang]} = best AND best > 0 THEN '{lang}' ELSE {pick} END)"
+    return f"""
+    SELECT pred_lang, count(*)::BIGINT AS cnt FROM (
+      SELECT {pick} AS pred_lang
+      FROM (SELECT text, {best} AS best FROM documents)
+    ) GROUP BY pred_lang
+    """
+
+
+@register(
+    "lang_id_counts",
+    _lang_id_sql(),
+    doc="Stopword-marker language ID heuristic, counted per predicted lang",
+)
+def q_lang_id_counts(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(T.lang_id(F.col("text")).alias("pred_lang")).groupBy("pred_lang").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+@register(
+    "doc_quality",
+    r"""
+    SELECT doc_id::BIGINT AS doc_id,
+           CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(string_split_regex(trim(text), '\s+')) END::BIGINT AS n_tokens,
+           round(CASE WHEN length(regexp_replace(text, '\s', '', 'g')) = 0 THEN 0.0
+                 ELSE CAST(length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS DOUBLE)
+                      / length(regexp_replace(text, '\s', '', 'g')) END, 6) AS punct_ratio
+    FROM documents
+    """,
+    doc="Per-doc quality metrics: whitespace token count + punctuation ratio",
+)
+def q_doc_quality(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.token_count(F.col("text")).alias("n_tokens"),
+        F.round(T.punct_ratio(F.col("text")), 6).alias("punct_ratio"),
+    )
+
+
+@register(
+    "token_stats",
+    r"""
+    SELECT sum(CASE WHEN length(trim(text)) = 0 THEN 0
+               ELSE len(string_split_regex(trim(text), '\s+')) END)::BIGINT AS total_ws_tokens,
+           sum(len(regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)|[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+')))::BIGINT AS total_bpe_tokens,
+           sum(length(text))::BIGINT AS total_chars
+    FROM documents
+    """,
+    doc="Corpus token budget: whitespace + BPE-ish subword counts + chars",
+)
+def q_token_stats(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    return docs.agg(
+        F.sum(T.token_count(F.col("text"))).alias("total_ws_tokens"),
+        F.sum(T.bpe_ish_token_count(F.col("text"))).alias("total_bpe_tokens"),
+        F.sum(F.length("text")).cast("long").alias("total_chars"),
+    )
+
+
+# ===========================================================================
 # Entry-point helpers
 # ===========================================================================
 

@@ -107,13 +107,16 @@ def parse_apache_log(raw: DataFrame, col: str = "line") -> DataFrame:
     c = F.col(col)
     extracted = raw.select(
         F.nullif(F.regexp_extract(c, _LOG_RE, 1), F.lit("")).alias("host"),
-        F.to_timestamp(F.regexp_extract(c, _LOG_RE, 2), APACHE_TS_FMT).alias("ts"),
+        # try_to_timestamp: malformed datetimes -> null -> dropped (P7),
+        # instead of to_timestamp's ANSI-mode exception
+        F.try_to_timestamp(F.regexp_extract(c, _LOG_RE, 2), F.lit(APACHE_TS_FMT)).alias("ts"),
         F.regexp_extract(c, _LOG_RE, 3).alias("method"),
         F.regexp_extract(c, _LOG_RE, 4).alias("request_path"),
         F.regexp_extract(c, _LOG_RE, 5).alias("proto"),
         F.regexp_extract(c, _LOG_RE, 6).cast("int").alias("status"),
-        # non-numeric bytes field ('-') -> null, like the reference's drop
-        F.regexp_extract(c, _LOG_RE, 7).cast("long").alias("bytes"),
+        # non-numeric bytes field ('-') -> null via try_cast (ANSI-safe),
+        # like the reference's permissive drop
+        F.regexp_extract(c, _LOG_RE, 7).try_cast("long").alias("bytes"),
     )
     return extracted.select(
         "host",

@@ -43,8 +43,9 @@ def parse_wireless(raw: DataFrame, col: str = "line") -> DataFrame:
     parts = F.split(F.col(col), ",")
     return (
         raw.select(
-            F.element_at(parts, 1).alias("snd_id"),
-            F.element_at(parts, 2).alias("rcv_id"),
+            # try_element_at: rows with <2 fields -> null -> dropped (ANSI-safe)
+            F.try_element_at(parts, F.lit(1)).alias("snd_id"),
+            F.try_element_at(parts, F.lit(2)).alias("rcv_id"),
         )
         .where(F.col("snd_id").isNotNull() & (F.length("snd_id") > 0))
         .where(F.col("rcv_id").isNotNull() & (F.length("rcv_id") > 0))

@@ -1,0 +1,92 @@
+"""Dedup operator semantics on constructed near-dup corpora."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from random_sampling_based_approximate_mapreduce_spark.operators import dedup as D
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again until dusk falls over the quiet valley"
+    near = base.replace("quiet valley", "silent valley")  # one-word change
+    other = "completely different content about spark engines and distributed queries at massive scale every day"
+    rows = [
+        (0, base),
+        (1, base),        # exact dup of 0
+        (2, near),        # near dup of 0
+        (3, other),
+        (4, "tiny"),      # too short for 3-shingles
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+class TestMinHashLSH:
+    def test_exact_dups_always_candidates(self, corpus):
+        pairs = {(r["doc_a"], r["doc_b"]) for r in D.minhash_lsh_candidates(corpus).collect()}
+        assert (0, 1) in pairs
+
+    def test_near_dup_found_distinct_doc_not(self, corpus):
+        pairs = {(r["doc_a"], r["doc_b"]) for r in D.minhash_lsh_candidates(corpus).collect()}
+        assert (0, 2) in pairs  # jaccard ~0.85 >> 0.63 s-curve threshold
+        assert (0, 3) not in pairs and (1, 3) not in pairs and (2, 3) not in pairs
+
+    def test_short_doc_dropped(self, corpus):
+        sigs = D.minhash_signatures(corpus)
+        assert sigs.where(F.col("doc_id") == 4).count() == 0
+
+    def test_signature_deterministic(self, corpus):
+        a = D.minhash_signatures(corpus).orderBy("doc_id").collect()
+        b = D.minhash_signatures(corpus).orderBy("doc_id").collect()
+        assert [r["sig"] for r in a] == [r["sig"] for r in b]
+
+
+class TestSimHash:
+    def test_identical_texts_identical_hash(self, corpus):
+        rows = {r["doc_id"]: r["simhash"] for r in D.simhash(corpus).collect()}
+        assert rows[0] == rows[1]
+
+    def test_near_dup_small_hamming(self, corpus, spark):
+        pairs = D.simhash_near_pairs(corpus, max_hamming=6).collect()
+        by_pair = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in pairs}
+        assert by_pair.get((0, 1)) == 0
+        assert (0, 2) in by_pair  # near dup within 6 bits
+        assert (0, 3) not in by_pair
+
+
+class TestNgramJaccard:
+    def test_exact_dup_jaccard_one(self, corpus):
+        rows = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in D.ngram_jaccard_pairs(corpus, 0.5).collect()}
+        assert rows[(0, 1)] == 1.0
+
+    def test_near_dup_high_jaccard(self, corpus):
+        rows = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in D.ngram_jaccard_pairs(corpus, 0.5).collect()}
+        assert 0.7 < rows[(0, 2)] < 1.0
+        assert (0, 3) not in rows
+
+
+class TestEmbeddingDup:
+    def test_finds_identical_vectors(self, spark):
+        rows = [
+            (0, [1.0, 2.0, 3.0]),
+            (1, [1.0, 2.0, 3.0]),
+            (2, [2.0, 4.0, 6.0]),   # colinear -> cosine 1
+            (3, [-1.0, 0.5, 0.0]),
+        ]
+        emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+        pairs = {(r["vec_a"], r["vec_b"]): r["cosine"] for r in D.embedding_dup_pairs(emb, 0.99).collect()}
+        assert pairs[(0, 1)] == 1.0
+        assert pairs[(0, 2)] == 1.0
+        assert (0, 3) not in pairs
+
+    def test_lsh_candidates_superset_check_on_testdata(self, spark, sf_dir):
+        # MinHash candidate set must contain every exact-text duplicate pair
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        exact_dups = (
+            docs.alias("a")
+            .join(docs.alias("b"), (F.col("a.text") == F.col("b.text")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        )
+        cand = D.minhash_lsh_candidates(docs)
+        missing = exact_dups.join(cand, ["doc_a", "doc_b"], "left_anti").count()
+        assert missing == 0

@@ -1,0 +1,56 @@
+"""Similarity search: brute-force correctness + LSH recall."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from random_sampling_based_approximate_mapreduce_spark.operators import similarity as S
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+class TestBruteForce:
+    def test_self_is_rank_one(self, emb):
+        out = S.knn_brute_force(emb, emb.where(F.col("vec_id") < 3), k=5).collect()
+        rank1 = {r["query_id"]: r["neighbor_id"] for r in out if r["rank"] == 1}
+        assert rank1 == {0: 0, 1: 1, 2: 2}  # cosine(v,v)=1 with id tiebreak
+
+    def test_k_rows_per_query(self, emb):
+        out = S.knn_brute_force(emb, emb.where(F.col("vec_id") < 3), k=5)
+        counts = out.groupBy("query_id").count().collect()
+        assert all(r["count"] == 5 for r in counts)
+
+    def test_matches_numpy_ground_truth(self, emb):
+        """Top-5 for query 0 must equal a local numpy brute-force ranking."""
+        import numpy as np
+
+        rows = emb.orderBy("vec_id").collect()
+        mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+        ids = np.array([r["vec_id"] for r in rows])
+        q = mat[ids == 0][0]
+        cos = (mat @ q) / (np.linalg.norm(mat, axis=1) * np.linalg.norm(q))
+        order = sorted(zip(np.round(cos, 6), -ids), reverse=True)[:5]
+        expected = [int(-i) for _, i in order]
+
+        out = S.knn_brute_force(emb, emb.where(F.col("vec_id") == 0), k=5).orderBy("rank").collect()
+        assert [r["neighbor_id"] for r in out] == expected
+
+
+class TestLSH:
+    def test_recall_vs_brute_force(self, emb):
+        queries = emb.where(F.col("vec_id") < 10)
+        exact = S.knn_brute_force(emb, queries, k=5)
+        approx = S.ann_lsh(emb, queries, k=5, dim=64, n_planes=4, n_tables=8)
+        hits = exact.join(approx, ["query_id", "neighbor_id"], "left_semi").count()
+        total = exact.count()
+        assert total == 50
+        # testdata embeddings are near-orthogonal (worst case for LSH);
+        # 4 planes x 8 tables measured at 0.82 recall with seed 1234
+        assert hits / total >= 0.7
+
+    def test_bucket_determinism(self, emb):
+        a = sorted(S.ann_lsh(emb, emb.where(F.col("vec_id") < 2), k=3).collect())
+        b = sorted(S.ann_lsh(emb, emb.where(F.col("vec_id") < 2), k=3).collect())
+        assert a == b

@@ -1,0 +1,105 @@
+"""Source-layer semantics: permissive parsing, round-trips, sampled reads."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from random_sampling_based_approximate_mapreduce_spark import SamplingConfig
+from random_sampling_based_approximate_mapreduce_spark.sources import apache_log as AL
+from random_sampling_based_approximate_mapreduce_spark.sources import text as TXT
+from random_sampling_based_approximate_mapreduce_spark.sources import wireless as WL
+from random_sampling_based_approximate_mapreduce_spark.sources import xml_pages as XP
+
+
+class TestApacheLogParse:
+    def test_well_formed_line(self, spark):
+        line = '203.0.113.7 - - [12/Mar/2024:14:03:22 +0000] "GET /page/view/3?q=9 HTTP/1.1" 200 5120'
+        df = AL.parse_apache_log(spark.createDataFrame([(line,)], ["line"]))
+        r = df.collect()[0]
+        assert r["host"] == "203.0.113.7"
+        assert r["method"] == "GET"
+        assert r["path"] == "/page/view/3"
+        assert r["query"] == "q=9"
+        assert r["status"] == 200 and r["bytes"] == 5120
+        assert r["ts"].hour == 14
+
+    def test_malformed_lines_dropped(self, spark):
+        rows = [
+            ("not a log line at all",),
+            ("",),
+            ('host - - [bad-date] "GET / HTTP/1.1" 200 10',),
+            ('1.2.3.4 - - [12/Mar/2024:14:03:22 +0000] "GET / HTTP/1.1" 200 10',),
+        ]
+        df = AL.parse_apache_log(spark.createDataFrame(rows, ["line"]))
+        assert df.count() == 1  # only the last is valid
+
+    def test_dash_bytes_becomes_null(self, spark):
+        line = '1.2.3.4 - - [12/Mar/2024:14:03:22 +0000] "HEAD / HTTP/1.1" 304 -'
+        df = AL.parse_apache_log(spark.createDataFrame([(line,)], ["line"]))
+        assert df.collect()[0]["bytes"] is None
+
+    def test_round_trip_preserves_rowcount(self, spark, sf_dir):
+        from random_sampling_based_approximate_mapreduce_spark.sources.tables import load
+
+        events = load(spark, sf_dir, "events")
+        assert AL.access_log(events).count() == events.count()
+
+
+class TestWireless:
+    def test_canonical_pair_collapses_orders(self, spark):
+        rows = [("dev-1,dev-2,x,1,-40",), ("dev-2,dev-1,y,2,-50",)]
+        parsed = WL.parse_wireless(spark.createDataFrame(rows, ["line"]))
+        links = parsed.select(WL.canonical_link(F.col("snd_id"), F.col("rcv_id")).alias("link")).collect()
+        assert {r["link"] for r in links} == {"dev-2->dev-1"}
+
+    def test_malformed_dropped(self, spark):
+        rows = [("",), ("only-one-field",), ("a,b",)]
+        parsed = WL.parse_wireless(spark.createDataFrame(rows, ["line"]))
+        assert parsed.count() == 1
+
+
+class TestXmlPages:
+    def test_multiline_pages_split(self, spark):
+        blob = "<page>\n<title>A</title>\n<text>alpha beta\ngamma</text>\n</page>junk<page><title>B</title><text>delta</text></page>"
+        pages = XP.split_pages(spark.createDataFrame([(blob,)], ["value"]))
+        assert pages.count() == 2
+        fields = XP.extract_fields(pages).orderBy("title").collect()
+        assert fields[0]["title"] == "A" and "gamma" in fields[0]["text"]
+        assert fields[1]["title"] == "B" and fields[1]["text"] == "delta"
+
+    def test_wrap_extract_round_trip(self, spark, sf_dir):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        extracted = XP.extract_fields(XP.wrap_documents(docs))
+        assert extracted.count() == docs.count()
+        # text survives byte-for-byte
+        orig = docs.agg(F.sum(F.length("text"))).collect()[0][0]
+        back = extracted.agg(F.sum(F.length("text"))).collect()[0][0]
+        assert orig == back
+
+
+class TestSampledTextRead(object):
+    def test_sampled_read_counts(self, spark, tmp_path):
+        p = str(tmp_path / "lines.txt")
+        with open(p, "w") as f:
+            for i in range(10_000):
+                f.write(f"line {i} content\n")
+        sf = TXT.read_text_sampled(spark, p, SamplingConfig(ratio=0.1, seed=42))
+        n = sf.df.count()
+        rep = sf.report()
+        assert rep.total_records == 10_000
+        assert rep.sampled_records == n
+        assert 800 < n < 1200
+
+    def test_exact_read_passthrough(self, spark, tmp_path):
+        p = str(tmp_path / "lines2.txt")
+        with open(p, "w") as f:
+            f.write("a\nb\nc\n")
+        sf = TXT.read_text_sampled(spark, p, SamplingConfig.exact())
+        assert sf.df.count() == 3
+
+    def test_tsv_sink_round_trip(self, spark, tmp_path):
+        out = str(tmp_path / "out_tsv")
+        df = spark.createDataFrame([("k1", 5), ("k2", 7)], ["key", "cnt"])
+        TXT.write_tsv(df, out, sort_by="key")
+        back = spark.read.option("sep", "\t").csv(out)
+        rows = sorted((r["_c0"], int(r["_c1"])) for r in back.collect())
+        assert rows == [("k1", 5), ("k2", 7)]
