@@ -1,0 +1,90 @@
+#!/usr/bin/env python
+"""Engine benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total_sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>}
+
+Execution is forced through the noop sink (full plan runs, nothing
+collected to the driver). A tiny warmup query absorbs JVM/codegen
+startup so per-query numbers reflect steady state.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: the reference's workloads (word/char/log/wireless/xml),
+# the relational surface, the training-data operators, and the sampled
+# variants whose speedup-vs-exact is the engine's reason to exist.
+BENCH_QUERIES = [
+    "word_count",
+    "char_count",
+    "word_count_sampled",
+    "log_host",
+    "log_dateweek",
+    "log_totalsize",
+    "log_host_sampled",
+    "wireless_link_pairs",
+    "xml_page_words",
+    "tpch_q1",
+    "tpch_q3_topk",
+    "revenue_by_nation",
+    "top_orders_per_priority",
+    "user_sessions",
+    "events_hourly",
+    "approx_events_by_type",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "knn_brute_force",
+    "multimodal_meta",
+    "token_stats",
+]
+
+
+def main() -> None:
+    from random_sampling_based_approximate_mapreduce_spark.plans.catalog import QUERIES
+    from random_sampling_based_approximate_mapreduce_spark.session import get_spark
+
+    spark = get_spark("rsmr-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warmup: JVM + codegen + parquet footer caches
+    QUERIES["tpch_q1"].spark(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        qd = QUERIES[name]
+        t0 = time.monotonic()
+        qd.spark(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(
+        json.dumps(
+            {
+                "metric": "rsmr-spark headline queries, total wall sec",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

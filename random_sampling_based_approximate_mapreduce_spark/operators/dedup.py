@@ -34,7 +34,6 @@ from ..functions.hashing import (
     hash64,
     hash64_sql,
     minhash_coefficients,
-    minhash_signature,
 )
 
 # Fixed MinHash-LSH geometry for the catalog queries: 12 hashes = 4 bands
@@ -48,12 +47,32 @@ _WORD_SPLIT_SQL = "[^a-z0-9'']+"
 
 
 def minhash_signatures(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """(id, sig array<long>) — empty-shingle docs dropped (no signature)."""
+    """(id, sig array<long>) — empty-shingle docs dropped (no signature).
+
+    Plan shape matters here: explode shingles, hash each ONCE (md5 is the
+    expensive part), then take the NUM_HASHES affine mins as one grouped
+    aggregation. Catalyst cannot CSE a hash subtree referenced from many
+    lambda expressions (measured 70x slower as a nested higher-order
+    expression), while the explode+groupBy form hashes once per shingle
+    and partial-aggregates map-side — one small shuffle on id.
+    """
+    coeffs = minhash_coefficients(NUM_HASHES)
     shingles = T.word_shingles(F.col(text_col), SHINGLE_K)
-    return (
+    ex = (
         docs.select(F.col(id_col), shingles.alias("shingles"))
         .where(F.size("shingles") > 0)
-        .select(F.col(id_col), minhash_signature(F.col("shingles"), NUM_HASHES).alias("sig"))
+        .select(F.col(id_col), F.explode("shingles").alias("s"))
+    )
+    h = hash64(F.col("s")) % F.lit(MERSENNE_P)
+    hashed = ex.select(F.col(id_col), h.alias("h"))
+    mins = hashed.groupBy(id_col).agg(
+        *[
+            F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MERSENNE_P)).alias(f"s{j}")
+            for j, (a, b) in enumerate(coeffs)
+        ]
+    )
+    return mins.select(
+        F.col(id_col), F.array(*[F.col(f"s{j}") for j in range(NUM_HASHES)]).alias("sig")
     )
 
 

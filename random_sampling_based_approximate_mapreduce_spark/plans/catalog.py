@@ -751,6 +751,50 @@ def q_token_stats(spark, sf_dir):
 
 
 # ===========================================================================
+# 10. Multimodal plumbing (Arrow/mapInPandas path; decode stubbed —
+#     deterministic pseudo-features so the oracle can verify the plumbing)
+# ===========================================================================
+
+
+def _register_multimodal():
+    from ..sources import multimodal as MM
+
+    @register(
+        "multimodal_meta",
+        """
+        SELECT doc_id::BIGINT AS doc_id, 'image' AS modality,
+               octet_length(encode(text))::BIGINT AS n_bytes,
+               (320 + octet_length(encode(text)) % 320)::INT AS width,
+               (240 + octet_length(encode(text)) % 240)::INT AS height
+        FROM documents
+        """,
+        doc="Binary-column decode pipeline via Arrow mapInPandas (stubbed "
+        "codec, real plumbing: schema, batching, partition-parallel)",
+    )
+    def q_multimodal_meta(spark, sf_dir):
+        docs = load(spark, sf_dir, "documents")
+        return MM.decode_metadata(MM.attach_binary_content(docs))
+
+    @register(
+        "multimodal_frame_counts",
+        """
+        SELECT doc_id::BIGINT AS doc_id,
+               ((greatest(octet_length(encode(text)) // 64, 1) + 3) // 4)::BIGINT AS n_frames
+        FROM documents
+        """,
+        doc="Video-style frame sampling (1 row -> N frames through "
+        "mapInPandas), counted per doc",
+    )
+    def q_multimodal_frames(spark, sf_dir):
+        docs = load(spark, sf_dir, "documents")
+        frames = MM.sample_frames(MM.attach_binary_content(docs, "video"))
+        return frames.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_frames"))
+
+
+_register_multimodal()
+
+
+# ===========================================================================
 # Entry-point helpers
 # ===========================================================================
 

@@ -1,0 +1,143 @@
+"""Structured Streaming surface of the engine.
+
+The reference is batch-only (job.waitForCompletion, RandomizedWordCount.
+java:97); this module is the engine's forward extension: the same
+sample -> transform -> estimate pipeline over unbounded input.
+
+Design: Spark disallows the Sample operator on streams, so streaming
+Bernoulli sampling is a stateless HASH-based filter — accept a row iff
+``pmod(xxhash64(row, seed), M) < ratio*M``. Deterministic (replayable
+across micro-batch retries, which a RNG sample would not be), uniform for
+distinct rows, and it drops rows at ingest before any stateful operator —
+cutting state size and shuffle exactly as the batch engine cuts scan cost.
+Watermarked windows bound state at 100 TB/day rates; HT scale-up is
+applied inside the windowed aggregate exactly as in batch (A6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..sampling.config import SamplingConfig
+
+
+_HASH_BUCKETS = 1_000_000
+
+
+def sample_stream(
+    stream: DataFrame,
+    config: SamplingConfig | None = None,
+    key_cols: list[str] | None = None,
+) -> DataFrame:
+    """Hash-based Bernoulli sampling for streams (Sample is batch-only).
+
+    Accept a row iff ``pmod(xxhash64(keys, seed), M) < ratio*M``.
+    Deterministic across micro-batch replays (exactly-once safe), uniform
+    over distinct key tuples. ``key_cols`` defaults to all columns;
+    identical rows sample identically (document if rows can repeat).
+    Exact mode (1.0) adds no filter (SampledFrame discipline; streams
+    track counts via their windowed aggregates, Observations are
+    batch-only).
+    """
+    cfg = config or SamplingConfig()
+    ratio = cfg.resolve()
+    if ratio >= 1.0:
+        return stream
+    cols = key_cols or stream.columns
+    h = F.xxhash64(*[F.col(c) for c in cols], F.lit(cfg.seed if cfg.seed is not None else 0))
+    return stream.where(F.pmod(h, F.lit(_HASH_BUCKETS)) < int(ratio * _HASH_BUCKETS))
+
+
+def windowed_counts(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    window: str = "1 hour",
+    watermark: str = "10 minutes",
+    ratio: float = 1.0,
+) -> DataFrame:
+    """Watermarked tumbling-window counts with HT scale-up.
+
+    Late rows beyond ``watermark`` are dropped and their window state
+    evicted — bounded state at any input rate. ``est_cnt`` scales the
+    sampled count back to the population (A6); at ratio=1.0 it is exact.
+    """
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("win"), F.col(key_col))
+        .agg((F.count(F.lit(1)) / F.lit(ratio)).alias("est_cnt"))
+        .select(F.col("win.start").alias("window_start"), key_col, "est_cnt")
+    )
+
+
+def sampled_windowed_counts(
+    stream: DataFrame,
+    config: SamplingConfig,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    window: str = "1 hour",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """sample -> window -> HT-scale, fused: the streaming twin of the
+    batch SampledFrame.approx_count over event-time windows."""
+    ratio = config.resolve()
+    return windowed_counts(
+        sample_stream(stream, config), ts_col, key_col, window, watermark, ratio=ratio
+    )
+
+
+def running_totals_stateful(
+    stream: DataFrame,
+    key_col: str = "event_type",
+    value_col: str = "value",
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Custom stateful operator: running per-key (count, sum) via
+    applyInPandasWithState — the engine's template for operators Spark's
+    built-ins can't express (arbitrary per-key state machines).
+
+    Output one row per key per micro-batch with the cumulative totals.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("key", StringType()),
+            StructField("total_count", LongType()),
+            StructField("total_value", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [StructField("cnt", LongType()), StructField("sum", DoubleType())]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        cnt, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            cnt += len(pdf)
+            total += float(pdf[value_col].sum())
+        state.update((cnt, total))
+        import pandas as pd
+
+        yield pd.DataFrame({"key": [key[0]], "total_count": [cnt], "total_value": [total]})
+
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.col(key_col))
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

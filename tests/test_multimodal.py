@@ -1,0 +1,49 @@
+"""Multimodal binary-column plumbing (Arrow mapInPandas path)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from random_sampling_based_approximate_mapreduce_spark.sources import multimodal as MM
+
+
+@pytest.fixture(scope="module")
+def assets(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return MM.attach_binary_content(docs)
+
+
+class TestDecodeMetadata:
+    def test_schema_and_rowcount(self, assets):
+        out = MM.decode_metadata(assets)
+        assert out.schema.simpleString() == (
+            "struct<doc_id:bigint,modality:string,n_bytes:bigint,width:int,height:int>"
+        )
+        assert out.count() == assets.count()
+
+    def test_stub_features_deterministic_from_bytes(self, assets):
+        rows = MM.decode_metadata(assets).orderBy("doc_id").limit(5).collect()
+        for r in rows:
+            assert r["width"] == 320 + r["n_bytes"] % 320
+            assert r["height"] == 240 + r["n_bytes"] % 240
+
+    def test_real_decode_raises_without_codec(self, assets):
+        with pytest.raises(Exception) as exc_info:
+            MM.decode_metadata(assets, decode_stub=False).collect()
+        assert "NotImplementedError" in str(exc_info.value) or isinstance(
+            exc_info.value, NotImplementedError
+        )
+
+
+class TestFrameSampling:
+    def test_frame_fanout(self, spark):
+        content = bytes(range(256)) * 2  # 512 bytes -> 8 chunks of 64 -> every 4th -> 2
+        df = spark.createDataFrame([(1, "video", bytearray(content))], ["doc_id", "modality", "content"])
+        frames = MM.sample_frames(df, frame_bytes=64, every_k=4).collect()
+        assert [f["frame_idx"] for f in frames] == [0, 4]
+        assert all(len(f["frame"]) == 64 for f in frames)
+        assert bytes(frames[0]["frame"]) == content[:64]
+
+    def test_binary_column_survives_shuffle(self, assets):
+        frames = MM.sample_frames(assets.limit(50))
+        agg = frames.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n")).collect()
+        assert len(agg) == 50

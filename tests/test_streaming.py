@@ -1,0 +1,94 @@
+"""Structured Streaming: sampled windowed counts + custom stateful op.
+
+File source -> memory sink, processAllAvailable, compared against the
+batch twin on the same rows.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from random_sampling_based_approximate_mapreduce_spark import SamplingConfig
+from random_sampling_based_approximate_mapreduce_spark.sources.tables import load
+from random_sampling_based_approximate_mapreduce_spark.streaming import sampled_stream as ST
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, sf_dir, tmp_path_factory):
+    """Events re-written as a plain parquet dir a file stream can read."""
+    out = str(tmp_path_factory.mktemp("events_stream"))
+    load(spark, sf_dir, "events").write.mode("overwrite").parquet(out)
+    return out
+
+
+def _read_stream(spark, events_dir):
+    schema = spark.read.parquet(events_dir).schema
+    return spark.readStream.schema(schema).parquet(events_dir)
+
+
+def _run_to_memory(df, name, output_mode):
+    q = df.writeStream.format("memory").queryName(name).outputMode(output_mode).start()
+    q.processAllAvailable()
+    q.stop()
+    return name
+
+
+class TestWindowedCounts:
+    def test_exact_stream_equals_batch(self, spark, events_dir):
+        stream = _read_stream(spark, events_dir)
+        out = ST.windowed_counts(stream, window="1 hour", watermark="1 minute")
+        _run_to_memory(out, "wc_exact", "append")
+        got = {
+            (r["window_start"], r["event_type"]): r["est_cnt"]
+            for r in spark.sql("SELECT * FROM wc_exact").collect()
+        }
+        batch = spark.read.parquet(events_dir)
+        expected = {
+            (r["hour"], r["event_type"]): float(r["cnt"])
+            for r in batch.groupBy(
+                F.date_trunc("hour", "ts").alias("hour"), "event_type"
+            ).agg(F.count(F.lit(1)).alias("cnt")).collect()
+        }
+        # append mode emits only windows the watermark has closed; every
+        # emitted window must match the batch result exactly
+        assert len(got) > 0
+        for k, v in got.items():
+            assert expected[k] == v
+
+    def test_sampled_stream_estimates(self, spark, events_dir):
+        stream = _read_stream(spark, events_dir)
+        cfg = SamplingConfig(ratio=0.5, seed=42)
+        out = ST.sampled_windowed_counts(stream, cfg, window="24 hours", watermark="1 minute")
+        _run_to_memory(out, "wc_sampled", "append")
+        got = spark.sql("SELECT sum(est_cnt) AS s FROM wc_sampled").collect()[0]["s"]
+        batch = spark.read.parquet(events_dir)
+        # emitted (closed) windows cover all but the last day; estimate of
+        # the covered mass should be within 10% of exact
+        emitted_windows = spark.sql("SELECT window_start FROM wc_sampled").distinct().collect()
+        starts = [r["window_start"] for r in emitted_windows]
+        exact = batch.where(
+            F.date_trunc("day", "ts").isin(starts)
+        ).count()
+        assert got == pytest.approx(exact, rel=0.1)
+
+
+class TestStatefulRunningTotals:
+    def test_running_totals_match_batch(self, spark, events_dir):
+        stream = _read_stream(spark, events_dir)
+        out = ST.running_totals_stateful(stream)
+        _run_to_memory(out, "rt", "update")
+        # last update per key holds the cumulative totals
+        rows = spark.sql(
+            "SELECT key, max(total_count) AS cnt, max(total_value) AS val FROM rt GROUP BY key"
+        ).collect()
+        batch = spark.read.parquet(events_dir)
+        expected = {
+            r["event_type"]: (r["cnt"], r["val"])
+            for r in batch.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("cnt"), F.sum("value").alias("val"))
+            .collect()
+        }
+        assert len(rows) == len(expected)
+        for r in rows:
+            ecnt, eval_ = expected[r["key"]]
+            assert r["cnt"] == ecnt
+            assert r["val"] == pytest.approx(eval_, rel=1e-9)
