@@ -53,9 +53,15 @@ def words(col: Column, split_re: str = WORD_SPLIT_RE) -> Column:
 
 
 def explode_words(df: DataFrame, col: str, out: str = "word") -> DataFrame:
-    """P3+P4: one row per non-empty, non-numeric token."""
+    """P3+P4: one row per non-empty, non-numeric token.
+
+    explode_outer everywhere in this module: plain explode triggers
+    InferFiltersFromGenerate, whose size()>0 filter is predicate-pushed
+    with the full split expression substituted — doubling the regex work
+    per row. The length>0 predicate already drops the outer-null rows.
+    """
     return (
-        df.select(F.explode(words(F.col(col))).alias(out))
+        df.select(F.explode_outer(words(F.col(col))).alias(out))
         .where(F.length(out) > 0)
         .where(~F.col(out).rlike("^[0-9]+$"))
     )
@@ -65,13 +71,13 @@ def explode_words_reference(df: DataFrame, col: str, out: str = "word") -> DataF
     """Parity-mode tokenizer: P1 normalize + P2 digit-line drop + the
     reference's full delimiter set + P4 numeric-token drop."""
     kept = drop_digit_lines(df, col)
-    toks = kept.select(F.explode(F.split(normalize_line(F.col(col)), REFERENCE_DELIMS_RE)).alias(out))
+    toks = kept.select(F.explode_outer(F.split(normalize_line(F.col(col)), REFERENCE_DELIMS_RE)).alias(out))
     return toks.where(F.length(out) > 0).where(~F.col(out).rlike("^[0-9]+$"))
 
 
 def explode_chars(df: DataFrame, col: str, out: str = "ch") -> DataFrame:
     """P5: one row per character."""
-    return df.select(F.explode(F.split(F.col(col), "")).alias(out)).where(F.length(out) > 0)
+    return df.select(F.explode_outer(F.split(F.col(col), "")).alias(out)).where(F.length(out) > 0)
 
 
 # ---------------------------------------------------------------------------
@@ -184,12 +190,42 @@ def char_ngrams(col: Column, n: int) -> Column:
     return F.array_distinct(F.filter(grams, lambda g: F.length(g) == n))
 
 
-def word_shingles(col: Column, k: int) -> Column:
-    """Distinct k-word shingle array over the simple word tokenization."""
-    toks = F.filter(F.split(F.lower(col), WORD_SPLIT_RE), lambda t: F.length(t) > 0)
+def word_tokens(col: Column) -> Column:
+    """Non-empty lowercase word tokens (the shingle tokenizer)."""
+    return F.filter(F.split(F.lower(col), WORD_SPLIT_RE), lambda t: F.length(t) > 0)
+
+
+def shingles_from_tokens(toks: Column, k: int) -> Column:
+    """Distinct k-word shingles from a PRE-MATERIALIZED token array column.
+
+    ``toks`` MUST be a plain attribute (its own projection step), never the
+    tokenizer expression inline: Catalyst cannot eliminate a common subtree
+    referenced from inside lambda functions, so an inline tokenizer is
+    re-evaluated per shingle — O(words^2) regex work, measured 7x slower on
+    the documents table. CollapseProject keeps a non-cheap alias that is
+    referenced more than once as its own projection, so the two-step form
+    tokenizes exactly once per row.
+    """
     n_sh = F.greatest(F.size(toks) - F.lit(k - 1), F.lit(0))
     idx = F.sequence(F.lit(0), n_sh - F.lit(1))
     shingle = lambda i: F.concat_ws(" ", *[F.element_at(toks, (i + F.lit(j + 1)).cast("int")) for j in range(k)])
     return F.when(n_sh <= 0, F.array().cast("array<string>")).otherwise(
         F.array_distinct(F.transform(idx, shingle))
     )
+
+
+def with_word_shingles(df: DataFrame, text_col: str, k: int, out: str = "shingles") -> DataFrame:
+    """Two-step tokenize -> shingle projection (see shingles_from_tokens)."""
+    return df.withColumn("__toks", word_tokens(F.col(text_col))).withColumn(
+        out, shingles_from_tokens(F.col("__toks"), k)
+    ).drop("__toks")
+
+
+def word_shingles(col: Column, k: int) -> Column:
+    """Distinct k-word shingle array over the simple word tokenization.
+
+    One-shot Column form — re-tokenizes per shingle (no CSE through lambda
+    bodies); fine for short strings, use ``with_word_shingles`` for the
+    document-scale hot path.
+    """
+    return shingles_from_tokens(word_tokens(col), k)

@@ -57,11 +57,19 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text", id_col: str = "d
     and partial-aggregates map-side — one small shuffle on id.
     """
     coeffs = minhash_coefficients(NUM_HASHES)
-    shingles = T.word_shingles(F.col(text_col), SHINGLE_K)
-    ex = (
-        docs.select(F.col(id_col), shingles.alias("shingles"))
-        .where(F.size("shingles") > 0)
-        .select(F.col(id_col), F.explode("shingles").alias("s"))
+    from ..sources.tables import ensure_parallelism
+
+    sh = T.with_word_shingles(
+        ensure_parallelism(docs.select(F.col(id_col), F.col(text_col))), text_col, SHINGLE_K
+    )
+    # explode_outer + IS NOT NULL, never plain explode: InferFiltersFromGenerate
+    # synthesizes size(shingles)>0 from a plain explode and predicate pushdown
+    # substitutes the WHOLE shingle expression into that filter below the
+    # exchange — re-tokenizing every doc single-threaded at the scan
+    # (measured 10x slower end-to-end). The outer variant infers nothing;
+    # the null row from empty arrays is dropped by a cheap attribute filter.
+    ex = sh.select(F.col(id_col), F.explode_outer("shingles").alias("s")).where(
+        F.col("s").isNotNull()
     )
     h = hash64(F.col("s")) % F.lit(MERSENNE_P)
     hashed = ex.select(F.col(id_col), h.alias("h"))
@@ -156,9 +164,18 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     per-bit +1/-1 sums in one hash aggregation (map-side partial combine,
     one shuffle on id), then assemble sign bits.
     """
-    toks = docs.select(
-        F.col(id_col),
-        F.explode(F.filter(F.split(F.lower(F.col(text_col)), T.WORD_SPLIT_RE), lambda t: F.length(t) > 0)).alias("tok"),
+    from ..sources.tables import ensure_parallelism
+
+    # explode_outer + IS NOT NULL: see minhash_signatures (pushdown trap).
+    toks = (
+        ensure_parallelism(docs.select(F.col(id_col), F.col(text_col)))
+        .select(
+            F.col(id_col),
+            F.explode_outer(
+                F.filter(F.split(F.lower(F.col(text_col)), T.WORD_SPLIT_RE), lambda t: F.length(t) > 0)
+            ).alias("tok"),
+        )
+        .where(F.col("tok").isNotNull())
     )
     h = hash64(F.col("tok"))
     votes = toks.groupBy(id_col).agg(
@@ -226,11 +243,20 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     shuffle; set sizes join back in. Quadratic only within identical-
     shingle buckets — at 100 TB run AFTER LSH blocking.
     """
-    sh = docs.select(
-        F.col("doc_id"), T.word_shingles(F.col("text"), SHINGLE_K).alias("shingles")
-    ).where(F.size("shingles") > 0)
+    from ..sources.tables import ensure_parallelism
+
+    # No size()>0 filter (see minhash_signatures): explode drops empty-
+    # shingle docs implicitly, and zero-size docs can never appear in the
+    # inner join on intersections.
+    sh = T.with_word_shingles(
+        ensure_parallelism(docs.select("doc_id", "text")), "text", SHINGLE_K
+    ).select("doc_id", "shingles")
     sizes = sh.select("doc_id", F.size("shingles").alias("n"))
-    ex = sh.select("doc_id", F.explode("shingles").alias("s"))
+    # explode_outer + IS NOT NULL: see minhash_signatures for why plain
+    # explode is a perf trap here (InferFiltersFromGenerate pushdown).
+    ex = sh.select("doc_id", F.explode_outer("shingles").alias("s")).where(
+        F.col("s").isNotNull()
+    )
     a, b = ex.alias("a"), ex.alias("b")
     inter = (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))

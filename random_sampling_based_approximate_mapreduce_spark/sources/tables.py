@@ -42,3 +42,19 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load(spark, sf_dir, t) for t in TABLES}
+
+
+def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Round-robin repartition IF the plan has too few partitions.
+
+    CPU-heavy per-row pipelines (shingling, hashing, decode UDFs) are
+    bottlenecked by scan parallelism, and a small parquet file with one row
+    group yields a single task no matter how many cores exist. At cluster
+    scale the scan has thousands of row groups and this is a no-op — the
+    repartition only fires on the small-file artifact, so no 100 TB shuffle
+    is ever introduced.
+    """
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df

@@ -43,7 +43,12 @@ def split_pages(blob: DataFrame, col: str = "value") -> DataFrame:
     frame holding multi-page blobs. DOTALL so pages span lines.
     """
     pages = F.regexp_extract_all(F.col(col), F.lit(f"(?s){START_TAG}(.*?){END_TAG}"), F.lit(1))
-    return blob.select(F.explode(pages).alias("page_xml"))
+    # explode_outer + IS NOT NULL: plain explode makes InferFiltersFromGenerate
+    # push a size()>0 filter below with the regexp re-evaluated per row
+    # (see operators/dedup.minhash_signatures).
+    return blob.select(F.explode_outer(pages).alias("page_xml")).where(
+        F.col("page_xml").isNotNull()
+    )
 
 
 def extract_fields(pages: DataFrame, col: str = "page_xml") -> DataFrame:
