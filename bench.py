@@ -47,6 +47,7 @@ BENCH_QUERIES = [
     "knn_brute_force",
     "multimodal_meta",
     "token_stats",
+    "streaming_events_hourly",
 ]
 
 

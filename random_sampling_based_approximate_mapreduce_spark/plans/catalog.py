@@ -29,7 +29,7 @@ from ..sampling.sampled_frame import SampledFrame
 from ..sources import apache_log as AL
 from ..sources import wireless as WL
 from ..sources import xml_pages as XP
-from ..sources.tables import load
+from ..sources.tables import ensure_parallelism, load
 
 
 @dataclass
@@ -81,7 +81,7 @@ _WORD_SPLIT_SQL = "[^a-z0-9'']+"
     "(RandomizedWordCount.java:30-39)",
 )
 def q_word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
+    docs = ensure_parallelism(load(spark, sf_dir, "documents").select("text"))
     kept = T.drop_digit_lines(docs, "text")
     return T.explode_words(kept, "text").groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
 
@@ -97,7 +97,7 @@ def q_word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="P5+G3: per-character counts (RandomizedCharacterCount.java:27-33)",
 )
 def q_char_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
+    docs = ensure_parallelism(load(spark, sf_dir, "documents").select("text"))
     return T.explode_chars(docs, "text").groupBy("ch").agg(F.count(F.lit(1)).alias("cnt"))
 
 
@@ -792,6 +792,43 @@ def _register_multimodal():
 
 
 _register_multimodal()
+
+
+# ===========================================================================
+# 11. Structured Streaming (real streaming jobs run to completion with an
+#     availableNow trigger; the exact variant is value-oracle-checked —
+#     stream/batch parity)
+# ===========================================================================
+
+
+@register(
+    "streaming_events_hourly",
+    """
+    SELECT date_trunc('hour', ts) AS hour, event_type,
+           count(*)::BIGINT AS cnt,
+           CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+    doc="Hourly rollup AS A STREAMING JOB (file source -> windowed agg -> "
+    "memory sink, availableNow); exact stream/batch parity vs the SQL oracle",
+)
+def q_streaming_events_hourly(spark, sf_dir):
+    from ..streaming.sampled_stream import events_hourly_stream
+
+    return events_hourly_stream(spark, sf_dir, sampled=False)
+
+
+@register(
+    "streaming_sampled_hourly",
+    None,
+    doc="Streaming hash-Bernoulli sample (replay-deterministic) -> windowed "
+    "agg with HT scale-up; accuracy asserted in tests (non-SQL-oracle-able)",
+    tags=("sampled", "streaming"),
+)
+def q_streaming_sampled_hourly(spark, sf_dir):
+    from ..streaming.sampled_stream import events_hourly_stream
+
+    return events_hourly_stream(spark, sf_dir, sampled=True, ratio=0.1)
 
 
 # ===========================================================================

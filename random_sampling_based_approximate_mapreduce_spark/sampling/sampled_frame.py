@@ -134,7 +134,15 @@ class SampledFrame:
         cfg = config or SamplingConfig()
         ratio = cfg.resolve()
         if ratio >= 1.0:
-            return cls(df=df, ratio=1.0, config=cfg, observation=None)
+            # Exact mode: NO Sample node (sample(1.0) still draws an RNG per
+            # row and breaks oracle hash-matching) — but keep the
+            # CollectMetrics observation so the sampling report has exact
+            # totals; it adds no pass and changes no rows.
+            obs = None
+            if observe:
+                obs = Observation()
+                df = df.observe(obs, F.count(F.lit(1)).alias("total_records"))
+            return cls(df=df, ratio=1.0, config=cfg, observation=obs)
         obs = obs_sample = None
         if observe:
             obs = Observation()

@@ -87,6 +87,71 @@ def sampled_windowed_counts(
     )
 
 
+def events_hourly_stream(spark, sf_dir: str, *, sampled: bool = False, ratio: float = 0.1):
+    """Run the hourly events rollup AS A REAL STREAMING JOB and return the
+    final result as a batch DataFrame.
+
+    File source -> (optional hash sample) -> windowed agg -> memory sink,
+    ``availableNow`` trigger (process everything, then stop). Complete
+    output mode so every window is present — which makes the exact variant
+    verifiable value-for-value against the batch SQL oracle: the
+    stream/batch parity the Structured Streaming model guarantees.
+
+    At cluster scale the memory sink becomes a Delta/Kafka sink and the
+    trigger a continuous micro-batch; the plan (source -> stateful window
+    agg) is unchanged. State stays bounded per trigger because windows
+    group ~hours, not rows.
+    """
+    name = "rsmr_stream_events_hourly" + ("_sampled" if sampled else "")
+    src = _stream_source_dir(spark, sf_dir)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    if sampled:
+        stream = sample_stream(stream, SamplingConfig(ratio=ratio, seed=42), key_cols=["event_id"])
+        scale = 1.0 / ratio
+    else:
+        scale = 1.0
+    agg = (
+        stream.groupBy(F.window(F.col("ts"), "1 hour").alias("win"), F.col("event_type"))
+        .agg(
+            (F.count(F.lit(1)) * F.lit(scale)).cast("double").alias("raw_cnt"),
+            (F.sum(F.col("value").cast("decimal(12,2)")) * F.lit(scale)).cast("double").alias("total_value"),
+        )
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    cnt = (
+        F.col("raw_cnt").cast("long").alias("cnt")
+        if not sampled
+        else F.col("raw_cnt").alias("est_cnt")
+    )
+    return spark.table(name).select(
+        F.col("win.start").alias("hour"), "event_type", cnt, "total_value"
+    )
+
+
+def _stream_source_dir(spark, sf_dir: str) -> str:
+    """Materialize the events table (ts already converted from parquet
+    nanos) as a parquet DIRECTORY the file-stream source can read.
+    Written once per sf_dir, cached under /tmp."""
+    import hashlib
+    import os
+
+    from ..sources.tables import load
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    out = f"/tmp/rsmr_stream_src_{key}"
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        load(spark, sf_dir, "events").write.mode("overwrite").parquet(out)
+    return out
+
+
 def running_totals_stateful(
     stream: DataFrame,
     key_col: str = "event_type",

@@ -14,10 +14,22 @@ def lineitem(spark, sf_dir):
 
 class TestExactMode:
     def test_ratio_one_is_passthrough(self, lineitem):
-        sf = SampledFrame.from_dataframe(lineitem, SamplingConfig.exact())
-        # no Sample / CollectMetrics node: plan identical to the input's
+        # observe=False: strict passthrough, plan identical to the input's
+        sf = SampledFrame.from_dataframe(lineitem, SamplingConfig.exact(), observe=False)
         assert sf.df is lineitem
         assert sf.ratio == 1.0 and sf.scale == 1.0
+
+    def test_exact_mode_observes_but_never_samples(self, lineitem):
+        # default: a CollectMetrics node for exact totals, but NO Sample
+        # node (rows unchanged -> oracle hash-match preserved)
+        sf = SampledFrame.from_dataframe(lineitem, SamplingConfig.exact())
+        plan = sf.df._jdf.queryExecution().analyzed().toString()
+        assert "Sample" not in plan
+        assert "CollectMetrics" in plan
+        n = sf.df.count()
+        rep = sf.report()
+        assert rep.total_records == rep.sampled_records == n == lineitem.count()
+        assert rep.achieved_error == 0.0
 
     def test_exact_counts_match(self, lineitem):
         sf = SampledFrame.from_dataframe(lineitem, SamplingConfig.exact())

@@ -71,6 +71,39 @@ class TestWindowedCounts:
         assert got == pytest.approx(exact, rel=0.1)
 
 
+class TestEventsHourlyStream:
+    def test_exact_stream_matches_batch_rollup(self, spark, sf_dir):
+        from random_sampling_based_approximate_mapreduce_spark.streaming.sampled_stream import (
+            events_hourly_stream,
+        )
+
+        got = {
+            (r["hour"], r["event_type"]): (r["cnt"], round(r["total_value"], 2))
+            for r in events_hourly_stream(spark, sf_dir, sampled=False).collect()
+        }
+        batch = load(spark, sf_dir, "events")
+        expected = {
+            (r["hour"], r["event_type"]): (r["cnt"], round(float(r["tv"]), 2))
+            for r in batch.groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("cnt"),
+                F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("tv"),
+            )
+            .collect()
+        }
+        assert got == expected
+
+    def test_sampled_stream_within_bound(self, spark, sf_dir):
+        from random_sampling_based_approximate_mapreduce_spark.streaming.sampled_stream import (
+            events_hourly_stream,
+        )
+
+        est = events_hourly_stream(spark, sf_dir, sampled=True, ratio=0.1)
+        total_est = est.agg(F.sum("est_cnt")).collect()[0][0]
+        total = load(spark, sf_dir, "events").count()
+        assert total_est == pytest.approx(total, rel=0.15)
+
+
 class TestStatefulRunningTotals:
     def test_running_totals_match_batch(self, spark, events_dir):
         stream = _read_stream(spark, events_dir)
