@@ -96,6 +96,135 @@ def lsh_bucket(vec_col, planes: list[list[float]]):
     return bucket
 
 
+def train_ivf_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    sample_cap: int = 4096,
+    n_iters: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """k-means centroids trained driver-side on a bounded corpus sample.
+
+    This is the standard IVF recipe (FAISS trains its coarse quantizer on a
+    sample too): the TRAINING set is capped (deterministic hash-order
+    sample, one small collect), so driver work is O(sample_cap x dim x
+    iters) regardless of corpus size; the ASSIGNMENT stays distributed.
+    Deterministic: seeded init, hash-ordered sample.
+    """
+    import numpy as np
+
+    sample = (
+        corpus.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
+        .orderBy(F.xxhash64(F.col(id_col)))
+        .limit(sample_cap)
+        .collect()
+    )
+    X = np.array([r["v"] for r in sample])
+    rnd = np.random.RandomState(_PLANE_SEED)
+    centroids = X[rnd.choice(len(X), size=min(n_centroids, len(X)), replace=False)]
+    for _ in range(n_iters):
+        # cosine k-means: assign by normalized dot, recenter, renormalize
+        Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        Cn = centroids / np.maximum(np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12)
+        assign = np.argmax(Xn @ Cn.T, axis=1)
+        for j in range(len(centroids)):
+            members = X[assign == j]
+            if len(members):
+                centroids[j] = members.mean(axis=0)
+    return [[float(x) for x in c] for c in centroids]
+
+
+def _centroid_scores(vec_col, centroids: list[list[float]]):
+    """Array of cosine scores of ``vec_col`` against each centroid literal."""
+    return F.array(
+        *[
+            V.cosine(vec_col, F.array(*[F.lit(float(x)) for x in c]))
+            for c in centroids
+        ]
+    )
+
+
+def assign_ivf(
+    df: DataFrame,
+    centroids: list[list[float]],
+    n_probe: int = 1,
+    vec_col: str = "v",
+) -> DataFrame:
+    """Add ``cell`` (int) rows for the ``n_probe`` nearest centroids.
+
+    n_probe=1 -> one row per vector (corpus-side inverted list); n_probe>1
+    -> probe fan-out (query side). Scores are computed once into an array
+    column, then the top-n cells are taken from the SORTED (score, idx)
+    struct array — all JVM-side expressions.
+    """
+    scored = df.withColumn("__scores", _centroid_scores(F.col(vec_col), centroids))
+    ranked = scored.withColumn(
+        "__cells",
+        F.slice(
+            F.reverse(
+                F.array_sort(
+                    F.transform(
+                        F.col("__scores"),
+                        lambda s, i: F.struct(s.alias("score"), i.alias("cell")),
+                    )
+                )
+            ),
+            1,
+            n_probe,
+        ),
+    )
+    return (
+        ranked.select(*df.columns, F.explode_outer("__cells").alias("__c"))
+        .where(F.col("__c").isNotNull())
+        .withColumn("cell", F.col("__c.cell"))
+        .drop("__c")
+    )
+
+
+def ann_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """IVF approximate top-k: coarse-quantize the corpus into centroid
+    cells (one row each), probe each query's ``n_probe`` nearest cells,
+    rank only within probed cells.
+
+    Scale shape: corpus-side assignment is a narrow projection (scores
+    against broadcast centroid literals, no shuffle); the candidate join is
+    an equi-join on ``cell`` with the tiny query side broadcast; cost ~
+    corpus x (n_probe / n_centroids) per query. Recall vs brute force is
+    asserted in tests (>= 0.8 at 16 cells / 4 probes on testdata).
+    """
+    if centroids is None:
+        centroids = train_ivf_centroids(corpus, n_centroids, id_col=id_col, vec_col=vec_col)
+    q = queries.select(F.col(id_col).alias(query_id_col), _as_double(F.col(vec_col)).alias("qv"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv"))
+    qc = assign_ivf(q, centroids, n_probe=n_probe, vec_col="qv")
+    cc = assign_ivf(c, centroids, n_probe=1, vec_col="cv")
+    scored = (
+        F.broadcast(qc)
+        .join(cc, "cell")
+        .select(
+            query_id_col,
+            "neighbor_id",
+            F.round(V.cosine(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.select(query_id_col, "neighbor_id", "cosine", F.row_number().over(w).alias("rank"))
+        .where(F.col("rank") <= k)
+    )
+
+
 def ann_lsh(
     corpus: DataFrame,
     queries: DataFrame,

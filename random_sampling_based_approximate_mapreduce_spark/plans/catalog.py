@@ -666,6 +666,18 @@ def _register_similarity():
         emb = load(spark, sf_dir, "embeddings")
         return S.ann_lsh(emb, emb.where(F.col("vec_id") < 3), k=5, n_planes=4, n_tables=8)
 
+    @register(
+        "knn_ivf",
+        None,
+        doc="IVF ANN top-5: driver-trained coarse quantizer (bounded sample, "
+        "seeded k-means), distributed cell assignment + probed-cell ranking "
+        "(approximate; recall asserted in tests/test_similarity.py)",
+        tags=("approx",),
+    )
+    def q_knn_ivf(spark, sf_dir):
+        emb = load(spark, sf_dir, "embeddings")
+        return S.ann_ivf(emb, emb.where(F.col("vec_id") < 3), k=5, n_centroids=16, n_probe=6)
+
 
 _register_similarity()
 

@@ -54,3 +54,28 @@ class TestLSH:
         a = sorted(S.ann_lsh(emb, emb.where(F.col("vec_id") < 2), k=3).collect())
         b = sorted(S.ann_lsh(emb, emb.where(F.col("vec_id") < 2), k=3).collect())
         assert a == b
+
+
+class TestIVF:
+    def test_recall_vs_brute_force(self, emb):
+        queries = emb.where(F.col("vec_id") < 10)
+        exact = S.knn_brute_force(emb, queries, k=5)
+        approx = S.ann_ivf(emb, queries, k=5, n_centroids=16, n_probe=6)
+        hits = exact.join(approx, ["query_id", "neighbor_id"], "left_semi").count()
+        total = exact.count()
+        assert total == 50
+        # near-orthogonal testdata is IVF's worst case; measured 0.80 recall
+        # at 6/16 cells probed (0.9 at 8/16) with the frozen training seed
+        assert hits / total >= 0.7
+
+    def test_centroid_training_deterministic(self, emb):
+        a = S.train_ivf_centroids(emb, n_centroids=4, sample_cap=256, n_iters=3)
+        b = S.train_ivf_centroids(emb, n_centroids=4, sample_cap=256, n_iters=3)
+        assert a == b
+
+    def test_corpus_assignment_is_single_cell(self, emb):
+        cents = S.train_ivf_centroids(emb, n_centroids=8, sample_cap=256, n_iters=3)
+        c = emb.select(F.col("vec_id"), S._as_double(F.col("embedding")).alias("v"))
+        assigned = S.assign_ivf(c, cents, n_probe=1)
+        assert assigned.count() == emb.count()  # exactly one cell per vector
+        assert assigned.select("cell").distinct().count() <= 8
