@@ -442,6 +442,69 @@ def q_priority_distinct_customers(spark, sf_dir):
     return o.groupBy("o_orderpriority").agg(F.count_distinct("o_custkey").alias("n_customers"))
 
 
+@register(
+    "salted_orders_join",
+    """
+    SELECT c.c_mktsegment, count(*)::BIGINT AS n_orders,
+           CAST(sum(CAST(o.o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+    doc="Explicit salted join (skew fallback beyond AQE): big side salted, "
+    "small side replicated per salt; results identical to the plain join "
+    "- the oracle proves salting is semantics-preserving",
+)
+def q_salted_orders_join(spark, sf_dir):
+    from ..operators.skew import salted_join
+
+    o = load(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    joined = salted_join(o, c, "o_custkey", n_salts=8)
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(_dec("o_totalprice")).cast("double").alias("revenue"),
+    )
+
+
+@register(
+    "order_price_quantiles",
+    """
+    SELECT o_orderpriority,
+           round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+           round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+           round(quantile_cont(o_totalprice, 0.99), 4) AS p99
+    FROM orders GROUP BY o_orderpriority
+    """,
+    doc="Exact interpolated quantiles per group (percentile <-> DuckDB "
+    "quantile_cont); the sampled/sketch path is approx_quantile_events",
+)
+def q_order_price_quantiles(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(o_totalprice, 0.99)"), 4).alias("p99"),
+    )
+
+
+@register(
+    "approx_quantile_events",
+    None,
+    doc="KLL/Greenwald-Khanna approximate quantiles (approx_percentile "
+    "sketch, mergeable across partitions - the 100 TB path; accuracy vs "
+    "exact percentile asserted in tests)",
+    tags=("approx",),
+)
+def q_approx_quantile_events(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.expr("approx_percentile(value, 0.5, 1000)").alias("p50"),
+        F.expr("approx_percentile(value, 0.99, 1000)").alias("p99"),
+    )
+
+
 # ===========================================================================
 # 5. Events: time-series aggs (batch forms of the streaming operators)
 # ===========================================================================

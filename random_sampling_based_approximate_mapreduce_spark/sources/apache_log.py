@@ -134,13 +134,15 @@ def parse_apache_log(raw: DataFrame, col: str = "line") -> DataFrame:
 def access_log(events: DataFrame) -> DataFrame:
     """The full round-trip: synthesize raw lines, parse them back.
 
-    The parse is 7 regexp matches per line — CPU-bound — so the raw-line
-    frame is spread across cores first (no-op when the scan already has
-    enough partitions; see sources.tables.ensure_parallelism).
+    Synthesis (date_format) and parse (7 regexp matches/line) are both
+    CPU-bound projections, and projections are never pushed below an
+    exchange — so spread the INPUT across cores first and both run
+    parallel (no-op when the scan already has enough partitions; see
+    sources.tables.ensure_parallelism).
     """
     from .tables import ensure_parallelism
 
-    return parse_apache_log(ensure_parallelism(synthesize_raw_log(events)))
+    return parse_apache_log(synthesize_raw_log(ensure_parallelism(events)))
 
 
 # --- the 7 tasks (RandomizedApacheLogAnalysis.java:54-111) -----------------
