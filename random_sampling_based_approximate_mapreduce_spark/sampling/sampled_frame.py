@@ -200,11 +200,27 @@ class SampledFrame:
             out = out.withColumn(f"{alias}_ci", self._ci_half_width(F.col(alias)))
         return out
 
-    def approx_sum(self, value_col: str, *group_cols: str, alias: str = "est_sum") -> DataFrame:
-        """Grouped (or global) sum estimate, HT-scaled."""
+    def approx_sum(self, value_col: str, *group_cols: str, ci: bool = False, alias: str = "est_sum") -> DataFrame:
+        """Grouped (or global) sum estimate, HT-scaled.
+
+        CI: the HT sum S/r over Bernoulli(r) has Var = (1-r)/r^2 * sum(x_i^2)
+        over the population; estimating the population sum-of-squares by
+        (sampled sum of squares)/r gives half-width
+        z * sqrt((1-r) * sum_sampled(x^2)) / r^1.5 — computed in the same
+        aggregation, no second pass.
+        """
         est = (F.sum(F.col(value_col)) * F.lit(self.scale)).alias(alias)
         base = self.df.groupBy(*[F.col(c) for c in group_cols]) if group_cols else self.df.groupBy()
-        return base.agg(est)
+        if not (ci and self.ratio < 1.0):
+            return base.agg(est)
+        z = stats.z_score(self.config.confidence)
+        r = self.ratio
+        half = (
+            F.lit(z)
+            * F.sqrt(F.lit(max(0.0, 1.0 - r)) * F.sum(F.col(value_col) * F.col(value_col)))
+            / F.lit(r**1.5)
+        ).alias(f"{alias}_ci")
+        return base.agg(est, half)
 
     def approx_mean(self, value_col: str, *group_cols: str, alias: str = "est_mean") -> DataFrame:
         """Grouped (or global) mean — ratio-free (scale cancels in the ratio

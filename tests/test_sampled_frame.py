@@ -55,6 +55,22 @@ class TestSampledMode:
         est = sf.approx_count().collect()[0]["est_count"]
         assert est == pytest.approx(exact, rel=0.05)
 
+    def test_sum_ci_covers_truth(self, lineitem):
+        sf = SampledFrame.from_dataframe(
+            lineitem, SamplingConfig(ratio=0.2, seed=11, confidence=0.95), observe=False
+        )
+        exact = {
+            r["l_returnflag"]: r["s"]
+            for r in lineitem.groupBy("l_returnflag").agg(F.sum("l_quantity").alias("s")).collect()
+        }
+        rows = sf.approx_sum("l_quantity", "l_returnflag", ci=True).collect()
+        assert rows and all(r["est_sum_ci"] > 0 for r in rows)
+        covered = sum(
+            1 for r in rows if abs(r["est_sum"] - exact[r["l_returnflag"]]) <= r["est_sum_ci"]
+        )
+        # 95% CI over 3 groups: all should cover with this seed
+        assert covered == len(rows)
+
     def test_sum_estimate_within_bound(self, lineitem):
         exact = lineitem.agg(F.sum("l_quantity")).collect()[0][0]
         sf = SampledFrame.from_dataframe(lineitem, SamplingConfig(ratio=0.2, seed=7))
