@@ -248,6 +248,23 @@ def q_xml_page_words(spark, sf_dir):
     return XP.page_word_counts(load(spark, sf_dir, "documents"))
 
 
+@register(
+    "xml_page_words_sampled",
+    None,
+    doc="S3+A1: page-level Bernoulli sampling BEFORE field extraction "
+    "(the reference XML reader's skip-without-parse, RandomizedXMLRecord"
+    "Reader.java:117-123) with HT-scaled word counts (ratio=0.25)",
+    tags=("sampled",),
+)
+def q_xml_page_words_sampled(spark, sf_dir):
+    pages = XP.wrap_documents(load(spark, sf_dir, "documents"))
+    sf = SampledFrame.from_dataframe(pages, SamplingConfig(ratio=0.25, seed=42), observe=False)
+    words = sf.transform(
+        lambda df: T.explode_words(XP.extract_fields(df, "page_xml"), "text")
+    )
+    return words.approx_count("word", alias="est_cnt")
+
+
 # ===========================================================================
 # 4. Relational surface (beyond the reference: joins/windows/rollup/set-ops
 #    — "free with DataFrame", SURVEY.md §2.5, but judged as capability)
