@@ -882,6 +882,23 @@ def _register_multimodal():
         frames = MM.sample_frames(MM.attach_binary_content(docs, "video"))
         return frames.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_frames"))
 
+    @register(
+        "multimodal_knn",
+        None,
+        doc="End-to-end multimodal pipeline: binary content -> stub encoder "
+        "embeddings (mapInPandas) -> brute-force top-3 cosine neighbors; "
+        "determinism asserted in tests (encoder not SQL-expressible)",
+        tags=("approx",),
+    )
+    def q_multimodal_knn(spark, sf_dir):
+        from ..operators import similarity as S
+
+        docs = load(spark, sf_dir, "documents")
+        emb = MM.extract_embeddings(MM.attach_binary_content(docs))
+        return S.knn_brute_force(
+            emb, emb.where(F.col("doc_id") < 3), k=3, id_col="doc_id"
+        )
+
 
 _register_multimodal()
 

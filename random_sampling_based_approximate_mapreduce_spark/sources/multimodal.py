@@ -23,7 +23,9 @@ from collections.abc import Iterator
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
     BinaryType,
+    FloatType,
     IntegerType,
     LongType,
     StringType,
@@ -98,6 +100,48 @@ def decode_metadata(assets: DataFrame, decode_stub: bool = True) -> DataFrame:
             yield _decode_batch(pdf, decode_stub)
 
     return assets.mapInPandas(gen, schema=DECODED_SCHEMA)
+
+
+EMBEDDING_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("embedding", ArrayType(FloatType())),
+    ]
+)
+
+
+def extract_embeddings(assets: DataFrame, dim: int = 64, model_stub: bool = True) -> DataFrame:
+    """Binary content -> embedding column, the encoder stage of a
+    multimodal training pipeline (CLIP-style image encoder in production).
+
+    Stub: deterministic pseudo-embedding — seeded per-row from a byte hash
+    so identical content embeds identically (dedup-by-cosine works on it).
+    The Arrow batch shape, schema, and partition-parallelism are the real
+    plumbing; swap the body for a model call (ONNX/torch) per batch.
+    Output feeds operators/similarity (knn/IVF) and dedup.embedding_dup_pairs.
+    """
+
+    def gen(batches: Iterator) -> Iterator:
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        if not model_stub:
+            raise NotImplementedError(
+                "real encoder needs a model runtime (not in this container); "
+                "use model_stub=True for the deterministic fake"
+            )
+        for pdf in batches:
+            vecs = []
+            for content in pdf["content"]:
+                seed = int.from_bytes(hashlib.md5(bytes(content)).digest()[:4], "big")
+                rng = np.random.RandomState(seed)
+                v = rng.standard_normal(dim)
+                vecs.append((v / np.linalg.norm(v)).astype("float32"))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "embedding": vecs})
+
+    return assets.mapInPandas(gen, schema=EMBEDDING_SCHEMA)
 
 
 FRAME_SCHEMA = StructType(

@@ -43,6 +43,26 @@ class TestFrameSampling:
         assert all(len(f["frame"]) == 64 for f in frames)
         assert bytes(frames[0]["frame"]) == content[:64]
 
+    def test_embeddings_deterministic_and_normalized(self, assets):
+        from random_sampling_based_approximate_mapreduce_spark.sources import multimodal as MM
+
+        a = {r["doc_id"]: r["embedding"] for r in MM.extract_embeddings(assets, dim=16).collect()}
+        b = {r["doc_id"]: r["embedding"] for r in MM.extract_embeddings(assets, dim=16).collect()}
+        assert a == b  # same bytes -> same embedding (content-addressed stub)
+        import math
+
+        v = next(iter(a.values()))
+        assert len(v) == 16
+        assert math.isclose(sum(x * x for x in v), 1.0, rel_tol=1e-5)
+
+    def test_real_encoder_raises_without_model(self, assets):
+        import pytest as _pytest
+
+        from random_sampling_based_approximate_mapreduce_spark.sources import multimodal as MM
+
+        with _pytest.raises(Exception):
+            MM.extract_embeddings(assets, model_stub=False).collect()
+
     def test_binary_column_survives_shuffle(self, assets):
         frames = MM.sample_frames(assets.limit(50))
         agg = frames.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n")).collect()
