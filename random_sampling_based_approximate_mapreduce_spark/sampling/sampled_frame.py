@@ -222,10 +222,41 @@ class SampledFrame:
         ).alias(f"{alias}_ci")
         return base.agg(est, half)
 
-    def approx_mean(self, value_col: str, *group_cols: str, alias: str = "est_mean") -> DataFrame:
+    def approx_mean(self, value_col: str, *group_cols: str, ci: bool = False, alias: str = "est_mean") -> DataFrame:
         """Grouped (or global) mean — ratio-free (scale cancels in the ratio
-        of HT sums), documented deviation from count/sum estimators."""
+        of HT sums), documented deviation from count/sum estimators.
+
+        CI: plain sample-mean half-width z * stddev / sqrt(n) — the sample
+        IS a uniform random sample of the group, so classical inference
+        applies directly (no HT correction needed for means).
+        """
         est = F.avg(F.col(value_col)).alias(alias)
+        base = self.df.groupBy(*[F.col(c) for c in group_cols]) if group_cols else self.df.groupBy()
+        if not (ci and self.ratio < 1.0):
+            return base.agg(est)
+        z = stats.z_score(self.config.confidence)
+        half = (
+            F.lit(z) * F.stddev(F.col(value_col)) / F.sqrt(F.count(F.col(value_col)))
+        ).alias(f"{alias}_ci")
+        return base.agg(est, half)
+
+    def approx_distinct(self, value_col: str, *group_cols: str, rsd: float = 0.05, alias: str = "est_distinct") -> DataFrame:
+        """Approximate distinct count via the HyperLogLog++ sketch — over
+        the FULL frame semantics when possible.
+
+        HONESTY NOTE: distinct counts do NOT Horvitz–Thompson-scale — a
+        Bernoulli sample observes each distinct value with probability
+        1-(1-r)^f (f = value frequency), so c_distinct/r overestimates
+        wildly for skewed frequency distributions and unseen-species
+        correction (Good–Turing / Chao) would be needed. The engine
+        therefore does NOT scale this estimate; on a sampled frame it
+        returns the sketch of the SAMPLED distinct count, and callers who
+        need population distincts should run the sketch on the unsampled
+        frame (it is one pass, mergeable, and already approximate — the
+        100 TB tool for this job). The reference never faces this because
+        it only sums counts.
+        """
+        est = F.approx_count_distinct(F.col(value_col), rsd=rsd).alias(alias)
         base = self.df.groupBy(*[F.col(c) for c in group_cols]) if group_cols else self.df.groupBy()
         return base.agg(est)
 

@@ -77,6 +77,21 @@ class TestSampledMode:
         est = sf.approx_sum("l_quantity").collect()[0]["est_sum"]
         assert est == pytest.approx(exact, rel=0.05)
 
+    def test_mean_ci_covers_truth(self, lineitem):
+        sf = SampledFrame.from_dataframe(
+            lineitem, SamplingConfig(ratio=0.2, seed=5, confidence=0.99), observe=False
+        )
+        exact = lineitem.agg(F.avg("l_quantity")).collect()[0][0]
+        row = sf.approx_mean("l_quantity", ci=True).collect()[0]
+        assert row["est_mean_ci"] > 0
+        assert abs(row["est_mean"] - exact) <= row["est_mean_ci"]
+
+    def test_approx_distinct_tracks_sampled_frame(self, lineitem):
+        exact_mode = SampledFrame.from_dataframe(lineitem, SamplingConfig.exact(), observe=False)
+        est = exact_mode.approx_distinct("l_partkey").collect()[0]["est_distinct"]
+        true = lineitem.select("l_partkey").distinct().count()
+        assert est == pytest.approx(true, rel=0.1)  # HLL at rsd=0.05
+
     def test_mean_needs_no_scale_up(self, lineitem):
         exact = lineitem.agg(F.avg("l_quantity")).collect()[0][0]
         sf = SampledFrame.from_dataframe(lineitem, SamplingConfig(ratio=0.2, seed=7))
