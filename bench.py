@@ -48,6 +48,9 @@ BENCH_QUERIES = [
     "multimodal_meta",
     "token_stats",
     "streaming_events_hourly",
+    "salted_orders_join",
+    "order_price_quantiles",
+    "knn_ivf",
 ]
 
 

@@ -310,6 +310,97 @@ def ngram_jaccard_sql(threshold: float = 0.5) -> str:
     """
 
 
+# --- duplicate clustering (pairs -> components -> canonical docs) ---------
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iters: int = 20,
+) -> DataFrame:
+    """(node, component) from an undirected edge list — min-label
+    propagation to fixpoint.
+
+    The downstream half of every dedup pipeline: near-dup PAIRS become
+    duplicate CLUSTERS, and one representative per cluster survives.
+
+    Spark-first iteration: labels start as each node's own id; each round
+    joins labels across edges and takes the min over neighbors; stop when
+    no label changed. Rounds = graph diameter (near-dup clusters are
+    shallow — a handful of rounds in practice; ``max_iters`` bounds
+    pathological chains). Each round is one join + one groupBy on the
+    EDGE list only — document text is long gone. localCheckpoint breaks
+    lineage so plan size stays O(1) per round, the standard Spark
+    iterative-algorithm discipline (same shape as GraphFrames' CC).
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionAll(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("component"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nbr_component"), F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def connected_components_sql(pairs_sql: str) -> str:
+    """DuckDB mirror: recursive min-label propagation over the same pairs.
+
+    ``pairs_sql`` must select (doc_a, doc_b). The recursive CTE carries
+    (node, component) candidates; the outer query keeps the min per node —
+    the same fixpoint the Spark loop reaches.
+    """
+    return f"""
+    WITH RECURSIVE pairs AS ({pairs_sql}),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION
+      SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    walk(node, component) AS (
+      SELECT src AS node, src AS component FROM edges
+      UNION
+      SELECT e.src AS node, w.component
+      FROM edges e JOIN walk w ON e.dst = w.node
+      WHERE w.component < e.src
+    )
+    SELECT node::BIGINT AS node, min(component)::BIGINT AS component
+    FROM walk GROUP BY node
+    """
+
+
 # --- embedding cosine near-dup --------------------------------------------
 
 

@@ -695,6 +695,19 @@ def _register_dedup():
         return D.ngram_jaccard_pairs(load(spark, sf_dir, "documents"), 0.5)
 
     @register(
+        "dedup_clusters",
+        D.connected_components_sql(
+            f"SELECT doc_a, doc_b FROM ({D.ngram_jaccard_sql(0.5)})"
+        ),
+        doc="Duplicate clustering: near-dup pairs -> connected components "
+        "(iterative min-label propagation, lineage-checkpointed per round; "
+        "oracle is a recursive CTE reaching the same fixpoint)",
+    )
+    def q_dedup_clusters(spark, sf_dir):
+        pairs = D.ngram_jaccard_pairs(load(spark, sf_dir, "documents"), 0.5)
+        return D.connected_components(pairs)
+
+    @register(
         "dedup_embedding",
         """
         WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)

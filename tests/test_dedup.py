@@ -6,6 +6,22 @@ from pyspark.sql import functions as F
 from random_sampling_based_approximate_mapreduce_spark.operators import dedup as D
 
 
+class TestConnectedComponents:
+    def test_chain_and_island_components(self, spark):
+        # chain 1-2-3-4, pair 10-11, pair 20-21; min label wins
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21)], ["doc_a", "doc_b"]
+        )
+        got = {r["node"]: r["component"] for r in D.connected_components(pairs).collect()}
+        assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+    def test_long_chain_reaches_fixpoint(self, spark):
+        # a 15-node chain needs many propagation rounds — exercises the loop
+        pairs = spark.createDataFrame([(i, i + 1) for i in range(15)], ["doc_a", "doc_b"])
+        got = {r["node"]: r["component"] for r in D.connected_components(pairs).collect()}
+        assert set(got.values()) == {0}
+
+
 @pytest.fixture(scope="module")
 def corpus(spark):
     base = "the quick brown fox jumps over the lazy dog again and again until dusk falls over the quiet valley"
