@@ -39,12 +39,21 @@ def _sampled_lines(spark, path: str, spec: str | None):
 
 def _finish(sf, counts, out_dir: str) -> None:
     """Write key-sorted TSV (raw sampled counts, like the reference — the
-    comparator applies the scale-up) and print the sampling report."""
+    comparator applies the scale-up), print the sampling report, and
+    persist it as a JSON run-manifest beside the part files (the engine's
+    replacement for the reference's ZooKeeper report znode,
+    RandomSamplingUtil.java:318-324)."""
+    import json
+    import os
+
     from .sources.text import write_tsv
 
     key = counts.columns[0]
     write_tsv(counts, out_dir, sort_by=key)
-    print(sf.report())
+    report = sf.report()
+    print(report)
+    with open(os.path.join(out_dir, "_SAMPLING_REPORT.json"), "w") as f:
+        json.dump(report.as_dict(), f, indent=2)
 
 
 def cmd_wordcount(args) -> None:

@@ -103,3 +103,39 @@ class TestSampledTextRead(object):
         back = spark.read.option("sep", "\t").csv(out)
         rows = sorted((r["_c0"], int(r["_c1"])) for r in back.collect())
         assert rows == [("k1", 5), ("k2", 7)]
+
+    def test_gzip_input_transparent(self, spark, tmp_path):
+        """S4 parity: compressed input needs no engine code — Spark's text
+        source detects the codec by extension, like the reference's codec
+        factory (RandomizedXMLRecordReader.java:76-106)."""
+        import gzip
+
+        p = str(tmp_path / "lines.txt.gz")
+        with gzip.open(p, "wt") as f:
+            for i in range(1000):
+                f.write(f"line {i}\n")
+        sf = TXT.read_text_sampled(spark, p, SamplingConfig(ratio=0.5, seed=42))
+        rep = sf.report(trigger=True)
+        assert rep.total_records == 1000
+        assert 350 < rep.sampled_records < 650
+
+    def test_run_manifest_written(self, spark, tmp_path):
+        """S6 parity: the CLI persists the sampling report as a JSON
+        manifest next to the part files (ZK report znode replacement)."""
+        import json
+
+        from random_sampling_based_approximate_mapreduce_spark.cli import _finish, _sampled_lines
+
+        src = tmp_path / "m.txt"
+        src.write_text("x\n" * 100)
+        out = str(tmp_path / "out")
+        sf = _sampled_lines(spark, str(src), "0.5")
+        from pyspark.sql import functions as F
+
+        counts = sf.df.groupBy("value").agg(F.count(F.lit(1)).alias("cnt"))
+        _finish(sf, counts, out)
+        with open(f"{out}/_SAMPLING_REPORT.json") as f:
+            manifest = json.load(f)
+        assert manifest["total_records"] == 100
+        assert manifest["designed_ratio"] == 0.5
+        assert 0 < manifest["actual_ratio"] < 1
