@@ -622,6 +622,25 @@ def q_approx_events_by_type(spark, sf_dir):
     return sf.approx_count("event_type", ci=True, alias="est_cnt")
 
 
+@register(
+    "stratified_events_by_type",
+    None,
+    doc="Stratified Bernoulli sampling (sampleBy): rare strata kept at high "
+    "fractions, bulk strata cut hard; per-row HT weights -> weighted-count "
+    "estimates per stratum (accuracy asserted in tests)",
+    tags=("sampled",),
+)
+def q_stratified_events_by_type(spark, sf_dir):
+    from ..sampling.sampled_frame import stratified_sample, weighted_count
+
+    e = load(spark, sf_dir, "events")
+    # error/signup are rare -> keep half; view/click dominate -> 5%
+    fractions = {"view": 0.05, "click": 0.05, "purchase": 0.2, "error": 0.5, "signup": 0.5}
+    return weighted_count(
+        stratified_sample(e, "event_type", fractions, seed=42), "event_type", alias="est_cnt"
+    )
+
+
 # ===========================================================================
 # 6. Dedup (exact + fingerprint; MinHash/SimHash/Jaccard in operators/dedup)
 # ===========================================================================
@@ -914,6 +933,63 @@ def _register_multimodal():
 
 
 _register_multimodal()
+
+
+# ===========================================================================
+# 10b. SQL surface — the same engine through spark.sql() text (the catalog
+#      is DataFrame-first; this proves the SQL path end-to-end)
+# ===========================================================================
+
+
+@register(
+    "tpch_q1_sql",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+           count(*)::BIGINT AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= DATE '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H Q1 via spark.sql() text over registered temp views — the "
+    "engine's SQL-string surface (same Catalyst plan as the DataFrame form)",
+)
+def q_tpch_q1_sql(spark, sf_dir):
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= DATE '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+        """
+    )
+
+
+@register(
+    "tablesample_words",
+    None,
+    doc="SQL TABLESAMPLE surface: sampled word count via pure SQL with "
+    "REPEATABLE seed + HT scale-up in the projection",
+    tags=("sampled",),
+)
+def q_tablesample_words(spark, sf_dir):
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(
+        """
+        SELECT word, count(*) / 0.25 AS est_cnt
+        FROM (
+          SELECT explode(filter(split(lower(text), "[^a-z0-9']+"), t -> length(t) > 0)) AS word
+          FROM documents TABLESAMPLE (25 PERCENT) REPEATABLE (42)
+        )
+        WHERE NOT word RLIKE '^[0-9]+$'
+        GROUP BY word
+        """
+    )
 
 
 # ===========================================================================

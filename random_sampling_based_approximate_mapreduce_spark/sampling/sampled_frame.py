@@ -89,6 +89,52 @@ class SamplingReport:
         )
 
 
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-stratum Bernoulli sampling with per-row HT weights.
+
+    The reference samples uniformly; stratification is the standard AQP
+    upgrade for group-skewed data — rare strata get HIGH fractions so
+    their group estimates keep acceptable variance while bulk strata are
+    cut hard. Implementation is ``df.sampleBy`` (stratified Bernoulli at
+    the scan, same narrow-operator cost shape as uniform ``sample``) plus
+    a ``__weight`` column = 1/fraction so downstream aggregates are
+    weight-sums:
+
+        est_count per group = sum(__weight)
+        est_sum(x) per group = sum(x * __weight)
+
+    Strata absent from ``fractions`` are dropped (fraction 0.0), matching
+    sampleBy semantics.
+    """
+    sampled = df.sampleBy(strata_col, fractions=fractions, seed=seed)
+    weight = None
+    for value, frac in fractions.items():
+        if frac <= 0:
+            continue
+        w = F.when(F.col(strata_col) == value, F.lit(1.0 / frac))
+        weight = w if weight is None else weight.when(F.col(strata_col) == value, F.lit(1.0 / frac))
+    if weight is None:
+        raise ValueError("fractions must contain at least one positive fraction")
+    return sampled.withColumn("__weight", weight)
+
+
+def weighted_count(df: DataFrame, *group_cols: str, alias: str = "est_count") -> DataFrame:
+    """HT count estimate from a ``__weight``-carrying frame."""
+    base = df.groupBy(*[F.col(c) for c in group_cols]) if group_cols else df.groupBy()
+    return base.agg(F.sum("__weight").alias(alias))
+
+
+def weighted_sum(df: DataFrame, value_col: str, *group_cols: str, alias: str = "est_sum") -> DataFrame:
+    """HT sum estimate from a ``__weight``-carrying frame."""
+    base = df.groupBy(*[F.col(c) for c in group_cols]) if group_cols else df.groupBy()
+    return base.agg(F.sum(F.col(value_col) * F.col("__weight")).alias(alias))
+
+
 _JOB_COUNTER = 0  # replaces the reference's ZK job-id znode sequencing (:264-288)
 
 

@@ -106,6 +106,29 @@ class TestSampledMode:
             # estimate within its own CI of the truth (seeded -> stable)
             assert abs(r["est_count"] - exact[r["l_returnflag"]]) < 3 * r["est_count_ci"]
 
+    def test_stratified_estimates_per_stratum(self, spark, sf_dir):
+        from random_sampling_based_approximate_mapreduce_spark.sampling.sampled_frame import (
+            stratified_sample,
+            weighted_count,
+            weighted_sum,
+        )
+        from random_sampling_based_approximate_mapreduce_spark.sources.tables import load
+
+        e = load(spark, sf_dir, "events")
+        exact = {
+            r["event_type"]: (r["cnt"], r["s"])
+            for r in e.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("cnt"), F.sum("value").alias("s"))
+            .collect()
+        }
+        fractions = {t: (0.5 if exact[t][0] < 2000 else 0.1) for t in exact}
+        s = stratified_sample(e, "event_type", fractions, seed=7)
+        est_cnt = {r["event_type"]: r["est_count"] for r in weighted_count(s, "event_type").collect()}
+        est_sum = {r["event_type"]: r["est_sum"] for r in weighted_sum(s, "value", "event_type").collect()}
+        for t, (cnt, sm) in exact.items():
+            assert est_cnt[t] == pytest.approx(cnt, rel=0.15)
+            assert est_sum[t] == pytest.approx(sm, rel=0.2)
+
     def test_transform_keeps_metadata(self, lineitem):
         sf = SampledFrame.from_dataframe(lineitem, SamplingConfig(ratio=0.5, seed=3))
         sf2 = sf.transform(lambda df: df.where(F.col("l_quantity") > 10))
