@@ -223,6 +223,37 @@ class SampledFrame:
             _start_time=self._start_time,
         )
 
+    def join_sampled(self, other: "SampledFrame", on, how: str = "inner") -> "SampledFrame":
+        """Join two independently-sampled frames, composing the sampling
+        metadata — the relational propagation the reference cannot do
+        (its sampling lives in the input reader; SURVEY.md §2.5).
+
+        A matching pair survives iff BOTH its rows were kept: independent
+        Bernoulli(r1), Bernoulli(r2) -> pair survives with probability
+        r1*r2, so the joined frame is a valid SampledFrame at ratio r1*r2
+        and every downstream HT estimator stays unbiased. Variance grows
+        accordingly (1/(r1*r2) scale-up) — check ``low_support`` flags on
+        grouped estimates before trusting rare groups.
+
+        Only inner joins compose cleanly: an outer join's null-extended
+        rows have inclusion probability r1 (not r1*r2), which would need
+        per-row weights; rejected here rather than silently mis-scaled.
+        """
+        if how != "inner":
+            raise ValueError(
+                f"sampled-join supports how='inner' only (got {how!r}): outer "
+                "rows have mixed inclusion probabilities; use stratified "
+                "per-row weights for that"
+            )
+        cfg = self.config
+        return SampledFrame(
+            df=self.df.join(other.df, on, how),
+            ratio=self.ratio * other.ratio,
+            config=cfg,
+            observation=None,
+            sample_observation=None,
+        )
+
     # -- estimator-aware aggregations ------------------------------------
 
     def _ci_half_width(self, est_col):
@@ -237,13 +268,28 @@ class SampledFrame:
         raw = est_col * F.lit(self.ratio)  # back out the raw sampled count
         return F.lit(z) * F.sqrt(raw * F.lit(max(0.0, 1.0 - self.ratio))) / F.lit(self.ratio)
 
-    def approx_count(self, *group_cols: str, ci: bool = False, alias: str = "est_count") -> DataFrame:
-        """Grouped (or global) count estimate, HT-scaled to the population."""
+    def approx_count(
+        self,
+        *group_cols: str,
+        ci: bool = False,
+        min_support: int | None = None,
+        alias: str = "est_count",
+    ) -> DataFrame:
+        """Grouped (or global) count estimate, HT-scaled to the population.
+
+        ``min_support``: adds a ``low_support`` flag for groups whose RAW
+        sampled count is below the threshold — HT scale-up on rare keys is
+        high-variance and the reference silently reports garbage there
+        (SURVEY.md §7 hard parts); the engine surfaces it instead.
+        """
         est = (F.count(F.lit(1)) * F.lit(self.scale)).alias(alias)
         base = self.df.groupBy(*[F.col(c) for c in group_cols]) if group_cols else self.df.groupBy()
         out = base.agg(est)
         if ci and self.ratio < 1.0:
             out = out.withColumn(f"{alias}_ci", self._ci_half_width(F.col(alias)))
+        if min_support is not None and self.ratio < 1.0:
+            raw = F.col(alias) * F.lit(self.ratio)
+            out = out.withColumn("low_support", raw < F.lit(float(min_support)))
         return out
 
     def approx_sum(self, value_col: str, *group_cols: str, ci: bool = False, alias: str = "est_sum") -> DataFrame:

@@ -87,6 +87,24 @@ def sampled_windowed_counts(
     )
 
 
+def dedup_stream(
+    stream: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Exact streaming deduplication with BOUNDED state.
+
+    ``dropDuplicatesWithinWatermark``: a key's state is evicted once the
+    watermark passes it, so state size tracks the duplicate-arrival window
+    — the training-ingest dedup shape (the same document re-crawled within
+    hours, not months). For full-history dedup run the batch operators
+    over the accumulated table instead; unbounded streaming state is the
+    wrong tool at 100 TB/day.
+    """
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(key_cols)
+
+
 def events_hourly_stream(spark, sf_dir: str, *, sampled: bool = False, ratio: float = 0.1):
     """Run the hourly events rollup AS A REAL STREAMING JOB and return the
     final result as a batch DataFrame.

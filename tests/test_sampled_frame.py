@@ -106,6 +106,35 @@ class TestSampledMode:
             # estimate within its own CI of the truth (seeded -> stable)
             assert abs(r["est_count"] - exact[r["l_returnflag"]]) < 3 * r["est_count_ci"]
 
+    def test_sampled_join_composes_ratios(self, spark, sf_dir):
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+        so = SampledFrame.from_dataframe(orders, SamplingConfig(ratio=0.5, seed=3), observe=False)
+        sc = SampledFrame.from_dataframe(customer, SamplingConfig(ratio=0.5, seed=9), observe=False)
+        joined = so.join_sampled(
+            sc.transform(lambda df: df.withColumnRenamed("c_custkey", "o_custkey")), "o_custkey"
+        )
+        assert joined.ratio == pytest.approx(0.25)
+        exact = orders.join(
+            customer.withColumnRenamed("c_custkey", "o_custkey"), "o_custkey"
+        ).count()
+        est = joined.approx_count().collect()[0]["est_count"]
+        assert est == pytest.approx(exact, rel=0.1)
+
+    def test_sampled_join_rejects_outer(self, lineitem):
+        sf = SampledFrame.from_dataframe(lineitem, SamplingConfig(ratio=0.5), observe=False)
+        with pytest.raises(ValueError):
+            sf.join_sampled(sf, "l_orderkey", how="left")
+
+    def test_min_support_flags_rare_groups(self, lineitem):
+        sf = SampledFrame.from_dataframe(lineitem, SamplingConfig(ratio=0.01, seed=2), observe=False)
+        out = sf.approx_count("l_returnflag", min_support=100).collect()
+        assert all("low_support" in r for r in (row.asDict() for row in out))
+        # with 6000 sampled rows over 3 flags, none should be low-support at 100;
+        # at threshold 10^6 raw, all are
+        out_hi = sf.approx_count("l_returnflag", min_support=10**6).collect()
+        assert all(r["low_support"] for r in out_hi)
+
     def test_stratified_estimates_per_stratum(self, spark, sf_dir):
         from random_sampling_based_approximate_mapreduce_spark.sampling.sampled_frame import (
             stratified_sample,

@@ -104,6 +104,31 @@ class TestEventsHourlyStream:
         assert total_est == pytest.approx(total, rel=0.15)
 
 
+class TestStreamDedup:
+    def test_duplicates_within_watermark_dropped(self, spark, tmp_path):
+        import datetime as dt
+
+        base = dt.datetime(2024, 1, 1, 12, 0, 0)
+        rows = [
+            (1, base),
+            (1, base + dt.timedelta(minutes=5)),   # dup within window
+            (2, base + dt.timedelta(minutes=1)),
+            (2, base + dt.timedelta(minutes=2)),   # dup within window
+            (3, base + dt.timedelta(minutes=3)),
+        ]
+        src = str(tmp_path / "dedup_src")
+        spark.createDataFrame(rows, ["doc_id", "ts"]).write.parquet(src)
+        stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+        out = ST.dedup_stream(stream, ["doc_id"], watermark="30 minutes")
+        q = (
+            out.writeStream.format("memory").queryName("dedup_mem")
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+        got = sorted(r["doc_id"] for r in spark.sql("SELECT doc_id FROM dedup_mem").collect())
+        assert got == [1, 2, 3]
+
+
 class TestStatefulRunningTotals:
     def test_running_totals_match_batch(self, spark, events_dir):
         stream = _read_stream(spark, events_dir)
