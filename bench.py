@@ -51,6 +51,8 @@ BENCH_QUERIES = [
     "salted_orders_join",
     "order_price_quantiles",
     "knn_ivf",
+    "training_pipeline",
+    "dedup_clusters",
 ]
 
 

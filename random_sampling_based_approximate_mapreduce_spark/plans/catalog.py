@@ -874,6 +874,68 @@ def q_token_stats(spark, sf_dir):
     )
 
 
+def _training_pipeline_sql() -> str:
+    """DuckDB mirror of the composed pipeline (keep formulas in sync with
+    functions/text: lang_id, token_count, fingerprint)."""
+    from ..functions.hashing import hash64_sql
+
+    langs = sorted(T.LANG_MARKERS.items())
+    score = {
+        lang: "(" + " + ".join(
+            f"(CASE WHEN ' ' || lower(text) || ' ' LIKE '% {m} %' THEN 1 ELSE 0 END)" for m in ms
+        ) + ")"
+        for lang, ms in langs
+    }
+    best = "greatest(" + ", ".join(score[lang] for lang, _ in langs) + ")"
+    pick = "'und'"
+    for lang, _ in reversed(langs):
+        pick = f"(CASE WHEN {score[lang]} = best AND best > 0 THEN '{lang}' ELSE {pick} END)"
+    norm = r"trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))"
+    return rf"""
+    WITH scored AS (SELECT doc_id, text, {best} AS best FROM documents),
+    enriched AS (
+      SELECT doc_id,
+             {pick} AS lang,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+             {hash64_sql(norm)} AS fp
+      FROM scored
+    ),
+    kept AS (SELECT * FROM enriched WHERE lang = 'en' AND n_tokens >= 20),
+    deduped AS (SELECT min(doc_id) AS doc_id, min_by(n_tokens, doc_id) AS n_tokens
+                FROM kept GROUP BY fp)
+    SELECT count(*)::BIGINT AS n_docs, sum(n_tokens)::BIGINT AS total_tokens,
+           round(avg(n_tokens), 4) AS avg_tokens
+    FROM deduped
+    """
+
+
+@register(
+    "training_pipeline",
+    _training_pipeline_sql(),
+    doc="Composed training-data pipeline in one plan: language filter -> "
+    "length filter -> fingerprint dedup (min_by representative) -> corpus "
+    "stats; every stage is a projection/agg, one shuffle on fingerprint",
+)
+def q_training_pipeline(spark, sf_dir):
+    docs = ensure_parallelism(load(spark, sf_dir, "documents").select("doc_id", "text"))
+    enriched = docs.select(
+        "doc_id",
+        T.lang_id(F.col("text")).alias("lang"),
+        T.token_count(F.col("text")).alias("n_tokens"),
+        T.fingerprint(F.col("text")).alias("fp"),
+    )
+    kept = enriched.where((F.col("lang") == "en") & (F.col("n_tokens") >= 20))
+    deduped = kept.groupBy("fp").agg(
+        F.min("doc_id").alias("doc_id"), F.min_by("n_tokens", "doc_id").alias("n_tokens")
+    )
+    return deduped.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+    )
+
+
 # ===========================================================================
 # 10. Multimodal plumbing (Arrow/mapInPandas path; decode stubbed —
 #     deterministic pseudo-features so the oracle can verify the plumbing)
