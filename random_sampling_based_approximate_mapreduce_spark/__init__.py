@@ -11,10 +11,25 @@ pipeline needs.
 Import as ``import random_sampling_based_approximate_mapreduce_spark as rsmr``.
 """
 
-from .sampling.config import SamplingConfig
-from .sampling.sampled_frame import SampledFrame, SamplingReport
 from .sampling import stats
+from .sampling.config import SamplingConfig
+from .sampling.sampled_frame import (
+    SampledFrame,
+    SamplingReport,
+    stratified_sample,
+    weighted_count,
+    weighted_sum,
+)
 from .session import get_spark
 
-__all__ = ["SamplingConfig", "SampledFrame", "SamplingReport", "stats", "get_spark"]
+__all__ = [
+    "SamplingConfig",
+    "SampledFrame",
+    "SamplingReport",
+    "stats",
+    "get_spark",
+    "stratified_sample",
+    "weighted_count",
+    "weighted_sum",
+]
 __version__ = "0.1.0"
