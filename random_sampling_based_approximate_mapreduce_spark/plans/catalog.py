@@ -1033,6 +1033,40 @@ def q_tpch_q1_sql(spark, sf_dir):
 
 
 @register(
+    "tpch_q1_sampled",
+    None,
+    doc="A1+A6 on relational data: TPC-H Q1 aggregates from a 10% lineitem "
+    "sample, HT-scaled with CI columns (AQP over the warehouse path)",
+    tags=("sampled",),
+)
+def q_tpch_q1_sampled(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem").where(F.col("l_shipdate") <= "1998-09-02")
+    sf = SampledFrame.from_dataframe(li, SamplingConfig(ratio=0.1, seed=42), observe=False)
+    counts = sf.approx_count("l_returnflag", "l_linestatus", ci=True, alias="est_orders")
+    sums = sf.approx_sum("l_quantity", "l_returnflag", "l_linestatus", ci=True, alias="est_qty")
+    return counts.join(sums, ["l_returnflag", "l_linestatus"])
+
+
+@register(
+    "events_ewma",
+    None,
+    doc="Per-key exponentially-weighted moving average over event time via "
+    "applyInPandas (iterative recurrence - not SQL-expressible; grouped "
+    "Arrow batches, one group per key); parity vs local pandas in tests",
+    tags=("approx",),
+)
+def q_events_ewma(spark, sf_dir):
+    from ..operators.pandas_ops import grouped_ewma
+
+    e = load(spark, sf_dir, "events")
+    out = grouped_ewma(e, key_col="event_type", ts_col="ts", value_col="value", alpha=0.1)
+    # last EWMA value per key: a compact, deterministic summary
+    return out.groupBy("event_type").agg(
+        F.max_by("ewma", "ts").alias("final_ewma"), F.count(F.lit(1)).alias("n")
+    )
+
+
+@register(
     "tablesample_words",
     None,
     doc="SQL TABLESAMPLE surface: sampled word count via pure SQL with "
