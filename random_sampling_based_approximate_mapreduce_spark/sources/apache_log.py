@@ -103,6 +103,15 @@ def parse_apache_log(raw: DataFrame, col: str = "line") -> DataFrame:
 
     Schema: host, ts, method, path (query stripped, P11), query, proto,
     status, bytes.
+
+    Plan-shape note (measured): one regexp_extract per field looks like 7x
+    regex work, but the alternative — packing all groups in one
+    regexp_replace pass and splitting — benches 40% SLOWER end-to-end
+    (3.6s vs 2.5s at sf0.1) because the malformed-row filter below is
+    predicate-pushed with its input expression SUBSTITUTED: the packed
+    mega-expression then re-evaluates inside a Filter under the exchange,
+    single-threaded, erasing the single-pass win. Seven independent
+    extracts keep the substituted filter down to three cheap regexes.
     """
     c = F.col(col)
     extracted = raw.select(
