@@ -318,6 +318,7 @@ def connected_components(
     a_col: str = "doc_a",
     b_col: str = "doc_b",
     max_iters: int = 20,
+    driver_threshold: int = 1_000_000,
 ) -> DataFrame:
     """(node, component) from an undirected edge list — min-label
     propagation to fixpoint.
@@ -325,15 +326,40 @@ def connected_components(
     The downstream half of every dedup pipeline: near-dup PAIRS become
     duplicate CLUSTERS, and one representative per cluster survives.
 
-    Spark-first iteration: labels start as each node's own id; each round
-    joins labels across edges and takes the min over neighbors; stop when
-    no label changed. Rounds = graph diameter (near-dup clusters are
-    shallow — a handful of rounds in practice; ``max_iters`` bounds
-    pathological chains). Each round is one join + one groupBy on the
-    EDGE list only — document text is long gone. localCheckpoint breaks
-    lineage so plan size stays O(1) per round, the standard Spark
-    iterative-algorithm discipline (same shape as GraphFrames' CC).
+    Adaptive strategy, like broadcast-vs-shuffle join selection:
+    - Edge lists under ``driver_threshold`` are collected and solved with
+      union-find at the driver (microseconds; one limit-probed collect,
+      no iteration jobs). Near-dup pair lists are SMALL relative to the
+      corpus — LSH blocking bounds them — so this is the common case even
+      at large corpus scale.
+    - Larger graphs run the distributed loop: labels start as each node's
+      own id; each round joins labels across edges and takes the min over
+      neighbors; stop when nothing changed. Rounds = graph diameter
+      (near-dup clusters are shallow; ``max_iters`` bounds pathological
+      chains). Each round is one join + one groupBy on the EDGE list only
+      — document text is long gone. localCheckpoint breaks lineage so
+      plan size stays O(1) per round (the GraphFrames-CC discipline).
     """
+    probe = pairs.select(F.col(a_col), F.col(b_col)).limit(driver_threshold + 1).collect()
+    if len(probe) <= driver_threshold:
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != x:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for r in probe:
+            a, b = find(r[a_col]), find(r[b_col])
+            if a != b:
+                parent[max(a, b)] = min(a, b)
+        nodes = {v for r in probe for v in (r[a_col], r[b_col])}
+        rows = [(n, find(n)) for n in sorted(nodes)]
+        return pairs.sparkSession.createDataFrame(rows, ["node", "component"])
+
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .unionAll(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))

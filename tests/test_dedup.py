@@ -21,6 +21,18 @@ class TestConnectedComponents:
         got = {r["node"]: r["component"] for r in D.connected_components(pairs).collect()}
         assert set(got.values()) == {0}
 
+    def test_distributed_path_matches_driver_path(self, spark):
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (11, 99)], ["doc_a", "doc_b"]
+        )
+        driver = {r["node"]: r["component"] for r in D.connected_components(pairs).collect()}
+        # driver_threshold=0 forces the distributed min-label loop
+        dist = {
+            r["node"]: r["component"]
+            for r in D.connected_components(pairs, driver_threshold=0).collect()
+        }
+        assert driver == dist
+
 
 @pytest.fixture(scope="module")
 def corpus(spark):
