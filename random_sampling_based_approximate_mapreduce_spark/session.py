@@ -29,6 +29,11 @@ def get_spark(app_name: str = "rsmr-spark", master: str | None = None) -> SparkS
         # testdata events.parquet stores TIMESTAMP(NANOS); read as long and
         # convert in sources.tables.load (Spark has no ns timestamp type)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # With CSV column pruning, a count() over a DROPMALFORMED csv scan
+        # parses ZERO columns and malformed rows are silently kept — row
+        # counts become plan-dependent. An AQP engine's observed totals
+        # feed estimators, so count semantics win over csv-scan pruning.
+        .config("spark.sql.csv.parser.columnPruning.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
     )
@@ -41,6 +46,7 @@ def configure_existing(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    spark.conf.set("spark.sql.csv.parser.columnPruning.enabled", "false")
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:

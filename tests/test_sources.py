@@ -119,6 +119,30 @@ class TestSampledTextRead(object):
         assert rep.total_records == 1000
         assert 350 < rep.sampled_records < 650
 
+    def test_csv_sampled_with_malformed_drop(self, spark, tmp_path):
+        from random_sampling_based_approximate_mapreduce_spark.sources.files import read_csv_sampled
+
+        p = tmp_path / "data.csv"
+        lines = ["id,val"] + [f"{i},{i * 2}" for i in range(500)] + ["oops,not,number,extra"]
+        p.write_text("\n".join(lines))
+        sf = read_csv_sampled(
+            spark, str(p), schema="id INT, val INT", config=SamplingConfig(ratio=0.5, seed=42)
+        )
+        rep = sf.report(trigger=True)
+        assert rep.total_records == 500  # malformed row dropped pre-sample
+        assert 180 < rep.sampled_records < 320
+        assert sf.df.columns == ["id", "val"]
+
+    def test_json_sampled_exact(self, spark, tmp_path):
+        from random_sampling_based_approximate_mapreduce_spark.sources.files import read_json_sampled
+
+        p = tmp_path / "data.jsonl"
+        p.write_text("\n".join(f'{{"k": {i}, "v": "x{i}"}}' for i in range(100)))
+        sf = read_json_sampled(spark, str(p), schema="k BIGINT, v STRING", config=SamplingConfig.exact())
+        assert sf.ratio == 1.0
+        assert sf.df.count() == 100
+        assert sf.df.agg({"k": "sum"}).collect()[0][0] == sum(range(100))
+
     def test_run_manifest_written(self, spark, tmp_path):
         """S6 parity: the CLI persists the sampling report as a JSON
         manifest next to the part files (ZK report znode replacement)."""
