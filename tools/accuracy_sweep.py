@@ -11,6 +11,15 @@ ratios, then report per ratio
   - the ACTUAL data error (relative L1 of HT-scaled counts vs exact,
     RSMRResultComparator.java:66-82) — accept when actual <= predicted.
 
+HONESTY NOTE the reference glosses over: its predicted bound (A4) is a
+GLOBAL-proportion bound at p=0.5; the measured data error is a GROUPED
+relative-L1 that sums per-group errors, which for K groups of ~n/K
+sampled rows each scales like sqrt(K/n) — materially larger than the
+global bound at small ratios (e.g. log_host at r=0.01: predicted 0.03,
+actual ~0.18 across 50 hosts). The sweep prints both and flags the
+mismatch ('N' rows) instead of hiding it; per-group CIs
+(SampledFrame.approx_count(ci=True)) are the honest per-key tool.
+
 Usage:
   python tools/accuracy_sweep.py [--sf /root/testdata/sf0.1]
       [--ratios 1.0,0.5,0.25,0.1,0.01] [--query word_count|log_host|events]
