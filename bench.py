@@ -66,12 +66,16 @@ def main() -> None:
     # warmup: JVM + codegen + parquet footer caches
     QUERIES["tpch_q1"].spark(spark, SF_DIR).write.format("noop").mode("overwrite").save()
 
+    # two passes, per-query min: single-shot numbers on a shared machine
+    # varied by up to 1.7x run-to-run; the min is the honest capability
     timings: dict[str, float] = {}
-    for name in BENCH_QUERIES:
-        qd = QUERIES[name]
-        t0 = time.monotonic()
-        qd.spark(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.monotonic() - t0, 3)
+    for _ in range(2):
+        for name in BENCH_QUERIES:
+            qd = QUERIES[name]
+            t0 = time.monotonic()
+            qd.spark(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            elapsed = round(time.monotonic() - t0, 3)
+            timings[name] = min(timings.get(name, elapsed), elapsed)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:

@@ -106,6 +106,21 @@ class TestSampledMode:
             # estimate within its own CI of the truth (seeded -> stable)
             assert abs(r["est_count"] - exact[r["l_returnflag"]]) < 3 * r["est_count_ci"]
 
+    def test_ci_coverage_across_many_groups(self, spark, sf_correct_dir):
+        """Statistical validity of per-group CIs: at 95% confidence, the
+        fraction of groups whose CI covers the exact count must be high
+        (>= 80% with this fixed seed over ~50 host groups)."""
+        from random_sampling_based_approximate_mapreduce_spark.sources.apache_log import access_log
+        from random_sampling_based_approximate_mapreduce_spark.sources.tables import load
+
+        log = access_log(load(spark, sf_correct_dir, "events"))
+        exact = {r["host"]: r["cnt"] for r in log.groupBy("host").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+        sf = SampledFrame.from_dataframe(log, SamplingConfig(ratio=0.1, seed=17, confidence=0.95), observe=False)
+        rows = sf.approx_count("host", ci=True, alias="est").collect()
+        assert len(rows) >= 40
+        covered = sum(1 for r in rows if abs(r["est"] - exact[r["host"]]) <= r["est_ci"])
+        assert covered / len(rows) >= 0.8
+
     def test_sampled_join_composes_ratios(self, spark, sf_dir):
         orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
         customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
