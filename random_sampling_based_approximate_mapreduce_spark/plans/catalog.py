@@ -622,6 +622,56 @@ def q_approx_events_by_type(spark, sf_dir):
     return sf.approx_count("event_type", ci=True, alias="est_cnt")
 
 
+def _hash_bernoulli_oracle() -> str:
+    from ..sampling.deterministic import hash_bernoulli_sql
+
+    return f"""
+    SELECT event_type, (count(*) / 0.2) AS est_cnt
+    FROM events
+    WHERE {hash_bernoulli_sql("event_id", 0.2, seed=42)}
+    GROUP BY event_type
+    """
+
+
+@register(
+    "hash_sampled_events",
+    _hash_bernoulli_oracle(),
+    doc="Hash-deterministic Bernoulli sampling (A1 variant): selection is a "
+    "pure function of the key hash, so the SAMPLED estimate itself is "
+    "value-checked against the SQL oracle - impossible for RNG sampling",
+)
+def q_hash_sampled_events(spark, sf_dir):
+    from ..sampling.deterministic import hash_bernoulli
+
+    e = load(spark, sf_dir, "events")
+    return (
+        hash_bernoulli(e, "event_id", 0.2, seed=42)
+        .groupBy("event_type")
+        .agg((F.count(F.lit(1)) / F.lit(0.2)).alias("est_cnt"))
+    )
+
+
+def _exact_k_oracle() -> str:
+    from ..sampling.deterministic import exact_k_sample_sql
+
+    inner = exact_k_sample_sql("events", "event_id", k=100, seed=7)
+    return f"SELECT event_id::BIGINT AS event_id, event_type FROM ({inner})"
+
+
+@register(
+    "exact_k_event_sample",
+    _exact_k_oracle(),
+    doc="Exactly-k uniform sample by smallest hash priority; plans as "
+    "TakeOrderedAndProject (per-partition top-k + driver merge, no global "
+    "sort shuffle); fully value-checked against the SQL oracle",
+)
+def q_exact_k_event_sample(spark, sf_dir):
+    from ..sampling.deterministic import exact_k_sample
+
+    e = load(spark, sf_dir, "events")
+    return exact_k_sample(e, "event_id", k=100, seed=7).select("event_id", "event_type")
+
+
 @register(
     "stratified_events_by_type",
     None,
