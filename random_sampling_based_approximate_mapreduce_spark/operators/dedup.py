@@ -223,24 +223,76 @@ def simhash_sql() -> str:
     """
 
 
-def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+def simhash_near_pairs_sql(max_hamming: int = 3) -> str:
+    """DuckDB mirror: all-pairs over the simhash CTE (the oracle checks the
+    BLOCKED Spark plan against this brute-force ground truth)."""
+    return f"""
+    WITH sims AS ({simhash_sql()})
+    SELECT a.doc_id::BIGINT AS doc_a, b.doc_id::BIGINT AS doc_b,
+           bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+    FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+    """
+
+
+def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3, blocked: bool = True) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance <= max_hamming.
 
-    Blocked self-join: at scale, block on bit-chunks (pigeonhole: distance
-    <=3 over 4 chunks => at least one chunk equal) instead of this test-
-    scale full pairing.
+    ``blocked=True`` (default, the scale path): split each 32-bit
+    signature into ``max_hamming + 1`` bit-chunks; by pigeonhole, any
+    pair within distance ``max_hamming`` agrees on at least one whole
+    chunk, so candidates come from an equi-join on (chunk_idx,
+    chunk_value) — no quadratic pairing ever materializes — and the exact
+    Hamming test filters in-bucket. Complete (never misses a pair) and
+    exact (verification step), proven equal to the all-pairs form in
+    tests.
+
+    ``blocked=False`` keeps the all-pairs self-join as the tiny-input /
+    oracle baseline.
     """
     s = simhash(docs)
-    a, b = s.alias("a"), s.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    if not blocked:
+        a, b = s.alias("a"), s.alias("b")
+        return (
+            a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+            .where(ham <= max_hamming)
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+                ham.alias("hamming"),
+            )
+        )
+    n_chunks = max_hamming + 1
+    chunk_bits = SIMHASH_BITS // n_chunks  # 32/4 = 8 for the default
+    mask = (1 << chunk_bits) - 1
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("ci"),
+                F.shiftright(F.col("simhash"), i * chunk_bits).bitwiseAND(F.lit(mask)).alias("cv"),
+            )
+            for i in range(n_chunks)
+        ]
+    )
+    keyed = s.select("doc_id", "simhash", F.explode_outer(chunks).alias("c")).where(
+        F.col("c").isNotNull()
+    )
+    a, b = keyed.alias("a"), keyed.alias("b")
     return (
-        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        a.join(
+            b,
+            (F.col("a.c.ci") == F.col("b.c.ci"))
+            & (F.col("a.c.cv") == F.col("b.c.cv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
         .where(ham <= max_hamming)
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
             ham.alias("hamming"),
         )
+        .distinct()
     )
 
 

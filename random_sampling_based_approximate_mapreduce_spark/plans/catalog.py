@@ -755,6 +755,16 @@ def _register_dedup():
         return D.simhash(load(spark, sf_dir, "documents"))
 
     @register(
+        "dedup_simhash_pairs",
+        D.simhash_near_pairs_sql(3),
+        doc="SimHash near-dup pairs via pigeonhole bit-chunk blocking "
+        "(chunk equi-join + exact Hamming verify; no quadratic pairing); "
+        "oracle is the brute-force all-pairs ground truth",
+    )
+    def q_dedup_simhash_pairs(spark, sf_dir):
+        return D.simhash_near_pairs(load(spark, sf_dir, "documents"), max_hamming=3, blocked=True)
+
+    @register(
         "dedup_ngram_jaccard",
         D.ngram_jaccard_sql(0.5),
         doc="Exact word-3-shingle Jaccard >= 0.5 pairs (shingle-explode join; "

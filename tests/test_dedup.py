@@ -81,6 +81,20 @@ class TestSimHash:
         assert (0, 2) in by_pair  # near dup within 6 bits
         assert (0, 3) not in by_pair
 
+    def test_blocked_equals_all_pairs(self, spark, sf_dir):
+        """Pigeonhole blocking is complete: chunk-join candidates + exact
+        Hamming filter == the all-pairs result, on real documents."""
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        blocked = {
+            (r["doc_a"], r["doc_b"]): r["hamming"]
+            for r in D.simhash_near_pairs(docs, max_hamming=3, blocked=True).collect()
+        }
+        brute = {
+            (r["doc_a"], r["doc_b"]): r["hamming"]
+            for r in D.simhash_near_pairs(docs, max_hamming=3, blocked=False).collect()
+        }
+        assert blocked == brute
+
 
 class TestNgramJaccard:
     def test_exact_dup_jaccard_one(self, corpus):
