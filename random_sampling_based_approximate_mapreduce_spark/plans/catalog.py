@@ -1108,6 +1108,19 @@ def q_tpch_q1_sampled(spark, sf_dir):
 
 
 @register(
+    "approx_price_per_qty",
+    None,
+    doc="Ratio-of-sums estimator (avg price per unit) from a 10% sample "
+    "with Taylor-linearized CI per return flag; coverage asserted in tests",
+    tags=("sampled",),
+)
+def q_approx_price_per_qty(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    sf = SampledFrame.from_dataframe(li, SamplingConfig(ratio=0.1, seed=42), observe=False)
+    return sf.approx_ratio("l_extendedprice", "l_quantity", "l_returnflag", ci=True)
+
+
+@register(
     "events_ewma",
     None,
     doc="Per-key exponentially-weighted moving average over event time via "

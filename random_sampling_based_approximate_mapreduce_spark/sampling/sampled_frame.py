@@ -332,6 +332,52 @@ class SampledFrame:
         ).alias(f"{alias}_ci")
         return base.agg(est, half)
 
+    def approx_ratio(
+        self,
+        num_col: str,
+        den_col: str,
+        *group_cols: str,
+        ci: bool = False,
+        alias: str = "est_ratio",
+    ) -> DataFrame:
+        """Ratio-of-sums estimate R = sum(num)/sum(den) per group.
+
+        The ratio of two HT sums is scale-free (1/r cancels), but NOT
+        unbiased — it carries the classic small-sample ratio-estimator
+        bias O(1/n) — and its variance needs Taylor linearization:
+
+            Var(R^) ~= (1-r)/r * (Σx² + R²Σy² - 2RΣxy) / (Σy)²
+
+        over SAMPLED sums (each population sum estimated by sampled/r;
+        the r's cancel into the leading (1-r)/r). All four moments come
+        from the same aggregation pass — no second job.
+        """
+        x, y = F.col(num_col), F.col(den_col)
+        base = self.df.groupBy(*[F.col(c) for c in group_cols]) if group_cols else self.df.groupBy()
+        if not (ci and self.ratio < 1.0):
+            return base.agg((F.sum(x) / F.sum(y)).alias(alias))
+        z = stats.z_score(self.config.confidence)
+        r = self.ratio
+        agged = base.agg(
+            F.sum(x).alias("__sx"),
+            F.sum(y).alias("__sy"),
+            F.sum(x * x).alias("__sxx"),
+            F.sum(y * y).alias("__syy"),
+            F.sum(x * y).alias("__sxy"),
+        )
+        R = F.col("__sx") / F.col("__sy")
+        var = (
+            F.lit(max(0.0, 1.0 - r) / r)
+            * (F.col("__sxx") + R * R * F.col("__syy") - F.lit(2.0) * R * F.col("__sxy"))
+            / (F.col("__sy") * F.col("__sy"))
+        )
+        out_cols = [F.col(c) for c in group_cols] if group_cols else []
+        return agged.select(
+            *out_cols,
+            R.alias(alias),
+            (F.lit(z) * F.sqrt(F.greatest(var, F.lit(0.0)))).alias(f"{alias}_ci"),
+        )
+
     def approx_distinct(self, value_col: str, *group_cols: str, rsd: float = 0.05, alias: str = "est_distinct") -> DataFrame:
         """Approximate distinct count via the HyperLogLog++ sketch — over
         the FULL frame semantics when possible.

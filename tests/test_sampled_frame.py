@@ -121,6 +121,32 @@ class TestSampledMode:
         covered = sum(1 for r in rows if abs(r["est"] - exact[r["host"]]) <= r["est_ci"])
         assert covered / len(rows) >= 0.8
 
+    def test_ratio_estimator_with_ci_covers_truth(self, lineitem):
+        exact_row = lineitem.agg(
+            (F.sum("l_extendedprice") / F.sum("l_quantity")).alias("r")
+        ).collect()[0]
+        sf = SampledFrame.from_dataframe(
+            lineitem, SamplingConfig(ratio=0.1, seed=13, confidence=0.95), observe=False
+        )
+        row = sf.approx_ratio("l_extendedprice", "l_quantity", ci=True).collect()[0]
+        assert row["est_ratio_ci"] > 0
+        assert abs(row["est_ratio"] - exact_row["r"]) <= row["est_ratio_ci"]
+
+    def test_ratio_estimator_grouped_exact_mode(self, lineitem):
+        sf = SampledFrame.from_dataframe(lineitem, SamplingConfig.exact(), observe=False)
+        got = {
+            r["l_returnflag"]: r["est_ratio"]
+            for r in sf.approx_ratio("l_extendedprice", "l_quantity", "l_returnflag").collect()
+        }
+        exact = {
+            r["l_returnflag"]: r["r"]
+            for r in lineitem.groupBy("l_returnflag")
+            .agg((F.sum("l_extendedprice") / F.sum("l_quantity")).alias("r"))
+            .collect()
+        }
+        for k, v in exact.items():
+            assert got[k] == pytest.approx(v, rel=1e-12)
+
     def test_sampled_join_composes_ratios(self, spark, sf_dir):
         orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
         customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
