@@ -105,6 +105,29 @@ def dedup_stream(
     return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(key_cols)
 
 
+def dedup_stream_near(
+    stream: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming NEAR-dup drop: canonical fingerprint (lowercase, punct
+    stripped, whitespace collapsed — functions.text.fingerprint) computed
+    as a column expression ON THE STREAM, then watermark-bounded dedup on
+    it. Catches the re-crawled-with-formatting-noise case at ingest;
+    deeper MinHash-band matching stays a batch pass over the accumulated
+    table (ROUND1_NOTES #5 tracks the stateful-banding variant).
+    """
+    from ..functions.text import fingerprint
+
+    fp = stream.withColumn("__fp", fingerprint(F.col(text_col)))
+    return (
+        fp.withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["__fp"])
+        .drop("__fp")
+    )
+
+
 def events_hourly_stream(spark, sf_dir: str, *, sampled: bool = False, ratio: float = 0.1):
     """Run the hourly events rollup AS A REAL STREAMING JOB and return the
     final result as a batch DataFrame.

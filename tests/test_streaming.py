@@ -129,6 +129,29 @@ class TestStreamDedup:
         assert got == [1, 2, 3]
 
 
+class TestStreamNearDedup:
+    def test_formatting_noise_deduped(self, spark, tmp_path):
+        import datetime as dt
+
+        base = dt.datetime(2024, 1, 1, 12, 0, 0)
+        rows = [
+            (1, "The quick brown fox!", base),
+            (2, "the QUICK  brown fox", base + dt.timedelta(minutes=1)),  # near dup of 1
+            (3, "something else entirely", base + dt.timedelta(minutes=2)),
+        ]
+        src = str(tmp_path / "near_src")
+        spark.createDataFrame(rows, ["doc_id", "text", "ts"]).write.parquet(src)
+        stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+        out = ST.dedup_stream_near(stream, watermark="30 minutes")
+        q = (
+            out.writeStream.format("memory").queryName("near_dedup_mem")
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+        kept = sorted(r["doc_id"] for r in spark.sql("SELECT doc_id FROM near_dedup_mem").collect())
+        assert len(kept) == 2 and 3 in kept and (1 in kept or 2 in kept)
+
+
 class TestStatefulRunningTotals:
     def test_running_totals_match_batch(self, spark, events_dir):
         stream = _read_stream(spark, events_dir)
