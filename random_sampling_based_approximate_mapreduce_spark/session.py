@@ -36,6 +36,8 @@ def get_spark(app_name: str = "rsmr-spark", master: str | None = None) -> SparkS
         .config("spark.sql.csv.parser.columnPruning.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
+        # keep managed tables (bucketing tests/queries) out of the repo cwd
+        .config("spark.sql.warehouse.dir", "/tmp/rsmr_warehouse")
     )
     return builder.getOrCreate()
 
