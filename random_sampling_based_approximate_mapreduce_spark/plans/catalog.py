@@ -486,6 +486,51 @@ def q_salted_orders_join(spark, sf_dir):
 
 
 @register(
+    "bucketed_orders_join",
+    """
+    SELECT c.c_mktsegment, count(*)::BIGINT AS n_orders,
+           CAST(sum(CAST(o.o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+    doc="Co-bucketed join: both sides bucketBy(8, o_custkey) saved as "
+    "managed tables (one-time per sf_dir), joined bucket-to-bucket - the "
+    "exchange-free SMJ plan shape is asserted in tests/test_scale_layout"
+    ".py; here the oracle hash-checks that bucketed results equal the "
+    "plain join's",
+)
+def q_bucketed_orders_join(spark, sf_dir):
+    import hashlib
+    import shutil
+
+    suffix = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    ot, ct = f"rsmr_b_orders_{suffix}", f"rsmr_b_customer_{suffix}"
+    if not spark.catalog.tableExists(ot) or not spark.catalog.tableExists(ct):
+        # Bucket metadata lives in the (session-local) catalog, not the files:
+        # a fresh session can find a stale warehouse dir from a prior run whose
+        # table entry is gone. Clear it so saveAsTable can recreate both sides.
+        warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+        for name in (ot, ct):
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+            shutil.rmtree(f"{warehouse}/{name}", ignore_errors=True)
+        load(spark, sf_dir, "orders").select("o_custkey", "o_totalprice").write.bucketBy(
+            8, "o_custkey"
+        ).sortBy("o_custkey").saveAsTable(ot)
+        load(spark, sf_dir, "customer").select(
+            F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+        ).write.bucketBy(8, "o_custkey").sortBy("o_custkey").saveAsTable(ct)
+    return (
+        spark.table(ot)
+        .join(spark.table(ct), "o_custkey")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("revenue"),
+        )
+    )
+
+
+@register(
     "order_price_quantiles",
     """
     SELECT o_orderpriority,
