@@ -1243,6 +1243,25 @@ def q_streaming_sampled_hourly(spark, sf_dir):
     return events_hourly_stream(spark, sf_dir, sampled=True, ratio=0.1)
 
 
+from ..streaming.minhash_state import dedup_minhash_stream_sql as _mh_stream_sql  # noqa: E402
+
+
+@register(
+    "streaming_dedup_minhash",
+    _mh_stream_sql(),
+    doc="STATEFUL streaming near-dedup: per-row MinHash banding -> "
+    "applyInPandasWithState keeps first-seen owner per (band, key) bucket "
+    "across micro-batches -> flagged-doc rollup. Value-oracled: with event "
+    "time monotone in doc_id the result equals the batch LSH-candidate "
+    "min-partner per doc (streaming/minhash_state.py docstring proves the "
+    "identity)",
+)
+def q_streaming_dedup_minhash(spark, sf_dir):
+    from ..streaming.minhash_state import dedup_minhash_stream_run
+
+    return dedup_minhash_stream_run(spark, sf_dir)
+
+
 # ===========================================================================
 # Entry-point helpers
 # ===========================================================================

@@ -173,3 +173,102 @@ class TestStatefulRunningTotals:
             ecnt, eval_ = expected[r["key"]]
             assert r["cnt"] == ecnt
             assert r["val"] == pytest.approx(eval_, rel=1e-9)
+
+
+class TestStatefulMinhashDedup:
+    def _docs(self):
+        import datetime as dt
+
+        base = dt.datetime(2024, 1, 1, 12, 0, 0)
+        long_a = "the quick brown fox jumps over the lazy dog while rain falls gently on the quiet village roofs at dusk and lights flicker"
+        near_a = long_a.replace("flicker", "shimmer")  # high-Jaccard near dup
+        other = "completely unrelated content about spark partitions shuffles and adaptive query execution plans at terabyte scale"
+        return base, long_a, near_a, other
+
+    def test_cross_micro_batch_state(self, spark, tmp_path):
+        """A near-dup arriving in a LATER micro-batch is flagged against the
+        owner from an earlier one — the state actually persists."""
+        import datetime as dt
+        import os
+        import time
+
+        from random_sampling_based_approximate_mapreduce_spark.streaming import minhash_state as MS
+
+        base, long_a, near_a, other = self._docs()
+        src = str(tmp_path / "mh_src")
+        os.makedirs(src)
+        # file 1: owner doc + an unrelated doc; file 2 (newer mtime): near dup
+        spark.createDataFrame(
+            [(1, long_a, base), (2, other, base + dt.timedelta(seconds=1))],
+            ["doc_id", "text", "ts"],
+        ).coalesce(1).write.mode("append").parquet(src)
+        time.sleep(1.1)  # file-source orders by modification time
+        spark.createDataFrame(
+            [(3, near_a, base + dt.timedelta(minutes=1))], ["doc_id", "text", "ts"]
+        ).coalesce(1).write.mode("append").parquet(src)
+
+        stream = (
+            spark.readStream.schema(spark.read.parquet(src).schema)
+            .option("maxFilesPerTrigger", 1)  # one file per micro-batch
+            .parquet(src)
+        )
+        out = MS.dedup_stream_minhash(stream, watermark="30 days")
+        q = (
+            out.writeStream.format("memory").queryName("mh_state_mem")
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+        assert q.lastProgress is not None and q.lastProgress["batchId"] >= 1, (
+            "expected multiple micro-batches"
+        )
+        flagged = {
+            (r["doc_id"], r["dup_of"])
+            for r in MS.dup_rollup(spark.table("mh_state_mem")).collect()
+        }
+        assert flagged == {(3, 1)}
+
+    def test_stream_band_keys_match_batch(self, spark, sf_dir):
+        """The stateless per-row banding equals the batch groupBy pipeline."""
+        from random_sampling_based_approximate_mapreduce_spark.operators.dedup import (
+            lsh_band_keys,
+            minhash_signatures,
+        )
+        from random_sampling_based_approximate_mapreduce_spark.sources.tables import load
+        from random_sampling_based_approximate_mapreduce_spark.streaming import minhash_state as MS
+
+        docs = load(spark, sf_dir, "documents").limit(100).withColumn(
+            "ts", F.timestamp_seconds(F.lit(1704067200) + F.col("doc_id"))
+        )
+        got = {
+            (r["doc_id"], r["band"], r["key"])
+            for r in MS.band_keys_stream(docs).collect()
+        }
+        exp = {
+            (r["doc_id"], r["band"], r["key"])
+            for r in lsh_band_keys(minhash_signatures(docs)).collect()
+        }
+        assert got == exp
+
+    def test_run_matches_batch_candidates(self, spark, sf_dir):
+        """End-to-end streaming run equals the batch LSH min-partner rollup
+        (the identity the DuckDB oracle checks at sf0.01)."""
+        from random_sampling_based_approximate_mapreduce_spark.operators.dedup import (
+            minhash_lsh_candidates,
+        )
+        from random_sampling_based_approximate_mapreduce_spark.sources.tables import load
+        from random_sampling_based_approximate_mapreduce_spark.streaming.minhash_state import (
+            dedup_minhash_stream_run,
+        )
+
+        got = {
+            (r["doc_id"], r["dup_of"])
+            for r in dedup_minhash_stream_run(spark, sf_dir).collect()
+        }
+        exp = {
+            (r["doc_id"], r["dup_of"])
+            for r in minhash_lsh_candidates(load(spark, sf_dir, "documents"))
+            .groupBy(F.col("doc_b").alias("doc_id"))
+            .agg(F.min("doc_a").alias("dup_of"))
+            .collect()
+        }
+        assert len(exp) > 0 and got == exp
