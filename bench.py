@@ -45,6 +45,7 @@ BENCH_QUERIES = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "knn_brute_force",
+    "dedup_embedding",
     "multimodal_meta",
     "token_stats",
     "streaming_events_hourly",

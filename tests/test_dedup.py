@@ -132,3 +132,14 @@ class TestEmbeddingDup:
         cand = D.minhash_lsh_candidates(docs)
         missing = exact_dups.join(cand, ["doc_a", "doc_b"], "left_anti").count()
         assert missing == 0
+
+    def test_blocked_equals_hof_baseline(self, spark, sf_dir):
+        """Blocked-GEMM all-pairs == the joined HOF-cosine baseline,
+        value-for-value, on a NON-EMPTY result set (threshold 0.3 yields
+        ~1000 pairs on the near-orthogonal testdata); small block_size
+        forces several block-pair groups including cross-block ones."""
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        new = {tuple(r) for r in D.embedding_dup_pairs(emb, 0.3, block_size=128).collect()}
+        old = {tuple(r) for r in D.embedding_dup_pairs(emb, 0.3, blocked=False).collect()}
+        assert len(new) > 100
+        assert new == old

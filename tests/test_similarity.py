@@ -79,3 +79,17 @@ class TestIVF:
         assigned = S.assign_ivf(c, cents, n_probe=1)
         assert assigned.count() == emb.count()  # exactly one cell per vector
         assert assigned.select("cell").distinct().count() <= 8
+
+
+class TestBruteForceArrow:
+    def test_arrow_equals_column_plan(self, emb):
+        """mapInPandas matmul + per-batch top-k == the broadcast crossJoin
+        HOF plan, including rank order and rounded cosines."""
+        qs = emb.where(F.col("vec_id") < 5)
+        got = {tuple(r) for r in S.knn_brute_force(emb, qs, k=7).collect()}
+        exp = {tuple(r) for r in S.knn_brute_force(emb, qs, k=7, arrow=False).collect()}
+        assert len(got) == 35
+        assert got == exp
+
+    def test_arrow_no_queries(self, emb):
+        assert S.knn_brute_force(emb, emb.where(F.col("vec_id") < 0)).count() == 0
