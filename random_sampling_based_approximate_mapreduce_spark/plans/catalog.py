@@ -531,6 +531,82 @@ def q_bucketed_orders_join(spark, sf_dir):
 
 
 @register(
+    "word_count_multifile",
+    f"""
+    SELECT word, count(*)::BIGINT AS cnt
+    FROM (
+      SELECT unnest(string_split_regex(lower(text), '{_WORD_SPLIT_SQL}')) AS word
+      FROM documents
+      WHERE NOT regexp_matches(text, '[0-9]')
+    )
+    WHERE word <> '' AND NOT regexp_matches(word, '^[0-9]+$')
+    GROUP BY word
+    """,
+    doc="word_count over a MULTI-FILE raw-text layout (documents.text "
+    "split across 8 .txt part files, one-time per sf_dir): the scan "
+    "parallelizes per file split with no repartition needed — the layout "
+    "a 100 TB text corpus actually arrives in. Value-oracled against the "
+    "single-table word_count SQL (text is newline-free, so the text-file "
+    "round trip is line-faithful)",
+)
+def q_word_count_multifile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    src = f"/tmp/rsmr_text_multifile_{key}"
+    if not os.path.exists(os.path.join(src, "_SUCCESS")):
+        load(spark, sf_dir, "documents").select("text").repartition(8).write.mode(
+            "overwrite"
+        ).text(src)
+    lines = spark.read.text(src)
+    kept = T.drop_digit_lines(lines, "value")
+    return T.explode_words(kept, "value").groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+@register(
+    "docs_partitioned_lang",
+    """
+    SELECT lang, source, count(*)::BIGINT AS n_docs,
+           CAST(avg(n_chars) AS DOUBLE) AS avg_chars
+    FROM documents WHERE lang IN ('en', 'fr')
+    GROUP BY lang, source
+    """,
+    doc="Documents re-laid-out as hive-partitioned parquet (PARTITIONED BY "
+    "lang, one-time per sf_dir); the lang IN (...) filter prunes to 2 of 5 "
+    "partition directories at planning time (PartitionFilters, asserted in "
+    "tests/test_scale_layout.py) — the layout+pruning path that turns a "
+    "100 TB scan into a 2-partition scan. Value-oracled against the flat "
+    "table",
+)
+def q_docs_partitioned_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _partitioned_docs(spark, sf_dir)
+    return (
+        part.where(F.col("lang").isin("en", "fr"))
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.avg("n_chars").cast("double").alias("avg_chars"),
+        )
+    )
+
+
+def _partitioned_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned (by lang) copy of the documents table, written once
+    per sf_dir; returns the partition-discovering read."""
+    import hashlib
+    import os
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    src = f"/tmp/rsmr_docs_bylang_{key}"
+    if not os.path.exists(os.path.join(src, "_SUCCESS")):
+        load(spark, sf_dir, "documents").write.mode("overwrite").partitionBy(
+            "lang"
+        ).parquet(src)
+    return spark.read.parquet(src)
+
+
+@register(
     "order_price_quantiles",
     """
     SELECT o_orderpriority,

@@ -89,3 +89,39 @@ class TestPartitionPruning:
         assert m and re.search(rf"\(day#\d+ = {day0}\)", m[0])
         # and pruning is semantically right
         assert one_day.count() == events.where(F.col("day") == day0).count()
+
+
+class TestCatalogLayoutQueries:
+    def test_docs_partitioned_query_prunes(self, spark, sf_dir):
+        """The docs_partitioned_lang CATALOG query (not just a synthetic
+        frame) carries its lang IN filter as PartitionFilters."""
+        import contextlib
+        import io
+
+        from random_sampling_based_approximate_mapreduce_spark.plans.catalog import QUERIES
+
+        df = QUERIES["docs_partitioned_lang"].spark(spark, sf_dir)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        lines = [ln for ln in buf.getvalue().splitlines() if "PartitionFilters" in ln]
+        assert lines and "lang" in lines[0] and "in(lang" in lines[0].replace("IN (", "in(lang")
+
+    def test_multifile_text_scan_is_parallel(self, spark, sf_dir):
+        """The 8-file text layout yields >= 8 scan partitions without any
+        repartition in the query."""
+        from random_sampling_based_approximate_mapreduce_spark.plans.catalog import QUERIES
+
+        QUERIES["word_count_multifile"].spark(spark, sf_dir).count()  # materialize layout
+        import glob
+        import hashlib
+
+        key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+        files = glob.glob(f"/tmp/rsmr_text_multifile_{key}/part-*")
+        assert len(files) == 8
+        # tiny files are bin-packed (maxPartitionBytes/openCostInBytes), so
+        # the floor is the session's parallelism, not the file count
+        floor = min(8, spark.sparkContext.defaultParallelism)
+        assert (
+            spark.read.text(f"/tmp/rsmr_text_multifile_{key}").rdd.getNumPartitions() >= floor
+        )
