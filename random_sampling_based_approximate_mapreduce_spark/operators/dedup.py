@@ -336,6 +336,16 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     )
 
 
+def ngram_jaccard_verify_sql(threshold: float = 0.5) -> str:
+    """DuckDB mirror of LSH-candidates -> exact-Jaccard verification."""
+    return f"""
+    WITH cand AS ({minhash_lsh_candidates_sql()}),
+    jac AS ({ngram_jaccard_sql(threshold)})
+    SELECT jac.doc_a, jac.doc_b, jac.jaccard
+    FROM jac JOIN cand ON jac.doc_a = cand.doc_a AND jac.doc_b = cand.doc_b
+    """
+
+
 def ngram_jaccard_sql(threshold: float = 0.5) -> str:
     return f"""
     WITH toks AS (
@@ -360,6 +370,51 @@ def ngram_jaccard_sql(threshold: float = 0.5) -> str:
       JOIN sz nb ON doc_b = nb.doc_id
     WHERE CAST(i AS DOUBLE) / (na.n + nb.n - i) >= {threshold}
     """
+
+
+def ngram_jaccard_verify(
+    docs: DataFrame, pairs: DataFrame, threshold: float = 0.5
+) -> DataFrame:
+    """Exact word-shingle Jaccard for a CANDIDATE pair list only.
+
+    The scale composition: LSH blocking (minhash_lsh_candidates) bounds
+    the pair list, then this verifies each candidate with the exact
+    measure — intersection via a shingle equi-join restricted to
+    candidate docs, set sizes joined back. Work is O(candidate docs'
+    shingles), never O(N^2): the all-pairs ngram_jaccard_pairs sweep
+    stays as the tiny-input oracle baseline.
+    """
+    from ..sources.tables import ensure_parallelism
+
+    cand_docs = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .union(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sh = T.with_word_shingles(
+        ensure_parallelism(docs.join(F.broadcast(cand_docs), "doc_id").select("doc_id", "text")),
+        "text",
+        SHINGLE_K,
+    ).select("doc_id", "shingles")
+    sizes = sh.select("doc_id", F.size("shingles").alias("n"))
+    ex = sh.select("doc_id", F.explode_outer("shingles").alias("s")).where(
+        F.col("s").isNotNull()
+    )
+    a, b = ex.alias("a"), ex.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("i"))
+        .join(pairs.select("doc_a", "doc_b"), ["doc_a", "doc_b"])  # candidates only
+    )
+    na, nb = sizes.alias("na"), sizes.alias("nb")
+    jac = F.col("i").cast("double") / (F.col("na.n") + F.col("nb.n") - F.col("i"))
+    return (
+        inter.join(na, F.col("doc_a") == F.col("na.doc_id"))
+        .join(nb, F.col("doc_b") == F.col("nb.doc_id"))
+        .where(jac >= threshold)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
 
 
 # --- duplicate clustering (pairs -> components -> canonical docs) ---------

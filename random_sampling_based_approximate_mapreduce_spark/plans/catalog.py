@@ -908,6 +908,29 @@ def _register_dedup():
         return D.connected_components(pairs)
 
     @register(
+        "dedup_clusters_blocked",
+        D.connected_components_sql(
+            f"SELECT doc_a, doc_b FROM ({D.ngram_jaccard_verify_sql(0.5)})"
+        ),
+        doc="The SCALE composition of duplicate clustering: MinHash-LSH "
+        "blocking bounds the candidate pairs, exact Jaccard verifies only "
+        "those, components cluster the survivors — no quadratic stage "
+        "anywhere (dedup_clusters keeps the all-pairs sweep as baseline). "
+        "Value-oracled end-to-end: DuckDB composes the same candidate SQL, "
+        "verify CTE, and recursive components. Crossover note (measured "
+        "sf0.1, identical 477-component output): the all-pairs sweep is "
+        "still FASTER here (3.0s vs 5.0s warm) because test-scale shingle "
+        "buckets are tiny while blocking pays two tokenization passes; "
+        "the blocked form wins only once the candidate set is sparse "
+        "relative to N^2 — which is exactly the 100 TB regime",
+    )
+    def q_dedup_clusters_blocked(spark, sf_dir):
+        docs = load(spark, sf_dir, "documents")
+        cand = D.minhash_lsh_candidates(docs)
+        verified = D.ngram_jaccard_verify(docs, cand, 0.5)
+        return D.connected_components(verified)
+
+    @register(
         "dedup_embedding",
         """
         WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)

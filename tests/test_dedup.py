@@ -143,3 +143,21 @@ class TestEmbeddingDup:
         old = {tuple(r) for r in D.embedding_dup_pairs(emb, 0.3, blocked=False).collect()}
         assert len(new) > 100
         assert new == old
+
+
+class TestBlockedClustering:
+    def test_blocked_pipeline_matches_all_pairs(self, spark, sf_dir):
+        """LSH-block -> verify -> components == all-pairs -> components on
+        testdata (no candidate above the 0.5 cut slips past the bands)."""
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        exact = {
+            (r["node"], r["component"])
+            for r in D.connected_components(D.ngram_jaccard_pairs(docs, 0.5)).collect()
+        }
+        blocked_pairs = D.ngram_jaccard_verify(docs, D.minhash_lsh_candidates(docs), 0.5)
+        blocked = {
+            (r["node"], r["component"])
+            for r in D.connected_components(blocked_pairs).collect()
+        }
+        assert len(blocked) > 0
+        assert blocked == exact
