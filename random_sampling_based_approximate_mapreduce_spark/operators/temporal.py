@@ -1,0 +1,119 @@
+"""Temporal join operators Spark has no built-in for: as-of join and
+binned range join.
+
+The reference has no dataset-to-dataset joins at all (SURVEY.md §2.5
+"absent"); these are the engine's relational-surface extensions, built per
+the custom-operator ladder (SURVEY.md build plan): compositions of
+existing DataFrame ops — no UDF, no mapPartitions — so Catalyst plans,
+prunes, and codegens them like any other query.
+
+As-of join (union + window, the "merge-asof" trick):
+    Tag both sides, union them, and run one window per key ordered by
+    (time, right-before-left): ``last(payload, ignorenulls)`` over the
+    preceding frame gives every left row the most recent right row at or
+    before its timestamp. ONE shuffle (the window exchange on the key) —
+    a join-based phrasing would shuffle both sides AND explode matches
+    before a groupBy-max could pick the winner. This is how pandas
+    merge_asof / QuestDB / kdb express it, re-derived relationally.
+
+Binned range join (interval containment without a theta join):
+    A naive ``l.ts BETWEEN r.start AND r.end`` join is a broadcast
+    nested-loop (O(|L| x |R|)). Binning maps each interval to the
+    ``width``-sized bins it overlaps (explode) and each point to exactly
+    one bin, turning containment into an equi-join on the bin key plus an
+    exact residual filter. Each point lands in one bin, so no dedup stage
+    is needed. Bin width tunes fan-out: intervals explode into
+    ceil(span/width)+1 rows. This is the standard range-join optimization
+    (Databricks' range-join hints, postgres GiST bins) as a pure
+    DataFrame composition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    payload: list[str] | None = None,
+    matched_col: str = "matched",
+) -> DataFrame:
+    """Backward as-of join: for every left row, the most recent right row
+    of the same ``on`` key with ``right_ts <= left_ts``.
+
+    Returns all left columns plus ``matched_col``, a struct of
+    (``right_ts`` as ``ts``, *payload) — null when the key has no right
+    row at or before the left timestamp (left-outer semantics).
+
+    Deterministic under right-side ties: among right rows sharing
+    (key, ts), the one with the greatest payload struct wins (struct
+    comparison is lexicographic), matching a ``max_by`` pre-aggregation
+    in the SQL mirror.
+    """
+    payload = payload or []
+    r = right.select(
+        F.col(on),
+        F.col(right_ts).alias("__t"),
+        F.lit(1).alias("__is_right"),
+        F.struct(F.col(right_ts).alias("ts"), *[F.col(c) for c in payload]).alias("__r"),
+    )
+    l = left.select(
+        "*",
+        F.col(left_ts).alias("__t"),
+        F.lit(0).alias("__is_right"),
+    )
+    unioned = l.unionByName(r, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(on)
+        # right rows sort before left rows at equal time (<= semantics);
+        # among equal-time right rows the greatest struct lands last and
+        # wins the ignorenulls-last
+        .orderBy(F.col("__t").asc(), F.col("__is_right").desc(), F.asc_nulls_first("__r"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        unioned.withColumn(matched_col, F.last("__r", ignorenulls=True).over(w))
+        .where(F.col("__is_right") == 0)
+        .drop("__t", "__is_right", "__r")
+    )
+
+
+def range_join_binned(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_ts: str,
+    start_col: str,
+    end_col: str,
+    width_seconds: int,
+    how: str = "inner",
+) -> DataFrame:
+    """Join points to half-open intervals [start, end) via bin equi-join.
+
+    ``points`` and ``intervals`` keep all their columns; the bin key and
+    residual filter are internal. ``width_seconds`` should be on the
+    order of the typical interval span: each interval explodes into
+    ``span/width + 1`` bin rows, each point maps to exactly one bin.
+    """
+    p_bin = F.floor(F.unix_timestamp(F.col(point_ts)) / width_seconds).cast("long")
+    i_start = F.unix_timestamp(F.col(start_col))
+    i_end = F.unix_timestamp(F.col(end_col))
+    bins = F.sequence(
+        F.floor(i_start / width_seconds).cast("long"),
+        # end is exclusive, but a point in the end's bin can still precede
+        # it — include the bin containing (end - 1s)
+        F.floor((i_end - 1) / width_seconds).cast("long"),
+    )
+    iv = intervals.select(
+        "*", F.explode_outer(bins).alias("__bin")
+    ).where(F.col("__bin").isNotNull())
+    pt = points.withColumn("__bin", p_bin)
+    joined = pt.join(iv, "__bin", how).where(
+        (F.col(point_ts) >= F.col(start_col)) & (F.col(point_ts) < F.col(end_col))
+    )
+    return joined.drop("__bin")

@@ -707,6 +707,81 @@ def q_user_sessions(spark, sf_dir):
 
 
 @register(
+    "events_asof_purchase",
+    """
+    WITH purchases AS (
+      SELECT user_id, ts, max(value) AS purchase_value
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+    ),
+    clicks AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
+    SELECT c.event_id, c.user_id, c.ts,
+           p.ts AS purchase_ts, p.purchase_value
+    FROM clicks c ASOF LEFT JOIN purchases p
+      ON c.user_id = p.user_id AND p.ts <= c.ts
+    """,
+    doc="AS-OF JOIN (operator Spark lacks natively): every click gets the "
+    "user's most recent purchase at or before it, via the union+window "
+    "composition in operators/temporal.py — ONE shuffle on the key, no "
+    "join fan-out. Oracle is DuckDB's native ASOF LEFT JOIN",
+)
+def q_events_asof_purchase(spark, sf_dir):
+    from ..operators.temporal import asof_join
+
+    ev = ensure_parallelism(load(spark, sf_dir, "events"))
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("purchase_value"))
+    )
+    clicks = ev.where(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    out = asof_join(clicks, purchases, on="user_id", payload=["purchase_value"])
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("matched.ts").alias("purchase_ts"),
+        F.col("matched.purchase_value").alias("purchase_value"),
+    )
+
+
+@register(
+    "events_in_campaigns",
+    """
+    WITH campaigns AS (
+      SELECT i::BIGINT AS campaign_id,
+             TIMESTAMP '2024-01-01' + to_hours(12*i) AS c_start,
+             TIMESTAMP '2024-01-01' + to_hours(12*i + 36) AS c_end
+      FROM range(60) t(i)
+    )
+    SELECT campaign_id, count(*)::BIGINT AS cnt,
+           CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+    FROM events e JOIN campaigns c ON e.ts >= c.c_start AND e.ts < c.c_end
+    GROUP BY campaign_id
+    """,
+    doc="RANGE JOIN via binning (operators/temporal.py): 60 overlapping "
+    "36h campaign windows (12h stride) joined to events as a bin equi-join "
+    "+ residual filter instead of the O(|L|x|R|) nested-loop theta join "
+    "Spark would otherwise plan; tests assert the plan contains no "
+    "BroadcastNestedLoopJoin. Oracle is the plain range-predicate join",
+)
+def q_events_in_campaigns(spark, sf_dir):
+    from ..operators.temporal import range_join_binned
+
+    ev = ensure_parallelism(load(spark, sf_dir, "events"))
+    base = F.lit("2024-01-01 00:00:00").cast("timestamp")
+    campaigns = spark.range(60).select(
+        F.col("id").alias("campaign_id"),
+        (base + F.make_interval(hours=F.col("id") * 12)).alias("c_start"),
+        (base + F.make_interval(hours=F.col("id") * 12 + 36)).alias("c_end"),
+    )
+    joined = range_join_binned(ev, campaigns, "ts", "c_start", "c_end", width_seconds=12 * 3600)
+    return joined.groupBy("campaign_id").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(_dec("value")).cast("double").alias("total_value"),
+    )
+
+
+@register(
     "events_daily_pivot",
     """
     SELECT date_trunc('day', ts) AS day,

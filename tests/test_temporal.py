@@ -1,0 +1,109 @@
+"""As-of join and binned range join (operators/temporal.py)."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from random_sampling_based_approximate_mapreduce_spark.operators.temporal import (
+    asof_join,
+    range_join_binned,
+)
+
+
+def _t(minute, second=0):
+    return dt.datetime(2024, 1, 1, 12, minute, second)
+
+
+class TestAsofJoin:
+    def test_picks_most_recent_at_or_before(self, spark):
+        left = spark.createDataFrame(
+            [(1, "u", _t(10)), (2, "u", _t(20)), (3, "u", _t(5))],
+            ["event_id", "key", "ts"],
+        )
+        right = spark.createDataFrame(
+            [("u", _t(8), 80.0), ("u", _t(20), 200.0), ("u", _t(15), 150.0)],
+            ["key", "ts", "v"],
+        )
+        out = {
+            r["event_id"]: (
+                r["matched"]["ts"] if r["matched"] else None,
+                r["matched"]["v"] if r["matched"] else None,
+            )
+            for r in asof_join(left, right, on="key", payload=["v"]).collect()
+        }
+        assert out[1] == (_t(8), 80.0)
+        assert out[2] == (_t(20), 200.0)  # <= : equal timestamp matches
+        assert out[3] == (None, None)  # nothing at or before -> left outer
+
+    def test_keys_do_not_leak(self, spark):
+        left = spark.createDataFrame([(1, "a", _t(10))], ["event_id", "key", "ts"])
+        right = spark.createDataFrame([("b", _t(5), 1.0)], ["key", "ts", "v"])
+        rows = asof_join(left, right, on="key", payload=["v"]).collect()
+        assert rows[0]["matched"] is None
+
+    def test_one_shuffle_no_join(self, spark):
+        left = spark.createDataFrame([(1, "a", _t(10))], ["event_id", "key", "ts"])
+        right = spark.createDataFrame([("a", _t(5), 1.0)], ["key", "ts", "v"])
+        plan = asof_join(left, right, on="key", payload=["v"])._jdf.queryExecution().executedPlan().toString()
+        assert "Join" not in plan  # union + window, not a join
+        assert plan.count("Exchange hashpartitioning") == 1
+
+
+class TestRangeJoinBinned:
+    @pytest.fixture(scope="class")
+    def frames(self, spark):
+        points = spark.createDataFrame(
+            [(i, dt.datetime(2024, 1, 1) + dt.timedelta(minutes=7 * i)) for i in range(200)],
+            ["pid", "ts"],
+        )
+        intervals = spark.createDataFrame(
+            [
+                (
+                    j,
+                    dt.datetime(2024, 1, 1) + dt.timedelta(minutes=30 * j),
+                    dt.datetime(2024, 1, 1) + dt.timedelta(minutes=30 * j + 90),
+                )
+                for j in range(40)
+            ],
+            ["iid", "c_start", "c_end"],
+        )
+        return points, intervals
+
+    def test_matches_naive_theta_join(self, spark, frames):
+        points, intervals = frames
+        binned = {
+            (r["pid"], r["iid"])
+            for r in range_join_binned(
+                points, intervals, "ts", "c_start", "c_end", width_seconds=1800
+            ).collect()
+        }
+        naive = {
+            (r["pid"], r["iid"])
+            for r in points.join(
+                intervals,
+                (points.ts >= intervals.c_start) & (points.ts < intervals.c_end),
+            ).collect()
+        }
+        assert len(naive) > 400  # overlapping windows -> multiple matches/point
+        assert binned == naive
+
+    def test_no_nested_loop_join(self, spark, frames):
+        points, intervals = frames
+        plan = (
+            range_join_binned(points, intervals, "ts", "c_start", "c_end", width_seconds=1800)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_exclusive_end(self, spark):
+        points = spark.createDataFrame([(0, dt.datetime(2024, 1, 1, 1, 0))], ["pid", "ts"])
+        intervals = spark.createDataFrame(
+            [(0, dt.datetime(2024, 1, 1, 0, 0), dt.datetime(2024, 1, 1, 1, 0))],
+            ["iid", "c_start", "c_end"],
+        )
+        assert (
+            range_join_binned(points, intervals, "ts", "c_start", "c_end", 3600).count() == 0
+        )
