@@ -447,6 +447,61 @@ def q_urgent_only_customers(spark, sf_dir):
 
 
 @register(
+    "exists_subquery_customers",
+    """
+    SELECT c_mktsegment, count(*)::BIGINT AS cnt
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice < 1000)
+    GROUP BY c_mktsegment
+    """,
+    doc="Correlated EXISTS / NOT EXISTS subqueries through the SQL surface: "
+    "Catalyst decorrelates them into a left-semi + left-anti join pair (no "
+    "per-row subquery execution anywhere) — the rewrite the reference's "
+    "hand-wired pipelines could never get",
+)
+def q_exists_subquery_customers(spark, sf_dir):
+    load(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT c_mktsegment, count(*) AS cnt
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey AND o.o_totalprice < 1000)
+        GROUP BY c_mktsegment
+        """
+    )
+
+
+@register(
+    "events_grouping_sets",
+    """
+    SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+           count(*)::BIGINT AS cnt
+    FROM events
+    GROUP BY GROUPING SETS ((event_type), (strftime(ts, '%Y-%m-%d')), ())
+    """,
+    doc="GROUPING SETS (Expand operator): per-type totals, per-day totals, "
+    "and the grand total in ONE pass over the input — three aggregations "
+    "for one scan+shuffle",
+)
+def q_events_grouping_sets(spark, sf_dir):
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(
+        """
+        SELECT event_type, date_format(ts, 'yyyy-MM-dd') AS day, count(*) AS cnt
+        FROM events
+        GROUP BY GROUPING SETS ((event_type), (date_format(ts, 'yyyy-MM-dd')), ())
+        """
+    )
+
+
+@register(
     "priority_distinct_customers",
     """
     SELECT o_orderpriority, count(DISTINCT o_custkey)::BIGINT AS n_customers

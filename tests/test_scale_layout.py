@@ -125,3 +125,22 @@ class TestCatalogLayoutQueries:
         assert (
             spark.read.text(f"/tmp/rsmr_text_multifile_{key}").rdd.getNumPartitions() >= floor
         )
+
+
+class TestRelationalPlanShapes:
+    def test_exists_subqueries_decorrelate(self, spark, sf_dir):
+        from random_sampling_based_approximate_mapreduce_spark.plans.catalog import QUERIES
+
+        plan = (
+            QUERIES["exists_subquery_customers"].spark(spark, sf_dir)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "LeftSemi" in plan and "LeftAnti" in plan
+
+    def test_grouping_sets_single_scan(self, spark, sf_dir):
+        from random_sampling_based_approximate_mapreduce_spark.plans.catalog import QUERIES
+
+        qe = QUERIES["events_grouping_sets"].spark(spark, sf_dir)._jdf.queryExecution()
+        plan = qe.executedPlan().toString()
+        assert "Expand" in plan
+        assert plan.count("Scan parquet") == 1 or plan.count("FileScan") == 1
