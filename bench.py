@@ -39,6 +39,8 @@ BENCH_QUERIES = [
     "revenue_by_nation",
     "top_orders_per_priority",
     "user_sessions",
+    "events_asof_purchase",
+    "events_in_campaigns",
     "events_hourly",
     "approx_events_by_type",
     "dedup_exact",
