@@ -112,6 +112,12 @@ def parse_apache_log(raw: DataFrame, col: str = "line") -> DataFrame:
     mega-expression then re-evaluates inside a Filter under the exchange,
     single-threaded, erasing the single-pass win. Seven independent
     extracts keep the substituted filter down to three cheap regexes.
+
+    Also measured: a regex-free positional parse (substring_index chains,
+    semantically identical on the synthesized corpus) benches the same or
+    slightly slower (2.8-3.6s vs 2.3-2.6s warm at sf0.1) — the cost here
+    is try_to_timestamp, not regex matching, so there is nothing left to
+    win in the field extraction.
     """
     c = F.col(col)
     extracted = raw.select(
