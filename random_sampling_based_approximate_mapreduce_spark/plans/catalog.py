@@ -885,6 +885,31 @@ def _hash_bernoulli_oracle() -> str:
 
 
 @register(
+    "hll_users_daily",
+    None,
+    doc="MERGEABLE distinct sketches (Datasketches HLL): one pass builds a "
+    "per-day user sketch; per-day estimates AND the all-days total come "
+    "from the same sketches — the total is hll_union_agg over the daily "
+    "sketches, no second scan of the raw data. At 100 TB this is the only "
+    "viable distinct-tracking shape: sketches persist per shard/day and "
+    "union across them is a few KB of state. Accuracy vs exact distinct "
+    "is asserted in tests (estimates are engine-specific -> rows-only "
+    "oracle)",
+    tags=("approx",),
+)
+def q_hll_users_daily(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    sk = ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    daily = sk.select("day", F.hll_sketch_estimate("sk").alias("est_users"))
+    total = sk.agg(F.hll_union_agg("sk").alias("u")).select(
+        F.lit("ALL").alias("day"), F.hll_sketch_estimate("u").alias("est_users")
+    )
+    return daily.unionByName(total)
+
+
+@register(
     "hash_sampled_events",
     _hash_bernoulli_oracle(),
     doc="Hash-deterministic Bernoulli sampling (A1 variant): selection is a "

@@ -220,3 +220,26 @@ class TestSampledMode:
         rel_l1 = joined["errsum"] / joined["base"]
         # grouped rel-L1 is looser than the global proportion bound; 3x margin
         assert rel_l1 < 3 * max(rep.achieved_error, 0.01)
+
+
+class TestHllSketches:
+    def test_daily_and_union_estimates_near_exact(self, spark, sf_dir):
+        """Per-day HLL estimates and the unioned total track exact distinct
+        counts within 5%; the total comes from sketch union, not a rescan."""
+        from pyspark.sql import functions as F
+
+        from random_sampling_based_approximate_mapreduce_spark.plans.catalog import QUERIES
+        from random_sampling_based_approximate_mapreduce_spark.sources.tables import load
+
+        got = {r["day"]: r["est_users"] for r in QUERIES["hll_users_daily"].spark(spark, sf_dir).collect()}
+        ev = load(spark, sf_dir, "events")
+        exact = {
+            r["day"]: r["n"]
+            for r in ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+            .agg(F.countDistinct("user_id").alias("n"))
+            .collect()
+        }
+        exact["ALL"] = ev.select("user_id").distinct().count()
+        assert set(got) == set(exact)
+        for day, est in got.items():
+            assert abs(est - exact[day]) <= max(1, 0.05 * exact[day]), (day, est, exact[day])
