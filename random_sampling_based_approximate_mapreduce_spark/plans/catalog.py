@@ -620,6 +620,34 @@ def q_word_count_multifile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "word_count_file_sampled",
+    None,
+    doc="TWO-STAGE cluster sampling over the 8-file text layout: skip "
+    "whole files (scan cost ~ file_ratio — the win no row sampler gets), "
+    "Bernoulli rows within survivors, HT scale-up at the composed ratio. "
+    "Measured 3x faster than row-only sampling at the same nominal ratio "
+    "on a 410 MB corpus (docs/SCALE.md). Cluster-sampling variance is "
+    "honest-flagged in the source docstring (sampled -> rows-only check)",
+    tags=("sampled",),
+)
+def q_word_count_file_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+
+    from ..sources.text import read_text_file_sampled
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    src = f"/tmp/rsmr_text_multifile_{key}"
+    if not os.path.exists(os.path.join(src, "_SUCCESS")):
+        load(spark, sf_dir, "documents").select("text").repartition(8).write.mode(
+            "overwrite"
+        ).text(src)
+    sf = read_text_file_sampled(spark, src, 0.5, SamplingConfig(ratio=0.5, seed=42))
+    words = sf.transform(lambda df: T.explode_words(T.drop_digit_lines(df, "value"), "value"))
+    return words.approx_count("word", alias="est_cnt")
+
+
+@register(
     "docs_partitioned_lang",
     """
     SELECT lang, source, count(*)::BIGINT AS n_docs,

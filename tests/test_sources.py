@@ -163,3 +163,39 @@ class TestSampledTextRead(object):
         assert manifest["total_records"] == 100
         assert manifest["designed_ratio"] == 0.5
         assert 0 < manifest["actual_ratio"] < 1
+
+
+class TestFileLevelSampling:
+    @pytest.fixture(scope="class")
+    def corpus_dir(self, spark, tmp_path_factory):
+        out = str(tmp_path_factory.mktemp("fs_corpus"))
+        spark.range(2000).select(
+            F.concat(F.lit("w"), (F.col("id") % 40).cast("string")).alias("value")
+        ).repartition(16).write.mode("overwrite").text(out)
+        return out
+
+    def test_pick_is_deterministic_and_ratio_composes(self, spark, corpus_dir):
+        from random_sampling_based_approximate_mapreduce_spark.sources.text import read_text_file_sampled
+
+        a = read_text_file_sampled(spark, corpus_dir, 0.5, SamplingConfig(ratio=0.5, seed=7))
+        b = read_text_file_sampled(spark, corpus_dir, 0.5, SamplingConfig(ratio=0.5, seed=7))
+        assert a.df.inputFiles() == b.df.inputFiles()
+        n_picked = len(a.df.inputFiles())
+        assert 0 < n_picked < 16
+        assert a.ratio == pytest.approx((n_picked / 16) * 0.5)
+
+    def test_full_ratios_read_everything_exactly(self, spark, corpus_dir):
+        from random_sampling_based_approximate_mapreduce_spark.sources.text import read_text_file_sampled
+
+        sf = read_text_file_sampled(spark, corpus_dir, 1.0)
+        assert sf.ratio == 1.0
+        assert sf.df.count() == 2000
+
+    def test_estimates_track_exact(self, spark, corpus_dir):
+        from random_sampling_based_approximate_mapreduce_spark.sources.text import read_text_file_sampled
+
+        sf = read_text_file_sampled(spark, corpus_dir, 0.5, SamplingConfig(ratio=0.5, seed=42))
+        est = sf.df.count() * sf.scale
+        # rows are round-robin across files (repartition), so cluster
+        # variance is small; total estimate must land near 2000
+        assert est == pytest.approx(2000, rel=0.25)
