@@ -62,3 +62,61 @@ def read_parquet_sampled(
     """Parquet scan -> SampledFrame (column pruning/pushdown still apply
     below the Sample node — project/filter ``.df`` and check the plan)."""
     return SampledFrame.from_dataframe(spark.read.parquet(path), config)
+
+
+def pick_files(spark: SparkSession, path: str, file_ratio: float, seed: int = 42) -> tuple[list[str], float]:
+    """Deterministic hash-pick of ``file_ratio`` of the data files under
+    ``path`` (driver-side listing via the JVM Hadoop FS, so any scheme the
+    cluster reads works). Returns (picked paths, achieved file ratio).
+
+    The stage-one primitive of two-stage cluster sampling (see
+    ``sources/text.read_text_file_sampled`` for the estimator contract and
+    the variance honesty note). Never returns an empty list."""
+    import hashlib
+
+    if not 0.0 < file_ratio <= 1.0:
+        raise ValueError(f"file_ratio must be in (0, 1], got {file_ratio}")
+    jvm = spark.sparkContext._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    files = sorted(
+        str(st.getPath())
+        for st in fs.listStatus(jpath)
+        if st.isFile() and not st.getPath().getName().startswith("_")
+    )
+    if not files:
+        raise ValueError(f"no data files under {path}")
+    cap = 1 << 32
+    picked = [
+        f
+        for f in files
+        if int.from_bytes(hashlib.md5(f"{seed}:{f}".encode()).digest()[:4], "big")
+        < file_ratio * cap
+    ] or [files[0]]
+    return picked, len(picked) / len(files)
+
+
+def read_parquet_file_sampled(
+    spark: SparkSession,
+    path: str,
+    file_ratio: float,
+    row_config: SamplingConfig | None = None,
+    seed: int = 42,
+) -> SampledFrame:
+    """Two-stage cluster sampling for parquet directories: skip whole
+    part-files (their footers are never even opened), Bernoulli rows
+    within survivors — same estimator contract as
+    ``text.read_text_file_sampled``."""
+    picked, achieved = pick_files(spark, path, file_ratio, seed)
+    row_cfg = row_config or SamplingConfig(ratio=1.0)
+    sf = SampledFrame.from_dataframe(spark.read.parquet(*picked), row_cfg)
+    combined = SamplingConfig(ratio=achieved * row_cfg.resolve(), seed=row_cfg.seed or seed)
+    return SampledFrame(
+        df=sf.df,
+        ratio=achieved * sf.ratio,
+        config=combined,
+        observation=sf.observation,
+        sample_observation=sf.sample_observation,
+        job_id=sf.job_id,
+        _start_time=sf._start_time,
+    )

@@ -64,30 +64,9 @@ def read_text_file_sampled(
     RandomizedLineRecordReader.java:67-81); this is the engine extending
     the same estimator algebra to the layout layer.
     """
-    import hashlib
+    from .files import pick_files
 
-    if not 0.0 < file_ratio <= 1.0:
-        raise ValueError(f"file_ratio must be in (0, 1], got {file_ratio}")
-    # driver-side listing via the JVM Hadoop FS (works for any scheme the
-    # cluster can read, not just local paths)
-    jvm = spark.sparkContext._jvm
-    jpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = jpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
-    files = sorted(
-        str(st.getPath())
-        for st in fs.listStatus(jpath)
-        if st.isFile() and not st.getPath().getName().startswith("_")
-    )
-    if not files:
-        raise ValueError(f"no data files under {path}")
-    cap = 1 << 32
-    picked = [
-        f
-        for f in files
-        if int.from_bytes(hashlib.md5(f"{seed}:{f}".encode()).digest()[:4], "big")
-        < file_ratio * cap
-    ] or [files[0]]  # never empty: degenerate tiny listings keep one file
-    actual_file_ratio = len(picked) / len(files)
+    picked, actual_file_ratio = pick_files(spark, path, file_ratio, seed)
     row_cfg = row_config or SamplingConfig(ratio=1.0)
     combined = SamplingConfig(
         ratio=actual_file_ratio * row_cfg.resolve(), seed=row_cfg.seed or seed

@@ -199,3 +199,16 @@ class TestFileLevelSampling:
         # rows are round-robin across files (repartition), so cluster
         # variance is small; total estimate must land near 2000
         assert est == pytest.approx(2000, rel=0.25)
+
+    def test_parquet_file_sampled(self, spark, tmp_path):
+        from random_sampling_based_approximate_mapreduce_spark.sources.files import (
+            read_parquet_file_sampled,
+        )
+
+        out = str(tmp_path / "pq_corpus")
+        spark.range(4000).select(
+            F.col("id"), (F.col("id") % 10).alias("k")
+        ).repartition(16).write.parquet(out)
+        sf = read_parquet_file_sampled(spark, out, 0.5, SamplingConfig(ratio=0.5, seed=42))
+        assert 0 < len(sf.df.inputFiles()) < 16
+        assert sf.df.count() * sf.scale == pytest.approx(4000, rel=0.25)
