@@ -43,20 +43,30 @@ def asof_join(
     right_ts: str = "ts",
     payload: list[str] | None = None,
     matched_col: str = "matched",
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join: for every left row, the most recent right row
-    of the same ``on`` key with ``right_ts <= left_ts``.
+    """As-of join: for every left row, the nearest right row of the same
+    ``on`` key — ``direction='backward'`` (default) takes the most recent
+    right row with ``right_ts <= left_ts``; ``'forward'`` takes the
+    earliest with ``right_ts >= left_ts`` (e.g. "next purchase after
+    exposure" in attribution pipelines).
 
     Returns all left columns plus ``matched_col``, a struct of
     (``right_ts`` as ``ts``, *payload) — null when the key has no right
-    row at or before the left timestamp (left-outer semantics).
+    row on the required side (left-outer semantics).
 
     Deterministic under right-side ties: among right rows sharing
-    (key, ts), the one with the greatest payload struct wins (struct
-    comparison is lexicographic), matching a ``max_by`` pre-aggregation
-    in the SQL mirror.
+    (key, ts), backward picks the greatest payload struct and forward the
+    least (struct comparison is lexicographic), matching max_by/min_by
+    pre-aggregations in a SQL mirror.
+
+    Plan shape is identical either way: the forward case just flips the
+    window ordering — still one shuffle on the key, no join.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be 'backward' or 'forward', got {direction!r}")
     payload = payload or []
+    backward = direction == "backward"
     r = right.select(
         F.col(on),
         F.col(right_ts).alias("__t"),
@@ -69,12 +79,14 @@ def asof_join(
         F.lit(0).alias("__is_right"),
     )
     unioned = l.unionByName(r, allowMissingColumns=True)
+    # right rows sort before left rows at equal time (inclusive match);
+    # among equal-time right rows the winning struct lands last and wins
+    # the ignorenulls-last. Forward is the same window over reversed time.
+    t_order = F.col("__t").asc() if backward else F.col("__t").desc()
+    r_order = F.asc_nulls_first("__r") if backward else F.desc_nulls_first("__r")
     w = (
         Window.partitionBy(on)
-        # right rows sort before left rows at equal time (<= semantics);
-        # among equal-time right rows the greatest struct lands last and
-        # wins the ignorenulls-last
-        .orderBy(F.col("__t").asc(), F.col("__is_right").desc(), F.asc_nulls_first("__r"))
+        .orderBy(t_order, F.col("__is_right").desc(), r_order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (

@@ -828,6 +828,43 @@ def q_events_asof_purchase(spark, sf_dir):
 
 
 @register(
+    "events_asof_next_purchase",
+    """
+    WITH purchases AS (
+      SELECT user_id, ts, min(value) AS purchase_value
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+    ),
+    clicks AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
+    SELECT c.event_id, c.user_id, c.ts,
+           p.ts AS purchase_ts, p.purchase_value
+    FROM clicks c ASOF LEFT JOIN purchases p
+      ON c.user_id = p.user_id AND p.ts >= c.ts
+    """,
+    doc="FORWARD as-of join (attribution shape: next purchase at or after "
+    "each click) — same union+window plan with reversed time order; "
+    "oracled against DuckDB's ASOF with the >= inequality",
+)
+def q_events_asof_next_purchase(spark, sf_dir):
+    from ..operators.temporal import asof_join
+
+    ev = ensure_parallelism(load(spark, sf_dir, "events"))
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.min("value").alias("purchase_value"))
+    )
+    clicks = ev.where(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    out = asof_join(clicks, purchases, on="user_id", payload=["purchase_value"], direction="forward")
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("matched.ts").alias("purchase_ts"),
+        F.col("matched.purchase_value").alias("purchase_value"),
+    )
+
+
+@register(
     "events_in_campaigns",
     """
     WITH campaigns AS (

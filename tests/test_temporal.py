@@ -107,3 +107,30 @@ class TestRangeJoinBinned:
         assert (
             range_join_binned(points, intervals, "ts", "c_start", "c_end", 3600).count() == 0
         )
+
+
+class TestAsofForward:
+    def test_picks_earliest_at_or_after(self, spark):
+        left = spark.createDataFrame(
+            [(1, "u", _t(10)), (2, "u", _t(20)), (3, "u", _t(25))],
+            ["event_id", "key", "ts"],
+        )
+        right = spark.createDataFrame(
+            [("u", _t(12), 120.0), ("u", _t(20), 200.0), ("u", _t(8), 80.0)],
+            ["key", "ts", "v"],
+        )
+        out = {
+            r["event_id"]: (
+                r["matched"]["ts"] if r["matched"] else None,
+                r["matched"]["v"] if r["matched"] else None,
+            )
+            for r in asof_join(left, right, on="key", payload=["v"], direction="forward").collect()
+        }
+        assert out[1] == (_t(12), 120.0)
+        assert out[2] == (_t(20), 200.0)  # >= : equal timestamp matches
+        assert out[3] == (None, None)  # nothing at or after -> null
+
+    def test_bad_direction_rejected(self, spark):
+        left = spark.createDataFrame([(1, "u", _t(1))], ["event_id", "key", "ts"])
+        with pytest.raises(ValueError):
+            asof_join(left, left, on="key", direction="nearest")
