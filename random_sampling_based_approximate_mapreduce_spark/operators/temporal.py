@@ -49,7 +49,8 @@ def asof_join(
     ``on`` key — ``direction='backward'`` (default) takes the most recent
     right row with ``right_ts <= left_ts``; ``'forward'`` takes the
     earliest with ``right_ts >= left_ts`` (e.g. "next purchase after
-    exposure" in attribution pipelines).
+    exposure" in attribution pipelines); ``'nearest'`` takes the closer
+    of the two (ties go backward, the pandas merge_asof convention).
 
     Returns all left columns plus ``matched_col``, a struct of
     (``right_ts`` as ``ts``, *payload) — null when the key has no right
@@ -63,8 +64,25 @@ def asof_join(
     Plan shape is identical either way: the forward case just flips the
     window ordering — still one shuffle on the key, no join.
     """
+    if direction == "nearest":
+        # compose the two one-sided passes and keep the closer match
+        # (ties -> backward, pandas merge_asof convention). Two window
+        # shuffles on the same key — Catalyst reuses the exchange.
+        b = asof_join(left, right, on, left_ts, right_ts, payload, "__b", "backward")
+        f = asof_join(b, right, on, left_ts, right_ts, payload, "__f", "forward")
+        back_d = F.col(left_ts).cast("double") - F.col("__b.ts").cast("double")
+        fwd_d = F.col("__f.ts").cast("double") - F.col(left_ts).cast("double")
+        pick = (
+            F.when(F.col("__b").isNull(), F.col("__f"))
+            .when(F.col("__f").isNull(), F.col("__b"))
+            .when(back_d <= fwd_d, F.col("__b"))
+            .otherwise(F.col("__f"))
+        )
+        return f.withColumn(matched_col, pick).drop("__b", "__f")
     if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be 'backward' or 'forward', got {direction!r}")
+        raise ValueError(
+            f"direction must be 'backward', 'forward' or 'nearest', got {direction!r}"
+        )
     payload = payload or []
     backward = direction == "backward"
     r = right.select(

@@ -115,14 +115,25 @@ def dedup_stream_minhash(
     id_col: str = "doc_id",
     ts_col: str = "ts",
     watermark: str = "1 hour",
+    bucket_cap: int = 100_000,
 ) -> DataFrame:
     """Streaming near-dup verdicts: one row per (doc, band) with the
     band-bucket's first-seen owner carried across micro-batches.
 
     Output: (doc_id long, band int, owner long). ``owner == doc_id`` means
     this doc claimed the bucket; ``owner != doc_id`` flags a near-dup of
-    ``owner``. Roll up per doc downstream (min owner over bands) — that
-    rollup is stateless over the verdict stream.
+    ``owner``; ``owner`` null means the bucket blew past ``bucket_cap``.
+
+    ``bucket_cap`` is the skew guard: a degenerate band key (boilerplate
+    shingles — think a million near-identical license headers) would
+    otherwise route unbounded traffic through one state bucket AND emit a
+    verdict row per arrival forever. Past the cap the bucket emits null
+    owners — its verdicts are noise anyway (everything matches
+    everything) — and the per-doc rollup simply ignores that band; the
+    other bands still vote. Exact-duplicate floods belong to the cheaper
+    fingerprint dedup upstream (dedup_stream_near). The default cap is
+    far above any sane bucket occupancy, so it never fires on honest
+    corpora (and never perturbs the value oracle).
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
     from pyspark.sql.types import IntegerType, LongType, StructField, StructType
@@ -136,7 +147,9 @@ def dedup_stream_minhash(
             StructField("owner", LongType()),
         ]
     )
-    state_schema = StructType([StructField("owner", LongType())])
+    state_schema = StructType(
+        [StructField("owner", LongType()), StructField("cnt", LongType())]
+    )
 
     def update(key, pdfs, state: GroupState):
         if state.hasTimedOut:
@@ -146,16 +159,19 @@ def dedup_stream_minhash(
         rows = pd.concat(list(pdfs), ignore_index=True)
         # deterministic first-seen within a micro-batch: event time, then id
         rows = rows.sort_values([ts_col, id_col], kind="stable")
-        owner = state.get[0] if state.exists else None
+        owner, cnt = state.get if state.exists else (None, 0)
         doc_ids, owners = [], []
         for doc in rows[id_col]:
+            cnt += 1
             if owner is None:
                 owner = int(doc)
             doc_ids.append(int(doc))
-            owners.append(owner)
-        state.update((owner,))
+            owners.append(owner if cnt <= bucket_cap else None)
+        state.update((owner, cnt))
         state.setTimeoutTimestamp(max(state.getCurrentWatermarkMs(), 1) + _STATE_TTL_MS)
-        yield pd.DataFrame({"doc_id": doc_ids, "band": [band] * len(doc_ids), "owner": owners})
+        yield pd.DataFrame(
+            {"doc_id": doc_ids, "band": [band] * len(doc_ids), "owner": owners}
+        ).astype({"owner": "object"})
 
     return (
         bands.withWatermark(ts_col, watermark)

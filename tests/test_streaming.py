@@ -272,3 +272,34 @@ class TestStatefulMinhashDedup:
             .collect()
         }
         assert len(exp) > 0 and got == exp
+
+
+class TestMinhashBucketCap:
+    def test_degenerate_bucket_capped(self, spark, tmp_path):
+        """Past bucket_cap a bucket emits null owners: later arrivals in a
+        degenerate (everything-matches) bucket are not flagged, earlier
+        ones keep their verdicts."""
+        import datetime as dt
+
+        from random_sampling_based_approximate_mapreduce_spark.streaming import minhash_state as MS
+
+        base = dt.datetime(2024, 1, 1, 12, 0, 0)
+        text = "the quick brown fox jumps over the lazy dog again and again tonight"
+        rows = [(i, text, base + dt.timedelta(seconds=i)) for i in range(6)]
+        src = str(tmp_path / "cap_src")
+        spark.createDataFrame(rows, ["doc_id", "text", "ts"]).coalesce(1).write.parquet(src)
+        stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+
+        out = MS.dedup_stream_minhash(stream, watermark="30 days", bucket_cap=3)
+        q = (
+            out.writeStream.format("memory").queryName("cap_mem")
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+        verdicts = spark.table("cap_mem")
+        flagged = {r["doc_id"] for r in MS.dup_rollup(verdicts).collect()}
+        # identical docs -> every band shares one bucket; cap=3 admits
+        # docs 0,1,2 (doc 0 owner, 1-2 flagged), 3-5 fall past the cap
+        assert flagged == {1, 2}
+        nulls = verdicts.where(F.col("owner").isNull()).count()
+        assert nulls == 3 * 4  # 3 capped docs x NUM_BANDS

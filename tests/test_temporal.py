@@ -133,4 +133,32 @@ class TestAsofForward:
     def test_bad_direction_rejected(self, spark):
         left = spark.createDataFrame([(1, "u", _t(1))], ["event_id", "key", "ts"])
         with pytest.raises(ValueError):
-            asof_join(left, left, on="key", direction="nearest")
+            asof_join(left, left, on="key", direction="sideways")
+
+
+class TestAsofNearest:
+    def test_picks_closer_side_ties_backward(self, spark):
+        left = spark.createDataFrame(
+            [(1, "u", _t(10)), (2, "u", _t(16)), (3, "u", _t(30)), (4, "v", _t(5))],
+            ["event_id", "key", "ts"],
+        )
+        right = spark.createDataFrame(
+            [("u", _t(8), 80.0), ("u", _t(20), 200.0), ("v", _t(9), 90.0)],
+            ["key", "ts", "v"],
+        )
+        out = {
+            r["event_id"]: (r["matched"]["ts"], r["matched"]["v"])
+            for r in asof_join(left, right, on="key", payload=["v"], direction="nearest").collect()
+        }
+        assert out[1] == (_t(8), 80.0)    # 2min back vs 10min fwd
+        assert out[2] == (_t(20), 200.0)  # 8min back vs 4min fwd
+        assert out[3] == (_t(20), 200.0)  # only backward exists
+        assert out[4] == (_t(9), 90.0)    # only forward exists
+
+    def test_exact_tie_goes_backward(self, spark):
+        left = spark.createDataFrame([(1, "u", _t(10))], ["event_id", "key", "ts"])
+        right = spark.createDataFrame(
+            [("u", _t(8), 1.0), ("u", _t(12), 2.0)], ["key", "ts", "v"]
+        )
+        r = asof_join(left, right, on="key", payload=["v"], direction="nearest").collect()[0]
+        assert r["matched"]["v"] == 1.0
