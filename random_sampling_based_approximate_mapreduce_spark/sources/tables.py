@@ -26,6 +26,13 @@ TABLES = (
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    # The oracle/driver harness calls queries() with its own session, which
+    # lacks the engine defaults (nanosAsLong for events.parquet's
+    # TIMESTAMP(NANOS) columns, UTC session time). All are runtime-settable;
+    # apply them on every load so any entry path reads the tables correctly.
+    from ..session import configure_existing
+
+    configure_existing(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
         # events.ts is parquet TIMESTAMP(NANOS); with
