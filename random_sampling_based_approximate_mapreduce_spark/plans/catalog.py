@@ -101,6 +101,39 @@ def q_char_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.explode_chars(docs, "text").groupBy("ch").agg(F.count(F.lit(1)).alias("cnt"))
 
 
+def _ref_delims_sql() -> str:
+    return T.REFERENCE_DELIMS_RE.replace("'", "''")
+
+
+@register(
+    "word_count_reference_delims",
+    f"""
+    SELECT word, count(*)::BIGINT AS cnt
+    FROM (
+      SELECT unnest(string_split_regex(lower(text), '{_ref_delims_sql()}')) AS word
+      FROM documents
+      WHERE NOT regexp_matches(text, '[0-9]')
+    )
+    WHERE word <> '' AND NOT regexp_matches(word, '^[0-9]+$')
+    GROUP BY word
+    """,
+    doc="P1+P2+P3+P4+G3 with the reference's EXACT delimiter set and "
+    "normalize path (lower + percent-repair + url_decode, "
+    "RandomizedWordCount.java:31,41-53). The corpus contains no "
+    "percent-escapes, so the DuckDB mirror lowers without decoding (RE2 "
+    "has no lookahead and DuckDB no url_decode); the decode/repair "
+    "semantics are value-tested with crafted escapes in "
+    "tests/test_text_functions.py",
+)
+def q_word_count_reference_delims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = ensure_parallelism(load(spark, sf_dir, "documents").select("text"))
+    return (
+        T.explode_words_reference(docs, "text")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
 @register(
     "word_count_sampled",
     None,
@@ -1176,6 +1209,32 @@ def _register_dedup():
 _register_dedup()
 
 
+def _register_dedup_embedding_blocked():
+    from ..operators.dedup import embedding_lsh_sql
+
+    @register(
+        "dedup_embedding_blocked",
+        embedding_lsh_sql(threshold=0.3, n_planes=2, n_tables=8, dim=64),
+        doc="Embedding near-dup pairs via hyperplane-LSH bucketing + exact "
+        "Arrow-cosine verify — the scale path (candidates from a (table, "
+        "bucket) equi-join only; no all-pairs self-join in the plan). "
+        "Value-oracled: the DuckDB mirror reproduces the frozen hyperplane "
+        "sign buckets literal-for-literal. Demo params are tuned for the "
+        "near-orthogonal testdata (threshold 0.3, 2 planes x 8 tables, "
+        "analytic recall ~0.97); production near-dup (cosine>=0.95) runs "
+        "8x8 with 256-way blocking at recall ~0.9998",
+    )
+    def q_dedup_embedding_blocked(spark, sf_dir):
+        from ..operators.dedup import embedding_dup_pairs_lsh
+
+        return embedding_dup_pairs_lsh(
+            load(spark, sf_dir, "embeddings"), threshold=0.3, n_planes=2, n_tables=8
+        )
+
+
+_register_dedup_embedding_blocked()
+
+
 # ===========================================================================
 # 8. Similarity search
 # ===========================================================================
@@ -1604,6 +1663,8 @@ _CHECK_PRIORITY = [
     "multimodal_meta",
     "multimodal_frame_counts",
     "training_pipeline",
+    "dedup_embedding_blocked",
+    "word_count_reference_delims",
     # events-table queries unblocked by the nanosAsLong load fix
     "log_hack",
     "log_host",

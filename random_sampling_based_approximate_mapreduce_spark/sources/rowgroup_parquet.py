@@ -1,0 +1,191 @@
+"""Row-group-level parquet sampling — skip-without-materialize for the
+engine's native columnar format.
+
+The reference's XML reader skips whole rejected records at the BYTE level
+before buffering them (RandomizedXMLRecordReader.java:117-123), so a
+rejected record costs a tag scan, not a parse. Row sampling above a
+parquet scan (``df.sample``) cannot do that: Spark still reads and
+decodes every page, and the sampled scan floors at full-scan cost
+(measured in docs/SCALE.md — ``df.sample`` saturates at the scan).
+
+The columnar transplant of that idea is to skip whole ROW GROUPS: a
+parquet footer lists each row group's byte range and row count, so a
+cheap driver-side metadata read can hash-pick a subset of row groups and
+the scan never touches the I/O for the rest. This is two-stage cluster
+sampling one rung below ``files.pick_files`` (whole files) and one above
+``df.sample`` (rows):
+
+    file-level  — zero I/O for skipped files; coarsest clusters
+    row-group   — zero I/O for skipped groups; works on a SINGLE huge
+                  file (where file-level sampling cannot help at all)
+    row-level   — exact Bernoulli semantics; full scan cost
+
+Estimator contract: row groups are CLUSTERS (size ~128 MB by writer
+default), so the achieved ratio is exact — picked_rows / total_rows from
+footer metadata, no observation pass needed — but between-cluster
+variance adds to the Bernoulli bound exactly as documented for
+file-level sampling (sources/text.read_text_file_sampled); compose a
+within-group row sample for a two-stage design.
+
+Implementation: a Spark Python DataSource (same plug-in surface as
+``sampled_text_source``) whose partitions are the PICKED row groups; each
+task reads its row group via pyarrow and yields Arrow record batches, so
+the exchange into the JVM is columnar (Arrow), not row-by-row. At
+cluster scale one row group is one task — the natural parquet split —
+and the footer pass is a driver-side metadata read (at very large file
+counts, distribute it or use a ``_metadata`` sidecar).
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+import hashlib
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+from ..sampling.config import SamplingConfig
+from ..sampling.sampled_frame import SampledFrame
+
+_CAP = 1 << 32
+
+
+def _accept_rg(path: str, rg: int, seed: int, ratio: float) -> bool:
+    h = hashlib.md5(f"{seed}:{path}#rg{rg}".encode()).digest()
+    return int.from_bytes(h[:4], "big") < ratio * _CAP
+
+
+def _list_parquet_files(path: str) -> list[str]:
+    import os
+
+    if os.path.isdir(path):
+        found = sorted(
+            f
+            for f in _glob.glob(os.path.join(path, "*.parquet"))
+            if not os.path.basename(f).startswith("_")
+        )
+    else:
+        found = sorted(_glob.glob(path)) or [path]
+    if not found:
+        raise ValueError(f"no parquet files under {path}")
+    return found
+
+
+def pick_row_groups(
+    path: str, rg_ratio: float, seed: int = 42
+) -> tuple[list[tuple[str, int]], int, int]:
+    """Deterministic hash-pick of ``rg_ratio`` of all row groups.
+
+    Returns (picked [(file, row_group_idx)], picked_rows, total_rows) —
+    row counts are EXACT from footer metadata (the reference needs a
+    whole-job counter side channel for its totals; a columnar format
+    carries them in the footer for free). Never returns an empty pick.
+    """
+    import pyarrow.parquet as pq
+
+    if not 0.0 < rg_ratio <= 1.0:
+        raise ValueError(f"rg_ratio must be in (0, 1], got {rg_ratio}")
+    picked: list[tuple[str, int]] = []
+    rows_of: dict[tuple[str, int], int] = {}
+    total_rows = 0
+    for f in _list_parquet_files(path):
+        meta = pq.ParquetFile(f).metadata
+        for rg in range(meta.num_row_groups):
+            n = meta.row_group(rg).num_rows
+            total_rows += n
+            rows_of[(f, rg)] = n
+            if _accept_rg(f, rg, seed, rg_ratio):
+                picked.append((f, rg))
+    if not picked and rows_of:
+        # guarantee a non-empty sample: take the hash-min row group
+        picked = [
+            min(
+                rows_of,
+                key=lambda k: int.from_bytes(
+                    hashlib.md5(f"{seed}:{k[0]}#rg{k[1]}".encode()).digest()[:4], "big"
+                ),
+            )
+        ]
+    picked_rows = sum(rows_of[k] for k in picked)
+    return picked, picked_rows, total_rows
+
+
+class _RowGroupPartition(InputPartition):
+    def __init__(self, path: str, row_group: int):
+        self.path = path
+        self.row_group = row_group
+
+
+class RowGroupSampledParquetDataSource(DataSource):
+    """format name ``rowgroup_parquet``; options: path, ratio, seed.
+
+    The pick is recomputed in ``partitions()`` with the same hash as
+    ``pick_row_groups`` — deterministic, so a helper that already called
+    ``pick_row_groups`` for the estimator metadata sees the same sample.
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "rowgroup_parquet"
+
+    def schema(self) -> str:
+        raise ValueError(
+            "rowgroup_parquet has no intrinsic schema; pass .schema(...) "
+            "(read_parquet_rowgroup_sampled does this from the footer)"
+        )
+
+    def reader(self, schema) -> "RowGroupSampledParquetReader":
+        return RowGroupSampledParquetReader(self.options, schema)
+
+
+class RowGroupSampledParquetReader(DataSourceReader):
+    def __init__(self, options, schema):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("rowgroup_parquet requires .option('path', ...)")
+        self.ratio = float(options.get("ratio", "1.0"))
+        self.seed = int(options.get("seed", "42"))
+        self.spark_schema = schema
+
+    def partitions(self):
+        picked, _, _ = pick_row_groups(self.path, self.ratio, self.seed)
+        return [_RowGroupPartition(f, rg) for f, rg in picked]
+
+    def read(self, partition: _RowGroupPartition):
+        import pyarrow.parquet as pq
+
+        pf = pq.ParquetFile(partition.path)
+        # yield Arrow batches: columnar transfer into the JVM, no
+        # per-row Python conversion
+        yield from pf.iter_batches(row_groups=[partition.row_group])
+
+
+def register_rowgroup_parquet(spark) -> None:
+    """Register the source with a session (idempotent)."""
+    spark.dataSource.register(RowGroupSampledParquetDataSource)
+
+
+def read_parquet_rowgroup_sampled(
+    spark,
+    path: str,
+    rg_ratio: float,
+    seed: int = 42,
+) -> SampledFrame:
+    """Row-group cluster sample of a parquet path -> SampledFrame.
+
+    The achieved ratio is EXACT (footer row counts), so HT estimators
+    scale by the true inclusion probability — no observation pass.
+    """
+    register_rowgroup_parquet(spark)
+    schema = spark.read.parquet(path).schema
+    _, picked_rows, total_rows = pick_row_groups(path, rg_ratio, seed)
+    achieved = picked_rows / total_rows if total_rows else 1.0
+    df = (
+        spark.read.format("rowgroup_parquet")
+        .schema(schema)
+        .option("path", path)
+        .option("ratio", str(rg_ratio))
+        .option("seed", str(seed))
+        .load()
+    )
+    cfg = SamplingConfig(ratio=max(achieved, 1e-12), seed=seed)
+    return SampledFrame(df=df, ratio=max(achieved, 1e-12), config=cfg)

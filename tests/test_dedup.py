@@ -161,3 +161,31 @@ class TestBlockedClustering:
         }
         assert len(blocked) > 0
         assert blocked == exact
+
+
+class TestEmbeddingLSHBlocked:
+    def test_precision_exact_and_recall_vs_all_pairs(self, spark, sf_dir):
+        """LSH-blocked embedding dedup: every returned pair is a true pair
+        with the identical cosine (exact verify => precision 1.0), and
+        recall vs the all-pairs ground truth meets the analytic bound for
+        2 planes x 8 tables at threshold 0.3 (~0.97 expected)."""
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        truth = {tuple(r) for r in D.embedding_dup_pairs(emb, 0.3).collect()}
+        got = {
+            tuple(r)
+            for r in D.embedding_dup_pairs_lsh(emb, 0.3, n_planes=2, n_tables=8).collect()
+        }
+        assert got <= truth  # exact verify: no false positives, same cosines
+        assert len(truth) > 0
+        assert len(got) / len(truth) >= 0.9
+
+    def test_no_allpairs_join_in_plan(self, spark, sf_dir):
+        """The candidate join is an equi-join on (tbl, bucket): no cartesian
+        and no BroadcastNestedLoopJoin anywhere in the physical plan."""
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        plan = (
+            D.embedding_dup_pairs_lsh(emb, 0.3)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan

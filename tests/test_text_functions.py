@@ -44,3 +44,41 @@ class TestMinhashForms:
             ).collect()
         }
         assert grouped == oneshot
+
+
+class TestNormalizeLineP1:
+    """P1 parity (RandomizedWordCount.java:41-53): lowercase, repair bare
+    '%' -> '%25' and '+' -> '%2B', then URL-decode. The testdata corpus has
+    no percent-escapes, so the oracle-checked word_count_reference_delims
+    covers only the no-op path; this test pins the decode semantics."""
+
+    def test_crafted_escapes(self, spark):
+        cases = [
+            ("Hello%20World", "hello world"),   # valid escape decodes
+            ("a%2Bb", "a+b"),                    # pre-escaped plus survives
+            ("50% off", "50% off"),              # bare % repaired, round-trips
+            ("1+1", "1+1"),                      # raw + repaired, round-trips
+            ("%", "%"),                          # trailing bare %
+            ("A%3d%3Db", "a==b"),                # mixed-case hex digits
+        ]
+        from random_sampling_based_approximate_mapreduce_spark.functions.text import (
+            normalize_line,
+        )
+
+        df = spark.createDataFrame([(s,) for s, _ in cases], "value string")
+        got = [r[0] for r in df.select(normalize_line(F.col("value"))).collect()]
+        assert got == [want for _, want in cases]
+
+    def test_reference_tokenizer_delimiters(self, spark):
+        """Every character in the reference's delimiter set splits; tokens
+        keep nothing but the characters between delimiters."""
+        from random_sampling_based_approximate_mapreduce_spark.functions import text as T
+
+        line = 'foo\tbar"baz<qux>a/b%c?d@e~f`g^h”i!j#k$l&m,n.o\'p(q)r:s*t[u]v{w}x=y;z_aa|bb-cc dd'
+        df = spark.createDataFrame([(line,)], "value string")
+        toks = [r[0] for r in T.explode_words_reference(df, "value").collect()]
+        assert toks == [
+            "foo", "bar", "baz", "qux", "a", "b", "c", "d", "e", "f", "g", "h",
+            "i", "j", "k", "l", "m", "n", "o", "p", "q", "r", "s", "t", "u",
+            "v", "w", "x", "y", "z", "aa", "bb", "cc", "dd",
+        ]
