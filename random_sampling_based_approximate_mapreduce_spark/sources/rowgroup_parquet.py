@@ -189,3 +189,101 @@ def read_parquet_rowgroup_sampled(
     )
     cfg = SamplingConfig(ratio=max(achieved, 1e-12), seed=seed)
     return SampledFrame(df=df, ratio=max(achieved, 1e-12), config=cfg)
+
+
+def rowgroup_id_ranges(
+    path: str, rg_ratio: float, id_col: str, seed: int = 42
+) -> tuple[list[tuple], int, int]:
+    """Hash-pick row groups and return their (min, max) ranges of ``id_col``
+    from footer statistics, plus exact (picked_rows, total_rows).
+
+    Raises if the picked ranges overlap UNPICKED ones — the pruned read
+    would then return rows outside the sample (or the filter would not
+    align with row-group boundaries), silently breaking the estimator.
+    Requires data written in ``id_col`` order (ingest ids, event time —
+    the common case for append-only corpora).
+    """
+    import pyarrow.parquet as pq
+
+    if not 0.0 < rg_ratio <= 1.0:
+        raise ValueError(f"rg_ratio must be in (0, 1], got {rg_ratio}")
+    all_rgs: list[tuple[str, int, object, object, int]] = []
+    total_rows = 0
+    for f in _list_parquet_files(path):
+        meta = pq.ParquetFile(f).metadata
+        schema = meta.schema
+        col_idx = None
+        for i in range(schema.names.__len__()):
+            if schema.names[i] == id_col:
+                col_idx = i
+                break
+        if col_idx is None:
+            raise ValueError(f"{id_col!r} not in {f} (columns: {schema.names})")
+        for rg in range(meta.num_row_groups):
+            rg_meta = meta.row_group(rg)
+            st = rg_meta.column(col_idx).statistics
+            if st is None or st.min is None or st.max is None:
+                raise ValueError(f"no min/max stats for {id_col!r} in {f} rg{rg}")
+            total_rows += rg_meta.num_rows
+            all_rgs.append((f, rg, st.min, st.max, rg_meta.num_rows))
+
+    picked = [t for t in all_rgs if _accept_rg(t[0], t[1], seed, rg_ratio)]
+    if not picked:
+        picked = [
+            min(
+                all_rgs,
+                key=lambda t: int.from_bytes(
+                    hashlib.md5(f"{seed}:{t[0]}#rg{t[1]}".encode()).digest()[:4], "big"
+                ),
+            )
+        ]
+    picked_keys = {(t[0], t[1]) for t in picked}
+    for f, rg, lo, hi, _ in all_rgs:
+        if (f, rg) in picked_keys:
+            continue
+        for _, _, plo, phi, _ in picked:
+            if not (hi < plo or lo > phi):
+                raise ValueError(
+                    f"row-group {id_col!r} ranges overlap ({f} rg{rg} "
+                    f"[{lo},{hi}] vs picked [{plo},{phi}]); data must be "
+                    f"written in {id_col} order for pruned sampling — use "
+                    "read_parquet_rowgroup_sampled (direct reader) instead"
+                )
+    picked_rows = sum(t[4] for t in picked)
+    return [(t[2], t[3]) for t in picked], picked_rows, total_rows
+
+
+def read_parquet_rowgroup_pruned(
+    spark,
+    path: str,
+    rg_ratio: float,
+    id_col: str,
+    seed: int = 42,
+) -> SampledFrame:
+    """Row-group sampling expressed as footer-stats PRUNING on the native
+    JVM parquet scan — the fastest skip-without-read path.
+
+    The hash-picked row groups' (min, max) ``id_col`` ranges become an
+    OR-of-BETWEEN filter that Catalyst pushes into the parquet source
+    (``PushedFilters`` in the plan); parquet row-group statistics then
+    eliminate every unpicked row group WITHOUT reading its pages. Unlike
+    the Python-source path this keeps the whole scan JVM-side and
+    vectorized — measured the only variant that beats the ``df.sample``
+    scan floor on a page-cached local disk (docs/SCALE.md).
+
+    Scale note: one BETWEEN arm per picked row group is fine up to ~10^3
+    arms; at 100 TB pick contiguous row-group BANDS (coarser clusters,
+    same estimator) to keep the predicate small, or use the direct
+    reader whose partition list is never a predicate.
+    """
+    from pyspark.sql import functions as F
+
+    ranges, picked_rows, total_rows = rowgroup_id_ranges(path, rg_ratio, id_col, seed)
+    achieved = picked_rows / total_rows if total_rows else 1.0
+    df = spark.read.parquet(path)
+    cond = None
+    for lo, hi in ranges:
+        arm = F.col(id_col).between(F.lit(lo), F.lit(hi))
+        cond = arm if cond is None else (cond | arm)
+    cfg = SamplingConfig(ratio=max(achieved, 1e-12), seed=seed)
+    return SampledFrame(df=df.where(cond), ratio=max(achieved, 1e-12), config=cfg)
