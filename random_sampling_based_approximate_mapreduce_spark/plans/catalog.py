@@ -1457,15 +1457,66 @@ def _register_multimodal():
         SELECT doc_id::BIGINT AS doc_id, 'image' AS modality,
                octet_length(encode(text))::BIGINT AS n_bytes,
                (320 + octet_length(encode(text)) % 320)::INT AS width,
-               (240 + octet_length(encode(text)) % 240)::INT AS height
+               (240 + octet_length(encode(text)) % 240)::INT AS height,
+               NULL::INT AS sample_rate,
+               NULL::BIGINT AS n_samples,
+               NULL::DOUBLE AS mean_val
         FROM documents
         """,
         doc="Binary-column decode pipeline via Arrow mapInPandas (stubbed "
-        "codec, real plumbing: schema, batching, partition-parallel)",
+        "codec for opaque text-as-bytes assets; real BMP/WAV decode is "
+        "oracle-checked by multimodal_decode_bmp / multimodal_decode_wav)",
     )
     def q_multimodal_meta(spark, sf_dir):
         docs = load(spark, sf_dir, "documents")
         return MM.decode_metadata(MM.attach_binary_content(docs))
+
+    @register(
+        "multimodal_decode_bmp",
+        """
+        SELECT doc_id::BIGINT AS doc_id,
+               (16 + doc_id % 16)::INT AS width,
+               (8 + doc_id % 8)::INT AS height,
+               (54 + ((3*(16 + doc_id % 16) + 3) // 4) * 4 * (8 + doc_id % 8))::BIGINT AS n_bytes,
+               round((SELECT avg((doc_id + y.r) % 256) FROM range(15) y(r)
+                      WHERE y.r < 8 + doc_id % 8), 6) AS mean_val
+        FROM documents
+        """,
+        doc="REAL image decode: synthesized 24-bit BMPs (doc_id-derived "
+        "dims, row-gradient pixels) -> pure-Python header parse + numpy "
+        "pixel mean via Arrow mapInPandas (sources/multimodal.decode_bmp). "
+        "Width/height/file-size/pixel-mean all value-checked against the "
+        "closed-form oracle — the decoder, padding logic, and bottom-up "
+        "row order are exactly what a real codec must get right",
+    )
+    def q_multimodal_decode_bmp(spark, sf_dir):
+        docs = ensure_parallelism(load(spark, sf_dir, "documents"))
+        meta = MM.decode_metadata(MM.synthesize_image_assets(docs), decode_stub=False)
+        return meta.select(
+            "doc_id", "width", "height", "n_bytes", F.round("mean_val", 6).alias("mean_val")
+        )
+
+    @register(
+        "multimodal_decode_wav",
+        """
+        SELECT doc_id::BIGINT AS doc_id,
+               (8000 + (doc_id % 4) * 4000)::INT AS sample_rate,
+               (1000 + doc_id % 500)::BIGINT AS n_samples,
+               (44 + 2 * (1000 + doc_id % 500))::BIGINT AS n_bytes,
+               round((SELECT avg(((doc_id*31 + i.r*17) % 2048) - 1024)
+                      FROM range(1500) i(r) WHERE i.r < 1000 + doc_id % 500), 6) AS mean_val
+        FROM documents
+        """,
+        doc="REAL audio decode: synthesized RIFF/WAVE PCM16 streams -> "
+        "pure-Python chunk walk + numpy sample stats "
+        "(sources/multimodal.decode_wav), value-checked closed-form",
+    )
+    def q_multimodal_decode_wav(spark, sf_dir):
+        docs = ensure_parallelism(load(spark, sf_dir, "documents"))
+        meta = MM.decode_metadata(MM.synthesize_audio_assets(docs), decode_stub=False)
+        return meta.select(
+            "doc_id", "sample_rate", "n_samples", "n_bytes", F.round("mean_val", 6).alias("mean_val")
+        )
 
     @register(
         "multimodal_frame_counts",
@@ -1686,6 +1737,8 @@ _CHECK_PRIORITY = [
     "dedup_embedding_blocked",
     "word_count_reference_delims",
     "word_count_rowgroup_sampled",
+    "multimodal_decode_bmp",
+    "multimodal_decode_wav",
     # events-table queries unblocked by the nanosAsLong load fix
     "log_hack",
     "log_host",

@@ -8,12 +8,13 @@ Design for 100 TB multimodal training data:
   ``mapInPandas`` stages (one Python worker per partition, zero-copy
   batches) — the ONLY place this engine uses Python in a hot path,
   because codecs are not expressible in Spark SQL;
-- the actual codec call is STUBBED here (no PIL/ffmpeg in this
-  container): ``decode_stub=True`` computes deterministic pseudo-features
-  from the raw bytes so the plumbing (schema, batch shape, partitioning)
-  is real and testable; a production build swaps ``_decode_batch`` for
-  the real library behind the same signature and raises
-  NotImplementedError if it's missing.
+- image (BMP, 24-bit uncompressed) and audio (WAV PCM16) decode FOR REAL
+  via dependency-free pure-Python parsers (``decode_bmp``/``decode_wav``:
+  header walk + numpy pixel/sample stats) — the stub is retired for those
+  modalities; video remains stubbed (no pure-Python video codec) and the
+  real path raises NotImplementedError on an unknown container rather
+  than faking it. ``decode_stub=True`` keeps the deterministic fake for
+  plumbing tests.
 """
 
 from __future__ import annotations
@@ -25,6 +26,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
+    DoubleType,
     FloatType,
     IntegerType,
     LongType,
@@ -61,38 +63,172 @@ DECODED_SCHEMA = StructType(
         StructField("n_bytes", LongType()),
         StructField("width", IntegerType()),
         StructField("height", IntegerType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_samples", LongType()),
+        StructField("mean_val", DoubleType()),
     ]
 )
 
 
+# ---------------------------------------------------------------------------
+# Real pure-Python codecs: BMP (24-bit uncompressed) and WAV (PCM16).
+# Both formats are fixed-layout header + raw payload, so a dependency-free
+# decoder is exact — the stub is RETIRED for image and audio; only video
+# remains stubbed (no pure-Python video codec exists).
+# ---------------------------------------------------------------------------
+
+
+def encode_bmp(width: int, height: int, base: int) -> bytes:
+    """A real 24-bit bottom-up BMP whose row y (top-down) is the constant
+    byte (base + y) % 256 in all channels — real padding, real headers,
+    and an analytically known pixel mean (SQL-oracle-able)."""
+    import struct
+
+    row_payload = 3 * width
+    pad = (4 - row_payload % 4) % 4
+    rowsize = row_payload + pad
+    pixel_bytes = rowsize * height
+    hdr = struct.pack("<2sIHHI", b"BM", 54 + pixel_bytes, 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, pixel_bytes, 2835, 2835, 0, 0)
+    rows = [
+        bytes([(base + y) % 256]) * row_payload + b"\x00" * pad for y in range(height)
+    ]
+    return hdr + info + b"".join(reversed(rows))  # BMP stores bottom-up
+
+
+def decode_bmp(b: bytes) -> dict:
+    """Parse headers, strip row padding, average the actual pixel bytes."""
+    import struct
+
+    import numpy as np
+
+    magic, _size, _r1, _r2, offset = struct.unpack_from("<2sIHHI", b, 0)
+    if magic != b"BM":
+        raise ValueError("not a BMP stream")
+    _hdrsz, w, h, _planes, bpp = struct.unpack_from("<IiiHH", b, 14)
+    compression = struct.unpack_from("<I", b, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(f"only 24-bit uncompressed BMP (got bpp={bpp})")
+    h_abs = abs(h)
+    rowsize = ((bpp * w + 31) // 32) * 4
+    px = np.frombuffer(b, dtype=np.uint8, offset=offset, count=rowsize * h_abs)
+    px = px.reshape(h_abs, rowsize)[:, : 3 * w]
+    return {
+        "width": int(w),
+        "height": int(h_abs),
+        "mean_val": float(px.mean()) if px.size else 0.0,
+    }
+
+
+def encode_wav(n_samples: int, sample_rate: int, base: int) -> bytes:
+    """A real RIFF/WAVE PCM16 mono stream with deterministic samples
+    s[i] = ((base*31 + i*17) % 2048) - 1024 (SQL-oracle-able mean)."""
+    import struct
+
+    import numpy as np
+
+    samples = ((base * 31 + np.arange(n_samples, dtype=np.int64) * 17) % 2048) - 1024
+    data = samples.astype("<i2").tobytes()
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16)
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
+def decode_wav(b: bytes) -> dict:
+    """RIFF chunk walk -> fmt + data; exact sample stats via numpy."""
+    import struct
+
+    import numpy as np
+
+    if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a WAVE stream")
+    pos = 12
+    rate = channels = bits = None
+    data = None
+    while pos + 8 <= len(b):
+        cid = b[pos : pos + 4]
+        clen = struct.unpack_from("<I", b, pos + 4)[0]
+        body = b[pos + 8 : pos + 8 + clen]
+        if cid == b"fmt ":
+            _fmt, channels, rate, _brate, _align, bits = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + clen + (clen % 2)  # chunks are word-aligned
+    if rate is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    if bits != 16:
+        raise NotImplementedError(f"only PCM16 (got {bits}-bit)")
+    samples = np.frombuffer(data, dtype="<i2")
+    n = len(samples) // channels
+    return {
+        "sample_rate": int(rate),
+        "n_samples": int(n),
+        "mean_val": float(samples.mean()) if n else 0.0,
+    }
+
+
 def _decode_batch(pdf, stub: bool):
-    """Per-batch decode. Stub: deterministic pseudo-dimensions from size."""
+    """Per-batch decode. Real path sniffs the container magic and runs the
+    pure-Python BMP/WAV decoders; unknown formats raise (honest partial —
+    video would need ffmpeg). Stub: deterministic pseudo-dimensions."""
     import pandas as pd
 
-    if not stub:
-        if not _HAS_PIL:
+    if stub:
+        n = pdf["content"].map(len).astype("int64")
+        return pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "modality": pdf["modality"],
+                "n_bytes": n,
+                "width": (320 + n % 320).astype("int32"),
+                "height": (240 + n % 240).astype("int32"),
+                "sample_rate": pd.array([None] * len(pdf), dtype="Int32"),
+                "n_samples": pd.array([None] * len(pdf), dtype="Int64"),
+                "mean_val": pd.array([None] * len(pdf), dtype="Float64"),
+            }
+        )
+    out = {k: [] for k in ("doc_id", "modality", "n_bytes", "width", "height", "sample_rate", "n_samples", "mean_val")}
+    for doc_id, modality, content in zip(pdf["doc_id"], pdf["modality"], pdf["content"]):
+        b = bytes(content)
+        rec = {"width": None, "height": None, "sample_rate": None, "n_samples": None, "mean_val": None}
+        if b[:2] == b"BM":
+            rec.update(decode_bmp(b))
+        elif b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+            rec.update(decode_wav(b))
+        else:
             raise NotImplementedError(
-                "real image decode needs PIL/ffmpeg (not in this container); "
-                "use decode_stub=True for the deterministic fake"
+                f"no pure-Python decoder for modality {modality!r} (magic "
+                f"{b[:4]!r}); BMP and WAV decode for real, video needs "
+                "ffmpeg — use decode_stub=True for the deterministic fake"
             )
-        raise NotImplementedError("real decode path not wired in this build")
-    n = pdf["content"].map(len).astype("int64")
-    return pd.DataFrame(
-        {
-            "doc_id": pdf["doc_id"],
-            "modality": pdf["modality"],
-            "n_bytes": n,
-            "width": (320 + n % 320).astype("int32"),
-            "height": (240 + n % 240).astype("int32"),
-        }
-    )
+        out["doc_id"].append(doc_id)
+        out["modality"].append(modality)
+        out["n_bytes"].append(len(b))
+        for k, v in rec.items():
+            out[k].append(v)
+    pdf_out = pd.DataFrame(out)
+    pdf_out["n_bytes"] = pdf_out["n_bytes"].astype("int64")
+    pdf_out["width"] = pd.array(pdf_out["width"], dtype="Int32")
+    pdf_out["height"] = pd.array(pdf_out["height"], dtype="Int32")
+    pdf_out["sample_rate"] = pd.array(pdf_out["sample_rate"], dtype="Int32")
+    pdf_out["n_samples"] = pd.array(pdf_out["n_samples"], dtype="Int64")
+    pdf_out["mean_val"] = pd.array(pdf_out["mean_val"], dtype="Float64")
+    return pdf_out
 
 
 def decode_metadata(assets: DataFrame, decode_stub: bool = True) -> DataFrame:
     """Arrow-batched decode/feature-extract via mapInPandas.
 
     Partition-parallel, streaming batches — never materializes a
-    partition's binaries in one Python object.
+    partition's binaries in one Python object. ``decode_stub=False`` runs
+    the REAL pure-Python BMP/WAV decoders (magic-sniffed per row).
     """
 
     def gen(batches: Iterator) -> Iterator:
@@ -100,6 +236,60 @@ def decode_metadata(assets: DataFrame, decode_stub: bool = True) -> DataFrame:
             yield _decode_batch(pdf, decode_stub)
 
     return assets.mapInPandas(gen, schema=DECODED_SCHEMA)
+
+
+def synthesize_image_assets(docs: DataFrame) -> DataFrame:
+    """(doc_id) -> real BMP bytes with doc_id-derived dimensions/pixels:
+    width = 16 + doc_id%16, height = 8 + doc_id%8, row value (doc_id+y)%256.
+    Every derived quantity is SQL arithmetic, so the decode is value-
+    oracle-able end to end."""
+    import pandas as pd
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("modality", StringType()),
+            StructField("content", BinaryType()),
+        ]
+    )
+
+    def gen(batches: Iterator) -> Iterator:
+        for pdf in batches:
+            content = [
+                encode_bmp(16 + int(d) % 16, 8 + int(d) % 8, int(d) % 256)
+                for d in pdf["doc_id"]
+            ]
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "modality": "image", "content": content}
+            )
+
+    return docs.select("doc_id").mapInPandas(gen, schema=schema)
+
+
+def synthesize_audio_assets(docs: DataFrame) -> DataFrame:
+    """(doc_id) -> real WAV bytes: n = 1000 + doc_id%500 samples at
+    8000 + (doc_id%4)*4000 Hz, samples ((doc_id*31 + i*17)%2048)-1024."""
+    import pandas as pd
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("modality", StringType()),
+            StructField("content", BinaryType()),
+        ]
+    )
+
+    def gen(batches: Iterator) -> Iterator:
+        for pdf in batches:
+            content = [
+                encode_wav(1000 + int(d) % 500, 8000 + (int(d) % 4) * 4000, int(d))
+                for d in pdf["doc_id"]
+            ]
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "modality": "audio", "content": content}
+            )
+
+    return docs.select("doc_id").mapInPandas(gen, schema=schema)
 
 
 EMBEDDING_SCHEMA = StructType(

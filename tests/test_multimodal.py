@@ -16,7 +16,8 @@ class TestDecodeMetadata:
     def test_schema_and_rowcount(self, assets):
         out = MM.decode_metadata(assets)
         assert out.schema.simpleString() == (
-            "struct<doc_id:bigint,modality:string,n_bytes:bigint,width:int,height:int>"
+            "struct<doc_id:bigint,modality:string,n_bytes:bigint,width:int,"
+            "height:int,sample_rate:int,n_samples:bigint,mean_val:double>"
         )
         assert out.count() == assets.count()
 
@@ -25,13 +26,71 @@ class TestDecodeMetadata:
         for r in rows:
             assert r["width"] == 320 + r["n_bytes"] % 320
             assert r["height"] == 240 + r["n_bytes"] % 240
+            assert r["sample_rate"] is None and r["mean_val"] is None
 
-    def test_real_decode_raises_without_codec(self, assets):
+    def test_real_decode_raises_on_unknown_container(self, assets):
+        """Text-as-bytes assets have no BMP/RIFF magic: the real path must
+        refuse to fake a decode."""
         with pytest.raises(Exception) as exc_info:
             MM.decode_metadata(assets, decode_stub=False).collect()
         assert "NotImplementedError" in str(exc_info.value) or isinstance(
             exc_info.value, NotImplementedError
         )
+
+
+class TestRealCodecs:
+    """Pure-Python BMP/WAV codecs: local round-trip + distributed decode."""
+
+    def test_bmp_roundtrip_exact(self):
+        b = MM.encode_bmp(width=5, height=3, base=250)  # row values 250,251,252
+        meta = MM.decode_bmp(b)
+        assert meta["width"] == 5 and meta["height"] == 3
+        assert meta["mean_val"] == pytest.approx((250 + 251 + 252) / 3)
+        # real padding: rowsize 5*3=15 -> padded to 16
+        assert len(b) == 54 + 16 * 3
+
+    def test_bmp_wraparound_rows(self):
+        b = MM.encode_bmp(width=4, height=4, base=254)  # 254,255,0,1
+        assert MM.decode_bmp(b)["mean_val"] == pytest.approx((254 + 255 + 0 + 1) / 4)
+
+    def test_wav_roundtrip_exact(self):
+        import numpy as np
+
+        n, rate, base = 777, 16000, 9
+        meta = MM.decode_wav(MM.encode_wav(n, rate, base))
+        assert meta["sample_rate"] == rate and meta["n_samples"] == n
+        want = float((((base * 31 + np.arange(n) * 17) % 2048) - 1024).mean())
+        assert meta["mean_val"] == pytest.approx(want)
+
+    def test_distributed_decode_matches_local(self, spark, sf_dir):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(20)
+        got = {
+            r["doc_id"]: (r["width"], r["height"], r["n_bytes"], r["mean_val"])
+            for r in MM.decode_metadata(
+                MM.synthesize_image_assets(docs), decode_stub=False
+            ).collect()
+        }
+        for doc_id, (w, h, n_bytes, mean_val) in got.items():
+            b = MM.encode_bmp(16 + doc_id % 16, 8 + doc_id % 8, doc_id % 256)
+            local = MM.decode_bmp(b)
+            assert (w, h) == (local["width"], local["height"])
+            assert n_bytes == len(b)
+            assert mean_val == pytest.approx(local["mean_val"])
+
+    def test_truncated_bmp_rejected(self):
+        with pytest.raises(Exception):
+            MM.decode_bmp(b"BMgarbage")
+
+    def test_non_pcm16_wav_rejected(self):
+        import struct
+
+        b = (
+            b"RIFF" + struct.pack("<I", 36) + b"WAVE"
+            + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 8000, 1, 8)
+            + b"data" + struct.pack("<I", 0)
+        )
+        with pytest.raises(NotImplementedError):
+            MM.decode_wav(b)
 
 
 class TestFrameSampling:
