@@ -57,6 +57,29 @@ def _dec(col, prec: int = 12, scale: int = 2):
     return F.col(col).cast(f"decimal({prec},{scale})") if isinstance(col, str) else col.cast(f"decimal({prec},{scale})")
 
 
+def _ensure_layout(src: str, write_fn) -> str:
+    """Materialize a deterministic one-time /tmp layout race-safely.
+
+    Concurrent sessions can both decide to build: each writes to a
+    per-PID staging dir, then atomically ``os.rename``s it into place.
+    The loser's rename fails (target exists) and its staging dir is
+    discarded — both sessions then read the winner's identical layout.
+    """
+    import os
+    import shutil
+
+    if os.path.exists(os.path.join(src, "_SUCCESS")):
+        return src
+    staging = f"{src}.staging.{os.getpid()}"
+    shutil.rmtree(staging, ignore_errors=True)
+    write_fn(staging)
+    try:
+        os.rename(staging, src)
+    except OSError:  # another session published first; ours is equivalent
+        shutil.rmtree(staging, ignore_errors=True)
+    return src
+
+
 # ===========================================================================
 # 1. Reference surface — word/char counting (RandomizedWordCount /
 #    RandomizedCharacterCount)
@@ -609,9 +632,14 @@ def q_salted_orders_join(spark, sf_dir):
 )
 def q_bucketed_orders_join(spark, sf_dir):
     import hashlib
+    import os
     import shutil
 
-    suffix = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    # Per-PID table names: bucket metadata lives in each session's catalog
+    # but all sessions share the warehouse DIRECTORY, so a shared name lets
+    # two concurrent sessions race on the same table path. One extra
+    # materialization per process is the price of isolation.
+    suffix = f"{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}_{os.getpid()}"
     ot, ct = f"rsmr_b_orders_{suffix}", f"rsmr_b_customer_{suffix}"
     if not spark.catalog.tableExists(ot) or not spark.catalog.tableExists(ct):
         # Bucket metadata lives in the (session-local) catalog, not the files:
@@ -659,14 +687,16 @@ def q_bucketed_orders_join(spark, sf_dir):
 )
 def q_word_count_multifile(spark: SparkSession, sf_dir: str) -> DataFrame:
     import hashlib
-    import os
 
     key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    src = f"/tmp/rsmr_text_multifile_{key}"
-    if not os.path.exists(os.path.join(src, "_SUCCESS")):
-        load(spark, sf_dir, "documents").select("text").repartition(8).write.mode(
-            "overwrite"
-        ).text(src)
+    src = _ensure_layout(
+        f"/tmp/rsmr_text_multifile_{key}",
+        lambda d: load(spark, sf_dir, "documents")
+        .select("text")
+        .repartition(8)
+        .write.mode("overwrite")
+        .text(d),
+    )
     lines = spark.read.text(src)
     kept = T.drop_digit_lines(lines, "value")
     return T.explode_words(kept, "value").groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
@@ -685,16 +715,18 @@ def q_word_count_multifile(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_word_count_file_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     import hashlib
-    import os
 
     from ..sources.text import read_text_file_sampled
 
     key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    src = f"/tmp/rsmr_text_multifile_{key}"
-    if not os.path.exists(os.path.join(src, "_SUCCESS")):
-        load(spark, sf_dir, "documents").select("text").repartition(8).write.mode(
-            "overwrite"
-        ).text(src)
+    src = _ensure_layout(
+        f"/tmp/rsmr_text_multifile_{key}",
+        lambda d: load(spark, sf_dir, "documents")
+        .select("text")
+        .repartition(8)
+        .write.mode("overwrite")
+        .text(d),
+    )
     sf = read_text_file_sampled(spark, src, 0.5, SamplingConfig(ratio=0.5, seed=42))
     words = sf.transform(lambda df: T.explode_words(T.drop_digit_lines(df, "value"), "value"))
     return words.approx_count("word", alias="est_cnt")
@@ -731,14 +763,15 @@ def _partitioned_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hive-partitioned (by lang) copy of the documents table, written once
     per sf_dir; returns the partition-discovering read."""
     import hashlib
-    import os
 
     key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    src = f"/tmp/rsmr_docs_bylang_{key}"
-    if not os.path.exists(os.path.join(src, "_SUCCESS")):
-        load(spark, sf_dir, "documents").write.mode("overwrite").partitionBy(
-            "lang"
-        ).parquet(src)
+    src = _ensure_layout(
+        f"/tmp/rsmr_docs_bylang_{key}",
+        lambda d: load(spark, sf_dir, "documents")
+        .write.mode("overwrite")
+        .partitionBy("lang")
+        .parquet(d),
+    )
     return spark.read.parquet(src)
 
 
