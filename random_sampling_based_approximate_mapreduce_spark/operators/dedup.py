@@ -651,10 +651,16 @@ def embedding_dup_pairs_lsh(
 
     The 100 TB shape for embedding dedup (vs. ``embedding_dup_pairs``'s
     declared all-pairs baseline): random-hyperplane LSH assigns each vector
-    a sign-bit bucket per table (narrow projection, codegen'd), candidate
-    pairs come ONLY from a self equi-join on (table, bucket) — no all-pairs
-    self-join anywhere in the plan — and a vectorized Arrow cosine verifies
-    candidates exactly. Missed-pair probability for a pair at cosine c is
+    a sign-bit bucket per table (one narrow projection, codegen'd), and the
+    exact verify is ONE numpy GEMM per (table, bucket) group — candidate
+    pairs are never materialized as rows; only pairs ABOVE threshold leave
+    the Python worker, then a distinct collapses cross-table repeats.
+    (The first cut joined candidate id-pairs and scored them with a pair
+    cosine UDF — at 2000 vectors that shuffled ~1.8M wide candidate rows
+    and ran 6x slower than all-pairs blocked GEMM; the per-bucket GEMM
+    form shuffles 8N vector rows and emits survivors only.)
+
+    Missed-pair probability for a pair at cosine c is
     (1 - (1 - acos(c)/pi)^planes)^tables; at the production near-dup regime
     (c >= 0.95, 8 planes, 8 tables) recall is ~0.9998 with 256-way bucket
     blocking. The testdata vectors are near-orthogonal (max pair cosine
@@ -670,60 +676,66 @@ def embedding_dup_pairs_lsh(
     band-join of minhash_lsh_candidates) to dense vectors; the reference
     itself has no embedding ops.
     """
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql.types import DoubleType
+    from pyspark.sql.types import ArrayType, DoubleType, LongType, StructField, StructType
 
-    from .similarity import hyperplanes, lsh_bucket
+    from .similarity import hyperplanes
 
     e = emb.select("vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v"))
-    # All table buckets in ONE scan: bucket ids are cheap ints once computed,
-    # so compute them in a single projection and explode to (tbl, bucket)
-    # rows of 3 ints — the candidate join never carries vectors.
-    # (explode_outer, and the array holds already-projected bucket values:
-    # both Catalyst pitfalls from docs/SCALE.md avoided.)
-    bucket_cols = [
-        lsh_bucket(F.col("v"), hyperplanes(dim, n_planes, table=t)).alias(f"__b{t}")
-        for t in range(n_tables)
-    ]
-    with_buckets = e.select("vec_id", *bucket_cols)
-    tbl_arr = F.array(
-        *[F.struct(F.lit(t).alias("tbl"), F.col(f"__b{t}").alias("bucket")) for t in range(n_tables)]
+    # All (tables x planes) sign bits in ONE Arrow matmul per batch:
+    # Spark's higher-order array functions evaluate interpreted per element
+    # (docs/SCALE.md pitfall 4) — 16 HOF dot products per row measured ~1s
+    # at 2000 rows, vs milliseconds for (batch x dim) @ (dim x 16).
+    planes_flat = np.array(
+        [p for t in range(n_tables) for p in hyperplanes(dim, n_planes, table=t)],
+        dtype="float64",
+    ).T  # dim x (tables*planes)
+    pow2 = np.array([2**i for i in range(n_planes)], dtype="int64")
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def all_buckets(vs: pd.Series) -> pd.Series:
+        if not len(vs):
+            return pd.Series([], dtype="object")
+        M = np.vstack([np.asarray(v, dtype="float64") for v in vs])
+        bits = (M @ planes_flat) >= 0  # batch x (tables*planes)
+        bk = bits.reshape(len(M), n_tables, n_planes) @ pow2  # batch x tables
+        return pd.Series([row.tolist() for row in bk])
+
+    with_buckets = e.select("vec_id", "v", all_buckets("v").alias("__bks"))
+    tbl_arr = F.transform(
+        F.col("__bks"),
+        lambda bk, t: F.struct(t.alias("tbl"), bk.alias("bucket")),
     )
     b = (
-        with_buckets.select("vec_id", F.explode_outer(tbl_arr).alias("tb"))
+        with_buckets.select("vec_id", "v", F.explode_outer(tbl_arr).alias("tb"))
         .where(F.col("tb").isNotNull())
-        .select("vec_id", "tb.tbl", "tb.bucket")
+        .select("vec_id", "v", "tb.tbl", "tb.bucket")
     )
 
-    left = b.select(F.col("vec_id").alias("vec_a"), "tbl", "bucket")
-    right = b.select(F.col("vec_id").alias("vec_b"), "tbl", "bucket")
-    pairs = (
-        left.join(right, ["tbl", "bucket"])
-        .where(F.col("vec_a") < F.col("vec_b"))
-        .dropDuplicates(["vec_a", "vec_b"])
-    )
-    # fetch vectors only for surviving distinct candidates
-    cand = (
-        pairs.join(e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va")), "vec_a")
-        .join(e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb")), "vec_b")
+    out_schema = StructType(
+        [
+            StructField("vec_a", LongType()),
+            StructField("vec_b", LongType()),
+            StructField("cosine", DoubleType()),
+        ]
     )
 
-    @F.pandas_udf(DoubleType())
-    def pair_cosine(va: pd.Series, vb: pd.Series) -> pd.Series:
-        if not len(va):
-            return pd.Series([], dtype="float64")
-        A = np.vstack([np.asarray(v, dtype="float64") for v in va])
-        B = np.vstack([np.asarray(v, dtype="float64") for v in vb])
-        na = np.linalg.norm(A, axis=1)
-        nb = np.linalg.norm(B, axis=1)
-        denom = na * nb
-        dots = np.einsum("ij,ij->i", A, B)
-        return pd.Series(np.where(denom == 0, 0.0, dots / np.where(denom == 0, 1.0, denom)))
+    def score(key, pdf):
+        if len(pdf) < 2:
+            return pd.DataFrame({"vec_a": [], "vec_b": [], "cosine": []}).astype(
+                {"vec_a": "int64", "vec_b": "int64", "cosine": "float64"}
+            )
+        M = np.vstack([np.asarray(v, dtype="float64") for v in pdf["v"]])
+        norms = np.linalg.norm(M, axis=1, keepdims=True)
+        Mn = M / np.where(norms == 0, 1.0, norms)
+        S = np.round(Mn @ Mn.T, 6)
+        ids = pdf["vec_id"].to_numpy(dtype="int64")
+        iu, ju = np.nonzero(np.triu(S >= threshold, k=1))
+        a, bb = ids[iu], ids[ju]
+        lo, hi = np.minimum(a, bb), np.maximum(a, bb)
+        return pd.DataFrame({"vec_a": lo, "vec_b": hi, "cosine": S[iu, ju]})
 
-    return (
-        cand.select("vec_a", "vec_b", F.round(pair_cosine("va", "vb"), 6).alias("cosine"))
-        .where(F.col("cosine") >= threshold)
+    return b.groupBy("tbl", "bucket").applyInPandas(score, out_schema).dropDuplicates(
+        ["vec_a", "vec_b"]
     )
 
 

@@ -364,3 +364,63 @@ def ann_lsh(
         scored.select(query_id_col, "neighbor_id", "cosine", F.row_number().over(w).alias("rank"))
         .where(F.col("rank") <= k)
     )
+
+
+def ann_lsh_sql(
+    k: int = 5,
+    n_queries: int = 3,
+    dim: int = 64,
+    n_planes: int = 8,
+    n_tables: int = 4,
+) -> str:
+    """DuckDB mirror of ``ann_lsh`` (queries = vec_id < n_queries): the
+    same frozen hyperplane literals produce the same sign-bit buckets, so
+    the approximate result is VALUE-oracled, not just rows-counted —
+    the mirror reproduces candidate generation, dedup, exact rescoring,
+    and the (cosine DESC, neighbor_id) tie-break rank."""
+
+    def arms(src: str, id_alias: str) -> str:
+        out = []
+        for t in range(n_tables):
+            planes = hyperplanes(dim, n_planes, table=t)
+            bits = []
+            for i, p in enumerate(planes):
+                lit = "[" + ", ".join(repr(float(x)) for x in p) + "]"
+                bits.append(
+                    f"(CASE WHEN list_dot_product(v, {lit}) >= 0 THEN {2 ** i} ELSE 0 END)"
+                )
+            out.append(
+                f"SELECT vec_id AS {id_alias}, {t} AS tbl, ({' + '.join(bits)}) AS bucket FROM {src}"
+            )
+        return "\n      UNION ALL ".join(out)
+
+    cos = (
+        "round(list_dot_product(x.v, y.v) / "
+        "(sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))), 6)"
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id, v FROM e WHERE vec_id < {n_queries}),
+    qb AS (
+      {arms("q", "query_id")}
+    ),
+    cb AS (
+      {arms("e", "neighbor_id")}
+    ),
+    cand AS (
+      SELECT DISTINCT qb.query_id, cb.neighbor_id
+      FROM qb JOIN cb ON qb.tbl = cb.tbl AND qb.bucket = cb.bucket
+    ),
+    scored AS (
+      SELECT c.query_id, c.neighbor_id, {cos} AS cosine
+      FROM cand c JOIN e x ON x.vec_id = c.query_id
+                  JOIN e y ON y.vec_id = c.neighbor_id
+    )
+    SELECT query_id::BIGINT AS query_id, neighbor_id::BIGINT AS neighbor_id,
+           cosine, rank::INT AS rank
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= {k}
+    """
