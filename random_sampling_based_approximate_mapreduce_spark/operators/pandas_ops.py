@@ -24,6 +24,7 @@ def grouped_ewma(
     ts_col: str,
     value_col: str,
     alpha: float = 0.1,
+    tiebreak_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Per-key EWMA over event-time order: s_t = alpha*x_t + (1-alpha)*s_{t-1}.
 
@@ -31,24 +32,23 @@ def grouped_ewma(
     key — inexpressible as a window aggregate (Spark has no recursive
     window) — so this is a legitimate applyInPandas case: one shuffle on
     the key, pandas ``ewm`` per group, event-time sorted within the group.
+
+    ``tiebreak_cols`` extends the within-group sort beyond ``ts_col`` so
+    the recurrence order is DETERMINISTIC under timestamp ties (pandas'
+    stable sort would otherwise inherit arbitrary shuffle arrival order).
+    Pass a unique key (e.g. ``("event_id",)``) whenever timestamps can
+    collide — it is also what makes the closed-form SQL oracle
+    (catalog ``events_ewma``) reproducible.
     """
+    cols = [key_col, ts_col, *tiebreak_cols, value_col]
     out_schema = StructType(
-        [
-            df.schema[key_col],
-            df.schema[ts_col],
-            df.schema[value_col],
-            StructField("ewma", DoubleType()),
-        ]
+        [df.schema[c] for c in cols] + [StructField("ewma", DoubleType())]
     )
 
     def ewma(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(ts_col, kind="stable")
-        out = pdf[[key_col, ts_col, value_col]].copy()
+        pdf = pdf.sort_values([ts_col, *tiebreak_cols], kind="stable")
+        out = pdf[cols].copy()
         out["ewma"] = pdf[value_col].ewm(alpha=alpha, adjust=False).mean()
         return out
 
-    return (
-        df.select(key_col, ts_col, value_col)
-        .groupBy(key_col)
-        .applyInPandas(ewma, schema=out_schema)
-    )
+    return df.select(*cols).groupBy(key_col).applyInPandas(ewma, schema=out_schema)

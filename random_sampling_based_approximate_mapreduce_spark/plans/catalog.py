@@ -1667,20 +1667,45 @@ def q_approx_price_per_qty(spark, sf_dir):
 
 @register(
     "events_ewma",
-    None,
+    """
+    WITH ordered AS (
+      SELECT event_type, value,
+             row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+    )
+    SELECT event_type,
+           round(sum((CASE WHEN rn = 1 THEN power(0.9, n - 1)
+                      ELSE 0.1 * power(0.9, n - rn) END) * value), 6) AS final_ewma,
+           count(*)::BIGINT AS n
+    FROM ordered GROUP BY event_type
+    """,
     doc="Per-key exponentially-weighted moving average over event time via "
-    "applyInPandas (iterative recurrence - not SQL-expressible; grouped "
-    "Arrow batches, one group per key); parity vs local pandas in tests",
+    "applyInPandas (iterative recurrence - no recursive window in Spark; "
+    "grouped Arrow batches, one group per key). VALUE-oracled: the final "
+    "EWMA state unrolls to the closed form "
+    "s_n = (1-a)^(n-1) x_1 + sum_i a (1-a)^(n-i) x_i, which DuckDB "
+    "computes from row_number weights; the (ts, event_id) sort contract "
+    "makes the recurrence order identical on both sides, and round(6) "
+    "absorbs iterative-vs-closed-form float noise",
     tags=("approx",),
 )
 def q_events_ewma(spark, sf_dir):
     from ..operators.pandas_ops import grouped_ewma
 
     e = load(spark, sf_dir, "events")
-    out = grouped_ewma(e, key_col="event_type", ts_col="ts", value_col="value", alpha=0.1)
+    out = grouped_ewma(
+        e,
+        key_col="event_type",
+        ts_col="ts",
+        value_col="value",
+        alpha=0.1,
+        tiebreak_cols=("event_id",),
+    )
     # last EWMA value per key: a compact, deterministic summary
     return out.groupBy("event_type").agg(
-        F.max_by("ewma", "ts").alias("final_ewma"), F.count(F.lit(1)).alias("n")
+        F.round(F.max_by("ewma", F.struct("ts", "event_id")), 6).alias("final_ewma"),
+        F.count(F.lit(1)).alias("n"),
     )
 
 
@@ -1804,6 +1829,7 @@ _CHECK_PRIORITY = [
     "events_asof_next_purchase",
     "events_in_campaigns",
     "events_daily_pivot",
+    "events_ewma",
     "hash_sampled_events",
     "exact_k_event_sample",
     # streaming (stream startup makes these the slowest oracled checks)
@@ -1850,7 +1876,6 @@ _CHECK_PRIORITY = [
     "multimodal_knn",
     "tpch_q1_sampled",
     "approx_price_per_qty",
-    "events_ewma",
     "tablesample_words",
     "streaming_sampled_hourly",
 ]
