@@ -52,6 +52,7 @@ BENCH_QUERIES = [
     "token_stats",
     "streaming_events_hourly",
     "salted_orders_join",
+    "skewed_events_salted_join",
     "order_price_quantiles",
     "knn_ivf",
     "training_pipeline",

@@ -616,6 +616,83 @@ def q_salted_orders_join(spark, sf_dir):
     )
 
 
+# Deterministic Zipf-head key: 75% of events funnel to user 0, the rest
+# keep their uniform user_id — the "one mega-key" shape that breaks plain
+# shuffle joins/aggs at 100 TB (one task owns the hot key). Derived, not
+# stored, so both engines compute it identically.
+_SKEW_USER_SQL = "CASE WHEN event_id % 4 < 3 THEN 0 ELSE user_id END"
+
+
+def _skew_user():
+    return (
+        F.when(F.pmod(F.col("event_id"), F.lit(4)) < 3, F.lit(0))
+        .otherwise(F.col("user_id"))
+        .cast("long")
+        .alias("skew_user")
+    )
+
+
+@register(
+    "skewed_events_salted_join",
+    f"""
+    SELECT c.c_mktsegment, count(*)::BIGINT AS n_events,
+           CAST(sum(CAST(e.value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+    FROM (SELECT {_SKEW_USER_SQL} AS skew_user, value FROM events) e
+    JOIN customer c ON e.skew_user = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+    doc="Salted join under REAL skew: a deterministic Zipf-head key (75% "
+    "of events on one user) joined to the customer dim with the big side "
+    "salted 8 ways, so the hot key spreads over 8 tasks instead of "
+    "funneling through one. The oracle is the plain join - salting is "
+    "semantics-preserving; docs/SCALE.md holds the straggler measurement",
+)
+def q_skewed_events_salted_join(spark, sf_dir):
+    from ..operators.skew import salted_join
+
+    ev = load(spark, sf_dir, "events").select(_skew_user(), "value")
+    dim = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("skew_user"), "c_mktsegment"
+    )
+    joined = salted_join(ev, dim, "skew_user", n_salts=8)
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(_dec("value")).cast("double").alias("total_value"),
+    )
+
+
+@register(
+    "skewed_events_two_phase",
+    f"""
+    SELECT skew_user, count(*)::BIGINT AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+    FROM (SELECT {_SKEW_USER_SQL} AS skew_user, value FROM events)
+    GROUP BY skew_user
+    """,
+    doc="Two-phase (salted) aggregation over the same Zipf-head key: "
+    "groupBy(key, salt) partials then merge per key. For count/sum "
+    "Catalyst's map-side partial agg already absorbs most skew; this "
+    "demonstrates the explicit form used when partial state is too wide "
+    "to combine map-side. Decimal sums keep both phases order-exact, so "
+    "the plain-SQL oracle hash-matches",
+)
+def q_skewed_events_two_phase(spark, sf_dir):
+    from ..operators.skew import two_phase_agg
+
+    ev = load(spark, sf_dir, "events").select(
+        _skew_user(), _dec("value").alias("value_dec")
+    )
+    out = two_phase_agg(
+        ev,
+        ["skew_user"],
+        {"n_events": ("count", None), "total_value": ("sum", "value_dec")},
+        n_salts=16,
+    )
+    return out.select(
+        "skew_user", "n_events", F.col("total_value").cast("double").alias("total_value")
+    )
+
+
 @register(
     "bucketed_orders_join",
     """
@@ -1813,6 +1890,8 @@ _CHECK_PRIORITY = [
     "word_count_rowgroup_sampled",
     "multimodal_decode_bmp",
     "multimodal_decode_wav",
+    "skewed_events_salted_join",
+    "skewed_events_two_phase",
     # events-table queries unblocked by the nanosAsLong load fix
     "log_hack",
     "log_host",
