@@ -164,16 +164,38 @@ def register_rowgroup_parquet(spark) -> None:
     spark.dataSource.register(RowGroupSampledParquetDataSource)
 
 
+def _compose_row_stage(
+    df, achieved: float, seed: int, row_config: SamplingConfig | None
+) -> SampledFrame:
+    """Stage two of the two-stage design: Bernoulli rows WITHIN the picked
+    row groups. Mirrors ``text.read_text_file_sampled`` — the coarse
+    cluster ratio comes from footer metadata (exact), the fine ratio from
+    seeded per-row draws, and estimators scale by the product."""
+    achieved = max(achieved, 1e-12)
+    if row_config is None:
+        cfg = SamplingConfig(ratio=achieved, seed=seed)
+        return SampledFrame(df=df, ratio=achieved, config=cfg)
+    inner = SampledFrame.from_dataframe(df, row_config, observe=False)
+    combined = SamplingConfig(
+        ratio=achieved * inner.ratio, seed=row_config.seed or seed
+    )
+    return SampledFrame(df=inner.df, ratio=achieved * inner.ratio, config=combined)
+
+
 def read_parquet_rowgroup_sampled(
     spark,
     path: str,
     rg_ratio: float,
     seed: int = 42,
+    row_config: SamplingConfig | None = None,
 ) -> SampledFrame:
     """Row-group cluster sample of a parquet path -> SampledFrame.
 
     The achieved ratio is EXACT (footer row counts), so HT estimators
     scale by the true inclusion probability — no observation pass.
+    ``row_config`` adds a within-group Bernoulli row stage (two-stage
+    cluster sampling in one call): keep the coarse skip ratio here and
+    the fine ratio in ``row_config``, exactly as for file-level sampling.
     """
     register_rowgroup_parquet(spark)
     schema = spark.read.parquet(path).schema
@@ -187,15 +209,22 @@ def read_parquet_rowgroup_sampled(
         .option("seed", str(seed))
         .load()
     )
-    cfg = SamplingConfig(ratio=max(achieved, 1e-12), seed=seed)
-    return SampledFrame(df=df, ratio=max(achieved, 1e-12), config=cfg)
+    return _compose_row_stage(df, achieved, seed, row_config)
 
 
 def rowgroup_id_ranges(
-    path: str, rg_ratio: float, id_col: str, seed: int = 42
+    path: str, rg_ratio: float, id_col: str, seed: int = 42, band_size: int = 1
 ) -> tuple[list[tuple], int, int]:
     """Hash-pick row groups and return their (min, max) ranges of ``id_col``
     from footer statistics, plus exact (picked_rows, total_rows).
+
+    ``band_size`` > 1 picks contiguous BANDS of that many row groups per
+    draw and merges each band's range into ONE filter arm: at 10^5+ row
+    groups a per-group OR-of-BETWEEN predicate would dwarf the plan, while
+    bands keep arm count = picked_bands (and a coarser-cluster estimator —
+    same algebra, bigger clusters; keep bands small relative to the
+    corpus's id-locality). band_size=1 hashes per row group, identical to
+    the original pick.
 
     Raises if the picked ranges overlap UNPICKED ones — the pruned read
     would then return rows outside the sample (or the filter would not
@@ -207,44 +236,67 @@ def rowgroup_id_ranges(
 
     if not 0.0 < rg_ratio <= 1.0:
         raise ValueError(f"rg_ratio must be in (0, 1], got {rg_ratio}")
-    all_rgs: list[tuple[str, int, object, object, int]] = []
+    if band_size < 1:
+        raise ValueError(f"band_size must be >= 1, got {band_size}")
+    # per-file ordered row-group stats
+    per_file: dict[str, list[tuple[object, object, int]]] = {}
     total_rows = 0
     for f in _list_parquet_files(path):
         meta = pq.ParquetFile(f).metadata
         schema = meta.schema
         col_idx = None
-        for i in range(schema.names.__len__()):
+        for i in range(len(schema.names)):
             if schema.names[i] == id_col:
                 col_idx = i
                 break
         if col_idx is None:
             raise ValueError(f"{id_col!r} not in {f} (columns: {schema.names})")
+        rgs = []
         for rg in range(meta.num_row_groups):
             rg_meta = meta.row_group(rg)
             st = rg_meta.column(col_idx).statistics
             if st is None or st.min is None or st.max is None:
                 raise ValueError(f"no min/max stats for {id_col!r} in {f} rg{rg}")
             total_rows += rg_meta.num_rows
-            all_rgs.append((f, rg, st.min, st.max, rg_meta.num_rows))
+            rgs.append((st.min, st.max, rg_meta.num_rows))
+        per_file[f] = rgs
 
-    picked = [t for t in all_rgs if _accept_rg(t[0], t[1], seed, rg_ratio)]
+    # contiguous bands of band_size row groups (band == row group when 1);
+    # a band's merged (lo, hi) is one filter arm
+    def _band_key(f: str, idx: int) -> str:
+        return f"{seed}:{f}#rg{idx}" if band_size == 1 else f"{seed}:{f}#band{idx}x{band_size}"
+
+    bands: list[tuple[str, int, object, object, int]] = []
+    for f, rgs in per_file.items():
+        for i in range(0, len(rgs), band_size):
+            chunk = rgs[i : i + band_size]
+            idx = i if band_size == 1 else i // band_size
+            bands.append(
+                (f, idx, min(c[0] for c in chunk), max(c[1] for c in chunk), sum(c[2] for c in chunk))
+            )
+
+    def _accept(f: str, idx: int) -> bool:
+        h = hashlib.md5(_band_key(f, idx).encode()).digest()
+        return int.from_bytes(h[:4], "big") < rg_ratio * _CAP
+
+    picked = [t for t in bands if _accept(t[0], t[1])]
     if not picked:
         picked = [
             min(
-                all_rgs,
+                bands,
                 key=lambda t: int.from_bytes(
-                    hashlib.md5(f"{seed}:{t[0]}#rg{t[1]}".encode()).digest()[:4], "big"
+                    hashlib.md5(_band_key(t[0], t[1]).encode()).digest()[:4], "big"
                 ),
             )
         ]
     picked_keys = {(t[0], t[1]) for t in picked}
-    for f, rg, lo, hi, _ in all_rgs:
-        if (f, rg) in picked_keys:
+    for f, idx, lo, hi, _ in bands:
+        if (f, idx) in picked_keys:
             continue
         for _, _, plo, phi, _ in picked:
             if not (hi < plo or lo > phi):
                 raise ValueError(
-                    f"row-group {id_col!r} ranges overlap ({f} rg{rg} "
+                    f"row-group {id_col!r} ranges overlap ({f} band {idx} "
                     f"[{lo},{hi}] vs picked [{plo},{phi}]); data must be "
                     f"written in {id_col} order for pruned sampling — use "
                     "read_parquet_rowgroup_sampled (direct reader) instead"
@@ -259,6 +311,8 @@ def read_parquet_rowgroup_pruned(
     rg_ratio: float,
     id_col: str,
     seed: int = 42,
+    band_size: int = 1,
+    row_config: SamplingConfig | None = None,
 ) -> SampledFrame:
     """Row-group sampling expressed as footer-stats PRUNING on the native
     JVM parquet scan — the fastest skip-without-read path.
@@ -272,18 +326,21 @@ def read_parquet_rowgroup_pruned(
     scan floor on a page-cached local disk (docs/SCALE.md).
 
     Scale note: one BETWEEN arm per picked row group is fine up to ~10^3
-    arms; at 100 TB pick contiguous row-group BANDS (coarser clusters,
-    same estimator) to keep the predicate small, or use the direct
-    reader whose partition list is never a predicate.
+    arms; at 100 TB pass ``band_size`` > 1 to pick contiguous row-group
+    BANDS (coarser clusters, same estimator, one arm per band) so the
+    predicate stays small, or use the direct reader whose partition list
+    is never a predicate. ``row_config`` adds the within-group Bernoulli
+    stage (two-stage design in one call).
     """
     from pyspark.sql import functions as F
 
-    ranges, picked_rows, total_rows = rowgroup_id_ranges(path, rg_ratio, id_col, seed)
+    ranges, picked_rows, total_rows = rowgroup_id_ranges(
+        path, rg_ratio, id_col, seed, band_size=band_size
+    )
     achieved = picked_rows / total_rows if total_rows else 1.0
     df = spark.read.parquet(path)
     cond = None
     for lo, hi in ranges:
         arm = F.col(id_col).between(F.lit(lo), F.lit(hi))
         cond = arm if cond is None else (cond | arm)
-    cfg = SamplingConfig(ratio=max(achieved, 1e-12), seed=seed)
-    return SampledFrame(df=df.where(cond), ratio=max(achieved, 1e-12), config=cfg)
+    return _compose_row_stage(df.where(cond), achieved, seed, row_config)

@@ -86,6 +86,55 @@ class TestReaders:
         est = sf.approx_count(alias="est").collect()[0]["est"]
         assert est == pytest.approx(total, rel=1e-9)
 
+    def test_band_picking_merges_contiguous_ranges(self, spark, multi_rg_file):
+        """band_size>1 keeps the predicate small: arm count == picked
+        bands, each arm covering band_size contiguous row groups; the
+        rowset is still exactly the picked groups' rows."""
+        n_rgs = pq.ParquetFile(multi_rg_file).metadata.num_row_groups
+        assert n_rgs >= 6  # need multiple bands for the test to mean anything
+        ranges, picked_rows, total = rowgroup_id_ranges(
+            multi_rg_file, 0.5, "doc_id", band_size=3
+        )
+        assert 0 < picked_rows <= total
+        assert len(ranges) <= (n_rgs + 2) // 3
+        sf = read_parquet_rowgroup_pruned(
+            spark, multi_rg_file, 0.5, "doc_id", band_size=3
+        )
+        assert sf.df.count() == picked_rows
+        assert abs(sf.ratio - picked_rows / total) < 1e-12
+        # each merged arm spans a contiguous id range: the filtered rowset
+        # equals the union of the BETWEEN arms evaluated locally
+        ids = {r["doc_id"] for r in sf.df.select("doc_id").collect()}
+        expect = {
+            r["doc_id"]
+            for r in spark.read.parquet(multi_rg_file).select("doc_id").collect()
+            if any(lo <= r["doc_id"] <= hi for lo, hi in ranges)
+        }
+        assert ids == expect
+
+    def test_two_stage_rowgroup_then_bernoulli(self, spark, multi_rg_file):
+        """row_config composes a within-group Bernoulli stage; the
+        SampledFrame ratio is the exact product and the HT estimate of
+        the table total stays unbiased-by-construction in expectation
+        (here: just check ratio bookkeeping and row containment)."""
+        from random_sampling_based_approximate_mapreduce_spark.sampling.config import SamplingConfig
+
+        base = read_parquet_rowgroup_sampled(spark, multi_rg_file, 0.5, seed=7)
+        two = read_parquet_rowgroup_sampled(
+            spark, multi_rg_file, 0.5, seed=7, row_config=SamplingConfig(ratio=0.5, seed=11)
+        )
+        assert two.ratio == pytest.approx(base.ratio * 0.5)
+        base_ids = {r["doc_id"] for r in base.df.select("doc_id").collect()}
+        two_ids = {r["doc_id"] for r in two.df.select("doc_id").collect()}
+        assert two_ids <= base_ids
+        assert 0 < len(two_ids) < len(base_ids)
+        # pruned path composes identically
+        two_pruned = read_parquet_rowgroup_pruned(
+            spark, multi_rg_file, 0.5, "doc_id", seed=7,
+            row_config=SamplingConfig(ratio=0.5, seed=11),
+        )
+        assert two_pruned.ratio == pytest.approx(two.ratio)
+
     def test_overlapping_ranges_rejected(self, spark, tmp_path, sf_dir):
         """Unsorted data -> overlapping row-group id ranges -> pruned
         sampling must refuse rather than silently return a wrong sample."""
