@@ -60,8 +60,59 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
     scale the scan has thousands of row groups and this is a no-op — the
     repartition only fires on the small-file artifact, so no 100 TB shuffle
     is ever introduced.
+
+    Partition count is ESTIMATED from the scan's input files and
+    ``maxPartitionBytes`` (driver-side metadata already resolved by the
+    scan relation) — ``df.rdd.getNumPartitions()`` would be exact but
+    pays a Python-RDD conversion/analysis pass per call; the estimate is
+    exact in the only regime where the answer matters (small inputs that
+    bin-pack into fewer-than-core splits) and errs toward "plenty of
+    partitions" on big inputs, where this function must be a no-op
+    anyway. Non-file-backed plans (post-shuffle, in-memory) fall back to
+    the exact check. Contract: call this on SCAN-ADJACENT frames (load +
+    projection/filter/broadcast-join) — a frame downstream of a shuffle
+    already has ``shuffle.partitions`` tasks and must not be passed here
+    (the file-size estimate would see only the leaves).
     """
-    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    import math
+    import os
+
+    spark = df.sparkSession
+    target = min_partitions or spark.sparkContext.defaultParallelism
+    try:
+        files = df.inputFiles()
+    except Exception:
+        files = []
+    max_bytes = _parse_bytes(spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b"))
+    if files and max_bytes:
+        total = 0
+        for f in files:
+            p = f[7:] if f.startswith("file://") else f
+            try:
+                total += os.path.getsize(p)
+            except OSError:
+                total = None
+                break
+        if total is not None:
+            est_partitions = max(1, math.ceil(total / max(max_bytes, 1)))
+            if est_partitions >= target:
+                return df
+            return df.repartition(target)
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
+
+
+def _parse_bytes(v: str) -> int | None:
+    """Parse a Spark byte-size conf value ("134217728b", "128m", "1g")."""
+    v = v.strip().lower()
+    mult = 1
+    for suffix, m in (("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30), ("b", 1)):
+        if v.endswith(suffix):
+            v = v[: -len(suffix)]
+            mult = m
+            break
+    try:
+        return int(v) * mult
+    except ValueError:
+        return None

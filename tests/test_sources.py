@@ -291,3 +291,44 @@ class TestSplittableCompression:
             assert spark.read.text(p).count() == 1000
         except Exception as e:  # pragma: no cover - env dependent
             pytest.skip(f"zstd codec unavailable in this JVM: {e}")
+
+
+class TestEnsureParallelism:
+    """Partition estimate from scan metadata (no per-call RDD conversion)."""
+
+    def test_small_scan_gets_repartitioned(self, spark, sf_dir):
+        from random_sampling_based_approximate_mapreduce_spark.sources.tables import (
+            ensure_parallelism,
+            load,
+        )
+
+        df = ensure_parallelism(load(spark, sf_dir, "documents").select("text"))
+        target = spark.sparkContext.defaultParallelism
+        assert df.rdd.getNumPartitions() >= target
+
+    def test_big_estimate_is_noop(self, spark, sf_dir):
+        """With maxPartitionBytes tiny, the estimate sees >= target splits
+        and must NOT insert a repartition (plan unchanged)."""
+        from random_sampling_based_approximate_mapreduce_spark.sources.tables import (
+            ensure_parallelism,
+            load,
+        )
+
+        old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+        try:
+            spark.conf.set("spark.sql.files.maxPartitionBytes", "1k")
+            base = load(spark, sf_dir, "documents").select("text")
+            out = ensure_parallelism(base)
+            assert out is base  # no repartition node added
+        finally:
+            spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+
+    def test_conf_suffix_parsing(self):
+        from random_sampling_based_approximate_mapreduce_spark.sources.tables import _parse_bytes
+
+        assert _parse_bytes("134217728b") == 134217728
+        assert _parse_bytes("128m") == 128 << 20
+        assert _parse_bytes("1g") == 1 << 30
+        assert _parse_bytes("64k") == 64 << 10
+        assert _parse_bytes("12345") == 12345
+        assert _parse_bytes("nonsense") is None
