@@ -34,6 +34,51 @@ def _salt_col(df: DataFrame, n_salts: int) -> Column:
     return F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_salts)).cast("int")
 
 
+def suggest_n_salts(
+    df: DataFrame,
+    on: list[str] | str,
+    shuffle_partitions: int | None = None,
+    sample_ratio: float = 0.01,
+    seed: int = 42,
+    max_salts: int = 256,
+) -> int:
+    """Size ``n_salts`` from the OBSERVED hottest-key share.
+
+    Estimates the hottest key's row share from a seeded Bernoulli sample
+    (one cheap scan + small agg; at 100 TB run it on the sample you
+    already maintain, or reuse table statistics), then picks the smallest
+    n that spreads that key to roughly an average task's share:
+
+        n = ceil(hot_share * shuffle_partitions)
+
+    so the hot key's largest post-salt task holds ~1/P of the data like
+    everyone else. Returns 1 when no salting is needed (hot share below
+    the uniform share), and caps at ``max_salts`` — the small side is
+    replicated n times, so past a point AQE skew-split or map-side
+    (broadcast) joins are the better tool (docs/SCALE.md "one hot key").
+    """
+    import math
+
+    keys = [on] if isinstance(on, str) else list(on)
+    spark = df.sparkSession
+    parts = shuffle_partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    sampled = df.select(*keys) if sample_ratio >= 1.0 else df.select(*keys).sample(
+        fraction=sample_ratio, seed=seed
+    )
+    top = (
+        sampled.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .agg(F.max("__n").alias("__hot"), F.sum("__n").alias("__total"))
+        .first()
+    )
+    if not top or not top["__total"]:
+        return 1
+    hot_share = top["__hot"] / top["__total"]
+    if hot_share <= 1.0 / parts:
+        return 1
+    return min(max_salts, max(1, math.ceil(hot_share * parts)))
+
+
 def salted_join(
     big: DataFrame,
     small: DataFrame,

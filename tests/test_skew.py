@@ -76,3 +76,34 @@ class TestApproxQuantile:
         }
         for k, v in exact.items():
             assert approx[k] == pytest.approx(v, rel=0.05)
+
+
+class TestSuggestNSalts:
+    def test_hot_key_sized_to_partitions(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from random_sampling_based_approximate_mapreduce_spark.operators.skew import suggest_n_salts
+        from random_sampling_based_approximate_mapreduce_spark.sources.tables import load
+
+        ev = load(spark, sf_dir, "events").select(
+            F.when(F.pmod("event_id", F.lit(4)) < 3, F.lit(0))
+            .otherwise(F.col("user_id"))
+            .alias("k")
+        )
+        # 75% on one key, 32 shuffle partitions -> ceil(0.75*32) = 24-ish
+        n = suggest_n_salts(ev, "k", shuffle_partitions=32, sample_ratio=1.0)
+        assert 20 <= n <= 28
+
+    def test_uniform_needs_no_salt(self, spark, sf_dir):
+        from random_sampling_based_approximate_mapreduce_spark.operators.skew import suggest_n_salts
+        from random_sampling_based_approximate_mapreduce_spark.sources.tables import load
+
+        o = load(spark, sf_dir, "orders")
+        # ~uniform o_custkey across hundreds of keys: below uniform share
+        assert suggest_n_salts(o, "o_custkey", shuffle_partitions=8, sample_ratio=1.0) == 1
+
+    def test_cap(self, spark):
+        from random_sampling_based_approximate_mapreduce_spark.operators.skew import suggest_n_salts
+
+        df = spark.range(1000).selectExpr("0 AS k")  # 100% one key
+        assert suggest_n_salts(df, "k", shuffle_partitions=10_000, sample_ratio=1.0, max_salts=64) == 64
