@@ -35,15 +35,19 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     configure_existing(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS); with
-        # spark.sql.legacy.parquet.nanosAsLong it reads as long nanoseconds.
-        # Floor-convert to a microsecond timestamp (matches DuckDB's ns->us
-        # coercion, so oracles agree).
+        # events.ts has shipped as parquet TIMESTAMP(NANOS) (reads as long
+        # under nanosAsLong) and as TIMESTAMP(MICROS, isAdjustedToUTC=false)
+        # (reads as TIMESTAMP_NTZ). Normalize both to a UTC TIMESTAMP_LTZ:
+        # event-time watermarks require LTZ, and with the session pinned to
+        # UTC the wall-clock values match DuckDB's naive reading, so oracles
+        # agree either way.
         from pyspark.sql import functions as F
-        from pyspark.sql.types import LongType
+        from pyspark.sql.types import LongType, TimestampNTZType
 
         if isinstance(df.schema["ts"].dataType, LongType):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("CAST(ts DIV 1000 AS LONG)")))
+        elif isinstance(df.schema["ts"].dataType, TimestampNTZType):
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
