@@ -181,6 +181,18 @@ def fingerprint(col: Column) -> Column:
     return hash64(norm)
 
 
+def prefix_fingerprint(col: Column, n_chars: int = 120) -> Column:
+    """Fingerprint of the first ``n_chars`` of the NORMALIZED text.
+
+    Catches the re-crawl/appended-boilerplate near-dup family (same page,
+    different trailing junk) that the full-text fingerprint misses; the
+    standard prefix-keyed dedup used on web corpora."""
+    from .hashing import hash64
+
+    norm = F.trim(F.regexp_replace(F.regexp_replace(F.lower(col), r"[^a-z0-9\s]", ""), r"\s+", " "))
+    return hash64(F.substring(norm, 1, n_chars))
+
+
 def char_ngrams(col: Column, n: int) -> Column:
     """Distinct character n-gram array (shingles) of the lowercased text."""
     lowered = F.lower(col)

@@ -1,0 +1,340 @@
+"""Corpus-preparation operators for LLM training-data pipelines.
+
+The reference engine's pipeline surface stops at sampled scan -> normalize
+-> tokenize -> aggregate (RandomizedWordCount.java, RandomizedStat*.java).
+A training-data pipeline at 100 TB additionally needs: PII redaction,
+heavy-hitter vocabulary, greedy sequence packing under a token budget,
+corpus-level boilerplate detection, and keep-best-representative dedup.
+Each operator here is expressed so the plan Catalyst produces is the plan
+a 1000-executor cluster wants:
+
+- redaction is a pure Column expression chain (whole-stage codegen, no
+  Python in the hot path);
+- heavy hitters go through partial-agg + TakeOrderedAndProject (map-side
+  top-k, no global sort shuffle);
+- sequence packing is a distributed prefix sum: one range shuffle, a
+  per-partition Arrow cumsum, and an O(num_partitions) driver offset
+  exchange — never a single-partition global window;
+- boilerplate detection is one shuffle on the shingle with per-doc
+  distinct applied BEFORE the shuffle (map-side dedup bounds skew);
+- Misra-Gries heavy hitters bound per-partition state at k counters
+  regardless of vocabulary size (the sketch the reference's sampled
+  aggregation family would want at true scale).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark import TaskContext
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import text as T
+
+# ---------------------------------------------------------------------------
+# PII injection (deterministic synthetic) + redaction
+# ---------------------------------------------------------------------------
+
+# Patterns chosen to behave identically in Java regex (Spark) and RE2
+# (DuckDB oracle): no lookaround, no backrefs.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\b555-[0-9]{4}\b"
+SSN_RE = r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b"
+
+
+def inject_pii(doc_id: Column, text: Column) -> Column:
+    """Deterministically append synthetic PII to a subset of documents.
+
+    The synthetic corpus (TESTDATA.md documents table) contains no
+    emails/phones/SSNs (probed: zero '@', zero digit-hyphen-digit), so a
+    redaction operator would be untestable on it.  Following the
+    established multimodal-oracle pattern, we derive fake PII from doc_id
+    so the DuckDB oracle can mirror the exact same bytes:
+
+      doc_id % 3 == 0 -> an email
+      doc_id % 4 == 1 -> a 555-phone
+      doc_id % 5 == 2 -> an SSN-shaped id
+    """
+    email = F.concat(F.lit(" reach user"), doc_id.cast("string"), F.lit("@mail-example.com"))
+    phone = F.concat(F.lit(" call 555-"), F.lpad((doc_id % 10000).cast("string"), 4, "0"))
+    ssn = F.concat(
+        F.lit(" id "),
+        F.lpad((doc_id % 1000).cast("string"), 3, "0"),
+        F.lit("-"),
+        F.lpad((doc_id % 100).cast("string"), 2, "0"),
+        F.lit("-"),
+        F.lpad((doc_id % 10000).cast("string"), 4, "0"),
+    )
+    out = text
+    out = F.when(doc_id % 3 == 0, F.concat(out, email)).otherwise(out)
+    out = F.when(doc_id % 4 == 1, F.concat(out, phone)).otherwise(out)
+    out = F.when(doc_id % 5 == 2, F.concat(out, ssn)).otherwise(out)
+    return out
+
+
+def inject_pii_sql(doc_id: str = "doc_id", text: str = "text") -> str:
+    """DuckDB mirror of :func:`inject_pii` (same bytes, same branches)."""
+    email = f"' reach user' || {doc_id} || '@mail-example.com'"
+    phone = f"' call 555-' || lpad(CAST({doc_id} % 10000 AS VARCHAR), 4, '0')"
+    ssn = (
+        f"' id ' || lpad(CAST({doc_id} % 1000 AS VARCHAR), 3, '0') || '-' || "
+        f"lpad(CAST({doc_id} % 100 AS VARCHAR), 2, '0') || '-' || "
+        f"lpad(CAST({doc_id} % 10000 AS VARCHAR), 4, '0')"
+    )
+    out = text
+    out = f"(CASE WHEN {doc_id} % 3 = 0 THEN {out} || {email} ELSE {out} END)"
+    out = f"(CASE WHEN {doc_id} % 4 = 1 THEN {out} || {phone} ELSE {out} END)"
+    out = f"(CASE WHEN {doc_id} % 5 = 2 THEN {out} || {ssn} ELSE {out} END)"
+    return out
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace PII spans with typed placeholders.
+
+    Order matters: emails first (their local parts may contain digit runs
+    that the narrower patterns could otherwise nibble at), then SSN (the
+    longer digit shape), then phone.  Pure regexp_replace chain — stays
+    inside whole-stage codegen; at 100 TB this is a map-only pass.
+    """
+    out = F.regexp_replace(text, EMAIL_RE, "[EMAIL]")
+    out = F.regexp_replace(out, SSN_RE, "[SSN]")
+    out = F.regexp_replace(out, PHONE_RE, "[PHONE]")
+    return out
+
+
+def pii_counts(text: Column) -> dict[str, Column]:
+    """Per-document PII match counts (regexp_count is codegen'd JVM-side)."""
+    return {
+        "n_emails": F.regexp_count(text, F.lit(EMAIL_RE)).cast("long"),
+        "n_phones": F.regexp_count(text, F.lit(PHONE_RE)).cast("long"),
+        "n_ssns": F.regexp_count(text, F.lit(SSN_RE)).cast("long"),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Heavy hitters
+# ---------------------------------------------------------------------------
+
+
+def heavy_hitter_tokens(docs: DataFrame, text_col: str = "text", k: int = 50) -> DataFrame:
+    """Exact top-k token frequencies with a deterministic tie-break.
+
+    orderBy(...).limit(k) compiles to TakeOrderedAndProject: each task
+    keeps a k-row heap after the partial aggregation, so the global sort
+    never materializes — the only full shuffle is the token count itself
+    (with map-side combine).  Scale contract: output is k rows no matter
+    the corpus size.
+    """
+    toks = T.explode_words(docs.select(text_col), text_col, out="token")
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    return counts.orderBy(F.col("cnt").desc(), F.col("token").asc()).limit(k)
+
+
+def misra_gries(
+    df: DataFrame, col: str, k: int = 64
+) -> DataFrame:
+    """Misra-Gries heavy-hitters sketch, merged distributively.
+
+    Per-partition state is bounded at k counters regardless of
+    cardinality (an Arrow-batched pass, never a per-partition hash of the
+    full vocabulary); the partition summaries are then summed by key.
+    Guarantee (standard MG merge bound): every item with true frequency
+    > n/(k+1) survives in the output, and each reported count
+    undercounts by at most n/(k+1).  Use when the exact groupBy's
+    map-side hash would blow memory (unbounded key space at 100 TB).
+
+    Returns (item, est_count) — a SUPERSET of the true heavy hitters;
+    callers re-check exact counts for the survivors if needed (a cheap
+    semi-join-restricted second pass).
+    """
+
+    def summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counters: dict = {}
+        for pdf in batches:
+            for item, cnt in pdf[col].value_counts().items():
+                # classic MG with batched decrements
+                if item in counters:
+                    counters[item] += cnt
+                elif len(counters) < k:
+                    counters[item] = cnt
+                else:
+                    dec = min(min(counters.values()), cnt)
+                    counters = {i: c - dec for i, c in counters.items() if c > dec}
+                    if cnt > dec:
+                        counters[item] = cnt - dec
+        yield pd.DataFrame(
+            {"item": list(counters.keys()), "est_count": list(counters.values())}
+        )
+
+    field = df.schema[col]
+    summaries = df.select(F.col(col).alias(col)).mapInPandas(
+        summarize, schema=f"item {field.dataType.simpleString()}, est_count long"
+    )
+    return summaries.groupBy("item").agg(F.sum("est_count").alias("est_count"))
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing (distributed prefix sum)
+# ---------------------------------------------------------------------------
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int,
+    order_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Assign each row to a training-sequence bin under a token budget.
+
+    Semantics: rows are taken in ``order_col`` order; row r lands in bin
+    ``floor(prefix_sum_before(r) / budget)`` — greedy sequential packing
+    (documents may straddle a boundary; the consumer truncates/continues,
+    which is the standard pretraining pack).
+
+    100 TB shape — this is a distributed prefix sum, NOT a global window
+    (a single-partition ``Window.orderBy`` is the classic scale-killer):
+
+      1. one range shuffle on ``order_col`` (contiguous key ranges per
+         partition, partitions ordered by range);
+      2. an Arrow ``mapInPandas`` cumulative sum within each partition
+         (batches arrive in sorted order; state is one running long);
+      3. partition totals -> driver (O(num_partitions) rows, like the
+         IVF training sample) -> prefix offsets rejoined as a literal map.
+
+    The frame is localCheckpoint'd between (2) and (3) so the totals
+    action doesn't recompute the scan.
+    """
+    spark = df.sparkSession
+    n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    ranged = df.repartitionByRange(n, order_col).sortWithinPartitions(order_col)
+
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    ) + ", _pid int, _cum_incl long"
+
+    def cumsum(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pid = TaskContext.get().partitionId()
+        run = 0
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["_pid"] = pid
+            pdf["_cum_incl"] = run + pdf[tokens_col].cumsum()
+            if len(pdf):
+                run = int(pdf["_cum_incl"].iloc[-1])
+            yield pdf
+
+    cum = ranged.mapInPandas(cumsum, schema=out_schema).localCheckpoint(eager=True)
+
+    totals = (
+        cum.groupBy("_pid").agg(F.max("_cum_incl").alias("_tot")).orderBy("_pid").collect()
+    )
+    offsets: dict[int, int] = {}
+    running = 0
+    for row in totals:
+        offsets[row["_pid"]] = running
+        running += row["_tot"] or 0
+    if offsets:
+        off_expr = F.create_map(
+            *[F.lit(x) for pid_tot in offsets.items() for x in pid_tot]
+        )[F.col("_pid")]
+    else:
+        off_expr = F.lit(0)
+
+    before = (off_expr + F.col("_cum_incl") - F.col(tokens_col)).cast("long")
+    return (
+        cum.withColumn("bin_id", F.floor(before / F.lit(budget)).cast("long"))
+        .drop("_pid", "_cum_incl")
+    )
+
+
+def pack_sequences_sql(
+    source_sql: str, budget: int, order_col: str = "doc_id", tokens_col: str = "n_tokens"
+) -> str:
+    """DuckDB mirror of :func:`pack_sequences` via a window prefix sum."""
+    return f"""
+    SELECT *, CAST(floor(
+        CAST(coalesce(sum({tokens_col}) OVER (ORDER BY {order_col}
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS DOUBLE)
+        / {budget}) AS BIGINT) AS bin_id
+    FROM ({source_sql})
+    """
+
+
+# ---------------------------------------------------------------------------
+# Boilerplate n-gram detection
+# ---------------------------------------------------------------------------
+
+
+def boilerplate_ngrams(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = 3,
+    min_doc_freq: int = 4,
+    top: int = 100,
+) -> DataFrame:
+    """Word n-grams shared by >= min_doc_freq documents (template/boilerplate).
+
+    Per-doc shingles are deduplicated BEFORE the explode+shuffle
+    (array_distinct inside the row), so a shingle repeated 1000x inside
+    one spammy document contributes one shuffle row, not 1000 — the
+    map-side-distinct discipline that keeps the shingle shuffle bounded
+    by (docs x distinct-shingles-per-doc) at 100 TB.  Output is capped at
+    ``top`` rows via TakeOrderedAndProject.
+    """
+    sh = docs.select(
+        F.explode(T.word_shingles(F.col(text_col), k)).alias("ngram")
+    )
+    counts = sh.groupBy("ngram").agg(F.count(F.lit(1)).alias("doc_freq"))
+    return (
+        counts.where(F.col("doc_freq") >= min_doc_freq)
+        .orderBy(F.col("doc_freq").desc(), F.col("ngram").asc())
+        .limit(top)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Keep-best-representative dedup
+# ---------------------------------------------------------------------------
+
+
+def keep_best_by_fingerprint(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    quality_col: Column | None = None,
+    fingerprint_col: Column | None = None,
+) -> DataFrame:
+    """Fingerprint-group dedup keeping the best member, not the first.
+
+    The reference's dedup story (and round-1 training_pipeline) keeps
+    min(doc_id); a real corpus pipeline keeps the highest-quality member.
+    Quality default: token count (longest wins), ties broken by lowest
+    id.  Fingerprint default: prefix fingerprint (re-crawls share a
+    normalized prefix but differ in trailing junk).  One shuffle on the
+    fingerprint; max_by is a single partial-merge aggregate, never a
+    window.
+    """
+    q = quality_col if quality_col is not None else T.token_count(F.col(text_col))
+    fp = (
+        fingerprint_col
+        if fingerprint_col is not None
+        else T.prefix_fingerprint(F.col(text_col))
+    )
+    enriched = docs.select(
+        F.col(id_col),
+        fp.alias("fp"),
+        q.alias("_quality"),
+    )
+    # scalar rank (quality first, lowest id on ties) instead of a struct
+    # key: max_by over a struct has no DuckDB arg_max mirror, and the
+    # scalar is one codegen'd expression. Safe while quality < 2^31 and
+    # id < 2^32 (token counts and doc ids are far below both).
+    rank = F.col("_quality") * F.lit(4294967296) - F.col(id_col)
+    return enriched.groupBy("fp").agg(
+        F.max_by(F.col(id_col), rank).alias("kept_doc"),
+        F.max("_quality").alias("kept_quality"),
+        F.count(F.lit(1)).alias("n_members"),
+    )

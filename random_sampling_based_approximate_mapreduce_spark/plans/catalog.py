@@ -1865,6 +1865,177 @@ def q_streaming_dedup_minhash(spark, sf_dir):
 
 
 # ===========================================================================
+# 11. Corpus preparation (LLM training-data ops: PII redaction, heavy
+#     hitters, sequence packing, boilerplate detection, keep-best dedup)
+# ===========================================================================
+
+_TOKEN_COUNT_SQL = (
+    r"CASE WHEN length(trim(text)) = 0 THEN 0 "
+    r"ELSE len(string_split_regex(trim(text), '\s+')) END"
+)
+
+
+def _pii_redaction_sql() -> str:
+    from ..operators.corpus import EMAIL_RE, PHONE_RE, SSN_RE, inject_pii_sql
+
+    injected = inject_pii_sql()
+    redacted = f"regexp_replace({injected}, '{EMAIL_RE}', '[EMAIL]', 'g')"
+    redacted = f"regexp_replace({redacted}, '{SSN_RE}', '[SSN]', 'g')"
+    redacted = f"regexp_replace({redacted}, '{PHONE_RE}', '[PHONE]', 'g')"
+    return f"""
+    SELECT doc_id::BIGINT AS doc_id,
+           len(regexp_extract_all({injected}, '{EMAIL_RE}'))::BIGINT AS n_emails,
+           len(regexp_extract_all({injected}, '{PHONE_RE}'))::BIGINT AS n_phones,
+           len(regexp_extract_all({injected}, '{SSN_RE}'))::BIGINT AS n_ssns,
+           length({redacted})::BIGINT AS clean_len
+    FROM documents
+    WHERE len(regexp_extract_all({injected}, '{EMAIL_RE}'))
+        + len(regexp_extract_all({injected}, '{PHONE_RE}'))
+        + len(regexp_extract_all({injected}, '{SSN_RE}')) > 0
+    """
+
+
+@register(
+    "pii_redaction",
+    _pii_redaction_sql(),
+    doc="PII redaction pass over the corpus (synthetic doc_id-derived PII "
+    "so the oracle mirrors the exact bytes): typed placeholder replacement "
+    "+ per-doc match counts. Pure regexp Column chain — map-only at 100 TB",
+)
+def q_pii_redaction(spark, sf_dir):
+    from ..operators import corpus as C
+
+    docs = load(spark, sf_dir, "documents")
+    injected = docs.select(
+        "doc_id", C.inject_pii(F.col("doc_id"), F.col("text")).alias("text")
+    )
+    counts = C.pii_counts(F.col("text"))
+    out = injected.select(
+        "doc_id",
+        counts["n_emails"].alias("n_emails"),
+        counts["n_phones"].alias("n_phones"),
+        counts["n_ssns"].alias("n_ssns"),
+        F.length(C.redact_pii(F.col("text"))).cast("long").alias("clean_len"),
+    )
+    return out.where(F.col("n_emails") + F.col("n_phones") + F.col("n_ssns") > 0)
+
+
+@register(
+    "heavy_hitter_tokens",
+    f"""
+    SELECT word AS token, cnt FROM (
+      SELECT word, count(*)::BIGINT AS cnt FROM (
+        SELECT unnest(string_split_regex(lower(text), '{_WORD_SPLIT_SQL}')) AS word
+        FROM documents)
+      WHERE word <> '' AND NOT regexp_matches(word, '^[0-9]+$')
+      GROUP BY word)
+    ORDER BY cnt DESC, token ASC LIMIT 50
+    """,
+    doc="Exact top-50 token frequencies, deterministic tie-break. Compiles "
+    "to partial-agg + TakeOrderedAndProject (per-task k-row heap), so no "
+    "global sort shuffle; output is 50 rows at any corpus size. The "
+    "bounded-memory approximate sibling (Misra-Gries merge) lives in "
+    "operators/corpus.misra_gries with its guarantee tested",
+)
+def q_heavy_hitter_tokens(spark, sf_dir):
+    from ..operators import corpus as C
+
+    docs = ensure_parallelism(load(spark, sf_dir, "documents").select("text"))
+    return C.heavy_hitter_tokens(docs, "text", k=50).select(
+        F.col("token"), F.col("cnt")
+    )
+
+
+@register(
+    "sequence_packing",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKEN_COUNT_SQL} AS n_tokens FROM documents),
+    b AS (SELECT doc_id, n_tokens,
+                 CAST(floor(CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS DOUBLE)
+                      / 2048) AS BIGINT) AS bin_id
+          FROM t)
+    SELECT bin_id, count(*)::BIGINT AS n_docs, sum(n_tokens)::BIGINT AS bin_tokens,
+           min(doc_id)::BIGINT AS first_doc, max(doc_id)::BIGINT AS last_doc
+    FROM b GROUP BY bin_id
+    """,
+    doc="Greedy sequence packing under a 2048-token budget as a DISTRIBUTED "
+    "prefix sum (range shuffle + per-partition Arrow cumsum + "
+    "O(partitions) driver offset exchange) — never a single-partition "
+    "global window. Oracle mirrors the semantics with a window cumsum, "
+    "which DuckDB can afford at oracle scale",
+)
+def q_sequence_packing(spark, sf_dir):
+    from ..operators import corpus as C
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", T.token_count(F.col("text")).alias("n_tokens")
+    )
+    packed = C.pack_sequences(docs, budget=2048, order_col="doc_id", tokens_col="n_tokens")
+    return packed.groupBy("bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("bin_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+@register(
+    "boilerplate_ngrams",
+    f"""
+    WITH w AS (SELECT list_filter(string_split_regex(lower(text), '{_WORD_SPLIT_SQL}'),
+                                  t -> len(t) > 0) AS w
+               FROM documents),
+    s AS (SELECT unnest(list_distinct(list_transform(generate_series(1, len(w) - 2),
+                        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS ngram
+          FROM w)
+    SELECT ngram, count(*)::BIGINT AS doc_freq
+    FROM s GROUP BY ngram HAVING count(*) >= 4
+    ORDER BY doc_freq DESC, ngram ASC LIMIT 100
+    """,
+    doc="Corpus-level boilerplate: 3-gram shingles shared by >= 4 docs, "
+    "top-100. Per-doc distinct happens inside the row (array_distinct) "
+    "BEFORE the explode+shuffle, bounding the shuffle at docs x distinct "
+    "shingles; TakeOrderedAndProject caps the output",
+)
+def q_boilerplate_ngrams(spark, sf_dir):
+    from ..operators import corpus as C
+
+    docs = ensure_parallelism(load(spark, sf_dir, "documents").select("text"))
+    return C.boilerplate_ngrams(docs, "text", k=3, min_doc_freq=4, top=100)
+
+
+def _dedup_keep_best_sql() -> str:
+    from ..functions.hashing import hash64_sql
+
+    norm = r"trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))"
+    return f"""
+    WITH e AS (SELECT doc_id, {hash64_sql(f"substr({norm}, 1, 120)")} AS fp,
+               {_TOKEN_COUNT_SQL} AS q
+               FROM documents)
+    SELECT fp, arg_max(doc_id, q * 4294967296 - doc_id)::BIGINT AS kept_doc,
+           max(q)::BIGINT AS kept_quality, count(*)::BIGINT AS n_members
+    FROM e GROUP BY fp HAVING count(*) >= 2
+    """
+
+
+@register(
+    "dedup_keep_best",
+    _dedup_keep_best_sql(),
+    doc="Prefix-fingerprint dedup (re-crawl family: same normalized 120-char "
+    "prefix, different trailing junk) keeping the BEST group member "
+    "(longest, ties -> lowest id) via a scalar-ranked max_by — one shuffle, "
+    "one partial-merge aggregate, no window. Complements "
+    "training_pipeline's keep-first full-fingerprint dedup",
+)
+def q_dedup_keep_best(spark, sf_dir):
+    from ..operators import corpus as C
+
+    docs = ensure_parallelism(load(spark, sf_dir, "documents").select("doc_id", "text"))
+    return C.keep_best_by_fingerprint(docs).where(F.col("n_members") >= 2)
+
+
+# ===========================================================================
 # Entry-point helpers
 # ===========================================================================
 
@@ -1892,6 +2063,12 @@ _CHECK_PRIORITY = [
     "multimodal_decode_wav",
     "skewed_events_salted_join",
     "skewed_events_two_phase",
+    # corpus-preparation family (new this round, no driver row yet)
+    "pii_redaction",
+    "heavy_hitter_tokens",
+    "sequence_packing",
+    "boilerplate_ngrams",
+    "dedup_keep_best",
     # events-table queries unblocked by the nanosAsLong load fix
     "log_hack",
     "log_host",

@@ -1,0 +1,156 @@
+"""Corpus-preparation operators: PII redaction, heavy hitters (exact +
+Misra-Gries), distributed sequence packing, boilerplate n-grams,
+keep-best dedup."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from random_sampling_based_approximate_mapreduce_spark.operators import corpus as C
+
+
+class TestPiiRedaction:
+    def test_injected_pii_is_fully_redacted(self, spark, sf_dir):
+        from random_sampling_based_approximate_mapreduce_spark.sources.tables import load
+
+        docs = load(spark, sf_dir, "documents")
+        injected = docs.select(
+            "doc_id", C.inject_pii(F.col("doc_id"), F.col("text")).alias("text")
+        )
+        clean = injected.select(C.redact_pii(F.col("text")).alias("text"))
+        leftovers = clean.where(
+            F.col("text").rlike(C.EMAIL_RE)
+            | F.col("text").rlike(C.PHONE_RE)
+            | F.col("text").rlike(C.SSN_RE)
+        ).count()
+        assert leftovers == 0
+
+    def test_counts_match_injection_rule(self, spark):
+        df = spark.range(0, 60).select(F.col("id").alias("doc_id"), F.lit("x y z").alias("text"))
+        injected = df.select("doc_id", C.inject_pii(F.col("doc_id"), F.col("text")).alias("text"))
+        counts = C.pii_counts(F.col("text"))
+        got = injected.select(
+            "doc_id", counts["n_emails"].alias("e"), counts["n_phones"].alias("p"), counts["n_ssns"].alias("s")
+        ).collect()
+        for r in got:
+            assert r["e"] == (1 if r["doc_id"] % 3 == 0 else 0)
+            assert r["p"] == (1 if r["doc_id"] % 4 == 1 else 0)
+            assert r["s"] == (1 if r["doc_id"] % 5 == 2 else 0)
+
+    def test_placeholders_present(self, spark):
+        df = spark.createDataFrame([(3,)], ["doc_id"]).select(
+            "doc_id", C.inject_pii(F.col("doc_id"), F.lit("hello")).alias("text")
+        )
+        out = df.select(C.redact_pii(F.col("text")).alias("t")).first()["t"]
+        assert "[EMAIL]" in out and "@" not in out
+
+
+class TestHeavyHitters:
+    def test_exact_top_k_plan_uses_take_ordered(self, spark, sf_dir):
+        from random_sampling_based_approximate_mapreduce_spark.sources.tables import load
+
+        docs = load(spark, sf_dir, "documents").select("text")
+        out = C.heavy_hitter_tokens(docs, "text", k=10)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan
+        rows = out.collect()
+        assert len(rows) == 10
+        # descending counts, token tie-break
+        for a, b in zip(rows, rows[1:]):
+            assert (a["cnt"], b["token"]) >= (b["cnt"], a["token"]) or a["cnt"] > b["cnt"]
+
+    def test_misra_gries_superset_and_bounds(self, spark):
+        # skewed stream: item i has frequency proportional to 1/i
+        rows = []
+        for i in range(1, 40):
+            rows.extend([(f"item{i:02d}",)] * (2000 // i))
+        df = spark.createDataFrame(rows, ["w"]).repartition(4)
+        n = df.count()
+        k = 16
+        est = {r["item"]: r["est_count"] for r in C.misra_gries(df, "w", k=k).collect()}
+        true = {r["w"]: r["c"] for r in df.groupBy("w").agg(F.count("*").alias("c")).collect()}
+        # distributed MG merge: per-partition error n_p/(k+1) sums to n/(k+1)
+        bound = n // (k + 1) + 1
+        for item, t in true.items():
+            if t > bound:
+                assert item in est, f"heavy item {item} (freq {t} > {bound}) missing"
+        for item, e in est.items():
+            assert e <= true[item], "MG must never overcount"
+            assert e >= true[item] - bound
+
+    def test_misra_gries_bounded_state(self, spark):
+        # high-cardinality input: output is at most k per partition merged
+        df = spark.range(0, 5000).select(F.concat(F.lit("u"), F.col("id")).alias("w"))
+        out = C.misra_gries(df.repartition(4), "w", k=8).count()
+        assert out <= 8 * 4
+
+
+class TestSequencePacking:
+    def _truth(self, items, budget):
+        run, bins = 0, {}
+        for doc_id, tok in sorted(items):
+            bins[doc_id] = run // budget
+            run += tok
+        return bins
+
+    def test_matches_sequential_prefix_sum(self, spark):
+        import random
+
+        rng = random.Random(7)
+        items = [(i, rng.randint(1, 500)) for i in range(1000)]
+        rng.shuffle(items)
+        df = spark.createDataFrame(items, ["doc_id", "n_tokens"]).repartition(7)
+        packed = C.pack_sequences(df, budget=1000, num_partitions=5)
+        got = {r["doc_id"]: r["bin_id"] for r in packed.collect()}
+        assert got == self._truth(items, 1000)
+
+    def test_no_single_partition_window(self, spark):
+        df = spark.createDataFrame([(i, 10) for i in range(50)], ["doc_id", "n_tokens"])
+        packed = C.pack_sequences(df, budget=100, num_partitions=4)
+        plan = packed._jdf.queryExecution().executedPlan().toString()
+        assert "Window" not in plan
+
+    def test_empty_frame(self, spark):
+        df = spark.createDataFrame([], "doc_id long, n_tokens long")
+        assert C.pack_sequences(df, budget=100, num_partitions=2).count() == 0
+
+
+class TestBoilerplate:
+    def test_detects_shared_template(self, spark):
+        template = "all rights reserved contact us for details"
+        rows = [(i, f"doc body {i} unique words here {template}") for i in range(10)]
+        rows += [(99, "totally different text with no repeats at all")]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        out = C.boilerplate_ngrams(df, "text", k=3, min_doc_freq=5, top=50).collect()
+        grams = {r["ngram"]: r["doc_freq"] for r in out}
+        assert grams.get("all rights reserved") == 10
+        assert all(f >= 5 for f in grams.values())
+
+    def test_within_doc_repeats_count_once(self, spark):
+        # one spammy doc repeating an n-gram should contribute df=1
+        spam = " ".join(["buy cheap pills"] * 50)
+        df = spark.createDataFrame([(1, spam), (2, spam)], ["doc_id", "text"])
+        out = C.boilerplate_ngrams(df, "text", k=3, min_doc_freq=2, top=10).collect()
+        by = {r["ngram"]: r["doc_freq"] for r in out}
+        assert by.get("buy cheap pills") == 2
+
+
+class TestKeepBest:
+    def test_longest_wins_ties_lowest_id(self, spark):
+        prefix = "the same normalized prefix shared by every recrawl of this page " * 3
+        rows = [
+            (1, prefix + "short tail"),
+            (2, prefix + "a much longer tail with many extra tokens appended here"),
+            (3, prefix + "a much longer tail with many extra tokens appended also"),
+            (9, "unrelated document"),
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        out = C.keep_best_by_fingerprint(df).where(F.col("n_members") >= 2).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert r["n_members"] == 3
+        # docs 2 and 3 tie on token count; lowest id wins
+        assert r["kept_doc"] == 2
