@@ -1864,6 +1864,22 @@ def q_streaming_dedup_minhash(spark, sf_dir):
     return dedup_minhash_stream_run(spark, sf_dir)
 
 
+@register(
+    "streaming_ivf_cells",
+    None,  # model-state operator: centroids are learned, no static SQL
+    # mirror exists; running-mean identity + recall vs batch IVF are
+    # pytest'd (tests/test_streaming.py::TestStreamingIVF)
+    doc="Incremental IVF over a vector stream: per-micro-batch mini-batch "
+    "k-means (Sculley WWW'10) via foreachBatch — distributed assignment + "
+    "per-cell sufficient stats, O(centroids x dim) driver update — then "
+    "final corpus occupancy by learned cell",
+)
+def q_streaming_ivf_cells(spark, sf_dir):
+    from ..streaming.ivf_stream import streaming_ivf_cells_run
+
+    return streaming_ivf_cells_run(spark, sf_dir)
+
+
 # ===========================================================================
 # 11. Corpus preparation (LLM training-data ops: PII redaction, heavy
 #     hitters, sequence packing, boilerplate detection, keep-best dedup)
@@ -2091,6 +2107,7 @@ _CHECK_PRIORITY = [
     # streaming (stream startup makes these the slowest oracled checks)
     "streaming_events_hourly",
     "streaming_dedup_minhash",
+    "streaming_ivf_cells",
     # previously hash-green representatives of every other family
     "word_count",
     "char_count",

@@ -303,3 +303,53 @@ class TestMinhashBucketCap:
         assert flagged == {1, 2}
         nulls = verdicts.where(F.col("owner").isNull()).count()
         assert nulls == 3 * 4  # 3 capped docs x NUM_BANDS
+
+
+class TestStreamingIVF:
+    def test_single_centroid_equals_global_mean(self, spark, tmp_path):
+        """With one centroid the count-based learning rate makes the
+        mini-batch update an exact running mean over the whole stream."""
+        import numpy as np
+        from random_sampling_based_approximate_mapreduce_spark.streaming.ivf_stream import StreamingIVFIndex
+
+        rng = np.random.RandomState(3)
+        X = rng.randn(300, 8)
+        idx = StreamingIVFIndex(n_centroids=1)
+        for lo in range(0, 300, 100):
+            batch = spark.createDataFrame(
+                [(row.tolist(),) for row in X[lo : lo + 100]], "v array<double>"
+            )
+            idx.update(batch, vec_col="v")
+        got = np.array(idx.centroids[0])
+        assert np.allclose(got, X.mean(axis=0), atol=1e-9)
+        assert idx.n_seen == 300
+
+    def test_streamed_index_recall_matches_batch_ivf(self, spark, sf_dir):
+        from random_sampling_based_approximate_mapreduce_spark.operators.similarity import (
+            ann_ivf,
+            knn_brute_force,
+        )
+        from random_sampling_based_approximate_mapreduce_spark.sources.tables import load
+        from random_sampling_based_approximate_mapreduce_spark.streaming.ivf_stream import (
+            streaming_ivf_cells_run,
+            streaming_ivf_index,
+        )
+
+        out = streaming_ivf_cells_run(spark, sf_dir, n_centroids=8)
+        rows = out.collect()
+        emb = load(spark, sf_dir, "embeddings")
+        total = emb.count()
+        assert sum(r["n_vectors"] for r in rows) == total
+        assert 1 < len(rows) <= 8
+
+        # recall of ANN with the STREAM-learned centroids vs brute force
+        import hashlib
+
+        key = hashlib.md5(f"{sf_dir}|8".encode()).hexdigest()[:10]
+        idx = streaming_ivf_index(spark, f"/tmp/rsmr_stream_emb_{key}", n_centroids=8)
+        queries = emb.orderBy("vec_id").limit(3)
+        exact = knn_brute_force(emb, queries, k=5)
+        approx = ann_ivf(emb, queries, k=5, n_probe=4, centroids=idx.centroids)
+        e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+        a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+        assert len(e & a) / len(e) >= 0.6
