@@ -296,6 +296,157 @@ def boilerplate_ngrams(
 
 
 # ---------------------------------------------------------------------------
+# Benchmark decontamination (n-gram overlap with a held-out eval set)
+# ---------------------------------------------------------------------------
+
+
+def ngram_contamination(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Training docs sharing any k-word shingle with the eval set.
+
+    The standard pre-training decontamination pass (strip benchmark/test
+    text from the corpus before training; real pipelines use k of 8-13,
+    exposed here as a parameter — the synthetic corpus needs k=3 for any
+    overlap to exist). Returns ``(doc_id, n_shared_ngrams)``; compose
+    with a left_anti join against these ids to get the clean corpus.
+
+    100 TB shape: eval sets are benchmark-sized (MBs), so the distinct
+    eval-gram relation is BROADCAST — the training side is a map-only
+    scan + broadcast-hash semi-match with NO shuffle of the corpus; the
+    only shuffle is the per-doc hit count on (already tiny) matches.
+    Per-doc shingles are deduplicated inside the row (array_distinct)
+    before the explode, so a gram repeated within one doc contributes
+    one probe.
+    """
+    eval_grams = (
+        T.with_word_shingles(eval_docs.select(text_col), text_col, k)
+        .select(F.explode("shingles").alias("ngram"))
+        .distinct()
+    )
+    train_grams = T.with_word_shingles(
+        train.select(id_col, text_col), text_col, k
+    ).select(id_col, F.explode("shingles").alias("ngram"))
+    hits = train_grams.join(F.broadcast(eval_grams), "ngram")
+    return hits.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shared_ngrams"))
+
+
+# ---------------------------------------------------------------------------
+# Intra-document repetition stats (C4/Gopher-style quality filters)
+# ---------------------------------------------------------------------------
+
+
+def bigram_repetition_stats(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-doc duplicate-bigram and top-bigram fractions (Gopher filters).
+
+    ``top_bigram_frac``  = occurrences of the most frequent word bigram /
+    total bigrams; ``dup_bigram_frac`` = fraction of bigram OCCURRENCES
+    beyond their first (1 - distinct/total). Both catch the
+    machine-generated/template repetition the corpus-level boilerplate
+    pass can't see (repetition INSIDE one document).
+
+    100 TB shape: the mode of a per-doc multiset is computed
+    distributively — explode bigrams, count per (doc, gram) with map-side
+    combine, then a tiny per-doc merge — never a per-row O(len^2)
+    higher-order-function sweep (a giant document would make one codegen
+    expression the straggler; here it spreads across tasks after the
+    explode).
+    """
+    toks = docs.select(id_col, T.word_tokens(F.col(text_col)).alias("__toks"))
+    n_sh = F.size("__toks") - F.lit(1)
+    # sequence(0, -1) yields a DESCENDING [0, -1] (not empty) — guard the
+    # <2-token case explicitly so slice never sees start=0.
+    idx = F.when(n_sh > 0, F.sequence(F.lit(0), n_sh - F.lit(1))).otherwise(
+        F.array().cast("array<int>")
+    )
+    grams = toks.select(
+        id_col,
+        F.explode_outer(
+            F.transform(
+                idx,
+                lambda i: F.concat_ws(" ", F.slice(F.col("__toks"), i + 1, 2)),
+            )
+        ).alias("gram"),
+    ).where(F.col("gram").isNotNull())
+    per_gram = grams.groupBy(id_col, "gram").agg(F.count(F.lit(1)).alias("cnt"))
+    return per_gram.groupBy(id_col).agg(
+        F.sum("cnt").alias("total_bigrams"),
+        F.round(
+            F.max("cnt").cast("double") / F.sum("cnt").cast("double"), 6
+        ).alias("top_bigram_frac"),
+        F.round(
+            F.lit(1.0) - F.count(F.lit(1)).cast("double") / F.sum("cnt").cast("double"),
+            6,
+        ).alias("dup_bigram_frac"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic train/val/test split
+# ---------------------------------------------------------------------------
+
+_HEX = "0123456789abcdef"
+
+
+def md5_bucket(id_col: Column, n_hex: int = 2) -> Column:
+    """Stable bucket in [0, 16**n_hex) from the md5 of the stringified id.
+
+    Content/id-hash bucketing is how corpus splits stay stable under
+    re-partitioning, re-crawls, and incremental appends (a row's split
+    never depends on which file or partition it sat in). md5 (not
+    xxhash64) so any engine — including the DuckDB oracle — reproduces
+    the exact assignment from the same bytes.
+    """
+    h = F.md5(id_col.cast("string"))
+    bucket = F.lit(0)
+    for i in range(n_hex):
+        digit = F.instr(F.lit(_HEX), F.substring(h, i + 1, 1)) - F.lit(1)
+        bucket = bucket * F.lit(16) + digit
+    return bucket.cast("int")
+
+
+def md5_bucket_sql(id_expr: str, n_hex: int = 2) -> str:
+    """DuckDB mirror of :func:`md5_bucket` (same md5 bytes, same digits)."""
+    h = f"md5(CAST({id_expr} AS VARCHAR))"
+    terms = [
+        f"(instr('{_HEX}', substr({h}, {i + 1}, 1)) - 1) * {16 ** (n_hex - 1 - i)}"
+        for i in range(n_hex)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    val_frac: float = 0.025,
+    test_frac: float = 0.025,
+) -> DataFrame:
+    """Deterministic train/val/test assignment from 256 md5 buckets.
+
+    Adds ``bucket`` and ``split`` columns; fractions are quantized to
+    1/256 (bucket granularity). Pure Column expressions — a map-only
+    pass at any scale, and the assignment is reproducible from the id
+    alone (no RNG, no ordering dependence).
+    """
+    n_val = round(val_frac * 256)
+    n_test = round(test_frac * 256)
+    train_hi = 256 - n_val - n_test
+    b = md5_bucket(F.col(id_col))
+    split = (
+        F.when(b < train_hi, F.lit("train"))
+        .when(b < train_hi + n_val, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return df.withColumn("bucket", b).withColumn("split", split)
+
+
+# ---------------------------------------------------------------------------
 # Keep-best-representative dedup
 # ---------------------------------------------------------------------------
 

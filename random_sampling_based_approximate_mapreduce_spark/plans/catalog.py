@@ -2051,6 +2051,94 @@ def q_dedup_keep_best(spark, sf_dir):
     return C.keep_best_by_fingerprint(docs).where(F.col("n_members") >= 2)
 
 
+@register(
+    "decontaminate_ngrams",
+    f"""
+    WITH w AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '{_WORD_SPLIT_SQL}'),
+                                          t -> len(t) > 0) AS w
+               FROM documents),
+    g AS (SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(w) - 2),
+                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS ngram
+          FROM w),
+    e AS (SELECT DISTINCT ngram FROM g WHERE doc_id % 37 = 0)
+    SELECT g.doc_id::BIGINT AS doc_id, count(*)::BIGINT AS n_shared_ngrams
+    FROM g JOIN e USING (ngram)
+    WHERE g.doc_id % 37 <> 0
+    GROUP BY g.doc_id
+    """,
+    doc="Benchmark decontamination: training docs sharing any k-word "
+    "shingle with the held-out eval slice (doc_id % 37 = 0 stands in for "
+    "a benchmark set; real pipelines use k of 8-13, here k=3 so the "
+    "synthetic corpus overlaps). Eval grams are BROADCAST — the corpus "
+    "side is a map-only scan + broadcast-hash probe, no big-side shuffle",
+)
+def q_decontaminate_ngrams(spark, sf_dir):
+    from ..operators import corpus as C
+
+    docs = ensure_parallelism(load(spark, sf_dir, "documents").select("doc_id", "text"))
+    eval_docs = docs.where(F.col("doc_id") % 37 == 0)
+    train = docs.where(F.col("doc_id") % 37 != 0)
+    return C.ngram_contamination(train, eval_docs, k=3)
+
+
+@register(
+    "doc_repetition",
+    f"""
+    WITH w AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '{_WORD_SPLIT_SQL}'),
+                                          t -> len(t) > 0) AS w
+               FROM documents),
+    g AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 1),
+                 i -> w[i] || ' ' || w[i+1])) AS gram
+          FROM w),
+    c AS (SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY doc_id, gram)
+    SELECT doc_id::BIGINT AS doc_id,
+           sum(cnt)::BIGINT AS total_bigrams,
+           round(CAST(max(cnt) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE), 6) AS top_bigram_frac,
+           round(1.0 - CAST(count(*) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE), 6) AS dup_bigram_frac
+    FROM c GROUP BY doc_id
+    """,
+    doc="Intra-document repetition stats (Gopher-style quality filters): "
+    "per-doc duplicate-bigram and top-bigram fractions. The per-doc mode "
+    "is computed DISTRIBUTIVELY (explode + two-level agg with map-side "
+    "combine), never a per-row O(len^2) expression — a giant document "
+    "spreads across tasks instead of making one codegen straggler",
+)
+def q_doc_repetition(spark, sf_dir):
+    from ..operators import corpus as C
+
+    docs = ensure_parallelism(load(spark, sf_dir, "documents").select("doc_id", "text"))
+    return C.bigram_repetition_stats(docs)
+
+
+def _dataset_split_sql() -> str:
+    from ..operators.corpus import md5_bucket_sql
+
+    b = md5_bucket_sql("doc_id")
+    return f"""
+    SELECT doc_id::BIGINT AS doc_id, {b}::INT AS bucket,
+           CASE WHEN {b} < 244 THEN 'train'
+                WHEN {b} < 250 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """
+
+
+@register(
+    "dataset_split_md5",
+    _dataset_split_sql(),
+    doc="Deterministic train/val/test split from 256 md5-derived buckets "
+    "(~95/2.5/2.5). Content-hash bucketing keeps a row's split stable "
+    "under repartitioning, re-crawls, and incremental appends — no RNG, "
+    "no ordering dependence; md5 (not xxhash64) so any engine reproduces "
+    "the assignment. Map-only Column chain at any scale",
+)
+def q_dataset_split_md5(spark, sf_dir):
+    from ..operators import corpus as C
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    return C.hash_split(docs).select("doc_id", "bucket", "split")
+
+
 # ===========================================================================
 # Entry-point helpers
 # ===========================================================================
@@ -2085,6 +2173,9 @@ _CHECK_PRIORITY = [
     "sequence_packing",
     "boilerplate_ngrams",
     "dedup_keep_best",
+    "decontaminate_ngrams",
+    "doc_repetition",
+    "dataset_split_md5",
     # events-table queries unblocked by the nanosAsLong load fix
     "log_hack",
     "log_host",

@@ -154,3 +154,92 @@ class TestKeepBest:
         assert r["n_members"] == 3
         # docs 2 and 3 tie on token count; lowest id wins
         assert r["kept_doc"] == 2
+
+
+class TestDecontamination:
+    def test_flags_only_docs_sharing_eval_ngrams(self, spark):
+        eval_docs = spark.createDataFrame(
+            [(100, "the quick brown fox jumps over the lazy dog")], ["doc_id", "text"]
+        )
+        train = spark.createDataFrame(
+            [
+                (1, "we saw the quick brown fox yesterday"),   # shares "the quick brown"
+                (2, "completely unrelated text about spark engines"),
+                (3, "jumps over the lazy dog again and again"),  # shares two 3-grams
+            ],
+            ["doc_id", "text"],
+        )
+        out = {
+            r["doc_id"]: r["n_shared_ngrams"]
+            for r in C.ngram_contamination(train, eval_docs, k=3).collect()
+        }
+        assert 1 in out and 3 in out and 2 not in out
+        assert out[3] >= 2
+
+    def test_eval_side_is_broadcast(self, spark):
+        eval_docs = spark.createDataFrame([(1, "a b c d")], ["doc_id", "text"])
+        train = spark.createDataFrame([(2, "a b c e")], ["doc_id", "text"])
+        plan = (
+            C.ngram_contamination(train, eval_docs, k=3)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BroadcastHashJoin" in plan
+
+    def test_within_doc_repeat_counts_once(self, spark):
+        eval_docs = spark.createDataFrame([(1, "x y z")], ["doc_id", "text"])
+        train = spark.createDataFrame([(2, " ".join(["x y z"] * 30))], ["doc_id", "text"])
+        out = C.ngram_contamination(train, eval_docs, k=3).collect()
+        # per-doc distinct before the probe: the repeated shingle counts once
+        assert len(out) == 1 and out[0]["n_shared_ngrams"] == 1
+
+
+class TestRepetitionStats:
+    def test_fractions_on_known_doc(self, spark):
+        # "a b a b a" -> bigrams: "a b","b a","a b","b a" = 4 total, 2 distinct
+        df = spark.createDataFrame([(1, "a b a b a")], ["doc_id", "text"])
+        r = C.bigram_repetition_stats(df).first()
+        assert r["total_bigrams"] == 4
+        assert r["top_bigram_frac"] == 0.5
+        assert r["dup_bigram_frac"] == 0.5
+
+    def test_unique_doc_has_zero_dup(self, spark):
+        df = spark.createDataFrame([(1, "one two three four")], ["doc_id", "text"])
+        r = C.bigram_repetition_stats(df).first()
+        assert r["dup_bigram_frac"] == 0.0
+        assert r["total_bigrams"] == 3
+
+    def test_short_docs_dropped(self, spark):
+        # zero/one-token docs have no bigram rows at all
+        df = spark.createDataFrame([(1, "single"), (2, "")], ["doc_id", "text"])
+        assert C.bigram_repetition_stats(df).count() == 0
+
+
+class TestHashSplit:
+    def test_assignment_is_deterministic_and_complete(self, spark):
+        df = spark.range(0, 1000).select(F.col("id").alias("doc_id"))
+        out = C.hash_split(df)
+        a = {r["doc_id"]: (r["bucket"], r["split"]) for r in out.collect()}
+        b = {r["doc_id"]: (r["bucket"], r["split"]) for r in out.collect()}
+        assert a == b
+        assert all(0 <= v[0] < 256 for v in a.values())
+
+    def test_fractions_roughly_honored(self, spark):
+        df = spark.range(0, 4000).select(F.col("id").alias("doc_id"))
+        counts = {
+            r["split"]: r["n"]
+            for r in C.hash_split(df).groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        total = sum(counts.values())
+        assert total == 4000
+        assert counts["train"] / total > 0.9
+        assert 0 < counts["val"] / total < 0.06
+        assert 0 < counts["test"] / total < 0.06
+
+    def test_split_stable_under_repartition(self, spark):
+        df = spark.range(0, 500).select(F.col("id").alias("doc_id"))
+        one = {r["doc_id"]: r["split"] for r in C.hash_split(df).collect()}
+        two = {
+            r["doc_id"]: r["split"]
+            for r in C.hash_split(df.repartition(13)).collect()
+        }
+        assert one == two
