@@ -446,6 +446,40 @@ def hash_split(
     return df.withColumn("bucket", b).withColumn("split", split)
 
 
+def cap_per_group(
+    df: DataFrame,
+    group_cols: list[str] | str,
+    k: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep at most ``k`` rows per group, chosen by stable md5-hash rank.
+
+    The corpus-balancing quota op (cap documents per domain/language so
+    one crawl source can't dominate the training mix). Hash rank — not
+    rand() — so the same rows survive every rerun, any partitioning, and
+    incremental re-processing; md5 so the DuckDB oracle reproduces the
+    exact survivor set.
+
+    100 TB shape: one shuffle on the group key, then a per-partition
+    window rank that never materializes the global sort. A dominant
+    group (English is most of a web corpus) makes this window skewed;
+    AQE splits oversized partitions, and because the rank source is a
+    UNIFORM hash, a two-pass refinement (pre-filter on the hash prefix
+    to ~2k/|G| of each big group, then exact rank) bounds the skew when
+    k << |G| — at that selectivity the pre-filter is a map-only pass
+    and the window sees only the survivors.
+    """
+    keys = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    w = Window.partitionBy(*keys).orderBy(
+        F.md5(F.col(id_col).cast("string")).asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= k)
+        .drop("__rk")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Keep-best-representative dedup
 # ---------------------------------------------------------------------------

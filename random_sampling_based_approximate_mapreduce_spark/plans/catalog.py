@@ -2110,6 +2110,29 @@ def q_doc_repetition(spark, sf_dir):
     return C.bigram_repetition_stats(docs)
 
 
+@register(
+    "docs_cap_per_lang",
+    """
+    SELECT lang, doc_id, n_chars FROM (
+      SELECT lang, doc_id, n_chars,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS rk
+      FROM documents)
+    WHERE rk <= 40
+    """,
+    doc="Corpus balancing quota: keep at most 40 docs per language by "
+    "STABLE md5-hash rank (same survivors under any partitioning or "
+    "rerun — no RNG). One shuffle on the group key + per-partition "
+    "window rank; dominant-group skew is AQE-split, and the uniform "
+    "hash admits a map-only prefix pre-filter when k << group size",
+)
+def q_docs_cap_per_lang(spark, sf_dir):
+    from ..operators import corpus as C
+
+    docs = load(spark, sf_dir, "documents").select("lang", "doc_id", "n_chars")
+    return C.cap_per_group(docs, "lang", k=40)
+
+
 def _dataset_split_sql() -> str:
     from ..operators.corpus import md5_bucket_sql
 
@@ -2176,6 +2199,7 @@ _CHECK_PRIORITY = [
     "decontaminate_ngrams",
     "doc_repetition",
     "dataset_split_md5",
+    "docs_cap_per_lang",
     # events-table queries unblocked by the nanosAsLong load fix
     "log_hack",
     "log_host",

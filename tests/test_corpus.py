@@ -243,3 +243,24 @@ class TestHashSplit:
             for r in C.hash_split(df.repartition(13)).collect()
         }
         assert one == two
+
+
+class TestCapPerGroup:
+    def test_caps_and_is_stable(self, spark):
+        rows = [(i, "en" if i < 80 else "fr") for i in range(100)]
+        df = spark.createDataFrame(rows, ["doc_id", "lang"])
+        out = C.cap_per_group(df, "lang", k=10)
+        by = (
+            out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+        )
+        assert {r["lang"]: r["n"] for r in by} == {"en": 10, "fr": 10}
+        # survivors identical under a different partitioning
+        a = sorted(r["doc_id"] for r in out.collect())
+        b = sorted(
+            r["doc_id"] for r in C.cap_per_group(df.repartition(17), "lang", k=10).collect()
+        )
+        assert a == b
+
+    def test_small_groups_untouched(self, spark):
+        df = spark.createDataFrame([(1, "a"), (2, "a"), (3, "b")], ["doc_id", "lang"])
+        assert C.cap_per_group(df, "lang", k=5).count() == 3
