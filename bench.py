@@ -56,6 +56,15 @@ BENCH_QUERIES = [
     "order_price_quantiles",
     "knn_ivf",
     "training_pipeline",
+    # corpus-preparation family
+    "pii_redaction",
+    "heavy_hitter_tokens",
+    "sequence_packing",
+    "dedup_keep_best",
+    "decontaminate_ngrams",
+    "doc_repetition",
+    "dataset_split_md5",
+    "docs_cap_per_lang",
     # the scale-correct LSH->verify->CC composition is the headline
     # clustering number; the all-pairs forms (dedup_clusters,
     # dedup_embedding) stay in the catalog as oracle-only baselines.

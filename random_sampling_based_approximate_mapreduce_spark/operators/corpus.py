@@ -323,14 +323,22 @@ def ngram_contamination(
     before the explode, so a gram repeated within one doc contributes
     one probe.
     """
+    # explode_outer + isNotNull, NOT plain explode: InferFiltersFromGenerate
+    # turns explode(expensive_expr) into a pushed size(expensive_expr) > 0
+    # filter that re-evaluates the whole tokenize->shingle chain per row
+    # (measured 14x on this query: 32.9s -> 2.3s at sf0.1; same trap
+    # documented at operators/dedup.minhash_signatures).
     eval_grams = (
         T.with_word_shingles(eval_docs.select(text_col), text_col, k)
-        .select(F.explode("shingles").alias("ngram"))
+        .select(F.explode_outer("shingles").alias("ngram"))
+        .where(F.col("ngram").isNotNull())
         .distinct()
     )
-    train_grams = T.with_word_shingles(
-        train.select(id_col, text_col), text_col, k
-    ).select(id_col, F.explode("shingles").alias("ngram"))
+    train_grams = (
+        T.with_word_shingles(train.select(id_col, text_col), text_col, k)
+        .select(id_col, F.explode_outer("shingles").alias("ngram"))
+        .where(F.col("ngram").isNotNull())
+    )
     hits = train_grams.join(F.broadcast(eval_grams), "ngram")
     return hits.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shared_ngrams"))
 
