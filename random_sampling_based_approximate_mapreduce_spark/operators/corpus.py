@@ -284,8 +284,16 @@ def boilerplate_ngrams(
     by (docs x distinct-shingles-per-doc) at 100 TB.  Output is capped at
     ``top`` rows via TakeOrderedAndProject.
     """
-    sh = docs.select(
-        F.explode(T.word_shingles(F.col(text_col), k)).alias("ngram")
+    # Two-step shingle projection + explode_outer (not an inline
+    # explode(word_shingles(...))): the inline form both re-tokenizes per
+    # shingle (no CSE through lambdas) and lets InferFiltersFromGenerate
+    # push a size(expr) > 0 filter that re-evaluates the chain again —
+    # the two traps documented at functions/text.shingles_from_tokens and
+    # operators/dedup.minhash_signatures.
+    sh = (
+        T.with_word_shingles(docs.select(text_col), text_col, k)
+        .select(F.explode_outer("shingles").alias("ngram"))
+        .where(F.col("ngram").isNotNull())
     )
     counts = sh.groupBy("ngram").agg(F.count(F.lit(1)).alias("doc_freq"))
     return (
@@ -452,6 +460,46 @@ def hash_split(
         .otherwise(F.lit("test"))
     )
     return df.withColumn("bucket", b).withColumn("split", split)
+
+
+def boilerplate_doc_stats(
+    docs: DataFrame,
+    boilerplate: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Per-doc boilerplate load: distinct k-gram count and fraction.
+
+    The removal half of boilerplate cleaning: score every document by
+    how much of it is corpus-level boilerplate (``boilerplate`` is the
+    small gram relation from :func:`boilerplate_ngrams`), then filter at
+    the call site. Returns ``(doc_id, n_grams, n_boiler,
+    boiler_frac)`` over docs that HAVE at least one gram.
+
+    100 TB shape: the boilerplate set is top-N bounded (KBs) — broadcast
+    left join against the per-doc DISTINCT gram explode, one count-agg
+    per doc; the corpus never shuffles on the gram.
+    """
+    sh = (
+        T.with_word_shingles(docs.select(id_col, text_col), text_col, k)
+        .select(id_col, F.explode_outer("shingles").alias("ngram"))
+        .where(F.col("ngram").isNotNull())
+    )
+    marked = sh.join(
+        F.broadcast(boilerplate.select(F.col("ngram"), F.lit(1).alias("__b"))),
+        "ngram",
+        "left",
+    )
+    return marked.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.sum(F.coalesce(F.col("__b"), F.lit(0))).cast("long").alias("n_boiler"),
+        F.round(
+            F.sum(F.coalesce(F.col("__b"), F.lit(0))).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("boiler_frac"),
+    )
 
 
 def cap_per_group(

@@ -662,6 +662,38 @@ def q_skewed_events_salted_join(spark, sf_dir):
 
 
 @register(
+    "skewed_events_suggested_salts",
+    f"""
+    SELECT c.c_mktsegment, count(*)::BIGINT AS n_events,
+           CAST(sum(CAST(e.value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+    FROM (SELECT {_SKEW_USER_SQL} AS skew_user, value FROM events) e
+    JOIN customer c ON e.skew_user = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+    doc="The salted join again, but n_salts is chosen by "
+    "skew.suggest_n_salts from the OBSERVED hottest-key share (seeded "
+    "sample + ceil(hot_share x shuffle_partitions)) instead of a "
+    "caller-picked constant — the auto-tuned form a 100 TB job wants. "
+    "The oracle is the plain join: whatever n the probe picks, salting "
+    "is semantics-preserving, so correctness never depends on the "
+    "suggestion",
+)
+def q_skewed_events_suggested_salts(spark, sf_dir):
+    from ..operators.skew import salted_join, suggest_n_salts
+
+    ev = load(spark, sf_dir, "events").select(_skew_user(), "value")
+    dim = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("skew_user"), "c_mktsegment"
+    )
+    n = suggest_n_salts(ev, "skew_user", sample_ratio=0.1)
+    joined = salted_join(ev, dim, "skew_user", n_salts=n)
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(_dec("value")).cast("double").alias("total_value"),
+    )
+
+
+@register(
     "skewed_events_two_phase",
     f"""
     SELECT skew_user, count(*)::BIGINT AS n_events,
@@ -2111,6 +2143,41 @@ def q_doc_repetition(spark, sf_dir):
 
 
 @register(
+    "boilerplate_strip",
+    f"""
+    WITH w AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '{_WORD_SPLIT_SQL}'),
+                                          t -> len(t) > 0) AS w
+               FROM documents),
+    g AS (SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(w) - 2),
+                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS ngram
+          FROM w),
+    b AS (SELECT ngram FROM (SELECT ngram, count(*) AS doc_freq FROM g
+                             GROUP BY ngram HAVING count(*) >= 4
+                             ORDER BY doc_freq DESC, ngram ASC LIMIT 100)),
+    s AS (SELECT g.doc_id, count(*) AS n_grams,
+                 sum(CASE WHEN b.ngram IS NOT NULL THEN 1 ELSE 0 END) AS n_boiler
+          FROM g LEFT JOIN b USING (ngram) GROUP BY g.doc_id)
+    SELECT doc_id::BIGINT AS doc_id, n_grams::BIGINT AS n_grams,
+           n_boiler::BIGINT AS n_boiler,
+           round(CAST(n_boiler AS DOUBLE) / CAST(n_grams AS DOUBLE), 6) AS boiler_frac
+    FROM s WHERE n_boiler > 0
+    """,
+    doc="End-to-end boilerplate cleaning: detect corpus-level boilerplate "
+    "grams (doc_freq >= 4, top-100) then score every document's "
+    "boilerplate fraction via a BROADCAST left join against the per-doc "
+    "distinct gram explode — the corpus never shuffles on the gram; "
+    "filter at boiler_frac to strip. Composes boilerplate_ngrams with "
+    "the decontamination probe shape",
+)
+def q_boilerplate_strip(spark, sf_dir):
+    from ..operators import corpus as C
+
+    docs = ensure_parallelism(load(spark, sf_dir, "documents").select("doc_id", "text"))
+    boiler = C.boilerplate_ngrams(docs, "text", k=3, min_doc_freq=4, top=100)
+    return C.boilerplate_doc_stats(docs, boiler, k=3).where(F.col("n_boiler") > 0)
+
+
+@register(
     "docs_cap_per_lang",
     """
     SELECT lang, doc_id, n_chars FROM (
@@ -2200,6 +2267,8 @@ _CHECK_PRIORITY = [
     "doc_repetition",
     "dataset_split_md5",
     "docs_cap_per_lang",
+    "boilerplate_strip",
+    "skewed_events_suggested_salts",
     # events-table queries unblocked by the nanosAsLong load fix
     "log_hack",
     "log_host",

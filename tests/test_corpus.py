@@ -264,3 +264,26 @@ class TestCapPerGroup:
     def test_small_groups_untouched(self, spark):
         df = spark.createDataFrame([(1, "a"), (2, "a"), (3, "b")], ["doc_id", "lang"])
         assert C.cap_per_group(df, "lang", k=5).count() == 3
+
+
+class TestBoilerplateStrip:
+    def test_scores_boilerplate_fraction(self, spark):
+        footer = "all rights reserved worldwide"
+        rows = [(i, f"unique words number {i} alpha beta {footer}") for i in range(8)]
+        rows.append((99, "completely original content with no shared template"))
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        boiler = C.boilerplate_ngrams(df, "text", k=3, min_doc_freq=5, top=50)
+        out = {r["doc_id"]: r for r in C.boilerplate_doc_stats(df, boiler, k=3).collect()}
+        assert out[99]["n_boiler"] == 0
+        for i in range(8):
+            assert out[i]["n_boiler"] >= 2  # the footer's 3-grams
+            assert 0 < out[i]["boiler_frac"] < 1
+
+    def test_boilerplate_join_is_broadcast(self, spark):
+        df = spark.createDataFrame([(1, "a b c d e")], ["doc_id", "text"])
+        boiler = C.boilerplate_ngrams(df, "text", k=3, min_doc_freq=1, top=10)
+        plan = (
+            C.boilerplate_doc_stats(df, boiler, k=3)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BroadcastHashJoin" in plan
