@@ -2200,6 +2200,55 @@ def q_docs_cap_per_lang(spark, sf_dir):
     return C.cap_per_group(docs, "lang", k=40)
 
 
+def _zorder_sql() -> str:
+    from ..functions.zorder import z_value_sql
+
+    z = z_value_sql("(user_id % 65536)", "((floor(epoch(ts))::BIGINT // 60) % 65536)", 16)
+    return f"""
+    WITH z AS (SELECT user_id, (floor(epoch(ts))::BIGINT // 60) AS minute, {z} AS zval
+               FROM events)
+    SELECT (zval >> 24)::BIGINT AS z_bucket, count(*)::BIGINT AS cnt,
+           min(user_id)::BIGINT AS min_user, max(user_id)::BIGINT AS max_user,
+           min(minute)::BIGINT AS min_minute, max(minute)::BIGINT AS max_minute
+    FROM z GROUP BY 1
+    """
+
+
+@register(
+    "events_zorder_buckets",
+    _zorder_sql(),
+    doc="Z-order (Morton) layout key over (user_id, event minute): "
+    "interleaved bits give min/max file pruning on BOTH dimensions when "
+    "the table is range-written by zval — the lakehouse layout for "
+    "filter-on-either workloads. Pure codegen bit chain (no UDF), "
+    "deterministic, so the bucket ranges are value-oracled; the "
+    "min/max per bucket IS the pruning rectangle a writer would get",
+)
+def q_events_zorder_buckets(spark, sf_dir):
+    from ..functions.zorder import z_value
+
+    e = load(spark, sf_dir, "events").select(
+        "user_id",
+        (F.unix_timestamp("ts") / F.lit(60)).cast("long").alias("minute"),
+    )
+    z = z_value(
+        F.pmod(F.col("user_id"), F.lit(65536)),
+        F.pmod(F.col("minute"), F.lit(65536)),
+        16,
+    )
+    return (
+        e.withColumn("zval", z)
+        .groupBy(F.shiftright("zval", 24).cast("long").alias("z_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min("user_id").alias("min_user"),
+            F.max("user_id").alias("max_user"),
+            F.min("minute").alias("min_minute"),
+            F.max("minute").alias("max_minute"),
+        )
+    )
+
+
 def _dataset_split_sql() -> str:
     from ..operators.corpus import md5_bucket_sql
 
@@ -2269,6 +2318,7 @@ _CHECK_PRIORITY = [
     "docs_cap_per_lang",
     "boilerplate_strip",
     "skewed_events_suggested_salts",
+    "events_zorder_buckets",
     # events-table queries unblocked by the nanosAsLong load fix
     "log_hack",
     "log_host",

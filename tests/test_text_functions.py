@@ -82,3 +82,45 @@ class TestNormalizeLineP1:
             "i", "j", "k", "l", "m", "n", "o", "p", "q", "r", "s", "t", "u",
             "v", "w", "x", "y", "z", "aa", "bb", "cc", "dd",
         ]
+
+
+class TestZOrder:
+    def test_zvalue_matches_reference_bit_interleave(self, spark):
+        from pyspark.sql import functions as F
+
+        from random_sampling_based_approximate_mapreduce_spark.functions.zorder import z_value
+
+        def ref(a, b, bits=16):
+            z = 0
+            for i in range(bits):
+                z |= ((a >> i) & 1) << (2 * i)
+                z |= ((b >> i) & 1) << (2 * i + 1)
+            return z
+
+        rows = [(a, b) for a in (0, 1, 5, 255, 65535) for b in (0, 3, 128, 65535)]
+        df = spark.createDataFrame(rows, ["a", "b"])
+        got = df.select("a", "b", z_value(F.col("a"), F.col("b"), 16).alias("z")).collect()
+        for r in got:
+            assert r["z"] == ref(r["a"], r["b"]), (r["a"], r["b"])
+
+    def test_zvalue_locality(self, spark):
+        # nearby (a, b) points share high-order z bits: both dims bounded
+        # inside a bucket — the property that makes min/max pruning work
+        from pyspark.sql import functions as F
+
+        from random_sampling_based_approximate_mapreduce_spark.functions.zorder import z_value
+
+        df = spark.range(0, 4096).select(
+            (F.col("id") % 64).alias("a"), (F.col("id") / 64).cast("long").alias("b")
+        )
+        out = (
+            df.withColumn("z", z_value(F.col("a"), F.col("b"), 16))
+            .groupBy(F.shiftright("z", 6).alias("bucket"))
+            .agg(
+                (F.max("a") - F.min("a")).alias("spread_a"),
+                (F.max("b") - F.min("b")).alias("spread_b"),
+            )
+            .collect()
+        )
+        # each 64-point z-bucket spans at most 8 in each dimension
+        assert all(r["spread_a"] <= 8 and r["spread_b"] <= 8 for r in out)
