@@ -87,6 +87,11 @@ def _ensure_layout(src: str, write_fn) -> str:
 
 _WORD_SPLIT_SQL = "[^a-z0-9'']+"
 
+_TOKEN_COUNT_SQL = (
+    r"CASE WHEN length(trim(text)) = 0 THEN 0 "
+    r"ELSE len(string_split_regex(trim(text), '\s+')) END"
+)
+
 
 @register(
     "word_count",
@@ -1209,6 +1214,86 @@ def q_exact_k_event_sample(spark, sf_dir):
 
 
 @register(
+    "events_props_json",
+    """
+    SELECT (CAST(json_extract_string(props, '$.k') AS BIGINT) % 10) AS k_bucket,
+           count(*)::BIGINT AS cnt,
+           min(CAST(json_extract_string(props, '$.k') AS BIGINT))::BIGINT AS min_k,
+           max(CAST(json_extract_string(props, '$.k') AS BIGINT))::BIGINT AS max_k,
+           CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+    FROM events
+    WHERE json_extract_string(props, '$.k') IS NOT NULL
+    GROUP BY 1
+    """,
+    doc="Schema-on-read over the events.props JSON column: "
+    "get_json_object extraction (JVM-side JSON path, no UDF) feeding a "
+    "grouped aggregate. At 100 TB prefer from_json with an explicit "
+    "schema once the shape is known (single parse, columnar after), but "
+    "path extraction is the exploratory first pass; decimal value sums "
+    "keep the oracle hash-stable",
+)
+def q_events_props_json(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        e.where(k.isNotNull())
+        .groupBy(F.pmod(k, F.lit(10)).alias("k_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min(k).alias("min_k"),
+            F.max(k).alias("max_k"),
+            F.sum(_dec("value")).cast("double").alias("total_value"),
+        )
+    )
+
+
+def _weighted_sample_oracle() -> str:
+    from ..sampling.deterministic import weighted_bernoulli_sql
+
+    mean_sql = (
+        "CAST((SELECT sum(n_chars) FROM documents) AS DOUBLE)"
+        " / (SELECT count(*) FROM documents)"
+    )
+    pi, keep = weighted_bernoulli_sql("doc_id", "n_chars", 0.2, mean_sql, seed=11)
+    return f"""
+    SELECT doc_id::BIGINT AS doc_id, n_chars::BIGINT AS n_chars,
+           round({pi}, 9) AS pi,
+           round(({_TOKEN_COUNT_SQL}) / {pi}, 4) AS ht_tokens
+    FROM documents WHERE {keep}
+    """
+
+
+@register(
+    "weighted_sampled_tokens",
+    _weighted_sample_oracle(),
+    doc="Size-biased AQP: deterministic Poisson sample with inclusion "
+    "prob ∝ n_chars (a CHEAP scan column), Horvitz-Thompson terms "
+    "tokens/pi for the EXPENSIVE tokenization computed only on sampled "
+    "rows — big docs carry most of the token mass, so weighting cuts "
+    "estimator variance at equal sample cost. Hash-deterministic, so "
+    "sample membership, pi, and every HT term value-check against the "
+    "oracle (mean weight from exact integer sums on both sides)",
+)
+def q_weighted_sampled_tokens(spark, sf_dir):
+    from ..sampling.deterministic import weighted_bernoulli
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
+    tot = docs.agg(
+        F.sum("n_chars").alias("s"), F.count(F.lit(1)).alias("c")
+    ).first()
+    mean_w = tot["s"] / tot["c"]
+    sampled = weighted_bernoulli(docs, "doc_id", "n_chars", 0.2, mean_w, seed=11)
+    return sampled.select(
+        "doc_id",
+        "n_chars",
+        F.round(F.col("__pi"), 9).alias("pi"),
+        F.round(
+            T.token_count(F.col("text")).cast("double") / F.col("__pi"), 4
+        ).alias("ht_tokens"),
+    )
+
+
+@register(
     "stratified_events_by_type",
     None,
     doc="Stratified Bernoulli sampling (sampleBy): rare strata kept at high "
@@ -1917,12 +2002,6 @@ def q_streaming_ivf_cells(spark, sf_dir):
 #     hitters, sequence packing, boilerplate detection, keep-best dedup)
 # ===========================================================================
 
-_TOKEN_COUNT_SQL = (
-    r"CASE WHEN length(trim(text)) = 0 THEN 0 "
-    r"ELSE len(string_split_regex(trim(text), '\s+')) END"
-)
-
-
 def _pii_redaction_sql() -> str:
     from ..operators.corpus import EMAIL_RE, PHONE_RE, SSN_RE, inject_pii_sql
 
@@ -2319,6 +2398,8 @@ _CHECK_PRIORITY = [
     "boilerplate_strip",
     "skewed_events_suggested_salts",
     "events_zorder_buckets",
+    "events_props_json",
+    "weighted_sampled_tokens",
     # events-table queries unblocked by the nanosAsLong load fix
     "log_hack",
     "log_host",

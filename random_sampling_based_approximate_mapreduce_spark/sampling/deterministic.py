@@ -48,6 +48,56 @@ def hash_bernoulli_sql(key_expr: str, ratio: float, seed: int = 42) -> str:
     return f"(({_priority_sql(key_expr, seed)}) % {_BUCKETS}) < {int(ratio * _BUCKETS)}"
 
 
+def weighted_bernoulli(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    target_ratio: float,
+    mean_weight: float,
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic Poisson sampling with inclusion prob ∝ weight.
+
+    π_i = min(1, target_ratio · w_i / mean_w); row kept iff its hash
+    uniform u_i < π_i. Returns the sampled rows with a ``__pi`` column —
+    the Horvitz–Thompson estimator of any total is Σ x_i / π_i, unbiased
+    for ANY weight choice, and weighting by a cheap scan column (bytes,
+    n_chars) before an EXPENSIVE per-row computation concentrates the
+    sample where the mass is (size-biased AQP: big docs carry most of
+    the token total, so sampling them preferentially cuts variance at
+    equal cost).
+
+    ``mean_weight`` is passed in (one cheap scan-column agg, or a
+    catalog statistic at cluster scale) so this stays a single map-only
+    pass; hash-determinism makes the SAMPLE ITSELF value-checkable
+    against the SQL oracle, per the module contract.
+    """
+    u = F.pmod(_priority(F.col(key_col), seed), F.lit(_BUCKETS)).cast(
+        "double"
+    ) / F.lit(float(_BUCKETS))
+    pi = F.least(
+        F.lit(1.0),
+        F.lit(target_ratio) * F.col(weight_col).cast("double") / F.lit(float(mean_weight)),
+    )
+    return df.withColumn("__pi", pi).where(u < F.col("__pi"))
+
+
+def weighted_bernoulli_sql(
+    key_expr: str,
+    weight_expr: str,
+    target_ratio: float,
+    mean_weight_sql: str,
+    seed: int = 42,
+) -> tuple[str, str]:
+    """DuckDB mirror: (pi_expr, keep_predicate) for the same sample."""
+    pi = (
+        f"least(1.0, {target_ratio} * CAST({weight_expr} AS DOUBLE) / "
+        f"CAST(({mean_weight_sql}) AS DOUBLE))"
+    )
+    u = f"(CAST(({_priority_sql(key_expr, seed)}) % {_BUCKETS} AS DOUBLE) / {float(_BUCKETS)})"
+    return pi, f"({u} < {pi})"
+
+
 def exact_k_sample(df: DataFrame, key_col: str, k: int, seed: int = 42) -> DataFrame:
     """Exactly-k uniform sample: k smallest hash priorities (ties by key).
 
