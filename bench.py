@@ -65,6 +65,7 @@ BENCH_QUERIES = [
     "doc_repetition",
     "dataset_split_md5",
     "docs_cap_per_lang",
+    "corpus_pipeline_full",
     # the scale-correct LSH->verify->CC composition is the headline
     # clustering number; the all-pairs forms (dedup_clusters,
     # dedup_embedding) stay in the catalog as oracle-only baselines.

@@ -2357,6 +2357,79 @@ def q_dataset_split_md5(spark, sf_dir):
     return C.hash_split(docs).select("doc_id", "bucket", "split")
 
 
+def _corpus_pipeline_full_sql() -> str:
+    from ..functions.hashing import hash64_sql
+    from ..operators.corpus import md5_bucket_sql
+
+    bucket = md5_bucket_sql("doc_id")
+    norm = r"trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))"
+    fp = hash64_sql(f"substr({norm}, 1, 120)")
+    return f"""
+    WITH w AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '{_WORD_SPLIT_SQL}'),
+                                          t -> len(t) > 0) AS w
+               FROM documents),
+    g AS (SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(w) - 2),
+                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS ngram
+          FROM w),
+    e AS (SELECT DISTINCT ngram FROM g WHERE doc_id % 37 = 0),
+    tr AS (SELECT doc_id, text, lang, n_chars FROM documents
+           WHERE {bucket} < 244 AND doc_id % 37 <> 0),
+    contaminated AS (SELECT DISTINCT g.doc_id FROM g JOIN e USING (ngram)
+                     JOIN tr ON g.doc_id = tr.doc_id),
+    clean AS (SELECT * FROM tr WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+    f AS (SELECT doc_id, lang, n_chars, {fp} AS fp, {_TOKEN_COUNT_SQL} AS q FROM clean),
+    kept AS (SELECT arg_max(doc_id, q * 4294967296 - doc_id) AS doc_id
+             FROM f GROUP BY fp),
+    kd AS (SELECT f.* FROM f JOIN kept USING (doc_id)),
+    capped AS (SELECT * FROM (
+        SELECT kd.*, row_number() OVER (PARTITION BY lang
+            ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS rk
+        FROM kd) WHERE rk <= 40)
+    SELECT lang, count(*)::BIGINT AS n_docs, sum(q)::BIGINT AS total_tokens,
+           sum(n_chars)::BIGINT AS total_chars
+    FROM capped GROUP BY lang
+    """
+
+
+@register(
+    "corpus_pipeline_full",
+    _corpus_pipeline_full_sql(),
+    doc="Flagship end-to-end corpus preparation: md5 train split -> drop "
+    "the eval slice and every train doc sharing a 3-gram with it "
+    "(broadcast decontamination) -> keep-best prefix-fingerprint dedup "
+    "(one shuffle, scalar-ranked max_by) -> per-language quota cap "
+    "(stable hash rank) -> per-language token/char totals. Every stage "
+    "is deterministic, so the ENTIRE five-stage pipeline value-checks "
+    "against one SQL mirror — the composition a 100 TB training-data "
+    "job runs, with shuffles only on fp and lang (both post-filter)",
+)
+def q_corpus_pipeline_full(spark, sf_dir):
+    from ..operators import corpus as C
+
+    docs = ensure_parallelism(
+        load(spark, sf_dir, "documents").select("doc_id", "text", "lang", "n_chars")
+    )
+    eval_docs = docs.where(F.col("doc_id") % 37 == 0)
+    train = (
+        C.hash_split(docs)
+        .where(F.col("split") == "train")
+        .where(F.col("doc_id") % 37 != 0)
+        .drop("bucket", "split")
+    )
+    cont = C.ngram_contamination(train, eval_docs, k=3).select("doc_id")
+    clean = train.join(cont, "doc_id", "left_anti")
+    kept = C.keep_best_by_fingerprint(clean).select(
+        F.col("kept_doc").alias("doc_id")
+    )
+    clean_kept = clean.join(kept, "doc_id", "left_semi")
+    capped = C.cap_per_group(clean_kept, "lang", k=40)
+    return capped.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(T.token_count(F.col("text"))).alias("total_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
 # ===========================================================================
 # Entry-point helpers
 # ===========================================================================
@@ -2400,6 +2473,7 @@ _CHECK_PRIORITY = [
     "events_zorder_buckets",
     "events_props_json",
     "weighted_sampled_tokens",
+    "corpus_pipeline_full",
     # events-table queries unblocked by the nanosAsLong load fix
     "log_hack",
     "log_host",
