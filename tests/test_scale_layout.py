@@ -144,3 +144,88 @@ class TestRelationalPlanShapes:
         plan = qe.executedPlan().toString()
         assert "Expand" in plan
         assert plan.count("Scan parquet") == 1 or plan.count("FileScan") == 1
+
+
+class TestZOrderLayout:
+    def test_zorder_write_prunes_on_both_dims(self, spark, sf_dir, tmp_path_factory):
+        """Range-write by the Morton key, then check per-file min/max
+        footers: a z-ordered layout bounds BOTH dimensions per file, so a
+        filter on EITHER dimension can skip files; a single-column sort
+        only prunes its own column. Each dim is normalized to 8 bits
+        first — Morton pruning needs comparable lane widths (a 16-bit
+        lane interleaved with an 8-bit one is just a sort on the wide
+        lane)."""
+        import glob
+
+        import pyarrow.parquet as pq
+        from pyspark.sql import functions as F
+
+        from random_sampling_based_approximate_mapreduce_spark.functions.zorder import z_value
+        from random_sampling_based_approximate_mapreduce_spark.sources.tables import load
+
+        e = load(spark, sf_dir, "events").select(
+            "user_id",
+            (F.unix_timestamp("ts") / F.lit(60)).cast("long").alias("minute"),
+        )
+        b = e.agg(
+            F.min("user_id"), F.max("user_id"), F.min("minute"), F.max("minute")
+        ).first()
+        u_lo, u_hi, m_lo, m_hi = b
+        # map each dim onto the FULL 0..255 lane: (x - lo) * 256 / span.
+        # A lane that only fills its low bits degenerates the interleave
+        # into a sort on the other dimension.
+        norm = e.select(
+            "user_id",
+            "minute",
+            ((F.col("user_id") - F.lit(u_lo)) * 256 / F.lit(u_hi - u_lo + 1))
+            .cast("long")
+            .alias("ua"),
+            ((F.col("minute") - F.lit(m_lo)) * 256 / F.lit(m_hi - m_lo + 1))
+            .cast("long")
+            .alias("mb"),
+        )
+
+        zdir = str(tmp_path_factory.mktemp("ev_z"))
+        sdir = str(tmp_path_factory.mktemp("ev_s"))
+        # enough files that each covers a fine z-range: with 2^6 files the
+        # top 6 interleaved bits split each dimension into ~8 slices, so a
+        # ~10%-wide filter on either dim can skip most rectangles even
+        # though range-partition boundaries are data quantiles
+        n_files = 64
+        z = norm.withColumn("zval", z_value(F.col("ua"), F.col("mb"), 8))
+        z.repartitionByRange(n_files, "zval").sortWithinPartitions(
+            "zval"
+        ).write.mode("overwrite").parquet(zdir)
+        norm.repartitionByRange(n_files, "user_id").sortWithinPartitions(
+            "user_id"
+        ).write.mode("overwrite").parquet(sdir)
+
+        def file_ranges(d, col):
+            out = []
+            for f in sorted(glob.glob(f"{d}/part-*.parquet")):
+                md = pq.ParquetFile(f).metadata
+                if md.num_rows == 0:
+                    continue
+                idx = {md.schema.column(i).name: i for i in range(md.num_columns)}[col]
+                lo, hi = None, None
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(idx).statistics
+                    lo = st.min if lo is None else min(lo, st.min)
+                    hi = st.max if hi is None else max(hi, st.max)
+                out.append((lo, hi))
+            return out
+
+        def prunable(ranges, q_lo, q_hi):
+            return sum(1 for lo, hi in ranges if hi < q_lo or lo > q_hi) / len(ranges)
+
+        u_mid = (u_lo + u_hi) // 2
+        u_w = max(1, (u_hi - u_lo) // 10)
+        m_mid = (m_lo + m_hi) // 2
+        m_w = max(1, (m_hi - m_lo) // 10)
+        # filter on user_id: the user-sorted layout prunes nearly all
+        # files, the z layout prunes a meaningful fraction
+        assert prunable(file_ranges(sdir, "user_id"), u_mid, u_mid + u_w) >= 0.8
+        assert prunable(file_ranges(zdir, "user_id"), u_mid, u_mid + u_w) >= 0.3
+        # filter on minute: ONLY the z layout can prune at all
+        assert prunable(file_ranges(sdir, "minute"), m_mid, m_mid + m_w) == 0.0
+        assert prunable(file_ranges(zdir, "minute"), m_mid, m_mid + m_w) >= 0.3
