@@ -1,0 +1,70 @@
+"""Data-layout writers: multi-dimensional clustering for scan pruning.
+
+A single-column sort gives min/max file skipping on that column only.
+``write_zordered`` range-writes by a Morton key over two columns so every
+file's footer bounds BOTH dimensions — filters on either column prune
+files/row-groups at the scan (tests/test_scale_layout.py measures the
+footers directly). This is the lakehouse layout move for tables queried
+by more than one predicate column (events by user OR by time).
+
+At 100 TB the min/max normalization pass is a catalog statistic (or one
+cheap column agg); everything else is one range shuffle + a parquet
+write — the same cost as any sorted write.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.zorder import z_value
+
+
+def zorder_key(
+    df: DataFrame, dim_a: str, dim_b: str, bits: int = 12
+) -> DataFrame:
+    """Add a ``__zval`` Morton key over two numeric columns.
+
+    Each dimension is scaled onto its FULL ``bits``-wide lane from its
+    observed min/max (one driver-side agg; pass-through of precomputed
+    stats belongs in the caller's catalog at cluster scale). Comparable
+    lane widths are REQUIRED: an unscaled narrow dimension fills only
+    low bits and the interleave degenerates into a sort on the wide one.
+    """
+    b = df.agg(
+        F.min(dim_a), F.max(dim_a), F.min(dim_b), F.max(dim_b)
+    ).first()
+    a_lo, a_hi, b_lo, b_hi = b
+    lane = 1 << bits
+    a_span = max(1, int(a_hi) - int(a_lo) + 1)
+    b_span = max(1, int(b_hi) - int(b_lo) + 1)
+    ua = ((F.col(dim_a) - F.lit(a_lo)) * lane / F.lit(a_span)).cast("long")
+    ub = ((F.col(dim_b) - F.lit(b_lo)) * lane / F.lit(b_span)).cast("long")
+    return df.withColumn("__zval", z_value(ua, ub, bits))
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    dim_a: str,
+    dim_b: str,
+    bits: int = 12,
+    n_files: int | None = None,
+) -> None:
+    """Range-write ``df`` to parquet clustered by the (dim_a, dim_b)
+    Morton key; drop the key from the stored schema.
+
+    ``n_files`` controls pruning granularity: each output file covers a
+    contiguous z-range, i.e. an approximate rectangle in (a, b) space —
+    more files, finer rectangles, better skipping (and smaller tasks).
+    """
+    spark = df.sparkSession
+    n = n_files or spark.sparkContext.defaultParallelism
+    keyed = zorder_key(df, dim_a, dim_b, bits)
+    (
+        keyed.repartitionByRange(n, "__zval")
+        .sortWithinPartitions("__zval")
+        .drop("__zval")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -160,7 +160,6 @@ class TestZOrderLayout:
         import pyarrow.parquet as pq
         from pyspark.sql import functions as F
 
-        from random_sampling_based_approximate_mapreduce_spark.functions.zorder import z_value
         from random_sampling_based_approximate_mapreduce_spark.sources.tables import load
 
         e = load(spark, sf_dir, "events").select(
@@ -171,19 +170,6 @@ class TestZOrderLayout:
             F.min("user_id"), F.max("user_id"), F.min("minute"), F.max("minute")
         ).first()
         u_lo, u_hi, m_lo, m_hi = b
-        # map each dim onto the FULL 0..255 lane: (x - lo) * 256 / span.
-        # A lane that only fills its low bits degenerates the interleave
-        # into a sort on the other dimension.
-        norm = e.select(
-            "user_id",
-            "minute",
-            ((F.col("user_id") - F.lit(u_lo)) * 256 / F.lit(u_hi - u_lo + 1))
-            .cast("long")
-            .alias("ua"),
-            ((F.col("minute") - F.lit(m_lo)) * 256 / F.lit(m_hi - m_lo + 1))
-            .cast("long")
-            .alias("mb"),
-        )
 
         zdir = str(tmp_path_factory.mktemp("ev_z"))
         sdir = str(tmp_path_factory.mktemp("ev_s"))
@@ -192,11 +178,10 @@ class TestZOrderLayout:
         # ~10%-wide filter on either dim can skip most rectangles even
         # though range-partition boundaries are data quantiles
         n_files = 64
-        z = norm.withColumn("zval", z_value(F.col("ua"), F.col("mb"), 8))
-        z.repartitionByRange(n_files, "zval").sortWithinPartitions(
-            "zval"
-        ).write.mode("overwrite").parquet(zdir)
-        norm.repartitionByRange(n_files, "user_id").sortWithinPartitions(
+        from random_sampling_based_approximate_mapreduce_spark.sources.layout import write_zordered
+
+        write_zordered(e, zdir, "user_id", "minute", bits=8, n_files=n_files)
+        e.repartitionByRange(n_files, "user_id").sortWithinPartitions(
             "user_id"
         ).write.mode("overwrite").parquet(sdir)
 
