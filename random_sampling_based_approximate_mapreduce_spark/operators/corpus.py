@@ -462,6 +462,34 @@ def hash_split(
     return df.withColumn("bucket", b).withColumn("split", split)
 
 
+def dedup_incremental(
+    incoming: DataFrame,
+    existing: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Admit only NOVEL incoming docs against an existing corpus index.
+
+    The daily-crawl pattern: a new batch is deduplicated (a) against the
+    corpus — an anti-join of incoming fingerprints against the existing
+    fingerprint relation — and (b) within itself (keep the lowest id per
+    surviving fingerprint). The full corpus is NEVER re-deduplicated;
+    at 100 TB the existing side is the stored fingerprint INDEX (two
+    longs per doc), so the anti-join shuffles index-sized relations —
+    or broadcasts, when the day's batch is small enough to hash the
+    index against.
+
+    Returns the admitted incoming rows (original columns).
+    """
+    inc_fp = incoming.withColumn("__fp", T.fingerprint(F.col(text_col)))
+    ex_fp = existing.select(T.fingerprint(F.col(text_col)).alias("__fp")).distinct()
+    novel = inc_fp.join(ex_fp, "__fp", "left_anti")
+    best = novel.groupBy("__fp").agg(F.min(id_col).alias(id_col))
+    return (
+        novel.join(best, [id_col], "left_semi").drop("__fp")
+    )
+
+
 def boilerplate_doc_stats(
     docs: DataFrame,
     boilerplate: DataFrame,

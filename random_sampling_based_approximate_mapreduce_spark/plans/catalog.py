@@ -1350,6 +1350,41 @@ def q_dedup_fingerprint(spark, sf_dir):
     )
 
 
+_FP_SQL = (
+    r"(('0x' || substr(md5(trim(regexp_replace(regexp_replace(lower(text), "
+    r"'[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))), 1, 15))::BIGINT)"
+)
+
+
+@register(
+    "dedup_incremental",
+    f"""
+    WITH fpd AS (SELECT doc_id, lang, {_FP_SQL} AS fp FROM documents),
+    ex AS (SELECT DISTINCT fp FROM fpd WHERE doc_id % 5 <> 0),
+    inc AS (SELECT * FROM fpd WHERE doc_id % 5 = 0),
+    novel AS (SELECT * FROM inc WHERE fp NOT IN (SELECT fp FROM ex)),
+    best AS (SELECT min(doc_id) AS doc_id FROM novel GROUP BY fp)
+    SELECT n.doc_id::BIGINT AS doc_id, n.lang
+    FROM novel n JOIN best USING (doc_id)
+    """,
+    doc="Incremental (daily-crawl) dedup: the incoming batch (doc_id % 5 "
+    "= 0 stands in for today's crawl) is anti-joined against the EXISTING "
+    "corpus fingerprint index, then deduped within itself — the full "
+    "corpus is never re-deduplicated. At 100 TB the existing side is the "
+    "stored two-longs-per-doc index, so the anti-join moves index-sized "
+    "data (or broadcasts the day's batch against it)",
+)
+def q_dedup_incremental(spark, sf_dir):
+    from ..operators import corpus as C
+
+    docs = ensure_parallelism(
+        load(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    )
+    incoming = docs.where(F.col("doc_id") % 5 == 0)
+    existing = docs.where(F.col("doc_id") % 5 != 0)
+    return C.dedup_incremental(incoming, existing).select("doc_id", "lang")
+
+
 # ===========================================================================
 # 7. Near-dup dedup: MinHash-LSH, SimHash, exact n-gram Jaccard, embeddings
 # ===========================================================================
@@ -2474,6 +2509,7 @@ _CHECK_PRIORITY = [
     "events_props_json",
     "weighted_sampled_tokens",
     "corpus_pipeline_full",
+    "dedup_incremental",
     # events-table queries unblocked by the nanosAsLong load fix
     "log_hack",
     "log_host",

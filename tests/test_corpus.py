@@ -287,3 +287,24 @@ class TestBoilerplateStrip:
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert "BroadcastHashJoin" in plan
+
+
+class TestIncrementalDedup:
+    def test_admits_only_novel_and_dedups_within_batch(self, spark):
+        existing = spark.createDataFrame(
+            [(1, "already in the corpus"), (2, "another stored document")],
+            ["doc_id", "text"],
+        )
+        incoming = spark.createDataFrame(
+            [
+                (10, "Already, IN the corpus!"),       # dup of corpus (normalized)
+                (11, "a genuinely new document"),
+                (12, "A genuinely NEW document"),      # intra-batch dup of 11
+                (13, "something else entirely"),
+            ],
+            ["doc_id", "text"],
+        )
+        got = sorted(
+            r["doc_id"] for r in C.dedup_incremental(incoming, existing).collect()
+        )
+        assert got == [11, 13]
