@@ -1350,6 +1350,41 @@ def q_dedup_fingerprint(spark, sf_dir):
     )
 
 
+@register(
+    "customer_upsert",
+    """
+    WITH upd AS (
+      SELECT c_custkey, 'UPDATED' AS c_mktsegment FROM customer WHERE c_custkey % 10 = 0
+      UNION ALL
+      SELECT c_custkey + 1000000, 'NEW' FROM customer WHERE c_custkey % 100 = 0)
+    SELECT c_custkey::BIGINT AS c_custkey, c_mktsegment
+    FROM customer WHERE c_custkey NOT IN (SELECT c_custkey FROM upd)
+    UNION ALL
+    SELECT c_custkey::BIGINT, c_mktsegment FROM upd
+    """,
+    doc="SCD-1 upsert on plain parquet (MERGE INTO without a table "
+    "format): updates win per key via one anti-join + union — no "
+    "full-outer join, no per-column coalesce. The update batch "
+    "(deterministic synthetic corrections + inserts) is broadcast-sized, "
+    "so the base never shuffles; pairs with partition-overwrite writes",
+)
+def q_customer_upsert(spark, sf_dir):
+    from ..operators.merge import merge_upsert
+
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    updates = (
+        cust.where(F.col("c_custkey") % 10 == 0)
+        .select("c_custkey", F.lit("UPDATED").alias("c_mktsegment"))
+        .unionByName(
+            cust.where(F.col("c_custkey") % 100 == 0).select(
+                (F.col("c_custkey") + 1000000).alias("c_custkey"),
+                F.lit("NEW").alias("c_mktsegment"),
+            )
+        )
+    )
+    return merge_upsert(cust, updates, "c_custkey")
+
+
 _FP_SQL = (
     r"(('0x' || substr(md5(trim(regexp_replace(regexp_replace(lower(text), "
     r"'[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))), 1, 15))::BIGINT)"
@@ -2510,6 +2545,7 @@ _CHECK_PRIORITY = [
     "weighted_sampled_tokens",
     "corpus_pipeline_full",
     "dedup_incremental",
+    "customer_upsert",
     # events-table queries unblocked by the nanosAsLong load fix
     "log_hack",
     "log_host",
