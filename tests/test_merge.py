@@ -20,6 +20,9 @@ class TestMergeUpsert:
         base = spark.range(0, 10000).select(F.col("id").alias("k"), F.lit("x").alias("v"))
         updates = spark.createDataFrame([(5, "y")], ["k", "v"])
         merged = merge_upsert(base, updates, "k")
-        merged.count()  # run it: AQE converts to broadcast from runtime stats
+        # collect THIS frame (count() builds a different QueryExecution):
+        # AQE replans the anti-join to broadcast from runtime stats
+        merged.collect()
         plan = merged._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
         assert "BroadcastHashJoin" in plan
