@@ -2486,6 +2486,10 @@ def q_corpus_pipeline_full(spark, sf_dir):
         .where(F.col("doc_id") % 37 != 0)
         .drop("bucket", "split")
     )
+    # clean is referenced twice (keep_best input + the semi-join left
+    # side) but needs no checkpoint: the repeated subtrees are identical,
+    # so Spark's ReusedExchange shares them (verified — an explicit
+    # localCheckpoint of the contaminated-id list measured no faster).
     cont = C.ngram_contamination(train, eval_docs, k=3).select("doc_id")
     clean = train.join(cont, "doc_id", "left_anti")
     kept = C.keep_best_by_fingerprint(clean).select(
