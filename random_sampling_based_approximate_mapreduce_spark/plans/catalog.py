@@ -2052,6 +2052,28 @@ def q_streaming_dedup_minhash(spark, sf_dir):
 
 
 @register(
+    "streaming_dedup_incremental",
+    f"""
+    WITH fpd AS (SELECT doc_id, {_FP_SQL} AS fp FROM documents),
+    ex AS (SELECT DISTINCT fp FROM fpd WHERE doc_id % 5 <> 0)
+    SELECT fp, count(*)::BIGINT AS n_incoming
+    FROM fpd WHERE doc_id % 5 = 0 AND fp NOT IN (SELECT fp FROM ex)
+    GROUP BY fp
+    """,
+    doc="Streaming corpus admission: incoming docs stream anti-joined "
+    "against the STATIC fingerprint index (stream-static join — no "
+    "stream-side join state) with an fp-level novel-count rollup. The "
+    "roster is arrival-order independent, so the whole streaming query "
+    "value-checks against the batch SQL oracle; batch twin is "
+    "dedup_incremental",
+)
+def q_streaming_dedup_incremental(spark, sf_dir):
+    from ..streaming.admit_stream import dedup_incremental_stream_run
+
+    return dedup_incremental_stream_run(spark, sf_dir)
+
+
+@register(
     "streaming_ivf_cells",
     None,  # model-state operator: centroids are learned, no static SQL
     # mirror exists; running-mean identity + recall vs batch IVF are
@@ -2539,6 +2561,7 @@ _CHECK_PRIORITY = [
     "streaming_events_hourly",
     "streaming_dedup_minhash",
     "streaming_ivf_cells",
+    "streaming_dedup_incremental",
     # families with no driver row in round 1
     "lang_id_counts",
     "doc_quality",

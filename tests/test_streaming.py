@@ -353,3 +353,42 @@ class TestStreamingIVF:
         e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
         a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
         assert len(e & a) / len(e) >= 0.6
+
+
+class TestStreamAdmission:
+    def test_roster_matches_batch_incremental_dedup(self, spark, sf_dir):
+        """The streaming fp-level admission roster equals the batch
+        dedup_incremental operator's surviving fingerprint set."""
+        from pyspark.sql import functions as F
+
+        from random_sampling_based_approximate_mapreduce_spark.functions.text import fingerprint
+        from random_sampling_based_approximate_mapreduce_spark.operators.corpus import (
+            dedup_incremental,
+        )
+        from random_sampling_based_approximate_mapreduce_spark.sources.tables import load
+        from random_sampling_based_approximate_mapreduce_spark.streaming.admit_stream import (
+            dedup_incremental_stream_run,
+        )
+
+        roster = dedup_incremental_stream_run(spark, sf_dir)
+        got = {(r["fp"], r["n_incoming"]) for r in roster.collect()}
+
+        docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+        incoming = docs.where(F.col("doc_id") % 5 == 0)
+        existing = docs.where(F.col("doc_id") % 5 != 0)
+        admitted = dedup_incremental(incoming, existing)
+        # batch keeps one row per novel fp; recount the incoming batch at
+        # fp level to mirror the roster
+        inc_fp = incoming.withColumn("fp", fingerprint(F.col("text")))
+        expected = {
+            (r["fp"], r["n"])
+            for r in inc_fp.join(
+                admitted.withColumn("fp", fingerprint(F.col("text"))).select("fp"),
+                "fp",
+                "left_semi",
+            )
+            .groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        assert got == expected and len(got) > 0
