@@ -57,27 +57,8 @@ def _dec(col, prec: int = 12, scale: int = 2):
     return F.col(col).cast(f"decimal({prec},{scale})") if isinstance(col, str) else col.cast(f"decimal({prec},{scale})")
 
 
-def _ensure_layout(src: str, write_fn) -> str:
-    """Materialize a deterministic one-time /tmp layout race-safely.
-
-    Concurrent sessions can both decide to build: each writes to a
-    per-PID staging dir, then atomically ``os.rename``s it into place.
-    The loser's rename fails (target exists) and its staging dir is
-    discarded — both sessions then read the winner's identical layout.
-    """
-    import os
-    import shutil
-
-    if os.path.exists(os.path.join(src, "_SUCCESS")):
-        return src
-    staging = f"{src}.staging.{os.getpid()}"
-    shutil.rmtree(staging, ignore_errors=True)
-    write_fn(staging)
-    try:
-        os.rename(staging, src)
-    except OSError:  # another session published first; ours is equivalent
-        shutil.rmtree(staging, ignore_errors=True)
-    return src
+# race-safe one-time /tmp layout materializer (shared with streaming)
+from ..sources.tables import ensure_layout as _ensure_layout  # noqa: E402
 
 
 # ===========================================================================

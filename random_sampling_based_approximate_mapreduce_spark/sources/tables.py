@@ -107,6 +107,29 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
     return df
 
 
+def ensure_layout(src: str, write_fn) -> str:
+    """Materialize a deterministic one-time /tmp layout race-safely.
+
+    Concurrent sessions can both decide to build: each writes to a
+    per-PID staging dir, then atomically ``os.rename``s it into place.
+    The loser's rename fails (target exists) and its staging dir is
+    discarded — both sessions then read the winner's identical layout.
+    """
+    import os
+    import shutil
+
+    if os.path.exists(os.path.join(src, "_SUCCESS")):
+        return src
+    staging = f"{src}.staging.{os.getpid()}"
+    shutil.rmtree(staging, ignore_errors=True)
+    write_fn(staging)
+    try:
+        os.rename(staging, src)
+    except OSError:  # another session published first; ours is equivalent
+        shutil.rmtree(staging, ignore_errors=True)
+    return src
+
+
 def _parse_bytes(v: str) -> int | None:
     """Parse a Spark byte-size conf value ("134217728b", "128m", "1g")."""
     v = v.strip().lower()

@@ -19,7 +19,6 @@ order-dependent and stays rows-only in the batch operator.
 from __future__ import annotations
 
 import hashlib
-import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -30,12 +29,17 @@ from ..sources.tables import load
 
 def _docs_stream_source(spark: SparkSession, sf_dir: str) -> str:
     """Documents table as a parquet dir the file-stream source can read
-    (same one-time /tmp materialization discipline as sampled_stream)."""
+    (race-safe one-time /tmp materialization)."""
+    from ..sources.tables import ensure_layout
+
     key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
     out = f"/tmp/rsmr_docs_stream_src_{key}"
-    if not os.path.exists(os.path.join(out, "_SUCCESS")):
-        load(spark, sf_dir, "documents").write.mode("overwrite").parquet(out)
-    return out
+    return ensure_layout(
+        out,
+        lambda staging: load(spark, sf_dir, "documents")
+        .write.mode("overwrite")
+        .parquet(staging),
+    )
 
 
 def admit_stream(incoming: DataFrame, existing_fp: DataFrame) -> DataFrame:

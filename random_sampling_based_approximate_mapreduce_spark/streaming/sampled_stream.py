@@ -186,11 +186,16 @@ def _stream_source_dir(spark, sf_dir: str) -> str:
 
     from ..sources.tables import load
 
+    from ..sources.tables import ensure_layout
+
     key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
     out = f"/tmp/rsmr_stream_src_{key}"
-    if not os.path.exists(os.path.join(out, "_SUCCESS")):
-        load(spark, sf_dir, "events").write.mode("overwrite").parquet(out)
-    return out
+    return ensure_layout(
+        out,
+        lambda staging: load(spark, sf_dir, "events")
+        .write.mode("overwrite")
+        .parquet(staging),
+    )
 
 
 def running_totals_stateful(
