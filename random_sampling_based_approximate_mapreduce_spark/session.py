@@ -15,7 +15,11 @@ from pyspark.sql import SparkSession
 DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
-def get_spark(app_name: str = "rsmr-spark", master: str | None = None) -> SparkSession:
+def get_spark(
+    app_name: str = "rsmr-spark",
+    master: str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     builder = (
         SparkSession.builder.appName(app_name)
@@ -39,6 +43,8 @@ def get_spark(app_name: str = "rsmr-spark", master: str | None = None) -> SparkS
         # keep managed tables (bucketing tests/queries) out of the repo cwd
         .config("spark.sql.warehouse.dir", "/tmp/rsmr_warehouse")
     )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
     return builder.getOrCreate()
 
 
