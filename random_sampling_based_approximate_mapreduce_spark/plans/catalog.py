@@ -1228,6 +1228,36 @@ def q_events_props_json(spark, sf_dir):
     )
 
 
+@register(
+    "events_props_typed",
+    """
+    SELECT (CAST(json_extract_string(props, '$.k') AS BIGINT) % 7) AS k_mod,
+           count(*)::BIGINT AS cnt,
+           sum(CAST(json_extract_string(props, '$.k') AS BIGINT))::BIGINT AS sum_k
+    FROM events
+    WHERE json_extract_string(props, '$.k') IS NOT NULL
+    GROUP BY 1
+    """,
+    doc="from_json single-parse over events.props with an EXPLICIT schema: "
+    "one JSON parse per row yields a typed struct (columnar afterwards), "
+    "vs get_json_object which re-parses per extracted path — the "
+    "production shape once the payload schema is known. Same oracle "
+    "technique as events_props_json",
+)
+def q_events_props_typed(spark, sf_dir):
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    e = load(spark, sf_dir, "events")
+    schema = StructType([StructField("k", LongType())])
+    parsed = e.select(F.from_json("props", schema).alias("p")).where(
+        F.col("p.k").isNotNull()
+    )
+    return parsed.groupBy(F.pmod(F.col("p.k"), F.lit(7)).alias("k_mod")).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("p.k").alias("sum_k"),
+    )
+
+
 def _weighted_sample_oracle() -> str:
     from ..sampling.deterministic import weighted_bernoulli_sql
 
@@ -2579,6 +2609,7 @@ _CHECK_PRIORITY = [
     "dataset_split_md5",
     "docs_cap_per_lang",
     "events_props_json",
+    "events_props_typed",
     "customer_upsert",
     # previously hash-green representatives of every other family
     "word_count",
