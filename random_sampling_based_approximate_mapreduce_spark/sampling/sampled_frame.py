@@ -89,6 +89,63 @@ class SamplingReport:
         )
 
 
+def report_frame(
+    df: DataFrame,
+    key_col: str,
+    ratio: float,
+    seed: int = 42,
+    confidence: float = 0.95,
+) -> DataFrame:
+    """A4+A5 as ONE distributed aggregation: the reference's report block
+    (RandomSamplingUtil.java:306-328) computed over a hash-deterministic
+    Bernoulli sample, so every field is a pure function of the data.
+
+    One scan -> map-side partial (count, count_if) -> 1-row final:
+
+      total_records    exact population count (replaces the ZK total
+                       merge, RandomSamplingUtil.java:310-315)
+      sampled_records  exact sample count under the md5 acceptance rule
+      designed_ratio   the requested ratio
+      achieved_ratio   sampled/total ("[Actual sample rate]", :320)
+      confidence       config confidence level
+      predicted_error  sqrt(0.25/n) * z * sqrt((N-n)/(N-1)) — the A4
+                       estimator (RandomSamplingUtil.java:376-378) as a
+                       Column expression; z = stats.z_score(confidence)
+                       embedded as a literal (z depends only on config,
+                       never on data), rounded to 12 dp so the double is
+                       engine-stable.
+
+    Unlike ``SampledFrame.report()`` (Observation-based, carries wall
+    clock), every column here is deterministic and therefore value-
+    oracle-able in DuckDB — ``deterministic.hash_bernoulli_sql`` supplies
+    the identical acceptance predicate. tests/test_sampling.py pins this
+    frame's values to the pure-Python ``SamplingReport``/
+    ``stats.achieved_error`` path on the same counts, so the query and
+    the library report can never drift apart.
+    """
+    from .deterministic import _BUCKETS, _priority
+
+    z = stats.z_score(confidence)
+    keep = F.pmod(_priority(F.col(key_col), seed), F.lit(_BUCKETS)) < int(ratio * _BUCKETS)
+    agg = df.agg(
+        F.count(F.lit(1)).alias("total_records"),
+        F.count_if(keep).alias("sampled_records"),
+    )
+    n = F.col("sampled_records").cast("double")
+    big_n = F.col("total_records").cast("double")
+    return agg.select(
+        "total_records",
+        "sampled_records",
+        F.lit(float(ratio)).alias("designed_ratio"),
+        (n / big_n).alias("achieved_ratio"),
+        F.lit(float(confidence)).alias("confidence"),
+        F.round(
+            F.sqrt(F.lit(0.25) / n) * F.lit(z) * F.sqrt((big_n - n) / (big_n - F.lit(1.0))),
+            12,
+        ).alias("predicted_error"),
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     strata_col: str,

@@ -243,3 +243,55 @@ class TestHllSketches:
         assert set(got) == set(exact)
         for day, est in got.items():
             assert abs(est - exact[day]) <= max(1, 0.05 * exact[day]), (day, est, exact[day])
+
+
+class TestReportFrame:
+    """report_frame (the sampling_report driver query) must agree with the
+    pure-Python A4/A5 path (SamplingReport + stats.achieved_error) — the
+    query and the library report can never drift apart."""
+
+    def test_matches_python_report(self, spark, sf_dir):
+        from random_sampling_based_approximate_mapreduce_spark.sampling import stats
+        from random_sampling_based_approximate_mapreduce_spark.sampling.deterministic import (
+            hash_bernoulli,
+        )
+        from random_sampling_based_approximate_mapreduce_spark.sampling.sampled_frame import (
+            SamplingReport,
+            report_frame,
+        )
+        from random_sampling_based_approximate_mapreduce_spark.sources.tables import load
+
+        docs = load(spark, sf_dir, "documents")
+        row = report_frame(docs, "doc_id", ratio=0.1, seed=7, confidence=0.95).collect()[0]
+
+        total = docs.count()
+        sampled = hash_bernoulli(docs, "doc_id", 0.1, seed=7).count()
+        rep = SamplingReport(
+            job_id="t",
+            total_records=total,
+            sampled_records=sampled,
+            designed_ratio=0.1,
+            confidence=0.95,
+            wall_clock_sec=0.0,
+        )
+        assert row["total_records"] == total
+        assert row["sampled_records"] == sampled
+        assert row["designed_ratio"] == rep.designed_ratio
+        assert row["achieved_ratio"] == pytest.approx(rep.actual_ratio, abs=0)
+        assert row["confidence"] == 0.95
+        # the frame rounds to 12 dp; the python path does not
+        assert row["predicted_error"] == pytest.approx(rep.achieved_error, abs=1e-11)
+        assert rep.achieved_error == stats.achieved_error(0.95, sampled, total)
+
+    def test_report_frame_is_single_agg_plan(self, spark, sf_dir):
+        """One scan, partial+final HashAggregate, no extra exchange beyond
+        the 1-row final — the report must stay a single-agg job at 100 TB."""
+        from random_sampling_based_approximate_mapreduce_spark.sampling.sampled_frame import (
+            report_frame,
+        )
+        from random_sampling_based_approximate_mapreduce_spark.sources.tables import load
+
+        df = report_frame(load(spark, sf_dir, "documents"), "doc_id", ratio=0.1, seed=7)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # exactly one exchange: the partial->final single-partition gather
+        assert plan.count("Exchange") == 1, plan
