@@ -53,6 +53,7 @@ BENCH_QUERIES = [
     "streaming_events_hourly",
     "salted_orders_join",
     "skewed_events_salted_join",
+    "bloom_semi_join",
     "order_price_quantiles",
     "knn_ivf",
     "training_pipeline",

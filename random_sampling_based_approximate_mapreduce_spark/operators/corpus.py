@@ -485,8 +485,11 @@ def dedup_incremental(
     ex_fp = existing.select(T.fingerprint(F.col(text_col)).alias("__fp")).distinct()
     novel = inc_fp.join(ex_fp, "__fp", "left_anti")
     best = novel.groupBy("__fp").agg(F.min(id_col).alias(id_col))
+    # semi-join on BOTH (__fp, id): a crawl batch may re-carry an id with
+    # different text (re-crawl) — on id alone, every row sharing a winning
+    # id would survive, one per fingerprint is the contract
     return (
-        novel.join(best, [id_col], "left_semi").drop("__fp")
+        novel.join(best, ["__fp", id_col], "left_semi").drop("__fp")
     )
 
 

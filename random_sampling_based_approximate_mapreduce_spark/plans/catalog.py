@@ -68,6 +68,10 @@ from ..sources.tables import ensure_layout as _ensure_layout  # noqa: E402
 
 _WORD_SPLIT_SQL = "[^a-z0-9'']+"
 
+# cheap built-in tokenize pipelines skip the parallelism shuffle below this
+# input size (measured crossover, sources/tables.ensure_parallelism docstring)
+_CHEAP_PIPE_BYTES = 128 << 20
+
 _TOKEN_COUNT_SQL = (
     r"CASE WHEN length(trim(text)) = 0 THEN 0 "
     r"ELSE len(string_split_regex(trim(text), '\s+')) END"
@@ -90,7 +94,9 @@ _TOKEN_COUNT_SQL = (
     "(RandomizedWordCount.java:30-39)",
 )
 def q_word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = ensure_parallelism(load(spark, sf_dir, "documents").select("text"))
+    docs = ensure_parallelism(
+        load(spark, sf_dir, "documents").select("text"), skip_below_bytes=_CHEAP_PIPE_BYTES
+    )
     kept = T.drop_digit_lines(docs, "text")
     return T.explode_words(kept, "text").groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
 
@@ -106,7 +112,9 @@ def q_word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="P5+G3: per-character counts (RandomizedCharacterCount.java:27-33)",
 )
 def q_char_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = ensure_parallelism(load(spark, sf_dir, "documents").select("text"))
+    docs = ensure_parallelism(
+        load(spark, sf_dir, "documents").select("text"), skip_below_bytes=_CHEAP_PIPE_BYTES
+    )
     return T.explode_chars(docs, "text").groupBy("ch").agg(F.count(F.lit(1)).alias("cnt"))
 
 
@@ -135,7 +143,9 @@ def _ref_delims_sql() -> str:
     "tests/test_text_functions.py",
 )
 def q_word_count_reference_delims(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = ensure_parallelism(load(spark, sf_dir, "documents").select("text"))
+    docs = ensure_parallelism(
+        load(spark, sf_dir, "documents").select("text"), skip_below_bytes=_CHEAP_PIPE_BYTES
+    )
     return (
         T.explode_words_reference(docs, "text")
         .groupBy("word")
@@ -774,6 +784,46 @@ def q_bucketed_orders_join(spark, sf_dir):
 
 
 @register(
+    "bloom_semi_join",
+    """
+    SELECT l.l_linestatus AS l_linestatus,
+           sum(l.l_quantity::BIGINT)::BIGINT AS sum_qty,
+           count(*)::BIGINT AS cnt
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderpriority = '1-URGENT'
+    GROUP BY 1
+    """,
+    doc="Bloom-filter semi-join reduction (operators/bloom.py): the urgent "
+    "orders' DISTINCT md5 key buckets broadcast as a one-hash Bloom "
+    "bitmap relation; lineitem is LEFT-SEMI filtered on the bucket "
+    "INSIDE its scan stage, so non-joining rows never reach the "
+    "l_orderkey exchange (~selectivity-fold fewer shuffle bytes). "
+    "Bucket collisions (false positives) are dropped by the real join "
+    "that follows, so the composition equals the plain join EXACTLY — "
+    "the oracle is the plain-join SQL and correctness never depends on "
+    "the filter. The merge hint pins the big-side shuffle the filter "
+    "exists to shrink (without it the tiny sf dim would broadcast and "
+    "hide the point); tests/test_bloom.py asserts the semi-join sits "
+    "below the exchange in the executed plan",
+)
+def q_bloom_semi_join(spark, sf_dir):
+    from ..operators.bloom import bloom_semi_join
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_linestatus", "l_quantity")
+    urgent = (
+        load(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey")
+    )
+    reduced = bloom_semi_join(li, "l_orderkey", urgent, "o_orderkey")
+    j = reduced.join(urgent.hint("merge"), reduced["l_orderkey"] == urgent["o_orderkey"])
+    return j.groupBy("l_linestatus").agg(
+        F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+
+
+@register(
     "word_count_multifile",
     f"""
     SELECT word, count(*)::BIGINT AS cnt
@@ -1289,18 +1339,22 @@ def q_events_props_json(spark, sf_dir):
 @register(
     "events_props_typed",
     """
-    SELECT (CAST(json_extract_string(props, '$.k') AS BIGINT) % 7) AS k_mod,
+    SELECT (TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) % 7) AS k_mod,
            count(*)::BIGINT AS cnt,
-           sum(CAST(json_extract_string(props, '$.k') AS BIGINT))::BIGINT AS sum_k
+           sum(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT))::BIGINT AS sum_k
     FROM events
-    WHERE json_extract_string(props, '$.k') IS NOT NULL
+    WHERE TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL
     GROUP BY 1
     """,
     doc="from_json single-parse over events.props with an EXPLICIT schema: "
     "one JSON parse per row yields a typed struct (columnar afterwards), "
     "vs get_json_object which re-parses per extracted path — the "
     "production shape once the payload schema is known. Same oracle "
-    "technique as events_props_json",
+    "technique as events_props_json. Data assumption: props.$.k is a bare "
+    "JSON number in the testdata; Spark's from_json(LongType) nulls a "
+    "QUOTED or non-numeric k, so the oracle uses TRY_CAST (nulls too) and "
+    "filters on the cast, keeping both engines on the same null contract "
+    "for malformed k",
 )
 def q_events_props_typed(spark, sf_dir):
     from pyspark.sql.types import LongType, StructField, StructType
@@ -2443,7 +2497,14 @@ def q_docs_cap_per_lang(spark, sf_dir):
 def _zorder_sql() -> str:
     from ..functions.zorder import z_value_sql
 
-    z = z_value_sql("(user_id % 65536)", "((floor(epoch(ts))::BIGINT // 60) % 65536)", 16)
+    # (((x % m) + m) % m) = Spark's F.pmod for any sign of x; bare DuckDB %
+    # follows the dividend's sign and would feed negative lanes into the
+    # bit interleave for pre-1970 timestamps or negative ids
+    z = z_value_sql(
+        "(((user_id % 65536) + 65536) % 65536)",
+        "((((floor(epoch(ts))::BIGINT // 60) % 65536) + 65536) % 65536)",
+        16,
+    )
     return f"""
     WITH z AS (SELECT user_id, (floor(epoch(ts))::BIGINT // 60) AS minute, {z} AS zval
                FROM events)

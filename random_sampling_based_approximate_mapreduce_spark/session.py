@@ -43,6 +43,34 @@ def get_spark(
         # keep managed tables (bucketing tests/queries) out of the repo cwd
         .config("spark.sql.warehouse.dir", "/tmp/rsmr_warehouse")
     )
+    if extra_conf:
+        active = SparkSession.getActiveSession()
+        if active is not None:
+            # getOrCreate() would return the existing session and silently
+            # DROP extra_conf — a measurement script run after another
+            # session would then report numbers under the wrong config.
+            import warnings
+
+            warnings.warn(
+                "get_spark(extra_conf=...) called while a SparkSession is "
+                "already active: extra confs are applied via conf.set where "
+                "runtime-settable, but static confs (memory, master, "
+                "codegen) keep the active session's values. Stop the "
+                "active session first for a clean configuration.",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+            for k, v in extra_conf.items():
+                try:
+                    active.conf.set(k, v)
+                except Exception:
+                    warnings.warn(
+                        f"extra_conf {k!r} is static and was NOT applied to "
+                        "the active session",
+                        RuntimeWarning,
+                        stacklevel=2,
+                    )
+            return active
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

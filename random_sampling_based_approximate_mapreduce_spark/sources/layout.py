@@ -21,20 +21,41 @@ from ..functions.zorder import z_value
 
 
 def zorder_key(
-    df: DataFrame, dim_a: str, dim_b: str, bits: int = 12
+    df: DataFrame,
+    dim_a: str,
+    dim_b: str,
+    bits: int = 12,
+    bounds_a: tuple[int, int] | None = None,
+    bounds_b: tuple[int, int] | None = None,
 ) -> DataFrame:
     """Add a ``__zval`` Morton key over two numeric columns.
 
     Each dimension is scaled onto its FULL ``bits``-wide lane from its
-    observed min/max (one driver-side agg; pass-through of precomputed
-    stats belongs in the caller's catalog at cluster scale). Comparable
-    lane widths are REQUIRED: an unscaled narrow dimension fills only
-    low bits and the interleave degenerates into a sort on the wide one.
+    (lo, hi) bounds. Comparable lane widths are REQUIRED: an unscaled
+    narrow dimension fills only low bits and the interleave degenerates
+    into a sort on the wide one.
+
+    ``bounds_a`` / ``bounds_b``: precomputed (lo, hi) per dimension — at
+    cluster scale these come from catalog statistics, skipping the
+    min/max scan entirely. When omitted, ONE driver-side agg over ``df``
+    computes them (an extra full scan per call — fine for a one-time
+    layout write, wasteful in a loop: pass bounds there).
     """
-    b = df.agg(
-        F.min(dim_a), F.max(dim_a), F.min(dim_b), F.max(dim_b)
-    ).first()
-    a_lo, a_hi, b_lo, b_hi = b
+    if bounds_a is None or bounds_b is None:
+        b = df.agg(
+            F.min(dim_a), F.max(dim_a), F.min(dim_b), F.max(dim_b)
+        ).first()
+        scanned_a, scanned_b = (b[0], b[1]), (b[2], b[3])
+        bounds_a = bounds_a or scanned_a
+        bounds_b = bounds_b or scanned_b
+    a_lo, a_hi = bounds_a
+    b_lo, b_hi = bounds_b
+    if a_lo is None or a_hi is None or b_lo is None or b_hi is None:
+        raise ValueError(
+            f"zorder_key needs non-null ({dim_a}, {dim_b}) bounds; got "
+            f"{bounds_a} / {bounds_b} — empty input frame or all-null "
+            "dimension column (nothing to lay out)"
+        )
     lane = 1 << bits
     a_span = max(1, int(a_hi) - int(a_lo) + 1)
     b_span = max(1, int(b_hi) - int(b_lo) + 1)
@@ -50,6 +71,8 @@ def write_zordered(
     dim_b: str,
     bits: int = 12,
     n_files: int | None = None,
+    bounds_a: tuple[int, int] | None = None,
+    bounds_b: tuple[int, int] | None = None,
 ) -> None:
     """Range-write ``df`` to parquet clustered by the (dim_a, dim_b)
     Morton key; drop the key from the stored schema.
@@ -57,10 +80,12 @@ def write_zordered(
     ``n_files`` controls pruning granularity: each output file covers a
     contiguous z-range, i.e. an approximate rectangle in (a, b) space —
     more files, finer rectangles, better skipping (and smaller tasks).
+    ``bounds_a``/``bounds_b`` forward to ``zorder_key`` (catalog stats
+    instead of a min/max scan).
     """
     spark = df.sparkSession
     n = n_files or spark.sparkContext.defaultParallelism
-    keyed = zorder_key(df, dim_a, dim_b, bits)
+    keyed = zorder_key(df, dim_a, dim_b, bits, bounds_a=bounds_a, bounds_b=bounds_b)
     (
         keyed.repartitionByRange(n, "__zval")
         .sortWithinPartitions("__zval")

@@ -55,7 +55,11 @@ def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load(spark, sf_dir, t) for t in TABLES}
 
 
-def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+def ensure_parallelism(
+    df: DataFrame,
+    min_partitions: int | None = None,
+    skip_below_bytes: int | None = None,
+) -> DataFrame:
     """Round-robin repartition IF the plan has too few partitions.
 
     CPU-heavy per-row pipelines (shingling, hashing, decode UDFs) are
@@ -77,6 +81,17 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
     projection/filter/broadcast-join) — a frame downstream of a shuffle
     already has ``shuffle.partitions`` tasks and must not be passed here
     (the file-size estimate would see only the leaves).
+
+    ``skip_below_bytes``: escape hatch for CHEAP per-row pipelines
+    (built-in tokenize/regex, no Python hashing or decode) where the
+    round-robin shuffle costs more than the parallelism buys on small
+    inputs — measured at sf0.1: word_count 0.42 s unrepartitioned vs
+    0.63 s with the 32-way shuffle. When set, file-backed inputs smaller
+    than this many bytes are left alone; larger single-row-group inputs
+    still repartition (a 500 MB one-row-group file is exactly where even
+    a cheap pipeline starts winning from the shuffle). CPU-heavy callers
+    (shingling, MinHash, decode UDFs) must NOT set it — for them the
+    shuffle always pays (measured in round 1: up to 14x).
     """
     import math
     import os
@@ -98,6 +113,8 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
                 total = None
                 break
         if total is not None:
+            if skip_below_bytes is not None and total < skip_below_bytes:
+                return df
             est_partitions = max(1, math.ceil(total / max(max_bytes, 1)))
             if est_partitions >= target:
                 return df

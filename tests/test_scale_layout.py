@@ -214,3 +214,88 @@ class TestZOrderLayout:
         # filter on minute: ONLY the z layout can prune at all
         assert prunable(file_ranges(sdir, "minute"), m_mid, m_mid + m_w) == 0.0
         assert prunable(file_ranges(zdir, "minute"), m_mid, m_mid + m_w) >= 0.3
+
+    def test_zorder_row_group_rectangles(self, spark, tmp_path_factory):
+        """Row-group-LEVEL pruning, not just file-level: on a larger write
+        with a small parquet block size, each file holds many row groups;
+        because rows are z-sorted within files, every row group's footer
+        carries a TIGHT (user_id, minute) rectangle, so a narrow filter on
+        either dimension skips row groups INSIDE files whose file-level
+        range could not be skipped at all. This is the claim that matters
+        at 100 TB, where one file is ~1 GB and the row group (~128 MB) is
+        the real pruning unit."""
+        import glob
+
+        import pyarrow.parquet as pq
+        from pyspark.sql import functions as F
+
+        from random_sampling_based_approximate_mapreduce_spark.sources.layout import write_zordered
+        from random_sampling_based_approximate_mapreduce_spark.sources.tables import load
+
+        import os
+
+        sf_big = os.path.join(
+            os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata"), "sf0.1"
+        )
+        e = load(spark, sf_big, "events").select(
+            "user_id",
+            (F.unix_timestamp("ts") / F.lit(60)).cast("long").alias("minute"),
+        )
+        b = e.agg(
+            F.min("user_id"), F.max("user_id"), F.min("minute"), F.max("minute")
+        ).first()
+        u_lo, u_hi, m_lo, m_hi = b
+
+        zdir = str(tmp_path_factory.mktemp("ev_z_rg"))
+        hconf = spark.sparkContext._jsc.hadoopConfiguration()
+        old_block = hconf.get("parquet.block.size")
+        # force many row groups per file: 16 KiB blocks, few files
+        hconf.set("parquet.block.size", str(16 * 1024))
+        try:
+            write_zordered(e, zdir, "user_id", "minute", bits=8, n_files=2)
+        finally:
+            if old_block is None:
+                hconf.unset("parquet.block.size")
+            else:
+                hconf.set("parquet.block.size", old_block)
+
+        def rg_and_file_ranges(d, col):
+            rg_ranges, file_ranges = [], []
+            for f in sorted(glob.glob(f"{d}/part-*.parquet")):
+                md = pq.ParquetFile(f).metadata
+                if md.num_rows == 0:
+                    continue
+                idx = {md.schema.column(i).name: i for i in range(md.num_columns)}[col]
+                f_lo, f_hi = None, None
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(idx).statistics
+                    rg_ranges.append((st.min, st.max))
+                    f_lo = st.min if f_lo is None else min(f_lo, st.min)
+                    f_hi = st.max if f_hi is None else max(f_hi, st.max)
+                file_ranges.append((f_lo, f_hi))
+            return rg_ranges, file_ranges
+
+        def prunable(ranges, q_lo, q_hi):
+            return sum(1 for lo, hi in ranges if hi < q_lo or lo > q_hi) / len(ranges)
+
+        rg_m, files_m = rg_and_file_ranges(zdir, "minute")
+        rg_u, files_u = rg_and_file_ranges(zdir, "user_id")
+        # the write must actually have produced multi-row-group files,
+        # else this test degenerates into the file-level one
+        assert len(rg_m) >= 4 * len(files_m), (len(rg_m), len(files_m))
+
+        m_mid = (m_lo + m_hi) // 2
+        m_w = max(1, (m_hi - m_lo) // 10)
+        u_mid = (u_lo + u_hi) // 2
+        u_w = max(1, (u_hi - u_lo) // 10)
+        for rg_ranges, file_ranges, q_lo, q_hi in (
+            (rg_m, files_m, m_mid, m_mid + m_w),
+            (rg_u, files_u, u_mid, u_mid + u_w),
+        ):
+            rg_frac = prunable(rg_ranges, q_lo, q_hi)
+            file_frac = prunable(file_ranges, q_lo, q_hi)
+            # row-group rectangles must prune strictly beyond what whole-
+            # file ranges can, and a ~10%-wide filter must skip a
+            # meaningful share of row groups
+            assert rg_frac > file_frac, (rg_frac, file_frac)
+            assert rg_frac >= 0.3, rg_frac
