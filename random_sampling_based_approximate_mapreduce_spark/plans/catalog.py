@@ -2039,6 +2039,60 @@ def q_tpch_q1_sampled(spark, sf_dir):
     return counts.join(sums, ["l_returnflag", "l_linestatus"])
 
 
+def _tpch_q1_hash_sampled_oracle() -> str:
+    from ..sampling.deterministic import hash_bernoulli_sql
+
+    keep = hash_bernoulli_sql("l_orderkey::VARCHAR || '-' || l_linenumber::VARCHAR", 0.2, seed=42)
+    return f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(count(*) AS DOUBLE) * 5.0 AS est_orders,
+           CAST(sum(l_quantity) AS DOUBLE) * 5.0 AS est_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) * 5.0
+             AS est_base_price
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-09-02' AND {keep}
+    GROUP BY l_returnflag, l_linestatus
+    """
+
+
+@register(
+    "tpch_q1_hash_sampled",
+    _tpch_q1_hash_sampled_oracle(),
+    doc="A1+A6 on relational data with a FULL value oracle: TPC-H Q1 "
+    "aggregates HT-scaled from a hash-deterministic 20% Bernoulli sample "
+    "keyed on (l_orderkey, l_linenumber) — the deterministic twin of "
+    "tpch_q1_sampled (whose engine-RNG sample is rows-only-checkable "
+    "forever). Exercises the REAL SampledFrame estimator methods "
+    "(approx_count/approx_sum), not a reimplementation: membership, "
+    "scale-up, and the decimal money sum are all value-checked. "
+    "l_quantity sums exactly (integral doubles < 2^53); money goes "
+    "through DECIMAL before the double scale-up, per the module's "
+    "float-stability discipline",
+    tags=("sampled",),
+)
+def q_tpch_q1_hash_sampled(spark, sf_dir):
+    from ..sampling.deterministic import hash_bernoulli
+
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .where(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"))
+        .withColumn(
+            "__k", F.concat_ws("-", F.col("l_orderkey"), F.col("l_linenumber"))
+        )
+    )
+    sampled = hash_bernoulli(li, "__k", 0.2, seed=42).drop("__k")
+    sf = SampledFrame(df=sampled, ratio=0.2, config=SamplingConfig(ratio=0.2, seed=42))
+    counts = sf.approx_count("l_returnflag", "l_linestatus", alias="est_orders")
+    qty = sf.approx_sum("l_quantity", "l_returnflag", "l_linestatus", alias="est_qty")
+    price = (
+        sf.df.groupBy("l_returnflag", "l_linestatus")
+        .agg((F.sum(_dec("l_extendedprice")).cast("double") * F.lit(sf.scale)).alias("est_base_price"))
+    )
+    return counts.join(qty, ["l_returnflag", "l_linestatus"]).join(
+        price, ["l_returnflag", "l_linestatus"]
+    )
+
+
 @register(
     "approx_price_per_qty",
     None,
@@ -2700,6 +2754,7 @@ _CHECK_PRIORITY = [
     # skipped harmlessly until they land)
     "sampling_report",
     "bloom_semi_join",
+    "tpch_q1_hash_sampled",
     # --- fill the ~50-query budget with hash-green r1 representatives the
     # driver has not re-confirmed since round 1
     "word_count",
@@ -2728,7 +2783,6 @@ _CHECK_PRIORITY = [
     "dedup_ngram_jaccard",
     "dedup_clusters",
     "dedup_clusters_blocked",
-    "dedup_embedding",
     # ---- below here: typically past the harness's ~50-query per-round
     # check budget. Everything in this block is hash-green in
     # CORRECTNESS_r02 (checked 1 round ago) except streaming_ivf_cells,
@@ -2767,6 +2821,7 @@ _CHECK_PRIORITY = [
     "multimodal_decode_bmp",
     "multimodal_decode_wav",
     "training_pipeline",
+    "dedup_embedding",
     "dedup_embedding_blocked",
     "skewed_events_salted_join",
     "skewed_events_two_phase",
