@@ -860,6 +860,42 @@ def q_word_count_multifile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "word_count_byteblock_sampled",
+    None,
+    doc="BYTE-BLOCK cluster sampling over the 8-file text layout "
+    "(sources/byteblock_text.py): hash-picked byte blocks become the "
+    "scan's only partitions, so unpicked blocks cost zero I/O even "
+    "within a single huge file — the raw-text transplant of the "
+    "reference's byte-level skip (RandomizedXMLRecordReader.java:"
+    "117-123) one level below file-sampling. Rows-only ceiling: a "
+    "line's cluster membership is its byte offset's block, which no "
+    "SQL oracle can recompute; the skip semantics are value-proven "
+    "against a pure-Python ownership oracle in "
+    "tests/test_byteblock_text.py instead",
+    tags=("sampled",),
+)
+def q_word_count_byteblock_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+
+    from ..sources.byteblock_text import read_text_byteblock_sampled
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    src = _ensure_layout(
+        f"/tmp/rsmr_text_multifile_{key}",
+        lambda d: load(spark, sf_dir, "documents")
+        .select("text")
+        .repartition(8)
+        .write.mode("overwrite")
+        .text(d),
+    )
+    # 64 KiB blocks so the small test layout still has blocks to skip;
+    # at corpus scale use the 16 MiB default (the natural text split)
+    sf = read_text_byteblock_sampled(spark, src, 0.5, block_bytes=64 * 1024, seed=11)
+    words = sf.transform(lambda df: T.explode_words(T.drop_digit_lines(df, "value"), "value"))
+    return words.approx_count("word", alias="est_cnt")
+
+
+@register(
     "word_count_file_sampled",
     None,
     doc="TWO-STAGE cluster sampling over the 8-file text layout: skip "
@@ -2834,6 +2870,7 @@ _CHECK_PRIORITY = [
     "decontaminate_ngrams",
     "doc_repetition",
     "dedup_incremental",
+    "word_count_byteblock_sampled",
     "events_zorder_buckets",
     "boilerplate_strip",
     "streaming_ivf_cells",

@@ -1,0 +1,105 @@
+"""Byte-block text sampling: the partition-boundary algebra (no line lost
+or duplicated at any block seam), exact agreement with a pure-Python
+ownership oracle, two-stage composition, and the compressed-input guard."""
+
+import os
+
+import pytest
+
+from random_sampling_based_approximate_mapreduce_spark.sampling.config import SamplingConfig
+from random_sampling_based_approximate_mapreduce_spark.sources.byteblock_text import (
+    _accept_block,
+    pick_blocks,
+    read_text_byteblock_sampled,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    """Two files, ragged line lengths (0..40 chars), sizes not aligned to
+    any block size — maximal boundary abuse."""
+    import random
+
+    d = tmp_path_factory.mktemp("bbtext")
+    rnd = random.Random(7)
+    files = []
+    for i in range(2):
+        lines = [f"f{i}-line-{j:05d}-" + "x" * rnd.randint(0, 40) for j in range(2000)]
+        p = d / f"part-{i}.txt"
+        p.write_text("\n".join(lines) + "\n")
+        files.append(str(p))
+    return str(d), files
+
+
+def _expected_lines(files, block_bytes, seed, ratio):
+    """Ownership oracle: a line belongs to the block of its FIRST byte
+    under the reader pairing (followers discard their first line, so a
+    line starting exactly at a boundary belongs to the PRECEDING block):
+    block 0 for offset 0, else ceil(s / bb) - 1."""
+    out = []
+    for f in files:
+        pos = 0
+        with open(f, "rb") as fh:
+            for raw in fh:
+                s = pos
+                pos += len(raw)
+                blk = 0 if s == 0 else (s - 1) // block_bytes
+                if _accept_block(f, blk, seed, ratio):
+                    out.append(raw.decode().rstrip("\r\n"))
+    return sorted(out)
+
+
+class TestByteBlockText:
+    def test_ratio_one_is_the_exact_file(self, spark, corpus):
+        d, files = corpus
+        # 256-byte blocks: hundreds of seams per file
+        sf = read_text_byteblock_sampled(spark, d, 1.0, block_bytes=256)
+        got = sorted(r["value"] for r in sf.df.collect())
+        want = sorted(ln for f in files for ln in open(f).read().splitlines())
+        assert got == want
+
+    def test_sample_equals_ownership_oracle(self, spark, corpus):
+        d, files = corpus
+        for ratio, bb, seed in ((0.4, 512, 9), (0.15, 1024, 42), (0.7, 300, 3)):
+            sf = read_text_byteblock_sampled(spark, d, ratio, block_bytes=bb, seed=seed)
+            got = sorted(r["value"] for r in sf.df.collect())
+            assert got == _expected_lines(files, bb, seed, ratio), (ratio, bb, seed)
+
+    def test_partitions_are_only_picked_blocks(self, spark, corpus):
+        d, _ = corpus
+        picked, picked_bytes, total_bytes = pick_blocks(d, 0.4, 512, seed=9)
+        assert 0 < picked_bytes < total_bytes
+        sf = read_text_byteblock_sampled(spark, d, 0.4, block_bytes=512, seed=9)
+        # one task per picked block — skipped blocks never become work
+        assert sf.df.rdd.getNumPartitions() == len(picked)
+
+    def test_ht_scale_and_two_stage(self, spark, corpus):
+        d, _ = corpus
+        sf = read_text_byteblock_sampled(spark, d, 0.4, block_bytes=512, seed=9)
+        n = sf.df.count()
+        est = sf.approx_count(alias="est").collect()[0]["est"]
+        assert est == pytest.approx(n / 0.4)
+        two = read_text_byteblock_sampled(
+            spark, d, 0.4, block_bytes=512, seed=9, row_config=SamplingConfig(ratio=0.5, seed=1)
+        )
+        assert two.ratio == pytest.approx(0.2)
+
+    def test_never_empty_pick(self, corpus):
+        d, _ = corpus
+        picked, _, _ = pick_blocks(d, 1e-9, 512, seed=0)
+        assert len(picked) == 1
+
+    def test_compressed_input_refused(self, tmp_path):
+        import gzip
+
+        p = tmp_path / "x.txt.gz"
+        with gzip.open(p, "wt") as fh:
+            fh.write("hello\nworld\n")
+        with pytest.raises(ValueError, match="compressed"):
+            pick_blocks(str(p), 0.5, 512)
+
+    def test_empty_dir_and_bad_ratio(self, tmp_path):
+        with pytest.raises(ValueError, match="no files"):
+            pick_blocks(str(tmp_path), 0.5)
+        with pytest.raises(ValueError, match="ratio"):
+            pick_blocks("/tmp", 0.0)
