@@ -84,8 +84,22 @@ def main() -> None:
     spark = get_spark("rsmr-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warmup: JVM + codegen + parquet footer caches
+    # warmup: JVM + codegen + parquet footer caches, AND the Python/Arrow
+    # worker pool — without the latter, the first mapInPandas query pays
+    # ~2-3 s of worker + BLAS startup and its min-of-two is startup, not
+    # steady state (observed on knn_brute_force: 3.5 s cold, 0.7 s warm)
     QUERIES["tpch_q1"].spark(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+
+    def _warm_py(it):
+        import numpy as np
+
+        for pdf in it:
+            np.dot(np.ones((2, 2)), np.ones((2, 2)))
+            yield pdf
+
+    spark.range(64).repartition(32).mapInPandas(_warm_py, "id long").write.format(
+        "noop"
+    ).mode("overwrite").save()
 
     # two passes, per-query min: single-shot numbers on a shared machine
     # varied by up to 1.7x run-to-run; the min is the honest capability
