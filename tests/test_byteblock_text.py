@@ -2,8 +2,6 @@
 or duplicated at any block seam), exact agreement with a pure-Python
 ownership oracle, two-stage composition, and the compressed-input guard."""
 
-import os
-
 import pytest
 
 from random_sampling_based_approximate_mapreduce_spark.sampling.config import SamplingConfig
@@ -103,3 +101,54 @@ class TestByteBlockText:
             pick_blocks(str(tmp_path), 0.5)
         with pytest.raises(ValueError, match="ratio"):
             pick_blocks("/tmp", 0.0)
+
+
+class TestSeamProperties:
+    """Hypothesis hammering of the reader pairing WITHOUT Spark: the
+    reader class is called directly per block, so hundreds of random
+    (corpus, block size) seam configurations run in seconds. Property:
+    at ratio 1.0 the union over all block partitions is the file's exact
+    line sequence — every line exactly once, any seam placement."""
+
+    def _read_all_blocks(self, path, block_bytes):
+        from random_sampling_based_approximate_mapreduce_spark.sources.byteblock_text import (
+            ByteBlockTextReader,
+            _BlockPartition,
+        )
+
+        reader = ByteBlockTextReader(
+            {"path": path, "ratio": "1.0", "block_bytes": str(block_bytes)}
+        )
+        out = []
+        for part in reader.partitions():
+            for batch in reader.read(_BlockPartition(part.path, part.start, part.end)):
+                out.extend(batch.column(0).to_pylist())
+        return out
+
+    def test_random_seams_cover_exactly(self, tmp_path):
+        import random
+
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        counter = [0]
+
+        @settings(max_examples=150, deadline=None)
+        @given(
+            seed=st.integers(0, 10**6),
+            n_lines=st.integers(0, 60),
+            block_bytes=st.integers(1, 64),
+        )
+        def prop(seed, n_lines, block_bytes):
+            rnd = random.Random(seed)
+            # ragged lines incl. empty; no trailing-newline variant too
+            lines = ["x" * rnd.randint(0, 2 * block_bytes) for _ in range(n_lines)]
+            body = "\n".join(lines) + ("\n" if rnd.random() < 0.8 or not lines else "")
+            counter[0] += 1
+            p = tmp_path / f"prop-{counter[0]}.txt"
+            p.write_text(body)
+            got = self._read_all_blocks(str(p), block_bytes)
+            want = body.splitlines()
+            assert got == want, (seed, n_lines, block_bytes)
+
+        prop()
