@@ -2129,6 +2129,51 @@ def q_tpch_q1_hash_sampled(spark, sf_dir):
     )
 
 
+def _price_per_qty_hash_sampled_oracle() -> str:
+    from ..sampling.deterministic import hash_bernoulli_sql
+
+    keep = hash_bernoulli_sql("l_orderkey::VARCHAR || '-' || l_linenumber::VARCHAR", 0.1, seed=42)
+    return f"""
+    SELECT l_returnflag,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+             / CAST(sum(l_quantity::BIGINT) AS DOUBLE) AS est_price_per_qty,
+           count(*)::BIGINT AS n_sampled
+    FROM lineitem
+    WHERE {keep}
+    GROUP BY l_returnflag
+    """
+
+
+@register(
+    "price_per_qty_hash_sampled",
+    _price_per_qty_hash_sampled_oracle(),
+    doc="Ratio-of-sums estimator with a FULL value oracle: avg price per "
+    "unit per return flag from a hash-deterministic 10% sample — the "
+    "deterministic twin of approx_price_per_qty (engine-RNG, rows-only "
+    "forever). The ratio of two HT sums is scale-free (1/r cancels), so "
+    "the estimate is sampled-sum(price)/sampled-sum(qty); sums follow "
+    "the float-stability discipline (DECIMAL money sum, BIGINT qty sum, "
+    "ONE double division) so both engines produce the identical double. "
+    "tests pin SampledFrame.approx_ratio to this stable composition on "
+    "the same sample, so the real estimator method stays value-anchored",
+    tags=("sampled",),
+)
+def q_price_per_qty_hash_sampled(spark, sf_dir):
+    from ..sampling.deterministic import hash_bernoulli
+
+    li = load(spark, sf_dir, "lineitem").withColumn(
+        "__k", F.concat_ws("-", F.col("l_orderkey"), F.col("l_linenumber"))
+    )
+    sampled = hash_bernoulli(li, "__k", 0.1, seed=42)
+    return sampled.groupBy("l_returnflag").agg(
+        (
+            F.sum(_dec("l_extendedprice")).cast("double")
+            / F.sum(F.col("l_quantity").cast("bigint")).cast("double")
+        ).alias("est_price_per_qty"),
+        F.count(F.lit(1)).alias("n_sampled"),
+    )
+
+
 @register(
     "approx_price_per_qty",
     None,
@@ -2766,7 +2811,7 @@ _CHECK_PRIORITY = [
     "dataset_split_md5",
     "docs_cap_per_lang",
     "skewed_events_suggested_salts",
-    "approx_price_per_qty",  # approx_percentile: rows-only ceiling
+    "approx_price_per_qty",  # RNG sample + Taylor CI: rows-only ceiling
     "knn_ivf",  # data-trained centroids: rows-only ceiling
     "multimodal_knn",  # IVF on decoded features: rows-only ceiling
     "streaming_sampled_hourly",  # Bernoulli stream sample: rows-only ceiling
@@ -2791,6 +2836,7 @@ _CHECK_PRIORITY = [
     "sampling_report",
     "bloom_semi_join",
     "tpch_q1_hash_sampled",
+    "price_per_qty_hash_sampled",
     # --- fill the ~50-query budget with hash-green r1 representatives the
     # driver has not re-confirmed since round 1
     "word_count",
@@ -2817,7 +2863,6 @@ _CHECK_PRIORITY = [
     "dedup_simhash",
     "dedup_simhash_pairs",
     "dedup_ngram_jaccard",
-    "dedup_clusters",
     "dedup_clusters_blocked",
     # ---- below here: typically past the harness's ~50-query per-round
     # check budget. Everything in this block is hash-green in
@@ -2859,6 +2904,7 @@ _CHECK_PRIORITY = [
     "training_pipeline",
     "dedup_embedding",
     "dedup_embedding_blocked",
+    "dedup_clusters",
     "skewed_events_salted_join",
     "skewed_events_two_phase",
     "corpus_pipeline_full",

@@ -295,3 +295,35 @@ class TestReportFrame:
         plan = df._jdf.queryExecution().executedPlan().toString()
         # exactly one exchange: the partial->final single-partition gather
         assert plan.count("Exchange") == 1, plan
+
+
+class TestRatioEstimatorAnchor:
+    def test_approx_ratio_matches_stable_composition(self, spark, sf_dir):
+        """The price_per_qty_hash_sampled catalog query computes the ratio
+        with decimal-stable sums; SampledFrame.approx_ratio (raw double
+        sums) must agree to float tolerance on the same sample — anchoring
+        the real estimator method to the value-oracled composition."""
+        from pyspark.sql import functions as F
+
+        from random_sampling_based_approximate_mapreduce_spark.plans.catalog import QUERIES
+        from random_sampling_based_approximate_mapreduce_spark.sampling.deterministic import (
+            hash_bernoulli,
+        )
+        from random_sampling_based_approximate_mapreduce_spark.sources.tables import load
+
+        stable = {
+            r["l_returnflag"]: r["est_price_per_qty"]
+            for r in QUERIES["price_per_qty_hash_sampled"].spark(spark, sf_dir).collect()
+        }
+        li = load(spark, sf_dir, "lineitem").withColumn(
+            "__k", F.concat_ws("-", F.col("l_orderkey"), F.col("l_linenumber"))
+        )
+        sampled = hash_bernoulli(li, "__k", 0.1, seed=42)
+        sf = SampledFrame(df=sampled, ratio=0.1, config=SamplingConfig(ratio=0.1, seed=42))
+        method = {
+            r["l_returnflag"]: r["est_ratio"]
+            for r in sf.approx_ratio("l_extendedprice", "l_quantity", "l_returnflag").collect()
+        }
+        assert set(stable) == set(method)
+        for k in stable:
+            assert method[k] == pytest.approx(stable[k], rel=1e-9), k
