@@ -111,6 +111,13 @@ def main() -> None:
             qd.spark(spark, SF_DIR).write.format("noop").mode("overwrite").save()
             elapsed = round(time.monotonic() - t0, 3)
             timings[name] = min(timings.get(name, elapsed), elapsed)
+        # drop dead localCheckpoint/broadcast blocks between passes: the
+        # ContextCleaner only frees them after a driver GC notices the
+        # dead refs, and 40+ queries of accumulated blocks otherwise
+        # bleed executor memory into pass 2 (observed: the checkpoint-
+        # heavy clustering query 3.4 s isolated vs 7.8 s late in a
+        # pressured pass)
+        spark.sparkContext._jvm.System.gc()
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:
