@@ -7,6 +7,14 @@ values (exact equality; NaN==NaN). Queries without an oracle get a
 rows-only check (>=0 rows, stable schema).
 
 Usage: python tools/check_oracle.py [--sf /root/testdata/sf0.01] [--only name1,name2]
+       [--plain-session] [--head N]
+
+--plain-session builds a BARE SparkSession (no engine defaults at all),
+replicating the round driver's environment — the round-1 nanos failure
+was exactly an engine-session-only assumption, so the gate must also
+pass with zero session preparation (tables.load carries the runtime
+fixups). --head N checks only the first N catalog entries (the driver's
+check budget is ~50).
 """
 
 from __future__ import annotations
@@ -65,6 +73,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
     ap.add_argument("--only", default=None)
+    ap.add_argument("--plain-session", action="store_true")
+    ap.add_argument("--head", type=int, default=None)
     args = ap.parse_args()
 
     import duckdb
@@ -73,15 +83,26 @@ def main():
     from random_sampling_based_approximate_mapreduce_spark.session import get_spark
     from random_sampling_based_approximate_mapreduce_spark.sources.tables import TABLES
 
-    spark = get_spark("check-oracle", master="local[8]")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    if args.plain_session:
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.appName("check-oracle-plain")
+            .master("local[8]")
+            .getOrCreate()
+        )
+    else:
+        spark = get_spark("check-oracle", master="local[8]")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{args.sf}/{t}.parquet'")
 
     only = set(args.only.split(",")) if args.only else None
     n_pass = n_fail = 0
-    for name, qd in QUERIES.items():
+    for i, (name, qd) in enumerate(QUERIES.items()):
+        if args.head is not None and i >= args.head:
+            break
         if only and name not in only:
             continue
         t0 = time.monotonic()
