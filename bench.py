@@ -63,6 +63,7 @@ BENCH_QUERIES = [
     "sequence_packing",
     "dedup_keep_best",
     "decontaminate_ngrams",
+    "cross_doc_dup_spans",
     "doc_repetition",
     "dataset_split_md5",
     "docs_cap_per_lang",

@@ -303,6 +303,86 @@ def boilerplate_ngrams(
     )
 
 
+def duplicate_spans(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document duplicated SPANS: merged token intervals covered by
+    k-grams that appear in >= ``min_docs`` distinct documents — the
+    exact-substring dedup stage of LLM corpus pipelines (strip the span,
+    keep the document) at k-token granularity.
+
+    Differs from :func:`boilerplate_ngrams` on both axes that matter:
+    the shared-gram relation is UNBOUNDED (every cross-doc gram, not a
+    top-N template set) and the output is positional (merged
+    ``[start_tok, end_tok]`` intervals per doc, ready for span removal),
+    not a per-doc score.
+
+    Returns ``(doc_id, start_tok, end_tok, n_gram_hits)`` — 1-based
+    token positions, inclusive; overlapping/adjacent gram hits merge
+    into one span (gaps-and-islands over the duplicated positions).
+
+    100 TB shape: positional grams CANNOT dedupe inside the row (the
+    position is the payload), so the gram relation is one shuffle of
+    (hash, doc, pos) tuples — O(corpus tokens) rows of three scalars;
+    the frequency agg is partial+final on the hash, the shared set joins
+    back by hash equi-join (AQE may broadcast if it turns out small),
+    and the island window runs per doc over DUPLICATED positions only
+    (skew-bounded: a doc's dup positions <= its token count). This is
+    the shuffle-banded stand-in for the suffix-array ExactSubstr
+    construction, which needs a global sort no 100 TB shuffle should
+    attempt. Hashes are md5-derived (functions/hashing) so the whole
+    pipeline is value-reproducible in the SQL oracle.
+    """
+    from pyspark.sql import Window
+
+    from ..functions.hashing import hash64
+
+    toks = docs.select(F.col(id_col), T.word_tokens(F.col(text_col)).alias("__toks"))
+    n_grams = F.greatest(F.size("__toks") - F.lit(k - 1), F.lit(0))
+    # F.sequence(1, 0) yields a DESCENDING [1, 0] — guard the empty case
+    idx = F.when(n_grams > F.lit(0), F.sequence(F.lit(1), n_grams)).otherwise(
+        F.array().cast("array<int>")
+    )
+    grams = (
+        toks.withColumn("__idx", idx)
+        .select(F.col(id_col), F.explode_outer("__idx").alias("pos"), F.col("__toks"))
+        .where(F.col("pos").isNotNull())
+        .select(
+            F.col(id_col),
+            F.col("pos").cast("bigint").alias("pos"),
+            hash64(F.concat_ws(" ", F.slice(F.col("__toks"), F.col("pos"), k))).alias("__h"),
+        )
+    )
+    shared = (
+        grams.groupBy("__h")
+        .agg(F.countDistinct(F.col(id_col)).alias("__nd"))
+        .where(F.col("__nd") >= min_docs)
+        .select("__h")
+    )
+    dup = grams.join(shared, "__h").select(id_col, "pos")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    new_island = F.when(
+        F.col("pos") > F.lag("pos").over(w) + F.lit(k - 1), F.lit(1)
+    ).otherwise(F.lit(0))
+    # two projections: Spark cannot nest lag() inside the running sum
+    islands = dup.withColumn("__new", new_island).withColumn(
+        "__island", F.sum("__new").over(w)
+    )
+    return (
+        islands.groupBy(F.col(id_col), F.col("__island"))
+        .agg(
+            F.min("pos").alias("start_tok"),
+            (F.max("pos") + F.lit(k - 1)).cast("bigint").alias("end_tok"),
+            F.count(F.lit(1)).alias("n_gram_hits"),
+        )
+        .drop("__island")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Benchmark decontamination (n-gram overlap with a held-out eval set)
 # ---------------------------------------------------------------------------

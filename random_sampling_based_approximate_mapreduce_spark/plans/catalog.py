@@ -2482,6 +2482,57 @@ def q_boilerplate_ngrams(spark, sf_dir):
     return C.boilerplate_ngrams(docs, "text", k=3, min_doc_freq=4, top=100)
 
 
+def _dup_spans_sql() -> str:
+    from ..functions.hashing import hash64_sql
+
+    gram = hash64_sql("array_to_string(w[pos:pos+2], ' ')")
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split_regex(lower(text), '{_WORD_SPLIT_SQL}'),
+                                 t -> len(t) > 0) AS w
+      FROM documents),
+    g AS (
+      SELECT doc_id, pos::BIGINT AS pos, {gram} AS h
+      FROM (SELECT doc_id, w,
+                   unnest(generate_series(1, greatest(len(w) - 2, 0))) AS pos
+            FROM toks)),
+    shared AS (SELECT h FROM g GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+    d AS (SELECT doc_id, pos FROM g WHERE h IN (SELECT h FROM shared)),
+    flagged AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 2
+                  THEN 1 ELSE 0 END AS new_island
+      FROM d),
+    islands AS (
+      SELECT doc_id, pos,
+             sum(new_island) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      FROM flagged)
+    SELECT doc_id, min(pos)::BIGINT AS start_tok, (max(pos) + 2)::BIGINT AS end_tok,
+           count(*)::BIGINT AS n_gram_hits
+    FROM islands GROUP BY doc_id, island
+    """
+
+
+@register(
+    "cross_doc_dup_spans",
+    _dup_spans_sql(),
+    doc="Exact-substring dedup at token granularity (the span-strip stage "
+    "of LLM corpus pipelines): merged token intervals covered by 3-grams "
+    "shared across >= 2 distinct documents, per doc. Unlike the top-N "
+    "boilerplate path the shared-gram relation is UNBOUNDED and the "
+    "output is positional (strippable [start_tok, end_tok] spans via "
+    "gaps-and-islands). One (hash, doc, pos) shuffle + hash equi-join + "
+    "per-doc window over duplicated positions only — the shuffle-banded "
+    "stand-in for a suffix-array ExactSubstr global sort. md5 gram "
+    "hashes make every span value-reproducible in DuckDB",
+)
+def q_cross_doc_dup_spans(spark, sf_dir):
+    from ..operators import corpus as C
+
+    docs = ensure_parallelism(load(spark, sf_dir, "documents").select("doc_id", "text"))
+    return C.duplicate_spans(docs, "text", "doc_id", k=3, min_docs=2)
+
+
 def _dedup_keep_best_sql() -> str:
     from ..functions.hashing import hash64_sql
 
@@ -2837,6 +2888,7 @@ _CHECK_PRIORITY = [
     "bloom_semi_join",
     "tpch_q1_hash_sampled",
     "price_per_qty_hash_sampled",
+    "cross_doc_dup_spans",
     # --- fill the ~50-query budget with hash-green r1 representatives the
     # driver has not re-confirmed since round 1
     "word_count",
@@ -2862,7 +2914,6 @@ _CHECK_PRIORITY = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_simhash_pairs",
-    "dedup_ngram_jaccard",
     "dedup_clusters_blocked",
     # ---- below here: typically past the harness's ~50-query per-round
     # check budget. Everything in this block is hash-green in
@@ -2905,6 +2956,7 @@ _CHECK_PRIORITY = [
     "dedup_embedding",
     "dedup_embedding_blocked",
     "dedup_clusters",
+    "dedup_ngram_jaccard",
     "skewed_events_salted_join",
     "skewed_events_two_phase",
     "corpus_pipeline_full",

@@ -308,3 +308,72 @@ class TestIncrementalDedup:
             r["doc_id"] for r in C.dedup_incremental(incoming, existing).collect()
         )
         assert got == [11, 13]
+
+
+class TestDuplicateSpans:
+    def test_crafted_spans_merge_and_bound(self, spark):
+        """Two docs share an 8-token run and a separate 3-token run; a
+        third doc is clean. Expect per sharing doc: one merged span
+        covering the 8-token run (six overlapping 3-gram hits) and one
+        exact 3-token span; the clean doc absent."""
+        from pyspark.sql import Row
+
+        from random_sampling_based_approximate_mapreduce_spark.operators.corpus import duplicate_spans
+
+        shared8 = "alpha beta gamma delta epsilon zeta eta theta"
+        shared3 = "omega psi chi"
+        rows = [
+            Row(doc_id=1, text=f"{shared8} filler1 one {shared3} tailone"),
+            Row(doc_id=2, text=f"pre1 pre2 {shared8} other2 two2 {shared3}"),
+            Row(doc_id=3, text="entirely different words without any overlap here"),
+        ]
+        df = spark.createDataFrame(rows)
+        got = {
+            (r["doc_id"], r["start_tok"], r["end_tok"]): r["n_gram_hits"]
+            for r in duplicate_spans(df, "text", "doc_id", k=3, min_docs=2).collect()
+        }
+        # doc 1: tokens 1-8 shared8, 11-13 shared3
+        # doc 2: tokens 3-10 shared8, 13-15 shared3
+        assert got == {
+            (1, 1, 8): 6,
+            (1, 11, 13): 1,
+            (2, 3, 10): 6,
+            (2, 13, 15): 1,
+        }
+
+    def test_no_cross_doc_duplicates_empty(self, spark):
+        from pyspark.sql import Row
+
+        from random_sampling_based_approximate_mapreduce_spark.operators.corpus import duplicate_spans
+
+        df = spark.createDataFrame(
+            [Row(doc_id=1, text="aa bb cc dd"), Row(doc_id=2, text="ee ff gg hh")]
+        )
+        assert duplicate_spans(df, "text", "doc_id", k=3).count() == 0
+
+    def test_short_and_empty_docs_are_safe(self, spark):
+        """Docs shorter than k produce no grams (the F.sequence(1,0)
+        descending-array trap is guarded) and empty text is fine."""
+        from pyspark.sql import Row
+
+        from random_sampling_based_approximate_mapreduce_spark.operators.corpus import duplicate_spans
+
+        df = spark.createDataFrame(
+            [Row(doc_id=1, text="one two"), Row(doc_id=2, text=""), Row(doc_id=3, text="one two")]
+        )
+        assert duplicate_spans(df, "text", "doc_id", k=3).count() == 0
+
+    def test_intra_doc_repeat_does_not_trigger(self, spark):
+        """A gram repeated inside ONE doc is not a cross-doc duplicate
+        (min_docs counts DISTINCT documents)."""
+        from pyspark.sql import Row
+
+        from random_sampling_based_approximate_mapreduce_spark.operators.corpus import duplicate_spans
+
+        df = spark.createDataFrame(
+            [
+                Row(doc_id=1, text="rep rep rep rep rep rep"),
+                Row(doc_id=2, text="totally unrelated words here now"),
+            ]
+        )
+        assert duplicate_spans(df, "text", "doc_id", k=3).count() == 0
