@@ -1306,14 +1306,16 @@ def _sampling_report_oracle() -> str:
     )
     SELECT total_records, sampled_records,
            CAST(0.1 AS DOUBLE) AS designed_ratio,
-           CAST(sampled_records AS DOUBLE) / CAST(total_records AS DOUBLE)
-             AS achieved_ratio,
+           CASE WHEN total_records > 0
+                THEN CAST(sampled_records AS DOUBLE) / CAST(total_records AS DOUBLE)
+           END AS achieved_ratio,
            CAST(0.95 AS DOUBLE) AS confidence,
-           round(sqrt(CAST(0.25 AS DOUBLE) / CAST(sampled_records AS DOUBLE))
-                 * {z!r}
-                 * sqrt((CAST(total_records AS DOUBLE) - CAST(sampled_records AS DOUBLE))
-                        / (CAST(total_records AS DOUBLE) - 1.0)), 12)
-             AS predicted_error
+           CASE WHEN sampled_records > 0 AND total_records > 1 THEN
+             round(sqrt(CAST(0.25 AS DOUBLE) / CAST(sampled_records AS DOUBLE))
+                   * {z!r}
+                   * sqrt((CAST(total_records AS DOUBLE) - CAST(sampled_records AS DOUBLE))
+                          / (CAST(total_records AS DOUBLE) - 1.0)), 12)
+           END AS predicted_error
     FROM s
     """
 
@@ -1375,22 +1377,24 @@ def q_events_props_json(spark, sf_dir):
 @register(
     "events_props_typed",
     """
-    SELECT (TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) % 7) AS k_mod,
+    SELECT ((TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) % 7) + 7) % 7
+             AS k_mod,
            count(*)::BIGINT AS cnt,
            sum(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT))::BIGINT AS sum_k
     FROM events
-    WHERE TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL
+    WHERE json_type(props, '$.k') IN ('BIGINT', 'UBIGINT')
     GROUP BY 1
     """,
     doc="from_json single-parse over events.props with an EXPLICIT schema: "
     "one JSON parse per row yields a typed struct (columnar afterwards), "
     "vs get_json_object which re-parses per extracted path — the "
     "production shape once the payload schema is known. Same oracle "
-    "technique as events_props_json. Data assumption: props.$.k is a bare "
-    "JSON number in the testdata; Spark's from_json(LongType) nulls a "
-    "QUOTED or non-numeric k, so the oracle uses TRY_CAST (nulls too) and "
-    "filters on the cast, keeping both engines on the same null contract "
-    "for malformed k",
+    "technique as events_props_json. Oracle mirrors Spark's "
+    "from_json(LongType) contract exactly: json_type IN "
+    "('BIGINT','UBIGINT') admits only bare integer JSON numbers (a QUOTED "
+    "'5' or a 5.5 is nulled by Spark but TRY_CAST-able in DuckDB), and "
+    "the ((x % 7) + 7) % 7 idiom mirrors Spark pmod for negative k "
+    "(DuckDB % takes the dividend's sign)",
 )
 def q_events_props_typed(spark, sf_dir):
     from pyspark.sql.types import LongType, StructField, StructType

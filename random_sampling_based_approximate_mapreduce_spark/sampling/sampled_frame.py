@@ -133,15 +133,24 @@ def report_frame(
     )
     n = F.col("sampled_records").cast("double")
     big_n = F.col("total_records").cast("double")
+    # Degenerate inputs (empty frame, single row, empty sample) would give
+    # 0/0 -> NaN or sqrt(0.25/0) -> Infinity, and engines disagree on those
+    # doubles; report NULL instead, mirrored CASE-for-CASE in the DuckDB
+    # oracle (_sampling_report_oracle).
     return agg.select(
         "total_records",
         "sampled_records",
         F.lit(float(ratio)).alias("designed_ratio"),
-        (n / big_n).alias("achieved_ratio"),
+        F.when(big_n > 0, n / big_n).alias("achieved_ratio"),
         F.lit(float(confidence)).alias("confidence"),
-        F.round(
-            F.sqrt(F.lit(0.25) / n) * F.lit(z) * F.sqrt((big_n - n) / (big_n - F.lit(1.0))),
-            12,
+        F.when(
+            (n > 0) & (big_n > 1),
+            F.round(
+                F.sqrt(F.lit(0.25) / n)
+                * F.lit(z)
+                * F.sqrt((big_n - n) / (big_n - F.lit(1.0))),
+                12,
+            ),
         ).alias("predicted_error"),
     )
 

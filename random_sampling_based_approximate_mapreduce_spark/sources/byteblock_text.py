@@ -183,7 +183,16 @@ class ByteBlockTextReader(DataSourceReader):
                 line = fh.readline()
                 if not line:
                     break
-                batch.append(line.decode("utf-8", errors="replace").rstrip("\r\n"))
+                # Strip exactly one line terminator (\n or \r\n), matching
+                # spark.read.text / Hadoop LineReader. Content that ends in
+                # literal \r (or classic-Mac \r-only line endings, which
+                # readline() does not split on) is out of contract — same
+                # as Hadoop's default LineReader without a custom delimiter.
+                if line.endswith(b"\r\n"):
+                    line = line[:-2]
+                elif line.endswith(b"\n"):
+                    line = line[:-1]
+                batch.append(line.decode("utf-8", errors="replace"))
                 if len(batch) >= self._BATCH_ROWS:
                     yield pa.record_batch([pa.array(batch, pa.string())], names=["value"])
                     batch = []
@@ -227,6 +236,7 @@ def read_text_byteblock_sampled(
         return SampledFrame(df=df, ratio=block_ratio, config=cfg)
     inner = SampledFrame.from_dataframe(df, row_config, observe=False)
     combined = SamplingConfig(
-        ratio=block_ratio * inner.ratio, seed=row_config.seed or seed
+        ratio=block_ratio * inner.ratio,
+        seed=seed if row_config.seed is None else row_config.seed,
     )
     return SampledFrame(df=inner.df, ratio=block_ratio * inner.ratio, config=combined)

@@ -59,8 +59,15 @@ def zorder_key(
     lane = 1 << bits
     a_span = max(1, int(a_hi) - int(a_lo) + 1)
     b_span = max(1, int(b_hi) - int(b_lo) + 1)
+    # Clamp to [0, lane-1]: caller-supplied catalog bounds can be stale
+    # relative to the data, and an out-of-range value would otherwise
+    # scale past its lane (or go negative, leaking sign bits through the
+    # interleave) and alias into the wrong z cell, silently degrading
+    # clustering and footer pruning.
     ua = ((F.col(dim_a) - F.lit(a_lo)) * lane / F.lit(a_span)).cast("long")
     ub = ((F.col(dim_b) - F.lit(b_lo)) * lane / F.lit(b_span)).cast("long")
+    ua = F.greatest(F.lit(0), F.least(F.lit(lane - 1), ua))
+    ub = F.greatest(F.lit(0), F.least(F.lit(lane - 1), ub))
     return df.withColumn("__zval", z_value(ua, ub, bits))
 
 
