@@ -2857,74 +2857,35 @@ def q_corpus_pipeline_full(spark, sf_dir):
 # queries first, so every family gets an external signal each round.
 # Already-verified queries and rows-only variants go last.
 _CHECK_PRIORITY = [
-    # --- round 3 head: the 12 queries that have NEVER received a driver
-    # correctness row in r1 or r2 (all pass locally via check_oracle).
-    # Value-oracled six first, then the rows-only-by-nature six.
-    "events_props_json",
-    "events_props_typed",
-    "customer_upsert",
-    "dataset_split_md5",
-    "docs_cap_per_lang",
-    "skewed_events_suggested_salts",
-    "approx_price_per_qty",  # RNG sample + Taylor CI: rows-only ceiling
-    "knn_ivf",  # data-trained centroids: rows-only ceiling
-    "multimodal_knn",  # IVF on decoded features: rows-only ceiling
-    "streaming_sampled_hourly",  # Bernoulli stream sample: rows-only ceiling
-    "tablesample_words",  # TABLESAMPLE is engine-RNG: rows-only ceiling
-    "tpch_q1_sampled",  # Bernoulli sample: rows-only ceiling
-    # --- the 8 sampled queries whose only driver rows were r1 env-errors
-    # (nanos parquet conf, fixed in r2); all rows-only by nature (seeded
-    # engine RNG / approx sketches have no DuckDB mirror)
-    "word_count_sampled",
-    "word_count_file_sampled",
-    "xml_page_words_sampled",
-    "log_host_sampled",
-    "approx_events_by_type",
-    "approx_quantile_events",
-    "hll_users_daily",
-    "stratified_events_by_type",
-    # --- flipped from no_oracle to value-oracled this round (single-row-
-    # group testdata => exact passthrough => word_count's SQL applies)
-    "word_count_rowgroup_sampled",
-    # --- new queries this round (registered below; unknown names are
-    # skipped harmlessly until they land)
-    "sampling_report",
-    "bloom_semi_join",
-    "tpch_q1_hash_sampled",
-    "price_per_qty_hash_sampled",
-    "cross_doc_dup_spans",
-    # --- fill the ~50-query budget with hash-green r1 representatives the
-    # driver has not re-confirmed since round 1
-    "word_count",
-    "char_count",
-    "xml_page_words",
-    "word_count_multifile",
-    "word_count_reference_delims",
-    "tpch_q1",
-    "tpch_q3_topk",
-    "revenue_by_nation",
-    "top_orders_per_priority",
-    "order_rollup",
-    "urgent_only_customers",
-    "priority_distinct_customers",
-    "exists_subquery_customers",
-    "events_grouping_sets",
-    "docs_partitioned_lang",
-    "order_price_quantiles",
-    "salted_orders_join",
-    "bucketed_orders_join",
-    "dedup_exact",
-    "dedup_fingerprint",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_simhash_pairs",
-    "dedup_clusters_blocked",
-    # ---- below here: typically past the harness's ~50-query per-round
-    # check budget. Everything in this block is hash-green in
-    # CORRECTNESS_r02 (checked 1 round ago) except streaming_ivf_cells,
-    # which is deliberately LAST: it is permanently rows-only (data-trained
-    # centroids admit no static SQL mirror) so its driver row carries no
-    # signal — don't let it occupy a graded slot.
+    # === ROUND 4 rotation (VERDICT r3 items 1+2): every rows-only-by-
+    # nature query received its driver row in r3, so all of them move past
+    # the ~50-slot budget; the slots go to value-oracled queries ordered
+    # OLDEST-SIGNAL-FIRST. Cumulative signal state feeding this order
+    # (from CORRECTNESS_r0{1,2,3}.json): 36 queries hash-green in r3,
+    # 46 last green in r2, 3 last green in r1, 15 rows-only-by-nature,
+    # and exactly one query (word_count_byteblock_sampled) with no driver
+    # row ever — it gets the single non-hash slot this round, then
+    # retires past the budget.
+    # --- head: value-oracled queries NEW this round (unknown names are
+    # skipped harmlessly until they register)
+    "knn_ivf_frozen",
+    "multimodal_knn_frozen",
+    "video_container_meta",
+    "approx_sum_ci_families",
+    # --- the one catalog query with zero driver rows across r1-r3
+    # (rows-only by nature: byte-block cluster sample); one slot for its
+    # first external rows-signal, per VERDICT r3 item 2
+    "word_count_byteblock_sampled",
+    # --- stale value-oracled queries, oldest signal first: last green in
+    # r1 (these three rotated past the budget in both r2 and r3)
+    "dedup_embedding",
+    "dedup_clusters",
+    "dedup_ngram_jaccard",
+    # --- last green in r2 (single green signal; r1 rows were env-errors
+    # or the query registered in r2). Family order: the 7 log tasks +
+    # wireless first (called out by the r3 verdict as the oldest
+    # families), then temporal/events, streaming, text/knn, multimodal,
+    # corpus — catalog source order within each family.
     "log_hack",
     "log_host",
     "log_dateweek",
@@ -2957,10 +2918,7 @@ _CHECK_PRIORITY = [
     "multimodal_decode_bmp",
     "multimodal_decode_wav",
     "training_pipeline",
-    "dedup_embedding",
     "dedup_embedding_blocked",
-    "dedup_clusters",
-    "dedup_ngram_jaccard",
     "skewed_events_salted_join",
     "skewed_events_two_phase",
     "corpus_pipeline_full",
@@ -2972,9 +2930,66 @@ _CHECK_PRIORITY = [
     "decontaminate_ngrams",
     "doc_repetition",
     "dedup_incremental",
-    "word_count_byteblock_sampled",
     "events_zorder_buckets",
     "boilerplate_strip",
+    # ---- below here: typically past the harness's ~50-query per-round
+    # budget. First the 36 queries hash-green in r3 (freshest signal,
+    # lowest re-check value), catalog source order.
+    "word_count",
+    "char_count",
+    "xml_page_words",
+    "word_count_multifile",
+    "word_count_reference_delims",
+    "word_count_rowgroup_sampled",
+    "sampling_report",
+    "tpch_q1",
+    "tpch_q1_hash_sampled",
+    "tpch_q3_topk",
+    "revenue_by_nation",
+    "top_orders_per_priority",
+    "order_rollup",
+    "urgent_only_customers",
+    "priority_distinct_customers",
+    "exists_subquery_customers",
+    "events_grouping_sets",
+    "events_props_json",
+    "events_props_typed",
+    "docs_partitioned_lang",
+    "order_price_quantiles",
+    "price_per_qty_hash_sampled",
+    "salted_orders_join",
+    "bucketed_orders_join",
+    "bloom_semi_join",
+    "skewed_events_suggested_salts",
+    "dedup_exact",
+    "dedup_fingerprint",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "dedup_clusters_blocked",
+    "cross_doc_dup_spans",
+    "customer_upsert",
+    "dataset_split_md5",
+    "docs_cap_per_lang",
+    # ---- permanently rows-only-by-nature (engine RNG / approx sketches /
+    # data-trained state; each tagged at its @register site). All 15 got
+    # their first driver rows by r3 — a repeat no_oracle row carries no
+    # further signal, so they close the list and must NOT occupy graded
+    # slots (VERDICT r3 item 1).
+    "approx_price_per_qty",
+    "knn_ivf",
+    "multimodal_knn",
+    "streaming_sampled_hourly",
+    "tablesample_words",
+    "tpch_q1_sampled",
+    "word_count_sampled",
+    "word_count_file_sampled",
+    "xml_page_words_sampled",
+    "log_host_sampled",
+    "approx_events_by_type",
+    "approx_quantile_events",
+    "hll_users_daily",
+    "stratified_events_by_type",
     "streaming_ivf_cells",
 ]
 
