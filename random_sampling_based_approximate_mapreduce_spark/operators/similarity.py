@@ -224,6 +224,7 @@ def assign_ivf(
     centroids: list[list[float]],
     n_probe: int = 1,
     vec_col: str = "v",
+    round_dp: int | None = None,
 ) -> DataFrame:
     """Add ``cell`` (int) rows for the ``n_probe`` nearest centroids.
 
@@ -237,6 +238,12 @@ def assign_ivf(
     multiplies; the Arrow/numpy path is the sanctioned fast lane for dense
     vector math (see pyspark_guide: Pandas UDFs beat row-Python 10-100x —
     the same applies vs per-element HOF evaluation).
+
+    ``round_dp``: round assignment scores to this many decimals before the
+    argsort (ties then break on cell index). Frozen-centroid twins set 6 so
+    the DuckDB mirror (``ann_ivf_sql``) reproduces the identical cell
+    choice despite numpy-vs-SQL summation-order ulp drift — the same
+    stability idiom as the rounded cosine in ``knn_brute_force``.
     """
     import math as _math
 
@@ -254,6 +261,8 @@ def assign_ivf(
         M = np.vstack([np.asarray(v, dtype="float64") for v in vs])
         M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
         scores = M @ cents_t
+        if round_dp is not None:
+            scores = np.round(scores, round_dp)
         # argsort descending; ties broken by cell index (stable ordering)
         idx = np.argsort(-scores, axis=1, kind="stable")[:, :probe]
         return pd.Series([row.astype("int32").tolist() for row in idx])
@@ -275,6 +284,7 @@ def ann_ivf(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     centroids: list[list[float]] | None = None,
+    round_dp: int | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: coarse-quantize the corpus into centroid
     cells (one row each), probe each query's ``n_probe`` nearest cells,
@@ -285,6 +295,12 @@ def ann_ivf(
     an equi-join on ``cell`` with the tiny query side broadcast; cost ~
     corpus x (n_probe / n_centroids) per query. Recall vs brute force is
     asserted in tests (>= 0.8 at 16 cells / 4 probes on testdata).
+
+    With explicit frozen ``centroids`` and ``round_dp=6`` the whole query
+    is deterministic and value-oracled by ``ann_ivf_sql`` (the
+    knn_ivf_frozen / multimodal_knn_frozen catalog twins); with trained
+    centroids it stays rows-only (data-trained state has no static SQL
+    mirror).
     """
     # No ensure_parallelism here: assignment is an Arrow/numpy batch UDF,
     # so per-row cost is tiny and a test-scale repartition just multiplies
@@ -294,8 +310,8 @@ def ann_ivf(
         centroids = train_ivf_centroids(corpus, n_centroids, id_col=id_col, vec_col=vec_col)
     q = queries.select(F.col(id_col).alias(query_id_col), _as_double(F.col(vec_col)).alias("qv"))
     c = corpus.select(F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv"))
-    qc = assign_ivf(q, centroids, n_probe=n_probe, vec_col="qv")
-    cc = assign_ivf(c, centroids, n_probe=1, vec_col="cv")
+    qc = assign_ivf(q, centroids, n_probe=n_probe, vec_col="qv", round_dp=round_dp)
+    cc = assign_ivf(c, centroids, n_probe=1, vec_col="cv", round_dp=round_dp)
     scored = (
         F.broadcast(qc)
         .join(cc, "cell")
@@ -310,6 +326,87 @@ def ann_ivf(
         scored.select(query_id_col, "neighbor_id", "cosine", F.row_number().over(w).alias("rank"))
         .where(F.col("rank") <= k)
     )
+
+
+def ann_ivf_sql(
+    centroids: list[list[float]],
+    k: int,
+    n_probe: int,
+    corpus_sql: str,
+    query_where: str,
+    query_id_col: str = "query_id",
+    round_dp: int = 6,
+) -> str:
+    """DuckDB mirror of ``ann_ivf(centroids=..., round_dp=...)``.
+
+    ``corpus_sql`` must SELECT columns ``(id, v)`` with v a DOUBLE[];
+    ``query_where`` filters it to the query set. The mirror reproduces,
+    literal-for-literal, the four stages of the frozen-centroid plan:
+
+      1. centroid normalization — done HERE in the same Python float64
+         arithmetic as ``assign_ivf``, then embedded via repr() so both
+         engines dot against bit-identical centroid values;
+      2. cell assignment — score = round(dot(v, cn) / max(|v|, 1e-12), dp)
+         with ties broken by cell index (row_number ORDER BY score DESC,
+         cell), matching numpy's stable argsort of rounded scores;
+      3. probe fan-out — rn <= n_probe on the query side, rn = 1 corpus;
+      4. exact rescore + rank — the same rounded-cosine / neighbor-id
+         tie-break as ``knn_brute_force_sql``.
+    """
+    import math
+
+    normed = []
+    for c in centroids:
+        n = math.sqrt(sum(x * x for x in c)) or 1.0
+        normed.append([x / n for x in c])
+    cent_rows = ",\n        ".join(
+        f"({i}, [{', '.join(repr(float(x)) for x in c)}]::DOUBLE[])"
+        for i, c in enumerate(normed)
+    )
+    score = (
+        f"round(list_dot_product(t.v, c.cv) / "
+        f"greatest(sqrt(list_dot_product(t.v, t.v)), 1e-12), {round_dp})"
+    )
+    cos = (
+        "round(list_dot_product(q.v, e.v) / "
+        "(sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(e.v, e.v))), 6)"
+    )
+    return f"""
+    WITH corpus AS ({corpus_sql}),
+    cents(cell, cv) AS (VALUES
+        {cent_rows}
+    ),
+    corpus_cells AS (
+      SELECT id, cell FROM (
+        SELECT t.id, c.cell,
+               row_number() OVER (PARTITION BY t.id
+                                  ORDER BY {score} DESC, c.cell) AS rn
+        FROM corpus t, cents c
+      ) WHERE rn = 1
+    ),
+    query_cells AS (
+      SELECT id, cell FROM (
+        SELECT t.id, c.cell,
+               row_number() OVER (PARTITION BY t.id
+                                  ORDER BY {score} DESC, c.cell) AS rn
+        FROM (SELECT * FROM corpus WHERE {query_where}) t, cents c
+      ) WHERE rn <= {n_probe}
+    ),
+    scored AS (
+      SELECT qc.id AS {query_id_col}, cc.id AS neighbor_id, {cos} AS cosine
+      FROM query_cells qc
+      JOIN corpus_cells cc ON qc.cell = cc.cell
+      JOIN corpus q ON q.id = qc.id
+      JOIN corpus e ON e.id = cc.id
+    )
+    SELECT {query_id_col}::BIGINT AS {query_id_col},
+           neighbor_id::BIGINT AS neighbor_id, cosine, rank::INT AS rank
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY {query_id_col}
+                                   ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= {k}
+    """
 
 
 def ann_lsh(

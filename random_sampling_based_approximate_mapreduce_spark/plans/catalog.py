@@ -1771,6 +1771,40 @@ def _register_similarity():
         emb = load(spark, sf_dir, "embeddings")
         return S.ann_ivf(emb, emb.where(F.col("vec_id") < 3), k=5, n_centroids=16, n_probe=6)
 
+    from ..operators import ivf_frozen as IVF
+
+    @register(
+        "knn_ivf_frozen",
+        S.ann_ivf_sql(
+            IVF.EMBEDDINGS_CENTROIDS,
+            k=5,
+            n_probe=6,
+            corpus_sql="SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings",
+            query_where="id < 3",
+        ),
+        doc="IVF ANN top-5 with the coarse quantizer FROZEN as literals "
+        "(tools/freeze_ivf.py trains it once, seeded — the FAISS 'ship "
+        "the trained quantizer with the index' deployment shape): cell "
+        "assignment, probe fan-out, rescore, and rank are all "
+        "deterministic, so the DuckDB mirror (ann_ivf_sql) value-checks "
+        "the whole IVF pipeline — the hash-green twin of the rows-only "
+        "train-at-query-time knn_ivf, exactly like the frozen-hyperplane "
+        "knn_lsh upgrade. Assignment scores round to 6dp before argmax "
+        "(ties -> lower cell) so numpy-vs-SQL summation ulp drift cannot "
+        "flip a cell choice",
+        tags=("approx",),
+    )
+    def q_knn_ivf_frozen(spark, sf_dir):
+        emb = load(spark, sf_dir, "embeddings")
+        return S.ann_ivf(
+            emb,
+            emb.where(F.col("vec_id") < 3),
+            k=5,
+            n_probe=6,
+            centroids=IVF.EMBEDDINGS_CENTROIDS,
+            round_dp=6,
+        )
+
 
 _register_similarity()
 
@@ -2023,6 +2057,50 @@ def _register_multimodal():
         emb = MM.extract_embeddings(MM.attach_binary_content(docs))
         return S.knn_brute_force(
             emb, emb.where(F.col("doc_id") < 3), k=3, id_col="doc_id"
+        )
+
+    def _multimodal_knn_frozen_sql() -> str:
+        from ..operators import ivf_frozen as IVF
+        from ..operators import similarity as S
+
+        return S.ann_ivf_sql(
+            IVF.DOC_HASH_CENTROIDS,
+            k=3,
+            n_probe=6,
+            corpus_sql=(
+                f"SELECT doc_id AS id, {MM.hash_embedding_sql('text', 16)} AS v "
+                "FROM documents"
+            ),
+            query_where="id < 3",
+        )
+
+    @register(
+        "multimodal_knn_frozen",
+        _multimodal_knn_frozen_sql(),
+        doc="End-to-end multimodal retrieval, VALUE-oracled: binary "
+        "content -> closed-form md5 hash encoder (Arrow-batched "
+        "mapInPandas, the same plumbing as the numpy-RNG stub but with "
+        "exact 2^-10-rational features DuckDB reproduces bit-for-bit) -> "
+        "IVF with frozen doc-hash centroids (tools/freeze_ivf.py) -> "
+        "top-3 cosine. The hash-green twin of the rows-only "
+        "multimodal_knn: every stage (encode, assign, probe, rescore, "
+        "rank) is mirrored in SQL",
+        tags=("approx",),
+    )
+    def q_multimodal_knn_frozen(spark, sf_dir):
+        from ..operators import ivf_frozen as IVF
+        from ..operators import similarity as S
+
+        docs = load(spark, sf_dir, "documents")
+        emb = MM.extract_embeddings_hash(MM.attach_binary_content(docs), dim=16)
+        return S.ann_ivf(
+            emb,
+            emb.where(F.col("doc_id") < 3),
+            k=3,
+            n_probe=6,
+            id_col="doc_id",
+            centroids=IVF.DOC_HASH_CENTROIDS,
+            round_dp=6,
         )
 
 

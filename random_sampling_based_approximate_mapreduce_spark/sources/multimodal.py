@@ -334,6 +334,64 @@ def extract_embeddings(assets: DataFrame, dim: int = 64, model_stub: bool = True
     return assets.mapInPandas(gen, schema=EMBEDDING_SCHEMA)
 
 
+def extract_embeddings_hash(assets: DataFrame, dim: int = 16) -> DataFrame:
+    """Closed-form md5 feature encoder — the SQL-mirrorable twin of
+    ``extract_embeddings``.
+
+    Same plumbing (binary content in, Arrow-batched mapInPandas, one
+    embedding row per asset) but each component is a pure hash transform:
+
+        h   = md5_hex(content)
+        u_i = int(md5_hex(h + ':emb' + i)[:15], 16)      (the engine's
+              60-bit hash64, functions/hashing.py)
+        f_i = (u_i % 2048 - 1024) / 1024.0
+
+    Every f_i is an exact multiple of 2^-10, so the features are
+    bit-identical in any engine that computes the same md5 —
+    ``hash_embedding_sql`` renders them in DuckDB, which is what lets
+    multimodal_knn_frozen be VALUE-oracled while the numpy-RNG stub
+    encoder (``extract_embeddings``) stays rows-only. The per-batch body
+    is where a real model call goes; the hash transform stands in with
+    the same batch shape and cost profile (CPU per row, no shuffle).
+    """
+
+    def gen(batches: Iterator) -> Iterator:
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        def embed(content: bytes) -> np.ndarray:
+            h = hashlib.md5(bytes(content)).hexdigest()
+            vals = []
+            for i in range(dim):
+                u = int(hashlib.md5(f"{h}:emb{i}".encode()).hexdigest()[:15], 16)
+                vals.append((u % 2048 - 1024) / 1024.0)
+            return np.asarray(vals, dtype="float32")
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "embedding": [embed(c) for c in pdf["content"]],
+                }
+            )
+
+    return assets.mapInPandas(gen, schema=EMBEDDING_SCHEMA)
+
+
+def hash_embedding_sql(text_expr: str, dim: int = 16) -> str:
+    """DuckDB DOUBLE[] literal list mirroring ``extract_embeddings_hash``
+    over content = UTF-8 bytes of ``text_expr`` (md5(utf8(text)) ==
+    md5(text) in DuckDB, which hashes VARCHAR by its UTF-8 bytes)."""
+    comps = [
+        f"((('0x' || substr(md5(md5({text_expr}) || ':emb{i}'), 1, 15))::BIGINT"
+        f" % 2048 - 1024) / 1024.0)"
+        for i in range(dim)
+    ]
+    return "[" + ", ".join(comps) + "]::DOUBLE[]"
+
+
 FRAME_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),

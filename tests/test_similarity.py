@@ -81,6 +81,89 @@ class TestIVF:
         assert assigned.select("cell").distinct().count() <= 8
 
 
+class TestIVFFrozen:
+    def test_frozen_centroid_shapes(self):
+        from random_sampling_based_approximate_mapreduce_spark.operators import ivf_frozen as IVF
+
+        assert len(IVF.EMBEDDINGS_CENTROIDS) == 16
+        assert all(len(c) == 64 for c in IVF.EMBEDDINGS_CENTROIDS)
+        assert len(IVF.DOC_HASH_CENTROIDS) == 16
+        assert all(len(c) == 16 for c in IVF.DOC_HASH_CENTROIDS)
+
+    def test_frozen_recall_vs_brute_force(self, emb):
+        from random_sampling_based_approximate_mapreduce_spark.operators import ivf_frozen as IVF
+
+        queries = emb.where(F.col("vec_id") < 10)
+        exact = S.knn_brute_force(emb, queries, k=5)
+        approx = S.ann_ivf(
+            emb, queries, k=5, n_probe=6,
+            centroids=IVF.EMBEDDINGS_CENTROIDS, round_dp=6,
+        )
+        hits = exact.join(approx, ["query_id", "neighbor_id"], "left_semi").count()
+        # centroids are trained on sf0.01 (tools/freeze_ivf.py) and this
+        # test corpus is sf0.001 — transfer on near-orthogonal testdata
+        # measured 0.66 recall at 6/16 probes (0.70 on the training
+        # corpus, same as the train-at-query-time path)
+        assert hits / exact.count() >= 0.6
+
+    def test_frozen_is_deterministic(self, emb):
+        from random_sampling_based_approximate_mapreduce_spark.operators import ivf_frozen as IVF
+
+        q = emb.where(F.col("vec_id") < 3)
+        a = sorted(
+            tuple(r)
+            for r in S.ann_ivf(
+                emb, q, k=5, n_probe=4, centroids=IVF.EMBEDDINGS_CENTROIDS, round_dp=6
+            ).collect()
+        )
+        b = sorted(
+            tuple(r)
+            for r in S.ann_ivf(
+                emb, q, k=5, n_probe=4, centroids=IVF.EMBEDDINGS_CENTROIDS, round_dp=6
+            ).collect()
+        )
+        assert a == b and len(a) == 15
+
+
+class TestHashEmbedding:
+    def test_matches_closed_form(self, spark):
+        """The Arrow-batch encoder reproduces the documented md5 formula
+        exactly (the same arithmetic hash_embedding_sql renders in SQL)."""
+        import hashlib
+
+        from random_sampling_based_approximate_mapreduce_spark.sources import multimodal as MM
+
+        df = spark.createDataFrame([(1, "hello world"), (2, "")], "doc_id long, text string")
+        assets = MM.attach_binary_content(df)
+        rows = {r["doc_id"]: list(r["embedding"]) for r in MM.extract_embeddings_hash(assets, dim=4).collect()}
+
+        def expect(text: str) -> list[float]:
+            h = hashlib.md5(text.encode()).hexdigest()
+            out = []
+            for i in range(4):
+                u = int(hashlib.md5(f"{h}:emb{i}".encode()).hexdigest()[:15], 16)
+                out.append((u % 2048 - 1024) / 1024.0)
+            return out
+
+        assert rows[1] == expect("hello world")
+        assert rows[2] == expect("")
+
+    def test_features_are_exact_float32(self, spark):
+        """Every component is a multiple of 2^-10 in [-1, 1) — exactly
+        representable in float32, which is what makes the SQL mirror
+        bit-exact."""
+        from random_sampling_based_approximate_mapreduce_spark.sources import multimodal as MM
+
+        df = spark.createDataFrame([(i, f"doc {i}") for i in range(20)], "doc_id long, text string")
+        vals = [
+            x
+            for r in MM.extract_embeddings_hash(MM.attach_binary_content(df), dim=8).collect()
+            for x in r["embedding"]
+        ]
+        assert all(-1.0 <= x < 1.0 for x in vals)
+        assert all(float(x) * 1024.0 == round(float(x) * 1024.0) for x in vals)
+
+
 class TestBruteForceArrow:
     def test_arrow_equals_column_plan(self, emb):
         """mapInPandas matmul + per-batch top-k == the broadcast crossJoin
