@@ -2059,6 +2059,35 @@ def _register_multimodal():
             emb, emb.where(F.col("doc_id") < 3), k=3, id_col="doc_id"
         )
 
+    @register(
+        "video_container_meta",
+        """
+        SELECT doc_id::BIGINT AS doc_id,
+               CASE WHEN doc_id % 2 = 0 THEN 'mp4' ELSE 'avi' END AS container,
+               CASE doc_id % 3 WHEN 0 THEN 'avc1' WHEN 1 THEN 'hvc1'
+                    ELSE 'av01' END AS codec,
+               (320 + (doc_id % 4) * 160)::INT AS width,
+               (240 + (doc_id % 4) * 120)::INT AS height,
+               (24 + doc_id % 48)::BIGINT AS n_frames,
+               round(CAST(24 + doc_id % 48 AS DOUBLE)
+                     / (12 + (doc_id % 3) * 6), 6) AS duration_s
+        FROM documents
+        """,
+        doc="REAL video container metadata WITHOUT frame decode: "
+        "synthesized MP4 (ISO-BMFF ftyp/moov/mvhd/stsd/stsz boxes) and "
+        "AVI (RIFF hdrl/avih/strh chunks) streams -> dependency-free "
+        "header walk (sources/multimodal.parse_video_container) pulling "
+        "container, codec fourcc, dimensions, frame count, and duration "
+        "— value-checked closed-form like the BMP/WAV decoders. This is "
+        "the cheap metadata pass a 100 TB video pipeline runs before "
+        "spending GPU time on frames; only pixel decode remains stubbed "
+        "(needs ffmpeg)",
+    )
+    def q_video_container_meta(spark, sf_dir):
+        docs = ensure_parallelism(load(spark, sf_dir, "documents"))
+        meta = MM.video_container_metadata(MM.synthesize_video_assets(docs))
+        return meta
+
     def _multimodal_knn_frozen_sql() -> str:
         from ..operators import ivf_frozen as IVF
         from ..operators import similarity as S
