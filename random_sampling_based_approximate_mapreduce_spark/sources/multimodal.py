@@ -207,8 +207,11 @@ def _decode_batch(pdf, stub: bool):
         else:
             raise NotImplementedError(
                 f"no pure-Python decoder for modality {modality!r} (magic "
-                f"{b[:4]!r}); BMP and WAV decode for real, video needs "
-                "ffmpeg — use decode_stub=True for the deterministic fake"
+                f"{b[:4]!r}); BMP and WAV decode for real, video container "
+                "HEADERS parse via video_container_metadata (duration/"
+                "codec/frames without frame decode) — full frame decode "
+                "needs ffmpeg; use decode_stub=True for the deterministic "
+                "fake"
             )
         out["doc_id"].append(doc_id)
         out["modality"].append(modality)
