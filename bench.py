@@ -74,6 +74,12 @@ BENCH_QUERIES = [
     "multimodal_knn_frozen",
     "video_container_meta",
     "approx_sum_ci_families",
+    # round-4 widening: representative of the analytic-join batch (Q13/Q18
+    # shapes), the oracled CountMin sketch, and the TF-IDF df shuffle
+    "order_counts_distribution",
+    "large_orders_topk",
+    "countmin_tokens",
+    "tfidf_top_terms",
     # the scale-correct LSH->verify->CC composition is the headline
     # clustering number; the all-pairs forms (dedup_clusters,
     # dedup_embedding) stay in the catalog as oracle-only baselines.

@@ -3029,6 +3029,523 @@ def q_corpus_pipeline_full(spark, sf_dir):
 
 
 # ===========================================================================
+# 12. Analytic-join coverage + value-oracled sketches (round-4 widening)
+#
+# The reference is a word-count/log MapReduce engine; these queries cover the
+# classic warehouse join/subquery shapes (TPC-H Q2/Q13/Q14/Q16/Q18/Q22
+# patterns) plus index/sketch builds a training-data pipeline runs, each with
+# a DuckDB value oracle. Scalar subqueries use Spark 4's DataFrame subquery
+# API (``DataFrame.scalar()``) so they plan as a real ScalarSubquery — a
+# driver-broadcast single value, not a join — exactly like the SQL form.
+# (A constant-key equi-join was measured first: FoldablePropagation folds
+# the 1=1 condition away and degrades it to BroadcastNestedLoopJoin.)
+# ===========================================================================
+
+
+@register(
+    "order_counts_distribution",
+    """
+    SELECT c_count, count(*)::BIGINT AS custdist
+    FROM (
+      SELECT coalesce(n, 0)::BIGINT AS c_count
+      FROM customer LEFT JOIN (
+        SELECT o_custkey, count(*)::BIGINT AS n FROM orders GROUP BY o_custkey
+      ) oc ON c_custkey = o_custkey
+    )
+    GROUP BY c_count
+    """,
+    doc="TPC-H Q13 shape: customer order-count distribution via left outer "
+    "join + double aggregation. 100 TB shape: the fact side is "
+    "pre-aggregated to one row per custkey BEFORE the join, so the join "
+    "input is |customers|, not |orders|; second agg keys on the tiny "
+    "c_count domain (map-side combine collapses it almost entirely)",
+)
+def q_order_counts_distribution(spark, sf_dir):
+    c = load(spark, sf_dir, "customer").select("c_custkey")
+    oc = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    per = c.join(oc, c.c_custkey == oc.o_custkey, "left").select(
+        F.coalesce(F.col("n"), F.lit(0).cast("long")).alias("c_count")
+    )
+    return per.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register(
+    "promo_revenue_share",
+    """
+    SELECT date_trunc('month', l_shipdate) AS ship_month,
+           CAST(sum(CASE WHEN p_type = 'PROMO'
+                    THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (1.00 - CAST(l_discount AS DECIMAL(4,2)))
+                    ELSE CAST(0.00 AS DECIMAL(12,2)) END) AS DOUBLE) AS promo_revenue,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1.00 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS total_revenue,
+           round(CAST(sum(CASE WHEN p_type = 'PROMO'
+                         THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (1.00 - CAST(l_discount AS DECIMAL(4,2)))
+                         ELSE CAST(0.00 AS DECIMAL(12,2)) END) AS DOUBLE)
+                 / CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1.00 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE),
+                 6) AS promo_share
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    GROUP BY 1
+    """,
+    doc="TPC-H Q14 shape: conditional-aggregation ratio (promo revenue "
+    "share per ship month). Dim broadcast, one fact shuffle on the month "
+    "key; both sums are exact DECIMAL (order-independent) cast to DOUBLE "
+    "only at the boundary, so the share divides two identical doubles on "
+    "both engines",
+)
+def q_promo_revenue_share(spark, sf_dir):
+    l = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_extendedprice", "l_discount", "l_shipdate"
+    )
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_type")
+    one = F.lit("1.00").cast("decimal(4,2)")
+    zero = F.lit("0.00").cast("decimal(12,2)")
+    rev = _dec("l_extendedprice") * (one - _dec("l_discount", 4, 2))
+    agg = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy(F.date_trunc("month", F.col("l_shipdate")).alias("ship_month"))
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(zero)).alias("__p"),
+            F.sum(rev).alias("__t"),
+        )
+    )
+    return agg.select(
+        "ship_month",
+        F.col("__p").cast("double").alias("promo_revenue"),
+        F.col("__t").cast("double").alias("total_revenue"),
+        F.round(
+            F.col("__p").cast("double") / F.col("__t").cast("double"), 6
+        ).alias("promo_share"),
+    )
+
+
+@register(
+    "supplier_cnt_by_brand",
+    """
+    SELECT p_brand, p_type, count(DISTINCT l_suppkey)::BIGINT AS supplier_cnt
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_size IN (1, 5, 9, 13, 17) AND p_brand <> 'Brand#1'
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 1000)
+    GROUP BY p_brand, p_type
+    """,
+    doc="TPC-H Q16 shape: distinct-count by attribute pair with a NOT-IN "
+    "exclusion subquery. NOT IN over non-null keys = broadcast left_anti "
+    "join (the null-safe rewrite Spark itself would plan); part filter "
+    "pushed to the dim scan before its broadcast; countDistinct expands "
+    "to the standard two-phase partial-distinct aggregate",
+)
+def q_supplier_cnt_by_brand(spark, sf_dir):
+    l = load(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    p = (
+        load(spark, sf_dir, "part")
+        .where(F.col("p_size").isin(1, 5, 9, 13, 17))
+        .where(F.col("p_brand") != "Brand#1")
+        .select("p_partkey", "p_brand", "p_type")
+    )
+    excl = (
+        load(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") < 1000)
+        .select("s_suppkey")
+    )
+    j = l.join(F.broadcast(p), l.l_partkey == p.p_partkey).join(
+        F.broadcast(excl), l.l_suppkey == excl.s_suppkey, "left_anti"
+    )
+    return j.groupBy("p_brand", "p_type").agg(
+        F.countDistinct("l_suppkey").alias("supplier_cnt")
+    )
+
+
+@register(
+    "large_orders_topk",
+    """
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, total_qty
+    FROM (
+      SELECT l_orderkey, sum(l_quantity) AS total_qty
+      FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 300
+    ) big
+    JOIN orders ON o_orderkey = big.l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10
+    """,
+    doc="TPC-H Q18 shape: HAVING-filtered aggregate semi-joined back "
+    "through orders to customers, deterministic top-k. 100 TB shape: the "
+    "per-order quantity aggregate runs FIRST (one shuffle with map-side "
+    "combine) and its >300 survivors are a tiny relation, broadcast to "
+    "orders — the classic agg-then-join inversion. quantities are "
+    "integral doubles, so the group sums are exact on both engines",
+)
+def q_large_orders_topk(spark, sf_dir):
+    big = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_quantity")
+        .groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .where(F.col("total_qty") > 300)
+    )
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        o.join(F.broadcast(big), o.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "total_qty")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "idle_rich_customers",
+    """
+    WITH ab AS (
+      SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_bal
+      FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT c_nationkey, count(*)::BIGINT AS numcust,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+    FROM customer, ab
+    WHERE c_acctbal > ab.avg_bal
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+    GROUP BY c_nationkey
+    """,
+    doc="TPC-H Q22 shape: scalar-subquery threshold (global positive-"
+    "balance average) + NOT EXISTS anti-join (customers with no urgent "
+    "order; every synthetic customer has SOME order, so the Q22 "
+    "'no orders at all' predicate would be vacuous — the urgent variant "
+    "keeps the anti-join selective). The average is exact-decimal-sum / "
+    "count in DOUBLE so the > threshold compares identical doubles; it "
+    "attaches via DataFrame.scalar() and plans as a true ScalarSubquery",
+)
+def q_idle_rich_customers(spark, sf_dir):
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey", "c_acctbal")
+    avg_bal = (
+        c.where(F.col("c_acctbal") > 0.0)
+        .agg((F.sum(_dec("c_acctbal")).cast("double") / F.count(F.lit(1))).alias("__avg"))
+    )
+    urgent = (
+        load(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    rich = c.where(F.col("c_acctbal") > avg_bal.scalar())
+    idle = rich.join(urgent, rich.c_custkey == urgent.o_custkey, "left_anti")
+    return idle.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("numcust"),
+        F.sum(_dec("c_acctbal")).cast("double").alias("totacctbal"),
+    )
+
+
+@register(
+    "cheapest_supplier_per_part",
+    """
+    WITH ps AS (
+      SELECT l_partkey, p_name, l_suppkey,
+             round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / count(*), 4) AS avg_price
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_size <= 3
+      GROUP BY l_partkey, p_name, l_suppkey
+    )
+    SELECT l_partkey AS p_partkey, p_name, l_suppkey AS best_suppkey, avg_price AS best_price
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY l_partkey
+                                   ORDER BY avg_price, l_suppkey) AS rk
+      FROM ps
+    ) WHERE rk = 1
+    """,
+    doc="TPC-H Q2 shape (min-cost supplier per part) re-expressed as a "
+    "window rank instead of a correlated MIN subquery — one pass, no "
+    "self-join. Part filter pushed before its broadcast; the per-"
+    "(part,supplier) average is exact-decimal-sum / count rounded to 4dp "
+    "BEFORE ranking so the rank order is engine-identical; suppkey "
+    "tiebreak makes rk=1 deterministic under price ties",
+)
+def q_cheapest_supplier_per_part(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    l = load(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey", "l_extendedprice")
+    p = load(spark, sf_dir, "part").where(F.col("p_size") <= 3).select("p_partkey", "p_name")
+    ps = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("l_partkey", "p_name", "l_suppkey")
+        .agg(
+            F.round(
+                F.sum(_dec("l_extendedprice")).cast("double") / F.count(F.lit(1)), 4
+            ).alias("avg_price")
+        )
+    )
+    w = Window.partitionBy("l_partkey").orderBy(F.asc("avg_price"), F.asc("l_suppkey"))
+    return (
+        ps.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            "p_name",
+            F.col("l_suppkey").alias("best_suppkey"),
+            F.col("avg_price").alias("best_price"),
+        )
+    )
+
+_CM_W = 512  # CountMin width (buckets per row)
+_CM_D = 3  # CountMin depth (hash rows)
+
+
+def _cm_buckets(word_col):
+    """(rix, bucket) structs for the d CountMin rows of one token.
+
+    Bucket = md5-derived 60-bit hash of 'cm{r}|token' mod width — fully
+    deterministic and reproducible in the SQL oracle (functions/hashing
+    docstring). explode_outer per module convention (no inferred
+    size()>0 pushdown re-evaluating the hash chain; the array is a
+    constant-size literal so nulls are impossible anyway).
+    """
+    from ..functions.hashing import hash64
+
+    return F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("rix"),
+                F.pmod(
+                    hash64(F.concat(F.lit(f"cm{r}|"), word_col)), F.lit(_CM_W)
+                ).alias("bucket"),
+            )
+            for r in range(_CM_D)
+        ]
+    )
+
+
+def _cm_bucket_sql(r: int, word_expr: str) -> str:
+    from ..functions.hashing import hash64_sql
+
+    inner = "'cm" + str(r) + "|' || " + word_expr
+    return f"({hash64_sql(inner)} % {_CM_W})"
+
+
+def _countmin_sql() -> str:
+    rb_rows = " UNION ALL ".join(
+        f"SELECT word, {r} AS rix, {_cm_bucket_sql(r, 'word')} AS bucket FROM w"
+        for r in range(_CM_D)
+    )
+    return f"""
+    WITH w AS (
+      SELECT word FROM (
+        SELECT unnest(string_split_regex(lower(text), '{_WORD_SPLIT_SQL}')) AS word
+        FROM documents
+        WHERE NOT regexp_matches(text, '[0-9]')
+      ) WHERE word <> '' AND NOT regexp_matches(word, '^[0-9]+$')
+    ),
+    rb AS ({rb_rows}),
+    sketch AS (SELECT rix, bucket, count(*)::BIGINT AS c FROM rb GROUP BY rix, bucket),
+    exact AS (SELECT word, count(*)::BIGINT AS exact_cnt FROM w GROUP BY word),
+    probes AS (SELECT word, exact_cnt FROM exact WHERE exact_cnt >= 50),
+    pb AS (SELECT p.word, p.exact_cnt, r.r AS rix,
+                  CASE r.r {' '.join(f"WHEN {r} THEN {_cm_bucket_sql(r, 'p.word')}" for r in range(_CM_D))} END AS bucket
+           FROM probes p, range({_CM_D}) r(r))
+    SELECT pb.word, pb.exact_cnt, min(s.c)::BIGINT AS cm_estimate
+    FROM pb JOIN sketch s ON s.rix = pb.rix AND s.bucket = pb.bucket
+    GROUP BY pb.word, pb.exact_cnt
+    """
+
+
+@register(
+    "countmin_tokens",
+    _countmin_sql(),
+    doc="CountMin frequency sketch with a FULL value oracle: the sketch "
+    "uses frozen md5-derived hash rows (d=3, w=512), so unlike RNG-seeded "
+    "sketches the whole build + point-query path is deterministic and "
+    "DuckDB reproduces it bit-for-bit. Probes are the tokens whose exact "
+    "count >= 50 (a deterministic set), output (word, exact_cnt, "
+    "cm_estimate) — the one-sided overestimate guarantee is also pinned "
+    "in tests. 100 TB shape: the sketch is ONE groupBy over (rix,bucket) "
+    "with map-side combine onto a bounded d*w=1536-cell relation — the "
+    "distributive-merge property that makes CountMin the scan-once "
+    "answer when the key domain itself is shuffle-prohibitive; the tiny "
+    "sketch then broadcasts to the probe side",
+)
+def q_countmin_tokens(spark, sf_dir):
+    docs = ensure_parallelism(
+        load(spark, sf_dir, "documents").select("text"),
+        skip_below_bytes=_CHEAP_PIPE_BYTES,
+    )
+    words = T.explode_words(T.drop_digit_lines(docs, "text"), "text")
+    rb = (
+        words.select(F.explode_outer(_cm_buckets(F.col("word"))).alias("rb"))
+        .select("rb.rix", "rb.bucket")
+    )
+    sketch = rb.groupBy("rix", "bucket").agg(F.count(F.lit(1)).alias("c"))
+    exact = words.groupBy("word").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    probes = exact.where(F.col("exact_cnt") >= 50)
+    pb = (
+        probes.select(
+            "word", "exact_cnt", F.explode_outer(_cm_buckets(F.col("word"))).alias("rb")
+        )
+        .select("word", "exact_cnt", "rb.rix", "rb.bucket")
+    )
+    est = pb.join(F.broadcast(sketch), ["rix", "bucket"])
+    return est.groupBy("word", "exact_cnt").agg(F.min("c").alias("cm_estimate"))
+
+
+@register(
+    "tfidf_top_terms",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, word FROM (
+        SELECT doc_id, unnest(string_split_regex(lower(text), '{_WORD_SPLIT_SQL}')) AS word
+        FROM documents
+      ) WHERE word <> '' AND NOT regexp_matches(word, '^[0-9]+$')
+    ),
+    dfx AS (SELECT word, count(*)::BIGINT AS df
+            FROM (SELECT DISTINCT doc_id, word FROM tok) GROUP BY word),
+    nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+    tf AS (SELECT doc_id, word, count(*)::BIGINT AS tf
+           FROM tok WHERE doc_id % 97 = 0 GROUP BY doc_id, word),
+    scored AS (
+      SELECT tf.doc_id, tf.word, tf.tf, dfx.df,
+             round(tf.tf * ln(CAST(nn.n AS DOUBLE) / dfx.df), 6) AS tfidf
+      FROM tf JOIN dfx USING (word), nn
+    )
+    SELECT doc_id, word, tf, df, tfidf FROM (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, word) AS rk
+      FROM scored
+    ) WHERE rk <= 3
+    """,
+    doc="TF-IDF term weighting: top-3 terms per probe doc by "
+    "tf * ln(N/df). 100 TB shape: df is ONE distinct-then-count shuffle "
+    "over (doc,word) pairs for the whole corpus (unavoidable — it IS the "
+    "statistic), then broadcasts to the tf side, which is computed only "
+    "for the probe docs (filter pushed to the scan); the corpus count "
+    "attaches via DataFrame.scalar() (a true ScalarSubquery). round(6) "
+    "BEFORE ranking absorbs ln() last-ulp differences so the rank order "
+    "is engine-identical, with the word tiebreak pinning ties",
+)
+def q_tfidf_top_terms(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = (
+        docs.select("doc_id", F.explode_outer(T.words(F.col("text"))).alias("word"))
+        .where(F.length("word") > 0)
+        .where(~F.col("word").rlike("^[0-9]+$"))
+    )
+    df_tbl = (
+        tok.select("doc_id", "word").distinct()
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    n = docs.agg(F.count(F.lit(1)).alias("__n"))
+    tf = (
+        tok.where(F.col("doc_id") % 97 == 0)
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    scored = tf.join(F.broadcast(df_tbl), "word").select(
+        "doc_id",
+        "word",
+        "tf",
+        "df",
+        F.round(
+            F.col("tf") * F.log(n.scalar().cast("double") / F.col("df")), 6
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("word"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select("doc_id", "word", "tf", "df", "tfidf")
+    )
+
+
+@register(
+    "bigram_inverted_index",
+    f"""
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '{_WORD_SPLIT_SQL}'),
+                         t -> len(t) > 0) AS w
+      FROM documents
+    ),
+    bg AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(generate_series(1, len(w) - 1),
+                                                 i -> w[i] || ' ' || w[i+1]))) AS bigram
+      FROM w
+    ),
+    dfx AS (SELECT bigram, count(*)::BIGINT AS df
+            FROM bg GROUP BY bigram HAVING count(*) <= 5)
+    SELECT bg.bigram, dfx.df,
+           string_agg(CAST(bg.doc_id AS VARCHAR), ',' ORDER BY bg.doc_id) AS postings
+    FROM bg JOIN dfx USING (bigram)
+    GROUP BY bg.bigram, dfx.df
+    """,
+    doc="Inverted-index build over word bigrams, banded to rare grams "
+    "(df <= 5): token -> sorted posting list, the retrieval structure a "
+    "corpus search/decontamination service materializes. 100 TB shape: "
+    "TWO-PASS on purpose — df counts first (one shuffle, map-side "
+    "combine), then only the surviving rare grams aggregate posting "
+    "lists, so no collect_list ever runs on a stopword-gram key (the "
+    "unbounded-posting-list OOM at scale); the df band relation "
+    "broadcasts. Postings serialize as a sorted CSV string so the value "
+    "oracle compares engine-neutral scalars",
+)
+def q_bigram_inverted_index(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    bg = (
+        T.with_word_shingles(docs, "text", 2)
+        .select("doc_id", F.explode_outer("shingles").alias("bigram"))
+        .where(F.col("bigram").isNotNull())
+    )
+    dfx = (
+        bg.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") <= 5)
+    )
+    return (
+        bg.join(F.broadcast(dfx), "bigram")
+        .groupBy("bigram", "df")
+        .agg(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.sort_array(F.collect_list("doc_id")), lambda x: x.cast("string")
+                ),
+            ).alias("postings")
+        )
+    )
+
+
+@register(
+    "events_value_histogram",
+    """
+    SELECT least(greatest(CAST(floor(value / 25.0) AS INTEGER), 0), 19) AS bucket,
+           count(*)::BIGINT AS cnt,
+           CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1
+    """,
+    doc="Equi-width histogram (20 x 25-unit buckets, clamped ends) over "
+    "the event value column — the profiling primitive behind range "
+    "pruning and skew diagnosis. Map-only bucket expression + one "
+    "20-key aggregate; floor of an IEEE division is engine-identical, "
+    "bucket sums use the exact-decimal discipline",
+)
+def q_events_value_histogram(spark, sf_dir):
+    e = load(spark, sf_dir, "events").select("value")
+    bucket = F.least(
+        F.greatest(F.floor(F.col("value") / F.lit(25.0)).cast("int"), F.lit(0)),
+        F.lit(19),
+    )
+    return e.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(_dec("value")).cast("double").alias("total_value"),
+    )
+
+
+# ===========================================================================
 # Entry-point helpers
 # ===========================================================================
 
@@ -3049,11 +3566,26 @@ _CHECK_PRIORITY = [
     # row ever — it gets the single non-hash slot this round, then
     # retires past the budget.
     # --- head: value-oracled queries NEW this round (unknown names are
-    # skipped harmlessly until they register)
+    # skipped harmlessly until they register). With 14 new entries the
+    # ~50-slot budget reaches ~32 of the r2-stale list below; the tail
+    # (~15 queries around the corpus family) rolls to round 5 —
+    # never-checked > stale-recheck in signal value.
     "knn_ivf_frozen",
     "multimodal_knn_frozen",
     "video_container_meta",
     "approx_sum_ci_families",
+    # round-4 widening batch: analytic join/subquery shapes + oracled
+    # sketch/index builds, all value-oracled, none driver-checked before
+    "order_counts_distribution",
+    "promo_revenue_share",
+    "supplier_cnt_by_brand",
+    "large_orders_topk",
+    "idle_rich_customers",
+    "cheapest_supplier_per_part",
+    "countmin_tokens",
+    "tfidf_top_terms",
+    "bigram_inverted_index",
+    "events_value_histogram",
     # --- the one catalog query with zero driver rows across r1-r3
     # (rows-only by nature: byte-block cluster sample); one slot for its
     # first external rows-signal, per VERDICT r3 item 2
