@@ -2464,6 +2464,45 @@ def q_streaming_events_hourly(spark, sf_dir):
 
 
 @register(
+    "streaming_user_sessions",
+    """
+    WITH marked AS (
+      SELECT user_id, ts, value,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       <= 1800000000 THEN 0 ELSE 1 END AS is_new,
+             event_id
+      FROM events
+    ),
+    sess AS (
+      SELECT user_id, ts, value,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           count(*)::BIGINT AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+    FROM sess GROUP BY user_id, sid
+    """,
+    doc="Event-time sessionization AS A STREAMING JOB via the native "
+    "session_window operator (30-min gap, merging-session state store). "
+    "VALUE-oracled: session merge is boundary-INCLUSIVE (an exactly-30:00 "
+    "gap merges — pinned empirically) and window end = last event + gap, "
+    "so the stream result equals the batch gaps-and-islands form with "
+    "end = max(ts) + gap; batch twin is user_sessions. Complete mode + "
+    "availableNow for the finite verification run; production = "
+    "watermark + append (state bounded by the live-session horizon)",
+    tags=("streaming",),
+)
+def q_streaming_user_sessions(spark, sf_dir):
+    from ..streaming.sampled_stream import user_sessions_stream
+
+    return user_sessions_stream(spark, sf_dir)
+
+
+@register(
     "streaming_sampled_hourly",
     None,
     doc="Streaming hash-Bernoulli sample (replay-deterministic) -> windowed "
@@ -3586,6 +3625,7 @@ _CHECK_PRIORITY = [
     "tfidf_top_terms",
     "bigram_inverted_index",
     "events_value_histogram",
+    "streaming_user_sessions",
     # --- the one catalog query with zero driver rows across r1-r3
     # (rows-only by nature: byte-block cluster sample); one slot for its
     # first external rows-signal, per VERDICT r3 item 2

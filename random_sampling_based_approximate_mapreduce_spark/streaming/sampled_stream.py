@@ -177,6 +177,57 @@ def events_hourly_stream(spark, sf_dir: str, *, sampled: bool = False, ratio: fl
     )
 
 
+def user_sessions_stream(spark, sf_dir: str) -> DataFrame:
+    """Event-time sessionization AS A STREAMING JOB via the NATIVE
+    ``session_window`` operator (gap 30 min), returning the final session
+    table as a batch DataFrame.
+
+    Semantics pinned empirically (and encoded in the SQL oracle): two
+    events merge into one session iff their gap is <= the 30-minute gap
+    duration (boundary-inclusive — an exactly-30:00 gap merges), and a
+    session's window end is its LAST event's time + gap. That makes the
+    result identical to the batch gaps-and-islands form (catalog
+    ``user_sessions``), with start = min(ts), end = max(ts) + gap per
+    island — the stream/batch parity this query value-checks.
+
+    Complete output mode + availableNow: every session is present at
+    termination, which is what makes the finite verification run exactly
+    reproducible. At 100 TB/day the production form is
+    ``withWatermark(ts, horizon)`` + append mode, where a session is
+    emitted (and its state evicted) once the watermark passes its close —
+    state is bounded by the live-session horizon, not history; the
+    merging-session state store and the plan are identical in both modes.
+    """
+    src = _stream_source_dir(spark, sf_dir)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    agg = (
+        stream.groupBy(
+            F.session_window(F.col("ts"), "30 minutes").alias("w"),
+            F.col("user_id"),
+        ).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("total_value"),
+        )
+    )
+    name = "rsmr_stream_user_sessions"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        "user_id",
+        F.col("w.start").alias("session_start"),
+        F.col("w.end").alias("session_end"),
+        "n_events",
+        "total_value",
+    )
+
+
 def _stream_source_dir(spark, sf_dir: str) -> str:
     """Materialize the events table (ts already converted from parquet
     nanos) as a parquet DIRECTORY the file-stream source can read.

@@ -392,3 +392,55 @@ class TestStreamAdmission:
             .collect()
         }
         assert got == expected and len(got) > 0
+
+
+class TestStreamingSessions:
+    def test_sessions_match_batch_islands(self, spark, sf_dir):
+        """Native session_window stream == batch gaps-and-islands twin.
+
+        The catalog oracle proves value parity vs DuckDB; this pins the
+        INTERNAL stream/batch identity (streaming_user_sessions vs the
+        user_sessions lag+cumsum form) including the boundary-inclusive
+        merge and end = max(ts) + gap.
+        """
+        import pyspark.sql.functions as F
+        from pyspark.sql.window import Window
+
+        from random_sampling_based_approximate_mapreduce_spark.plans.catalog import QUERIES
+        from random_sampling_based_approximate_mapreduce_spark.sources.tables import load
+
+        streamed = QUERIES["streaming_user_sessions"].spark(spark, sf_dir)
+
+        e = load(spark, sf_dir, "events")
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
+        is_new = F.when(gap <= 1_800_000_000, F.lit(0)).otherwise(F.lit(1))
+        sess = e.select(
+            "user_id", "ts", "value", is_new.alias("is_new"), "event_id"
+        ).select(
+            "user_id",
+            "ts",
+            "value",
+            F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("sid"),
+        )
+        batch = sess.groupBy("user_id", "sid").agg(
+            F.min("ts").alias("session_start"),
+            (F.max("ts") + F.expr("INTERVAL 30 MINUTES")).alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("total_value"),
+        ).drop("sid")
+
+        got = sorted(
+            streamed.collect(),
+            key=lambda r: (r.user_id, r.session_start),
+        )
+        want = sorted(batch.collect(), key=lambda r: (r.user_id, r.session_start))
+        assert len(got) == len(want) > 0
+        for g, b in zip(got, want):
+            assert (g.user_id, g.session_start, g.session_end, g.n_events) == (
+                b.user_id,
+                b.session_start,
+                b.session_end,
+                b.n_events,
+            )
+            assert abs(g.total_value - b.total_value) < 1e-9
