@@ -180,6 +180,79 @@ def misra_gries(
 # ---------------------------------------------------------------------------
 
 
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Split each document into fixed-size token windows with overlap.
+
+    The context-window preparation step of a pretraining pipeline: a
+    document longer than the model context becomes strided windows
+    (``stride < chunk_tokens`` keeps ``chunk_tokens - stride`` tokens of
+    overlap so no boundary-spanning text is lost); the output feeds
+    :func:`pack_sequences`. Emits one row per (doc, window):
+    ``(id, chunk_ix, start_tok, n_tokens, chunk_text)``.
+
+    100 TB shape: pure Column expressions — tokenize once per row (its
+    own projection step, the shingles_from_tokens CSE discipline), one
+    generator explode, no shuffle at all; chunking composes with
+    whatever partitioning the surrounding pipeline already has. Window
+    starts come from ``sequence(0, n-1, stride)``, so every token is
+    covered and empty docs emit nothing.
+    """
+    toks = df.withColumn("__toks", T.word_tokens(F.col(text_col)))
+    n = F.size("__toks")
+    starts = F.when(n <= 0, F.array().cast("array<int>")).otherwise(
+        F.sequence(F.lit(0), n - F.lit(1), F.lit(stride))
+    )
+    # explode_outer + isNotNull per module convention (the
+    # InferFiltersFromGenerate trap measured at ngram_contamination)
+    exploded = (
+        toks.select(id_col, "__toks", F.explode_outer(starts).alias("__start"))
+        .where(F.col("__start").isNotNull())
+    )
+    chunk = F.slice(F.col("__toks"), F.col("__start") + 1, chunk_tokens)
+    with_chunk = exploded.withColumn("__chunk", chunk)
+    return with_chunk.select(
+        id_col,
+        (F.col("__start") / F.lit(stride)).cast("long").alias("chunk_ix"),
+        F.col("__start").cast("long").alias("start_tok"),
+        F.size("__chunk").cast("long").alias("n_tokens"),
+        F.concat_ws(" ", F.col("__chunk")).alias("chunk_text"),
+    )
+
+
+def chunk_documents_sql(
+    chunk_tokens: int = 64, stride: int = 48, word_split_re: str = "[^a-z0-9'']+"
+) -> str:
+    """DuckDB mirror of :func:`chunk_documents` over the documents table."""
+    return f"""
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '{word_split_re}'),
+                         t -> len(t) > 0) AS w
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, w,
+             unnest(CASE WHEN len(w) = 0 THEN CAST([] AS BIGINT[])
+                    ELSE range(0, len(w), {stride}) END) AS start_tok
+      FROM w
+    )
+    SELECT doc_id,
+           (start_tok // {stride})::BIGINT AS chunk_ix,
+           start_tok::BIGINT AS start_tok,
+           len(list_slice(w, start_tok + 1,
+                          least(start_tok + {chunk_tokens}, len(w))))::BIGINT AS n_tokens,
+           array_to_string(list_slice(w, start_tok + 1,
+                          least(start_tok + {chunk_tokens}, len(w))), ' ') AS chunk_text
+    FROM s
+    """
+
+
 def pack_sequences(
     df: DataFrame,
     budget: int,

@@ -3557,6 +3557,31 @@ def q_bigram_inverted_index(spark, sf_dir):
     )
 
 
+def _doc_chunking_sql() -> str:
+    from ..operators.corpus import chunk_documents_sql
+
+    return chunk_documents_sql(chunk_tokens=64, stride=48, word_split_re=_WORD_SPLIT_SQL)
+
+
+@register(
+    "doc_chunking",
+    _doc_chunking_sql(),
+    doc="Context-window preparation: strided 64-token windows (stride 48, "
+    "16-token overlap) per document — the step between corpus cleaning "
+    "and sequence_packing in a pretraining pipeline. Map-only: tokenize "
+    "once per row (CSE discipline), one generator explode, ZERO "
+    "shuffles; value-oracled window-for-window including chunk text",
+)
+def q_doc_chunking(spark, sf_dir):
+    from ..operators.corpus import chunk_documents
+
+    docs = ensure_parallelism(
+        load(spark, sf_dir, "documents").select("doc_id", "text"),
+        skip_below_bytes=_CHEAP_PIPE_BYTES,
+    )
+    return chunk_documents(docs, chunk_tokens=64, stride=48)
+
+
 @register(
     "events_value_histogram",
     """
@@ -3626,6 +3651,7 @@ _CHECK_PRIORITY = [
     "bigram_inverted_index",
     "events_value_histogram",
     "streaming_user_sessions",
+    "doc_chunking",
     # --- the one catalog query with zero driver rows across r1-r3
     # (rows-only by nature: byte-block cluster sample); one slot for its
     # first external rows-signal, per VERDICT r3 item 2

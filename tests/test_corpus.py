@@ -377,3 +377,54 @@ class TestDuplicateSpans:
             ]
         )
         assert duplicate_spans(df, "text", "doc_id", k=3).count() == 0
+
+
+class TestChunkDocuments:
+    def test_windows_cover_and_overlap(self, spark):
+        from random_sampling_based_approximate_mapreduce_spark.operators.corpus import chunk_documents
+
+        text = " ".join(f"tok{i}" for i in range(150))
+        df = spark.createDataFrame([(1, text), (2, "short doc"), (3, "")],
+                                   "doc_id long, text string")
+        out = chunk_documents(df, chunk_tokens=64, stride=48).collect()
+        by_doc = {}
+        for r in out:
+            by_doc.setdefault(r.doc_id, []).append(r)
+        # doc 1: starts 0,48,96,144 -> 4 chunks; lengths 64,64,54,6
+        c1 = sorted(by_doc[1], key=lambda r: r.start_tok)
+        assert [r.start_tok for r in c1] == [0, 48, 96, 144]
+        assert [r.chunk_ix for r in c1] == [0, 1, 2, 3]
+        assert [r.n_tokens for r in c1] == [64, 64, 54, 6]
+        # overlap: chunk k repeats the last 16 tokens of chunk k-1
+        w = text.split()
+        for r in c1:
+            assert r.chunk_text == " ".join(w[r.start_tok : r.start_tok + 64])
+        # every token index is covered by at least one window
+        covered = set()
+        for r in c1:
+            covered.update(range(r.start_tok, r.start_tok + r.n_tokens))
+        assert covered == set(range(150))
+        # doc 2 (2 tokens): one whole-doc chunk; doc 3 (empty): nothing
+        assert [(r.start_tok, r.n_tokens) for r in by_doc[2]] == [(0, 2)]
+        assert 3 not in by_doc
+
+    def test_composes_with_pack_sequences(self, spark):
+        from random_sampling_based_approximate_mapreduce_spark.operators.corpus import (
+            chunk_documents,
+            pack_sequences,
+        )
+
+        from pyspark.sql import functions as F
+
+        text = " ".join(f"t{i}" for i in range(100))
+        df = spark.createDataFrame([(i, text) for i in range(6)], "doc_id long, text string")
+        chunks = chunk_documents(df, chunk_tokens=64, stride=48).withColumn(
+            "seq_id", F.col("doc_id") * 10 + F.col("chunk_ix")
+        )
+        packed = pack_sequences(chunks, budget=128, order_col="seq_id", tokens_col="n_tokens")
+        rows = packed.orderBy("seq_id").collect()
+        # greedy prefix-sum bins: cumulative tokens before each row / 128
+        run = 0
+        for r in rows:
+            assert r.bin_id == run // 128
+            run += r.n_tokens
