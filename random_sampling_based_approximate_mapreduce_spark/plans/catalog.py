@@ -3557,6 +3557,111 @@ def q_bigram_inverted_index(spark, sf_dir):
     )
 
 
+@register(
+    "events_sliding_peak",
+    """
+    SELECT event_type,
+           max(h_sum) AS peak_hour_value,
+           max(h_n)::BIGINT AS peak_hour_events,
+           count(*)::BIGINT AS n_events
+    FROM (
+      SELECT event_type,
+             CAST(sum(CAST(value AS DECIMAL(12,2))) OVER w AS DOUBLE) AS h_sum,
+             count(*) OVER w AS h_n
+      FROM events
+      WINDOW w AS (PARTITION BY event_type ORDER BY epoch_us(ts)
+                   RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    )
+    GROUP BY event_type
+    """,
+    doc="Sliding event-time window via a RANGE frame: per event, the "
+    "trailing-1-hour value sum and row count; reduced to the per-type "
+    "peak (the load-spike profile). RANGE (not ROWS) so timestamp ties "
+    "are peers on both engines — frames keyed on integer epoch_us make "
+    "Spark's rangeBetween and DuckDB's RANGE BETWEEN identical; frame "
+    "sums are exact DECIMAL. One shuffle on event_type, sort within "
+    "partitions — no per-row self-join, the scale-correct sliding form",
+)
+def q_events_sliding_peak(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    e = load(spark, sf_dir, "events").select("event_type", "ts", "value")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    sl = e.select(
+        "event_type",
+        F.sum(_dec("value")).over(w).cast("double").alias("h_sum"),
+        F.count(F.lit(1)).over(w).alias("h_n"),
+    )
+    return sl.groupBy("event_type").agg(
+        F.max("h_sum").alias("peak_hour_value"),
+        F.max("h_n").alias("peak_hour_events"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@register(
+    "both_priority_customers",
+    """
+    SELECT c_nationkey, count(*)::BIGINT AS cnt
+    FROM customer
+    WHERE c_custkey IN (
+      SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+      INTERSECT
+      SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
+    )
+    GROUP BY c_nationkey
+    """,
+    doc="Set ops (INTERSECT) + semi join: customers with BOTH an urgent "
+    "and a low order, per nation — the intersect twin of "
+    "urgent_only_customers (EXCEPT). Spark plans intersect as a "
+    "distinct left-semi join pair; both branches prune to one column "
+    "before the shuffle",
+)
+def q_both_priority_customers(spark, sf_dir):
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    urgent = o.where(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    low = o.where(F.col("o_orderpriority") == "5-LOW").select("o_custkey")
+    keys = urgent.intersect(low)  # INTERSECT DISTINCT
+    return (
+        c.join(keys, c.c_custkey == keys.o_custkey, "left_semi")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@register(
+    "events_daily_unpivot",
+    """
+    WITH d AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(count(*) AS DOUBLE) AS cnt,
+             CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+      FROM events GROUP BY 1
+    )
+    SELECT day, 'cnt' AS metric, cnt AS val FROM d
+    UNION ALL
+    SELECT day, 'total_value' AS metric, total_value AS val FROM d
+    """,
+    doc="Unpivot/melt (the inverse of events_daily_pivot): the daily "
+    "wide aggregate relayed long via DataFrame.unpivot — the "
+    "metrics-table normalization step. Map-only expand over an "
+    "already-tiny aggregate; oracle mirrors it as UNION ALL (what "
+    "Expand generates)",
+)
+def q_events_daily_unpivot(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("double").alias("cnt"),
+        F.sum(_dec("value")).cast("double").alias("total_value"),
+    )
+    return daily.unpivot(["day"], ["cnt", "total_value"], "metric", "val")
+
+
 def _doc_chunking_sql() -> str:
     from ..operators.corpus import chunk_documents_sql
 
@@ -3652,6 +3757,9 @@ _CHECK_PRIORITY = [
     "events_value_histogram",
     "streaming_user_sessions",
     "doc_chunking",
+    "events_sliding_peak",
+    "both_priority_customers",
+    "events_daily_unpivot",
     # --- the one catalog query with zero driver rows across r1-r3
     # (rows-only by nature: byte-block cluster sample); one slot for its
     # first external rows-signal, per VERDICT r3 item 2
