@@ -3528,8 +3528,12 @@ def q_tfidf_top_terms(spark, sf_dir):
     "combine), then only the surviving rare grams aggregate posting "
     "lists, so no collect_list ever runs on a stopword-gram key (the "
     "unbounded-posting-list OOM at scale); the df band relation "
-    "broadcasts. Postings serialize as a sorted CSV string so the value "
-    "oracle compares engine-neutral scalars",
+    "broadcasts, and the gram relation is localCheckpoint'd so both "
+    "passes share ONE tokenize (measured at 20x corpus, "
+    "tools/measure_index_twopass.py: 0.7 vs 20.9 MB shuffle AND 1.1 vs "
+    "5.2 s wall against the one-pass form — without the checkpoint the "
+    "double tokenize costs 10.8 s). Postings serialize as a sorted CSV "
+    "string so the value oracle compares engine-neutral scalars",
 )
 def q_bigram_inverted_index(spark, sf_dir):
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
@@ -3537,6 +3541,7 @@ def q_bigram_inverted_index(spark, sf_dir):
         T.with_word_shingles(docs, "text", 2)
         .select("doc_id", F.explode_outer("shingles").alias("bigram"))
         .where(F.col("bigram").isNotNull())
+        .localCheckpoint(eager=False)
     )
     dfx = (
         bg.groupBy("bigram")
@@ -3735,10 +3740,10 @@ _CHECK_PRIORITY = [
     # row ever — it gets the single non-hash slot this round, then
     # retires past the budget.
     # --- head: value-oracled queries NEW this round (unknown names are
-    # skipped harmlessly until they register). With 14 new entries the
-    # ~50-slot budget reaches ~32 of the r2-stale list below; the tail
-    # (~15 queries around the corpus family) rolls to round 5 —
-    # never-checked > stale-recheck in signal value.
+    # skipped harmlessly until they register). With 19 new entries + the
+    # byteblock slot, the ~50-slot budget reaches ~30 of the r2-stale
+    # list below; the tail (~17 queries around the corpus family) rolls
+    # to round 5 — never-checked > stale-recheck in signal value.
     "knn_ivf_frozen",
     "multimodal_knn_frozen",
     "video_container_meta",
