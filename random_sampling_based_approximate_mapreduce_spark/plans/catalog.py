@@ -3640,6 +3640,59 @@ def q_both_priority_customers(spark, sf_dir):
 
 
 @register(
+    "events_outlier_rate",
+    """
+    WITH st AS (
+      SELECT event_type,
+             count(*)::BIGINT AS n,
+             CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS s,
+             CAST(sum(CAST(value AS DECIMAL(12,2)) * CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS ss
+      FROM events GROUP BY event_type
+    ),
+    thr AS (
+      SELECT event_type, n,
+             s / n AS mu,
+             sqrt(greatest(ss / n - (s / n) * (s / n), 0.0)) AS sigma
+      FROM st
+    )
+    SELECT e.event_type,
+           thr.n,
+           sum(CASE WHEN abs(e.value - thr.mu) > 3.0 * thr.sigma THEN 1 ELSE 0 END)::BIGINT AS n_outliers,
+           round(sum(CASE WHEN abs(e.value - thr.mu) > 3.0 * thr.sigma THEN 1 ELSE 0 END)
+                 / CAST(thr.n AS DOUBLE), 6) AS outlier_rate
+    FROM events e JOIN thr USING (event_type)
+    GROUP BY e.event_type, thr.n
+    """,
+    doc="Two-pass z-score outlier detection per group: pass 1 computes "
+    "exact moments (count, decimal sum, decimal sum-of-squares -> mu and "
+    "sigma as doubles derived ONLY from exact sums, so both engines get "
+    "bit-identical thresholds; sqrt is IEEE-correctly-rounded, unlike "
+    "ln), pass 2 re-scans with the per-group thresholds BROADCAST — the "
+    "scale-correct filter shape: no window over the fact table, the "
+    "second pass is map-only against a |groups|-row relation. The "
+    "quality-filtering primitive for throwing out corrupt metric rows "
+    "before training aggregation",
+)
+def q_events_outlier_rate(spark, sf_dir):
+    e = load(spark, sf_dir, "events").select("event_type", "value")
+    v = _dec("value")
+    st = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(v).cast("double").alias("s"),
+        F.sum(v * v).cast("double").alias("ss"),
+    )
+    mu = F.col("s") / F.col("n")
+    sigma = F.sqrt(F.greatest(F.col("ss") / F.col("n") - mu * mu, F.lit(0.0)))
+    thr = st.select("event_type", "n", mu.alias("mu"), sigma.alias("sigma"))
+    j = e.join(F.broadcast(thr), "event_type")
+    is_out = (F.abs(F.col("value") - F.col("mu")) > 3.0 * F.col("sigma")).cast("int")
+    return j.groupBy("event_type", "n").agg(
+        F.sum(is_out).cast("long").alias("n_outliers"),
+        F.round(F.sum(is_out) / F.col("n").cast("double"), 6).alias("outlier_rate"),
+    )
+
+
+@register(
     "events_daily_unpivot",
     """
     WITH d AS (
@@ -3765,6 +3818,7 @@ _CHECK_PRIORITY = [
     "events_sliding_peak",
     "both_priority_customers",
     "events_daily_unpivot",
+    "events_outlier_rate",
     # --- the one catalog query with zero driver rows across r1-r3
     # (rows-only by nature: byte-block cluster sample); one slot for its
     # first external rows-signal, per VERDICT r3 item 2
