@@ -3720,6 +3720,105 @@ def q_events_daily_unpivot(spark, sf_dir):
     return daily.unpivot(["day"], ["cnt", "total_value"], "metric", "val")
 
 
+def _promo_share_sampled_oracle() -> str:
+    from ..sampling.deterministic import hash_bernoulli_sql
+
+    keep = hash_bernoulli_sql(
+        "l_orderkey::VARCHAR || '-' || l_linenumber::VARCHAR", 0.1, seed=42
+    )
+    rev = "CAST(l_extendedprice AS DECIMAL(12,2)) * (1.00 - CAST(l_discount AS DECIMAL(4,2)))"
+    promo = f"CASE WHEN p_type = 'PROMO' THEN {rev} ELSE CAST(0.00 AS DECIMAL(12,2)) END"
+    return f"""
+    SELECT date_trunc('month', l_shipdate) AS ship_month,
+           count(*)::BIGINT AS n_sampled,
+           round(CAST(sum({promo}) AS DOUBLE) / CAST(sum({rev}) AS DOUBLE), 6) AS est_promo_share
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE {keep}
+    GROUP BY 1
+    """
+
+
+@register(
+    "promo_share_hash_sampled",
+    _promo_share_sampled_oracle(),
+    doc="The reference's sample->estimate core applied to the Q14 analytic "
+    "shape: promo revenue share per ship month from a hash-deterministic "
+    "10% sample. The share is a RATIO of two HT sums over the same "
+    "sample, so the 1/r scale-up cancels and the estimate is exactly the "
+    "sampled ratio — value-oracled end to end (sample membership, "
+    "decimal sums, one double division). At 100 TB the sample filter "
+    "lands inside the fact scan, cutting the join+agg input 10x while "
+    "the broadcast dim side is untouched",
+    tags=("sampled",),
+)
+def q_promo_share_hash_sampled(spark, sf_dir):
+    from ..sampling.deterministic import hash_bernoulli
+
+    l = load(spark, sf_dir, "lineitem").withColumn(
+        "__k", F.concat_ws("-", F.col("l_orderkey"), F.col("l_linenumber"))
+    )
+    sampled = hash_bernoulli(l, "__k", 0.1, seed=42)
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_type")
+    one = F.lit("1.00").cast("decimal(4,2)")
+    zero = F.lit("0.00").cast("decimal(12,2)")
+    rev = _dec("l_extendedprice") * (one - _dec("l_discount", 4, 2))
+    return (
+        sampled.join(F.broadcast(p), sampled.l_partkey == p.p_partkey)
+        .groupBy(F.date_trunc("month", F.col("l_shipdate")).alias("ship_month"))
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.round(
+                F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(zero)).cast("double")
+                / F.sum(rev).cast("double"),
+                6,
+            ).alias("est_promo_share"),
+        )
+    )
+
+
+def _histogram_sampled_oracle() -> str:
+    from ..sampling.deterministic import hash_bernoulli_sql
+
+    keep = hash_bernoulli_sql("event_id::VARCHAR", 0.1, seed=42)
+    return f"""
+    SELECT least(greatest(CAST(floor(value / 25.0) AS INTEGER), 0), 19) AS bucket,
+           count(*)::BIGINT AS n_sampled,
+           CAST(count(*) AS DOUBLE) / 0.1 AS est_cnt,
+           CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / 0.1 AS est_total_value
+    FROM events
+    WHERE {keep}
+    GROUP BY 1
+    """
+
+
+@register(
+    "events_histogram_hash_sampled",
+    _histogram_sampled_oracle(),
+    doc="HT-scaled equi-width histogram from a hash-deterministic 10% "
+    "sample — the profile-cheaply-before-the-full-pass pattern (A1+A6 on "
+    "the histogram shape). est_cnt = n/r and est_total = decimal-sum/r, "
+    "both exact doubles; the deterministic twin keeps the whole "
+    "sample->bucket->scale path value-oracled",
+    tags=("sampled",),
+)
+def q_events_histogram_hash_sampled(spark, sf_dir):
+    from ..sampling.deterministic import hash_bernoulli
+
+    e = load(spark, sf_dir, "events").select("event_id", "value")
+    sampled = hash_bernoulli(
+        e.withColumn("__k", F.col("event_id").cast("string")), "__k", 0.1, seed=42
+    )
+    bucket = F.least(
+        F.greatest(F.floor(F.col("value") / F.lit(25.0)).cast("int"), F.lit(0)),
+        F.lit(19),
+    )
+    return sampled.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        (F.count(F.lit(1)).cast("double") / F.lit(0.1)).alias("est_cnt"),
+        (F.sum(_dec("value")).cast("double") / F.lit(0.1)).alias("est_total_value"),
+    )
+
+
 def _doc_chunking_sql() -> str:
     from ..operators.corpus import chunk_documents_sql
 
@@ -3819,6 +3918,8 @@ _CHECK_PRIORITY = [
     "both_priority_customers",
     "events_daily_unpivot",
     "events_outlier_rate",
+    "promo_share_hash_sampled",
+    "events_histogram_hash_sampled",
     # --- the one catalog query with zero driver rows across r1-r3
     # (rows-only by nature: byte-block cluster sample); one slot for its
     # first external rows-signal, per VERDICT r3 item 2

@@ -128,3 +128,26 @@ class TestJoinShapes:
         for r in rows:
             assert 0.0 <= r.promo_share <= 1.0
             assert r.promo_revenue <= r.total_revenue
+
+
+class TestSampledTwins:
+    def test_promo_share_estimate_near_exact(self, spark, sf_correct_dir):
+        exact = {
+            r.ship_month: r.promo_share
+            for r in _run("promo_revenue_share", spark, sf_correct_dir).collect()
+        }
+        est_rows = _run("promo_share_hash_sampled", spark, sf_correct_dir).collect()
+        # corpus-level: the sample-weighted mean share should track closely
+        num = sum(r.est_promo_share * r.n_sampled for r in est_rows)
+        den = sum(r.n_sampled for r in est_rows)
+        exact_mean = sum(exact.values()) / len(exact)
+        assert abs(num / den - exact_mean) < 0.05
+
+    def test_histogram_ht_estimates_track_truth(self, spark, sf_correct_dir):
+        exact = {r.bucket: r.cnt for r in _run("events_value_histogram", spark, sf_correct_dir).collect()}
+        est = {r.bucket: r.est_cnt for r in _run("events_histogram_hash_sampled", spark, sf_correct_dir).collect()}
+        total_exact = sum(exact.values())
+        total_est = sum(est.values())
+        assert abs(total_est - total_exact) / total_exact < 0.1
+        # every estimated bucket exists in truth
+        assert set(est) <= set(exact)
