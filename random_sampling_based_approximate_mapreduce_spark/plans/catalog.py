@@ -3892,9 +3892,9 @@ _CHECK_PRIORITY = [
     # row ever — it gets the single non-hash slot this round, then
     # retires past the budget.
     # --- head: value-oracled queries NEW this round (unknown names are
-    # skipped harmlessly until they register). With 19 new entries + the
-    # byteblock slot, the ~50-slot budget reaches ~30 of the r2-stale
-    # list below; the tail (~17 queries around the corpus family) rolls
+    # skipped harmlessly until they register). With 22 new entries + the
+    # byteblock slot, the ~50-slot budget reaches ~27 of the r2-stale
+    # list below; the tail (~20 queries around the corpus family) rolls
     # to round 5 — never-checked > stale-recheck in signal value.
     "knn_ivf_frozen",
     "multimodal_knn_frozen",
