@@ -80,6 +80,12 @@ BENCH_QUERIES = [
     "large_orders_topk",
     "countmin_tokens",
     "tfidf_top_terms",
+    # round-4 second batch representatives: the deterministic KMV sketch
+    # (distinct shuffle + salted top-k), the one-exchange SCD2 window
+    # build, and the Q7 two-role-dim multi-join
+    "kmv_users_daily",
+    "user_state_scd2",
+    "volume_shipping_q7",
     # the scale-correct LSH->verify->CC composition is the headline
     # clustering number; the all-pairs forms (dedup_clusters,
     # dedup_embedding) stay in the catalog as oracle-only baselines.

@@ -3872,6 +3872,532 @@ def q_events_value_histogram(spark, sf_dir):
 
 
 # ===========================================================================
+# Round-4 second widening batch: deterministic sketches, time-series
+# spine/gap-fill, SCD2 dimension builds, single-pass profiling, frozen-
+# weight model scoring, the remaining hard TPC-H decorrelation shapes
+# (Q15/Q17/Q7), and the JSONL source round trip. All value-oracled.
+# ===========================================================================
+
+
+def _kmv_users_sql() -> str:
+    from ..operators.sketches import kmv_distinct_sql
+
+    return kmv_distinct_sql("events", "strftime(ts, '%Y-%m-%d')", "day", "user_id::VARCHAR", k=64)
+
+
+@register(
+    "kmv_users_daily",
+    _kmv_users_sql(),
+    doc="KMV (k-minimum-values) distinct-count sketch, the deterministic "
+    "value-oracled counterpart of hll_users_daily: every hash is the "
+    "frozen md5-derived hash64, so the whole build + (k-1)/U_(k) "
+    "estimate path reproduces bit-for-bit in DuckDB (same discipline as "
+    "countmin_tokens). k=64 (~13% SE) with the testdata's 125-141 "
+    "distinct users/day keeps the estimator branch — not the exact "
+    "fallback — under test. 100 TB shape: one map-side-deduped distinct "
+    "shuffle, then a TWO-STAGE salted top-k (salt = h % fanout) so a hot "
+    "group sorts fanout-wide and the final per-group pass sees at most "
+    "fanout*k rows; hash-disjoint salts need no cross-shard dedup "
+    "(operators/sketches.py docstring)",
+)
+def q_kmv_users_daily(spark, sf_dir):
+    from ..operators.sketches import kmv_distinct
+
+    ev = load(spark, sf_dir, "events").select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"), "user_id"
+    )
+    return kmv_distinct(ev, ["day"], F.col("user_id").cast("string"), k=64, fanout=8)
+
+
+@register(
+    "events_gapfill_hourly",
+    """
+    WITH e AS (
+      SELECT date_trunc('hour', ts) AS hour, value
+      FROM events WHERE event_type = 'purchase' AND value >= 150.0
+    ),
+    counts AS (
+      SELECT hour, count(*)::BIGINT AS cnt,
+             CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+      FROM e GROUP BY hour
+    ),
+    spine AS (
+      SELECT unnest(generate_series((SELECT min(hour) FROM e),
+                                    (SELECT max(hour) FROM e),
+                                    INTERVAL 1 HOUR)) AS hour
+    )
+    SELECT s.hour, coalesce(c.cnt, 0)::BIGINT AS cnt,
+           coalesce(c.total_value, 0.0) AS total_value
+    FROM spine s LEFT JOIN counts c ON s.hour = c.hour
+    """,
+    doc="Time-series gap fill: a generated hour spine (sequence + explode "
+    "between the observed min/max) left-joined to the sparse hourly "
+    "aggregate, zero-filling the 642 of 720 hours with no qualifying "
+    "event — the resample/asfreq primitive every monitoring pipeline "
+    "needs before windowed math. 100 TB shape: the spine is bounded by "
+    "the TIME RANGE (not the data volume) and is generated from a 1-row "
+    "scalar agg, so the only full-data cost is the one filtered groupBy; "
+    "the join is dimension-sized regardless of input scale",
+)
+def q_events_gapfill_hourly(spark, sf_dir):
+    e = (
+        load(spark, sf_dir, "events")
+        .where((F.col("event_type") == "purchase") & (F.col("value") >= 150.0))
+        .select(F.date_trunc("hour", F.col("ts")).alias("hour"), "value")
+    )
+    counts = e.groupBy("hour").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(_dec("value")).cast("double").alias("total_value"),
+    )
+    spine = (
+        e.agg(F.min("hour").alias("lo"), F.max("hour").alias("hi"))
+        .select(F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("hour"))
+    )
+    return spine.join(counts, "hour", "left").select(
+        "hour",
+        F.coalesce("cnt", F.lit(0)).alias("cnt"),
+        F.coalesce("total_value", F.lit(0.0)).alias("total_value"),
+    )
+
+
+@register(
+    "user_state_scd2",
+    """
+    WITH ordered AS (
+      SELECT user_id, event_type, ts,
+             lag(event_type) OVER w AS prev_type
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    flagged AS (
+      SELECT user_id, event_type, ts,
+             sum(CASE WHEN prev_type IS NULL OR prev_type <> event_type
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      FROM ordered
+    ),
+    versions AS (
+      SELECT user_id, island, event_type,
+             min(ts) AS valid_from, count(*)::BIGINT AS n_events
+      FROM flagged GROUP BY user_id, island, event_type
+    )
+    SELECT user_id, event_type, valid_from,
+           lead(valid_from) OVER (PARTITION BY user_id ORDER BY island) AS valid_to,
+           lead(valid_from) OVER (PARTITION BY user_id ORDER BY island) IS NULL AS is_current,
+           n_events
+    FROM versions
+    """,
+    doc="SCD2 (slowly-changing-dimension type 2) build: per-user "
+    "event_type runs collapse gaps-and-islands-style into versioned "
+    "rows (valid_from, valid_to, is_current), valid_to = next version's "
+    "valid_from (half-open intervals, warehouse convention). "
+    "Deterministic under ties via the (ts, event_id) total order. 100 TB "
+    "shape: every window and the groupBy partition on the SAME user_id "
+    "key, and Catalyst reuses that one exchange end-to-end (plan-audited "
+    "exch=1); sorts are spillable; no self-join, no driver state. The "
+    "dimension-history twin of customer_upsert's current-state merge",
+)
+def q_user_state_scd2(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    ev = load(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    w_ord = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = (
+        ev.withColumn("__prev", F.lag("event_type").over(w_ord))
+        .withColumn(
+            "__new",
+            F.when(F.col("__prev").isNull() | (F.col("__prev") != F.col("event_type")), 1).otherwise(0),
+        )
+        .withColumn("__island", F.sum("__new").over(w_ord))
+    )
+    versions = flagged.groupBy("user_id", "__island", "event_type").agg(
+        F.min("ts").alias("valid_from"), F.count(F.lit(1)).alias("n_events")
+    )
+    w_isl = Window.partitionBy("user_id").orderBy("__island")
+    lead_from = F.lead("valid_from").over(w_isl)
+    return versions.select(
+        "user_id",
+        "event_type",
+        "valid_from",
+        lead_from.alias("valid_to"),
+        lead_from.isNull().alias("is_current"),
+        "n_events",
+    )
+
+
+# (column, kind) config for the single-pass profiler; kinds drive which
+# min/max metrics exist and how values coerce to the uniform DOUBLE axis
+_PROFILE_COLS = [
+    ("o_orderkey", "num"),
+    ("o_custkey", "num"),
+    ("o_orderstatus", "str"),
+    ("o_totalprice", "num"),
+    ("o_orderdate", "ts"),
+    ("o_orderpriority", "str"),
+]
+
+
+def _profile_sql() -> str:
+    aggs, arms = [], []
+    for c, kind in _PROFILE_COLS:
+        aggs.append(f"count(*) FILTER (WHERE {c} IS NULL)::BIGINT AS {c}__nulls")
+        aggs.append(f"count(DISTINCT {c})::BIGINT AS {c}__nd")
+        arms.append((c, "null_count", f"{c}__nulls"))
+        arms.append((c, "distinct_count", f"{c}__nd"))
+        if kind == "num":
+            aggs.append(f"CAST(min({c}) AS DOUBLE) AS {c}__min")
+            aggs.append(f"CAST(max({c}) AS DOUBLE) AS {c}__max")
+            arms.append((c, "min", f"{c}__min"))
+            arms.append((c, "max", f"{c}__max"))
+        elif kind == "ts":
+            aggs.append(f"epoch_us(min({c}))::BIGINT AS {c}__min")
+            aggs.append(f"epoch_us(max({c}))::BIGINT AS {c}__max")
+            arms.append((c, "min_epoch_us", f"{c}__min"))
+            arms.append((c, "max_epoch_us", f"{c}__max"))
+    union = "\n      UNION ALL ".join(
+        f"SELECT '{c}' AS column_name, '{m}' AS metric, CAST({x} AS DOUBLE) AS value FROM a"
+        for c, m, x in arms
+    )
+    return f"WITH a AS (SELECT {', '.join(aggs)} FROM orders)\n    {union}"
+
+
+@register(
+    "orders_profile",
+    _profile_sql(),
+    doc="Single-pass column profiler over orders: null_count + exact "
+    "distinct_count for every column, min/max for numeric and timestamp "
+    "columns (epoch micros), emitted long-format (column_name, metric, "
+    "value DOUBLE) — the stats pass behind ingestion QA and CBO-style "
+    "planning. One full-scan aggregate; the multi-column exact "
+    "count-distincts plan as Spark's Expand (one pass, xN rows map-side) "
+    "— at 100 TB swap countDistinct for approx_count_distinct (HLL) to "
+    "drop the Expand entirely; exact is kept here because the oracle "
+    "verifies values. The 1-row wide agg then unpivots via stack() — "
+    "map-only on one row",
+)
+def q_orders_profile(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    aggs, arms = [], []
+    for c, kind in _PROFILE_COLS:
+        aggs.append(
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).cast("long").alias(f"{c}__nulls")
+        )
+        aggs.append(F.countDistinct(c).alias(f"{c}__nd"))
+        arms.append((c, "null_count", f"{c}__nulls"))
+        arms.append((c, "distinct_count", f"{c}__nd"))
+        if kind == "num":
+            aggs.append(F.min(c).cast("double").alias(f"{c}__min"))
+            aggs.append(F.max(c).cast("double").alias(f"{c}__max"))
+            arms.append((c, "min", f"{c}__min"))
+            arms.append((c, "max", f"{c}__max"))
+        elif kind == "ts":
+            # parquet timestamps read as TIMESTAMP_NTZ; unix_micros only
+            # takes TIMESTAMP and the NTZ->TZ cast would inject the session
+            # timezone — timestampdiff from the NTZ epoch is timezone-free
+            # and mirrors DuckDB's epoch_us on naive timestamps exactly
+            aggs.append(
+                F.expr(
+                    f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', min({c}))"
+                ).alias(f"{c}__min")
+            )
+            aggs.append(
+                F.expr(
+                    f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', max({c}))"
+                ).alias(f"{c}__max")
+            )
+            arms.append((c, "min_epoch_us", f"{c}__min"))
+            arms.append((c, "max_epoch_us", f"{c}__max"))
+    stack_args = ", ".join(f"'{c}', '{m}', CAST({x} AS DOUBLE)" for c, m, x in arms)
+    return o.agg(*aggs).select(
+        F.expr(f"stack({len(arms)}, {stack_args}) AS (column_name, metric, value)")
+    )
+
+
+# Frozen logistic quality-filter weights (fastText-style "is this document
+# worth training on" gate, with the model REDUCED to literals so scoring is
+# a deterministic map-only expression — the same freeze discipline as the
+# LSH hyperplanes and IVF centroids). Features: log doc length, English
+# stopword density, punctuation density.
+_LQ_BIAS = -3.0
+_LQ_W_LEN = 0.6
+_LQ_W_STOP = 3.0
+_LQ_W_PUNCT = -6.0
+_LQ_STOPWORDS = ("the", "and", "of", "to", "is", "a", "in", "it", "that")
+
+
+def _logistic_quality_sql() -> str:
+    stoplist = ", ".join(f"'{s}'" for s in _LQ_STOPWORDS)
+    return rf"""
+    WITH f AS (
+      SELECT doc_id,
+             ln(1.0 + CAST(n_chars AS DOUBLE)) AS f_len,
+             CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                  x -> x IN ({stoplist}))) AS DOUBLE)
+               / len(string_split_regex(lower(trim(text)), '\s+')) AS f_stop,
+             CASE WHEN length(regexp_replace(text, '\s', '', 'g')) = 0 THEN 0.0
+                  ELSE CAST(length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS DOUBLE)
+                       / length(regexp_replace(text, '\s', '', 'g')) END AS f_punct
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id,
+             round(1.0 / (1.0 + exp(-({_LQ_BIAS} + {_LQ_W_LEN} * f_len
+                                      + {_LQ_W_STOP} * f_stop
+                                      + {_LQ_W_PUNCT} * f_punct))), 6) AS quality
+      FROM f
+    )
+    SELECT doc_id::BIGINT AS doc_id, quality, quality >= 0.5 AS keep FROM s
+    """
+
+
+@register(
+    "doc_quality_logistic",
+    _logistic_quality_sql(),
+    doc="Frozen-weight logistic quality classifier: sigmoid(w . [ln doc "
+    "length, stopword density, punct density]) with the trained weights "
+    "frozen as literals — how fastText-style quality gates actually "
+    "deploy in corpus pipelines (score every doc, keep >= 0.5). Map-only "
+    "Column chain in whole-stage codegen, zero shuffles; round(6) BEFORE "
+    "the keep threshold pins exp/ln across engines (tfidf discipline) "
+    "and makes the boolean derive from the identical rounded value",
+)
+def q_doc_quality_logistic(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    stop = F.size(F.filter(toks, lambda t: t.isin(*_LQ_STOPWORDS)))
+    f_stop = stop.cast("double") / F.size(toks)
+    f_len = F.log(F.lit(1.0) + F.col("n_chars").cast("double"))
+    f_punct = T.punct_ratio(F.col("text"))
+    z = (
+        F.lit(_LQ_BIAS)
+        + F.lit(_LQ_W_LEN) * f_len
+        + F.lit(_LQ_W_STOP) * f_stop
+        + F.lit(_LQ_W_PUNCT) * f_punct
+    )
+    scored = docs.select(
+        "doc_id", F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6).alias("quality")
+    )
+    return scored.select("doc_id", "quality", (F.col("quality") >= 0.5).alias("keep"))
+
+
+@register(
+    "top_supplier_revenue",
+    """
+    WITH rev AS (
+      SELECT l_suppkey,
+             sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                 * (1.00 - CAST(l_discount AS DECIMAL(4,2)))) AS r
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, CAST(r AS DOUBLE) AS total_revenue
+    FROM supplier JOIN rev ON s_suppkey = l_suppkey
+    WHERE r = (SELECT max(r) FROM rev)
+    """,
+    doc="TPC-H Q15 (top supplier by quarterly revenue): the CREATE VIEW + "
+    "scalar max re-expressed as one agg reused for both the scalar and "
+    "the probe — the view materializes once, max attaches via "
+    "DataFrame.scalar() (a true ScalarSubquery), and the supplier dim "
+    "broadcasts. Ties are returned (all max-revenue suppliers), exactly "
+    "the spec's semantics. EXACT decimal revenue makes the max-equality "
+    "engine-identical — a double sum would make 'equal to max' "
+    "nondeterministic under partial-agg ordering",
+)
+def q_top_supplier_revenue(spark, sf_dir):
+    one = F.lit("1.00").cast("decimal(4,2)")
+    l = load(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    rev = l.groupBy("l_suppkey").agg(
+        F.sum(_dec("l_extendedprice") * (one - _dec("l_discount", 4, 2))).alias("__rev")
+    )
+    mx = rev.agg(F.max("__rev").alias("m"))
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        F.broadcast(s)
+        .join(rev, s.s_suppkey == rev.l_suppkey)
+        .where(F.col("__rev") == mx.scalar())
+        .select("s_suppkey", "s_name", F.col("__rev").cast("double").alias("total_revenue"))
+    )
+
+
+@register(
+    "small_qty_revenue",
+    """
+    WITH lf AS (
+      SELECT l_partkey, l_quantity, l_extendedprice
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_brand = 'Brand#3'
+    ),
+    pa AS (
+      SELECT l_partkey,
+             0.2 * (CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*))
+               AS qty_thresh
+      FROM lf GROUP BY l_partkey
+    )
+    SELECT count(*)::BIGINT AS n_lines,
+           round(CAST(sum(CAST(lf.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0, 2)
+             AS avg_yearly
+    FROM lf JOIN pa ON lf.l_partkey = pa.l_partkey
+    WHERE lf.l_quantity < pa.qty_thresh
+    """,
+    doc="TPC-H Q17 (small-quantity-order revenue): the correlated "
+    "per-part AVG subquery decorrelated into an agg + broadcast join, "
+    "with the brand filter applied BEFORE the per-part average so the "
+    "threshold build touches only 1/25 of parts — the decorrelate-then-"
+    "push-down plan Catalyst cannot derive from the correlated form "
+    "itself. The threshold is exact-decimal-sum / count (ONE IEEE "
+    "division + multiply), so the l_quantity < thresh row membership is "
+    "engine-identical — a plain double avg() would be partial-agg-order "
+    "dependent. 100 TB: both the threshold relation and the filtered "
+    "part list are partkey-bounded broadcasts; the fact table is "
+    "scanned once",
+)
+def q_small_qty_revenue(spark, sf_dir):
+    pf = (
+        load(spark, sf_dir, "part")
+        .where(F.col("p_brand") == "Brand#3")
+        .select("p_partkey")
+    )
+    l = load(spark, sf_dir, "lineitem").select("l_partkey", "l_quantity", "l_extendedprice")
+    lf = l.join(F.broadcast(pf), l.l_partkey == pf.p_partkey).select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    pa = lf.groupBy("l_partkey").agg(
+        (
+            F.lit(0.2)
+            * (F.sum(_dec("l_quantity")).cast("double") / F.count(F.lit(1)))
+        ).alias("qty_thresh")
+    )
+    return (
+        lf.join(F.broadcast(pa), "l_partkey")
+        .where(F.col("l_quantity") < F.col("qty_thresh"))
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.sum(_dec("l_extendedprice")).cast("double") / F.lit(7.0), 2).alias(
+                "avg_yearly"
+            ),
+        )
+    )
+
+
+@register(
+    "volume_shipping_q7",
+    """
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(sum(volume) AS DOUBLE) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             year(l_shipdate) AS l_year,
+             CAST(l_extendedprice AS DECIMAL(12,2))
+               * (1.00 - CAST(l_discount AS DECIMAL(4,2))) AS volume
+      FROM lineitem
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON n1.n_nationkey = s_nationkey
+      JOIN nation n2 ON n2.n_nationkey = c_nationkey
+      WHERE n1.n_name IN ('NATION_1', 'NATION_2')
+        AND n2.n_name IN ('NATION_1', 'NATION_2')
+        AND n1.n_name <> n2.n_name
+    )
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+    doc="TPC-H Q7 (volume shipping between two nations): the same nation "
+    "dim joined in TWO ROLES (via supplier and via customer). Join order "
+    "is the scale decision: each fact side is reduced by its broadcast "
+    "dim chain FIRST (lineitem->supplier@2/25 nations, orders->customer@"
+    "2/25), so the one unavoidable big-big shuffle join (lineitem x "
+    "orders on orderkey) moves ~2/25 of each input instead of all of it; "
+    "the asymmetric pair filter then cuts same-nation pairs. Exact "
+    "decimal volume, cast to double only at output",
+)
+def q_volume_shipping_q7(spark, sf_dir):
+    one = F.lit("1.00").cast("decimal(4,2)")
+    n = (
+        load(spark, sf_dir, "nation")
+        .where(F.col("n_name").isin("NATION_1", "NATION_2"))
+        .select("n_nationkey", "n_name")
+    )
+    sup = (
+        load(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cus = (
+        load(spark, sf_dir, "customer")
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    lf = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount")
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    of = (
+        load(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey")
+        .join(F.broadcast(cus), F.col("o_custkey") == F.col("c_custkey"))
+        .select("o_orderkey", "cust_nation")
+    )
+    return (
+        lf.join(of, F.col("l_orderkey") == F.col("o_orderkey"))
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(
+            F.sum(_dec("l_extendedprice") * (one - _dec("l_discount", 4, 2)))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+@register(
+    "documents_jsonl_roundtrip",
+    """
+    SELECT lang, count(*)::BIGINT AS n_docs,
+           sum(n_chars)::BIGINT AS total_chars,
+           sum(length(text))::BIGINT AS total_text_len
+    FROM documents GROUP BY lang
+    """,
+    doc="JSON-lines source round trip: documents written once as an "
+    "8-file .json layout (the interchange format crawl corpora actually "
+    "arrive in), read back with an EXPLICIT schema — schema-on-read "
+    "without the inference pre-scan that would double I/O at 100 TB — "
+    "and aggregated per lang. The oracle computes the same aggregate "
+    "from the parquet table directly, so a green row proves the "
+    "write->escape->parse->read path is lossless (newlines, quotes, "
+    "unicode all JSON-escaped; JSONL stays line-splittable, unlike "
+    "multiLine CSV/JSON which serializes the whole file through one "
+    "reader)",
+)
+def q_documents_jsonl_roundtrip(spark, sf_dir):
+    import hashlib
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    src = _ensure_layout(
+        f"/tmp/rsmr_docs_jsonl_{key}",
+        lambda d: load(spark, sf_dir, "documents")
+        .repartition(8)
+        .write.mode("overwrite")
+        .json(d),
+    )
+    schema = "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+    docs = spark.read.schema(schema).json(src)
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum(F.length("text")).alias("total_text_len"),
+    )
+
+
+# ===========================================================================
 # Entry-point helpers
 # ===========================================================================
 
@@ -3896,6 +4422,19 @@ _CHECK_PRIORITY = [
     # byteblock slot, the ~50-slot budget reaches ~27 of the r2-stale
     # list below; the tail (~20 queries around the corpus family) rolls
     # to round 5 — never-checked > stale-recheck in signal value.
+    # second round-4 batch (deterministic sketch / spine / SCD2 / profile /
+    # frozen-model / Q15+Q17+Q7 / JSONL round trip), value-oracled, never
+    # driver-checked:
+    "kmv_users_daily",
+    "events_gapfill_hourly",
+    "user_state_scd2",
+    "orders_profile",
+    "doc_quality_logistic",
+    "top_supplier_revenue",
+    "small_qty_revenue",
+    "volume_shipping_q7",
+    "documents_jsonl_roundtrip",
+    # first round-4 batch:
     "knn_ivf_frozen",
     "multimodal_knn_frozen",
     "video_container_meta",
