@@ -86,6 +86,13 @@ BENCH_QUERIES = [
     "kmv_users_daily",
     "user_state_scd2",
     "volume_shipping_q7",
+    # round-4 third batch (TPC-H completion) representatives: the pure
+    # pushdown scan-agg (Q6), the big-big join + TakeOrderedAndProject
+    # top-k (Q10), and the one-pass window decorrelation of the double
+    # self-join (Q21)
+    "forecast_revenue_q6",
+    "returned_items_topk_q10",
+    "waiting_suppliers_q21",
     # the scale-correct LSH->verify->CC composition is the headline
     # clustering number; the all-pairs forms (dedup_clusters,
     # dedup_embedding) stay in the catalog as oracle-only baselines.
