@@ -5028,6 +5028,313 @@ def q_waiting_suppliers_q21(spark, sf_dir):
 
 
 # ===========================================================================
+# Behavioral / graph / data-quality batch (round 4, fourth widening):
+# the product-analytics shapes every event warehouse runs (cohort
+# retention, ordered funnels), triangle counting over the wireless device
+# graph (degree-ordered orientation), a Deequ-style one-pass constraint
+# suite, and windowed ABC classification. All value-oracled.
+# ===========================================================================
+
+
+@register(
+    "user_retention_cohorts",
+    """
+    WITH fs AS (
+      SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+      FROM events GROUP BY user_id
+    ),
+    coh AS (SELECT cohort_day, count(*) AS cohort_size FROM fs GROUP BY cohort_day),
+    act AS (
+      SELECT DISTINCT fs.cohort_day,
+             datediff('day', fs.cohort_day, CAST(e.ts AS DATE)) AS offset_day,
+             e.user_id
+      FROM events e JOIN fs ON e.user_id = fs.user_id
+    )
+    SELECT a.cohort_day, a.offset_day, count(*)::BIGINT AS active_users,
+           round(count(*) / CAST(c.cohort_size AS DOUBLE), 6) AS retention
+    FROM act a JOIN coh c ON a.cohort_day = c.cohort_day
+    GROUP BY a.cohort_day, a.offset_day, c.cohort_size
+    """,
+    doc="Cohort retention matrix: users grouped by first-seen day, "
+    "retention = distinct active users at each day offset / cohort size. "
+    "Scale shape: the first-seen relation derives from a groupBy on "
+    "user_id and joins straight back to events on the SAME key, so "
+    "Catalyst reuses one user_id exchange for both; the distinct "
+    "(cohort, offset, user) dedup and the final (cohort, offset) agg are "
+    "the only further shuffles. The per-cohort sizes relation is "
+    "day-bounded and broadcasts. Retention is one long division rounded "
+    "to 6dp — engine-identical",
+)
+def q_user_retention_cohorts(spark, sf_dir):
+    e = load(spark, sf_dir, "events").select("user_id", F.to_date("ts").alias("day"))
+    fs = e.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    coh = fs.groupBy("cohort_day").agg(F.count(F.lit(1)).alias("cohort_size"))
+    act = (
+        e.join(fs, "user_id")
+        .select("cohort_day", F.datediff("day", "cohort_day").alias("offset_day"), "user_id")
+        .distinct()
+    )
+    return (
+        act.groupBy("cohort_day", "offset_day")
+        .agg(F.count(F.lit(1)).alias("active_users"))
+        .join(F.broadcast(coh), "cohort_day")
+        .select(
+            "cohort_day",
+            "offset_day",
+            "active_users",
+            F.round(F.col("active_users").cast("double") / F.col("cohort_size"), 6).alias(
+                "retention"
+            ),
+        )
+    )
+
+
+@register(
+    "event_funnel",
+    """
+    WITH v AS (
+      SELECT user_id, min(ts) AS t0 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, min(e.ts) AS t1
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t0
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t1
+      GROUP BY e.user_id
+    )
+    SELECT 1 AS step, 'view' AS stage, (SELECT count(*) FROM v)::BIGINT AS users
+    UNION ALL
+    SELECT 2, 'click_after_view', (SELECT count(*) FROM c)::BIGINT
+    UNION ALL
+    SELECT 3, 'purchase_after_click', (SELECT count(*) FROM p)::BIGINT
+    """,
+    doc="Ordered funnel (view -> click -> purchase): stage N counts users "
+    "whose earliest stage-N event strictly follows their earliest "
+    "stage-(N-1) event — the standard product-analytics ordered funnel, "
+    "NOT the unordered did-all-three intersection. Each stage is a "
+    "filtered min-agg on user_id joined back to events on user_id: the "
+    "whole chain stays on ONE partitioning key end to end, so Catalyst "
+    "plans one user_id exchange per stage input and never re-keys. "
+    "Strictly-after semantics make the count order-independent and "
+    "engine-identical (no timestamp arithmetic, only comparisons)",
+)
+def q_event_funnel(spark, sf_dir):
+    e = load(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+
+    def stage_min(df, etype, after=None, after_col=None):
+        s = df.where(F.col("event_type") == etype)
+        if after is not None:
+            s = s.join(after, "user_id").where(F.col("ts") > F.col(after_col))
+        return s.groupBy("user_id").agg(F.min("ts").alias(f"t_{etype}"))
+
+    v = stage_min(e, "view")
+    c = stage_min(e, "click", after=v, after_col="t_view")
+    p = stage_min(e, "purchase", after=c, after_col="t_click")
+
+    def _count(step, stage, rel):
+        return rel.agg(F.count(F.lit(1)).alias("users")).select(
+            F.lit(step).alias("step"), F.lit(stage).alias("stage"), "users"
+        )
+
+    return (
+        _count(1, "view", v)
+        .union(_count(2, "click_after_view", c))
+        .union(_count(3, "purchase_after_click", p))
+    )
+
+
+@register(
+    "triangle_count_devices",
+    """
+    WITH raw AS (SELECT user_id % 40 AS a, event_id % 40 AS b FROM events),
+    e AS (
+      SELECT DISTINCT least(a, b) AS lo, greatest(a, b) AS hi
+      FROM raw WHERE a <> b
+    )
+    SELECT 'n_nodes' AS metric,
+           (SELECT count(*) FROM (SELECT lo AS n FROM e UNION SELECT hi FROM e))::BIGINT
+             AS value
+    UNION ALL
+    SELECT 'n_edges', (SELECT count(*) FROM e)::BIGINT
+    UNION ALL
+    SELECT 'n_triangles',
+           (SELECT count(*)
+            FROM e e1 JOIN e e2 ON e2.lo = e1.hi
+                      JOIN e e3 ON e3.lo = e1.lo AND e3.hi = e2.hi)::BIGINT
+    """,
+    doc="Triangle count over the wireless device graph (the sensor CSV's "
+    "canonical link pairs, wireless.py P13/P14, as numeric node ids). "
+    "Spark side counts via DEGREE-ORDERED ORIENTATION "
+    "(operators/graph.py): every edge directed toward the higher "
+    "(degree, id) rank, wedges enumerated only at each triangle's "
+    "lowest-rank vertex — bounding wedge fan-out at O(m^1.5) total "
+    "regardless of hub skew, where the naive undirected self-join is "
+    "quadratic in hub degree. The oracle counts the same triangles by "
+    "lo<mid<hi enumeration — different physical strategy, identical "
+    "logical result, which is exactly what the cross-check proves",
+)
+def q_triangle_count_devices(spark, sf_dir):
+    from ..operators.graph import triangle_count
+
+    e = load(spark, sf_dir, "events").select(
+        (F.col("user_id") % 40).alias("a"), (F.col("event_id") % 40).alias("b")
+    )
+    return triangle_count(e, "a", "b")
+
+
+@register(
+    "orders_quality_checks",
+    """
+    WITH checks AS (
+      SELECT 'custkey_null' AS check_name,
+             sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)::BIGINT AS violations
+      FROM orders
+      UNION ALL
+      SELECT 'orderdate_null',
+             sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END)::BIGINT FROM orders
+      UNION ALL
+      SELECT 'totalprice_nonpositive',
+             sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END)::BIGINT FROM orders
+      UNION ALL
+      SELECT 'orderdate_out_of_range',
+             sum(CASE WHEN o_orderdate < TIMESTAMP '1990-01-01'
+                        OR o_orderdate >= TIMESTAMP '2010-01-01'
+                      THEN 1 ELSE 0 END)::BIGINT FROM orders
+      UNION ALL
+      SELECT 'priority_domain',
+             sum(CASE WHEN o_orderpriority NOT IN
+                      ('1-URGENT', '2-HIGH', '3-MEDIUM', '4-NOT SPECIFIED', '5-LOW')
+                      THEN 1 ELSE 0 END)::BIGINT FROM orders
+      UNION ALL
+      SELECT 'orderkey_duplicates',
+             (count(*) - count(DISTINCT o_orderkey))::BIGINT FROM orders
+      UNION ALL
+      SELECT 'custkey_orphans',
+             (SELECT count(*)::BIGINT FROM orders o
+              LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+              WHERE c.c_custkey IS NULL AND o.o_custkey IS NOT NULL)
+    )
+    SELECT check_name, violations, violations = 0 AS passed FROM checks
+    """,
+    doc="Deequ-style data-quality gate on orders: completeness, domain "
+    "validity, key uniqueness, referential integrity — long-format "
+    "(check_name, violations, passed) so a pipeline can filter(NOT "
+    "passed) and alert per check. Scale shape (operators/quality.py): "
+    "the five row-local checks fold into ONE aggregate over ONE scan "
+    "(each a conditional sum in the same map-side partial agg); "
+    "uniqueness pays the one exact-distinct Expand (approx swap "
+    "documented); orphans are a broadcast LEFT ANTI count. Checks are "
+    "engineered to PASS on the testdata so the green row certifies the "
+    "zero-violation path, and tests/test_quality_graph.py corrupts a "
+    "copy to certify the counting path",
+)
+def q_orders_quality_checks(spark, sf_dir):
+    from ..operators.quality import (
+        quality_report,
+        referential_orphans,
+        uniqueness_violations,
+        violation_counts,
+    )
+
+    o = load(spark, sf_dir, "orders")
+    row_local = violation_counts(
+        o,
+        {
+            "custkey_null": F.col("o_custkey").isNull(),
+            "orderdate_null": F.col("o_orderdate").isNull(),
+            "totalprice_nonpositive": F.col("o_totalprice") <= 0,
+            "orderdate_out_of_range": (F.col("o_orderdate") < "1990-01-01")
+            | (F.col("o_orderdate") >= "2010-01-01"),
+            "priority_domain": ~F.col("o_orderpriority").isin(
+                "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"
+            ),
+        },
+    )
+    uniq = uniqueness_violations(o, ["o_orderkey"], "orderkey_duplicates")
+    orphans = referential_orphans(
+        o, "o_custkey", load(spark, sf_dir, "customer"), "c_custkey", "custkey_orphans"
+    )
+    return quality_report([row_local, uniq, orphans])
+
+
+@register(
+    "supplier_abc_by_nation",
+    """
+    WITH s AS (
+      SELECT s_nationkey, s_suppkey, CAST(s_acctbal AS DECIMAL(12,2)) AS bal
+      FROM supplier WHERE s_acctbal > 0
+    ),
+    r AS (
+      SELECT s_nationkey, s_suppkey,
+             sum(bal) OVER (PARTITION BY s_nationkey) AS total,
+             sum(bal) OVER (PARTITION BY s_nationkey
+                            ORDER BY bal DESC, s_suppkey
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+      FROM s
+    ),
+    shares AS (
+      SELECT s_nationkey, s_suppkey,
+             round(CAST(run AS DOUBLE) / CAST(total AS DOUBLE), 6) AS cum_share
+      FROM r
+    )
+    SELECT s_nationkey, s_suppkey, cum_share,
+           CASE WHEN cum_share <= 0.5 THEN 'A'
+                WHEN cum_share <= 0.8 THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM shares
+    """,
+    doc="ABC (Pareto) classification of suppliers by account balance "
+    "within each nation: rank by balance desc, cumulative share of the "
+    "nation total, class A/B/C at 50%/80%. Both window functions — the "
+    "unordered nation total and the running ROWS-frame sum — partition "
+    "on s_nationkey, so Catalyst plans ONE exchange feeding two Window "
+    "nodes over the same sort; no per-nation collect, and nations "
+    "parallelize the cumsum (the global-cumsum single-partition trap "
+    "does not arise). Shares are exact-decimal sums divided once in "
+    "DOUBLE and rounded to 6dp BEFORE the class thresholds, so class "
+    "membership is engine-identical; suppkey tiebreak pins the running "
+    "order under balance ties",
+)
+def q_supplier_abc_by_nation(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    s = (
+        load(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") > 0)
+        .select("s_nationkey", "s_suppkey", _dec("s_acctbal").alias("bal"))
+    )
+    w_total = Window.partitionBy("s_nationkey")
+    w_run = (
+        Window.partitionBy("s_nationkey")
+        .orderBy(F.desc("bal"), F.asc("s_suppkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    shares = s.select(
+        "s_nationkey",
+        "s_suppkey",
+        F.round(
+            F.sum("bal").over(w_run).cast("double") / F.sum("bal").over(w_total).cast("double"),
+            6,
+        ).alias("cum_share"),
+    )
+    return shares.select(
+        "s_nationkey",
+        "s_suppkey",
+        "cum_share",
+        F.when(F.col("cum_share") <= 0.5, "A")
+        .when(F.col("cum_share") <= 0.8, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )
+
+
+# ===========================================================================
 # Entry-point helpers
 # ===========================================================================
 
@@ -5052,6 +5359,13 @@ _CHECK_PRIORITY = [
     # byteblock slot, the ~50-slot budget reaches ~27 of the r2-stale
     # list below; the tail (~20 queries around the corpus family) rolls
     # to round 5 — never-checked > stale-recheck in signal value.
+    # fourth round-4 batch (behavioral/graph/quality analytics),
+    # value-oracled, never driver-checked:
+    "user_retention_cohorts",
+    "event_funnel",
+    "triangle_count_devices",
+    "orders_quality_checks",
+    "supplier_abc_by_nation",
     # third round-4 batch (TPC-H completion: all 22 spec shapes now
     # registered), value-oracled, never driver-checked:
     "priority_wait_orders_q4",

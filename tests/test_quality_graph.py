@@ -1,0 +1,181 @@
+"""Semantic invariants for the fourth round-4 batch: cohort retention,
+ordered funnel, degree-oriented triangle counting, the data-quality
+constraint suite, and windowed ABC classification.
+
+The DuckDB oracle pins exact outputs on the clean testdata; these tests
+exercise the paths the clean data cannot — crafted graphs with known
+triangle counts, deliberately corrupted tables for the violation counters,
+and the ordering/monotonicity properties of retention, funnel, and ABC.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from random_sampling_based_approximate_mapreduce_spark.plans.catalog import QUERIES
+
+
+def _run(name, spark, sf_dir):
+    return QUERIES[name].spark(spark, sf_dir)
+
+
+class TestTriangleCount:
+    def _count(self, spark, edges):
+        from random_sampling_based_approximate_mapreduce_spark.operators.graph import (
+            triangle_count,
+        )
+
+        df = spark.createDataFrame(edges, "a long, b long")
+        return {r.metric: r.value for r in triangle_count(df, "a", "b").collect()}
+
+    def test_k4_has_four_triangles(self, spark):
+        k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+        got = self._count(spark, k4)
+        assert got == {"n_nodes": 4, "n_edges": 6, "n_triangles": 4}
+
+    def test_path_and_star_have_none(self, spark):
+        path = [(0, 1), (1, 2), (2, 3)]
+        star = [(0, i) for i in range(1, 6)]
+        assert self._count(spark, path)["n_triangles"] == 0
+        assert self._count(spark, star)["n_triangles"] == 0
+
+    def test_duplicate_and_reversed_edges_collapse(self, spark):
+        # (a,b), (b,a), and repeats are ONE undirected edge.
+        tri = [(0, 1), (1, 0), (1, 2), (2, 1), (0, 2), (0, 2), (0, 1)]
+        got = self._count(spark, tri)
+        assert got == {"n_nodes": 3, "n_edges": 3, "n_triangles": 1}
+
+    def test_self_loops_ignored(self, spark):
+        got = self._count(spark, [(0, 0), (0, 1), (1, 2), (0, 2), (2, 2)])
+        assert got["n_edges"] == 3 and got["n_triangles"] == 1
+
+    def test_orientation_bounds_out_degree(self, spark):
+        # On a hub-and-spoke graph plus a triangle, the hub must end up
+        # as a SINK for most edges (high degree -> high rank), keeping
+        # wedge fan-out at the spokes, which have out-degree <= 1.
+        from random_sampling_based_approximate_mapreduce_spark.operators.graph import (
+            canonical_edges,
+            oriented_edges,
+        )
+
+        edges = [(0, i) for i in range(1, 9)] + [(1, 2), (2, 3)]
+        df = spark.createDataFrame(edges, "a long, b long")
+        o = oriented_edges(canonical_edges(df, "a", "b")).collect()
+        out_deg: dict[int, int] = {}
+        for r in o:
+            out_deg[r.src] = out_deg.get(r.src, 0) + 1
+        # hub 0 has degree 8; every spoke has degree <= 3 -> all (0,x)
+        # edges must be directed INTO 0, giving it out-degree 0.
+        assert out_deg.get(0, 0) == 0
+
+
+class TestQualityChecks:
+    def test_clean_testdata_passes_all(self, spark, sf_correct_dir):
+        rows = _run("orders_quality_checks", spark, sf_correct_dir).collect()
+        assert len(rows) == 7
+        assert all(r.passed and r.violations == 0 for r in rows)
+
+    def test_corrupted_copy_counts_violations(self, spark, sf_correct_dir, tmp_path):
+        from random_sampling_based_approximate_mapreduce_spark.operators.quality import (
+            quality_report,
+            referential_orphans,
+            uniqueness_violations,
+            violation_counts,
+        )
+        from random_sampling_based_approximate_mapreduce_spark.sources.tables import load
+
+        o = load(spark, sf_correct_dir, "orders").limit(100)
+        # corrupt: 2 null custkeys, 3 duplicated orderkeys, 2 orphans
+        bad = (
+            o.limit(2).withColumn("o_custkey", F.lit(None).cast("long"))
+            .union(o.limit(3))
+            .union(
+                o.limit(2).withColumn(
+                    "o_custkey", F.lit(99_999_999).cast("long")
+                )
+            )
+        )
+        corrupted = o.union(bad)
+        customer = load(spark, sf_correct_dir, "customer")
+        report = {
+            r.check_name: r.violations
+            for r in quality_report(
+                [
+                    violation_counts(
+                        corrupted, {"custkey_null": F.col("o_custkey").isNull()}
+                    ),
+                    uniqueness_violations(corrupted, ["o_orderkey"], "orderkey_duplicates"),
+                    referential_orphans(
+                        corrupted, "o_custkey", customer, "c_custkey", "custkey_orphans"
+                    ),
+                ]
+            ).collect()
+        }
+        assert report["custkey_null"] == 2
+        # 100 + 7 appended rows reuse existing orderkeys: 2 null-custkey
+        # dups + 3 direct dups + 2 orphan dups = 7 duplicate rows
+        assert report["orderkey_duplicates"] == 7
+        # null fk is not an orphan (no parent lookup possible), so only
+        # the 2 fabricated keys count
+        assert report["custkey_orphans"] == 2
+
+
+class TestRetention:
+    def test_day_zero_full_and_bounded(self, spark, sf_correct_dir):
+        rows = _run("user_retention_cohorts", spark, sf_correct_dir).collect()
+        assert rows
+        by_cohort: dict = {}
+        for r in rows:
+            assert 0 <= r.retention <= 1.0
+            by_cohort.setdefault(r.cohort_day, {})[r.offset_day] = r
+        for day, offsets in by_cohort.items():
+            assert 0 in offsets, f"cohort {day} missing day-0 row"
+            assert offsets[0].retention == 1.0  # first-seen day is active
+            assert all(o >= 0 for o in offsets)
+
+
+class TestFunnel:
+    def test_monotone_and_ordered_semantics(self, spark, sf_correct_dir):
+        rows = {r.stage: r.users for r in _run("event_funnel", spark, sf_correct_dir).collect()}
+        assert rows["view"] >= rows["click_after_view"] >= rows["purchase_after_click"]
+        assert rows["view"] > 0
+
+    def test_strictly_after_on_crafted_events(self, spark, tmp_path):
+        import datetime as dt
+
+        base = dt.datetime(2024, 1, 1)
+        rows = [
+            # u1: proper order view < click < purchase
+            (1, base, 1, "view", 0.0, "{}"),
+            (2, base + dt.timedelta(hours=1), 1, "click", 0.0, "{}"),
+            (3, base + dt.timedelta(hours=2), 1, "purchase", 0.0, "{}"),
+            # u2: click BEFORE first view -> not counted at click stage
+            (4, base, 2, "click", 0.0, "{}"),
+            (5, base + dt.timedelta(hours=1), 2, "view", 0.0, "{}"),
+            (6, base + dt.timedelta(hours=2), 2, "purchase", 0.0, "{}"),
+            # u3: view only
+            (7, base, 3, "view", 0.0, "{}"),
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+        )
+        d = str(tmp_path / "events.parquet")
+        df.write.mode("overwrite").parquet(d)
+        got = {r.stage: r.users for r in _run("event_funnel", spark, str(tmp_path)).collect()}
+        assert got == {"view": 3, "click_after_view": 1, "purchase_after_click": 1}
+
+
+class TestABC:
+    def test_shares_monotone_and_terminal(self, spark, sf_correct_dir):
+        rows = _run("supplier_abc_by_nation", spark, sf_correct_dir).collect()
+        assert rows
+        by_nation: dict = {}
+        for r in rows:
+            by_nation.setdefault(r.s_nationkey, []).append(r)
+        for nk, group in by_nation.items():
+            shares = sorted(r.cum_share for r in group)
+            assert all(b >= a for a, b in zip(shares, shares[1:]))
+            assert abs(shares[-1] - 1.0) < 1e-6, f"nation {nk} does not end at 1"
+            for r in group:
+                expect = "A" if r.cum_share <= 0.5 else ("B" if r.cum_share <= 0.8 else "C")
+                assert r.abc_class == expect
