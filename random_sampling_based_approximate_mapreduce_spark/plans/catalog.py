@@ -5334,6 +5334,256 @@ def q_supplier_abc_by_nation(spark, sf_dir):
     )
 
 
+@register(
+    "customer_rfm_segments",
+    """
+    WITH base AS (
+      SELECT o_custkey,
+             max(o_orderdate) AS last_order,
+             count(*) AS freq,
+             sum(CAST(o_totalprice AS DECIMAL(12,2))) AS money
+      FROM orders GROUP BY o_custkey
+    ),
+    joined AS (
+      SELECT b.*, c.c_nationkey FROM base b JOIN customer c ON b.o_custkey = c.c_custkey
+    ),
+    scored AS (
+      SELECT o_custkey, c_nationkey,
+             ntile(5) OVER (PARTITION BY c_nationkey
+                            ORDER BY last_order, o_custkey) AS r_score,
+             ntile(5) OVER (PARTITION BY c_nationkey
+                            ORDER BY freq, o_custkey) AS f_score,
+             ntile(5) OVER (PARTITION BY c_nationkey
+                            ORDER BY money, o_custkey) AS m_score
+      FROM joined
+    )
+    SELECT o_custkey AS custkey, c_nationkey AS nationkey,
+           r_score, f_score, m_score,
+           r_score || '-' || f_score || '-' || m_score AS segment
+    FROM scored
+    """,
+    doc="RFM (recency-frequency-monetary) customer segmentation, the "
+    "classic CRM quintile scoring: per customer last order date, order "
+    "count, and exact-decimal spend, each scored 1-5 by ntile within the "
+    "customer's nation. Scale shape: one custkey agg over orders, one "
+    "broadcast join to the customer dim for the nation, then THREE ntile "
+    "windows all partitioned on c_nationkey — one exchange feeds them "
+    "and nations parallelize the sorts; a GLOBAL ntile would be the "
+    "single-partition trap (the reason warehouse RFM is scored within "
+    "segment hierarchies). Every ORDER BY carries the custkey tiebreak "
+    "and the monetary sort key is the exact decimal sum, so bucket "
+    "assignment is engine-identical (both engines implement SQL-standard "
+    "ntile: equal buckets, earlier buckets take the remainder)",
+)
+def q_customer_rfm_segments(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    base = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count(F.lit(1)).alias("freq"),
+            F.sum(_dec("o_totalprice")).alias("money"),
+        )
+    )
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    joined = base.join(F.broadcast(c), base.o_custkey == c.c_custkey)
+
+    def w(order_col):
+        return Window.partitionBy("c_nationkey").orderBy(F.asc(order_col), F.asc("o_custkey"))
+
+    scored = joined.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("c_nationkey").alias("nationkey"),
+        F.ntile(5).over(w("last_order")).alias("r_score"),
+        F.ntile(5).over(w("freq")).alias("f_score"),
+        F.ntile(5).over(w("money")).alias("m_score"),
+    )
+    return scored.withColumn(
+        "segment",
+        F.concat_ws("-", F.col("r_score"), F.col("f_score"), F.col("m_score")),
+    )
+
+
+@register(
+    "event_transition_matrix",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type AS cur,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS nxt
+      FROM events
+    ),
+    cnt AS (
+      SELECT cur, nxt, count(*) AS transitions
+      FROM seq WHERE nxt IS NOT NULL GROUP BY cur, nxt
+    )
+    SELECT cur, nxt, transitions::BIGINT AS transitions,
+           round(transitions / CAST(sum(transitions) OVER (PARTITION BY cur) AS DOUBLE), 6)
+             AS prob
+    FROM cnt
+    """,
+    doc="First-order Markov transition matrix over per-user event "
+    "sequences: P(next event type | current), the feature build behind "
+    "next-action models and session anomaly scoring. Scale shape: ONE "
+    "lead() window partitioned on user_id (ordered by ts with event_id "
+    "tiebreak — concurrent events get a deterministic order), then a "
+    "(cur,nxt) count; the per-cur normalization runs on the COUNTED "
+    "relation, which is event-type-squared-bounded (25 rows here), so "
+    "its window is free at any fact scale. Probabilities are one "
+    "division rounded to 6dp — engine-identical",
+)
+def q_event_transition_matrix(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    e = load(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    w_seq = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    seq = e.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w_seq).alias("nxt"),
+    ).where(F.col("nxt").isNotNull())
+    cnt = seq.groupBy("cur", "nxt").agg(F.count(F.lit(1)).alias("transitions"))
+    w_norm = Window.partitionBy("cur")
+    return cnt.select(
+        "cur",
+        "nxt",
+        "transitions",
+        F.round(
+            F.col("transitions").cast("double") / F.sum("transitions").over(w_norm),
+            6,
+        ).alias("prob"),
+    )
+
+
+@register(
+    "orders_monthly_growth",
+    """
+    WITH monthly AS (
+      SELECT date_trunc('month', o_orderdate) AS month,
+             sum(CAST(o_totalprice AS DECIMAL(12,2))) AS rev,
+             count(*) AS n_orders
+      FROM orders GROUP BY 1
+    )
+    SELECT month, CAST(rev AS DOUBLE) AS revenue, n_orders::BIGINT AS n_orders,
+           round((CAST(rev AS DOUBLE)
+                  - CAST(lag(rev) OVER (ORDER BY month) AS DOUBLE))
+                 / CAST(lag(rev) OVER (ORDER BY month) AS DOUBLE), 6) AS mom_growth
+    FROM monthly
+    """,
+    doc="Month-over-month revenue growth: the reporting query behind "
+    "every KPI dashboard. The lag() window is GLOBAL (ORDER BY month, "
+    "no partition) — which is exactly right HERE because it runs on the "
+    "aggregated month relation, whose cardinality is time-bounded "
+    "(~80 rows for a 7-year table) and independent of fact volume; the "
+    "single-partition sort the plan shows costs microseconds. The trap "
+    "this query documents by contrast: the same window on the raw fact "
+    "table would serialize the whole dataset through one task. Exact "
+    "decimal month sums; growth is one double division rounded to 6dp "
+    "(first month's growth is NULL in both engines)",
+)
+def q_orders_monthly_growth(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    monthly = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("month", "o_orderdate").alias("month"))
+        .agg(
+            F.sum(_dec("o_totalprice")).alias("rev"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+    w = Window.orderBy("month")
+    prev = F.lag("rev").over(w).cast("double")
+    return monthly.select(
+        "month",
+        F.col("rev").cast("double").alias("revenue"),
+        "n_orders",
+        F.round((F.col("rev").cast("double") - prev) / prev, 6).alias("mom_growth"),
+    )
+
+
+@register(
+    "documents_orc_roundtrip",
+    """
+    SELECT lang, count(*)::BIGINT AS n_docs,
+           sum(n_chars)::BIGINT AS total_chars,
+           sum(length(text))::BIGINT AS total_text_len
+    FROM documents GROUP BY lang
+    """,
+    doc="ORC source round trip: documents written once as an 8-file ORC "
+    "layout, read back, and aggregated per lang against the parquet "
+    "oracle — the same lossless-path proof as documents_jsonl_roundtrip "
+    "for the OTHER columnar format Spark ships natively (ORC is what "
+    "Hive-era lakes hand you). Binary columnar means newline-bearing "
+    "text and unicode need no escaping at all, and the reader gets the "
+    "same pushdown/pruning machinery as parquet (ORC carries its own "
+    "stripe-level min/max stats)",
+)
+def q_documents_orc_roundtrip(spark, sf_dir):
+    import hashlib
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    src = _ensure_layout(
+        f"/tmp/rsmr_docs_orc_{key}",
+        lambda d: load(spark, sf_dir, "documents")
+        .repartition(8)
+        .write.mode("overwrite")
+        .orc(d),
+    )
+    docs = spark.read.orc(src)
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum(F.length("text")).alias("total_text_len"),
+    )
+
+
+@register(
+    "events_csv_roundtrip",
+    """
+    SELECT event_type, count(*)::BIGINT AS n_events,
+           sum(user_id)::BIGINT AS sum_users,
+           sum(length(props))::BIGINT AS total_props_len,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY event_type
+    """,
+    doc="CSV source round trip with embedded-structure torture: events "
+    "written once as an 8-file CSV layout — the props column is a JSON "
+    "string full of commas, quotes, and braces, so every row exercises "
+    "the writer's quote-and-escape path — read back with an EXPLICIT "
+    "schema (no inference pre-scan) and aggregated against the parquet "
+    "oracle. A green row proves quoting is lossless AND the timestamp/"
+    "double round trips are exact (Spark writes doubles shortest-"
+    "round-trip). CSV stays line-splittable because no field contains a "
+    "newline; the sum over value goes through a decimal cast so "
+    "partial-agg order cannot leak into the hash",
+)
+def q_events_csv_roundtrip(spark, sf_dir):
+    import hashlib
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    src = _ensure_layout(
+        f"/tmp/rsmr_events_csv_{key}",
+        lambda d: load(spark, sf_dir, "events")
+        .repartition(8)
+        .write.mode("overwrite")
+        .option("header", "false")
+        .csv(d),
+    )
+    schema = (
+        "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, "
+        "value DOUBLE, props STRING"
+    )
+    e = spark.read.schema(schema).csv(src)
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("user_id").alias("sum_users"),
+        F.sum(F.length("props")).alias("total_props_len"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+    )
+
+
 # ===========================================================================
 # Entry-point helpers
 # ===========================================================================
@@ -5359,8 +5609,16 @@ _CHECK_PRIORITY = [
     # byteblock slot, the ~50-slot budget reaches ~27 of the r2-stale
     # list below; the tail (~20 queries around the corpus family) rolls
     # to round 5 — never-checked > stale-recheck in signal value.
+    # --- the one catalog query with zero driver rows across r1-r3
+    # (rows-only by nature: byte-block cluster sample); one slot for its
+    # first external rows-signal, per VERDICT r3 item 2. Placed FIRST so
+    # later batch growth can never push it past the ~50-slot budget.
+    "word_count_byteblock_sampled",
     # fourth round-4 batch (behavioral/graph/quality analytics),
     # value-oracled, never driver-checked:
+    "customer_rfm_segments",
+    "event_transition_matrix",
+    "orders_monthly_growth",
     "user_retention_cohorts",
     "event_funnel",
     "triangle_count_devices",
@@ -5415,11 +5673,15 @@ _CHECK_PRIORITY = [
     "events_daily_unpivot",
     "events_outlier_rate",
     "promo_share_hash_sampled",
+    # NOTE: with the byteblock slot + 50 never-checked value-oracled
+    # queries, the entries from position 51 down roll to round 5 —
+    # events_histogram_hash_sampled (its hash-sampled sibling
+    # promo_share_hash_sampled IS in budget, so the AQP-twin family
+    # still gets a first driver signal this round) and the ORC/CSV
+    # round trips (their JSONL sibling IS in budget).
     "events_histogram_hash_sampled",
-    # --- the one catalog query with zero driver rows across r1-r3
-    # (rows-only by nature: byte-block cluster sample); one slot for its
-    # first external rows-signal, per VERDICT r3 item 2
-    "word_count_byteblock_sampled",
+    "documents_orc_roundtrip",
+    "events_csv_roundtrip",
     # --- stale value-oracled queries, oldest signal first: last green in
     # r1 (these three rotated past the budget in both r2 and r3)
     "dedup_embedding",

@@ -179,3 +179,59 @@ class TestABC:
             for r in group:
                 expect = "A" if r.cum_share <= 0.5 else ("B" if r.cum_share <= 0.8 else "C")
                 assert r.abc_class == expect
+
+
+class TestRFM:
+    def test_scores_valid_and_buckets_balanced(self, spark, sf_correct_dir):
+        rows = _run("customer_rfm_segments", spark, sf_correct_dir).collect()
+        assert rows
+        by_nation: dict = {}
+        for r in rows:
+            assert 1 <= r.r_score <= 5 and 1 <= r.f_score <= 5 and 1 <= r.m_score <= 5
+            assert r.segment == f"{r.r_score}-{r.f_score}-{r.m_score}"
+            by_nation.setdefault(r.nationkey, []).append(r)
+        for nk, group in by_nation.items():
+            for attr in ("r_score", "f_score", "m_score"):
+                counts: dict[int, int] = {}
+                for r in group:
+                    s = getattr(r, attr)
+                    counts[s] = counts.get(s, 0) + 1
+                # SQL-standard ntile: bucket sizes differ by at most 1
+                assert max(counts.values()) - min(counts.values()) <= 1, (nk, attr, counts)
+
+
+class TestTransitionMatrix:
+    def test_rows_are_probability_distributions(self, spark, sf_correct_dir):
+        rows = _run("event_transition_matrix", spark, sf_correct_dir).collect()
+        types = {"view", "click", "purchase", "signup", "error"}
+        by_cur: dict = {}
+        for r in rows:
+            assert r.cur in types and r.nxt in types
+            assert r.transitions > 0 and 0 < r.prob <= 1
+            by_cur.setdefault(r.cur, []).append(r.prob)
+        for cur, probs in by_cur.items():
+            assert abs(sum(probs) - 1.0) < 1e-4, (cur, sum(probs))
+
+    def test_transition_total_is_events_minus_users(self, spark, sf_correct_dir):
+        # Every user contributes (n_events - 1) transitions.
+        from random_sampling_based_approximate_mapreduce_spark.sources.tables import load
+
+        rows = _run("event_transition_matrix", spark, sf_correct_dir).collect()
+        total = sum(r.transitions for r in rows)
+        e = load(spark, sf_correct_dir, "events")
+        n_events = e.count()
+        n_users = e.select("user_id").distinct().count()
+        assert total == n_events - n_users
+
+
+class TestMonthlyGrowth:
+    def test_first_month_null_and_growth_consistent(self, spark, sf_correct_dir):
+        rows = sorted(
+            _run("orders_monthly_growth", spark, sf_correct_dir).collect(),
+            key=lambda r: r.month,
+        )
+        assert rows[0].mom_growth is None
+        for prev, cur in zip(rows, rows[1:]):
+            assert cur.mom_growth is not None
+            expect = round((cur.revenue - prev.revenue) / prev.revenue, 6)
+            assert abs(cur.mom_growth - expect) < 1e-9
