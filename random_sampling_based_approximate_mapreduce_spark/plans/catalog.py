@@ -5584,6 +5584,83 @@ def q_events_csv_roundtrip(spark, sf_dir):
     )
 
 
+def _retention_user_sampled_oracle() -> str:
+    from ..sampling.deterministic import hash_bernoulli_sql
+
+    keep = hash_bernoulli_sql("user_id::VARCHAR", 0.4, seed=7)
+    return f"""
+    WITH se AS (SELECT user_id, ts FROM events WHERE {keep}),
+    fs AS (
+      SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day FROM se GROUP BY user_id
+    ),
+    coh AS (SELECT cohort_day, count(*) AS cohort_size FROM fs GROUP BY cohort_day),
+    act AS (
+      SELECT DISTINCT fs.cohort_day,
+             datediff('day', fs.cohort_day, CAST(e.ts AS DATE)) AS offset_day,
+             e.user_id
+      FROM se e JOIN fs ON e.user_id = fs.user_id
+    )
+    SELECT a.cohort_day, a.offset_day, count(*)::BIGINT AS sampled_active_users,
+           round(count(*) / CAST(c.cohort_size AS DOUBLE), 6) AS est_retention,
+           round(count(*) / 0.4, 2) AS ht_active_users
+    FROM act a JOIN coh c ON a.cohort_day = c.cohort_day
+    GROUP BY a.cohort_day, a.offset_day, c.cohort_size
+    """
+
+
+@register(
+    "retention_user_sampled",
+    _retention_user_sampled_oracle(),
+    doc="The reference's sample->estimate core applied to cohort "
+    "retention — with the sampling unit moved from ROWS to USERS "
+    "(cluster sampling, the entity-level analogue of the reference's "
+    "file-level cluster pick, SURVEY 4.2): a user is either fully in or "
+    "fully out by md5 hash, so every sampled user's event history is "
+    "complete and first-seen/offset computations are EXACT for sampled "
+    "users — row-level sampling would corrupt first-seen dates and bias "
+    "every offset. est_retention is a ratio of counts over the same "
+    "sampled cohort (the 1/r HT scale-ups cancel); ht_active_users "
+    "carries the explicit 1/0.4 scale-up for the population-level "
+    "count. Ratio 0.4 keeps the testdata's ~5-user day-cohorts "
+    "populated; at production scale 0.01-0.1 cuts the user_id shuffle "
+    "by the same factor because the hash filter sits in the scan",
+    tags=("sampled",),
+)
+def q_retention_user_sampled(spark, sf_dir):
+    from ..sampling.deterministic import hash_bernoulli
+
+    e = (
+        load(spark, sf_dir, "events")
+        .withColumn("__k", F.col("user_id").cast("string"))
+    )
+    se = hash_bernoulli(e, "__k", 0.4, seed=7).select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    fs = se.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    coh = fs.groupBy("cohort_day").agg(F.count(F.lit(1)).alias("cohort_size"))
+    act = (
+        se.join(fs, "user_id")
+        .select("cohort_day", F.datediff("day", "cohort_day").alias("offset_day"), "user_id")
+        .distinct()
+    )
+    return (
+        act.groupBy("cohort_day", "offset_day")
+        .agg(F.count(F.lit(1)).alias("sampled_active_users"))
+        .join(F.broadcast(coh), "cohort_day")
+        .select(
+            "cohort_day",
+            "offset_day",
+            "sampled_active_users",
+            F.round(
+                F.col("sampled_active_users").cast("double") / F.col("cohort_size"), 6
+            ).alias("est_retention"),
+            F.round(F.col("sampled_active_users").cast("double") / F.lit(0.4), 2).alias(
+                "ht_active_users"
+            ),
+        )
+    )
+
+
 # ===========================================================================
 # Entry-point helpers
 # ===========================================================================
@@ -5682,6 +5759,7 @@ _CHECK_PRIORITY = [
     "events_histogram_hash_sampled",
     "documents_orc_roundtrip",
     "events_csv_roundtrip",
+    "retention_user_sampled",
     # --- stale value-oracled queries, oldest signal first: last green in
     # r1 (these three rotated past the budget in both r2 and r3)
     "dedup_embedding",

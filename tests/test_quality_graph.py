@@ -235,3 +235,31 @@ class TestMonthlyGrowth:
             assert cur.mom_growth is not None
             expect = round((cur.revenue - prev.revenue) / prev.revenue, 6)
             assert abs(cur.mom_growth - expect) < 1e-9
+
+
+class TestRetentionUserSampled:
+    def test_cluster_sample_semantics_and_accuracy(self, spark, sf_correct_dir):
+        exact = {
+            (r.cohort_day, r.offset_day): r
+            for r in _run("user_retention_cohorts", spark, sf_correct_dir).collect()
+        }
+        est = _run("retention_user_sampled", spark, sf_correct_dir).collect()
+        assert est
+        n_exact_users = sum(
+            r.active_users for (c, o), r in exact.items() if o == 0
+        )
+        n_sampled_users = sum(r.sampled_active_users for r in est if r.offset_day == 0)
+        # the 0.4 hash sample genuinely drops users...
+        assert 0 < n_sampled_users < n_exact_users
+        # ...and the HT scale-up is centered: 4-sigma binomial envelope
+        import math
+
+        sigma = math.sqrt(n_exact_users * 0.4 * 0.6) / 0.4
+        assert abs(n_sampled_users / 0.4 - n_exact_users) < 4 * sigma
+        for r in est:
+            # day-0 retention is exactly 1.0 (cluster semantics: every
+            # sampled user's first day is intact)
+            if r.offset_day == 0:
+                assert r.est_retention == 1.0
+            assert 0 <= r.est_retention <= 1.0
+            assert abs(r.ht_active_users - round(r.sampled_active_users / 0.4, 2)) < 1e-9
