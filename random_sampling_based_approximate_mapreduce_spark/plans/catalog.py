@@ -5662,6 +5662,213 @@ def q_retention_user_sampled(spark, sf_dir):
 
 
 # ===========================================================================
+# ML-governance batch (round 4, sixth widening): regression from exact
+# moments, vector-column profiling, and distribution-drift (PSI) — the
+# monitoring surface a training pipeline runs between ingests. All
+# value-oracled.
+# ===========================================================================
+
+
+@register(
+    "price_quantity_regression",
+    """
+    WITH m AS (
+      SELECT p_brand,
+             count(*) AS n,
+             CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sy,
+             CAST(sum(CAST(l_quantity AS DECIMAL(12,2))
+                      * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sxy,
+             CAST(sum(CAST(l_quantity AS DECIMAL(12,2))
+                      * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sxx,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                      * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS syy
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      GROUP BY p_brand
+    )
+    SELECT p_brand, n::BIGINT AS n_lines,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+           round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6)
+             AS intercept,
+           round(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+    FROM m
+    """,
+    doc="Per-brand OLS regression (extendedprice on quantity) computed "
+    "from MOMENTS, not a solver: n, Sx, Sy, Sxy, Sxx, Syy accumulate as "
+    "EXACT decimal sums in one map-side-combinable aggregate — the "
+    "classic single-pass distributed regression — then combine into "
+    "slope/intercept/r2 with a fixed IEEE expression on doubles cast "
+    "from those exact sums, so the result is engine-identical without "
+    "any per-partition order sensitivity (a naive sum-of-doubles moment "
+    "would differ run to run). 100 TB: one brand-key shuffle of six "
+    "numbers per brand; the regression itself is free",
+)
+def q_price_quantity_regression(spark, sf_dir):
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    l = load(spark, sf_dir, "lineitem").select("l_partkey", "l_quantity", "l_extendedprice")
+    x, y = _dec("l_quantity"), _dec("l_extendedprice")
+    m = (
+        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(x).cast("double").alias("sx"),
+            F.sum(y).cast("double").alias("sy"),
+            F.sum(x * y).cast("double").alias("sxy"),
+            F.sum(x * x).cast("double").alias("sxx"),
+            F.sum(y * y).cast("double").alias("syy"),
+        )
+    )
+    n = F.col("n")
+    cov_n = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    var_x = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    var_y = n * F.col("syy") - F.col("sy") * F.col("sy")
+    slope = cov_n / var_x
+    return m.select(
+        "p_brand",
+        n.alias("n_lines"),
+        F.round(slope, 6).alias("slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / n, 6).alias("intercept"),
+        F.round((cov_n * cov_n) / (var_x * var_y), 6).alias("r2"),
+    )
+
+
+@register(
+    "embedding_dim_stats",
+    """
+    WITH ex AS (
+      SELECT unnest(generate_series(1, len(embedding))) - 1 AS dim,
+             CAST(unnest(embedding) AS DECIMAL(12,6)) AS v
+      FROM embeddings
+    )
+    SELECT dim, count(*)::BIGINT AS n,
+           floor((CAST(sum(v) AS DOUBLE) / count(*)) * 1000000) / 1000000 AS mean,
+           floor(sqrt(greatest(
+             CAST(sum(v * v) AS DOUBLE) / count(*)
+             - (CAST(sum(v) AS DOUBLE) / count(*))
+               * (CAST(sum(v) AS DOUBLE) / count(*)), 0.0)) * 1000000) / 1000000 AS std
+    FROM ex GROUP BY dim
+    """,
+    doc="Per-dimension mean/std profile of the embedding column — the "
+    "feature-drift monitor a training pipeline runs on every vector "
+    "ingest (a shifted dimension means a broken encoder). posexplode "
+    "fans each vector into (dim, value) rows; values cast to "
+    "DECIMAL(12,6) so the moment sums are exact and order-independent "
+    "(the events_outlier_rate discipline applied to a float vector "
+    "column), then one dim-key aggregate — map-side combine keeps the "
+    "shuffle at dims x partitions rows no matter how many vectors. "
+    "population-std formula with a greatest(,0) clamp mirrored in both "
+    "engines; sqrt is IEEE-exact on identical input. Outputs TRUNCATE "
+    "at 6dp (floor(x*1e6)/1e6) instead of round(): this dataset's dim-7 "
+    "std lands exactly on a .xxxxx5 rounding tie where Spark (HALF_UP) "
+    "and DuckDB disagree, and floor of an identical double never can",
+)
+def q_embedding_dim_stats(spark, sf_dir):
+    e = load(spark, sf_dir, "embeddings").select(
+        F.posexplode("embedding").alias("dim", "val")
+    )
+    v = F.col("val").cast("decimal(12,6)")
+    ex = e.select("dim", v.alias("v"))
+    n = F.count(F.lit(1))
+    sx = F.sum("v").cast("double")
+    sxx = F.sum(F.col("v") * F.col("v")).cast("double")
+    mean = sx / n
+    def trunc6(col):
+        return F.floor(col * F.lit(1000000.0)).cast("double") / F.lit(1000000.0)
+
+    return ex.groupBy("dim").agg(
+        n.alias("n"),
+        trunc6(mean).alias("mean"),
+        trunc6(F.sqrt(F.greatest(sxx / n - mean * mean, F.lit(0.0)))).alias("std"),
+    )
+
+
+@register(
+    "events_value_psi",
+    """
+    WITH b AS (
+      SELECT least(9, CAST(floor(value / 50.0) AS INT)) AS bucket,
+             CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END AS is_ref
+      FROM events
+    ),
+    c AS (
+      SELECT bucket,
+             sum(is_ref)::BIGINT AS n_ref,
+             sum(1 - is_ref)::BIGINT AS n_cur
+      FROM b GROUP BY bucket
+    ),
+    ct AS (
+      SELECT bucket, n_ref, n_cur,
+             sum(n_ref) OVER () AS tr, sum(n_cur) OVER () AS tc
+      FROM c
+    )
+    SELECT bucket, n_ref, n_cur,
+           round(n_ref / CAST(tr AS DOUBLE), 6) AS p_ref,
+           round(n_cur / CAST(tc AS DOUBLE), 6) AS p_cur,
+           CASE WHEN n_ref = 0 OR n_cur = 0 THEN NULL
+                ELSE round((n_ref / CAST(tr AS DOUBLE) - n_cur / CAST(tc AS DOUBLE))
+                           * ln((n_ref / CAST(tr AS DOUBLE))
+                                / (n_cur / CAST(tc AS DOUBLE))), 6)
+           END AS psi_term
+    FROM ct
+    """,
+    doc="Population Stability Index between the first and second half of "
+    "the event window — THE distribution-drift gate for model inputs "
+    "(PSI > 0.25 = investigate). One scan computes both halves' "
+    "equi-width bucket counts via conditional sums (no second read, no "
+    "self-join); totals come from the 10-row bucket relation so the "
+    "final PSI terms are computed over a constant-size frame. Bucket "
+    "membership is integer floor division (no FP boundary ambiguity); "
+    "shares and ln() run on identical IEEE inputs in both engines, "
+    "rounded at 6dp. A bucket empty on either side gets a NULL term "
+    "(the unsmoothed PSI is undefined there — this dataset's top bucket "
+    "is current-only; production monitors epsilon-smooth or re-bin, and "
+    "the NULL makes the condition visible instead of burying an "
+    "arbitrary clamp in the statistic). The per-bucket long format "
+    "keeps the largest drift contributors visible, and sum(psi_term) "
+    "is the headline statistic",
+)
+def q_events_value_psi(spark, sf_dir):
+    e = load(spark, sf_dir, "events").select(
+        F.least(F.lit(9), F.floor(F.col("value") / 50.0).cast("int")).alias("bucket"),
+        F.when(F.col("ts") < "2024-01-16", 1).otherwise(0).alias("is_ref"),
+    )
+    from pyspark.sql.window import Window
+
+    c = e.groupBy("bucket").agg(
+        F.sum("is_ref").alias("n_ref"),
+        F.sum(F.lit(1) - F.col("is_ref")).alias("n_cur"),
+    )
+    # totals via a global window over the 10-row bucket relation — bounded
+    # by the bucket count, never the fact table (the monthly-growth
+    # pattern); an unconditioned 1-row join would plan a nested loop
+    w_all = Window.partitionBy()
+    ct = c.select(
+        "bucket",
+        "n_ref",
+        "n_cur",
+        F.sum("n_ref").over(w_all).alias("tr"),
+        F.sum("n_cur").over(w_all).alias("tc"),
+    )
+    p_ref = F.col("n_ref") / F.col("tr").cast("double")
+    p_cur = F.col("n_cur") / F.col("tc").cast("double")
+    return (
+        ct.select(
+            "bucket",
+            "n_ref",
+            "n_cur",
+            F.round(p_ref, 6).alias("p_ref"),
+            F.round(p_cur, 6).alias("p_cur"),
+            F.when(
+                (F.col("n_ref") > 0) & (F.col("n_cur") > 0),
+                F.round((p_ref - p_cur) * F.log(p_ref / p_cur), 6),
+            ).alias("psi_term"),
+        )
+    )
+
+
+# ===========================================================================
 # Entry-point helpers
 # ===========================================================================
 
@@ -5760,6 +5967,9 @@ _CHECK_PRIORITY = [
     "documents_orc_roundtrip",
     "events_csv_roundtrip",
     "retention_user_sampled",
+    "price_quantity_regression",
+    "embedding_dim_stats",
+    "events_value_psi",
     # --- stale value-oracled queries, oldest signal first: last green in
     # r1 (these three rotated past the budget in both r2 and r3)
     "dedup_embedding",

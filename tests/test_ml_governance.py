@@ -1,0 +1,115 @@
+"""Semantic invariants for the ML-governance batch: moments-based OLS,
+embedding dimension profiling, and PSI drift detection.
+
+The DuckDB oracle pins exact outputs; these tests verify the statistics
+against independent computations (numpy lstsq for the regression, pandas
+moments for the dim stats, a hand PSI on the collected counts) and the
+degenerate-input behavior the clean data cannot reach.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pyspark.sql.functions as F
+
+from random_sampling_based_approximate_mapreduce_spark.plans.catalog import QUERIES
+from random_sampling_based_approximate_mapreduce_spark.sources.tables import load
+
+
+def _run(name, spark, sf_dir):
+    return QUERIES[name].spark(spark, sf_dir)
+
+
+class TestRegression:
+    def test_matches_numpy_lstsq(self, spark, sf_correct_dir):
+        import numpy as np
+
+        rows = _run("price_quantity_regression", spark, sf_correct_dir).collect()
+        assert len(rows) == 25  # 25 brands
+        probe = rows[0]
+        p = load(spark, sf_correct_dir, "part").where(F.col("p_brand") == probe.p_brand)
+        xy = (
+            load(spark, sf_correct_dir, "lineitem")
+            .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+            .select("l_quantity", "l_extendedprice")
+            .collect()
+        )
+        x = np.array([r.l_quantity for r in xy])
+        y = np.array([r.l_extendedprice for r in xy])
+        slope, intercept = np.polyfit(x, y, 1)
+        assert abs(probe.slope - slope) < 1e-3 * max(1.0, abs(slope))
+        assert abs(probe.intercept - intercept) < 1e-2 * max(1.0, abs(intercept))
+        r = np.corrcoef(x, y)[0, 1]
+        assert abs(probe.r2 - r * r) < 1e-4
+        assert probe.n_lines == len(xy)
+
+    def test_r2_in_unit_interval(self, spark, sf_correct_dir):
+        # the synthetic extendedprice is near-independent of quantity, so
+        # slopes straddle zero — r2 bounds are the data-free invariant
+        for r in _run("price_quantity_regression", spark, sf_correct_dir).collect():
+            assert 0.0 <= r.r2 <= 1.0 + 1e-9
+
+
+class TestEmbeddingDimStats:
+    def test_matches_pandas_moments(self, spark, sf_correct_dir):
+        import numpy as np
+
+        rows = {r.dim: r for r in _run("embedding_dim_stats", spark, sf_correct_dir).collect()}
+        assert set(rows) == set(range(64))
+        mat = np.array(
+            [r.embedding for r in load(spark, sf_correct_dir, "embeddings").collect()],
+            dtype=np.float64,
+        )
+        for d in (0, 7, 63):
+            # the engine quantizes inputs to 6dp decimals and truncates
+            # outputs at 6dp -> compare within that granularity
+            assert abs(rows[d].mean - mat[:, d].mean()) < 2e-6
+            assert abs(rows[d].std - mat[:, d].std()) < 2e-6
+            assert rows[d].n == mat.shape[0]
+
+    def test_all_dims_populated(self, spark, sf_correct_dir):
+        for r in _run("embedding_dim_stats", spark, sf_correct_dir).collect():
+            assert r.std > 0  # real spread in every dimension
+
+
+class TestPSI:
+    def test_terms_match_hand_psi_and_shares_sum(self, spark, sf_correct_dir):
+        rows = _run("events_value_psi", spark, sf_correct_dir).collect()
+        tr = sum(r.n_ref for r in rows)
+        tc = sum(r.n_cur for r in rows)
+        p_sum = sum(r.p_ref for r in rows)
+        q_sum = sum(r.p_cur for r in rows)
+        assert abs(p_sum - 1.0) < 1e-4 and abs(q_sum - 1.0) < 1e-4
+        for r in rows:
+            if r.n_ref > 0 and r.n_cur > 0:
+                p, q = r.n_ref / tr, r.n_cur / tc
+                assert abs(r.psi_term - round((p - q) * math.log(p / q), 6)) < 1e-9
+            else:
+                assert r.psi_term is None
+        # identically-distributed halves -> tiny PSI
+        psi = sum(r.psi_term for r in rows if r.psi_term is not None)
+        assert psi < 0.1
+
+    def test_detects_injected_drift(self, spark, tmp_path):
+        # Shift the second half's distribution hard; PSI must exceed the
+        # 0.25 action threshold.
+        import datetime as dt
+
+        rows = []
+        for i in range(2000):
+            ref_ts = dt.datetime(2024, 1, 5) + dt.timedelta(seconds=i)
+            cur_ts = dt.datetime(2024, 1, 25) + dt.timedelta(seconds=i)
+            rows.append((i, ref_ts, i % 50, "view", float(i % 100), "{}"))
+            rows.append((i + 10_000, cur_ts, i % 50, "view", 300.0 + (i % 100), "{}"))
+        df = spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+        )
+        df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+        out = _run("events_value_psi", spark, str(tmp_path)).collect()
+        psi = sum(r.psi_term for r in out if r.psi_term is not None)
+        one_sided = [r for r in out if r.psi_term is None]
+        # the shifted mass lands in buckets the reference never had ->
+        # either huge finite terms or one-sided buckets, both flagged
+        assert psi > 0.25 or len(one_sided) >= 2
