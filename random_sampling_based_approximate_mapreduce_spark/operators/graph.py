@@ -61,9 +61,9 @@ def oriented_edges(edges: DataFrame) -> DataFrame:
         edges.join(F.broadcast(d1), edges.lo == d1.__n1)
         .join(F.broadcast(d2), edges.hi == d2.__n2)
     )
-    lo_first = (F.col("__d1") < F.col("__d2")) | (
-        (F.col("__d1") == F.col("__d2")) & (F.col("lo") < F.col("hi"))
-    )
+    # canonical edges guarantee lo < hi, so the (degree, node) rank order
+    # reduces to: lo wins ties (its node id is always the smaller)
+    lo_first = F.col("__d1") <= F.col("__d2")
     return e.select(
         F.when(lo_first, F.col("lo")).otherwise(F.col("hi")).alias("src"),
         F.when(lo_first, F.col("hi")).otherwise(F.col("lo")).alias("dst"),

@@ -31,9 +31,14 @@ def violation_counts(df: DataFrame, preds: "dict[str, Column]") -> DataFrame:
 
     All predicates aggregate in a single scan (module docstring); the
     1-row wide result unpivots to (check_name, violations) long rows.
+    An EMPTY table yields 0 violations per check (coalesce over the
+    null sum) — the gate must render a verdict on empty ingests, not a
+    NULL that neither passes nor fails.
     """
+    if not preds:
+        raise ValueError("violation_counts needs at least one (name, predicate) check")
     aggs = [
-        F.sum(F.when(p, 1).otherwise(0)).cast("long").alias(name)
+        F.coalesce(F.sum(F.when(p, 1).otherwise(0)), F.lit(0)).cast("long").alias(name)
         for name, p in preds.items()
     ]
     wide = df.agg(*aggs)
@@ -41,30 +46,54 @@ def violation_counts(df: DataFrame, preds: "dict[str, Column]") -> DataFrame:
 
 
 def uniqueness_violations(df: DataFrame, cols: "list[str]", check: str) -> DataFrame:
-    """(check_name, violations) where violations = rows - distinct keys.
+    """(check_name, violations) = non-null-keyed rows - distinct keys.
 
-    Exact distinct (Expand + one shuffle); swap to approx_count_distinct
-    at scales where an exact distinct shuffle is not worth a boolean.
+    Rows with a NULL in any key column are EXCLUDED from the minuend:
+    count(*) includes them but count_distinct drops them, so the naive
+    difference would report every null-keyed row as a duplicate — null
+    keys are the completeness check's finding, not this one (the same
+    routing rule referential_orphans applies to null fks). Exact
+    distinct (Expand + one shuffle); swap to approx_count_distinct at
+    scales where an exact distinct shuffle is not worth a boolean.
     """
+    key_present = F.lit(True)
+    for c in cols:
+        key_present = key_present & F.col(c).isNotNull()
     return df.agg(
-        (F.count(F.lit(1)) - F.count_distinct(*[F.col(c) for c in cols]))
+        (
+            F.coalesce(F.sum(F.when(key_present, 1).otherwise(0)), F.lit(0))
+            - F.count_distinct(*[F.col(c) for c in cols])
+        )
         .cast("long")
         .alias("violations")
     ).select(F.lit(check).alias("check_name"), "violations")
 
 
 def referential_orphans(
-    child: DataFrame, fk: str, parent: DataFrame, pk: str, check: str
+    child: DataFrame,
+    fk: str,
+    parent: DataFrame,
+    pk: str,
+    check: str,
+    broadcast: bool = False,
 ) -> DataFrame:
     """(check_name, violations) counting child rows whose fk has no parent pk.
 
     NULL fks are excluded — a missing key is a COMPLETENESS violation
     (violation_counts with isNull), not a referential one; without the
     filter every null row would fail the anti-join's null-rejecting
-    equality and double-count across the two checks.
+    equality and double-count across the two checks. The parent key is
+    re-aliased so fk == pk (self-referential FKs, denormalized facts)
+    cannot trip AMBIGUOUS_REFERENCE. ``broadcast=True`` force-hints the
+    parent side — only when the caller KNOWS the key set fits (a dim
+    table); default lets AQE pick broadcast vs shuffle anti-join, which
+    is the safe call for a billion-key parent.
     """
+    keys = parent.select(F.col(pk).alias("__rsmr_pk"))
+    if broadcast:
+        keys = F.broadcast(keys)
     orphans = child.where(child[fk].isNotNull()).join(
-        F.broadcast(parent.select(pk)), child[fk] == F.col(pk), "left_anti"
+        keys, child[fk] == F.col("__rsmr_pk"), "left_anti"
     )
     return orphans.agg(F.count(F.lit(1)).cast("long").alias("violations")).select(
         F.lit(check).alias("check_name"), "violations"

@@ -5258,7 +5258,12 @@ def q_orders_quality_checks(spark, sf_dir):
     )
     uniq = uniqueness_violations(o, ["o_orderkey"], "orderkey_duplicates")
     orphans = referential_orphans(
-        o, "o_custkey", load(spark, sf_dir, "customer"), "c_custkey", "custkey_orphans"
+        o,
+        "o_custkey",
+        load(spark, sf_dir, "customer"),
+        "c_custkey",
+        "custkey_orphans",
+        broadcast=True,  # customer dim's key set fits; hint explicitly
     )
     return quality_report([row_local, uniq, orphans])
 

@@ -263,3 +263,56 @@ class TestRetentionUserSampled:
                 assert r.est_retention == 1.0
             assert 0 <= r.est_retention <= 1.0
             assert abs(r.ht_active_users - round(r.sampled_active_users / 0.4, 2)) < 1e-9
+
+
+class TestQualityEdgeCases:
+    """Regression tests for the review findings on operators/quality.py."""
+
+    def test_empty_table_renders_verdict(self, spark):
+        from random_sampling_based_approximate_mapreduce_spark.operators.quality import (
+            quality_report,
+            uniqueness_violations,
+            violation_counts,
+        )
+
+        empty = spark.createDataFrame([], "k long, v string")
+        rows = quality_report(
+            [
+                violation_counts(empty, {"v_null": F.col("v").isNull()}),
+                uniqueness_violations(empty, ["k"], "k_dups"),
+            ]
+        ).collect()
+        # an empty ingest must PASS explicitly (0 violations), never NULL
+        assert all(r.violations == 0 and r.passed is True for r in rows)
+
+    def test_null_keys_are_not_duplicates(self, spark):
+        from random_sampling_based_approximate_mapreduce_spark.operators.quality import (
+            uniqueness_violations,
+        )
+
+        df = spark.createDataFrame([(1,), (None,), (None,)], "k long")
+        row = uniqueness_violations(df, ["k"], "k_dups").collect()[0]
+        assert row.violations == 0  # null keys are completeness's finding
+        df2 = spark.createDataFrame([(1,), (1,), (None,)], "k long")
+        assert uniqueness_violations(df2, ["k"], "k").collect()[0].violations == 1
+
+    def test_same_named_fk_pk_not_ambiguous(self, spark):
+        from random_sampling_based_approximate_mapreduce_spark.operators.quality import (
+            referential_orphans,
+        )
+
+        child = spark.createDataFrame([(1,), (2,), (99,)], "custkey long")
+        parent = spark.createDataFrame([(1,), (2,)], "custkey long")
+        row = referential_orphans(child, "custkey", parent, "custkey", "orphans").collect()[0]
+        assert row.violations == 1
+
+    def test_empty_checks_dict_raises(self, spark):
+        import pytest as _pytest
+
+        from random_sampling_based_approximate_mapreduce_spark.operators.quality import (
+            violation_counts,
+        )
+
+        df = spark.createDataFrame([(1,)], "k long")
+        with _pytest.raises(ValueError, match="at least one"):
+            violation_counts(df, {})
