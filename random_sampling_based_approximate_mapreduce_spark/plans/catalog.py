@@ -5789,9 +5789,49 @@ def q_embedding_dim_stats(spark, sf_dir):
     )
 
 
-@register(
-    "events_value_psi",
+def psi_bucketize(events_df) -> DataFrame:
+    """events -> (bucket, is_ref) rows; shared by the batch and streaming
+    PSI queries so both monitors bucket identically."""
+    return events_df.select(
+        F.least(F.lit(9), F.floor(F.col("value") / 50.0).cast("int")).alias("bucket"),
+        F.when(F.col("ts") < "2024-01-16", 1).otherwise(0).alias("is_ref"),
+    )
+
+
+def psi_from_counts(c: DataFrame) -> DataFrame:
+    """(bucket, n_ref, n_cur) -> the PSI long-format result.
+
+    Totals via a global window over the bucket-bounded relation (the
+    monthly-growth pattern — an unconditioned 1-row join would plan a
+    nested loop); one-sided-empty buckets yield NULL terms.
     """
+    from pyspark.sql.window import Window
+
+    w_all = Window.partitionBy()
+    ct = c.select(
+        "bucket",
+        "n_ref",
+        "n_cur",
+        F.sum("n_ref").over(w_all).alias("tr"),
+        F.sum("n_cur").over(w_all).alias("tc"),
+    )
+    p_ref = F.col("n_ref") / F.col("tr").cast("double")
+    p_cur = F.col("n_cur") / F.col("tc").cast("double")
+    return ct.select(
+        "bucket",
+        "n_ref",
+        "n_cur",
+        F.round(p_ref, 6).alias("p_ref"),
+        F.round(p_cur, 6).alias("p_cur"),
+        F.when(
+            (F.col("n_ref") > 0) & (F.col("n_cur") > 0),
+            F.round((p_ref - p_cur) * F.log(p_ref / p_cur), 6),
+        ).alias("psi_term"),
+    )
+
+
+
+_PSI_SQL = """
     WITH b AS (
       SELECT least(9, CAST(floor(value / 50.0) AS INT)) AS bucket,
              CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END AS is_ref
@@ -5817,7 +5857,12 @@ def q_embedding_dim_stats(spark, sf_dir):
                                 / (n_cur / CAST(tc AS DOUBLE))), 6)
            END AS psi_term
     FROM ct
-    """,
+    """
+
+
+@register(
+    "events_value_psi",
+    _PSI_SQL,
     doc="Population Stability Index between the first and second half of "
     "the event window — THE distribution-drift gate for model inputs "
     "(PSI > 0.25 = investigate). One scan computes both halves' "
@@ -5835,42 +5880,34 @@ def q_embedding_dim_stats(spark, sf_dir):
     "is the headline statistic",
 )
 def q_events_value_psi(spark, sf_dir):
-    e = load(spark, sf_dir, "events").select(
-        F.least(F.lit(9), F.floor(F.col("value") / 50.0).cast("int")).alias("bucket"),
-        F.when(F.col("ts") < "2024-01-16", 1).otherwise(0).alias("is_ref"),
-    )
-    from pyspark.sql.window import Window
-
+    e = psi_bucketize(load(spark, sf_dir, "events"))
     c = e.groupBy("bucket").agg(
         F.sum("is_ref").alias("n_ref"),
         F.sum(F.lit(1) - F.col("is_ref")).alias("n_cur"),
     )
-    # totals via a global window over the 10-row bucket relation — bounded
-    # by the bucket count, never the fact table (the monthly-growth
-    # pattern); an unconditioned 1-row join would plan a nested loop
-    w_all = Window.partitionBy()
-    ct = c.select(
-        "bucket",
-        "n_ref",
-        "n_cur",
-        F.sum("n_ref").over(w_all).alias("tr"),
-        F.sum("n_cur").over(w_all).alias("tc"),
-    )
-    p_ref = F.col("n_ref") / F.col("tr").cast("double")
-    p_cur = F.col("n_cur") / F.col("tc").cast("double")
-    return (
-        ct.select(
-            "bucket",
-            "n_ref",
-            "n_cur",
-            F.round(p_ref, 6).alias("p_ref"),
-            F.round(p_cur, 6).alias("p_cur"),
-            F.when(
-                (F.col("n_ref") > 0) & (F.col("n_cur") > 0),
-                F.round((p_ref - p_cur) * F.log(p_ref / p_cur), 6),
-            ).alias("psi_term"),
-        )
-    )
+    return psi_from_counts(c)
+
+
+@register(
+    "streaming_value_psi",
+    _PSI_SQL,
+    doc="The PSI drift gate AS A STREAMING JOB: per-bucket ref/current "
+    "conditional counts run as a streaming aggregate (complete mode, "
+    "availableNow for the finite verification run), so the monitor "
+    "updates continuously as event files arrive instead of re-scanning "
+    "history per check; the batch psi_from_counts post-processing turns "
+    "the emitted 10-row counts table into the statistic. VALUE-oracled "
+    "against the same SQL as the batch twin — stream/batch parity is "
+    "exactly what complete-mode emission guarantees, and the streaming "
+    "state is bucket-bounded forever (counts, not events). Production: "
+    "a processing-time trigger feeding the monitoring table "
+    "(streaming/sampled_stream.value_psi_counts_stream)",
+    tags=("streaming",),
+)
+def q_streaming_value_psi(spark, sf_dir):
+    from ..streaming.sampled_stream import value_psi_counts_stream
+
+    return psi_from_counts(value_psi_counts_stream(spark, sf_dir))
 
 
 # ===========================================================================
@@ -5975,6 +6012,7 @@ _CHECK_PRIORITY = [
     "price_quantity_regression",
     "embedding_dim_stats",
     "events_value_psi",
+    "streaming_value_psi",
     # --- stale value-oracled queries, oldest signal first: last green in
     # r1 (these three rotated past the budget in both r2 and r3)
     "dedup_embedding",

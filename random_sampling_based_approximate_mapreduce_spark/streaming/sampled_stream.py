@@ -303,3 +303,41 @@ def running_totals_stateful(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def value_psi_counts_stream(spark, sf_dir: str) -> "DataFrame":
+    """PSI drift monitor AS A STREAMING JOB: the per-bucket ref/current
+    conditional counts run as a streaming aggregate (complete mode), so
+    the drift gate updates continuously as event files arrive instead of
+    re-scanning history per check.
+
+    Returns the final (bucket, n_ref, n_cur) counts table after an
+    availableNow run — the batch PSI post-processing
+    (plans.catalog.psi_from_counts) turns it into the statistic, which
+    makes the stream result VALUE-comparable to the batch oracle: the
+    streaming aggregate's state is exactly the 10-row bucket relation,
+    and complete mode emits it whole at termination. Production: the
+    same query with a processing-time trigger feeds the monitor table;
+    state stays bucket-bounded forever (counts, not events).
+    """
+    from pyspark.sql import functions as F
+
+    from ..plans.catalog import psi_bucketize
+
+    src = _stream_source_dir(spark, sf_dir)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    agg = psi_bucketize(stream).groupBy("bucket").agg(
+        F.sum("is_ref").alias("n_ref"),
+        F.sum(F.lit(1) - F.col("is_ref")).alias("n_cur"),
+    )
+    name = "rsmr_stream_value_psi"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

@@ -113,3 +113,16 @@ class TestPSI:
         # the shifted mass lands in buckets the reference never had ->
         # either huge finite terms or one-sided buckets, both flagged
         assert psi > 0.25 or len(one_sided) >= 2
+
+
+class TestStreamingPSI:
+    def test_stream_equals_batch(self, spark, sf_correct_dir):
+        batch = {
+            (r.bucket, r.n_ref, r.n_cur, r.psi_term)
+            for r in _run("events_value_psi", spark, sf_correct_dir).collect()
+        }
+        stream = {
+            (r.bucket, r.n_ref, r.n_cur, r.psi_term)
+            for r in _run("streaming_value_psi", spark, sf_correct_dir).collect()
+        }
+        assert stream == batch  # complete-mode emission = batch result
