@@ -5910,6 +5910,59 @@ def q_streaming_value_psi(spark, sf_dir):
     return psi_from_counts(value_psi_counts_stream(spark, sf_dir))
 
 
+@register(
+    "events_hourly_incremental",
+    """
+    SELECT date_trunc('hour', ts) AS hour, event_type,
+           count(*)::BIGINT AS cnt,
+           CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+    doc="Incremental aggregate maintenance (materialized-view upkeep): the "
+    "running hourly rollup is materialized ONCE for history (events "
+    "before 2024-01-25), and each refresh aggregates ONLY the delta "
+    "(days 25+) and merges it with the stored partials via "
+    "union + re-aggregate — sum-of-counts and sum-of-decimal-sums are "
+    "decomposable, so merged == full recompute, which is exactly what "
+    "the oracle (a full-table aggregate) certifies. 100 TB: the daily "
+    "refresh scans ONE day, never history; merge cost is bounded by "
+    "|delta groups| + |stored groups|, both hour-x-type-bounded. The "
+    "same decomposability argument underlies every partial+final agg in "
+    "the engine (G1) — this query materializes the partial across RUNS "
+    "instead of across tasks",
+)
+def q_events_hourly_incremental(spark, sf_dir):
+    import hashlib
+
+    cutoff = "2024-01-25"
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+
+    def agg_part(df):
+        return df.groupBy(
+            F.date_trunc("hour", "ts").alias("hour"), "event_type"
+        ).agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(_dec("value")).alias("val_sum"),
+        )
+
+    base_dir = _ensure_layout(
+        f"/tmp/rsmr_hourly_base_{key}",
+        lambda d: agg_part(
+            load(spark, sf_dir, "events").where(F.col("ts") < cutoff)
+        ).write.mode("overwrite").parquet(d),
+    )
+    base = spark.read.parquet(base_dir)
+    delta = agg_part(load(spark, sf_dir, "events").where(F.col("ts") >= cutoff))
+    return (
+        base.unionByName(delta)
+        .groupBy("hour", "event_type")
+        .agg(
+            F.sum("cnt").alias("cnt"),
+            F.sum("val_sum").cast("double").alias("total_value"),
+        )
+    )
+
+
 # ===========================================================================
 # Entry-point helpers
 # ===========================================================================
@@ -6013,6 +6066,7 @@ _CHECK_PRIORITY = [
     "embedding_dim_stats",
     "events_value_psi",
     "streaming_value_psi",
+    "events_hourly_incremental",
     # --- stale value-oracled queries, oldest signal first: last green in
     # r1 (these three rotated past the budget in both r2 and r3)
     "dedup_embedding",

@@ -316,3 +316,33 @@ class TestQualityEdgeCases:
         df = spark.createDataFrame([(1,)], "k long")
         with _pytest.raises(ValueError, match="at least one"):
             violation_counts(df, {})
+
+
+class TestIncrementalAggregate:
+    def test_merge_equals_full_recompute_and_delta_only_scan(self, spark, sf_correct_dir):
+        from random_sampling_based_approximate_mapreduce_spark.sources.tables import load
+
+        merged = {
+            (r.hour, r.event_type): (r.cnt, r.total_value)
+            for r in _run("events_hourly_incremental", spark, sf_correct_dir).collect()
+        }
+        full = {
+            (r.hour, r.event_type): (r.cnt, r.total_value)
+            for r in load(spark, sf_correct_dir, "events")
+            .groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("cnt"),
+                F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("total_value"),
+            )
+            .collect()
+        }
+        assert merged == full
+        # the refresh plan must scan the BASE PARQUET (materialized
+        # partials), not re-derive history from the events table
+        plan = (
+            _run("events_hourly_incremental", spark, sf_correct_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "rsmr_hourly_base_" in plan
