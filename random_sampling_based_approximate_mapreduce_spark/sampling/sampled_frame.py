@@ -224,6 +224,9 @@ class SampledFrame:
     config: SamplingConfig
     observation: Observation | None = None
     sample_observation: Observation | None = None
+    # pre-sample observed frame, kept ONLY as the report()'s fallback
+    # counter for the zero-row edge (see report docstring)
+    observed_base: DataFrame | None = None
     job_id: str = field(default_factory=_next_job_id)
     _start_time: float = field(default_factory=time.monotonic)
 
@@ -254,7 +257,7 @@ class SampledFrame:
             if observe:
                 obs = Observation()
                 df = df.observe(obs, F.count(F.lit(1)).alias("total_records"))
-            return cls(df=df, ratio=1.0, config=cfg, observation=obs)
+            return cls(df=df, ratio=1.0, config=cfg, observation=obs, observed_base=df)
         obs = obs_sample = None
         if observe:
             obs = Observation()
@@ -263,7 +266,14 @@ class SampledFrame:
         if observe:
             obs_sample = Observation()
             sampled = sampled.observe(obs_sample, F.count(F.lit(1)).alias("sampled_records"))
-        return cls(df=sampled, ratio=ratio, config=cfg, observation=obs, sample_observation=obs_sample)
+        return cls(
+            df=sampled,
+            ratio=ratio,
+            config=cfg,
+            observation=obs,
+            sample_observation=obs_sample,
+            observed_base=df,
+        )
 
     # -- plumbing ---------------------------------------------------------
 
@@ -285,6 +295,7 @@ class SampledFrame:
             config=self.config,
             observation=self.observation,
             sample_observation=self.sample_observation,
+            observed_base=self.observed_base,
             job_id=self.job_id,
             _start_time=self._start_time,
         )
@@ -496,15 +507,35 @@ class SampledFrame:
         if trigger and self.observation is not None:
             self.df.count()
         wall = time.monotonic() - self._start_time
-        if self.observation is not None:
-            total = int(self.observation.get["total_records"])
-        else:
-            total = sampled_records if sampled_records is not None else -1
-        if sampled_records is None:
-            if self.sample_observation is not None:
-                sampled_records = int(self.sample_observation.get["sampled_records"])
+
+        def _metric(obs, key):
+            # When the sample keeps ZERO rows (tiny input x low ratio),
+            # AQE's empty-relation propagation replaces the plan subtree
+            # at runtime and the CollectMetrics node never fires;
+            # Observation.get then raises a JVM assertion instead of
+            # returning. Treat that as metrics-unavailable and fall back
+            # to direct counts — one extra (empty-input-cheap) job, paid
+            # only in this edge.
+            if obs is None:
+                return None
+            try:
+                return int(obs.get[key])
+            except Exception:
+                return None
+
+        total = _metric(self.observation, "total_records")
+        if total is None:
+            if self.observed_base is not None:
+                total = self.observed_base.count()
             else:
-                sampled_records = total if self.ratio >= 1.0 else int(round(total * self.ratio))
+                total = sampled_records if sampled_records is not None else -1
+        if sampled_records is None:
+            sampled_records = _metric(self.sample_observation, "sampled_records")
+            if sampled_records is None:
+                if self.sample_observation is not None:
+                    sampled_records = self.df.count()
+                else:
+                    sampled_records = total if self.ratio >= 1.0 else int(round(total * self.ratio))
         return SamplingReport(
             job_id=self.job_id,
             total_records=total,

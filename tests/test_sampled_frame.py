@@ -404,3 +404,30 @@ class TestCIFamilies:
         ref_rel = stats.achieved_error(0.95, n, 10000)
         ci_rel = row["est_count_ci"] / row["est_count"]
         assert 0.3 < ci_rel / ref_rel < 3.0
+
+
+class TestEmptySampleReport:
+    def test_report_survives_zero_row_sample(self, spark, tmp_path):
+        """Regression: when the hash sample keeps ZERO rows, AQE's
+        empty-relation propagation drops the CollectMetrics node and
+        Observation.get raises a JVM assertion; report() must fall back
+        to direct counts instead of crashing (found via the CLI on a
+        3-line input at ratio 0.5)."""
+        from pyspark.sql import functions as F
+
+        from random_sampling_based_approximate_mapreduce_spark.sampling.config import (
+            SamplingConfig,
+        )
+        from random_sampling_based_approximate_mapreduce_spark.sources.text import (
+            read_text_sampled,
+        )
+
+        src = tmp_path / "tiny.txt"
+        src.write_text("hello world\nhello spark\nthe quick brown fox\n")
+        sf = read_text_sampled(spark, str(src), SamplingConfig(ratio=0.5, seed=42))
+        # drive an action through the sampled plan (the CLI's write path)
+        n = sf.df.agg(F.count(F.lit(1))).collect()[0][0]
+        rep = sf.report()
+        assert rep.total_records == 3
+        assert rep.sampled_records == n  # 0 on this seed; exact either way
+        assert 0 <= rep.sampled_records <= 3
