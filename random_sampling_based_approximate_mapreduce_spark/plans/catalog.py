@@ -5963,6 +5963,110 @@ def q_events_hourly_incremental(spark, sf_dir):
     )
 
 
+@register(
+    "events_dedup_consecutive",
+    """
+    WITH seq AS (
+      SELECT event_type,
+             CASE WHEN event_type = lag(event_type)
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                  THEN 1 ELSE 0 END AS is_rep
+      FROM events
+    )
+    SELECT event_type,
+           sum(1 - is_rep)::BIGINT AS kept,
+           sum(is_rep)::BIGINT AS dropped
+    FROM seq GROUP BY event_type
+    """,
+    doc="Consecutive-duplicate suppression (the sensor/changelog dedup "
+    "primitive: keep a row only when its type differs from the SAME "
+    "user's previous row): one lag() window on the user_id partitioning "
+    "with the (ts, event_id) tiebreak, then a per-type kept/dropped "
+    "tally. Unlike dropDuplicates, which dedups globally per key, this "
+    "is ORDER-SENSITIVE run-length suppression — expressible only "
+    "through the window, and the window is the whole cost: one "
+    "exchange, no join, no state beyond one lag row per task. The "
+    "NULL-safe inequality matters: each user's FIRST row has a NULL lag "
+    "and must count as kept (CASE's NULL-falsy branch in both engines)",
+)
+def q_events_dedup_consecutive(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.when(F.col("event_type") == F.lag("event_type").over(w), 1)
+        .otherwise(0)
+        .alias("is_rep"),
+    )
+    return seq.groupBy("event_type").agg(
+        F.sum(F.lit(1) - F.col("is_rep")).alias("kept"),
+        F.sum("is_rep").alias("dropped"),
+    )
+
+
+@register(
+    "sessions_bounce_rate",
+    """
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                  <= 1800000000 THEN 0 ELSE 1 END AS is_new,
+             event_id
+      FROM events
+    ),
+    sess AS (
+      SELECT user_id, ts,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked
+    ),
+    per_session AS (
+      SELECT user_id, sid, min(CAST(ts AS DATE)) AS day,
+             count(*) AS n_events
+      FROM sess GROUP BY user_id, sid
+    )
+    SELECT day,
+           count(*)::BIGINT AS n_sessions,
+           sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)::BIGINT AS n_bounce,
+           round(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 6) AS bounce_rate
+    FROM per_session
+    GROUP BY day
+    """,
+    doc="Daily bounce rate (share of 30-min-gap sessions with exactly one "
+    "event), keyed to each session's START day — the engagement KPI "
+    "downstream of sessionization. Composes the user_sessions "
+    "gaps-and-islands build (same window chain on the user_id "
+    "partitioning, so Catalyst plans ONE user exchange for the lag, the "
+    "running sum, and the per-session agg), then a day-bounded final "
+    "rollup. The bounce flag compares an exact integer event count, and "
+    "the rate is one division rounded at 6dp — engine-identical",
+)
+def q_sessions_bounce_rate(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
+    is_new = F.when(gap <= 1_800_000_000, F.lit(0)).otherwise(F.lit(1))
+    sess = e.select("user_id", "ts", "event_id", is_new.alias("is_new")).select(
+        "user_id",
+        "ts",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("sid"),
+    )
+    per_session = sess.groupBy("user_id", "sid").agg(
+        F.min(F.to_date("ts")).alias("day"), F.count(F.lit(1)).alias("n_events")
+    )
+    bounce = F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+    return per_session.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        bounce.alias("n_bounce"),
+        F.round(bounce / F.count(F.lit(1)).cast("double"), 6).alias("bounce_rate"),
+    )
+
+
 # ===========================================================================
 # Entry-point helpers
 # ===========================================================================
@@ -6067,6 +6171,8 @@ _CHECK_PRIORITY = [
     "events_value_psi",
     "streaming_value_psi",
     "events_hourly_incremental",
+    "events_dedup_consecutive",
+    "sessions_bounce_rate",
     # --- stale value-oracled queries, oldest signal first: last green in
     # r1 (these three rotated past the budget in both r2 and r3)
     "dedup_embedding",

@@ -346,3 +346,40 @@ class TestIncrementalAggregate:
             .toString()
         )
         assert "rsmr_hourly_base_" in plan
+
+
+class TestConsecutiveDedup:
+    def test_totals_and_crafted_runs(self, spark, sf_correct_dir, tmp_path):
+        import datetime as dt
+
+        from random_sampling_based_approximate_mapreduce_spark.sources.tables import load
+
+        rows = _run("events_dedup_consecutive", spark, sf_correct_dir).collect()
+        total = sum(r.kept + r.dropped for r in rows)
+        assert total == load(spark, sf_correct_dir, "events").count()
+        # crafted: u1 types A A A B A -> kept 3 (A,B,A), dropped 2
+        base = dt.datetime(2024, 1, 1)
+        crafted = [
+            (i, base + dt.timedelta(minutes=i), 1, t, 0.0, "{}")
+            for i, t in enumerate(["view", "view", "view", "click", "view"])
+        ]
+        df = spark.createDataFrame(
+            crafted,
+            "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+        )
+        df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+        got = {r.event_type: (r.kept, r.dropped) for r in _run("events_dedup_consecutive", spark, str(tmp_path)).collect()}
+        assert got == {"view": (2, 2), "click": (1, 0)}
+
+
+class TestBounceRate:
+    def test_rates_bounded_and_sessions_conserved(self, spark, sf_correct_dir):
+        rows = _run("sessions_bounce_rate", spark, sf_correct_dir).collect()
+        assert rows
+        total_sessions = sum(r.n_sessions for r in rows)
+        # must equal the session count from the user_sessions twin
+        per_user = _run("user_sessions", spark, sf_correct_dir).collect()
+        assert total_sessions == sum(r.n_sessions for r in per_user)
+        for r in rows:
+            assert 0 <= r.n_bounce <= r.n_sessions
+            assert abs(r.bounce_rate - round(r.n_bounce / r.n_sessions, 6)) < 1e-9
