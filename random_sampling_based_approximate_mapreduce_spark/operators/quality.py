@@ -106,3 +106,45 @@ def quality_report(parts: "list[DataFrame]") -> DataFrame:
     for p in parts[1:]:
         out = out.union(p)
     return out.select("check_name", "violations", (F.col("violations") == 0).alias("passed"))
+
+
+def psi_bucketize(events_df) -> DataFrame:
+    """events -> (bucket, is_ref) rows; shared by the batch and streaming
+    PSI queries (plans/catalog events_value_psi / streaming_value_psi)
+    so both monitors bucket identically."""
+    return events_df.select(
+        F.least(F.lit(9), F.floor(F.col("value") / 50.0).cast("int")).alias("bucket"),
+        F.when(F.col("ts") < "2024-01-16", 1).otherwise(0).alias("is_ref"),
+    )
+
+
+def psi_from_counts(c: DataFrame) -> DataFrame:
+    """(bucket, n_ref, n_cur) -> the PSI long-format result.
+
+    Totals via a global window over the bucket-bounded relation (the
+    monthly-growth pattern — an unconditioned 1-row join would plan a
+    nested loop); one-sided-empty buckets yield NULL terms.
+    """
+    from pyspark.sql.window import Window
+
+    w_all = Window.partitionBy()
+    ct = c.select(
+        "bucket",
+        "n_ref",
+        "n_cur",
+        F.sum("n_ref").over(w_all).alias("tr"),
+        F.sum("n_cur").over(w_all).alias("tc"),
+    )
+    p_ref = F.col("n_ref") / F.col("tr").cast("double")
+    p_cur = F.col("n_cur") / F.col("tc").cast("double")
+    return ct.select(
+        "bucket",
+        "n_ref",
+        "n_cur",
+        F.round(p_ref, 6).alias("p_ref"),
+        F.round(p_cur, 6).alias("p_cur"),
+        F.when(
+            (F.col("n_ref") > 0) & (F.col("n_cur") > 0),
+            F.round((p_ref - p_cur) * F.log(p_ref / p_cur), 6),
+        ).alias("psi_term"),
+    )

@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import text as T
+from ..operators.quality import psi_bucketize, psi_from_counts
 from ..sampling.config import SamplingConfig
 from ..sampling.sampled_frame import SampledFrame
 from ..sources import apache_log as AL
@@ -1030,6 +1031,28 @@ def q_events_hourly(spark, sf_dir):
     )
 
 
+def sessionize_events(e: DataFrame, gap_us: int = 1_800_000_000) -> DataFrame:
+    """events -> (user_id, ts, session_id) via gaps-and-islands (lag gap
+    marker + running sum over ONE user_id window chain).
+
+    Shared by user_sessions and sessions_bounce_rate so the gap threshold
+    and the (ts, event_id) tiebreak can never drift apart between the
+    per-user rollup and the bounce KPI built on it (the same single-
+    definition rule as psi_bucketize for the PSI twins).
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
+    is_new = F.when(gap <= gap_us, F.lit(0)).otherwise(F.lit(1))
+    return e.select("user_id", "ts", "event_id", is_new.alias("is_new")).select(
+        "user_id",
+        "ts",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("session_id"),
+    )
+
+
+
 @register(
     "user_sessions",
     """
@@ -1052,16 +1075,7 @@ def q_events_hourly(spark, sf_dir):
     doc="Sessionization via lag + running sum over event-time gaps >30min",
 )
 def q_user_sessions(spark, sf_dir):
-    from pyspark.sql.window import Window
-
-    e = load(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
-    is_new = F.when(gap <= 1_800_000_000, F.lit(0)).otherwise(F.lit(1))
-    sess = e.select("user_id", "ts", "event_id", is_new.alias("is_new")).select(
-        "user_id",
-        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("session_id"),
-    )
+    sess = sessionize_events(load(spark, sf_dir, "events"))
     per_session = sess.groupBy("user_id", "session_id").agg(F.count(F.lit(1)).alias("n_events"))
     return per_session.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_sessions"), F.sum("n_events").alias("n_events")
@@ -5789,48 +5803,6 @@ def q_embedding_dim_stats(spark, sf_dir):
     )
 
 
-def psi_bucketize(events_df) -> DataFrame:
-    """events -> (bucket, is_ref) rows; shared by the batch and streaming
-    PSI queries so both monitors bucket identically."""
-    return events_df.select(
-        F.least(F.lit(9), F.floor(F.col("value") / 50.0).cast("int")).alias("bucket"),
-        F.when(F.col("ts") < "2024-01-16", 1).otherwise(0).alias("is_ref"),
-    )
-
-
-def psi_from_counts(c: DataFrame) -> DataFrame:
-    """(bucket, n_ref, n_cur) -> the PSI long-format result.
-
-    Totals via a global window over the bucket-bounded relation (the
-    monthly-growth pattern — an unconditioned 1-row join would plan a
-    nested loop); one-sided-empty buckets yield NULL terms.
-    """
-    from pyspark.sql.window import Window
-
-    w_all = Window.partitionBy()
-    ct = c.select(
-        "bucket",
-        "n_ref",
-        "n_cur",
-        F.sum("n_ref").over(w_all).alias("tr"),
-        F.sum("n_cur").over(w_all).alias("tc"),
-    )
-    p_ref = F.col("n_ref") / F.col("tr").cast("double")
-    p_cur = F.col("n_cur") / F.col("tc").cast("double")
-    return ct.select(
-        "bucket",
-        "n_ref",
-        "n_cur",
-        F.round(p_ref, 6).alias("p_ref"),
-        F.round(p_cur, 6).alias("p_cur"),
-        F.when(
-            (F.col("n_ref") > 0) & (F.col("n_cur") > 0),
-            F.round((p_ref - p_cur) * F.log(p_ref / p_cur), 6),
-        ).alias("psi_term"),
-    )
-
-
-
 _PSI_SQL = """
     WITH b AS (
       SELECT least(9, CAST(floor(value / 50.0) AS INT)) AS bucket,
@@ -5933,9 +5905,24 @@ def q_streaming_value_psi(spark, sf_dir):
 )
 def q_events_hourly_incremental(spark, sf_dir):
     import hashlib
+    import os
 
     cutoff = "2024-01-25"
-    key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    # The cached base holds a DERIVED aggregate (unlike the verbatim-copy
+    # stream-source caches), so the key must fingerprint the DATA, not
+    # just the path — otherwise regenerated events at the same sf_dir
+    # would silently merge old partials with new deltas. name+size+mtime
+    # of every source file is the standard cheap staleness signature.
+    src_path = os.path.join(sf_dir, "events.parquet")
+    sig = [sf_dir]
+    if os.path.isdir(src_path):
+        for f in sorted(os.listdir(src_path)):
+            st = os.stat(os.path.join(src_path, f))
+            sig.append(f"{f}:{st.st_size}:{st.st_mtime_ns}")
+    elif os.path.exists(src_path):
+        st = os.stat(src_path)
+        sig.append(f"{st.st_size}:{st.st_mtime_ns}")
+    key = hashlib.md5("|".join(sig).encode()).hexdigest()[:10]
 
     def agg_part(df):
         return df.groupBy(
@@ -6045,16 +6032,8 @@ def q_events_dedup_consecutive(spark, sf_dir):
     "the rate is one division rounded at 6dp — engine-identical",
 )
 def q_sessions_bounce_rate(spark, sf_dir):
-    from pyspark.sql.window import Window
-
-    e = load(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
-    is_new = F.when(gap <= 1_800_000_000, F.lit(0)).otherwise(F.lit(1))
-    sess = e.select("user_id", "ts", "event_id", is_new.alias("is_new")).select(
-        "user_id",
-        "ts",
-        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("sid"),
+    sess = sessionize_events(load(spark, sf_dir, "events")).withColumnRenamed(
+        "session_id", "sid"
     )
     per_session = sess.groupBy("user_id", "sid").agg(
         F.min(F.to_date("ts")).alias("day"), F.count(F.lit(1)).alias("n_events")

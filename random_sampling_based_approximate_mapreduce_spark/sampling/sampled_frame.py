@@ -513,21 +513,34 @@ class SampledFrame:
             # AQE's empty-relation propagation replaces the plan subtree
             # at runtime and the CollectMetrics node never fires;
             # Observation.get then raises a JVM assertion instead of
-            # returning. Treat that as metrics-unavailable and fall back
-            # to direct counts — one extra (empty-input-cheap) job, paid
-            # only in this edge.
+            # returning. Treat that as metrics-unavailable — WARNED, so a
+            # genuinely different failure (connection loss, interrupted
+            # job) is not silently reclassified — and fall back to direct
+            # counts: one extra (empty-input-cheap) job, paid only when
+            # an observation EXISTED but did not fire.
             if obs is None:
                 return None
             try:
                 return int(obs.get[key])
-            except Exception:
+            except Exception as exc:  # noqa: BLE001 - logged, see above
+                import warnings
+
+                warnings.warn(
+                    f"sampling metric {key!r} unavailable ({type(exc).__name__}); "
+                    "falling back to a direct count (zero-row-sample edge?)",
+                    stacklevel=3,
+                )
                 return None
 
         total = _metric(self.observation, "total_records")
         if total is None:
-            if self.observed_base is not None:
+            if self.observation is not None and self.observed_base is not None:
+                # observation existed but never fired (the AQE edge):
+                # recover the exact total from the kept pre-sample frame
                 total = self.observed_base.count()
             else:
+                # observe=False frames keep their zero-job contract:
+                # report() must not launch a scan the caller opted out of
                 total = sampled_records if sampled_records is not None else -1
         if sampled_records is None:
             sampled_records = _metric(self.sample_observation, "sampled_records")

@@ -322,7 +322,7 @@ def value_psi_counts_stream(spark, sf_dir: str) -> "DataFrame":
     """
     from pyspark.sql import functions as F
 
-    from ..plans.catalog import psi_bucketize
+    from ..operators.quality import psi_bucketize
 
     src = _stream_source_dir(spark, sf_dir)
     schema = spark.read.parquet(src).schema

@@ -431,3 +431,23 @@ class TestEmptySampleReport:
         assert rep.total_records == 3
         assert rep.sampled_records == n  # 0 on this seed; exact either way
         assert 0 <= rep.sampled_records <= 3
+
+    def test_observe_false_report_keeps_zero_job_contract(self, spark):
+        """observe=False opts out of metrics; report() must NOT launch a
+        fallback scan over the pre-sample input (review finding: the
+        zero-row fallback initially triggered on every unobserved frame)."""
+        from random_sampling_based_approximate_mapreduce_spark.sampling.config import (
+            SamplingConfig,
+        )
+        from random_sampling_based_approximate_mapreduce_spark.sampling.sampled_frame import (
+            SampledFrame,
+        )
+
+        df = spark.range(100).selectExpr("cast(id as string) as value")
+        sf = SampledFrame.from_dataframe(df, SamplingConfig(ratio=0.5, seed=1), observe=False)
+        tracker = spark.sparkContext.statusTracker()
+        jobs_before = len(tracker.getJobIdsForGroup(None) or [])
+        rep = sf.report(sampled_records=50)
+        jobs_after = len(tracker.getJobIdsForGroup(None) or [])
+        assert rep.total_records == 50  # old contract: sampled_records passthrough
+        assert jobs_after == jobs_before  # zero jobs launched
