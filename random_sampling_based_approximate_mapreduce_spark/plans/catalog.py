@@ -6046,6 +6046,58 @@ def q_sessions_bounce_rate(spark, sf_dir):
     )
 
 
+@register(
+    "purchase_attribution_last_touch",
+    """
+    WITH seq AS (
+      SELECT user_id, ts, event_type, value,
+             last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+                        IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS channel
+      FROM events
+    )
+    SELECT coalesce(channel, 'direct') AS channel,
+           count(*)::BIGINT AS n_purchases,
+           CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS attributed_value
+    FROM seq WHERE event_type = 'purchase'
+    GROUP BY coalesce(channel, 'direct')
+    """,
+    doc="Last-touch purchase attribution (the marketing-analytics "
+    "workhorse): each purchase's value is credited to the SAME user's "
+    "most recent preceding non-purchase event type; a purchase with no "
+    "prior touch is 'direct'. One window on the user_id partitioning — "
+    "last(ignorenulls) over a ROWS UNBOUNDED..1-PRECEDING frame, so the "
+    "strictly-before semantics need no self-join and no per-user "
+    "collect; the (ts, event_id) tiebreak pins concurrent events. "
+    "Channel totals are exact decimal sums. DuckDB mirrors via "
+    "last_value(... IGNORE NULLS) over the identical frame — the frame "
+    "bound, not the function, carries the strictly-before contract",
+)
+def q_purchase_attribution_last_touch(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.last(
+        F.when(F.col("event_type") != "purchase", F.col("event_type")), ignorenulls=True
+    ).over(w)
+    seq = load(spark, sf_dir, "events").select(
+        "event_type", "value", touch.alias("channel")
+    )
+    return (
+        seq.where(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce(F.col("channel"), F.lit("direct")).alias("channel"))
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum(_dec("value")).cast("double").alias("attributed_value"),
+        )
+    )
+
+
 # ===========================================================================
 # Entry-point helpers
 # ===========================================================================
@@ -6152,6 +6204,7 @@ _CHECK_PRIORITY = [
     "events_hourly_incremental",
     "events_dedup_consecutive",
     "sessions_bounce_rate",
+    "purchase_attribution_last_touch",
     # --- stale value-oracled queries, oldest signal first: last green in
     # r1 (these three rotated past the budget in both r2 and r3)
     "dedup_embedding",

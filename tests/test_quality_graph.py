@@ -383,3 +383,44 @@ class TestBounceRate:
         for r in rows:
             assert 0 <= r.n_bounce <= r.n_sessions
             assert abs(r.bounce_rate - round(r.n_bounce / r.n_sessions, 6)) < 1e-9
+
+
+class TestAttribution:
+    def test_value_conservation_and_crafted_order(self, spark, sf_correct_dir, tmp_path):
+        import datetime as dt
+
+        from random_sampling_based_approximate_mapreduce_spark.sources.tables import load
+
+        rows = _run("purchase_attribution_last_touch", spark, sf_correct_dir).collect()
+        total_attr = sum(r.attributed_value for r in rows)
+        n_attr = sum(r.n_purchases for r in rows)
+        purchases = (
+            load(spark, sf_correct_dir, "events")
+            .where(F.col("event_type") == "purchase")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("v"),
+            )
+            .collect()[0]
+        )
+        assert n_attr == purchases.n  # every purchase attributed exactly once
+        assert abs(total_attr - purchases.v) < 1e-6  # value conserved
+        # crafted: purchase before any touch -> direct; later purchase ->
+        # last touch wins (click, not the earlier view)
+        base = dt.datetime(2024, 1, 1)
+        crafted = [
+            (1, base, 1, "purchase", 10.0, "{}"),
+            (2, base + dt.timedelta(minutes=1), 1, "view", 0.0, "{}"),
+            (3, base + dt.timedelta(minutes=2), 1, "click", 0.0, "{}"),
+            (4, base + dt.timedelta(minutes=3), 1, "purchase", 5.0, "{}"),
+        ]
+        df = spark.createDataFrame(
+            crafted,
+            "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+        )
+        df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+        got = {
+            r.channel: (r.n_purchases, r.attributed_value)
+            for r in _run("purchase_attribution_last_touch", spark, str(tmp_path)).collect()
+        }
+        assert got == {"direct": (1, 10.0), "click": (1, 5.0)}
