@@ -86,6 +86,12 @@ BENCH_QUERIES = [
     "kmv_users_daily",
     "user_state_scd2",
     "volume_shipping_q7",
+    # round-4 behavioral/governance representatives: three per-nation
+    # ntile windows on one exchange (RFM), the last(ignorenulls)
+    # attribution window, and the one-scan PSI drift gate
+    "customer_rfm_segments",
+    "purchase_attribution_last_touch",
+    "events_value_psi",
     # round-4 third batch (TPC-H completion) representatives: the pure
     # pushdown scan-agg (Q6), the big-big join + TakeOrderedAndProject
     # top-k (Q10), and the one-pass window decorrelation of the double

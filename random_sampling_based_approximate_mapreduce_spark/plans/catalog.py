@@ -6098,6 +6098,80 @@ def q_purchase_attribution_last_touch(spark, sf_dir):
     )
 
 
+def _stratified_hash_oracle() -> str:
+    from ..sampling.deterministic import hash_bernoulli_sql
+
+    cases = " ".join(
+        f"WHEN event_type = '{t}' THEN "
+        f"CASE WHEN {hash_bernoulli_sql('event_id::VARCHAR', r, seed=11)} "
+        f"THEN CAST('{1.0 / r}' AS DECIMAL(6,2)) END"
+        for t, r in _STRAT_FRACTIONS.items()
+    )
+    return f"""
+    WITH s AS (
+      SELECT event_type, CAST(value AS DECIMAL(12,2)) AS v, CASE {cases} END AS w
+      FROM events
+    )
+    SELECT event_type,
+           count(*)::BIGINT AS n_sampled,
+           CAST(sum(w) AS DOUBLE) AS est_cnt,
+           CAST(sum(w * v) AS DOUBLE) AS est_value_sum
+    FROM s WHERE w IS NOT NULL
+    GROUP BY event_type
+    """
+
+
+_STRAT_FRACTIONS = {
+    "view": 0.05,
+    "click": 0.05,
+    "purchase": 0.2,
+    "error": 0.5,
+    "signup": 0.5,
+}
+
+
+@register(
+    "stratified_events_hash_sampled",
+    _stratified_hash_oracle(),
+    doc="The value-oracled twin of stratified_events_by_type: per-stratum "
+    "Bernoulli with the DETERMINISTIC md5 hash instead of sampleBy's "
+    "engine RNG, so sample membership — and therefore the per-stratum "
+    "Horvitz-Thompson weights 1/r_s and every estimate built from them "
+    "— reproduces bit-for-bit in DuckDB. Rare strata (error/signup) "
+    "keep 50%, the bulk (view/click) 5%: the rare-class-preserving "
+    "allocation row-uniform sampling cannot give you, at the same "
+    "total budget. One map-only CASE attaches the weight, one stratum "
+    "agg; at 100 TB the hash filter sits in the scan exactly like "
+    "every other hash-sampled twin. Weighted sums rounded at 2dp "
+    "(weights are exact binary fractions: 20.0, 5.0, 2.0)",
+    tags=("sampled",),
+)
+def q_stratified_events_hash_sampled(spark, sf_dir):
+    from ..sampling.deterministic import hash_bernoulli
+
+    e = load(spark, sf_dir, "events").withColumn(
+        "__k", F.col("event_id").cast("string")
+    )
+    # one pass: the keep-decision and the HT weight as a single CASE per
+    # stratum (hash_bernoulli filters one global ratio; here the ratio
+    # varies by stratum, so inline its predicate per branch)
+    from ..sampling.deterministic import _priority  # same frozen hash chain
+    from ..sampling.deterministic import _BUCKETS
+
+    pri = F.pmod(_priority(F.col("__k"), 11), F.lit(_BUCKETS))
+    w = None
+    for t, r in _STRAT_FRACTIONS.items():
+        cond = (F.col("event_type") == t) & (pri < int(r * _BUCKETS))
+        weight = F.lit(str(1.0 / r)).cast("decimal(6,2)")
+        w = F.when(cond, weight) if w is None else w.when(cond, weight)
+    s = e.withColumn("w", w).where(F.col("w").isNotNull())
+    return s.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.sum("w").cast("double").alias("est_cnt"),
+        F.sum(F.col("w") * _dec("value")).cast("double").alias("est_value_sum"),
+    )
+
+
 # ===========================================================================
 # Entry-point helpers
 # ===========================================================================
@@ -6205,6 +6279,7 @@ _CHECK_PRIORITY = [
     "events_dedup_consecutive",
     "sessions_bounce_rate",
     "purchase_attribution_last_touch",
+    "stratified_events_hash_sampled",
     # --- stale value-oracled queries, oldest signal first: last green in
     # r1 (these three rotated past the budget in both r2 and r3)
     "dedup_embedding",

@@ -424,3 +424,28 @@ class TestAttribution:
             for r in _run("purchase_attribution_last_touch", spark, str(tmp_path)).collect()
         }
         assert got == {"direct": (1, 10.0), "click": (1, 5.0)}
+
+
+class TestStratifiedHashSampled:
+    def test_estimates_within_ht_envelope(self, spark, sf_correct_dir):
+        import math
+
+        from random_sampling_based_approximate_mapreduce_spark.sources.tables import load
+
+        est = {r.event_type: r for r in _run("stratified_events_hash_sampled", spark, sf_correct_dir).collect()}
+        exact = {
+            r.event_type: r.n
+            for r in load(spark, sf_correct_dir, "events")
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        fractions = {"view": 0.05, "click": 0.05, "purchase": 0.2, "error": 0.5, "signup": 0.5}
+        assert set(est) == set(exact)
+        for t, row in est.items():
+            r = fractions[t]
+            n = exact[t]
+            # HT count estimate: mean n, variance n*(1-r)/r -> 4-sigma
+            sigma = math.sqrt(n * (1 - r) / r)
+            assert abs(row.est_cnt - n) < 4 * sigma + 1, (t, row.est_cnt, n)
+            assert 0 < row.n_sampled < n  # every stratum genuinely sampled
