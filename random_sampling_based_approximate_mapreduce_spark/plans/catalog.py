@@ -6172,6 +6172,86 @@ def q_stratified_events_hash_sampled(spark, sf_dir):
     )
 
 
+def _file_pick(n_groups: int = 8, keep_ratio: float = 0.5, seed: str = "file") -> tuple:
+    """Frozen md5 file-group pick: group g kept iff hash64('file|g') lands
+    under the ratio — pure Python, no Spark, so the picked set is a
+    LITERAL both the Spark path list and the oracle's residue IN-list
+    derive from (the same 60-bit md5 scheme as functions/hashing.hash64)."""
+    import hashlib
+
+    def h(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    return tuple(
+        sorted(g for g in range(n_groups) if h(f"{seed}|{g}") % 1000 < int(keep_ratio * 1000))
+    )
+
+
+_FILE_PICKED = _file_pick()
+
+
+def _word_count_file_hash_oracle() -> str:
+    picked = ", ".join(str(g) for g in _FILE_PICKED)
+    scale = f"8.0 / {len(_FILE_PICKED)}"
+    return f"""
+    SELECT word, count(*)::BIGINT AS cnt_sampled,
+           CAST(count(*) * {scale} AS DOUBLE) AS est_cnt
+    FROM (
+      SELECT unnest(string_split_regex(lower(text), '{_WORD_SPLIT_SQL}')) AS word
+      FROM documents
+      WHERE doc_id % 8 IN ({picked})
+        AND NOT regexp_matches(text, '[0-9]')
+    )
+    WHERE word <> '' AND NOT regexp_matches(word, '^[0-9]+$')
+    GROUP BY word
+    """
+
+
+@register(
+    "word_count_file_hash_sampled",
+    _word_count_file_hash_oracle(),
+    doc="The VALUE-ORACLED twin of word_count_file_sampled: file-level "
+    "cluster sampling where both the file layout AND the pick are "
+    "deterministic. The corpus is written once partitioned by "
+    "doc_id % 8 (each residue = one file group), and a frozen md5 hash "
+    "picks which groups to read — Spark passes ONLY the picked "
+    "subdirectory paths to the reader, so unpicked groups cost zero "
+    "I/O (the true cluster-sampling win no row sampler gets), while "
+    "the oracle reproduces the exact same sample as a doc_id residue "
+    "IN-list on the parquet table. The HT scale-up 8/|picked| applies "
+    "to every count identically in both engines. This closes the "
+    "file-sampling family's oracle gap: the RNG-pick original stays as "
+    "the engine-RNG variant, this twin proves the estimator arithmetic "
+    "value-for-value",
+    tags=("sampled",),
+)
+def q_word_count_file_hash_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    src = _ensure_layout(
+        f"/tmp/rsmr_text_bygroup_{key}",
+        lambda d: load(spark, sf_dir, "documents")
+        .select(F.col("text").alias("value"), (F.col("doc_id") % 8).alias("g"))
+        .write.partitionBy("g")
+        .mode("overwrite")
+        .text(d),
+    )
+    lines = spark.read.text([f"{src}/g={g}" for g in _FILE_PICKED])
+    kept = T.drop_digit_lines(lines, "value")
+    scale = F.lit(8.0) / F.lit(float(len(_FILE_PICKED)))
+    return (
+        T.explode_words(kept, "value")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt_sampled"))
+        .select(
+            "word",
+            "cnt_sampled",
+            (F.col("cnt_sampled") * scale).cast("double").alias("est_cnt"),
+        )
+    )
+
+
 # ===========================================================================
 # Entry-point helpers
 # ===========================================================================
@@ -6280,6 +6360,7 @@ _CHECK_PRIORITY = [
     "sessions_bounce_rate",
     "purchase_attribution_last_touch",
     "stratified_events_hash_sampled",
+    "word_count_file_hash_sampled",
     # --- stale value-oracled queries, oldest signal first: last green in
     # r1 (these three rotated past the budget in both r2 and r3)
     "dedup_embedding",

@@ -449,3 +449,26 @@ class TestStratifiedHashSampled:
             sigma = math.sqrt(n * (1 - r) / r)
             assert abs(row.est_cnt - n) < 4 * sigma + 1, (t, row.est_cnt, n)
             assert 0 < row.n_sampled < n  # every stratum genuinely sampled
+
+
+class TestFileHashSampled:
+    def test_pick_nondegenerate_and_estimates_sane(self, spark, sf_correct_dir):
+        from random_sampling_based_approximate_mapreduce_spark.plans.catalog import (
+            _FILE_PICKED,
+        )
+
+        assert 0 < len(_FILE_PICKED) < 8  # a pick, not all-or-nothing
+        est = {r.word: r for r in _run("word_count_file_hash_sampled", spark, sf_correct_dir).collect()}
+        exact = {r.word: r.cnt for r in _run("word_count", spark, sf_correct_dir).collect()}
+        assert est
+        # every sampled word exists in the corpus and scale-up is exact
+        scale = 8.0 / len(_FILE_PICKED)
+        hits = 0
+        for w, row in est.items():
+            assert w in exact
+            assert row.est_cnt == row.cnt_sampled * scale
+            # cluster estimate within 3x of truth for common words
+            if exact[w] >= 50:
+                hits += 1
+                assert 0.2 * exact[w] < row.est_cnt < 5 * exact[w], (w, row.est_cnt, exact[w])
+        assert hits > 0
