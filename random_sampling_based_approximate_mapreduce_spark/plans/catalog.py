@@ -6252,6 +6252,105 @@ def q_word_count_file_hash_sampled(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+def _word_count_hash_sampled_oracle() -> str:
+    from ..sampling.deterministic import hash_bernoulli_sql
+
+    keep = hash_bernoulli_sql("doc_id::VARCHAR", 0.1, seed=13)
+    return f"""
+    SELECT word, count(*)::BIGINT AS cnt_sampled,
+           CAST(count(*) * 10.0 AS DOUBLE) AS est_cnt
+    FROM (
+      SELECT unnest(string_split_regex(lower(text), '{_WORD_SPLIT_SQL}')) AS word
+      FROM documents
+      WHERE ({keep}) AND NOT regexp_matches(text, '[0-9]')
+    )
+    WHERE word <> '' AND NOT regexp_matches(word, '^[0-9]+$')
+    GROUP BY word
+    """
+
+
+@register(
+    "word_count_hash_sampled",
+    _word_count_hash_sampled_oracle(),
+    doc="The flagship word count with the DETERMINISTIC hash sample "
+    "(doc-level Bernoulli at 10%, frozen md5) instead of the engine-RNG "
+    "Sample node — the value-oracled twin of word_count_sampled, "
+    "completing the twin pattern for the reference's headline workload "
+    "(tpch_q1_hash_sampled established it for Q1). The sampling unit is "
+    "the DOCUMENT, so each kept document contributes its full token "
+    "multiset and the per-word HT estimate cnt/0.1 is unbiased over "
+    "document inclusion; the hash predicate sits in the scan, cutting "
+    "tokenize+shuffle input 10x at any scale",
+    tags=("sampled",),
+)
+def q_word_count_hash_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sampling.deterministic import hash_bernoulli
+
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "__k", F.col("doc_id").cast("string")
+    )
+    sampled = hash_bernoulli(docs, "__k", 0.1, seed=13).select("text")
+    kept = T.drop_digit_lines(sampled, "text")
+    return (
+        T.explode_words(kept, "text")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt_sampled"))
+        .select(
+            "word",
+            "cnt_sampled",
+            (F.col("cnt_sampled") * F.lit(10.0)).cast("double").alias("est_cnt"),
+        )
+    )
+
+
+def _log_host_hash_sampled_oracle() -> str:
+    from ..sampling.deterministic import hash_bernoulli_sql
+
+    keep = hash_bernoulli_sql("event_id::VARCHAR", 0.1, seed=17)
+    cte = AL.ORACLE_ACCESS_LOG_CTE.replace(
+        "FROM events", f"FROM (SELECT * FROM events WHERE {keep})"
+    )
+    return (
+        cte
+        + """
+    SELECT host, count(*)::BIGINT AS cnt_sampled,
+           CAST(count(*) * 10.0 AS DOUBLE) AS est_cnt
+    FROM access_log GROUP BY host
+    """
+    )
+
+
+@register(
+    "log_host_hash_sampled",
+    _log_host_hash_sampled_oracle(),
+    doc="Per-host request counts from a deterministic 10% line sample — "
+    "the value-oracled twin of log_host_sampled (engine RNG), applying "
+    "the twin pattern to the reference's log-analysis workload. The "
+    "hash filter runs on event_id BEFORE the synthesize->parse round "
+    "trip, so 90% of lines are never formatted OR regex-parsed — the "
+    "same parse-cost-dominates reasoning as the reference's input-level "
+    "sampling (its entire thesis); HT scale-up 1/0.1 on each host count",
+    tags=("sampled",),
+)
+def q_log_host_hash_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sampling.deterministic import hash_bernoulli
+
+    e = load(spark, sf_dir, "events").withColumn(
+        "__k", F.col("event_id").cast("string")
+    )
+    sampled = hash_bernoulli(e, "__k", 0.1, seed=17).drop("__k")
+    log = AL.access_log(sampled)
+    return (
+        AL.task_host(log)
+        .withColumnRenamed("cnt", "cnt_sampled")
+        .select(
+            "host",
+            "cnt_sampled",
+            (F.col("cnt_sampled") * F.lit(10.0)).cast("double").alias("est_cnt"),
+        )
+    )
+
+
 # ===========================================================================
 # Entry-point helpers
 # ===========================================================================
@@ -6361,6 +6460,8 @@ _CHECK_PRIORITY = [
     "purchase_attribution_last_touch",
     "stratified_events_hash_sampled",
     "word_count_file_hash_sampled",
+    "word_count_hash_sampled",
+    "log_host_hash_sampled",
     # --- stale value-oracled queries, oldest signal first: last green in
     # r1 (these three rotated past the budget in both r2 and r3)
     "dedup_embedding",

@@ -472,3 +472,22 @@ class TestFileHashSampled:
                 hits += 1
                 assert 0.2 * exact[w] < row.est_cnt < 5 * exact[w], (w, row.est_cnt, exact[w])
         assert hits > 0
+
+
+class TestHashSampledTwins:
+    def test_word_count_twin_accuracy(self, spark, sf_correct_dir):
+        est = {r.word: r.est_cnt for r in _run("word_count_hash_sampled", spark, sf_correct_dir).collect()}
+        exact = {r.word: r.cnt for r in _run("word_count", spark, sf_correct_dir).collect()}
+        assert est and set(est) <= set(exact)
+        common = [(est[w], exact[w]) for w in est if exact[w] >= 100]
+        assert common
+        rel = sum(abs(e - x) / x for e, x in common) / len(common)
+        assert rel < 0.5  # 10% doc-cluster sample: loose but real bound
+
+    def test_log_host_twin_accuracy(self, spark, sf_correct_dir):
+        est = {r.host: r.est_cnt for r in _run("log_host_hash_sampled", spark, sf_correct_dir).collect()}
+        exact = {r.host: r.cnt for r in _run("log_host", spark, sf_correct_dir).collect()}
+        assert est and set(est) <= set(exact)
+        total_est = sum(est.values())
+        total = sum(exact.values())
+        assert abs(total_est - total) / total < 0.1  # global HT tight at n=10k
