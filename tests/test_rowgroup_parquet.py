@@ -74,9 +74,21 @@ class TestReaders:
         assert len(via_src) > 0
 
     def test_pruned_filter_reaches_the_scan(self, spark, multi_rg_file):
+        # The hash pick keys on the FILE PATH (stable across runs for a
+        # fixed path), but pytest's tmp path differs per run, so the
+        # picked set varies here: multiple disjoint ranges push as
+        # Or(...)/And(...), while a single contiguous range pushes as two
+        # bare bound conjuncts with no wrapper. Assert the shape that
+        # matches the ranges actually picked — both are fully pushed.
         sf = read_parquet_rowgroup_pruned(spark, multi_rg_file, 0.3, "doc_id")
         plan = sf.df._jdf.queryExecution().executedPlan().toString()
-        assert "PushedFilters: [Or(" in plan or "PushedFilters: [And(" in plan
+        pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+        assert "doc_id" in pushed, plan  # a non-empty doc_id filter reached the scan
+        ranges, _, _ = rowgroup_id_ranges(multi_rg_file, 0.3, "doc_id")
+        if len(ranges) > 1:
+            assert "Or(" in pushed or "And(" in pushed, pushed
+        else:
+            assert "GreaterThanOrEqual(doc_id" in pushed or "And(" in pushed, pushed
 
     def test_ht_estimate_unbiased_on_uniform_ids(self, spark, multi_rg_file):
         """approx_count scales by the EXACT achieved ratio, so estimating
