@@ -6351,6 +6351,139 @@ def q_log_host_hash_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "events_type_hour_chi2",
+    """
+    WITH o AS (
+      SELECT event_type, hour(ts) AS hod, count(*) AS obs
+      FROM events GROUP BY event_type, hour(ts)
+    ),
+    m AS (
+      SELECT event_type, hod, obs,
+             sum(obs) OVER (PARTITION BY event_type) AS row_total,
+             sum(obs) OVER (PARTITION BY hod) AS col_total,
+             sum(obs) OVER () AS grand
+      FROM o
+    )
+    SELECT event_type, hod, obs::BIGINT AS obs,
+           round(CAST(row_total * col_total AS DOUBLE) / grand, 6) AS expected,
+           round((obs - CAST(row_total * col_total AS DOUBLE) / grand)
+                 * (obs - CAST(row_total * col_total AS DOUBLE) / grand)
+                 / (CAST(row_total * col_total AS DOUBLE) / grand), 6) AS chi2_term
+    FROM m
+    """,
+    doc="Chi-square independence test of event type vs hour-of-day — the "
+    "seasonality-confound check run before trusting per-type metrics "
+    "(a type whose traffic clusters in specific hours needs "
+    "hour-stratified evaluation). One scan builds the contingency "
+    "counts; the row/column/grand totals come from three windows over "
+    "the CONTINGENCY relation (type x 24 cells, constant-size — never "
+    "the fact table), so the margins cost nothing at any scale. All "
+    "inputs are integer counts, combined through a fixed IEEE "
+    "expression and rounded at 6dp — engine-identical; sum(chi2_term) "
+    "vs the chi2(df=(R-1)(C-1)) critical value is the verdict and is "
+    "cross-checked against scipy in tests",
+)
+def q_events_type_hour_chi2(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    o = (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type", F.hour("ts").alias("hod"))
+        .agg(F.count(F.lit(1)).alias("obs"))
+    )
+    m = o.select(
+        "event_type",
+        "hod",
+        "obs",
+        F.sum("obs").over(Window.partitionBy("event_type")).alias("row_total"),
+        F.sum("obs").over(Window.partitionBy("hod")).alias("col_total"),
+        F.sum("obs").over(Window.partitionBy()).alias("grand"),
+    )
+    expected = (F.col("row_total") * F.col("col_total")).cast("double") / F.col("grand")
+    return m.select(
+        "event_type",
+        "hod",
+        "obs",
+        F.round(expected, 6).alias("expected"),
+        F.round((F.col("obs") - expected) * (F.col("obs") - expected) / expected, 6).alias(
+            "chi2_term"
+        ),
+    )
+
+
+@register(
+    "docs_token_entropy_by_lang",
+    f"""
+    WITH tok AS (
+      SELECT lang, word, count(*) AS cnt
+      FROM (
+        SELECT lang,
+               unnest(string_split_regex(lower(text), '{_WORD_SPLIT_SQL}')) AS word
+        FROM documents
+        WHERE NOT regexp_matches(text, '[0-9]')
+      )
+      WHERE word <> '' AND NOT regexp_matches(word, '^[0-9]+$')
+      GROUP BY lang, word
+    ),
+    m AS (
+      SELECT lang, word, cnt,
+             sum(cnt) OVER (PARTITION BY lang) AS lang_total,
+             count(*) OVER (PARTITION BY lang) AS vocab
+      FROM tok
+    )
+    SELECT lang,
+           max(vocab)::BIGINT AS vocab_size,
+           max(lang_total)::BIGINT AS n_tokens,
+           round(-CAST(sum(CAST(round((cnt / CAST(lang_total AS DOUBLE))
+                                      * ln(cnt / CAST(lang_total AS DOUBLE)), 12)
+                               AS DECIMAL(20,12))) AS DOUBLE), 6) AS token_entropy
+    FROM m GROUP BY lang
+    """,
+    doc="Per-language token (Shannon) entropy — the diversity metric a "
+    "training-data pipeline tracks per slice: a collapsing entropy "
+    "means boilerplate/dedup failure upstream, and cross-language "
+    "entropy gaps drive per-language sampling temperature. Build: one "
+    "tokenize pass into (lang, word) counts (the word_count shuffle "
+    "keyed wider), per-lang totals from a window over the vocab-bounded "
+    "counts relation, then -sum(p ln p) per lang. Every p derives from "
+    "integer counts through one division; each p*ln(p) TERM is rounded "
+    "at 12dp and summed as an exact DECIMAL — a plain double sum over "
+    "~1e4 addends would be partial-agg-order dependent (the same "
+    "order-independence discipline as every money sum in this file, "
+    "applied to transcendental terms)",
+)
+def q_docs_token_entropy_by_lang(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    docs = load(spark, sf_dir, "documents").select("lang", "text")
+    kept = T.drop_digit_lines(docs, "text")
+    # explode_words projects the token alone; this build carries lang
+    # through the explode (same explode_outer discipline, see
+    # functions/text.explode_words docstring)
+    tok = (
+        kept.select("lang", F.explode_outer(T.words(F.col("text"))).alias("word"))
+        .where(F.length("word") > 0)
+        .where(~F.col("word").rlike("^[0-9]+$"))
+        .groupBy("lang", "word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("lang")
+    m = tok.select(
+        "lang",
+        "cnt",
+        F.sum("cnt").over(w).alias("lang_total"),
+        F.count(F.lit(1)).over(w).alias("vocab"),
+    )
+    p = F.col("cnt") / F.col("lang_total").cast("double")
+    term = F.round(p * F.log(p), 12).cast("decimal(20,12)")
+    return m.groupBy("lang").agg(
+        F.max("vocab").alias("vocab_size"),
+        F.max("lang_total").alias("n_tokens"),
+        F.round(-F.sum(term).cast("double"), 6).alias("token_entropy"),
+    )
+
+
 # ===========================================================================
 # Entry-point helpers
 # ===========================================================================
@@ -6462,6 +6595,8 @@ _CHECK_PRIORITY = [
     "word_count_file_hash_sampled",
     "word_count_hash_sampled",
     "log_host_hash_sampled",
+    "events_type_hour_chi2",
+    "docs_token_entropy_by_lang",
     # --- stale value-oracled queries, oldest signal first: last green in
     # r1 (these three rotated past the budget in both r2 and r3)
     "dedup_embedding",

@@ -126,3 +126,70 @@ class TestStreamingPSI:
             for r in _run("streaming_value_psi", spark, sf_correct_dir).collect()
         }
         assert stream == batch  # complete-mode emission = batch result
+
+
+class TestChi2:
+    def test_matches_scipy_contingency(self, spark, sf_correct_dir):
+        import numpy as np
+
+        rows = _run("events_type_hour_chi2", spark, sf_correct_dir).collect()
+        assert len(rows) == 5 * 24
+        obs: dict = {}
+        for r in rows:
+            obs[(r.event_type, r.hod)] = r.obs
+        types = sorted({t for t, _ in obs})
+        table = np.array([[obs[(t, h)] for h in range(24)] for t in types], dtype=float)
+        try:
+            from scipy.stats import chi2_contingency
+
+            chi2, _, dof, expected = chi2_contingency(table, correction=False)
+        except ImportError:
+            # scipy absent: recompute by hand
+            rt = table.sum(axis=1, keepdims=True)
+            ct = table.sum(axis=0, keepdims=True)
+            expected = rt @ ct / table.sum()
+            chi2 = ((table - expected) ** 2 / expected).sum()
+            dof = (table.shape[0] - 1) * (table.shape[1] - 1)
+        got = sum(r.chi2_term for r in rows)
+        assert abs(got - chi2) < 1e-3
+        # uniform synthetic traffic: independence should NOT be rejected
+        # wildly (chi2 ~ dof scale, not orders beyond)
+        assert got < 10 * dof
+
+    def test_expected_margins_consistent(self, spark, sf_correct_dir):
+        rows = _run("events_type_hour_chi2", spark, sf_correct_dir).collect()
+        tot_obs = sum(r.obs for r in rows)
+        tot_exp = sum(r.expected for r in rows)
+        assert abs(tot_exp - tot_obs) < 1e-2  # expected margins conserve N
+
+
+class TestTokenEntropy:
+    def test_matches_hand_entropy(self, spark, sf_correct_dir):
+        import math
+
+        from random_sampling_based_approximate_mapreduce_spark.sources.tables import load
+
+        rows = {r.lang: r for r in _run("docs_token_entropy_by_lang", spark, sf_correct_dir).collect()}
+        assert rows
+        # recompute one language from the exact word counts
+        lang = sorted(rows)[0]
+        wc = _run("word_count", spark, sf_correct_dir)  # corpus-wide; need per-lang
+        docs = load(spark, sf_correct_dir, "documents").where(F.col("lang") == lang)
+        from random_sampling_based_approximate_mapreduce_spark.functions import text as T
+
+        tok = (
+            T.drop_digit_lines(docs.select("text"), "text")
+            .select(F.explode_outer(T.words(F.col("text"))).alias("word"))
+            .where(F.length("word") > 0)
+            .where(~F.col("word").rlike("^[0-9]+$"))
+            .groupBy("word")
+            .count()
+            .collect()
+        )
+        n = sum(r["count"] for r in tok)
+        h = -sum((r["count"] / n) * math.log(r["count"] / n) for r in tok)
+        got = rows[lang]
+        assert got.n_tokens == n and got.vocab_size == len(tok)
+        assert abs(got.token_entropy - h) < 1e-4
+        for r in rows.values():
+            assert 0 < r.token_entropy < math.log(r.vocab_size) + 1e-9
