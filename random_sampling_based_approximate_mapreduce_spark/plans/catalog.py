@@ -6046,9 +6046,7 @@ def q_sessions_bounce_rate(spark, sf_dir):
     )
 
 
-@register(
-    "purchase_attribution_last_touch",
-    """
+_ATTRIBUTION_SQL = """
     WITH seq AS (
       SELECT user_id, ts, event_type, value,
              last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
@@ -6062,7 +6060,12 @@ def q_sessions_bounce_rate(spark, sf_dir):
            CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS attributed_value
     FROM seq WHERE event_type = 'purchase'
     GROUP BY coalesce(channel, 'direct')
-    """,
+    """
+
+
+@register(
+    "purchase_attribution_last_touch",
+    _ATTRIBUTION_SQL,
     doc="Last-touch purchase attribution (the marketing-analytics "
     "workhorse): each purchase's value is credited to the SAME user's "
     "most recent preceding non-purchase event type; a purchase with no "
@@ -6484,6 +6487,29 @@ def q_docs_token_entropy_by_lang(spark, sf_dir):
     )
 
 
+@register(
+    "streaming_attribution_last_touch",
+    _ATTRIBUTION_SQL,
+    doc="Last-touch attribution AS A STATEFUL STREAMING JOB "
+    "(streaming/attribution_state.py): applyInPandasWithState keeps ONE "
+    "short string of state per user (the most recent non-purchase "
+    "touch) and emits (channel, value) per purchase — the custom "
+    "stateful operator pattern for semantics session_window/"
+    "dropDuplicates can't express. VALUE-oracled against the SAME SQL "
+    "as the batch window twin: with per-user in-order arrival "
+    "(availableNow over one ordered source) every purchase credits the "
+    "identical channel, and the per-channel totals hash-match. State is "
+    "live-user-bounded with event-time eviction; the ordering contract "
+    "(per-key ordered upstream, or watermark-delayed per-batch sort) is "
+    "documented in the module, not hidden",
+    tags=("streaming",),
+)
+def q_streaming_attribution_last_touch(spark, sf_dir):
+    from ..streaming.attribution_state import attribution_stream
+
+    return attribution_stream(spark, sf_dir)
+
+
 # ===========================================================================
 # Entry-point helpers
 # ===========================================================================
@@ -6597,6 +6623,7 @@ _CHECK_PRIORITY = [
     "log_host_hash_sampled",
     "events_type_hour_chi2",
     "docs_token_entropy_by_lang",
+    "streaming_attribution_last_touch",
     # --- stale value-oracled queries, oldest signal first: last green in
     # r1 (these three rotated past the budget in both r2 and r3)
     "dedup_embedding",

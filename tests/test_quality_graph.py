@@ -491,3 +491,16 @@ class TestHashSampledTwins:
         total_est = sum(est.values())
         total = sum(exact.values())
         assert abs(total_est - total) / total < 0.1  # global HT tight at n=10k
+
+
+class TestStreamingAttribution:
+    def test_stream_equals_batch(self, spark, sf_correct_dir):
+        batch = {
+            (r.channel, r.n_purchases, r.attributed_value)
+            for r in _run("purchase_attribution_last_touch", spark, sf_correct_dir).collect()
+        }
+        stream = {
+            (r.channel, r.n_purchases, r.attributed_value)
+            for r in _run("streaming_attribution_last_touch", spark, sf_correct_dir).collect()
+        }
+        assert stream == batch  # one-string-per-user state = the window form
