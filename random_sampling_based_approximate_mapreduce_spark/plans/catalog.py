@@ -6510,6 +6510,54 @@ def q_streaming_attribution_last_touch(spark, sf_dir):
     return attribution_stream(spark, sf_dir)
 
 
+@register(
+    "events_rolling_wau",
+    """
+    WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+    ex AS (
+      SELECT unnest(generate_series(day, day + INTERVAL 6 DAY, INTERVAL 1 DAY))::DATE
+               AS wday,
+             user_id
+      FROM du
+    ),
+    b AS (SELECT max(day) AS hi FROM du)
+    SELECT wday, count(DISTINCT user_id)::BIGINT AS wau
+    FROM ex, b WHERE wday <= b.hi
+    GROUP BY wday
+    """,
+    doc="Rolling 7-day active users (WAU) per day — the flagship product "
+    "health metric. The naive form is a RANGE join (every day joined to "
+    "the 7 days around it), which Spark can only plan as a broadcast "
+    "nested loop; the scale form used here EXPLODES each (day, user) "
+    "contribution into the <=7 window days it serves, then one distinct "
+    "count per window day — a map-side x7 fan-out of the already-"
+    "compacted (day,user) relation followed by ONE shuffle, no join at "
+    "all. Partial windows past the data's last day are dropped via a "
+    "scalar max-day bound (a true ScalarSubquery); leading partial "
+    "windows are the standard WAU convention (day 1's WAU is day 1's "
+    "DAU). Exact distinct at test scale; the 100 TB swap to "
+    "approx_count_distinct or a KMV merge is the documented variant",
+)
+def q_events_rolling_wau(spark, sf_dir):
+    du = (
+        load(spark, sf_dir, "events")
+        .select(F.to_date("ts").alias("day"), "user_id")
+        .distinct()
+    )
+    ex = du.select(
+        F.explode(
+            F.expr("sequence(day, day + interval 6 day, interval 1 day)")
+        ).alias("wday"),
+        "user_id",
+    )
+    hi = du.agg(F.max("day").alias("hi"))
+    return (
+        ex.where(F.col("wday") <= hi.scalar())
+        .groupBy("wday")
+        .agg(F.count_distinct("user_id").alias("wau"))
+    )
+
+
 # ===========================================================================
 # Entry-point helpers
 # ===========================================================================
@@ -6624,6 +6672,7 @@ _CHECK_PRIORITY = [
     "events_type_hour_chi2",
     "docs_token_entropy_by_lang",
     "streaming_attribution_last_touch",
+    "events_rolling_wau",
     # --- stale value-oracled queries, oldest signal first: last green in
     # r1 (these three rotated past the budget in both r2 and r3)
     "dedup_embedding",

@@ -504,3 +504,31 @@ class TestStreamingAttribution:
             for r in _run("streaming_attribution_last_touch", spark, sf_correct_dir).collect()
         }
         assert stream == batch  # one-string-per-user state = the window form
+
+
+class TestRollingWAU:
+    def test_wau_matches_direct_window_count(self, spark, sf_correct_dir):
+        import datetime as dt
+
+        from random_sampling_based_approximate_mapreduce_spark.sources.tables import load
+
+        got = {r.wday: r.wau for r in _run("events_rolling_wau", spark, sf_correct_dir).collect()}
+        du = (
+            load(spark, sf_correct_dir, "events")
+            .select(F.to_date("ts").alias("day"), "user_id")
+            .distinct()
+            .collect()
+        )
+        by_day: dict = {}
+        for r in du:
+            by_day.setdefault(r.day, set()).add(r.user_id)
+        days = sorted(by_day)
+        for d in days:
+            window_users = set()
+            for k in range(7):
+                window_users |= by_day.get(d - dt.timedelta(days=k), set())
+            assert got[d] == len(window_users), d
+        assert set(got) == set(days)  # no partial tail beyond the data
+        # WAU is >= DAU everywhere and monotone over the ramp-in week
+        for d in days:
+            assert got[d] >= len(by_day[d])
