@@ -100,3 +100,48 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def compact_files(
+    spark,
+    src: str,
+    dst: str,
+    target_file_bytes: int = 128 << 20,
+    sort_by: "list[str] | None" = None,
+) -> int:
+    """Small-files compaction — the table-maintenance job every long-lived
+    lake table needs: streaming sinks and incremental appends accumulate
+    tiny files, and at 100 TB the NAMENODE listing plus per-file open cost
+    dominates scans long before data volume does (a 100k-file partition
+    costs 100k S3 GETs per reader just to start).
+
+    Reads the parquet layout at ``src``, rewrites it to ``dst`` sized at
+    ``target_file_bytes`` per output file (estimated from the INPUT's
+    on-disk bytes — compression-representative, no data scan needed for
+    the estimate), optionally re-sorting within files to restore
+    clustering stats. Returns the output file count.
+
+    Deliberately a REWRITE to a new path + atomic swap by the caller, not
+    an in-place mutation: readers of ``src`` stay consistent during the
+    compaction (the poor man's snapshot isolation; a table format's
+    commit protocol replaces the swap at production scale).
+    """
+    import os
+
+    total_bytes = 0
+    for root, _, files in os.walk(src):
+        for f in files:
+            if f.endswith(".parquet"):
+                total_bytes += os.path.getsize(os.path.join(root, f))
+    n_out = max(1, round(total_bytes / target_file_bytes))
+    df = spark.read.parquet(src)
+    writer = df.repartition(n_out)
+    if sort_by:
+        writer = writer.sortWithinPartitions(*sort_by)
+    writer.write.mode("overwrite").parquet(dst)
+    return sum(
+        1
+        for root, _, files in os.walk(dst)
+        for f in files
+        if f.endswith(".parquet")
+    )

@@ -299,3 +299,58 @@ class TestZOrderLayout:
             # meaningful share of row groups
             assert rg_frac > file_frac, (rg_frac, file_frac)
             assert rg_frac >= 0.3, rg_frac
+
+
+class TestCompaction:
+    def test_compact_restores_file_count_and_data(self, spark, sf_correct_dir, tmp_path):
+        import os
+
+        from random_sampling_based_approximate_mapreduce_spark.sources.layout import (
+            compact_files,
+        )
+        from random_sampling_based_approximate_mapreduce_spark.sources.tables import load
+
+        # simulate streaming-sink fragmentation: 64 tiny files
+        src = str(tmp_path / "fragmented")
+        docs = load(spark, sf_correct_dir, "documents")
+        docs.repartition(64).write.mode("overwrite").parquet(src)
+        n_src = sum(1 for f in os.listdir(src) if f.endswith(".parquet"))
+        assert n_src == 64
+
+        total = sum(
+            os.path.getsize(os.path.join(src, f))
+            for f in os.listdir(src)
+            if f.endswith(".parquet")
+        )
+        dst = str(tmp_path / "compacted")
+        n_out = compact_files(spark, src, dst, target_file_bytes=total // 4)
+        assert n_out <= 8  # 64 fragments -> a handful of right-sized files
+
+        # losslessness: same rows, same content hash surrogate
+        a = spark.read.parquet(src).selectExpr("sum(hash(doc_id, text, lang))", "count(*)").collect()[0]
+        b = spark.read.parquet(dst).selectExpr("sum(hash(doc_id, text, lang))", "count(*)").collect()[0]
+        assert a == b
+
+    def test_compact_with_sort_restores_clustering(self, spark, sf_correct_dir, tmp_path):
+        import pyarrow.parquet as pq
+
+        from random_sampling_based_approximate_mapreduce_spark.sources.layout import (
+            compact_files,
+        )
+        from random_sampling_based_approximate_mapreduce_spark.sources.tables import load
+
+        import os
+
+        src = str(tmp_path / "frag2")
+        load(spark, sf_correct_dir, "documents").repartition(32).write.mode("overwrite").parquet(src)
+        dst = str(tmp_path / "sorted")
+        compact_files(spark, src, dst, target_file_bytes=1 << 40, sort_by=["doc_id"])
+        files = [f for f in os.listdir(dst) if f.endswith(".parquet")]
+        assert len(files) == 1
+        meta = pq.ParquetFile(os.path.join(dst, files[0]))
+        # row groups sorted within the file: doc_id min/max non-overlapping
+        prev_max = -1
+        for rg in range(meta.metadata.num_row_groups):
+            col = meta.metadata.row_group(rg).column(0)
+            assert col.statistics.min > prev_max
+            prev_max = col.statistics.max
