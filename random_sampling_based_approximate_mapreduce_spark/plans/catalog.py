@@ -6150,8 +6150,6 @@ _STRAT_FRACTIONS = {
     tags=("sampled",),
 )
 def q_stratified_events_hash_sampled(spark, sf_dir):
-    from ..sampling.deterministic import hash_bernoulli
-
     e = load(spark, sf_dir, "events").withColumn(
         "__k", F.col("event_id").cast("string")
     )
@@ -6361,12 +6359,21 @@ def q_log_host_hash_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT event_type, hour(ts) AS hod, count(*) AS obs
       FROM events GROUP BY event_type, hour(ts)
     ),
+    grid AS (
+      SELECT t.event_type, h.hod
+      FROM (SELECT DISTINCT event_type FROM events) t,
+           (SELECT unnest(generate_series(0, 23)) AS hod) h
+    ),
+    full_o AS (
+      SELECT g.event_type, g.hod, coalesce(o.obs, 0) AS obs
+      FROM grid g LEFT JOIN o ON g.event_type = o.event_type AND g.hod = o.hod
+    ),
     m AS (
       SELECT event_type, hod, obs,
              sum(obs) OVER (PARTITION BY event_type) AS row_total,
              sum(obs) OVER (PARTITION BY hod) AS col_total,
              sum(obs) OVER () AS grand
-      FROM o
+      FROM full_o
     )
     SELECT event_type, hod, obs::BIGINT AS obs,
            round(CAST(row_total * col_total AS DOUBLE) / grand, 6) AS expected,
@@ -6390,12 +6397,24 @@ def q_log_host_hash_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_events_type_hour_chi2(spark, sf_dir):
     from pyspark.sql.window import Window
 
-    o = (
-        load(spark, sf_dir, "events")
-        .groupBy("event_type", F.hour("ts").alias("hod"))
-        .agg(F.count(F.lit(1)).alias("obs"))
+    e = load(spark, sf_dir, "events")
+    o = e.groupBy("event_type", F.hour("ts").alias("hod")).agg(
+        F.count(F.lit(1)).alias("obs")
     )
-    m = o.select(
+    # DENSIFY to the full type x 24 grid: a zero-observed cell still
+    # contributes (0-E)^2/E = E to the statistic, and dropping it both
+    # understates chi2 and breaks margin conservation. The grid comes
+    # from an explode over the bounded distinct-types relation — a
+    # map-side fan-out, not a cross join (which would plan a nested loop)
+    grid = (
+        e.select("event_type")
+        .distinct()
+        .select("event_type", F.explode(F.sequence(F.lit(0), F.lit(23))).alias("hod"))
+    )
+    full_o = grid.join(o, ["event_type", "hod"], "left").select(
+        "event_type", "hod", F.coalesce(F.col("obs"), F.lit(0)).alias("obs")
+    )
+    m = full_o.select(
         "event_type",
         "hod",
         "obs",

@@ -133,7 +133,12 @@ def compact_files(
         for f in files:
             if f.endswith(".parquet"):
                 total_bytes += os.path.getsize(os.path.join(root, f))
-    n_out = max(1, round(total_bytes / target_file_bytes))
+    import math
+
+    # ceil, not round: the target is a per-file MAXIMUM (block/split
+    # alignment) — round() would let a 190 MB input produce one 190 MB
+    # file against a 128 MB target
+    n_out = max(1, math.ceil(total_bytes / target_file_bytes))
     df = spark.read.parquet(src)
     writer = df.repartition(n_out)
     if sort_by:

@@ -173,7 +173,6 @@ class TestTokenEntropy:
         assert rows
         # recompute one language from the exact word counts
         lang = sorted(rows)[0]
-        wc = _run("word_count", spark, sf_correct_dir)  # corpus-wide; need per-lang
         docs = load(spark, sf_correct_dir, "documents").where(F.col("lang") == lang)
         from random_sampling_based_approximate_mapreduce_spark.functions import text as T
 
@@ -192,4 +191,5 @@ class TestTokenEntropy:
         assert got.n_tokens == n and got.vocab_size == len(tok)
         assert abs(got.token_entropy - h) < 1e-4
         for r in rows.values():
-            assert 0 < r.token_entropy < math.log(r.vocab_size) + 1e-9
+            # a degenerate single-token slice has true entropy 0
+            assert 0 <= r.token_entropy <= math.log(max(r.vocab_size, 1)) + 1e-9

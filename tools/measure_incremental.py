@@ -70,7 +70,6 @@ def main() -> None:
     # bootstrap the stored partials from history
     agg(history).write.mode("overwrite").parquet(f"{work}/partials")
 
-    last_day = history.agg(F.max(F.to_date("ts"))).collect()[0][0]
     full_times, inc_times = [], []
     for d in range(1, args.days + 1):
         delta = base.limit(50_000).withColumn(
