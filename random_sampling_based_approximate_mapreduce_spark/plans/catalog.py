@@ -1828,8 +1828,9 @@ _register_similarity()
 # ===========================================================================
 
 
-def _lang_id_sql() -> str:
-    """DuckDB mirror of functions.text.lang_id + counts per predicted lang."""
+def _lang_id_pick_sql() -> tuple:
+    """(pick_expr, best_expr) — the DuckDB rendering of
+    functions.text.lang_id, shared by the count and eval oracles."""
     langs = sorted(T.LANG_MARKERS.items())
     score = {
         lang: "(" + " + ".join(
@@ -1841,12 +1842,95 @@ def _lang_id_sql() -> str:
     pick = "'und'"
     for lang, _ in reversed(langs):
         pick = f"(CASE WHEN {score[lang]} = best AND best > 0 THEN '{lang}' ELSE {pick} END)"
+    return pick, best
+
+
+def _lang_id_sql() -> str:
+    """DuckDB mirror of functions.text.lang_id + counts per predicted lang."""
+    pick, best = _lang_id_pick_sql()
     return f"""
     SELECT pred_lang, count(*)::BIGINT AS cnt FROM (
       SELECT {pick} AS pred_lang
       FROM (SELECT text, {best} AS best FROM documents)
     ) GROUP BY pred_lang
     """
+
+
+def _lang_id_eval_sql() -> str:
+    pick, best = _lang_id_pick_sql()
+    return f"""
+    WITH scored AS (
+      SELECT lang AS label, {pick} AS pred
+      FROM (SELECT text, lang, {best} AS best FROM documents)
+    ),
+    by_label AS (
+      SELECT label AS cls, count(*) AS n_labeled,
+             sum(CASE WHEN label = pred THEN 1 ELSE 0 END) AS n_correct
+      FROM scored GROUP BY label
+    ),
+    by_pred AS (SELECT pred AS cls, count(*) AS n_predicted FROM scored GROUP BY pred)
+    SELECT coalesce(l.cls, p.cls) AS cls,
+           coalesce(n_labeled, 0)::BIGINT AS n_labeled,
+           coalesce(n_predicted, 0)::BIGINT AS n_predicted,
+           coalesce(n_correct, 0)::BIGINT AS n_correct,
+           CASE WHEN coalesce(n_predicted, 0) > 0
+                THEN round(coalesce(n_correct, 0) / CAST(n_predicted AS DOUBLE), 6) END
+             AS precision,
+           CASE WHEN coalesce(n_labeled, 0) > 0
+                THEN round(coalesce(n_correct, 0) / CAST(n_labeled AS DOUBLE), 6) END
+             AS recall,
+           CASE WHEN coalesce(n_predicted, 0) + coalesce(n_labeled, 0) > 0
+                THEN round(2.0 * coalesce(n_correct, 0)
+                           / CAST(coalesce(n_predicted, 0) + coalesce(n_labeled, 0)
+                                  AS DOUBLE), 6)
+           END AS f1
+    FROM by_label l FULL OUTER JOIN by_pred p ON l.cls = p.cls
+    """
+
+
+@register(
+    "lang_id_eval",
+    _lang_id_eval_sql(),
+    doc="Model evaluation of the lang-id heuristic against the labeled "
+    "lang column: per-class precision / recall / F1 from the confusion "
+    "counts — the eval loop every classifier that gates training data "
+    "must run. Two class-bounded aggregates (per label with a "
+    "conditional correct count; per prediction) full-outer-joined on "
+    "the class, so prediction-only classes ('und') appear with a "
+    "defined precision and NULL recall rather than vanishing. F1 is "
+    "computed as 2c/(n_pred + n_labeled) — the EXACT algebraic "
+    "simplification of 2PR/(P+R), one division instead of three, so no "
+    "intermediate-rounding drift between engines. At scale both "
+    "aggregates are map-side-combinable single shuffles over the fact; "
+    "the join is class-bounded",
+)
+def q_lang_id_eval(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents").select(
+        F.col("lang").alias("label"), T.lang_id(F.col("text")).alias("pred")
+    )
+    by_label = docs.groupBy(F.col("label").alias("cls")).agg(
+        F.count(F.lit(1)).alias("n_labeled"),
+        F.sum(F.when(F.col("label") == F.col("pred"), 1).otherwise(0)).alias("n_correct"),
+    )
+    by_pred = docs.groupBy(F.col("pred").alias("p_cls")).agg(
+        F.count(F.lit(1)).alias("n_predicted")
+    )
+    j = by_label.join(by_pred, by_label.cls == by_pred.p_cls, "full_outer")
+    cls = F.coalesce(F.col("cls"), F.col("p_cls"))
+    nl = F.coalesce(F.col("n_labeled"), F.lit(0))
+    np_ = F.coalesce(F.col("n_predicted"), F.lit(0))
+    nc = F.coalesce(F.col("n_correct"), F.lit(0))
+    return j.select(
+        cls.alias("cls"),
+        nl.alias("n_labeled"),
+        np_.alias("n_predicted"),
+        nc.alias("n_correct"),
+        F.when(np_ > 0, F.round(nc / np_.cast("double"), 6)).alias("precision"),
+        F.when(nl > 0, F.round(nc / nl.cast("double"), 6)).alias("recall"),
+        F.when(np_ + nl > 0, F.round(F.lit(2.0) * nc / (np_ + nl).cast("double"), 6)).alias(
+            "f1"
+        ),
+    )
 
 
 @register(
@@ -6692,6 +6776,7 @@ _CHECK_PRIORITY = [
     "docs_token_entropy_by_lang",
     "streaming_attribution_last_touch",
     "events_rolling_wau",
+    "lang_id_eval",
     # --- stale value-oracled queries, oldest signal first: last green in
     # r1 (these three rotated past the budget in both r2 and r3)
     "dedup_embedding",

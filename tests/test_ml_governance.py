@@ -193,3 +193,28 @@ class TestTokenEntropy:
         for r in rows.values():
             # a degenerate single-token slice has true entropy 0
             assert 0 <= r.token_entropy <= math.log(max(r.vocab_size, 1)) + 1e-9
+
+
+class TestLangIdEval:
+    def test_confusion_identities(self, spark, sf_correct_dir):
+        from random_sampling_based_approximate_mapreduce_spark.sources.tables import load
+
+        rows = {r.cls: r for r in _run("lang_id_eval", spark, sf_correct_dir).collect()}
+        n_docs = load(spark, sf_correct_dir, "documents").count()
+        # both margins partition the corpus
+        assert sum(r.n_labeled for r in rows.values()) == n_docs
+        assert sum(r.n_predicted for r in rows.values()) == n_docs
+        for r in rows.values():
+            assert r.n_correct <= min(r.n_labeled, r.n_predicted)
+            if r.precision is not None and r.recall is not None and r.f1 is not None:
+                # exact-simplification F1 == harmonic mean of P and R
+                p, rec = r.n_correct / r.n_predicted, r.n_correct / r.n_labeled
+                if p + rec > 0:
+                    assert abs(r.f1 - 2 * p * rec / (p + rec)) < 1e-6
+        # the marker heuristic only fires for languages in its marker
+        # list; on this synthetic corpus that is effectively English —
+        # the honest invariant is that its STRONGEST class beats chance
+        # (the eval query exists precisely to expose the weak classes:
+        # de/zh rows show n_predicted=0, recall 0.0)
+        labeled = [r for r in rows.values() if r.n_labeled > 0 and r.recall is not None]
+        assert labeled and max(r.recall for r in labeled) > 0.3
