@@ -6661,6 +6661,70 @@ def q_events_rolling_wau(spark, sf_dir):
     )
 
 
+def _dedup_summary_sql() -> str:
+    from ..operators.dedup import minhash_lsh_candidates_sql
+
+    return f"""
+    WITH cand AS ({minhash_lsh_candidates_sql()}),
+    near AS (
+      SELECT count(*) AS n_pairs,
+             count(DISTINCT doc_b) AS n_near_dup
+      FROM cand
+    ),
+    ex AS (
+      SELECT count(*) AS n_docs,
+             count(DISTINCT md5(text)) AS n_unique_texts
+      FROM documents
+    )
+    SELECT 'n_docs' AS metric, n_docs::BIGINT AS value FROM ex
+    UNION ALL SELECT 'n_exact_dups', (n_docs - n_unique_texts)::BIGINT FROM ex
+    UNION ALL SELECT 'n_near_dup_docs', n_near_dup::BIGINT FROM near
+    UNION ALL SELECT 'n_candidate_pairs', n_pairs::BIGINT FROM near
+    """
+
+
+@register(
+    "corpus_dedup_summary",
+    _dedup_summary_sql(),
+    doc="The dedup dashboard: corpus size, exact-duplicate count (md5 "
+    "text identity), near-duplicate document count and candidate-pair "
+    "count from the MinHash-LSH banding — the four numbers a corpus "
+    "owner tracks per crawl to see duplication drift BEFORE paying for "
+    "a full clustering pass. Composes the already-oracled components "
+    "(dedup_exact's hash-groupBy, dedup_minhash_lsh's band join) into "
+    "one long-format relation via unions of 1-row aggregates; every "
+    "underlying shuffle is the component query's own, nothing new",
+)
+def q_corpus_dedup_summary(spark, sf_dir):
+    from ..operators import dedup as D
+
+    docs = load(spark, sf_dir, "documents")
+    cand = D.minhash_lsh_candidates(docs)
+    near = cand.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.count_distinct("doc_b").alias("n_near_dup"),
+    )
+    ex = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct(F.md5("text")).alias("n_unique_texts"),
+    )
+
+    def row(label, col, rel):
+        return rel.select(F.lit(label).alias("metric"), F.col(col).cast("long").alias("value"))
+
+    return (
+        row("n_docs", "n_docs", ex)
+        .union(
+            ex.select(
+                F.lit("n_exact_dups").alias("metric"),
+                (F.col("n_docs") - F.col("n_unique_texts")).cast("long").alias("value"),
+            )
+        )
+        .union(row("n_near_dup_docs", "n_near_dup", near))
+        .union(row("n_candidate_pairs", "n_pairs", near))
+    )
+
+
 # ===========================================================================
 # Entry-point helpers
 # ===========================================================================
@@ -6777,6 +6841,7 @@ _CHECK_PRIORITY = [
     "streaming_attribution_last_touch",
     "events_rolling_wau",
     "lang_id_eval",
+    "corpus_dedup_summary",
     # --- stale value-oracled queries, oldest signal first: last green in
     # r1 (these three rotated past the budget in both r2 and r3)
     "dedup_embedding",
