@@ -6725,6 +6725,52 @@ def q_corpus_dedup_summary(spark, sf_dir):
     )
 
 
+def _quantiles_hash_sampled_oracle() -> str:
+    from ..sampling.deterministic import hash_bernoulli_sql
+
+    keep = hash_bernoulli_sql("o_orderkey::VARCHAR", 0.3, seed=19)
+    return f"""
+    SELECT o_orderpriority,
+           count(*)::BIGINT AS n_sampled,
+           round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+           round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+           round(quantile_cont(o_totalprice, 0.99), 4) AS p99
+    FROM orders WHERE {keep}
+    GROUP BY o_orderpriority
+    """
+
+
+@register(
+    "order_price_quantiles_hash_sampled",
+    _quantiles_hash_sampled_oracle(),
+    doc="Per-group quantiles from a DETERMINISTIC 30% hash sample — the "
+    "AQP twin for ORDER STATISTICS, where the reference's estimator "
+    "family (count/sum HT scale-ups) does not even apply: a sample "
+    "quantile estimates the population quantile DIRECTLY, no 1/r "
+    "factor, which is why quantiles are the friendliest aggregate to "
+    "sample (the estimator is the identity). The hash filter sits in "
+    "the scan, cutting the per-group sort input 3.3x; the exact "
+    "interpolated percentile then runs on the sample — value-oracled "
+    "end to end because sample membership is md5-frozen. Accuracy vs "
+    "the exact twin asserted in tests (order-statistic error scales "
+    "with 1/sqrt(n) density at the quantile, not with 1/r)",
+    tags=("sampled",),
+)
+def q_order_price_quantiles_hash_sampled(spark, sf_dir):
+    from ..sampling.deterministic import hash_bernoulli
+
+    o = load(spark, sf_dir, "orders").withColumn(
+        "__k", F.col("o_orderkey").cast("string")
+    )
+    s = hash_bernoulli(o, "__k", 0.3, seed=19)
+    return s.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(o_totalprice, 0.99)"), 4).alias("p99"),
+    )
+
+
 # ===========================================================================
 # Entry-point helpers
 # ===========================================================================
@@ -6842,6 +6888,7 @@ _CHECK_PRIORITY = [
     "events_rolling_wau",
     "lang_id_eval",
     "corpus_dedup_summary",
+    "order_price_quantiles_hash_sampled",
     # --- stale value-oracled queries, oldest signal first: last green in
     # r1 (these three rotated past the budget in both r2 and r3)
     "dedup_embedding",

@@ -540,3 +540,17 @@ class TestRollingWAU:
         # WAU is >= DAU on every observed day
         for d in days:
             assert got[d] >= len(by_day[d])
+
+
+class TestSampledQuantiles:
+    def test_sample_quantiles_near_exact(self, spark, sf_correct_dir):
+        est = {r.o_orderpriority: r for r in _run("order_price_quantiles_hash_sampled", spark, sf_correct_dir).collect()}
+        exact = {r.o_orderpriority: r for r in _run("order_price_quantiles", spark, sf_correct_dir).collect()}
+        assert set(est) == set(exact)
+        for prio, e in est.items():
+            x = exact[prio]
+            assert 700 < e.n_sampled < 1100  # ~30% of ~3000 per priority
+            # order statistics from a 30% sample: generous but real bounds
+            for q in ("p50", "p90", "p99"):
+                rel = abs(getattr(e, q) - getattr(x, q)) / getattr(x, q)
+                assert rel < 0.10, (prio, q, getattr(e, q), getattr(x, q))
