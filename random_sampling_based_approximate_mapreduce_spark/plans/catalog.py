@@ -6771,6 +6771,143 @@ def q_order_price_quantiles_hash_sampled(spark, sf_dir):
     )
 
 
+def _char_count_hash_sampled_oracle() -> str:
+    from ..sampling.deterministic import hash_bernoulli_sql
+
+    keep = hash_bernoulli_sql("doc_id::VARCHAR", 0.1, seed=21)
+    return f"""
+    SELECT ch, count(*)::BIGINT AS cnt_sampled,
+           CAST(count(*) * 10.0 AS DOUBLE) AS est_cnt
+    FROM (SELECT unnest(string_split_regex(text, '')) AS ch
+          FROM documents WHERE {keep})
+    WHERE ch <> ''
+    GROUP BY ch
+    """
+
+
+@register(
+    "char_count_hash_sampled",
+    _char_count_hash_sampled_oracle(),
+    doc="randcharcount's sampled mode with the deterministic doc-level "
+    "hash sample (10%, frozen md5) — the value-oracled twin completing "
+    "the charcount family. The filter sits before the per-character "
+    "explode, the single most amplifying transform in the engine "
+    "(~1000 rows out per doc in), so the 10x input cut is a 10x cut of "
+    "the explode AND the shuffle; HT 1/0.1 per character count",
+    tags=("sampled",),
+)
+def q_char_count_hash_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sampling.deterministic import hash_bernoulli
+
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "__k", F.col("doc_id").cast("string")
+    )
+    s = hash_bernoulli(docs, "__k", 0.1, seed=21).select("text")
+    return (
+        T.explode_chars(s, "text")
+        .groupBy("ch")
+        .agg(F.count(F.lit(1)).alias("cnt_sampled"))
+        .select(
+            "ch",
+            "cnt_sampled",
+            (F.col("cnt_sampled") * F.lit(10.0)).cast("double").alias("est_cnt"),
+        )
+    )
+
+
+def _wireless_hash_sampled_oracle() -> str:
+    from ..sampling.deterministic import hash_bernoulli_sql
+
+    keep = hash_bernoulli_sql("event_id::VARCHAR", 0.1, seed=23)
+    cte = WL.ORACLE_WIRELESS_CTE.replace(
+        "FROM events", f"FROM (SELECT * FROM events WHERE {keep})"
+    )
+    return (
+        cte
+        + """
+    SELECT greatest(snd_id, rcv_id) || '->' || least(snd_id, rcv_id) AS link,
+           count(*)::BIGINT AS cnt_sampled,
+           CAST(count(*) * 10.0 AS DOUBLE) AS est_cnt
+    FROM wireless GROUP BY 1
+    """
+    )
+
+
+@register(
+    "wireless_links_hash_sampled",
+    _wireless_hash_sampled_oracle(),
+    doc="The wireless link-pair analysis from a deterministic 10% line "
+    "sample — the value-oracled twin completing the wireless family: "
+    "the hash filter runs before the CSV synthesize->parse round trip "
+    "(the reference's skip-before-parse), HT 1/0.1 per canonical link",
+    tags=("sampled",),
+)
+def q_wireless_links_hash_sampled(spark, sf_dir):
+    from ..sampling.deterministic import hash_bernoulli
+
+    e = load(spark, sf_dir, "events").withColumn(
+        "__k", F.col("event_id").cast("string")
+    )
+    s = hash_bernoulli(e, "__k", 0.1, seed=23).drop("__k")
+    return (
+        WL.link_pairs(s)
+        .withColumnRenamed("cnt", "cnt_sampled")
+        .select(
+            "link",
+            "cnt_sampled",
+            (F.col("cnt_sampled") * F.lit(10.0)).cast("double").alias("est_cnt"),
+        )
+    )
+
+
+def _xml_hash_sampled_oracle() -> str:
+    from ..sampling.deterministic import hash_bernoulli_sql
+
+    keep = hash_bernoulli_sql("doc_id::VARCHAR", 0.25, seed=29)
+    return f"""
+    SELECT word, count(*)::BIGINT AS cnt_sampled,
+           CAST(count(*) * 4.0 AS DOUBLE) AS est_cnt
+    FROM (
+      SELECT unnest(string_split_regex(lower(text), '{_WORD_SPLIT_SQL}')) AS word
+      FROM documents WHERE {keep}
+    )
+    WHERE word <> '' AND NOT regexp_matches(word, '^[0-9]+$')
+    GROUP BY word
+    """
+
+
+@register(
+    "xml_page_words_hash_sampled",
+    _xml_hash_sampled_oracle(),
+    doc="The XML page workload from a deterministic 25% PAGE sample — the "
+    "value-oracled twin completing the XML family (its engine-RNG "
+    "sibling xml_page_words_sampled stays rows-only). Pages wrap "
+    "documents one-to-one, so the page-level pick is a doc_id hash; the "
+    "kept pages go through the full wrap->extract XML round trip "
+    "(sample-before-extract, the RandomizedXMLRecordReader skip), and "
+    "the oracle reproduces the identical sample on the parquet table. "
+    "With this, EVERY reference workload family — word, char, log, "
+    "wireless, XML, Q1 — has a value-oracled sampled twin",
+    tags=("sampled",),
+)
+def q_xml_page_words_hash_sampled(spark, sf_dir):
+    from ..sampling.deterministic import hash_bernoulli
+
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "__k", F.col("doc_id").cast("string")
+    )
+    s = hash_bernoulli(docs, "__k", 0.25, seed=29).drop("__k")
+    return (
+        XP.page_word_counts(s)
+        .withColumnRenamed("cnt", "cnt_sampled")
+        .select(
+            "word",
+            "cnt_sampled",
+            (F.col("cnt_sampled") * F.lit(4.0)).cast("double").alias("est_cnt"),
+        )
+    )
+
+
 # ===========================================================================
 # Entry-point helpers
 # ===========================================================================
@@ -6889,6 +7026,9 @@ _CHECK_PRIORITY = [
     "lang_id_eval",
     "corpus_dedup_summary",
     "order_price_quantiles_hash_sampled",
+    "char_count_hash_sampled",
+    "wireless_links_hash_sampled",
+    "xml_page_words_hash_sampled",
     # --- stale value-oracled queries, oldest signal first: last green in
     # r1 (these three rotated past the budget in both r2 and r3)
     "dedup_embedding",

@@ -554,3 +554,26 @@ class TestSampledQuantiles:
             for q in ("p50", "p90", "p99"):
                 rel = abs(getattr(e, q) - getattr(x, q)) / getattr(x, q)
                 assert rel < 0.10, (prio, q, getattr(e, q), getattr(x, q))
+
+
+class TestRemainingFamilyTwins:
+    def test_char_wireless_xml_twins_accurate(self, spark, sf_correct_dir):
+        # char: HT totals within 4-sigma of the exact family totals
+        est_c = {r.ch: r.est_cnt for r in _run("char_count_hash_sampled", spark, sf_correct_dir).collect()}
+        exact_c = {r.ch: r.cnt for r in _run("char_count", spark, sf_correct_dir).collect()}
+        common = [(est_c[c], exact_c[c]) for c in est_c if exact_c.get(c, 0) >= 1000]
+        assert common
+        rel = sum(abs(e - x) / x for e, x in common) / len(common)
+        assert rel < 0.3
+        # wireless: every sampled link exists; global HT total tight
+        est_w = _run("wireless_links_hash_sampled", spark, sf_correct_dir).collect()
+        exact_w = {r.link: r.cnt for r in _run("wireless_link_pairs", spark, sf_correct_dir).collect()}
+        assert est_w and all(r.link in exact_w for r in est_w)
+        tot_e = sum(r.est_cnt for r in est_w)
+        tot_x = sum(exact_w.values())
+        assert abs(tot_e - tot_x) / tot_x < 0.1
+        # xml: sampled words subset of exact; per-word scale-up exact
+        est_x = _run("xml_page_words_hash_sampled", spark, sf_correct_dir).collect()
+        exact_words = {r.word for r in _run("xml_page_words", spark, sf_correct_dir).collect()}
+        assert est_x and all(r.word in exact_words for r in est_x)
+        assert all(r.est_cnt == r.cnt_sampled * 4.0 for r in est_x)
