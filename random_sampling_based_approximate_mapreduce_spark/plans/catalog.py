@@ -6908,6 +6908,80 @@ def q_xml_page_words_hash_sampled(spark, sf_dir):
     )
 
 
+@register(
+    "cohort_ltv_weekly",
+    """
+    WITH fs AS (
+      SELECT user_id, min(date_trunc('week', ts)) AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    p AS (
+      SELECT e.user_id, fs.cohort_week,
+             datediff('week', fs.cohort_week, date_trunc('week', e.ts)) AS offset_week,
+             CAST(e.value AS DECIMAL(12,2)) AS v
+      FROM events e JOIN fs ON e.user_id = fs.user_id
+      WHERE e.event_type = 'purchase'
+    ),
+    w AS (
+      SELECT cohort_week, offset_week,
+             sum(v) AS rev, count(*) AS n_purchases
+      FROM p GROUP BY cohort_week, offset_week
+    )
+    SELECT cohort_week, offset_week,
+           n_purchases::BIGINT AS n_purchases,
+           CAST(rev AS DOUBLE) AS week_revenue,
+           CAST(sum(rev) OVER (PARTITION BY cohort_week ORDER BY offset_week
+                               ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+             AS cumulative_ltv
+    FROM w
+    """,
+    doc="Cohort lifetime value: purchase revenue by first-seen week x "
+    "week offset, with the running cumulative LTV per cohort — the "
+    "monetary companion to user_retention_cohorts and the table a "
+    "growth team reads payback periods from. Shape: the first-seen "
+    "relation groups and joins back on the SAME user_id key (one "
+    "exchange reused, the retention pattern); the cumulative window "
+    "runs over the cohort x offset relation, which is time-bounded "
+    "(weeks squared), never the fact table. Revenue is exact decimal "
+    "end to end — the cumulative sum is a decimal running total, so "
+    "even the window's intermediate states are order-exact — cast to "
+    "double only at output",
+)
+def q_cohort_ltv_weekly(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    e = load(spark, sf_dir, "events")
+    fs = e.groupBy("user_id").agg(
+        F.min(F.date_trunc("week", "ts")).alias("cohort_week")
+    )
+    p = (
+        e.where(F.col("event_type") == "purchase")
+        .join(fs, "user_id")
+        .select(
+            "cohort_week",
+            (
+                F.datediff(F.date_trunc("week", "ts"), F.col("cohort_week")) / 7
+            ).cast("int").alias("offset_week"),
+            _dec("value").alias("v"),
+        )
+    )
+    w = p.groupBy("cohort_week", "offset_week").agg(
+        F.sum("v").alias("rev"), F.count(F.lit(1)).alias("n_purchases")
+    )
+    cum = (
+        Window.partitionBy("cohort_week")
+        .orderBy("offset_week")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return w.select(
+        "cohort_week",
+        "offset_week",
+        "n_purchases",
+        F.col("rev").cast("double").alias("week_revenue"),
+        F.sum("rev").over(cum).cast("double").alias("cumulative_ltv"),
+    )
+
+
 # ===========================================================================
 # Entry-point helpers
 # ===========================================================================
@@ -7029,6 +7103,7 @@ _CHECK_PRIORITY = [
     "char_count_hash_sampled",
     "wireless_links_hash_sampled",
     "xml_page_words_hash_sampled",
+    "cohort_ltv_weekly",
     # --- stale value-oracled queries, oldest signal first: last green in
     # r1 (these three rotated past the budget in both r2 and r3)
     "dedup_embedding",

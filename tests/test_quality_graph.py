@@ -577,3 +577,29 @@ class TestRemainingFamilyTwins:
         exact_words = {r.word for r in _run("xml_page_words", spark, sf_correct_dir).collect()}
         assert est_x and all(r.word in exact_words for r in est_x)
         assert all(r.est_cnt == r.cnt_sampled * 4.0 for r in est_x)
+
+
+class TestCohortLTV:
+    def test_cumulative_monotone_and_conserves_revenue(self, spark, sf_correct_dir):
+        from random_sampling_based_approximate_mapreduce_spark.sources.tables import load
+
+        rows = _run("cohort_ltv_weekly", spark, sf_correct_dir).collect()
+        assert rows
+        by_cohort: dict = {}
+        for r in rows:
+            by_cohort.setdefault(r.cohort_week, []).append(r)
+        final_ltv_total = 0.0
+        for cw, group in by_cohort.items():
+            group.sort(key=lambda r: r.offset_week)
+            run = 0.0
+            for r in group:
+                run += r.week_revenue
+                assert abs(r.cumulative_ltv - run) < 1e-6  # running total exact
+            final_ltv_total += group[-1].cumulative_ltv
+        total_purchases = (
+            load(spark, sf_correct_dir, "events")
+            .where(F.col("event_type") == "purchase")
+            .agg(F.sum(F.col("value").cast("decimal(12,2)")).cast("double"))
+            .collect()[0][0]
+        )
+        assert abs(final_ltv_total - total_purchases) < 1e-6  # every purchase lands once
