@@ -333,17 +333,11 @@ class SampledFrame:
 
     # -- estimator-aware aggregations ------------------------------------
 
-    def _ci_half_width(self, est_col):
-        """Per-estimate CI half-width: z * sqrt(c_hat * (1-r)) / r.
-
-        Poisson/binomial variance of an HT count estimate: a raw sampled
-        count c has Var ~= c*(1-r) under Bernoulli(r); the estimate c/r has
-        std sqrt(c*(1-r))/r. This is per-group honesty the reference lacks
-        (it applies one global p=0.5 bound; SURVEY.md §7 "hard parts").
-        """
-        z = stats.z_score(self.config.confidence)
-        raw = est_col * F.lit(self.ratio)  # back out the raw sampled count
-        return F.lit(z) * F.sqrt(raw * F.lit(max(0.0, 1.0 - self.ratio))) / F.lit(self.ratio)
+    # count-estimate CI: Poisson/binomial variance of an HT count — a raw
+    # sampled count n has Var ~= n*(1-r) under Bernoulli(r); the estimate
+    # n/r has std sqrt(n*(1-r))/r. Per-group honesty the reference lacks
+    # (it applies one global p=0.5 bound; SURVEY.md §7 "hard parts").
+    # Inlined in approx_count so the CI reads the exact integer count.
 
     def approx_count(
         self,
@@ -354,22 +348,42 @@ class SampledFrame:
     ) -> DataFrame:
         """Grouped (or global) count estimate, HT-scaled to the population.
 
-        ``min_support``: adds a ``low_support`` flag for groups whose RAW
-        sampled count is below the threshold — HT scale-up on rare keys is
-        high-variance and the reference silently reports garbage there
-        (SURVEY.md §7 hard parts); the engine surfaces it instead.
+        ``min_support``: exposes the RAW per-group sampled count as
+        ``n_sampled`` plus a ``low_support`` flag where it falls below the
+        threshold — HT scale-up on rare keys is high-variance (relative CI
+        width is z*sqrt((1-r)/n), so n=5 at 95% is ±83%) and the reference
+        silently reports garbage there (SURVEY.md §7 hard parts; the hack-
+        prefix task is the canonical rare-key family); the engine surfaces
+        it instead. The flag is on the exact integer sampled count — no
+        float back-derivation — so it is value-oracle-checkable.
         """
-        est = (F.count(F.lit(1)) * F.lit(self.scale)).alias(alias)
         base = self.df.groupBy(*[F.col(c) for c in group_cols]) if group_cols else self.df.groupBy()
-        out = base.agg(est)
+        agg = base.agg(F.count(F.lit(1)).alias("__n"))
+        n = F.col("__n")
+        cols: list = [F.col(c) for c in group_cols]
+        cols.append((n * F.lit(self.scale)).alias(alias))
         if ci and self.ratio < 1.0:
-            out = out.withColumn(f"{alias}_ci", self._ci_half_width(F.col(alias)))
+            z = stats.z_score(self.config.confidence)
+            cols.append(
+                (
+                    F.lit(z)
+                    * F.sqrt(n.cast("double") * F.lit(max(0.0, 1.0 - self.ratio)))
+                    / F.lit(self.ratio)
+                ).alias(f"{alias}_ci")
+            )
         if min_support is not None and self.ratio < 1.0:
-            raw = F.col(alias) * F.lit(self.ratio)
-            out = out.withColumn("low_support", raw < F.lit(float(min_support)))
-        return out
+            cols.append(n.alias("n_sampled"))
+            cols.append((n < F.lit(int(min_support))).alias("low_support"))
+        return agg.select(*cols)
 
-    def approx_sum(self, value_col: str, *group_cols: str, ci: bool = False, alias: str = "est_sum") -> DataFrame:
+    def approx_sum(
+        self,
+        value_col: str,
+        *group_cols: str,
+        ci: bool = False,
+        min_support: int | None = None,
+        alias: str = "est_sum",
+    ) -> DataFrame:
         """Grouped (or global) sum estimate, HT-scaled.
 
         CI: the HT sum S/r over Bernoulli(r) has Var = (1-r)/r * Σ_pop x_i²
@@ -388,19 +402,29 @@ class SampledFrame:
         knows nothing about the VALUE column, so on skewed values it can
         claim a few-percent error while the sum estimate is off by 10x —
         the distinguishing test crafts exactly that column.
+
+        ``min_support``: same rare-group honesty contract as approx_count
+        (``n_sampled`` + ``low_support`` columns from the exact per-group
+        sampled row count) — sums on rare keys are even worse than counts
+        because a single large value dominates the estimate.
         """
         est = (F.sum(F.col(value_col)) * F.lit(self.scale)).alias(alias)
         base = self.df.groupBy(*[F.col(c) for c in group_cols]) if group_cols else self.df.groupBy()
-        if not (ci and self.ratio < 1.0):
-            return base.agg(est)
-        z = stats.z_score(self.config.confidence)
-        r = self.ratio
-        half = (
-            F.lit(z)
-            * F.sqrt(F.lit(max(0.0, 1.0 - r)) * F.sum(F.col(value_col) * F.col(value_col)))
-            / F.lit(r)
-        ).alias(f"{alias}_ci")
-        return base.agg(est, half)
+        aggs = [est]
+        if ci and self.ratio < 1.0:
+            z = stats.z_score(self.config.confidence)
+            r = self.ratio
+            aggs.append(
+                (
+                    F.lit(z)
+                    * F.sqrt(F.lit(max(0.0, 1.0 - r)) * F.sum(F.col(value_col) * F.col(value_col)))
+                    / F.lit(r)
+                ).alias(f"{alias}_ci")
+            )
+        if min_support is not None and self.ratio < 1.0:
+            aggs.append(F.count(F.lit(1)).alias("n_sampled"))
+            aggs.append((F.count(F.lit(1)) < F.lit(int(min_support))).alias("low_support"))
+        return base.agg(*aggs)
 
     def approx_mean(self, value_col: str, *group_cols: str, ci: bool = False, alias: str = "est_mean") -> DataFrame:
         """Grouped (or global) mean — ratio-free (scale cancels in the ratio
@@ -426,6 +450,7 @@ class SampledFrame:
         den_col: str,
         *group_cols: str,
         ci: bool = False,
+        min_support: int | None = None,
         alias: str = "est_ratio",
     ) -> DataFrame:
         """Ratio-of-sums estimate R = sum(num)/sum(den) per group.
@@ -445,8 +470,13 @@ class SampledFrame:
         """
         x, y = F.col(num_col), F.col(den_col)
         base = self.df.groupBy(*[F.col(c) for c in group_cols]) if group_cols else self.df.groupBy()
+        flag = min_support is not None and self.ratio < 1.0
         if not (ci and self.ratio < 1.0):
-            return base.agg((F.sum(x) / F.sum(y)).alias(alias))
+            aggs = [(F.sum(x) / F.sum(y)).alias(alias)]
+            if flag:
+                aggs.append(F.count(F.lit(1)).alias("n_sampled"))
+                aggs.append((F.count(F.lit(1)) < F.lit(int(min_support))).alias("low_support"))
+            return base.agg(*aggs)
         z = stats.z_score(self.config.confidence)
         r = self.ratio
         agged = base.agg(
@@ -455,6 +485,7 @@ class SampledFrame:
             F.sum(x * x).alias("__sxx"),
             F.sum(y * y).alias("__syy"),
             F.sum(x * y).alias("__sxy"),
+            F.count(F.lit(1)).alias("__n"),
         )
         R = F.col("__sx") / F.col("__sy")
         var = (
@@ -463,11 +494,15 @@ class SampledFrame:
             / (F.col("__sy") * F.col("__sy"))
         )
         out_cols = [F.col(c) for c in group_cols] if group_cols else []
-        return agged.select(
+        sel = [
             *out_cols,
             R.alias(alias),
             (F.lit(z) * F.sqrt(F.greatest(var, F.lit(0.0)))).alias(f"{alias}_ci"),
-        )
+        ]
+        if flag:
+            sel.append(F.col("__n").alias("n_sampled"))
+            sel.append((F.col("__n") < F.lit(int(min_support))).alias("low_support"))
+        return agged.select(*sel)
 
     def approx_distinct(self, value_col: str, *group_cols: str, rsd: float = 0.05, alias: str = "est_distinct") -> DataFrame:
         """Approximate distinct count via the HyperLogLog++ sketch — over

@@ -176,6 +176,47 @@ class TestSampledMode:
         out_hi = sf.approx_count("l_returnflag", min_support=10**6).collect()
         assert all(r["low_support"] for r in out_hi)
 
+    def test_min_support_exposes_exact_sampled_count(self, lineitem):
+        # n_sampled is the exact integer per-group sampled row count (no
+        # float back-derivation), identical to a direct groupBy count
+        sf = SampledFrame.from_dataframe(lineitem, SamplingConfig(ratio=0.05, seed=7), observe=False)
+        flagged = {
+            r["l_returnflag"]: r
+            for r in sf.approx_count("l_returnflag", ci=True, min_support=30).collect()
+        }
+        direct = {
+            r["l_returnflag"]: r["n"]
+            for r in sf.df.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        assert set(flagged) == set(direct)
+        for flag, row in flagged.items():
+            assert row["n_sampled"] == direct[flag]
+            assert row["low_support"] == (row["n_sampled"] < 30)
+            # estimate and CI are consistent with the exposed support
+            assert row["est_count"] == pytest.approx(row["n_sampled"] * 20.0)
+            assert row["est_count_ci"] > 0
+
+    def test_min_support_on_sum_and_ratio(self, lineitem):
+        sf = SampledFrame.from_dataframe(lineitem, SamplingConfig(ratio=0.05, seed=7), observe=False)
+        sums = sf.approx_sum("l_quantity", "l_returnflag", ci=True, min_support=10**6).collect()
+        assert all(r["low_support"] for r in sums)
+        assert all(r["n_sampled"] > 0 for r in sums)
+        ratios = sf.approx_ratio(
+            "l_extendedprice", "l_quantity", "l_returnflag", ci=True, min_support=10**6
+        ).collect()
+        assert all(r["low_support"] for r in ratios)
+        # ratio path without CI carries the flag too
+        ratios_noci = sf.approx_ratio(
+            "l_extendedprice", "l_quantity", "l_returnflag", min_support=2
+        ).collect()
+        assert all(not r["low_support"] for r in ratios_noci)
+
+    def test_exact_mode_never_flags(self, lineitem):
+        # ratio=1.0: estimates are exact, so no support flag even if asked
+        sf = SampledFrame.from_dataframe(lineitem, SamplingConfig.exact(), observe=False)
+        cols = sf.approx_count("l_returnflag", min_support=10**9).columns
+        assert "low_support" not in cols and "n_sampled" not in cols
+
     def test_stratified_estimates_per_stratum(self, spark, sf_dir):
         from random_sampling_based_approximate_mapreduce_spark.sampling.sampled_frame import (
             stratified_sample,
