@@ -3,7 +3,22 @@
 
 Prints ONE JSON line:
   {"metric": "...", "value": <total_sec>, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": <sf>}
+   "queries": {name: median_sec, ...}, "queries_min": {name: min_sec, ...},
+   "vs_prev": {...}, "tpch_x10": {...}, "sf": <sf>}
+
+- ``queries`` stays the per-query MEDIAN of 3 passes (the graded series).
+- ``queries_min`` is the per-query MIN of the same passes (VERDICT r4
+  item 5): min is robust to transient box pollution, so sustained
+  regressions separate from one-off noise machine-checkably — a query
+  whose median doubles while its min holds was hit by the box, not the
+  code (the r4 log_host_sampled episode, docs/SCALE.md).
+- ``vs_prev`` compares this run's mins against the newest BENCH_r*.json
+  medians on the shared query set, so the round-over-round ratio is in
+  the artifact itself instead of hand-computed in round notes.
+- ``tpch_x10`` runs the 22 TPC-H shapes on a 10x key-consistent
+  replication of the bench corpus (~sf1; sources/scale_up.py), min-of-2
+  (VERDICT r4 item 7): at sf0.1 every TPC-H query sits on the plan floor,
+  so THIS block is where data-dependent scaling shows per round.
 
 Execution is forced through the noop sink (full plan runs, nothing
 collected to the driver). A tiny warmup query absorbs JVM/codegen
@@ -12,14 +27,42 @@ startup so per-query numbers reflect steady state.
 
 from __future__ import annotations
 
+import glob
 import json
 import os
+import re
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# the 22 TPC-H query shapes (catalog names), run on the 10x replica
+TPCH_SUITE = [
+    "tpch_q1",
+    "cheapest_supplier_per_part",  # Q2 shape
+    "tpch_q3_topk",
+    "priority_wait_orders_q4",
+    "local_supplier_volume_q5",
+    "forecast_revenue_q6",
+    "volume_shipping_q7",
+    "market_share_q8",
+    "product_profit_q9",
+    "returned_items_topk_q10",
+    "important_parts_q11",
+    "priority_case_count_q12",
+    "order_counts_distribution",  # Q13 shape
+    "promo_revenue_share",  # Q14 shape
+    "top_supplier_revenue",  # Q15 shape
+    "supplier_cnt_by_brand",  # Q16 shape
+    "small_qty_revenue",  # Q17 shape
+    "large_orders_topk",  # Q18 shape
+    "disjunctive_parts_q19",
+    "promo_parts_suppliers_q20",
+    "waiting_suppliers_q21",
+    "idle_rich_customers",  # Q22 shape
+]
 
 # Headline set: the reference's workloads (word/char/log/wireless/xml),
 # the relational surface, the training-data operators, and the sampled
@@ -156,6 +199,65 @@ def main() -> None:
     from statistics import median
 
     timings = {name: round(median(ts), 3) for name, ts in samples.items()}
+    timings_min = {name: round(min(ts), 3) for name, ts in samples.items()}
+
+    # round-over-round comparison against the newest recorded BENCH file,
+    # on the shared query set, using THIS run's min (noise-robust) and the
+    # prior run's recorded values
+    vs_prev = None
+    try:
+        here = os.path.dirname(os.path.abspath(__file__))
+        benches = sorted(
+            glob.glob(os.path.join(here, "BENCH_r*.json")),
+            key=lambda p: int(re.search(r"BENCH_r(\d+)", p).group(1)),
+        )
+        if benches:
+            prev_path = benches[-1]
+            with open(prev_path) as fh:
+                prev_doc = json.load(fh)
+            prev_q = (prev_doc.get("parsed") or prev_doc).get("queries", {})
+            shared = sorted(set(prev_q) & set(timings_min))
+            if shared:
+                cur = sum(timings_min[q] for q in shared)
+                prv = sum(float(prev_q[q]) for q in shared)
+                vs_prev = {
+                    "prev_file": os.path.basename(prev_path),
+                    "shared_queries": len(shared),
+                    "prev_sec": round(prv, 3),
+                    "this_min_sec": round(cur, 3),
+                    "ratio_min_vs_prev": round(cur / prv, 3) if prv else None,
+                }
+    except Exception as exc:  # comparison is advisory; never fail the bench
+        vs_prev = {"error": f"{type(exc).__name__}: {exc}"}
+
+    # TPC-H at 10x replication (~sf1): data-dominated scaling block
+    tpch_x10: dict = {}
+    try:
+        from random_sampling_based_approximate_mapreduce_spark.sources.scale_up import (
+            ensure_scaled_tpch,
+        )
+
+        t0 = time.monotonic()
+        scaled_dir = ensure_scaled_tpch(spark, SF_DIR, copies=10)
+        build_sec = round(time.monotonic() - t0, 3)
+        x10_samples: dict[str, list[float]] = {n: [] for n in TPCH_SUITE}
+        for _ in range(2):
+            for name in TPCH_SUITE:
+                t0 = time.monotonic()
+                QUERIES[name].spark(spark, scaled_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                x10_samples[name].append(time.monotonic() - t0)
+            spark.sparkContext._jvm.System.gc()
+        x10 = {n: round(min(ts), 3) for n, ts in x10_samples.items()}
+        tpch_x10 = {
+            "copies": 10,
+            "build_sec": build_sec,
+            "total_sec": round(sum(x10.values()), 3),
+            "queries": x10,
+        }
+    except Exception as exc:  # scaled block is additive; never fail the bench
+        tpch_x10 = {"error": f"{type(exc).__name__}: {exc}"}
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:
@@ -169,6 +271,9 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "queries_min": timings_min,
+                "vs_prev": vs_prev,
+                "tpch_x10": tpch_x10,
                 "sf": sf_val,
             }
         )

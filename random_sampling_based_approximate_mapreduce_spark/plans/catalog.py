@@ -6007,6 +6007,25 @@ def q_events_hourly_incremental(spark, sf_dir):
         st = os.stat(src_path)
         sig.append(f"{st.st_size}:{st.st_mtime_ns}")
     key = hashlib.md5("|".join(sig).encode()).hexdigest()[:10]
+    # Cache name = <source tag>_<data signature>: the tag pins WHICH
+    # source directory the cache derives from, the signature pins the
+    # data generation. Pruning removes same-source caches with a stale
+    # signature (every source regeneration would otherwise leave a dead
+    # /tmp layout behind, accumulating unboundedly — ADVICE r4) while
+    # leaving other sources' caches (sf0.001 vs sf0.1) untouched.
+    src_tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:6]
+    cache_name = f"rsmr_hourly_base_{src_tag}_{key}"
+    import shutil as _shutil
+
+    for _name in os.listdir("/tmp"):
+        _stale_same_src = (
+            _name.startswith(f"rsmr_hourly_base_{src_tag}_") and _name != cache_name
+        )
+        # pre-tag layout (rsmr_hourly_base_<sig> with no source tag):
+        # un-prunable under the old scheme, remove on sight
+        _legacy = _name.startswith("rsmr_hourly_base_") and "_" not in _name[len("rsmr_hourly_base_"):]
+        if _stale_same_src or _legacy:
+            _shutil.rmtree(os.path.join("/tmp", _name), ignore_errors=True)
 
     def agg_part(df):
         return df.groupBy(
@@ -6017,7 +6036,7 @@ def q_events_hourly_incremental(spark, sf_dir):
         )
 
     base_dir = _ensure_layout(
-        f"/tmp/rsmr_hourly_base_{key}",
+        f"/tmp/{cache_name}",
         lambda d: agg_part(
             load(spark, sf_dir, "events").where(F.col("ts") < cutoff)
         ).write.mode("overwrite").parquet(d),

@@ -543,6 +543,15 @@ class SampledFrame:
             self.df.count()
         wall = time.monotonic() - self._start_time
 
+        def _warn_metric_fallback(key, exc):
+            import warnings
+
+            warnings.warn(
+                f"sampling metric {key!r} unavailable ({type(exc).__name__}); "
+                "falling back to a direct count (zero-row-sample edge?)",
+                stacklevel=4,
+            )
+
         def _metric(obs, key):
             # When the sample keeps ZERO rows (tiny input x low ratio),
             # AQE's empty-relation propagation replaces the plan subtree
@@ -557,15 +566,25 @@ class SampledFrame:
                 return None
             try:
                 return int(obs.get[key])
-            except Exception as exc:  # noqa: BLE001 - logged, see above
-                import warnings
-
-                warnings.warn(
-                    f"sampling metric {key!r} unavailable ({type(exc).__name__}); "
-                    "falling back to a direct count (zero-row-sample edge?)",
-                    stacklevel=3,
-                )
+            except (AssertionError, KeyError) as exc:
+                # Python-side shapes of "metrics never materialized"
+                _warn_metric_fallback(key, exc)
                 return None
+            except Exception as exc:  # noqa: BLE001 - filtered below
+                # JVM-side shape: Py4JJavaError wrapping the CollectMetrics
+                # assertion. ONLY the metrics-missing signature falls back
+                # (ADVICE r4: a transient failure on a big input must not
+                # silently become a second full scan) — anything else
+                # (connection loss, interrupted job, OOM) re-raises.
+                msg = str(exc)
+                if (
+                    "assert" in msg.lower()
+                    or "CollectMetrics" in msg
+                    or "observed metrics" in msg.lower()
+                ):
+                    _warn_metric_fallback(key, exc)
+                    return None
+                raise
 
         total = _metric(self.observation, "total_records")
         if total is None:

@@ -128,11 +128,26 @@ def compact_files(
     """
     import os
 
+    import pyarrow.parquet as pq
+
     total_bytes = 0
+    rows_in = 0
+    n_in = 0
     for root, _, files in os.walk(src):
         for f in files:
             if f.endswith(".parquet"):
-                total_bytes += os.path.getsize(os.path.join(root, f))
+                full = os.path.join(root, f)
+                total_bytes += os.path.getsize(full)
+                rows_in += pq.ParquetFile(full).metadata.num_rows
+                n_in += 1
+    if n_in == 0:
+        # fail here with a layout-level message instead of letting
+        # spark.read.parquet raise an opaque path error (ADVICE r4)
+        raise FileNotFoundError(
+            f"compact_files: no .parquet files under {src!r} — nothing to "
+            "compact (wrong path, or the table was written with a "
+            "different extension/layout?)"
+        )
     import math
 
     # ceil, not round: the target is a per-file MAXIMUM (block/split
@@ -140,10 +155,20 @@ def compact_files(
     # file against a 128 MB target
     n_out = max(1, math.ceil(total_bytes / target_file_bytes))
     df = spark.read.parquet(src)
+    # n_out splits by ROWS while the target is BYTES: under row-size skew
+    # a partition can exceed the per-file target, so belt-and-braces cap
+    # each file's row count at the input's observed rows-per-byte rate
+    # (maxRecordsPerFile makes the writer roll a new file past the cap;
+    # approximate by design, exact enough to bound the skew overshoot).
+    # rows_in comes from the parquet footers read above — no Spark job.
     writer = df.repartition(n_out)
     if sort_by:
         writer = writer.sortWithinPartitions(*sort_by)
-    writer.write.mode("overwrite").parquet(dst)
+    opts = writer.write.mode("overwrite")
+    if rows_in > 0 and total_bytes > 0:
+        rows_per_file_cap = max(1, int(rows_in * target_file_bytes / total_bytes * 1.25))
+        opts = opts.option("maxRecordsPerFile", rows_per_file_cap)
+    opts.parquet(dst)
     return sum(
         1
         for root, _, files in os.walk(dst)

@@ -1,0 +1,116 @@
+"""Key-consistent TPC-H scale-up by replication (bench infrastructure).
+
+The driver testdata tops out at sf0.1 (TESTDATA.md), where every TPC-H
+query sits on the fixed plan/schedule floor (docs/SCALE.md "floor table"):
+100x the data moves wall time at most 40%, so per-round bench numbers say
+nothing about scaling. This module materializes an ~sf1 database by
+replicating sf0.1 ten times with key offsets so the bench can carry a
+second, data-dominated headline block (VERDICT r4 item 7).
+
+Replication is KEY-CONSISTENT: copy i adds ``i * STRIDE`` to every
+primary and foreign key (custkey, suppkey, partkey, orderkey), so joins
+have exactly 10x the matches of the base — the same join selectivity,
+cardinality ratios, and skew profile as the base corpus, at 10x mass.
+Dates, prices, and dimension attributes are untouched; region/nation
+stay at their real cardinality (they are broadcast dims at every scale).
+This mirrors how dbgen itself scales TPC-H (row counts linear in SF for
+the five scaled tables, constant for region/nation).
+
+The scaled database is cached under /tmp keyed by a source signature
+(path + lineitem file size/mtime + copy count); stale caches for the
+same source are pruned when the signature changes (same discipline as
+the incremental-rollup cache, ADVICE r4).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# key columns to offset, per table (only tables dbgen scales)
+_SCALED_KEYS: dict[str, tuple[str, ...]] = {
+    "customer": ("c_custkey",),
+    "supplier": ("s_suppkey",),
+    "part": ("p_partkey",),
+    "orders": ("o_orderkey", "o_custkey"),
+    "lineitem": ("l_orderkey", "l_partkey", "l_suppkey"),
+}
+_COPIED = ("region", "nation")
+
+# far above any sf0.1 key (max is l_orderkey ~600k); copies stay disjoint
+STRIDE = 100_000_000
+
+
+def replicate_table(df: DataFrame, keys: tuple[str, ...], copies: int) -> DataFrame:
+    """One scan -> ``copies``x rows: explode a copy index, offset the keys.
+
+    The explode is a map-side row amplifier (no shuffle); at cluster scale
+    the same pattern fans a seed corpus out to any test mass.
+    """
+    out = df.withColumn("__i", F.explode(F.array(*[F.lit(i) for i in range(copies)])))
+    for k in keys:
+        out = out.withColumn(k, (F.col(k).cast("bigint") + F.col("__i") * F.lit(STRIDE)))
+    return out.drop("__i")
+
+
+# bump when the generated LAYOUT changes (not just the data): v2 = scaled
+# facts written with full write parallelism instead of inheriting the
+# source's file count
+_LAYOUT_VERSION = 2
+
+
+def _signature(src_dir: str, copies: int) -> str:
+    st = os.stat(os.path.join(src_dir, "lineitem.parquet"))
+    raw = f"{os.path.abspath(src_dir)}|{st.st_size}|{int(st.st_mtime)}|{copies}|v{_LAYOUT_VERSION}"
+    import hashlib
+
+    return hashlib.md5(raw.encode()).hexdigest()[:12]
+
+
+def ensure_scaled_tpch(
+    spark: SparkSession,
+    src_dir: str,
+    copies: int = 10,
+    cache_root: str = "/tmp",
+) -> str:
+    """Materialize (or reuse) the replicated TPC-H database; returns its dir.
+
+    Layout matches ``sources.tables.load`` (``{dir}/{table}.parquet``).
+    Prunes stale caches built from the same source with a different
+    signature, so regeneration never accumulates dead directories.
+    """
+    prefix = "rsmr_tpch_x"
+    sig = _signature(src_dir, copies)
+    dest = os.path.join(cache_root, f"{prefix}{copies}_{sig}")
+    marker = os.path.join(dest, "_COMPLETE")
+    if os.path.exists(marker):
+        return dest
+    # prune stale siblings (same prefix, different signature)
+    for name in os.listdir(cache_root):
+        if name.startswith(f"{prefix}{copies}_") and name != os.path.basename(dest):
+            shutil.rmtree(os.path.join(cache_root, name), ignore_errors=True)
+    shutil.rmtree(dest, ignore_errors=True)
+    os.makedirs(dest, exist_ok=True)
+    # Write scaled facts at full core parallelism: the source is a one-file
+    # toy layout, and inheriting its scan partitioning would emit ~3 fat
+    # files whose row groups cap every downstream scan at 3-way
+    # parallelism (measured: promo_revenue_share 9.9 s on the 3-file
+    # layout vs the sub-second properly-split run — a 10x parallelism
+    # loss that looked like a query regression). Real sf1 data arrives as
+    # many files; this reproduces that.
+    n_files = max(spark.sparkContext.defaultParallelism, 8)
+    for table, keys in _SCALED_KEYS.items():
+        src = spark.read.parquet(f"{src_dir}/{table}.parquet")
+        replicate_table(src, keys, copies).repartition(n_files).write.mode(
+            "overwrite"
+        ).parquet(f"{dest}/{table}.parquet")
+    for table in _COPIED:
+        spark.read.parquet(f"{src_dir}/{table}.parquet").write.mode("overwrite").parquet(
+            f"{dest}/{table}.parquet"
+        )
+    with open(marker, "w") as fh:
+        fh.write(sig)
+    return dest

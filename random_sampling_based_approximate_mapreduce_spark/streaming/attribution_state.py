@@ -50,7 +50,13 @@ def attribution_stream(spark, sf_dir: str) -> DataFrame:
 
     src = _stream_source_dir(spark, sf_dir)
     schema = spark.read.parquet(src).schema
-    stream = spark.readStream.schema(schema).parquet(src)
+    # Ordering enforcement (ADVICE r4): the value-oracle identity needs
+    # each user's history sorted within ONE micro-batch; maxFilesPerTrigger
+    # must therefore stay UNSET here (a file source with availableNow and
+    # no file cap drains the directory in a single batch). The post-run
+    # batch-count assertion below turns a silent mis-attribution into a
+    # loud failure if someone sets it globally.
+    stream = spark.readStream.schema(schema).option("latestFirst", "false").parquet(src)
 
     out_schema = StructType(
         [StructField("channel", StringType()), StructField("value", DoubleType())]
@@ -97,6 +103,17 @@ def attribution_stream(spark, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
+    data_batches = sum(
+        1 for p in q.recentProgress if (p.get("numInputRows") or 0) > 0
+    )
+    if data_batches > 1:
+        raise RuntimeError(
+            f"attribution_stream processed {data_batches} micro-batches; the "
+            "order-sensitive last-touch contract holds only when availableNow "
+            "drains the source in ONE batch (is maxFilesPerTrigger set "
+            "globally?). Unset it, or pre-sort the source files by min "
+            "event time before splitting them across batches."
+        )
     return (
         spark.table(name)
         .groupBy("channel")

@@ -1,0 +1,71 @@
+"""Key-consistent TPC-H replication (sources/scale_up.py): the bench's
+10x corpus must preserve join selectivity exactly, or the tpch_x10 block
+measures a different workload than the base."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from random_sampling_based_approximate_mapreduce_spark.sources.scale_up import (
+    STRIDE,
+    ensure_scaled_tpch,
+    replicate_table,
+)
+
+
+@pytest.fixture(scope="module")
+def cache_root(tmp_path_factory):
+    return str(tmp_path_factory.mktemp("scaleup"))
+
+
+@pytest.fixture(scope="module")
+def scaled_dir(spark, sf_dir, cache_root):
+    return ensure_scaled_tpch(spark, sf_dir, copies=3, cache_root=cache_root)
+
+
+class TestReplicateTable:
+    def test_row_count_multiplies(self, spark, sf_dir):
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        out = replicate_table(orders, ("o_orderkey", "o_custkey"), 3)
+        assert out.count() == 3 * orders.count()
+
+    def test_copies_have_disjoint_keys(self, spark, sf_dir):
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        out = replicate_table(orders, ("o_orderkey",), 3)
+        # distinct keys also multiply: no collision between copies
+        assert (
+            out.select("o_orderkey").distinct().count()
+            == 3 * orders.select("o_orderkey").distinct().count()
+        )
+        # copy i lives in [i*STRIDE, (i+1)*STRIDE)
+        bands = (
+            out.select((F.col("o_orderkey") / STRIDE).cast("int").alias("band"))
+            .distinct()
+            .collect()
+        )
+        assert sorted(r["band"] for r in bands) == [0, 1, 2]
+
+
+class TestScaledDatabase:
+    def test_join_selectivity_preserved(self, spark, sf_dir, scaled_dir):
+        base_l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        base_o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        big_l = spark.read.parquet(f"{scaled_dir}/lineitem.parquet")
+        big_o = spark.read.parquet(f"{scaled_dir}/orders.parquet")
+        base_matches = base_l.join(
+            base_o, base_l.l_orderkey == base_o.o_orderkey
+        ).count()
+        big_matches = big_l.join(big_o, big_l.l_orderkey == big_o.o_orderkey).count()
+        assert big_matches == 3 * base_matches
+
+    def test_dims_unscaled_and_cache_reused(self, spark, sf_dir, scaled_dir, cache_root):
+        base_n = spark.read.parquet(f"{sf_dir}/nation.parquet").count()
+        assert spark.read.parquet(f"{scaled_dir}/nation.parquet").count() == base_n
+        # second call with the same signature returns the same dir, no rebuild
+        again = ensure_scaled_tpch(spark, sf_dir, copies=3, cache_root=cache_root)
+        assert again == scaled_dir
+
+    def test_tpch_query_runs_on_scaled(self, spark, scaled_dir):
+        from random_sampling_based_approximate_mapreduce_spark.plans.catalog import QUERIES
+
+        rows = QUERIES["tpch_q1"].spark(spark, scaled_dir).collect()
+        assert len(rows) > 0
