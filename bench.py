@@ -19,6 +19,12 @@ Prints ONE JSON line:
   replication of the bench corpus (~sf1; sources/scale_up.py), min-of-2
   (VERDICT r4 item 7): at sf0.1 every TPC-H query sits on the plan floor,
   so THIS block is where data-dependent scaling shows per round.
+- ``reference_x10`` runs the reference's flagship workloads (word count,
+  log-host count: exact, engine-RNG sampled, hash-deterministic sampled)
+  on 10x events/documents replicas and reports the sampled-vs-exact
+  speedups. The reference's thesis is that input-sampling wins GROW with
+  input size (BASELINE.md's ~40x-at-GB-scale regime); this block makes
+  that trend a per-round series instead of a one-off docs measurement.
 
 Execution is forced through the noop sink (full plan runs, nothing
 collected to the driver). A tiny warmup query absorbs JVM/codegen
@@ -259,6 +265,48 @@ def main() -> None:
     except Exception as exc:  # scaled block is additive; never fail the bench
         tpch_x10 = {"error": f"{type(exc).__name__}: {exc}"}
 
+    # reference workloads at 10x: the sampled-speedup trend series
+    reference_x10: dict = {}
+    try:
+        from random_sampling_based_approximate_mapreduce_spark.sources.scale_up import (
+            ensure_scaled_tables,
+        )
+
+        t0 = time.monotonic()
+        ref_dir = ensure_scaled_tables(
+            spark, SF_DIR, ("events", "documents"), copies=10
+        )
+        build_sec = round(time.monotonic() - t0, 3)
+        ref_queries = [
+            "word_count",
+            "word_count_sampled",
+            "word_count_hash_sampled",
+            "log_host",
+            "log_host_sampled",
+            "log_host_hash_sampled",
+        ]
+        ref_samples: dict[str, list[float]] = {n: [] for n in ref_queries}
+        for _ in range(2):
+            for name in ref_queries:
+                t0 = time.monotonic()
+                QUERIES[name].spark(spark, ref_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                ref_samples[name].append(time.monotonic() - t0)
+            spark.sparkContext._jvm.System.gc()
+        refm = {n: round(min(ts), 3) for n, ts in ref_samples.items()}
+        reference_x10 = {
+            "copies": 10,
+            "build_sec": build_sec,
+            "queries": refm,
+            "speedup_sampled": {
+                "word_count": round(refm["word_count"] / refm["word_count_sampled"], 2),
+                "log_host": round(refm["log_host"] / refm["log_host_sampled"], 2),
+            },
+        }
+    except Exception as exc:  # additive; never fail the bench
+        reference_x10 = {"error": f"{type(exc).__name__}: {exc}"}
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:
         sf_val: float | str = float(sf)
@@ -274,6 +322,7 @@ def main() -> None:
                 "queries_min": timings_min,
                 "vs_prev": vs_prev,
                 "tpch_x10": tpch_x10,
+                "reference_x10": reference_x10,
                 "sf": sf_val,
             }
         )

@@ -2186,6 +2186,35 @@ def _register_multimodal():
         meta = MM.video_container_metadata(MM.synthesize_video_assets(docs))
         return meta
 
+    @register(
+        "video_pixel_stats",
+        """
+        SELECT doc_id::BIGINT AS doc_id,
+               (24 + doc_id % 32)::BIGINT AS n_frames,
+               (16 + (doc_id % 3) * 8)::INT AS width,
+               (12 + (doc_id % 3) * 6)::INT AS height,
+               CAST(doc_id % 150 AS DOUBLE)
+                 + (24 + doc_id % 32 - 1) / 2.0
+                 + ((12 + (doc_id % 3) * 6) - 1) / 2.0 AS mean_pixel
+        FROM documents
+        """,
+        doc="REAL video frame decode, no ffmpeg (closes the VERDICT r4 "
+        "'pixel decode descoped' boundary for the uncompressed case): "
+        "synthesized raw-'DIB ' AVIs (actual BGR24 frame payloads in the "
+        "movi list) -> RIFF walk + numpy frame slicing "
+        "(sources/multimodal.decode_avi_frames) -> per-doc decoded frame "
+        "count, dimensions, and mean over every decoded pixel byte. "
+        "Pixels are doc_id-derived (value base+f+r, wrap-free by "
+        "construction) so the mean has the closed form base + (n-1)/2 + "
+        "(h-1)/2 — exactly representable as a double on both engines — "
+        "and the oracle value-checks the decode end to end. Compressed "
+        "codecs still raise NotImplementedError (entropy decode needs "
+        "ffmpeg; the container-metadata pass handles those)",
+    )
+    def q_video_pixel_stats(spark, sf_dir):
+        docs = ensure_parallelism(load(spark, sf_dir, "documents"))
+        return MM.video_frame_pixel_stats(MM.synthesize_raw_video_assets(docs))
+
     def _multimodal_knn_frozen_sql() -> str:
         from ..operators import ivf_frozen as IVF
         from ..operators import similarity as S
@@ -7120,6 +7149,7 @@ _CHECK_PRIORITY = [
     # --- round-5 NEW queries (value-oracled at registration; unknown
     # names are skipped harmlessly until they register)
     "approx_host_counts_flagged",
+    "video_pixel_stats",
     # --- stale-signal refresh (VERDICT r4 item 3): the 7 Apache-log
     # tasks (RandomizedApacheLogAnalysis.java:54-111), last driver-checked
     # in round 2 — the oldest live signal in the catalog.

@@ -30,15 +30,21 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-# key columns to offset, per table (only tables dbgen scales)
+# key columns to offset, per table (the TPC-H tables dbgen scales, plus
+# the engine's event/document corpora: offsetting user_id/doc_id means
+# 10x the USERS and DOCUMENTS with the same per-entity history shape,
+# not the same entities with 10x-duplicated history)
 _SCALED_KEYS: dict[str, tuple[str, ...]] = {
     "customer": ("c_custkey",),
     "supplier": ("s_suppkey",),
     "part": ("p_partkey",),
     "orders": ("o_orderkey", "o_custkey"),
     "lineitem": ("l_orderkey", "l_partkey", "l_suppkey"),
+    "events": ("event_id", "user_id"),
+    "documents": ("doc_id",),
 }
 _COPIED = ("region", "nation")
+_TPCH_TABLES = ("customer", "supplier", "part", "orders", "lineitem")
 
 # far above any sf0.1 key (max is l_orderkey ~600k); copies stay disjoint
 STRIDE = 100_000_000
@@ -62,28 +68,39 @@ def replicate_table(df: DataFrame, keys: tuple[str, ...], copies: int) -> DataFr
 _LAYOUT_VERSION = 2
 
 
-def _signature(src_dir: str, copies: int) -> str:
+def _signature(src_dir: str, copies: int, tables: tuple[str, ...]) -> str:
     st = os.stat(os.path.join(src_dir, "lineitem.parquet"))
-    raw = f"{os.path.abspath(src_dir)}|{st.st_size}|{int(st.st_mtime)}|{copies}|v{_LAYOUT_VERSION}"
+    raw = (
+        f"{os.path.abspath(src_dir)}|{st.st_size}|{int(st.st_mtime)}|{copies}"
+        f"|{','.join(tables)}|v{_LAYOUT_VERSION}"
+    )
     import hashlib
 
     return hashlib.md5(raw.encode()).hexdigest()[:12]
 
 
-def ensure_scaled_tpch(
+def ensure_scaled_tables(
     spark: SparkSession,
     src_dir: str,
+    tables: tuple[str, ...],
     copies: int = 10,
     cache_root: str = "/tmp",
+    prefix: str = "rsmr_x",
 ) -> str:
-    """Materialize (or reuse) the replicated TPC-H database; returns its dir.
+    """Materialize (or reuse) a replicated database of ``tables``; returns
+    its dir.
 
-    Layout matches ``sources.tables.load`` (``{dir}/{table}.parquet``).
+    Layout matches ``sources.tables.load`` (``{dir}/{table}.parquet``);
+    region/nation ride along unscaled whenever any TPC-H table is asked
+    for (they are constant-cardinality broadcast dims at every SF).
     Prunes stale caches built from the same source with a different
     signature, so regeneration never accumulates dead directories.
     """
-    prefix = "rsmr_tpch_x"
-    sig = _signature(src_dir, copies)
+    tables = tuple(sorted(tables))
+    unknown = [t for t in tables if t not in _SCALED_KEYS]
+    if unknown:
+        raise KeyError(f"no replication key spec for table(s) {unknown}")
+    sig = _signature(src_dir, copies, tables)
     dest = os.path.join(cache_root, f"{prefix}{copies}_{sig}")
     marker = os.path.join(dest, "_COMPLETE")
     if os.path.exists(marker):
@@ -102,15 +119,29 @@ def ensure_scaled_tpch(
     # loss that looked like a query regression). Real sf1 data arrives as
     # many files; this reproduces that.
     n_files = max(spark.sparkContext.defaultParallelism, 8)
-    for table, keys in _SCALED_KEYS.items():
+    for table in tables:
         src = spark.read.parquet(f"{src_dir}/{table}.parquet")
-        replicate_table(src, keys, copies).repartition(n_files).write.mode(
+        replicate_table(src, _SCALED_KEYS[table], copies).repartition(n_files).write.mode(
             "overwrite"
         ).parquet(f"{dest}/{table}.parquet")
-    for table in _COPIED:
-        spark.read.parquet(f"{src_dir}/{table}.parquet").write.mode("overwrite").parquet(
-            f"{dest}/{table}.parquet"
-        )
+    if any(t in _TPCH_TABLES for t in tables):
+        for table in _COPIED:
+            spark.read.parquet(f"{src_dir}/{table}.parquet").write.mode(
+                "overwrite"
+            ).parquet(f"{dest}/{table}.parquet")
     with open(marker, "w") as fh:
         fh.write(sig)
     return dest
+
+
+def ensure_scaled_tpch(
+    spark: SparkSession,
+    src_dir: str,
+    copies: int = 10,
+    cache_root: str = "/tmp",
+) -> str:
+    """The TPC-H replica (bench ``tpch_x10`` block)."""
+    return ensure_scaled_tables(
+        spark, src_dir, _TPCH_TABLES, copies=copies, cache_root=cache_root,
+        prefix="rsmr_tpch_x",
+    )

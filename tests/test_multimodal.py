@@ -174,3 +174,72 @@ class TestVideoContainerMeta:
             assert r["n_frames"] == 24 + d % 48
             fps = 12 + (d % 3) * 6
             assert r["duration_s"] == round(r["n_frames"] / fps, 6)
+
+
+class TestVideoPixelDecode:
+    """REAL frame decode for uncompressed AVI (closes the r4 'pixel decode
+    descoped' boundary for the only case decodable without ffmpeg): RIFF
+    walk -> movi chunk slicing -> numpy frames."""
+
+    def test_raw_avi_roundtrip_frames(self):
+        import numpy as np
+
+        b = MM.encode_avi_raw(16, 12, 5, 10, base=100)
+        frames = MM.decode_avi_frames(b)
+        assert len(frames) == 5
+        assert frames[0].shape == (12, 16, 3)
+        # frame f, row r: every byte is base + f + r
+        for f, arr in enumerate(frames):
+            for r in (0, 6, 11):
+                assert np.all(arr[r] == 100 + f + r)
+
+    def test_header_matches_payload(self):
+        b = MM.encode_avi_raw(24, 18, 7, 12, base=30)
+        m = MM.parse_video_container(b)
+        assert (m["codec"], m["width"], m["height"], m["n_frames"]) == ("DIB ", 24, 18, 7)
+        assert len(MM.decode_avi_frames(b)) == m["n_frames"]
+
+    def test_compressed_codec_refused(self):
+        import pytest as _pytest
+
+        b = MM.encode_avi("av01", 320, 240, 30, 12)
+        with _pytest.raises(NotImplementedError, match="ffmpeg"):
+            MM.decode_avi_frames(b)
+
+    def test_mp4_refused(self):
+        import pytest as _pytest
+
+        b = MM.encode_mp4("avc1", 320, 240, 24, 12)
+        with _pytest.raises(NotImplementedError, match="uncompressed AVI only"):
+            MM.decode_avi_frames(b)
+
+    def test_wrong_frame_size_rejected(self):
+        b = bytearray(MM.encode_avi_raw(16, 12, 3, 10, base=5))
+        # corrupt the avih frame dims (what the container parse reads) so
+        # header w*h*3 != actual chunk length
+        idx = b.find(b"avih")
+        import struct
+
+        struct.pack_into("<2I", b, idx + 8 + 32, 99, 99)
+        import pytest as _pytest
+
+        # container parse picks up the corrupted dims; chunk length no
+        # longer matches -> decode must refuse, not mis-reshape
+        with _pytest.raises(ValueError, match="frame chunk"):
+            MM.decode_avi_frames(bytes(b))
+
+    def test_distributed_stats_match_closed_form(self, spark):
+        docs = spark.range(9).withColumnRenamed("id", "doc_id")
+        rows = {
+            r["doc_id"]: r.asDict()
+            for r in MM.video_frame_pixel_stats(
+                MM.synthesize_raw_video_assets(docs)
+            ).collect()
+        }
+        assert len(rows) == 9
+        for d, r in rows.items():
+            n, h = 24 + d % 32, 12 + (d % 3) * 6
+            assert r["n_frames"] == n
+            assert r["width"] == 16 + (d % 3) * 8
+            assert r["height"] == h
+            assert r["mean_pixel"] == (d % 150) + (n - 1) / 2.0 + (h - 1) / 2.0

@@ -7,6 +7,7 @@ from pyspark.sql import functions as F
 
 from random_sampling_based_approximate_mapreduce_spark.sources.scale_up import (
     STRIDE,
+    ensure_scaled_tables,
     ensure_scaled_tpch,
     replicate_table,
 )
@@ -69,3 +70,28 @@ class TestScaledDatabase:
 
         rows = QUERIES["tpch_q1"].spark(spark, scaled_dir).collect()
         assert len(rows) > 0
+
+    def test_reference_corpus_replica(self, spark, sf_dir, cache_root):
+        from random_sampling_based_approximate_mapreduce_spark.plans.catalog import QUERIES
+        from random_sampling_based_approximate_mapreduce_spark.sources.tables import load
+
+        d = ensure_scaled_tables(
+            spark, sf_dir, ("events", "documents"), copies=2, cache_root=cache_root
+        )
+        base_events = load(spark, sf_dir, "events")
+        big_events = load(spark, d, "events")
+        assert big_events.count() == 2 * base_events.count()
+        # user_id offset -> distinct users multiply (fresh entities, not
+        # duplicated history)
+        assert (
+            big_events.select("user_id").distinct().count()
+            == 2 * base_events.select("user_id").distinct().count()
+        )
+        # a reference workload runs and its counts scale exactly
+        base_words = {
+            r["word"]: r["cnt"] for r in QUERIES["word_count"].spark(spark, sf_dir).collect()
+        }
+        big_words = {
+            r["word"]: r["cnt"] for r in QUERIES["word_count"].spark(spark, d).collect()
+        }
+        assert big_words == {w: 2 * c for w, c in base_words.items()}
