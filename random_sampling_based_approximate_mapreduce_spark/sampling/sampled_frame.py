@@ -189,16 +189,42 @@ def stratified_sample(
     return sampled.withColumn("__weight", weight)
 
 
-def weighted_count(df: DataFrame, *group_cols: str, alias: str = "est_count") -> DataFrame:
-    """HT count estimate from a ``__weight``-carrying frame."""
+def weighted_count(
+    df: DataFrame,
+    *group_cols: str,
+    min_support: int | None = None,
+    alias: str = "est_count",
+) -> DataFrame:
+    """HT count estimate from a ``__weight``-carrying frame.
+
+    ``min_support``: same rare-group honesty contract as the SampledFrame
+    estimators (``n_sampled`` + ``low_support`` from the exact per-group
+    sampled row count) — stratification REDUCES the risk by design, but a
+    group spanning multiple strata can still land a thin sample.
+    """
     base = df.groupBy(*[F.col(c) for c in group_cols]) if group_cols else df.groupBy()
-    return base.agg(F.sum("__weight").alias(alias))
+    aggs = [F.sum("__weight").alias(alias)]
+    if min_support is not None:
+        aggs.append(F.count(F.lit(1)).alias("n_sampled"))
+        aggs.append((F.count(F.lit(1)) < F.lit(int(min_support))).alias("low_support"))
+    return base.agg(*aggs)
 
 
-def weighted_sum(df: DataFrame, value_col: str, *group_cols: str, alias: str = "est_sum") -> DataFrame:
-    """HT sum estimate from a ``__weight``-carrying frame."""
+def weighted_sum(
+    df: DataFrame,
+    value_col: str,
+    *group_cols: str,
+    min_support: int | None = None,
+    alias: str = "est_sum",
+) -> DataFrame:
+    """HT sum estimate from a ``__weight``-carrying frame (rare-group
+    flags as in ``weighted_count``)."""
     base = df.groupBy(*[F.col(c) for c in group_cols]) if group_cols else df.groupBy()
-    return base.agg(F.sum(F.col(value_col) * F.col("__weight")).alias(alias))
+    aggs = [F.sum(F.col(value_col) * F.col("__weight")).alias(alias)]
+    if min_support is not None:
+        aggs.append(F.count(F.lit(1)).alias("n_sampled"))
+        aggs.append((F.count(F.lit(1)) < F.lit(int(min_support))).alias("low_support"))
+    return base.agg(*aggs)
 
 
 _JOB_COUNTER = 0  # replaces the reference's ZK job-id znode sequencing (:264-288)

@@ -211,6 +211,22 @@ class TestSampledMode:
         ).collect()
         assert all(not r["low_support"] for r in ratios_noci)
 
+    def test_min_support_on_stratified_estimators(self, lineitem):
+        from random_sampling_based_approximate_mapreduce_spark.sampling.sampled_frame import (
+            stratified_sample,
+            weighted_count,
+            weighted_sum,
+        )
+
+        fr = {"A": 0.5, "N": 0.02, "R": 0.5}
+        s = stratified_sample(lineitem, "l_returnflag", fr, seed=3)
+        counts = {r["l_returnflag"]: r for r in weighted_count(s, "l_returnflag", min_support=500).collect()}
+        # the hard-cut stratum lands a thin sample; the 50% strata don't
+        assert counts["N"]["n_sampled"] < counts["A"]["n_sampled"]
+        assert all("low_support" in r.asDict() for r in counts.values())
+        sums = weighted_sum(s, "l_quantity", "l_returnflag", min_support=10**6).collect()
+        assert all(r["low_support"] for r in sums)
+
     def test_exact_mode_never_flags(self, lineitem):
         # ratio=1.0: estimates are exact, so no support flag even if asked
         sf = SampledFrame.from_dataframe(lineitem, SamplingConfig.exact(), observe=False)
