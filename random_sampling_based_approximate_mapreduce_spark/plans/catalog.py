@@ -2367,6 +2367,60 @@ def q_tpch_q1_hash_sampled(spark, sf_dir):
     )
 
 
+def _sampled_join_hash_twin_oracle() -> str:
+    from ..sampling.deterministic import hash_bernoulli_sql
+
+    keep_l = hash_bernoulli_sql("l_orderkey::VARCHAR || '-' || l_linenumber::VARCHAR", 0.2, seed=9)
+    keep_o = hash_bernoulli_sql("o_orderkey::VARCHAR", 0.5, seed=3)
+    return f"""
+    SELECT o.o_orderpriority,
+           CAST(count(*) * 10.0 AS DOUBLE) AS est_pairs,
+           CAST(sum(l.l_quantity::BIGINT) * 10.0 AS DOUBLE) AS est_qty
+    FROM (SELECT * FROM lineitem WHERE {keep_l}) l
+    JOIN (SELECT * FROM orders   WHERE {keep_o}) o
+      ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """
+
+
+@register(
+    "sampled_join_hash_twin",
+    _sampled_join_hash_twin_oracle(),
+    doc="Sampled-JOIN composition, value-oracled (SURVEY.md §2.5: the "
+    "relational propagation the reference cannot do — its sampling lives "
+    "in the input reader, so it can never join two sampled inputs and "
+    "keep the estimators honest). Two deterministic hash samples on "
+    "INDEPENDENT keys — lineitem at r=0.2 (line identity, seed 9), "
+    "orders at r=0.5 (orderkey, seed 3) — joined through "
+    "SampledFrame.join_sampled, which composes the metadata to "
+    "ratio r1*r2 = 0.1 (a pair survives iff BOTH rows were kept), so the "
+    "per-priority HT scale-up is exactly 10x on pair counts AND on "
+    "quantity sums. Every moment is an exact integer sum before the one "
+    "float multiply, so both engines produce identical doubles. Until "
+    "this query the join composition was pytest-only; this makes it a "
+    "driver-checkable parity artifact",
+    tags=("sampled",),
+)
+def q_sampled_join_hash_twin(spark, sf_dir):
+    from ..sampling.deterministic import hash_bernoulli
+
+    l = load(spark, sf_dir, "lineitem").withColumn(
+        "__k", F.concat_ws("-", F.col("l_orderkey"), F.col("l_linenumber"))
+    )
+    sl_df = hash_bernoulli(l, "__k", 0.2, seed=9).drop("__k")
+    o = load(spark, sf_dir, "orders").withColumn("__k", F.col("o_orderkey").cast("string"))
+    so_df = hash_bernoulli(o, "__k", 0.5, seed=3).drop("__k")
+    sl = SampledFrame(df=sl_df, ratio=0.2, config=SamplingConfig(ratio=0.2, seed=9))
+    so = SampledFrame(df=so_df, ratio=0.5, config=SamplingConfig(ratio=0.5, seed=3))
+    joined = sl.join_sampled(so, F.col("l_orderkey") == F.col("o_orderkey"))
+    joined = joined.transform(
+        lambda df: df.withColumn("__qty", F.col("l_quantity").cast("bigint"))
+    )
+    pairs = joined.approx_count("o_orderpriority", alias="est_pairs")
+    qty = joined.approx_sum("__qty", "o_orderpriority", alias="est_qty")
+    return pairs.join(qty, "o_orderpriority")
+
+
 def _price_per_qty_hash_sampled_oracle() -> str:
     from ..sampling.deterministic import hash_bernoulli_sql
 
@@ -7150,6 +7204,7 @@ _CHECK_PRIORITY = [
     # names are skipped harmlessly until they register)
     "approx_host_counts_flagged",
     "video_pixel_stats",
+    "sampled_join_hash_twin",
     # --- stale-signal refresh (VERDICT r4 item 3): the 7 Apache-log
     # tasks (RandomizedApacheLogAnalysis.java:54-111), last driver-checked
     # in round 2 — the oldest live signal in the catalog.
