@@ -221,13 +221,21 @@ def main() -> None:
             prev_path = benches[-1]
             with open(prev_path) as fh:
                 prev_doc = json.load(fh)
-            prev_q = (prev_doc.get("parsed") or prev_doc).get("queries", {})
+            parsed_prev = prev_doc.get("parsed") or prev_doc
+            # compare like with like: min-to-min once the previous round
+            # recorded queries_min (r5+), else min-vs-median with the
+            # basis recorded — min-of-3 sits below median-of-3 in
+            # expectation, so a min/median ratio reads ~0.8-0.9 even on
+            # identical code and must not be read as a speedup
+            prev_q = parsed_prev.get("queries_min") or parsed_prev.get("queries", {})
+            basis = "min_vs_min" if parsed_prev.get("queries_min") else "min_vs_median"
             shared = sorted(set(prev_q) & set(timings_min))
             if shared:
                 cur = sum(timings_min[q] for q in shared)
                 prv = sum(float(prev_q[q]) for q in shared)
                 vs_prev = {
                     "prev_file": os.path.basename(prev_path),
+                    "basis": basis,
                     "shared_queries": len(shared),
                     "prev_sec": round(prv, 3),
                     "this_min_sec": round(cur, 3),

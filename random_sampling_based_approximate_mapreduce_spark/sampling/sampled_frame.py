@@ -189,6 +189,19 @@ def stratified_sample(
     return sampled.withColumn("__weight", weight)
 
 
+def _support_cols(min_support: int, n=None) -> list:
+    """The rare-group honesty pair shared by every grouped estimator:
+    ``n_sampled`` (exact per-group sampled row count) + ``low_support``
+    (n below the threshold). ``n`` defaults to the count aggregate; pass
+    an existing count Column when the aggregation already computed one.
+    """
+    n = F.count(F.lit(1)) if n is None else n
+    return [
+        n.alias("n_sampled"),
+        (n < F.lit(int(min_support))).alias("low_support"),
+    ]
+
+
 def weighted_count(
     df: DataFrame,
     *group_cols: str,
@@ -205,8 +218,7 @@ def weighted_count(
     base = df.groupBy(*[F.col(c) for c in group_cols]) if group_cols else df.groupBy()
     aggs = [F.sum("__weight").alias(alias)]
     if min_support is not None:
-        aggs.append(F.count(F.lit(1)).alias("n_sampled"))
-        aggs.append((F.count(F.lit(1)) < F.lit(int(min_support))).alias("low_support"))
+        aggs.extend(_support_cols(min_support))
     return base.agg(*aggs)
 
 
@@ -222,8 +234,7 @@ def weighted_sum(
     base = df.groupBy(*[F.col(c) for c in group_cols]) if group_cols else df.groupBy()
     aggs = [F.sum(F.col(value_col) * F.col("__weight")).alias(alias)]
     if min_support is not None:
-        aggs.append(F.count(F.lit(1)).alias("n_sampled"))
-        aggs.append((F.count(F.lit(1)) < F.lit(int(min_support))).alias("low_support"))
+        aggs.extend(_support_cols(min_support))
     return base.agg(*aggs)
 
 
@@ -398,8 +409,7 @@ class SampledFrame:
                 ).alias(f"{alias}_ci")
             )
         if min_support is not None and self.ratio < 1.0:
-            cols.append(n.alias("n_sampled"))
-            cols.append((n < F.lit(int(min_support))).alias("low_support"))
+            cols.extend(_support_cols(min_support, n=n))
         return agg.select(*cols)
 
     def approx_sum(
@@ -500,8 +510,7 @@ class SampledFrame:
         if not (ci and self.ratio < 1.0):
             aggs = [(F.sum(x) / F.sum(y)).alias(alias)]
             if flag:
-                aggs.append(F.count(F.lit(1)).alias("n_sampled"))
-                aggs.append((F.count(F.lit(1)) < F.lit(int(min_support))).alias("low_support"))
+                aggs.extend(_support_cols(min_support))
             return base.agg(*aggs)
         z = stats.z_score(self.config.confidence)
         r = self.ratio
@@ -526,8 +535,7 @@ class SampledFrame:
             (F.lit(z) * F.sqrt(F.greatest(var, F.lit(0.0)))).alias(f"{alias}_ci"),
         ]
         if flag:
-            sel.append(F.col("__n").alias("n_sampled"))
-            sel.append((F.col("__n") < F.lit(int(min_support))).alias("low_support"))
+            sel.extend(_support_cols(min_support, n=F.col("__n")))
         return agged.select(*sel)
 
     def approx_distinct(self, value_col: str, *group_cols: str, rsd: float = 0.05, alias: str = "est_distinct") -> DataFrame:
@@ -597,17 +605,26 @@ class SampledFrame:
                 _warn_metric_fallback(key, exc)
                 return None
             except Exception as exc:  # noqa: BLE001 - filtered below
-                # JVM-side shape: Py4JJavaError wrapping the CollectMetrics
-                # assertion. ONLY the metrics-missing signature falls back
-                # (ADVICE r4: a transient failure on a big input must not
-                # silently become a second full scan) — anything else
-                # (connection loss, interrupted job, OOM) re-raises.
-                msg = str(exc)
-                if (
-                    "assert" in msg.lower()
-                    or "CollectMetrics" in msg
-                    or "observed metrics" in msg.lower()
-                ):
+                # JVM-side shapes of metrics-never-materialized. ONLY
+                # those fall back (ADVICE r4: a transient failure on a big
+                # input must not silently become a second full scan) —
+                # anything else (connection loss, interrupted job, OOM)
+                # re-raises. Matching is deliberately on the error's OWN
+                # text, not the full stringified stack trace: a bare
+                # substring like 'assert' would match a scala.Predef frame
+                # in ANY task failure. Known shapes: the CollectMetrics
+                # assertion (java.lang.AssertionError naming the node /
+                # 'observed metrics'), and the empty-metrics-map lookup
+                # ('NoSuchElementException: key not found: <key>').
+                first_line = str(exc).splitlines()[0] if str(exc) else ""
+                metrics_missing = (
+                    "CollectMetrics" in first_line
+                    or "observed metrics" in first_line.lower()
+                    or "java.lang.AssertionError" in first_line
+                    or ("key not found" in first_line and key in first_line)
+                    or "NoSuchElementException" in type(exc).__name__
+                )
+                if metrics_missing:
                     _warn_metric_fallback(key, exc)
                     return None
                 raise

@@ -130,16 +130,14 @@ def compact_files(
 
     import pyarrow.parquet as pq
 
-    total_bytes = 0
-    rows_in = 0
-    n_in = 0
-    for root, _, files in os.walk(src):
-        for f in files:
-            if f.endswith(".parquet"):
-                full = os.path.join(root, f)
-                total_bytes += os.path.getsize(full)
-                rows_in += pq.ParquetFile(full).metadata.num_rows
-                n_in += 1
+    paths = [
+        os.path.join(root, f)
+        for root, _, files in os.walk(src)
+        for f in files
+        if f.endswith(".parquet")
+    ]
+    total_bytes = sum(os.path.getsize(p) for p in paths)
+    n_in = len(paths)
     if n_in == 0:
         # fail here with a layout-level message instead of letting
         # spark.read.parquet raise an opaque path error (ADVICE r4)
@@ -148,6 +146,17 @@ def compact_files(
             "compact (wrong path, or the table was written with a "
             "different extension/layout?)"
         )
+    # rows-per-byte rate for the skew cap below: footer reads are one
+    # driver round trip per file, so SAMPLE a bounded number (size stats
+    # are cheap; footers are not at 100k files on object storage) and
+    # extrapolate — the cap is advisory, not exact
+    _FOOTER_SAMPLE = 64
+    sample = paths if n_in <= _FOOTER_SAMPLE else paths[:: max(1, n_in // _FOOTER_SAMPLE)]
+    sampled_rows = sum(pq.ParquetFile(p).metadata.num_rows for p in sample)
+    sampled_bytes = sum(os.path.getsize(p) for p in sample)
+    rows_in = (
+        int(sampled_rows * total_bytes / sampled_bytes) if sampled_bytes else 0
+    )
     import math
 
     # ceil, not round: the target is a per-file MAXIMUM (block/split

@@ -560,18 +560,31 @@ def decode_avi_frames(b: bytes) -> list:
                 list_type = b[body_lo : body_lo + 4]
                 if list_type == b"movi":
                     mpos = body_lo + 4
-                    mhi = body_lo + clen
+                    # clamp to the real buffer: a truncated stream whose
+                    # LIST header still declares the full length must hit
+                    # the overrun diagnostic, not numpy's
+                    mhi = min(body_lo + clen, len(b))
                     while mpos + 8 <= mhi:
                         mcid = b[mpos : mpos + 4]
                         mclen = struct.unpack_from("<I", b, mpos + 4)[0]
                         if mcid[2:4] in (b"db", b"dc"):
-                            raw = np.frombuffer(
-                                b, dtype=np.uint8, count=mclen, offset=mpos + 8
-                            )
+                            # validate BEFORE touching the buffer: a bad
+                            # declared length must produce the decoder's
+                            # diagnostic, not numpy's, and a chunk whose
+                            # length spills past the movi list must never
+                            # decode trailing RIFF bytes as pixels
                             if mclen != w * h * 3:
                                 raise ValueError(
                                     f"frame chunk {mclen} B != {w}x{h}x3"
                                 )
+                            if mpos + 8 + mclen > mhi:
+                                raise ValueError(
+                                    "frame chunk overruns the movi list "
+                                    f"({mpos + 8 + mclen} > {mhi}): truncated AVI?"
+                                )
+                            raw = np.frombuffer(
+                                b, dtype=np.uint8, count=mclen, offset=mpos + 8
+                            )
                             frames.append(raw.reshape(h, w, 3))
                         mpos += 8 + mclen + (mclen % 2)
                 else:

@@ -68,15 +68,38 @@ def replicate_table(df: DataFrame, keys: tuple[str, ...], copies: int) -> DataFr
 _LAYOUT_VERSION = 2
 
 
+def _stat_sig(path: str) -> str:
+    # name+size+mtime_ns per file (dir layouts included) — the same cheap
+    # staleness signature the incremental-rollup cache uses
+    parts = []
+    if os.path.isdir(path):
+        for f in sorted(os.listdir(path)):
+            st = os.stat(os.path.join(path, f))
+            parts.append(f"{f}:{st.st_size}:{st.st_mtime_ns}")
+    else:
+        st = os.stat(path)
+        parts.append(f"{st.st_size}:{st.st_mtime_ns}")
+    return ",".join(parts)
+
+
 def _signature(src_dir: str, copies: int, tables: tuple[str, ...]) -> str:
-    st = os.stat(os.path.join(src_dir, "lineitem.parquet"))
-    raw = (
-        f"{os.path.abspath(src_dir)}|{st.st_size}|{int(st.st_mtime)}|{copies}"
-        f"|{','.join(tables)}|v{_LAYOUT_VERSION}"
+    # fingerprint EVERY replicated table (not a proxy file): regenerating
+    # events.parquet alone must invalidate an events replica, and a
+    # corpus-only source dir need not contain lineitem at all
+    raw = "|".join(
+        [os.path.abspath(src_dir)]
+        + [f"{t}={_stat_sig(os.path.join(src_dir, f'{t}.parquet'))}" for t in tables]
+        + [str(copies), ",".join(tables), f"v{_LAYOUT_VERSION}"]
     )
     import hashlib
 
     return hashlib.md5(raw.encode()).hexdigest()[:12]
+
+
+def _src_tag(src_dir: str) -> str:
+    import hashlib
+
+    return hashlib.md5(os.path.abspath(src_dir).encode()).hexdigest()[:6]
 
 
 def ensure_scaled_tables(
@@ -101,13 +124,25 @@ def ensure_scaled_tables(
     if unknown:
         raise KeyError(f"no replication key spec for table(s) {unknown}")
     sig = _signature(src_dir, copies, tables)
-    dest = os.path.join(cache_root, f"{prefix}{copies}_{sig}")
+    tag = _src_tag(src_dir)
+    dest = os.path.join(cache_root, f"{prefix}{copies}_{tag}_{sig}")
     marker = os.path.join(dest, "_COMPLETE")
     if os.path.exists(marker):
         return dest
-    # prune stale siblings (same prefix, different signature)
+    # prune stale siblings built FROM THE SAME SOURCE (tag) with a
+    # different data signature — replicas of other source dirs (sf0.001 vs
+    # sf0.1) stay untouched, so alternating scale factors never thrashes
+    # the cache (same per-source discipline as the incremental-rollup
+    # cache). Pre-tag layouts (no source segment) are legacy: remove.
     for name in os.listdir(cache_root):
-        if name.startswith(f"{prefix}{copies}_") and name != os.path.basename(dest):
+        stale_same_src = (
+            name.startswith(f"{prefix}{copies}_{tag}_") and name != os.path.basename(dest)
+        )
+        legacy = (
+            name.startswith(f"{prefix}{copies}_")
+            and "_" not in name[len(f"{prefix}{copies}_"):]
+        )
+        if stale_same_src or legacy:
             shutil.rmtree(os.path.join(cache_root, name), ignore_errors=True)
     shutil.rmtree(dest, ignore_errors=True)
     os.makedirs(dest, exist_ok=True)

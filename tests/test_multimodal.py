@@ -243,3 +243,10 @@ class TestVideoPixelDecode:
             assert r["width"] == 16 + (d % 3) * 8
             assert r["height"] == h
             assert r["mean_pixel"] == (d % 150) + (n - 1) / 2.0 + (h - 1) / 2.0
+
+    def test_truncated_avi_rejected(self):
+        import pytest as _pytest
+
+        b = MM.encode_avi_raw(16, 12, 4, 10, base=5)
+        with _pytest.raises(ValueError, match="overruns the movi list"):
+            MM.decode_avi_frames(b[:-100])
