@@ -543,6 +543,11 @@ def decode_avi_frames(b: bytes) -> list:
             f"frame decode supports uncompressed AVI only (got {meta['container']}); "
             "compressed containers need ffmpeg"
         )
+    if meta["codec"] is None or meta["width"] is None or meta["height"] is None:
+        raise ValueError(
+            "AVI header incomplete (no codec/dimensions parsed): truncated "
+            "or malformed movi-less stream"
+        )
     if meta["codec"] != "DIB ":
         raise NotImplementedError(
             f"codec {meta['codec']!r} needs ffmpeg; only raw 'DIB ' frames decode here"
@@ -551,6 +556,7 @@ def decode_avi_frames(b: bytes) -> list:
     frames: list = []
 
     def walk(lo: int, hi: int) -> None:
+        hi = min(hi, len(b))  # same truncation clamp as the header walk
         pos = lo
         while pos + 8 <= hi:
             cid = b[pos : pos + 4]
@@ -636,6 +642,11 @@ def parse_video_container(b: bytes) -> dict:
                "n_frames": None, "fps": None}
 
         def walk(lo: int, hi: int) -> None:
+            # clamp to the real buffer: declared chunk lengths in a
+            # truncated stream may point past the end, and the walk must
+            # stop cleanly (like the MP4 branch) instead of letting a
+            # fixed-offset unpack raise struct.error
+            hi = min(hi, len(b))
             pos = lo
             while pos + 8 <= hi:
                 cid = b[pos : pos + 4]
@@ -643,11 +654,11 @@ def parse_video_container(b: bytes) -> dict:
                 body_lo = pos + 8
                 if cid == b"LIST":
                     walk(body_lo + 4, body_lo + clen)  # skip list type
-                elif cid == b"avih":
+                elif cid == b"avih" and body_lo + 40 <= hi:
                     fields = struct.unpack_from("<10I", b, body_lo)
                     out["n_frames"] = out["n_frames"] or fields[4]
                     out["width"], out["height"] = fields[8], fields[9]
-                elif cid == b"strh":
+                elif cid == b"strh" and body_lo + 36 <= hi:
                     fcc_type, handler = struct.unpack_from("<4s4s", b, body_lo)
                     if fcc_type == b"vids":
                         scale, rate = struct.unpack_from("<II", b, body_lo + 20)
