@@ -57,8 +57,12 @@ def replicate_table(df: DataFrame, keys: tuple[str, ...], copies: int) -> DataFr
     the same pattern fans a seed corpus out to any test mass.
     """
     out = df.withColumn("__i", F.explode(F.array(*[F.lit(i) for i in range(copies)])))
+    # the copy index and stride must multiply as BIGINT: int32 literals
+    # overflow under ANSI mode at copies >= 22 (i * 1e8 > 2^31-1) — caught
+    # by the 40x scaling run, now pinned in tests
+    offset = F.col("__i").cast("bigint") * F.lit(STRIDE).cast("bigint")
     for k in keys:
-        out = out.withColumn(k, (F.col(k).cast("bigint") + F.col("__i") * F.lit(STRIDE)))
+        out = out.withColumn(k, F.col(k).cast("bigint") + offset)
     return out.drop("__i")
 
 

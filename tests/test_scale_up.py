@@ -46,6 +46,18 @@ class TestReplicateTable:
         assert sorted(r["band"] for r in bands) == [0, 1, 2]
 
 
+class TestReplicateManyCopies:
+    def test_no_int32_overflow_past_21_copies(self, spark, sf_dir):
+        # copies >= 22 puts i*STRIDE past 2^31-1; the offset arithmetic
+        # must run in BIGINT or ANSI mode raises ARITHMETIC_OVERFLOW
+        nation = spark.read.parquet(f"{sf_dir}/nation.parquet").withColumnRenamed(
+            "n_nationkey", "k"
+        )
+        out = replicate_table(nation, ("k",), 25)
+        assert out.count() == 25 * nation.count()
+        assert out.agg(F.max("k")).collect()[0][0] >= 24 * STRIDE
+
+
 class TestScaledDatabase:
     def test_join_selectivity_preserved(self, spark, sf_dir, scaled_dir):
         base_l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
