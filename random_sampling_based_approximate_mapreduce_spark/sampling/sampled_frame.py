@@ -458,8 +458,7 @@ class SampledFrame:
                 ).alias(f"{alias}_ci")
             )
         if min_support is not None and self.ratio < 1.0:
-            aggs.append(F.count(F.lit(1)).alias("n_sampled"))
-            aggs.append((F.count(F.lit(1)) < F.lit(int(min_support))).alias("low_support"))
+            aggs.extend(_support_cols(min_support))
         return base.agg(*aggs)
 
     def approx_mean(self, value_col: str, *group_cols: str, ci: bool = False, alias: str = "est_mean") -> DataFrame:

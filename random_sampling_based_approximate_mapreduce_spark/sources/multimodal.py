@@ -819,6 +819,13 @@ def video_frame_pixel_stats(assets: DataFrame) -> DataFrame:
             rows = []
             for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
                 frames = decode_avi_frames(bytes(content))
+                if not frames:
+                    # decoder-style diagnostic, not an opaque IndexError /
+                    # ZeroDivisionError from the stats below
+                    raise ValueError(
+                        f"doc {doc_id}: AVI stream decoded zero frames "
+                        "(empty or truncated movi list)"
+                    )
                 h, w, _ = frames[0].shape
                 total = sum(int(f.sum(dtype=np.int64)) for f in frames)
                 count = sum(f.size for f in frames)

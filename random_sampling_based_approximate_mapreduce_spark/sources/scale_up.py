@@ -123,54 +123,62 @@ def ensure_scaled_tables(
     Prunes stale caches built from the same source with a different
     signature, so regeneration never accumulates dead directories.
     """
+    from .tables import ensure_layout
+
     tables = tuple(sorted(tables))
     unknown = [t for t in tables if t not in _SCALED_KEYS]
     if unknown:
         raise KeyError(f"no replication key spec for table(s) {unknown}")
     sig = _signature(src_dir, copies, tables)
     tag = _src_tag(src_dir)
-    dest = os.path.join(cache_root, f"{prefix}{copies}_{tag}_{sig}")
-    marker = os.path.join(dest, "_COMPLETE")
-    if os.path.exists(marker):
+    # the cache IDENTITY (everything that makes two replicas different
+    # builds, not just different data) lives in the NAME: copies, source
+    # dir, and table set — so the prune below can never hit a sibling
+    # that is a different build rather than a stale generation of THIS
+    # one. Only the data signature is hash-only.
+    tbl_tag = "-".join(t[:2] for t in tables)
+    family = f"{prefix}{copies}_{tag}_{tbl_tag}_"
+    dest = os.path.join(cache_root, family + sig)
+    if os.path.exists(os.path.join(dest, "_SUCCESS")):
         return dest
-    # prune stale siblings built FROM THE SAME SOURCE (tag) with a
-    # different data signature — replicas of other source dirs (sf0.001 vs
-    # sf0.1) stay untouched, so alternating scale factors never thrashes
-    # the cache (same per-source discipline as the incremental-rollup
-    # cache). Pre-tag layouts (no source segment) are legacy: remove.
+    # prune stale generations of THIS family only (same source + table
+    # set, older data signature); other sources' and other table sets'
+    # replicas stay untouched, and in-flight staging dirs are skipped
     for name in os.listdir(cache_root):
-        stale_same_src = (
-            name.startswith(f"{prefix}{copies}_{tag}_") and name != os.path.basename(dest)
-        )
-        legacy = (
-            name.startswith(f"{prefix}{copies}_")
-            and "_" not in name[len(f"{prefix}{copies}_"):]
-        )
-        if stale_same_src or legacy:
+        if (
+            name.startswith(family)
+            and ".staging." not in name
+            and name != os.path.basename(dest)
+        ):
             shutil.rmtree(os.path.join(cache_root, name), ignore_errors=True)
-    shutil.rmtree(dest, ignore_errors=True)
-    os.makedirs(dest, exist_ok=True)
-    # Write scaled facts at full core parallelism: the source is a one-file
-    # toy layout, and inheriting its scan partitioning would emit ~3 fat
-    # files whose row groups cap every downstream scan at 3-way
-    # parallelism (measured: promo_revenue_share 9.9 s on the 3-file
-    # layout vs the sub-second properly-split run — a 10x parallelism
-    # loss that looked like a query regression). Real sf1 data arrives as
-    # many files; this reproduces that.
-    n_files = max(spark.sparkContext.defaultParallelism, 8)
-    for table in tables:
-        src = spark.read.parquet(f"{src_dir}/{table}.parquet")
-        replicate_table(src, _SCALED_KEYS[table], copies).repartition(n_files).write.mode(
-            "overwrite"
-        ).parquet(f"{dest}/{table}.parquet")
-    if any(t in _TPCH_TABLES for t in tables):
-        for table in _COPIED:
-            spark.read.parquet(f"{src_dir}/{table}.parquet").write.mode(
-                "overwrite"
-            ).parquet(f"{dest}/{table}.parquet")
-    with open(marker, "w") as fh:
-        fh.write(sig)
-    return dest
+
+    def _build(staging: str) -> None:
+        os.makedirs(staging, exist_ok=True)
+        # Write scaled facts at full core parallelism: the source is a
+        # one-file toy layout, and inheriting its scan partitioning would
+        # emit ~3 fat files whose row groups cap every downstream scan at
+        # 3-way parallelism (measured: promo_revenue_share 9.9 s on the
+        # 3-file layout vs the sub-second properly-split run — a 10x
+        # parallelism loss that looked like a query regression). Real sf1
+        # data arrives as many files; this reproduces that.
+        n_files = max(spark.sparkContext.defaultParallelism, 8)
+        for table in tables:
+            src = spark.read.parquet(f"{src_dir}/{table}.parquet")
+            replicate_table(src, _SCALED_KEYS[table], copies).repartition(
+                n_files
+            ).write.mode("overwrite").parquet(f"{staging}/{table}.parquet")
+        if any(t in _TPCH_TABLES for t in tables):
+            for table in _COPIED:
+                spark.read.parquet(f"{src_dir}/{table}.parquet").write.mode(
+                    "overwrite"
+                ).parquet(f"{staging}/{table}.parquet")
+        with open(os.path.join(staging, "_SUCCESS"), "w") as fh:
+            fh.write(sig)
+
+    # race-safe publish: per-PID staging + atomic rename (ensure_layout),
+    # so two concurrent builders can never interleave writes into the
+    # published directory or stamp a marker on a mixed-generation replica
+    return ensure_layout(dest, _build)
 
 
 def ensure_scaled_tpch(

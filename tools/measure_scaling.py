@@ -23,7 +23,9 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-COPIES = [int(a) for a in sys.argv[1:]] or [10, 40]
+# the 1x baseline is always measured on SF_DIR itself; an explicit "1"
+# argument would otherwise clobber that entry with a pointless replica
+COPIES = sorted({int(a) for a in sys.argv[1:] if int(a) > 1}) or [10, 40]
 
 REF_QUERIES = ["word_count", "word_count_sampled", "log_host", "log_host_sampled"]
 
