@@ -2215,6 +2215,52 @@ def _register_multimodal():
         docs = ensure_parallelism(load(spark, sf_dir, "documents"))
         return MM.video_frame_pixel_stats(MM.synthesize_raw_video_assets(docs))
 
+    @register(
+        "audio_frame_features",
+        """
+        WITH p AS (SELECT doc_id, 1000 + doc_id % 500 AS n FROM documents),
+        s AS (
+          SELECT doc_id, i, CAST(i // 256 AS INT) AS w,
+                 ((doc_id * 31 + i * 17) % 2048) - 1024 AS v
+          FROM p, unnest(generate_series(0, n - 1)) AS t(i)
+        ),
+        x AS (
+          SELECT doc_id, w, i, v,
+                 lag(v) OVER (PARTITION BY doc_id, w ORDER BY i) AS pv
+          FROM s
+        )
+        SELECT doc_id::BIGINT AS doc_id, w AS window_idx,
+               count(*)::BIGINT AS n_w,
+               round(sqrt(CAST(sum(v*v) AS DOUBLE) / count(*)), 6) AS rms,
+               CASE WHEN count(*) > 1 THEN
+                 round(CAST(count_if(pv IS NOT NULL AND pv * v < 0) AS DOUBLE)
+                       / (count(*) - 1), 6)
+               END AS zcr
+        FROM x GROUP BY doc_id, w
+        """,
+        doc="REAL audio feature extraction (the decode->featurize step a "
+        "multimodal corpus pipeline runs before model time): synthesized "
+        "PCM16 WAVs -> RIFF walk to raw int16 samples "
+        "(sources/multimodal.decode_wav_samples) -> per 256-sample window, "
+        "RMS energy and zero-crossing rate via numpy, Arrow-batched "
+        "mapInPandas. The signal is doc_id-derived "
+        "(s[i]=((doc_id*31+i*17)%2048)-1024), so DuckDB regenerates it "
+        "with generate_series and a lag() window and value-checks every "
+        "windowed feature — the decode, the windowing, and the math are "
+        "all end-to-end oracled. Map-only at any scale (no cross-window "
+        "state)",
+    )
+    def q_audio_frame_features(spark, sf_dir):
+        docs = ensure_parallelism(load(spark, sf_dir, "documents"))
+        feats = MM.audio_frame_features(MM.synthesize_audio_assets(docs), window=256)
+        return feats.select(
+            "doc_id",
+            "window_idx",
+            "n_w",
+            F.round("rms", 6).alias("rms"),
+            F.round("zcr", 6).alias("zcr"),
+        )
+
     def _multimodal_knn_frozen_sql() -> str:
         from ..operators import ivf_frozen as IVF
         from ..operators import similarity as S
@@ -7205,6 +7251,7 @@ _CHECK_PRIORITY = [
     "approx_host_counts_flagged",
     "video_pixel_stats",
     "sampled_join_hash_twin",
+    "audio_frame_features",
     # --- stale-signal refresh (VERDICT r4 item 3): the 7 Apache-log
     # tasks (RandomizedApacheLogAnalysis.java:54-111), last driver-checked
     # in round 2 — the oldest live signal in the catalog.

@@ -250,3 +250,55 @@ class TestVideoPixelDecode:
         b = MM.encode_avi_raw(16, 12, 4, 10, base=5)
         with _pytest.raises(ValueError, match="overruns the movi list"):
             MM.decode_avi_frames(b[:-100])
+
+
+class TestAudioFrameFeatures:
+    """Windowed RMS + zero-crossing rate over real decoded PCM16 samples."""
+
+    def test_known_signals(self, spark):
+        import struct
+
+        import numpy as np
+
+        def wav(samples):
+            data = np.asarray(samples, dtype="<i2").tobytes()
+            return (
+                b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+                + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+                + b"data" + struct.pack("<I", len(data)) + data
+            )
+
+        silence = [0] * 8
+        alternating = [100, -100] * 4          # sign flip at every step
+        constant = [50] * 8                    # no flips
+        df = spark.createDataFrame(
+            [(1, "audio", bytearray(wav(silence))),
+             (2, "audio", bytearray(wav(alternating))),
+             (3, "audio", bytearray(wav(constant)))],
+            ["doc_id", "modality", "content"],
+        )
+        rows = {r["doc_id"]: r for r in MM.audio_frame_features(df, window=8).collect()}
+        assert rows[1]["rms"] == 0.0 and rows[1]["zcr"] == 0.0
+        assert rows[2]["rms"] == 100.0 and rows[2]["zcr"] == 1.0
+        assert rows[3]["rms"] == 50.0 and rows[3]["zcr"] == 0.0
+        assert all(r["n_w"] == 8 and r["window_idx"] == 0 for r in rows.values())
+
+    def test_partial_last_window_and_single_sample(self, spark):
+        import struct
+
+        import numpy as np
+
+        data = np.asarray([10, -10, 10, -10, 7], dtype="<i2").tobytes()
+        b = (
+            b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+            + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+            + b"data" + struct.pack("<I", len(data)) + data
+        )
+        df = spark.createDataFrame([(9, "audio", bytearray(b))], ["doc_id", "modality", "content"])
+        rows = sorted(
+            MM.audio_frame_features(df, window=4).collect(), key=lambda r: r["window_idx"]
+        )
+        assert [r["n_w"] for r in rows] == [4, 1]
+        assert rows[0]["zcr"] == 1.0
+        assert rows[1]["zcr"] is None  # single-sample window: rate undefined
+        assert rows[1]["rms"] == 7.0
