@@ -315,6 +315,21 @@ AUDIO_FEATURE_SCHEMA = StructType(
 )
 
 
+def window_features(seg) -> tuple:
+    """(rms, zcr) of one int sample window — the single source of truth
+    for the per-window math, shared by the distributed extractor and
+    property-tested directly against an independent reference."""
+    import math
+
+    import numpy as np
+
+    seg = np.asarray(seg, dtype=np.int64)
+    n = len(seg)
+    rms = math.sqrt(float(int(np.dot(seg, seg))) / n)
+    zcr = int(np.sum(seg[:-1] * seg[1:] < 0)) / (n - 1) if n > 1 else None
+    return rms, zcr
+
+
 def audio_frame_features(assets: DataFrame, window: int = 256) -> DataFrame:
     """REAL audio feature extraction over decoded PCM16 samples: per
     non-overlapping window of ``window`` samples, the RMS energy
@@ -328,8 +343,6 @@ def audio_frame_features(assets: DataFrame, window: int = 256) -> DataFrame:
     Windows are per-asset (no cross-window state), so the operator maps
     over any partitioning — at 100 TB this is a map-only pass.
     """
-    import math
-
     import numpy as np
     import pandas as pd
 
@@ -343,18 +356,12 @@ def audio_frame_features(assets: DataFrame, window: int = 256) -> DataFrame:
                 s = samples.astype(np.int64)
                 for w in range(0, len(s), window):
                     seg = s[w : w + window]
-                    n_w = len(seg)
-                    rms = math.sqrt(float(int(np.dot(seg, seg))) / n_w)
-                    if n_w > 1:
-                        flips = int(np.sum(seg[:-1] * seg[1:] < 0))
-                        zcr = flips / (n_w - 1)
-                    else:
-                        zcr = None
+                    rms, zcr = window_features(seg)
                     rows.append(
                         {
                             "doc_id": doc_id,
                             "window_idx": w // window,
-                            "n_w": n_w,
+                            "n_w": len(seg),
                             "rms": rms,
                             "zcr": zcr,
                         }

@@ -75,3 +75,40 @@ def test_truncated_raw_avi_never_misdecodes(width, height, n_frames, base, cut):
         return
     for f, arr in enumerate(frames):
         assert np.all(arr[:, 0, 0] == (np.arange(height) + base + f) % 256)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    samples=st.lists(st.integers(-32768, 32767), min_size=1, max_size=600),
+    window=st.sampled_from([4, 16, 256]),
+)
+def test_audio_features_match_numpy_reference(samples, window):
+    """The distributed extractor's per-window math equals a directly-written
+    numpy reference on arbitrary PCM16 signals (any length, any window)."""
+    import math
+    import struct
+
+    data = np.asarray(samples, dtype="<i2").tobytes()
+    b = (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    rate, channels, decoded = MM.decode_wav_samples(b)
+    assert rate == 8000 and channels == 1
+    assert list(decoded) == samples
+
+    # independent pure-Python reference (no numpy vector ops) vs the
+    # operator's shared per-window math (window_features is exactly what
+    # the distributed extractor applies to each segment)
+    for w0 in range(0, len(samples), window):
+        seg = samples[w0 : w0 + window]
+        rms_ref = math.sqrt(sum(v * v for v in seg) / len(seg))
+        zcr_ref = (
+            sum(1 for a, b2 in zip(seg, seg[1:]) if a * b2 < 0) / (len(seg) - 1)
+            if len(seg) > 1
+            else None
+        )
+        got_rms, got_zcr = MM.window_features(seg)
+        assert got_rms == rms_ref
+        assert got_zcr == zcr_ref
