@@ -461,23 +461,37 @@ class SampledFrame:
             aggs.extend(_support_cols(min_support))
         return base.agg(*aggs)
 
-    def approx_mean(self, value_col: str, *group_cols: str, ci: bool = False, alias: str = "est_mean") -> DataFrame:
+    def approx_mean(
+        self,
+        value_col: str,
+        *group_cols: str,
+        ci: bool = False,
+        min_support: int | None = None,
+        alias: str = "est_mean",
+    ) -> DataFrame:
         """Grouped (or global) mean — ratio-free (scale cancels in the ratio
         of HT sums), documented deviation from count/sum estimators.
 
         CI: plain sample-mean half-width z * stddev / sqrt(n) — the sample
         IS a uniform random sample of the group, so classical inference
         applies directly (no HT correction needed for means).
+
+        ``min_support``: the same rare-group honesty contract as every
+        other grouped estimator (``n_sampled`` + ``low_support``).
         """
         est = F.avg(F.col(value_col)).alias(alias)
         base = self.df.groupBy(*[F.col(c) for c in group_cols]) if group_cols else self.df.groupBy()
-        if not (ci and self.ratio < 1.0):
-            return base.agg(est)
-        z = stats.z_score(self.config.confidence)
-        half = (
-            F.lit(z) * F.stddev(F.col(value_col)) / F.sqrt(F.count(F.col(value_col)))
-        ).alias(f"{alias}_ci")
-        return base.agg(est, half)
+        aggs = [est]
+        if ci and self.ratio < 1.0:
+            z = stats.z_score(self.config.confidence)
+            aggs.append(
+                (
+                    F.lit(z) * F.stddev(F.col(value_col)) / F.sqrt(F.count(F.col(value_col)))
+                ).alias(f"{alias}_ci")
+            )
+        if min_support is not None and self.ratio < 1.0:
+            aggs.extend(_support_cols(min_support))
+        return base.agg(*aggs)
 
     def approx_ratio(
         self,

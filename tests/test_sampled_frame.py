@@ -227,6 +227,13 @@ class TestSampledMode:
         sums = weighted_sum(s, "l_quantity", "l_returnflag", min_support=10**6).collect()
         assert all(r["low_support"] for r in sums)
 
+    def test_min_support_on_mean(self, lineitem):
+        sf = SampledFrame.from_dataframe(lineitem, SamplingConfig(ratio=0.05, seed=7), observe=False)
+        rows = sf.approx_mean("l_quantity", "l_returnflag", ci=True, min_support=10**6).collect()
+        assert all(r["low_support"] for r in rows)
+        rows_ok = sf.approx_mean("l_quantity", "l_returnflag", min_support=2).collect()
+        assert all(not r["low_support"] for r in rows_ok)
+
     def test_exact_mode_never_flags(self, lineitem):
         # ratio=1.0: estimates are exact, so no support flag even if asked
         sf = SampledFrame.from_dataframe(lineitem, SamplingConfig.exact(), observe=False)
