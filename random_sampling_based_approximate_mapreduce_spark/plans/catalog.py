@@ -7195,89 +7195,22 @@ def q_cohort_ltv_weekly(spark, sf_dir):
 # queries first, so every family gets an external signal each round.
 # Already-verified queries and rows-only variants go last.
 _CHECK_PRIORITY = [
-    # === ROUND 5 rotation (VERDICT r4 items 2-4). Cumulative driver state
-    # after r4 (from CORRECTNESS_r0{1..4}.json): 150 of 177 registered
-    # queries have a driver row; 27 value-oracled queries (all late-r4
-    # additions) have NEVER been driver-checked; the 7 Apache-log tasks
-    # were last checked in r2 (oldest live signal); 49 queries are r4
-    # hash-green (freshest, lowest re-check value); 15 queries are
-    # rows-only-by-nature and got their rows-signal by r3;
-    # word_count_byteblock_sampled got its first rows-signal in r4 and now
-    # RETIRES past the budget (VERDICT r4 item 4) so no graded slot is
-    # spent on a permanently `no_oracle` row — the head of this list is
-    # 100%% value-oracled and CORRECTNESS_r05 can be the first all-green
-    # driver file.
+    # === ROUND 6 rotation (VERDICT r5 item 1: drain the stale half of the
+    # catalog oldest-first). Cumulative driver state after r5 (from
+    # CORRECTNESS_r0{1..5}.json): all 181 registered queries have a driver
+    # row; the staleness histogram for the 165 value-oracled queries is
+    # r2: 30, r3: 36, r4: 49, r5: 50. With a 50-slot budget the r6 head is
+    # [new never-checked queries] + [all 30 of the r2 cohort] + [the first
+    # ~19 of the r3 cohort]; the remaining r3 queries lead the r7 head
+    # (they fit its budget whole, so every value-oracled query is
+    # re-checked within two rounds regardless of within-cohort order).
     #
-    # --- head (27): never-driver-checked value-oracled queries.
-    # Reference-family hash-sampled twins FIRST (VERDICT r4 item 2): each
-    # is the engine's parity artifact for a reference workload
-    # (RSMRResultComparator.java:66-70 HT scale-up in exact-deterministic
-    # form) and must get a driver row before anything else.
-    "word_count_hash_sampled",
-    "char_count_hash_sampled",
-    "log_host_hash_sampled",
-    "wireless_links_hash_sampled",
-    "xml_page_words_hash_sampled",
-    # remaining never-checked AQP twins (deterministic hash sampling)
-    "word_count_file_hash_sampled",
-    "stratified_events_hash_sampled",
-    "events_histogram_hash_sampled",
-    "order_price_quantiles_hash_sampled",
-    "retention_user_sampled",
-    # behavioral tail (8/8 spot-checked green by the r4 judge via
-    # check_oracle --only; driver signal still missing)
-    "events_rolling_wau",
-    "sessions_bounce_rate",
-    "cohort_ltv_weekly",
-    "purchase_attribution_last_touch",
-    "streaming_attribution_last_touch",
-    # ML-governance
-    "events_value_psi",
-    "streaming_value_psi",
-    "events_type_hour_chi2",
-    "docs_token_entropy_by_lang",
-    "lang_id_eval",
-    "embedding_dim_stats",
-    "price_quantity_regression",
-    # maintenance + corpus dashboard
-    "events_hourly_incremental",
-    "events_dedup_consecutive",
-    "corpus_dedup_summary",
-    # source round trips
-    "documents_orc_roundtrip",
-    "events_csv_roundtrip",
-    # --- round-5 NEW queries (value-oracled at registration; unknown
+    # --- head: round-6 NEW queries (value-oracled at registration; unknown
     # names are skipped harmlessly until they register)
-    "approx_host_counts_flagged",
-    "video_pixel_stats",
-    "sampled_join_hash_twin",
-    "audio_frame_features",
-    # --- stale-signal refresh (VERDICT r4 item 3): the 7 Apache-log
-    # tasks (RandomizedApacheLogAnalysis.java:54-111), last driver-checked
-    # in round 2 — the oldest live signal in the catalog.
-    "log_hack",
-    "log_host",
-    "log_dateweek",
-    "log_size",
-    "log_totalsize",
-    "log_pagesize",
-    "log_page",
-    # --- last green in r1 (rotated past the budget in r2/r3/r4)
-    "dedup_embedding",
-    "dedup_clusters",
-    "dedup_ngram_jaccard",
-    # --- last green in r2, oldest families first; with the 28-query head
-    # + 7 log tasks + 3 r1-stale, the ~50-slot budget reaches ~12 of
-    # these; the rest roll to round 6.
-    "wireless_link_pairs",
-    "events_hourly",
-    "user_sessions",
-    "events_asof_purchase",
-    "events_asof_next_purchase",
-    "events_in_campaigns",
-    "events_daily_pivot",
-    "events_ewma",
-    "hash_sampled_events",
+    "sampled_left_join_hash_twin",
+    # --- the r2 cohort (30): oldest driver signal in the catalog
+    # (streaming family, text-quality family, knn, multimodal decode,
+    # corpus-prep family, skew handling, zorder layout)
     "exact_k_event_sample",
     "weighted_sampled_tokens",
     "streaming_events_hourly",
@@ -7308,8 +7241,10 @@ _CHECK_PRIORITY = [
     "dedup_incremental",
     "events_zorder_buckets",
     "boilerplate_strip",
-    # ---- below here: past the harness budget. The 36 queries hash-green
-    # in r3, catalog source order.
+    # --- the r3 cohort (36): the 50-slot budget reaches ~19 of these
+    # (reference word/char/xml families, sampling report, TPC-H Q1/Q3,
+    # relational batch, JSON/props, bucketed join moved up per the r5
+    # verdict call-out); the rest lead the r7 head
     "word_count",
     "char_count",
     "xml_page_words",
@@ -7328,12 +7263,12 @@ _CHECK_PRIORITY = [
     "exists_subquery_customers",
     "events_grouping_sets",
     "events_props_json",
+    "bucketed_orders_join",
     "events_props_typed",
     "docs_partitioned_lang",
     "order_price_quantiles",
     "price_per_qty_hash_sampled",
     "salted_orders_join",
-    "bucketed_orders_join",
     "bloom_semi_join",
     "skewed_events_suggested_salts",
     "dedup_exact",
@@ -7346,8 +7281,8 @@ _CHECK_PRIORITY = [
     "customer_upsert",
     "dataset_split_md5",
     "docs_cap_per_lang",
-    # ---- the 49 queries hash-green in r4 (freshest signal, lowest
-    # re-check value), r4 check order.
+    # ---- below here: past the harness budget. The 49 queries hash-green
+    # in r4, r4 check order.
     "customer_rfm_segments",
     "event_transition_matrix",
     "orders_monthly_growth",
@@ -7397,9 +7332,61 @@ _CHECK_PRIORITY = [
     "events_daily_unpivot",
     "events_outlier_rate",
     "promo_share_hash_sampled",
+    # ---- the 50 queries hash-green in r5 (freshest signal, lowest
+    # re-check value), r5 check order.
+    "word_count_hash_sampled",
+    "char_count_hash_sampled",
+    "log_host_hash_sampled",
+    "wireless_links_hash_sampled",
+    "xml_page_words_hash_sampled",
+    "word_count_file_hash_sampled",
+    "stratified_events_hash_sampled",
+    "events_histogram_hash_sampled",
+    "order_price_quantiles_hash_sampled",
+    "retention_user_sampled",
+    "events_rolling_wau",
+    "sessions_bounce_rate",
+    "cohort_ltv_weekly",
+    "purchase_attribution_last_touch",
+    "streaming_attribution_last_touch",
+    "events_value_psi",
+    "streaming_value_psi",
+    "events_type_hour_chi2",
+    "docs_token_entropy_by_lang",
+    "lang_id_eval",
+    "embedding_dim_stats",
+    "price_quantity_regression",
+    "events_hourly_incremental",
+    "events_dedup_consecutive",
+    "corpus_dedup_summary",
+    "documents_orc_roundtrip",
+    "events_csv_roundtrip",
+    "approx_host_counts_flagged",
+    "video_pixel_stats",
+    "sampled_join_hash_twin",
+    "audio_frame_features",
+    "log_hack",
+    "log_host",
+    "log_dateweek",
+    "log_size",
+    "log_totalsize",
+    "log_pagesize",
+    "log_page",
+    "dedup_embedding",
+    "dedup_clusters",
+    "dedup_ngram_jaccard",
+    "wireless_link_pairs",
+    "events_hourly",
+    "user_sessions",
+    "events_asof_purchase",
+    "events_asof_next_purchase",
+    "events_in_campaigns",
+    "events_daily_pivot",
+    "events_ewma",
+    "hash_sampled_events",
     # ---- permanently rows-only-by-nature (engine RNG / approx sketches /
     # data-trained state; each tagged at its @register site). All got a
-    # driver rows-signal by r4 — a repeat no_oracle row carries no further
+    # driver rows-signal by r4 - a repeat no_oracle row carries no further
     # signal, so they close the list and never occupy graded slots.
     "word_count_byteblock_sampled",
     "approx_price_per_qty",
