@@ -5971,48 +5971,63 @@ def q_price_quantity_regression(spark, sf_dir):
     """
     WITH ex AS (
       SELECT unnest(generate_series(1, len(embedding))) - 1 AS dim,
-             CAST(unnest(embedding) AS DECIMAL(12,6)) AS v
+             CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS iv
       FROM embeddings
     )
     SELECT dim, count(*)::BIGINT AS n,
-           floor((CAST(sum(v) AS DOUBLE) / count(*)) * 1000000) / 1000000 AS mean,
+           floor((CAST(sum(CAST(iv AS DECIMAL(38,0))) AS DOUBLE) / count(*) / 1000000)
+                 * 1000000) / 1000000 AS mean,
            floor(sqrt(greatest(
-             CAST(sum(v * v) AS DOUBLE) / count(*)
-             - (CAST(sum(v) AS DOUBLE) / count(*))
-               * (CAST(sum(v) AS DOUBLE) / count(*)), 0.0)) * 1000000) / 1000000 AS std
+             CAST(sum(CAST(iv AS DECIMAL(38,0)) * iv) AS DOUBLE)
+               / count(*) / 1000000000000
+             - (CAST(sum(CAST(iv AS DECIMAL(38,0))) AS DOUBLE) / count(*) / 1000000)
+               * (CAST(sum(CAST(iv AS DECIMAL(38,0))) AS DOUBLE) / count(*) / 1000000),
+             0.0)) * 1000000) / 1000000 AS std
     FROM ex GROUP BY dim
     """,
     doc="Per-dimension mean/std profile of the embedding column — the "
     "feature-drift monitor a training pipeline runs on every vector "
     "ingest (a shifted dimension means a broken encoder). posexplode "
-    "fans each vector into (dim, value) rows; values cast to "
-    "DECIMAL(12,6) so the moment sums are exact and order-independent "
-    "(the events_outlier_rate discipline applied to a float vector "
-    "column), then one dim-key aggregate — map-side combine keeps the "
-    "shuffle at dims x partitions rows no matter how many vectors. "
-    "population-std formula with a greatest(,0) clamp mirrored in both "
-    "engines; sqrt is IEEE-exact on identical input. Outputs TRUNCATE "
-    "at 6dp (floor(x*1e6)/1e6) instead of round(): this dataset's dim-7 "
-    "std lands exactly on a .xxxxx5 rounding tie where Spark (HALF_UP) "
-    "and DuckDB disagree, and floor of an identical double never can",
+    "fans each vector into (dim, value) rows; each float is quantized "
+    "to INTEGER micro-units via floor(double(val)*1e6) — float->double "
+    "widening is exact and floor of an identical double is identical in "
+    "both engines, whereas a float->DECIMAL(12,6) CAST rounds per value "
+    "under engine-specific modes (Spark HALF_UP, DuckDB half-even) and "
+    "diverged on ~0.1%% of values (caught by the sf0.001 oracle run in "
+    "round 6: every per-dim decimal moment sum differed in the last "
+    "digit). Moment sums run over the integers (DECIMAL(38,0) "
+    "accumulator: iv^2 ~ 1e12, so a BIGINT sum would overflow near 9M "
+    "rows per dim — at 100 TB that is every dim), so they are exact and "
+    "order-independent; ONE cast to double at the end feeds identical "
+    "IEEE mean/std math, truncated at 6dp (floor, tie-free) in both "
+    "engines. One dim-key aggregate — map-side combine keeps the "
+    "shuffle at dims x partitions rows no matter how many vectors",
 )
 def q_embedding_dim_stats(spark, sf_dir):
     e = load(spark, sf_dir, "embeddings").select(
         F.posexplode("embedding").alias("dim", "val")
     )
-    v = F.col("val").cast("decimal(12,6)")
-    ex = e.select("dim", v.alias("v"))
+    iv = F.floor(F.col("val").cast("double") * F.lit(1000000.0)).cast("bigint")
+    ex = e.select("dim", iv.alias("iv"))
     n = F.count(F.lit(1))
-    sx = F.sum("v").cast("double")
-    sxx = F.sum(F.col("v") * F.col("v")).cast("double")
-    mean = sx / n
+    dec = F.col("iv").cast("decimal(38,0)")
+    sx = F.sum(dec).cast("double")
+    sxx = F.sum(dec * F.col("iv")).cast("double")
+    mean = sx / n / F.lit(1000000.0)
+
     def trunc6(col):
         return F.floor(col * F.lit(1000000.0)).cast("double") / F.lit(1000000.0)
 
     return ex.groupBy("dim").agg(
         n.alias("n"),
         trunc6(mean).alias("mean"),
-        trunc6(F.sqrt(F.greatest(sxx / n - mean * mean, F.lit(0.0)))).alias("std"),
+        trunc6(
+            F.sqrt(
+                F.greatest(
+                    sxx / n / F.lit(1_000_000_000_000.0) - mean * mean, F.lit(0.0)
+                )
+            )
+        ).alias("std"),
     )
 
 
