@@ -238,6 +238,38 @@ def weighted_sum(
     return base.agg(*aggs)
 
 
+def _is_metrics_missing_error(exc: Exception, key: str) -> bool:
+    """Classify a JVM-side Observation.get failure as
+    'metrics never materialized' (the zero-row-sample edge where AQE's
+    empty-relation propagation drops the CollectMetrics node).
+
+    Matching is deliberately on the error's OWN text, not the full
+    stringified stack trace: a bare substring like 'assert' would match
+    a scala.Predef frame in ANY task failure. Known shapes: the
+    CollectMetrics assertion (java.lang.AssertionError naming the node /
+    'observed metrics'), and the empty-metrics-map lookup
+    ('NoSuchElementException: key not found: <key>'). Probes the first
+    TWO lines plus the wrapped ``java_exception``: a raw Py4JJavaError's
+    own first line is just 'An error occurred while calling oNN.get.' —
+    the java exception text starts on line 2, and matching line 1 only
+    would re-raise the zero-row edge on py4j versions that don't convert
+    it (ADVICE r5).
+    """
+    lines = str(exc).splitlines() if str(exc) else []
+    probe = " ".join(lines[:2])
+    jexc = getattr(exc, "java_exception", None)
+    if jexc is not None:
+        jstr = str(jexc)
+        probe += " " + (jstr.splitlines()[0] if jstr else "")
+    return (
+        "CollectMetrics" in probe
+        or "observed metrics" in probe.lower()
+        or "java.lang.AssertionError" in probe
+        or ("key not found" in probe and key in probe)
+        or "NoSuchElementException" in type(exc).__name__
+    )
+
+
 _JOB_COUNTER = 0  # replaces the reference's ZK job-id znode sequencing (:264-288)
 
 
@@ -622,22 +654,8 @@ class SampledFrame:
                 # those fall back (ADVICE r4: a transient failure on a big
                 # input must not silently become a second full scan) —
                 # anything else (connection loss, interrupted job, OOM)
-                # re-raises. Matching is deliberately on the error's OWN
-                # text, not the full stringified stack trace: a bare
-                # substring like 'assert' would match a scala.Predef frame
-                # in ANY task failure. Known shapes: the CollectMetrics
-                # assertion (java.lang.AssertionError naming the node /
-                # 'observed metrics'), and the empty-metrics-map lookup
-                # ('NoSuchElementException: key not found: <key>').
-                first_line = str(exc).splitlines()[0] if str(exc) else ""
-                metrics_missing = (
-                    "CollectMetrics" in first_line
-                    or "observed metrics" in first_line.lower()
-                    or "java.lang.AssertionError" in first_line
-                    or ("key not found" in first_line and key in first_line)
-                    or "NoSuchElementException" in type(exc).__name__
-                )
-                if metrics_missing:
+                # re-raises.
+                if _is_metrics_missing_error(exc, key):
                     _warn_metric_fallback(key, exc)
                     return None
                 raise

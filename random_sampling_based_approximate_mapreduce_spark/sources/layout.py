@@ -102,6 +102,23 @@ def write_zordered(
     )
 
 
+_FOOTER_SAMPLE = 64
+
+
+def _footer_sample(paths: list) -> list:
+    """Evenly-strided sample of at most ``_FOOTER_SAMPLE`` paths.
+
+    Ceil-based stride so the bound actually holds: a floored stride
+    (``n // 64``) reads up to ~2x the budget — n=127 gives stride 1,
+    i.e. all 127 footers (ADVICE r5). The trailing slice guards the
+    one-over case ceil division can still produce.
+    """
+    n = len(paths)
+    if n <= _FOOTER_SAMPLE:
+        return paths
+    return paths[:: -(-n // _FOOTER_SAMPLE)][:_FOOTER_SAMPLE]
+
+
 def compact_files(
     spark,
     src: str,
@@ -150,8 +167,7 @@ def compact_files(
     # driver round trip per file, so SAMPLE a bounded number (size stats
     # are cheap; footers are not at 100k files on object storage) and
     # extrapolate — the cap is advisory, not exact
-    _FOOTER_SAMPLE = 64
-    sample = paths if n_in <= _FOOTER_SAMPLE else paths[:: max(1, n_in // _FOOTER_SAMPLE)]
+    sample = _footer_sample(paths)
     sampled_rows = sum(pq.ParquetFile(p).metadata.num_rows for p in sample)
     sampled_bytes = sum(os.path.getsize(p) for p in sample)
     rows_in = (

@@ -25,9 +25,22 @@ the incremental-rollup cache, ADVICE r4).
 from __future__ import annotations
 
 import os
+import re
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession
+
+
+def _pid_alive(pid: int) -> bool:
+    """True if ``pid`` is a live process (signal-0 probe; EPERM counts as
+    alive — it exists, we just don't own it)."""
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True
+    return True
 from pyspark.sql import functions as F
 
 # key columns to offset, per table (the TPC-H tables dbgen scales, plus
@@ -143,14 +156,19 @@ def ensure_scaled_tables(
         return dest
     # prune stale generations of THIS family only (same source + table
     # set, older data signature); other sources' and other table sets'
-    # replicas stay untouched, and in-flight staging dirs are skipped
+    # replicas stay untouched. In-flight staging dirs are skipped ONLY
+    # while their builder PID is alive — a builder that crashed mid-build
+    # would otherwise leak a multi-hundred-MB '.staging.<pid>' dir forever,
+    # the very accumulation this sweep exists to prevent (ADVICE r5).
     for name in os.listdir(cache_root):
-        if (
-            name.startswith(family)
-            and ".staging." not in name
-            and name != os.path.basename(dest)
-        ):
-            shutil.rmtree(os.path.join(cache_root, name), ignore_errors=True)
+        if not name.startswith(family) or name == os.path.basename(dest):
+            continue
+        m = re.search(r"\.staging\.(\d+)$", name)
+        if m:
+            pid = int(m.group(1))
+            if pid == os.getpid() or _pid_alive(pid):
+                continue  # an active builder owns it
+        shutil.rmtree(os.path.join(cache_root, name), ignore_errors=True)
 
     def _build(staging: str) -> None:
         os.makedirs(staging, exist_ok=True)

@@ -515,3 +515,53 @@ class TestEmptySampleReport:
         jobs_after = len(tracker.getJobIdsForGroup(None) or [])
         assert rep.total_records == 50  # old contract: sampled_records passthrough
         assert jobs_after == jobs_before  # zero jobs launched
+
+
+class TestMetricsMissingClassifier:
+    """ADVICE r5: both py4j error shapes of the zero-row CollectMetrics
+    edge must classify as metrics-missing; real failures must not."""
+
+    def _clf(self):
+        from random_sampling_based_approximate_mapreduce_spark.sampling.sampled_frame import (
+            _is_metrics_missing_error,
+        )
+
+        return _is_metrics_missing_error
+
+    def test_python_side_shapes(self):
+        clf = self._clf()
+        assert clf(Exception("java.lang.AssertionError: assertion failed"), "total_records")
+        assert clf(Exception("found no observed metrics for CollectMetrics"), "total_records")
+        assert clf(Exception("key not found: total_records"), "total_records")
+
+    def test_raw_py4j_shape_java_text_on_line_two(self):
+        clf = self._clf()
+        exc = Exception(
+            "An error occurred while calling o123.get.\n"
+            ": java.lang.AssertionError: assertion failed: "
+            "found no observed metrics\n\tat scala.Predef$.assert(...)"
+        )
+        assert clf(exc, "total_records")
+
+    def test_wrapped_java_exception_attribute(self):
+        clf = self._clf()
+
+        class FakePy4JJavaError(Exception):
+            java_exception = "java.util.NoSuchElementException: key not found: sampled_records"
+
+        exc = FakePy4JJavaError("An error occurred while calling o9.get.")
+        assert clf(exc, "sampled_records")
+
+    def test_real_failures_reraise(self):
+        clf = self._clf()
+        assert not clf(Exception("Connection reset by peer"), "total_records")
+        assert not clf(Exception("java.lang.OutOfMemoryError: Java heap space"), "total_records")
+        # an assert deep in a task stack trace (line 3+) must NOT match
+        exc = Exception(
+            "An error occurred while calling o5.collectToPython.\n"
+            ": org.apache.spark.SparkException: Job aborted\n"
+            "\tat scala.Predef$.assert(Predef.scala:223)"
+        )
+        assert not clf(exc, "total_records")
+        # key-not-found for a DIFFERENT key is not ours
+        assert not clf(Exception("key not found: some_other_metric"), "total_records")

@@ -107,3 +107,53 @@ class TestScaledDatabase:
             r["word"]: r["cnt"] for r in QUERIES["word_count"].spark(spark, d).collect()
         }
         assert big_words == {w: 2 * c for w, c in base_words.items()}
+
+
+class TestStagingPrune:
+    def test_dead_pid_staging_pruned_live_kept(self, spark, sf_dir, cache_root):
+        """A crashed builder's '.staging.<pid>' dir is swept once its pid is
+        dead; a live builder's staging dir survives (ADVICE r5)."""
+        import os
+
+        d = ensure_scaled_tables(
+            spark, sf_dir, ("events",), copies=2, cache_root=cache_root
+        )
+        family_prefix = os.path.basename(d).rsplit("_", 1)[0] + "_"
+        # fabricate: a stale generation, a dead-pid staging leak, and a
+        # live-pid (our own) staging dir of the same family
+        stale = os.path.join(cache_root, family_prefix + "deadbeef0000")
+        dead_staging = stale + ".staging.999999999"  # no such pid
+        live_staging = stale + f".staging.{os.getpid()}"
+        for p in (stale, dead_staging, live_staging):
+            os.makedirs(p, exist_ok=True)
+        # force a re-sweep: same family, same signature -> early return
+        # unless we remove the marker; instead call with the marker intact
+        # (sweep runs only when dest is unbuilt), so point at a NEW copies
+        # value to trigger the build path of a DIFFERENT family... simpler:
+        # delete the success marker to force the sweep+rebuild of THIS one.
+        os.remove(os.path.join(d, "_SUCCESS"))
+        d2 = ensure_scaled_tables(
+            spark, sf_dir, ("events",), copies=2, cache_root=cache_root
+        )
+        assert d2 == d
+        assert not os.path.exists(stale), "stale generation not pruned"
+        assert not os.path.exists(dead_staging), "dead-pid staging leaked"
+        assert os.path.exists(live_staging), "live builder's staging removed"
+        os.rmdir(live_staging)
+
+
+class TestFooterSampleBound:
+    def test_stride_honors_budget(self):
+        from random_sampling_based_approximate_mapreduce_spark.sources.layout import (
+            _FOOTER_SAMPLE,
+            _footer_sample,
+        )
+
+        for n in (1, 63, 64, 65, 100, 127, 128, 129, 1000, 100_000):
+            paths = [f"f{i}" for i in range(n)]
+            got = _footer_sample(paths)
+            assert len(got) <= _FOOTER_SAMPLE, (n, len(got))
+            if n >= _FOOTER_SAMPLE // 2:
+                assert len(got) >= _FOOTER_SAMPLE // 2, (n, len(got))
+            # evenly spread: first path always included, no duplicates
+            assert got[0] == "f0" and len(set(got)) == len(got)
