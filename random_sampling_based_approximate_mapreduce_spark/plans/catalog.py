@@ -2467,6 +2467,89 @@ def q_sampled_join_hash_twin(spark, sf_dir):
     return pairs.join(qty, "o_orderpriority")
 
 
+def _sampled_left_join_hash_twin_oracle() -> str:
+    from ..sampling.deterministic import hash_bernoulli_sql
+
+    keep_o = hash_bernoulli_sql("o_orderkey::VARCHAR", 0.2, seed=3)
+    keep_l = hash_bernoulli_sql(
+        "l_orderkey::VARCHAR || '-' || l_linenumber::VARCHAR", 0.5, seed=9
+    )
+    # mirrors join_weighted_left at (r1=0.2, r2=0.5): matched weight
+    # 1/(r1*r2)=10, per-kept-order null/correction weight (1-1/r2)^K/r1 =
+    # (-1)^K * 5. All moments are exact integer sums before ONE float
+    # multiply, so both engines produce identical doubles.
+    return f"""
+    WITH o AS (SELECT * FROM orders   WHERE {keep_o}),
+         l AS (SELECT * FROM lineitem WHERE {keep_l}),
+         k AS (SELECT o.o_orderkey, o.o_orderpriority,
+                      count(l.l_orderkey) AS kk
+               FROM o LEFT JOIN l ON o.o_orderkey = l.l_orderkey
+               GROUP BY 1, 2),
+         m AS (SELECT o.o_orderpriority, count(*)::BIGINT AS pairs,
+                      sum(l.l_quantity::BIGINT) AS qty
+               FROM o JOIN l ON o.o_orderkey = l.l_orderkey GROUP BY 1),
+         c AS (SELECT o_orderpriority,
+                      sum(CASE WHEN kk % 2 = 0 THEN 1 ELSE -1 END)::BIGINT
+                        AS corr
+               FROM k GROUP BY 1)
+    SELECT c.o_orderpriority,
+           CAST(coalesce(m.pairs, 0) * 10.0 + c.corr * 5.0 AS DOUBLE)
+             AS est_rows,
+           CAST(coalesce(m.qty, 0) * 10.0 AS DOUBLE) AS est_qty,
+           CAST(c.corr * 5.0 AS DOUBLE) AS est_unmatched
+    FROM c LEFT JOIN m USING (o_orderpriority)
+    """
+
+
+@register(
+    "sampled_left_join_hash_twin",
+    _sampled_left_join_hash_twin_oracle(),
+    doc="Weighted LEFT-join composition, value-oracled (VERDICT r5 item "
+    "4: the outer join join_sampled refuses, done right). Orders "
+    "hash-sampled at r1=0.2 (seed 3) LEFT-joined to lineitem "
+    "hash-sampled at r2=0.5 (line identity, seed 9) through "
+    "SampledFrame.join_weighted_left: matched pairs carry weight "
+    "1/(r1*r2)=10; every kept order also emits a null-extended row "
+    "with weight (1-1/r2)^K/r1 = (-1)^K*5 (K = its kept-match count), "
+    "which by E[(1-1/r2)^K] = 1{m=0} makes every weighted aggregate "
+    "unbiased for the population left join — including est_unmatched, "
+    "where the naive 1/r1 weighting would report a large positive count "
+    "for TPC-H's zero truly-lineitem-less orders and the signed "
+    "correction correctly hovers near zero. Weights at these ratios are "
+    "IEEE-exact (+/-5, 10) and every addend is an integer-valued "
+    "double, so sums are order-independent and both engines produce "
+    "identical doubles. The oracle replicates the estimator "
+    "arithmetic (matched*10 + (-1)^K*5) from first principles in SQL",
+    tags=("sampled",),
+)
+def q_sampled_left_join_hash_twin(spark, sf_dir):
+    from ..sampling.deterministic import hash_bernoulli
+
+    o = load(spark, sf_dir, "orders").withColumn(
+        "__k", F.col("o_orderkey").cast("string")
+    )
+    so_df = hash_bernoulli(o, "__k", 0.2, seed=3).drop("__k")
+    li = load(spark, sf_dir, "lineitem").withColumn(
+        "__k", F.concat_ws("-", F.col("l_orderkey"), F.col("l_linenumber"))
+    )
+    sl_df = hash_bernoulli(li, "__k", 0.5, seed=9).drop("__k")
+    so = SampledFrame(df=so_df, ratio=0.2, config=SamplingConfig(ratio=0.2, seed=3))
+    sl = SampledFrame(df=sl_df, ratio=0.5, config=SamplingConfig(ratio=0.5, seed=9))
+    w = so.join_weighted_left(sl, "o_orderkey", "l_orderkey")
+    return w.groupBy("o_orderpriority").agg(
+        F.sum("__weight").alias("est_rows"),
+        F.sum(
+            F.coalesce(F.col("l_quantity").cast("bigint"), F.lit(0))
+            * F.col("__weight")
+        ).alias("est_qty"),
+        F.sum(
+            F.when(F.col("l_orderkey").isNull(), F.col("__weight")).otherwise(
+                F.lit(0.0)
+            )
+        ).alias("est_unmatched"),
+    )
+
+
 def _price_per_qty_hash_sampled_oracle() -> str:
     from ..sampling.deterministic import hash_bernoulli_sql
 

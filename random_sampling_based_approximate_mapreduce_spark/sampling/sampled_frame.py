@@ -381,15 +381,16 @@ class SampledFrame:
         accordingly (1/(r1*r2) scale-up) — check ``low_support`` flags on
         grouped estimates before trusting rare groups.
 
-        Only inner joins compose cleanly: an outer join's null-extended
-        rows have inclusion probability r1 (not r1*r2), which would need
-        per-row weights; rejected here rather than silently mis-scaled.
+        Only inner joins compose into a single-ratio SampledFrame: an
+        outer join's rows have MIXED inclusion probabilities, so the
+        result needs per-row weights — ``join_weighted_left`` provides
+        exactly that (unbiased, including the null-extended stratum).
         """
         if how != "inner":
             raise ValueError(
                 f"sampled-join supports how='inner' only (got {how!r}): outer "
-                "rows have mixed inclusion probabilities; use stratified "
-                "per-row weights for that"
+                "rows have mixed inclusion probabilities; use "
+                "join_weighted_left for an unbiased per-row-weighted left join"
             )
         cfg = self.config
         return SampledFrame(
@@ -399,6 +400,93 @@ class SampledFrame:
             observation=None,
             sample_observation=None,
         )
+
+    def join_weighted_left(
+        self,
+        other: "SampledFrame",
+        left_on: str,
+        right_on: str,
+    ) -> DataFrame:
+        """LEFT equi-join of two independently-sampled frames with per-row
+        inclusion weights — the outer-join extension ``join_sampled``
+        refuses (VERDICT r5 item 4), made UNBIASED for the null stratum.
+
+        The naive weighting (matched rows 1/(r1*r2), null-extended rows
+        1/r1) is biased upward on the unmatched stratum whenever the
+        right side is sampled: a left row whose every match was dropped
+        by the right sample shows up null-extended even though the
+        population would match it, inflating 'unmatched' by
+        sum_l (1-r2)^m(l) over MATCHED left rows. The fix uses the
+        polynomial unbiased-indicator identity for K ~ Binomial(m, r2):
+
+            E[(1 - 1/r2)^K] = (1 - r2 + r2*(1-1/r2))^m = 0^m = 1{m=0}
+
+        so emitting, for EVERY kept left row, one null-extended row with
+        weight (1-1/r2)^K / r1 (K = its kept-match count; K=0 gives the
+        classical 1/r1, K>0 gives a signed correction row) makes
+        sum(__weight * g(row)) exactly unbiased for ANY estimand g over
+        the population left join — matched stratum via standard HT at
+        1/(r1*r2), null stratum via the identity above. At r2=1 the
+        correction weights vanish ((1-1/r2)=0, rows dropped) and the
+        composition degenerates to the classical exact-right case at
+        ratio r1.
+
+        Variance: correction weights scale as |1-1/r2|^K, which is <=1
+        iff r2 >= 0.5 — below that the unmatched estimator is still
+        unbiased but its variance grows geometrically in K; a warning is
+        emitted. Aggregate with ``weighted_count``/``weighted_sum``
+        (they honor ``min_support``); group only by LEFT columns (right
+        columns are NULL on correction rows by construction).
+
+        100 TB shape: two equi-shuffles on the join key — the pair join
+        and a per-key count aggregate whose output is one row per
+        DISTINCT right key (small; AQE typically broadcasts it back).
+        No driver materialization, no skew beyond the join's own.
+        """
+        overlap = set(self.df.columns) & set(other.df.columns)
+        if overlap:
+            raise ValueError(
+                f"join_weighted_left requires disjoint column names; rename "
+                f"overlapping columns first: {sorted(overlap)}"
+            )
+        r1, r2 = self.ratio, other.ratio
+        if r2 < 0.5:
+            import warnings
+
+            warnings.warn(
+                f"join_weighted_left with right ratio {r2} < 0.5: the "
+                "null-stratum correction weights |1-1/r2|^K exceed 1, so "
+                "unmatched-side estimates are unbiased but high-variance; "
+                "prefer sampling the LEFT side harder and the right side "
+                "at >= 0.5",
+                stacklevel=2,
+            )
+        t = 0.0 if r2 >= 1.0 else 1.0 - 1.0 / r2
+        left_cols = self.df.columns
+        right_cols = other.df.columns
+        matched = (
+            self.df.join(other.df, F.col(left_on) == F.col(right_on), "inner")
+            .withColumn("__weight", F.lit(1.0 / (r1 * r2)))
+            .select(*left_cols, *right_cols, "__weight")
+        )
+        counts = other.df.groupBy(F.col(right_on).alias("__rk")).agg(
+            F.count(F.lit(1)).alias("__k")
+        )
+        lk = self.df.join(counts, F.col(left_on) == F.col("__rk"), "left")
+        k = F.coalesce(F.col("__k"), F.lit(0)).cast("double")
+        right_schema = {f.name: f.dataType for f in other.df.schema.fields}
+        null_rows = (
+            lk.select(
+                *left_cols,
+                *[
+                    F.lit(None).cast(right_schema[c]).alias(c)
+                    for c in right_cols
+                ],
+                (F.pow(F.lit(t), k) / F.lit(r1)).alias("__weight"),
+            )
+            .where(F.col("__weight") != 0)
+        )
+        return matched.unionByName(null_rows)
 
     # -- estimator-aware aggregations ------------------------------------
 

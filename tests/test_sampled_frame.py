@@ -565,3 +565,154 @@ class TestMetricsMissingClassifier:
         assert not clf(exc, "total_records")
         # key-not-found for a DIFFERENT key is not ours
         assert not clf(Exception("key not found: some_other_metric"), "total_records")
+
+
+class TestJoinWeightedLeft:
+    """Unbiased weighted LEFT-join composition (VERDICT r5 item 4).
+
+    Population: 60 left rows with match multiplicity m in {0,1,2,3}
+    against a right table; 15 rows are truly unmatched. Ground truth for
+    the left join: rows = sum(m for m>0) + #unmatched, unmatched = 15.
+    """
+
+    M_PATTERN = (0, 1, 2, 3)  # repeating multiplicities
+
+    @pytest.fixture(scope="class")
+    def population(self, spark):
+        left = [(i, self.M_PATTERN[i % 4]) for i in range(60)]
+        right = [
+            (i, j, 10 * i + j)
+            for i, m in left
+            for j in range(m)
+        ]
+        ldf = spark.createDataFrame(left, ["lkey", "m"])
+        rdf = spark.createDataFrame(right, ["rkey", "j", "val"])
+        truth_rows = sum(m for _, m in left if m > 0) + sum(1 for _, m in left if m == 0)
+        truth_unmatched = sum(1 for _, m in left if m == 0)
+        truth_val = sum(v for _, _, v in right)
+        return ldf, rdf, truth_rows, truth_unmatched, truth_val
+
+    def _weighted(self, ldf, rdf, r1, r2, seed):
+        # true per-row Bernoulli via rand(seed) — the statistical model the
+        # estimator's unbiasedness proof assumes (hash sampling is the
+        # production twin; the catalog query value-oracles that path)
+        sl = SampledFrame(
+            df=ldf.where(F.rand(seed) < r1) if r1 < 1.0 else ldf,
+            ratio=r1,
+            config=SamplingConfig(ratio=r1, seed=seed),
+        )
+        sr = SampledFrame(
+            df=rdf.where(F.rand(seed + 7919) < r2) if r2 < 1.0 else rdf,
+            ratio=r2,
+            config=SamplingConfig(ratio=r2, seed=seed),
+        )
+        return sl.join_weighted_left(sr, "lkey", "rkey")
+
+    def test_exact_right_degenerates_to_classical(self, spark, population):
+        ldf, rdf, truth_rows, truth_unmatched, truth_val = population
+        sl = SampledFrame(df=ldf, ratio=1.0, config=SamplingConfig(ratio=1.0))
+        sr = SampledFrame(df=rdf, ratio=1.0, config=SamplingConfig(ratio=1.0))
+        w = sl.join_weighted_left(sr, "lkey", "rkey")
+        rows = w.collect()
+        # exact mode: plain left join, every weight exactly 1.0
+        assert len(rows) == truth_rows
+        assert all(r["__weight"] == 1.0 for r in rows)
+        assert sum(1 for r in rows if r["rkey"] is None) == truth_unmatched
+
+    def test_fixed_sample_weights_match_hand_computation(self, spark, population):
+        ldf, rdf, *_ = population
+        r1, r2, seed = 0.5, 0.5, 11
+        kept_l = {r["lkey"] for r in ldf.where(F.rand(seed) < r1).collect()}
+        kept_r = [
+            (r["rkey"], r["j"]) for r in rdf.where(F.rand(seed + 7919) < r2).collect()
+        ]
+        w = self._weighted(ldf, rdf, r1, r2, seed).collect()
+        # matched rows: exactly the kept pairs, weight 1/(r1*r2) = 4
+        matched = [(r["lkey"], r["j"]) for r in w if r["rkey"] is not None]
+        expect_matched = sorted((k, j) for (k, j) in kept_r if k in kept_l)
+        assert sorted(matched) == expect_matched
+        assert all(
+            r["__weight"] == 1.0 / (r1 * r2) for r in w if r["rkey"] is not None
+        )
+        # null rows: one per kept left row (t=-1 never zeroes), weight (-1)^K/r1
+        from collections import Counter
+
+        k_of = Counter(k for (k, _) in kept_r)
+        nulls = {r["lkey"]: r["__weight"] for r in w if r["rkey"] is None}
+        assert set(nulls) == kept_l
+        for lkey, wt in nulls.items():
+            assert wt == ((-1.0) ** k_of.get(lkey, 0)) / r1
+
+    def test_unbiased_over_seeds_and_naive_is_not(self, spark, population):
+        """Mean over 40 seeds: corrected estimator lands on the truth for
+        rows/unmatched/value-sum; the naive 1/r1 null weighting
+        overstates unmatched by ~sum((1-r2)^m) over matched lefts."""
+        ldf, rdf, truth_rows, truth_unmatched, truth_val = population
+        r1, r2 = 0.5, 0.5
+        seeds = range(40)
+        frames = []
+        for s in seeds:
+            w = self._weighted(ldf, rdf, r1, r2, s).withColumn("__seed", F.lit(s))
+            frames.append(w)
+        allw = frames[0]
+        for f in frames[1:]:
+            allw = allw.unionByName(f)
+        per_seed = (
+            allw.groupBy("__seed")
+            .agg(
+                F.sum("__weight").alias("est_rows"),
+                F.sum(
+                    F.when(F.col("rkey").isNull(), F.col("__weight")).otherwise(0.0)
+                ).alias("est_unmatched"),
+                F.sum(
+                    F.coalesce(F.col("val").cast("double"), F.lit(0.0))
+                    * F.col("__weight")
+                ).alias("est_val"),
+            )
+            .collect()
+        )
+        # the naive estimator weights every SAMPLE-null-extended row (K=0:
+        # its left key has no matched output row) at 1/r1 — identify K=0
+        # rows by anti-joining nulls against matched keys per seed
+        matched_keys = (
+            allw.where(F.col("rkey").isNotNull())
+            .select("__seed", "lkey")
+            .distinct()
+        )
+        naive_rows = (
+            allw.where(F.col("rkey").isNull())
+            .select("__seed", "lkey")
+            .join(matched_keys, ["__seed", "lkey"], "left_anti")
+            .groupBy("__seed")
+            .count()
+            .collect()
+        )
+        n = len(per_seed)
+        mean_rows = sum(r["est_rows"] for r in per_seed) / n
+        mean_unmatched = sum(r["est_unmatched"] for r in per_seed) / n
+        mean_naive = sum(r["count"] for r in naive_rows) / r1 / n
+        mean_val = sum(r["est_val"] for r in per_seed) / n
+        assert abs(mean_rows - truth_rows) / truth_rows < 0.12
+        assert abs(mean_val - truth_val) / truth_val < 0.15
+        assert abs(mean_unmatched - truth_unmatched) / truth_unmatched < 0.25
+        # the naive estimator's expected bias here: matched lefts kept at
+        # r1 whose every match was dropped: E = sum over m>0 of (1-r2)^m
+        # = 15*(0.5 + 0.25 + 0.125) = 13.1 extra on a truth of 15 — the
+        # naive mean must sit clearly above truth AND above the corrected
+        expected_naive = truth_unmatched + 15 * ((1 - r2) + (1 - r2) ** 2 + (1 - r2) ** 3)
+        assert mean_naive > truth_unmatched * 1.5
+        assert abs(mean_naive - expected_naive) / expected_naive < 0.25
+        assert abs(mean_unmatched - truth_unmatched) < abs(mean_naive - truth_unmatched)
+
+    def test_low_right_ratio_warns(self, spark, population):
+        ldf, rdf, *_ = population
+        import warnings as _w
+
+        with pytest.warns(UserWarning, match="0.5"):
+            self._weighted(ldf, rdf, 0.5, 0.25, 1)
+
+    def test_overlapping_columns_rejected(self, spark, population):
+        ldf, _, *_ = population
+        sl = SampledFrame(df=ldf, ratio=0.5, config=SamplingConfig(ratio=0.5))
+        with pytest.raises(ValueError, match="disjoint"):
+            sl.join_weighted_left(sl, "lkey", "lkey")
