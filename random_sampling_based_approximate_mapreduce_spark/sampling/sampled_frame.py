@@ -206,6 +206,7 @@ def weighted_count(
     df: DataFrame,
     *group_cols: str,
     min_support: int | None = None,
+    ci_confidence: float | None = None,
     alias: str = "est_count",
 ) -> DataFrame:
     """HT count estimate from a ``__weight``-carrying frame.
@@ -214,9 +215,26 @@ def weighted_count(
     estimators (``n_sampled`` + ``low_support`` from the exact per-group
     sampled row count) — stratification REDUCES the risk by design, but a
     group spanning multiple strata can still land a thin sample.
+
+    ``ci_confidence``: when set (e.g. 0.95), adds ``{alias}_ci`` — the
+    normal-approximation half-width from the standard HT variance
+    ESTIMATOR for per-row inclusion weights w_i = 1/pi_i under
+    independent (Poisson/Bernoulli-per-stratum) sampling:
+    V^ = sum_sampled w_i*(w_i - 1), i.e. each sampled row contributes
+    (1-pi_i)/pi_i^2. For uniform weights w = 1/r this reduces exactly to
+    ``approx_count``'s n*(1-r)/r^2 form, so the two CI surfaces agree on
+    their overlap. One aggregation pass; coverage property-tested across
+    100 seeds in tests/test_sampled_frame.py.
     """
     base = df.groupBy(*[F.col(c) for c in group_cols]) if group_cols else df.groupBy()
     aggs = [F.sum("__weight").alias(alias)]
+    if ci_confidence is not None:
+        z = stats.z_score(ci_confidence)
+        w = F.col("__weight")
+        aggs.append(
+            (F.lit(z) * F.sqrt(F.greatest(F.sum(w * (w - F.lit(1.0))), F.lit(0.0))))
+            .alias(f"{alias}_ci")
+        )
     if min_support is not None:
         aggs.extend(_support_cols(min_support))
     return base.agg(*aggs)
@@ -227,12 +245,25 @@ def weighted_sum(
     value_col: str,
     *group_cols: str,
     min_support: int | None = None,
+    ci_confidence: float | None = None,
     alias: str = "est_sum",
 ) -> DataFrame:
     """HT sum estimate from a ``__weight``-carrying frame (rare-group
-    flags as in ``weighted_count``)."""
+    flags as in ``weighted_count``; ``ci_confidence`` adds the HT
+    variance-estimator half-width V^ = sum_sampled x_i^2*w_i*(w_i - 1),
+    the value-weighted analogue of ``weighted_count``'s CI)."""
     base = df.groupBy(*[F.col(c) for c in group_cols]) if group_cols else df.groupBy()
+    x = F.col(value_col).cast("double")
     aggs = [F.sum(F.col(value_col) * F.col("__weight")).alias(alias)]
+    if ci_confidence is not None:
+        z = stats.z_score(ci_confidence)
+        w = F.col("__weight")
+        aggs.append(
+            (
+                F.lit(z)
+                * F.sqrt(F.greatest(F.sum(x * x * w * (w - F.lit(1.0))), F.lit(0.0)))
+            ).alias(f"{alias}_ci")
+        )
     if min_support is not None:
         aggs.extend(_support_cols(min_support))
     return base.agg(*aggs)
@@ -380,6 +411,14 @@ class SampledFrame:
         and every downstream HT estimator stays unbiased. Variance grows
         accordingly (1/(r1*r2) scale-up) — check ``low_support`` flags on
         grouped estimates before trusting rare groups.
+
+        CI caveat: the estimators' intervals assume pair survivals are
+        independent, which holds only when join keys are (near-)unique on
+        at least one side. Pairs sharing a row are positively correlated,
+        so on hot keys the stated CI UNDERSTATES the real spread (at
+        multiplicity 5 / r1=0.4 / r2=0.5 the true std is ~sqrt(2) of the
+        CI-implied one — pinned by the seed-sweep coverage tests). The
+        point estimates stay unbiased either way.
 
         Only inner joins compose into a single-ratio SampledFrame: an
         outer join's rows have MIXED inclusion probabilities, so the
