@@ -23,14 +23,42 @@ mismatch ('N' rows) instead of hiding it; per-group CIs
 Usage:
   python tools/accuracy_sweep.py [--sf /root/testdata/sf0.1]
       [--ratios 1.0,0.5,0.25,0.1,0.01] [--query word_count|log_host|events]
+      [--all] [--out ACCURACY_r06.json] [--gate]
 
-Prints one human table and one JSON line.
+Prints one human table and one JSON line per query.
+
+Per-round ratchet (VERDICT r5 item 3): ``--all --out ACCURACY_r{N}.json
+--gate`` runs the full reference grid (README.md:48 ratios) over all three
+experiments and commits the numbers as a round artifact, exiting nonzero
+if any gate fails. Two error columns per run, because they bound
+DIFFERENT estimands:
+
+- ``actual_err`` — the reference's measured metric: grouped relative L1
+  of HT-scaled counts vs exact (RSMRResultComparator.java:66-82). The
+  reference accepts it against the GLOBAL bound, which the HONESTY NOTE
+  shows is the wrong yardstick for grouped error; the gate instead uses
+  the CORRECT closed form for its expectation under Bernoulli(r):
+  per-group count error is ~N(0, N_g(1-r)/r), so
+  E[relL1] = sqrt(2/pi) * sqrt((1-r)/r) * sum_g sqrt(N_g) / N_total —
+  computed exactly from the exact counts. Gated at
+  ``actual_err <= 3 * expected_grouped_err`` (the ratio is ~1 for
+  many-group families; small-K families like events (K=5) see +/-35%
+  relative noise per realization, still far inside 3x). The
+  reference-style flag vs the global bound is still RECORDED as ``ok``
+  so the caveat stays visible, but it is not gated — at r=0.01 it fails
+  by design for every many-group family.
+- ``max_share_z`` — per-group SHARE errors standardized by their own
+  binomial std sqrt(p(1-p)(1-r)/n_total); the gate bounds the max over
+  groups at 4.5 (Bonferroni-safe up to ~30k groups at 95%). This is the
+  estimand A4's p=0.5 proportion bound actually covers; the raw
+  ``max_share_err`` and the A4 comparison are recorded alongside.
 """
 
 from __future__ import annotations
 
 import argparse
 import json
+import math
 import os
 import sys
 import time
@@ -94,47 +122,103 @@ def run_once(spark, sf_dir: str, table: str, pipeline, ratio: float):
     return rows, wall, rep
 
 
-def main() -> None:
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--sf", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
-    ap.add_argument("--ratios", default="1.0,0.5,0.25,0.1,0.01")
-    ap.add_argument("--query", default="word_count", choices=sorted(EXPERIMENTS))
-    args = ap.parse_args()
-    ratios = [float(r) for r in args.ratios.split(",")]
-
-    spark = get_spark("rsmr-accuracy-sweep")
-    spark.sparkContext.setLogLevel("ERROR")
-    table, pipeline = EXPERIMENTS[args.query]
+def sweep_query(spark, sf: str, query: str, ratios: list[float]) -> dict:
+    table, pipeline = EXPERIMENTS[query]
 
     # warmup (JVM + codegen), then the exact baseline
-    run_once(spark, args.sf, table, pipeline, 1.0)
-    base_rows, base_wall, base_rep = run_once(spark, args.sf, table, pipeline, 1.0)
+    run_once(spark, sf, table, pipeline, 1.0)
+    base_rows, base_wall, base_rep = run_once(spark, sf, table, pipeline, 1.0)
     base_df = spark.createDataFrame(base_rows).select("key", F.col("cnt").cast("double"))
+    base_counts = {r["key"]: r["cnt"] for r in base_rows}
+    base_total = sum(base_counts.values())
 
-    print(f"query={args.query} table={table} sf={args.sf} exact_wall={base_wall:.3f}s "
+    print(f"query={query} table={table} sf={sf} exact_wall={base_wall:.3f}s "
           f"total_records={base_rep.total_records}")
     print(f"{'ratio':>7} {'wall_s':>8} {'speedup':>8} {'actual_rate':>12} "
-          f"{'predicted_err':>14} {'actual_err':>11} {'ok':>3}")
-    out = {"query": args.query, "sf": args.sf, "exact_wall_s": round(base_wall, 3), "runs": []}
+          f"{'predicted_err':>14} {'actual_err':>11} {'exp_grouped':>12} "
+          f"{'max_share_z':>11} {'ok':>3} {'gok':>4} {'sok':>4}")
+    out = {"query": query, "sf": sf, "exact_wall_s": round(base_wall, 3), "runs": []}
     for r in ratios:
         if r >= 1.0:
             continue
-        rows, wall, rep = run_once(spark, args.sf, table, pipeline, r)
+        rows, wall, rep = run_once(spark, sf, table, pipeline, r)
         approx = spark.createDataFrame(rows).select(
             "key", (F.col("cnt") / F.lit(r)).alias("est")
         )
         err = rel_l1_error(base_df, approx, "key", exact_col="cnt", approx_col="est")
         predicted = rep.achieved_error
-        ok = err <= max(predicted, 0.02) * 3  # 3x slack: rel-L1 sums many groups
+        ok = err <= max(predicted, 0.02) * 3  # reference-style flag (recorded only)
+        # correct expected grouped rel-L1 under Bernoulli(r) (module doc)
+        expected_grouped = (
+            (2.0 / math.pi) ** 0.5
+            * ((1.0 - r) / r) ** 0.5
+            * sum(c ** 0.5 for c in base_counts.values())
+            / base_total
+        )
+        grouped_ok = err <= 3.0 * expected_grouped
+        # per-group share errors standardized by their binomial std
+        got = {row["key"]: row["cnt"] for row in rows}
+        s_total = sum(got.values()) or 1
+        max_share_err = 0.0
+        max_share_z = 0.0
+        for k, c in base_counts.items():
+            p = c / base_total
+            e = abs(got.get(k, 0) / s_total - p)
+            max_share_err = max(max_share_err, e)
+            denom = (p * (1 - p) * (1 - r) / max(s_total, 1)) ** 0.5
+            if denom > 0:
+                max_share_z = max(max_share_z, e / denom)
+        share_ok = max_share_z <= 4.5
         print(f"{r:>7} {wall:>8.3f} {base_wall / wall:>7.2f}x {rep.actual_ratio:>12.4f} "
-              f"{predicted:>14.5f} {err:>11.5f} {'y' if ok else 'N'}")
+              f"{predicted:>14.5f} {err:>11.5f} {expected_grouped:>12.5f} "
+              f"{max_share_z:>11.2f} {'y' if ok else 'N'} {'y' if grouped_ok else 'N'} "
+              f"{'y' if share_ok else 'N'}")
         out["runs"].append(
             {"ratio": r, "wall_s": round(wall, 3), "speedup": round(base_wall / wall, 2),
              "actual_rate": round(rep.actual_ratio, 5), "predicted_err": round(predicted, 6),
-             "actual_err": round(err, 6), "ok": bool(ok)}
+             "actual_err": round(err, 6), "ok": bool(ok),
+             "expected_grouped_err": round(expected_grouped, 6),
+             "grouped_ok": bool(grouped_ok),
+             "max_share_err": round(max_share_err, 6),
+             "max_share_z": round(max_share_z, 3), "share_ok": bool(share_ok)}
         )
     print(json.dumps(out))
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument("--ratios", default="1.0,0.5,0.25,0.1,0.01")
+    ap.add_argument("--query", default="word_count", choices=sorted(EXPERIMENTS))
+    ap.add_argument("--all", action="store_true", help="sweep every experiment")
+    ap.add_argument("--out", default=None, help="write the combined JSON artifact here")
+    ap.add_argument("--gate", action="store_true",
+                    help="exit 1 if any run fails ok (3x-slack rel-L1) or share_ok")
+    args = ap.parse_args()
+    ratios = [float(r) for r in args.ratios.split(",")]
+
+    spark = get_spark("rsmr-accuracy-sweep")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = sorted(EXPERIMENTS) if args.all else [args.query]
+    results = [sweep_query(spark, args.sf, q, ratios) for q in queries]
+    doc = {"sf": args.sf, "ratios": ratios, "seed": 123, "queries": results}
+    if args.out:
+        with open(args.out, "w") as fh:
+            json.dump(doc, fh, indent=1)
+        print(f"wrote {args.out}")
     spark.stop()
+    if args.gate:
+        bad = [
+            (q["query"], run["ratio"], "grouped" if not run["grouped_ok"] else "share")
+            for q in results
+            for run in q["runs"]
+            if not (run["grouped_ok"] and run["share_ok"])
+        ]
+        if bad:
+            print(f"ACCURACY GATE FAILED: {bad}")
+            sys.exit(1)
+        print("accuracy gate: all runs within bounds")
 
 
 if __name__ == "__main__":
