@@ -19,8 +19,17 @@ corpus grows and the N^2 term dominates.
 
 Both plans must find the SAME planted pair count — printed as a check.
 
+Round-6 extension (VERDICT r5 item 5): default sizes are now the
+10x/40x/100x multiples of the sf0.1 documents table (5,000 docs ->
+50k/200k/500k) so the dedup family joins the TPC-H/reference families on
+the measured scaling curve (docs/SCALE.md), and at the LARGEST size the
+connected-components distributed fallback is exercised explicitly
+(driver_threshold=0 forces the min-label loop on the same edge list;
+cluster count must match the driver union-find path) — the 1M-edge probe
+boundary is otherwise never crossed by honest near-dup pair lists.
+Emits one JSON line for the SCALE.md table.
+
 Usage: python tools/measure_dedup_scale.py [sizes_csv]
-Default sizes: 20000,100000,300000 (all-pairs skipped above 100k).
 Deterministic generation (hash words, no RNG).
 """
 
@@ -32,7 +41,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-SIZES = [int(s) for s in (sys.argv[1].split(",") if len(sys.argv) > 1 else ["20000", "50000", "200000"])]
+SIZES = [int(s) for s in (sys.argv[1].split(",") if len(sys.argv) > 1 else ["50000", "200000", "500000"])]
 ALLPAIRS_MAX = 50_000
 WORDS_PER_DOC = 100
 VOCAB = 50_000
@@ -71,7 +80,7 @@ def corpus(spark, n: int):
     )
 
 
-def run(docs, blocked: bool) -> tuple[float, int, int]:
+def run(docs, blocked: bool) -> tuple[float, int, int, "DataFrame"]:
     from random_sampling_based_approximate_mapreduce_spark.operators import dedup as D
 
     t0 = time.monotonic()
@@ -83,29 +92,53 @@ def run(docs, blocked: bool) -> tuple[float, int, int]:
     n_pairs = pairs.count()
     comps = D.connected_components(pairs)
     n_comps = comps.count()
-    return time.monotonic() - t0, n_pairs, n_comps
+    return time.monotonic() - t0, n_pairs, n_comps, pairs
 
 
 def main():
+    import json
+
+    from random_sampling_based_approximate_mapreduce_spark.operators import dedup as D
     from random_sampling_based_approximate_mapreduce_spark.session import get_spark
 
     spark = get_spark("measure-dedup", master=f"local[{os.cpu_count()}]")
+    out = {"sizes": []}
     for n in SIZES:
         docs = corpus(spark, n).localCheckpoint(eager=True)  # exclude gen cost
         expect_pairs = len([i for i in range(n) if i % 5 == 1])
-        b_wall, b_pairs, b_comps = run(docs, blocked=True)
+        b_wall, b_pairs, b_comps, pairs = run(docs, blocked=True)
+        rec = {
+            "n_docs": n, "planted": expect_pairs,
+            "blocked_wall_s": round(b_wall, 1), "pairs": b_pairs,
+            "recall": round(b_pairs / max(expect_pairs, 1), 4), "comps": b_comps,
+        }
         line = (
             f"n={n:>7,}  planted={expect_pairs:,}  "
             f"blocked: {b_wall:6.1f}s ({b_pairs:,} pairs, recall "
             f"{b_pairs / max(expect_pairs, 1):.3f}, {b_comps:,} comps)"
         )
         if n <= ALLPAIRS_MAX:
-            a_wall, a_pairs, a_comps = run(docs, blocked=False)
+            a_wall, a_pairs, a_comps, _ = run(docs, blocked=False)
             line += f"  all-pairs: {a_wall:6.1f}s ({a_pairs:,} pairs)"
+            rec["allpairs_wall_s"] = round(a_wall, 1)
+            rec["allpairs_pairs"] = a_pairs
         else:
             line += "  all-pairs: skipped (quadratic)"
+        if n == max(SIZES):
+            # force the distributed min-label loop on the SAME edge list
+            # (driver_threshold=0) — proves the >1M-edge path produces the
+            # identical clustering and records its cost at the largest size
+            t0 = time.monotonic()
+            d_comps = D.connected_components(pairs, driver_threshold=0).count()
+            d_wall = time.monotonic() - t0
+            assert d_comps == b_comps, (d_comps, b_comps)
+            line += f"  CC-distributed: {d_wall:6.1f}s ({d_comps:,} comps, matches driver path)"
+            rec["cc_distributed_wall_s"] = round(d_wall, 1)
+            rec["cc_distributed_comps"] = d_comps
         print(line, flush=True)
+        out["sizes"].append(rec)
         docs.unpersist()
+    print(json.dumps(out), flush=True)
 
 
 if __name__ == "__main__":
