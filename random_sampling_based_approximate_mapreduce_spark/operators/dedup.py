@@ -381,10 +381,23 @@ def ngram_jaccard_verify(
 
     The scale composition: LSH blocking (minhash_lsh_candidates) bounds
     the pair list, then this verifies each candidate with the exact
-    measure — intersection via a shingle equi-join restricted to
-    candidate docs, set sizes joined back. Work is O(candidate docs'
-    shingles), never O(N^2): the all-pairs ngram_jaccard_pairs sweep
-    stays as the tiny-input oracle baseline.
+    measure: the candidate pair list is joined to each side's DISTINCT
+    shingle ARRAY and the intersection is ``size(array_intersect())``
+    per pair — work is strictly O(pairs x shingles-per-doc), linear in
+    the candidate list.
+
+    Round-6 scale finding: the previous form exploded shingles and
+    self-joined them across all CANDIDATE DOCS (filtering to candidate
+    pairs only after the groupBy). On a Zipf-ish corpus a hot shingle
+    appears in a constant FRACTION of docs, so that equi-join's output
+    is sum_s f_s^2 — QUADRATIC in corpus size despite the LSH bound on
+    pairs. Measured on the planted-dup corpus
+    (tools/measure_dedup_scale.py): 50k docs 4.8 s, 200k 73 s, 500k
+    ~1000 s (9.7x wall for 2.5x docs — the blow-up the docstring's old
+    O-claim denied); the pairwise-array form is linear (and ~10x faster
+    already at 200k). Candidate counts themselves stay linear (0.20 ->
+    0.24 pairs/doc across 50k->500k), so the self-join really was the
+    only quadratic term.
     """
     from ..sources.tables import ensure_parallelism
 
@@ -398,23 +411,23 @@ def ngram_jaccard_verify(
         "text",
         SHINGLE_K,
     ).select("doc_id", "shingles")
-    sizes = sh.select("doc_id", F.size("shingles").alias("n"))
-    ex = sh.select("doc_id", F.explode_outer("shingles").alias("s")).where(
-        F.col("s").isNotNull()
-    )
-    a, b = ex.alias("a"), ex.alias("b")
-    inter = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("i"))
-        .join(pairs.select("doc_a", "doc_b"), ["doc_a", "doc_b"])  # candidates only
-    )
-    na, nb = sizes.alias("na"), sizes.alias("nb")
-    jac = F.col("i").cast("double") / (F.col("na.n") + F.col("nb.n") - F.col("i"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("__sa"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("__sb"))
+    joined = pairs.select("doc_a", "doc_b").join(a, "doc_a").join(b, "doc_b")
+    i = F.size(F.array_intersect(F.col("__sa"), F.col("__sb"))).cast("double")
+    jac = i / ((F.size("__sa") + F.size("__sb")).cast("double") - i)
+    # NO explicit empty-shingle guard: a `size(__sa) > 0` filter would be
+    # PUSHED BELOW the join onto the shingle side, where Catalyst inlines
+    # the full tokenize+shingle expression into the Filter — including
+    # re-evaluating the tokenizer INSIDE the transform lambda per shingle,
+    # the O(words^2) trap shingles_from_tokens documents (measured: the
+    # guarded form did not finish 20k docs in 10 min; without the guard
+    # the same corpus verifies in seconds). Empty sides are dropped by
+    # the threshold filter itself, which references BOTH join sides and
+    # therefore cannot be pushed down: one side empty -> jac = 0 < t;
+    # both empty -> 0/0 = NULL -> NULL >= t is false.
     return (
-        inter.join(na, F.col("doc_a") == F.col("na.doc_id"))
-        .join(nb, F.col("doc_b") == F.col("nb.doc_id"))
-        .where(jac >= threshold)
+        joined.where(jac >= threshold)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
 
