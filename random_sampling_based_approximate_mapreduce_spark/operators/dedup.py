@@ -6,7 +6,7 @@ exact SQL mirror so the DuckDB oracle can verify it value-for-value:
 - exact           : hash-groupBy on the raw text (catalog: dedup_exact)
 - fingerprint     : hash-groupBy on normalized text (catalog: dedup_fingerprint)
 - MinHash + LSH   : shingle -> signature -> band -> bucket-join candidates
-- SimHash         : per-token hash bit-vote -> 32-bit doc signature
+- SimHash         : per-token hash bit-vote -> 63-bit doc signature
 - n-gram Jaccard  : shingle explode + self-join -> exact pairwise Jaccard
 
 Scale notes (100 TB):
@@ -167,15 +167,26 @@ def minhash_lsh_candidates_sql() -> str:
 
 # --- SimHash ---------------------------------------------------------------
 
-SIMHASH_BITS = 32
+SIMHASH_BITS = 63
 
 
 def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """(id, simhash) — 32-bit majority-vote signature over token hashes.
+    """(id, simhash) — 63-bit majority-vote signature over token hashes.
 
-    Explode tokens (with multiplicity), hash each JVM-side, take 32
+    Explode tokens (with multiplicity), hash each JVM-side, take 63
     per-bit +1/-1 sums in one hash aggregation (map-side partial combine,
     one shuffle on id), then assemble sign bits.
+
+    63 bits, not 32 or 64: at 32 bits the signature SATURATES at corpus
+    scale — on the 200k-doc Zipf measurement corpus the pigeonhole
+    8-bit-chunk buckets held n/256 docs each and near-identical
+    signatures produced 170M "near-dup" pairs (n^2 growth, measured
+    round 6); production simhash is 64-bit for exactly this reason
+    (precision grows exponentially in bits). 63 rather than 64 keeps
+    bit assembly in POSITIVE signed-long arithmetic in both engines —
+    DuckDB raises on `1::BIGINT << 63`, and Spark's 2^63 literal
+    overflows — so the SQL mirror stays a line-for-line transliteration
+    with no sign-bit special case.
     """
     from ..sources.tables import ensure_parallelism
 
@@ -240,8 +251,8 @@ def simhash_near_pairs_sql(max_hamming: int = 3) -> str:
 def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3, blocked: bool = True) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance <= max_hamming.
 
-    ``blocked=True`` (default, the scale path): split each 32-bit
-    signature into ``max_hamming + 1`` bit-chunks; by pigeonhole, any
+    ``blocked=True`` (default, the scale path): split the signature
+    into ``max_hamming + 1`` bit-chunks; by pigeonhole, any
     pair within distance ``max_hamming`` agrees on at least one whole
     chunk, so candidates come from an equi-join on (chunk_idx,
     chunk_value) — no quadratic pairing ever materializes — and the exact
@@ -266,7 +277,12 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3, blocked: bool = Tr
             )
         )
     n_chunks = max_hamming + 1
-    chunk_bits = SIMHASH_BITS // n_chunks  # 32/4 = 8 for the default
+    # 63/4 = 15-bit chunks for the default; the 3 leftover high bits sit
+    # in no chunk, which preserves completeness (a pair with <= max_hamming
+    # differing bits touches at most max_hamming of the n_chunks covered
+    # chunks, so at least one still agrees) while the exact Hamming filter
+    # runs over ALL 63 bits
+    chunk_bits = SIMHASH_BITS // n_chunks
     mask = (1 << chunk_bits) - 1
     chunks = F.array(
         *[
