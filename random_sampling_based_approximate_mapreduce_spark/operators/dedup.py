@@ -451,6 +451,72 @@ def ngram_jaccard_verify(
 # --- duplicate clustering (pairs -> components -> canonical docs) ---------
 
 
+def blocked_dup_clusters(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """LSH -> verify -> CC clustering, made robust to EXACT-duplicate mass
+    by collapsing identical texts to one representative first.
+
+    Why: the LSH band self-join is Theta(f^2) in the multiplicity f of
+    an exact-duplicate group — every member shares every band key, so
+    100 copies of one page alone produce 4,950 candidate pairs PER BAND
+    before verification, and web-scale corpora carry exactly that shape
+    (the round-6 verify/SimHash findings were the same bug class). Real
+    pipelines therefore run exact dedup before near-dedup; this operator
+    builds that in while keeping the output VALUE-IDENTICAL to running
+    the pipeline on the raw corpus:
+
+    - identical texts have identical shingle sets, so any pair
+      (x, member) has exactly the Jaccard of (x, representative) —
+      candidate generation and verification over representatives lose
+      nothing;
+    - the representative is the group's min doc id, so min-label
+      components computed over representatives equal the labels the
+      uncollapsed run would produce;
+    - members of a multi-doc group are re-attached with their
+      representative's component (or the representative id itself when
+      it has no rep-level edge — the in-group Jaccard-1 edges the
+      uncollapsed run would have emitted), but ONLY for groups whose
+      text has >= k tokens: shorter docs have empty shingle sets and
+      the uncollapsed pipeline never emits them.
+
+    Scale shape: one md5-fingerprint shuffle to find groups, then the
+    LSH/verify/CC pipeline over DISTINCT texts only, then one slim join
+    to expand members. Duplicate mass now costs O(f), not O(f^2).
+    """
+    fp = F.md5(F.col(text_col)).alias("__fp")
+    with_fp = docs.select(F.col(id_col), F.col(text_col), fp)
+    groups = with_fp.groupBy("__fp").agg(
+        F.min(id_col).alias("__rep"), F.count(F.lit(1)).alias("__gn")
+    )
+    reps = (
+        with_fp.join(groups.select("__fp", "__rep"), "__fp")
+        .where(F.col(id_col) == F.col("__rep"))
+        .select(F.col(id_col), F.col(text_col))
+        .localCheckpoint(eager=True)
+    )
+    cand = minhash_lsh_candidates(reps, text_col, id_col).localCheckpoint(eager=True)
+    verified = ngram_jaccard_verify(reps, cand, threshold).localCheckpoint(eager=True)
+    rep_comp = connected_components(verified).withColumnRenamed("node", "__rep")
+    shingleable = F.size(T.word_tokens(F.col(text_col))) >= F.lit(SHINGLE_K)
+    membership = (
+        with_fp.join(groups, "__fp")
+        .join(rep_comp, "__rep", "left")
+        .where(
+            F.col("component").isNotNull()
+            | ((F.col("__gn") >= 2) & shingleable)
+        )
+        .select(
+            F.col(id_col).alias("node"),
+            F.coalesce(F.col("component"), F.col("__rep")).alias("component"),
+        )
+    )
+    return membership
+
+
 def connected_components(
     pairs: DataFrame,
     a_col: str = "doc_a",
@@ -496,7 +562,21 @@ def connected_components(
                 parent[max(a, b)] = min(a, b)
         nodes = {v for r in probe for v in (r[a_col], r[b_col])}
         rows = [(n, find(n)) for n in sorted(nodes)]
-        return pairs.sparkSession.createDataFrame(rows, ["node", "component"])
+        # explicit schema from the edge columns: createDataFrame cannot
+        # infer types from an EMPTY row list, and a pair list with zero
+        # edges is a legitimate input (found round 6 via the
+        # exact-duplicate-collapse path, where all similarity can live
+        # inside collapsed groups and the rep-level edge list is empty)
+        from pyspark.sql.types import StructField, StructType
+
+        node_type = pairs.schema[a_col].dataType
+        schema = StructType(
+            [
+                StructField("node", node_type),
+                StructField("component", node_type),
+            ]
+        )
+        return pairs.sparkSession.createDataFrame(rows, schema)
 
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))

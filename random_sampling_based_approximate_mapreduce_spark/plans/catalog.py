@@ -1674,21 +1674,17 @@ def _register_dedup():
         "~3.0s warm — near-parity at test scale where shingle buckets are "
         "tiny and blocking pays an extra tokenization pass; the blocked "
         "form pulls ahead once the candidate set is sparse relative to "
-        "N^2 — which is exactly the 100 TB regime",
+        "N^2 — which is exactly the 100 TB regime. Round 6: runs through "
+        "blocked_dup_clusters, which collapses exact-duplicate texts to "
+        "one representative before LSH (the band self-join is Theta(f^2) "
+        "in duplicate multiplicity) and re-expands members afterwards — "
+        "provably value-identical, so THIS oracle, which composes the "
+        "pipeline over the raw corpus in DuckDB, doubles as the proof "
+        "obligation for the collapse",
     )
     def q_dedup_clusters_blocked(spark, sf_dir):
         docs = load(spark, sf_dir, "documents")
-        # The candidate and verified PAIR relations are tiny (KBs) but
-        # their subtrees are the expensive tokenize->shingle->hash
-        # pipelines, and each is referenced several times downstream
-        # (verify restricts by candidates twice; connected_components
-        # probes then iterates the edge list). localCheckpoint
-        # materializes each once — measured 6.5s -> 3.5s at sf0.1 with
-        # identical output. (Persisting the big band/shingle relations was
-        # the measured dead end; checkpointing the small PAIRS is not.)
-        cand = D.minhash_lsh_candidates(docs).localCheckpoint(eager=True)
-        verified = D.ngram_jaccard_verify(docs, cand, 0.5).localCheckpoint(eager=True)
-        return D.connected_components(verified)
+        return D.blocked_dup_clusters(docs, threshold=0.5)
 
     @register(
         "dedup_embedding",
