@@ -155,6 +155,9 @@ BENCH_QUERIES = [
     "forecast_revenue_q6",
     "returned_items_topk_q10",
     "waiting_suppliers_q21",
+    # round-6 addition: the unbiased weighted LEFT-join composition
+    # (matched pairs at 1/(r1*r2), per-left-row null correction rows)
+    "sampled_left_join_hash_twin",
     # the scale-correct LSH->verify->CC composition is the headline
     # clustering number; the all-pairs forms (dedup_clusters,
     # dedup_embedding) stay in the catalog as oracle-only baselines.

@@ -2604,6 +2604,78 @@ def q_approx_price_per_qty(spark, sf_dir):
     return sf.approx_ratio("l_extendedprice", "l_quantity", "l_returnflag", ci=True)
 
 
+def _order_price_quantile_hash_sampled_oracle() -> str:
+    from ..sampling import stats as _stats
+    from ..sampling.deterministic import hash_bernoulli_sql
+
+    z = _stats.z_score(0.95)
+    keep = hash_bernoulli_sql("o_orderkey::VARCHAR", 0.1, seed=7)
+    # rank arithmetic mirrors SampledFrame.approx_quantile at p=0.5,
+    # r=0.1: every *0.5 is exact IEEE exponent math, so the floor/ceil
+    # boundaries cannot drift between engines; the selected values are
+    # untouched data (no interpolation).
+    half = f"{z!r} * sqrt(n * 0.5 * 0.5 * 0.9)"
+    return f"""
+    WITH s AS (
+      SELECT o_orderpriority, CAST(o_totalprice AS DOUBLE) AS v
+      FROM orders WHERE {keep}
+    ),
+    r AS (
+      SELECT o_orderpriority, v,
+             row_number() OVER (PARTITION BY o_orderpriority ORDER BY v) AS rn,
+             count(*) OVER (PARTITION BY o_orderpriority) AS n
+      FROM s
+    )
+    SELECT o_orderpriority,
+           max(CASE WHEN rn = greatest(1, ceil(0.5 * n)) THEN v END)
+             AS est_median,
+           max(CASE WHEN rn = greatest(1, floor(n * 0.5 - {half})) THEN v END)
+             AS est_median_ci_lo,
+           max(CASE WHEN rn = least(n, ceil(n * 0.5 + {half})) THEN v END)
+             AS est_median_ci_hi,
+           max(n)::BIGINT AS n_sampled,
+           (max(n) < 100) AS low_support
+    FROM r GROUP BY 1
+    """
+
+
+@register(
+    "order_price_quantile_hash_sampled",
+    _order_price_quantile_hash_sampled_oracle(),
+    doc="Sampled median with a DISTRIBUTION-FREE order-statistic CI, fully "
+    "value-oracled — the deterministic twin of SampledFrame."
+    "approx_quantile (round 6: extends the reference's approximate-"
+    "aggregation surface, sums/counts only in RandomSamplingUtil.java, to "
+    "quantiles). Median o_totalprice per order priority from a 10% "
+    "hash-deterministic orders sample; estimate = order statistic at rank "
+    "ceil(p*n) (percentile_disc semantics — an actual data value, no "
+    "cross-engine interpolation arithmetic), CI = order statistics at the "
+    "binomial ranks n*p -/+ z*sqrt(n*p*(1-p)*(1-r)) with the engine's "
+    "(1-r) FPC. p=0.5 keeps every rank boundary exact in IEEE (*0.5 is "
+    "exponent math), so both engines select identical rows; the oracle "
+    "replicates the rank arithmetic from first principles in SQL. "
+    "min_support=100 exercises the rare-group honesty contract "
+    "(n_sampled + low_support) on the same output. CI coverage is "
+    "seed-sweep-tested in tests/test_sampled_frame.py",
+    tags=("sampled",),
+)
+def q_order_price_quantile_hash_sampled(spark, sf_dir):
+    from ..sampling.deterministic import hash_bernoulli
+
+    o = load(spark, sf_dir, "orders").withColumn(
+        "__k", F.col("o_orderkey").cast("string")
+    )
+    sampled = hash_bernoulli(o, "__k", 0.1, seed=7).withColumn(
+        "v", F.col("o_totalprice").cast("double")
+    )
+    sf = SampledFrame(
+        df=sampled, ratio=0.1, config=SamplingConfig(ratio=0.1, seed=7)
+    )
+    return sf.approx_quantile(
+        "v", 0.5, "o_orderpriority", ci=True, min_support=100, alias="est_median"
+    )
+
+
 def _sum_ci_families_oracle() -> str:
     from ..sampling import stats as _stats
     from ..sampling.deterministic import hash_bernoulli_sql
@@ -7302,6 +7374,7 @@ _CHECK_PRIORITY = [
     # --- head: round-6 NEW queries (value-oracled at registration; unknown
     # names are skipped harmlessly until they register)
     "sampled_left_join_hash_twin",
+    "order_price_quantile_hash_sampled",
     # --- the r2 cohort (30): oldest driver signal in the catalog
     # (streaming family, text-quality family, knn, multimodal decode,
     # corpus-prep family, skew handling, zorder layout)

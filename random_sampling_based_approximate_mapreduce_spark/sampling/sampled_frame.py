@@ -32,7 +32,7 @@ import time
 from dataclasses import dataclass, field
 from typing import Any
 
-from pyspark.sql import DataFrame, Observation
+from pyspark.sql import DataFrame, Observation, Window
 from pyspark.sql import functions as F
 
 from . import stats
@@ -709,6 +709,103 @@ class SampledFrame:
         if flag:
             sel.extend(_support_cols(min_support, n=F.col("__n")))
         return agged.select(*sel)
+
+    def approx_quantile(
+        self,
+        value_col: str,
+        p: float,
+        *group_cols: str,
+        ci: bool = False,
+        min_support: int | None = None,
+        alias: str = "est_quantile",
+    ) -> DataFrame:
+        """Grouped (or global) p-quantile estimate from the sample, with an
+        optional DISTRIBUTION-FREE order-statistic confidence interval.
+
+        Extends the reference's approximate-aggregation surface (sums and
+        counts only — RandomSamplingUtil.java has no quantile path) to the
+        one aggregate practitioners most often want bounded: medians and
+        tail percentiles. Quantiles do not Horvitz–Thompson-scale, but they
+        need no scaling at all — the Bernoulli sample of a group is a
+        uniform random sample of it, so the SAMPLE quantile is the natural
+        estimator and classical nonparametric inference applies directly.
+
+        Estimator: the DISCRETE sample quantile — the order statistic at
+        rank ceil(p*n) (``percentile_disc`` semantics: the smallest sampled
+        value whose cumulative distribution reaches p). Deliberately NOT
+        the interpolated (type-7) form: the discrete quantile is an actual
+        data value selected by an integer rank, so it is reproducible
+        bit-for-bit across engines and fully value-oracle-able — the same
+        float-stability discipline as the engine's integer-moment twins
+        (no cross-engine interpolation arithmetic to drift in the last
+        ulp). For continuous data the two differ by O(1/n), far below the
+        sampling error the CI reports.
+
+        CI (``ci=True``): the binomial order-statistic interval. For an
+        iid sample, #(values <= true q_p) ~ Binomial(n, p), so the
+        population quantile lies between order statistics at ranks
+
+            lo = floor(n*p - z*sqrt(n*p*(1-p)*(1-r)))      (clamped to 1)
+            hi =  ceil(n*p + z*sqrt(n*p*(1-p)*(1-r)))      (clamped to n)
+
+        with ~confidence coverage — no normality or variance estimate
+        needed, valid for ANY value distribution (the value column never
+        enters the width computation, only its ranks). The (1-r) factor is
+        the engine's finite-population correction: a Bernoulli(r) sample
+        of a finite group is sampling without replacement, which shrinks
+        the empirical-CDF variance by exactly (1-r) (hypergeometric vs
+        binomial; the same FPC every other estimator here applies).
+        Coverage is seed-sweep-tested in tests/test_sampled_frame.py.
+
+        ``min_support``: the same rare-group honesty contract as every
+        other grouped estimator (``n_sampled`` + ``low_support``) — a
+        5-row group's "median" is order statistic 3 and its CI spans the
+        whole group.
+
+        100 TB shape: one hash-shuffle on the group key + an in-partition
+        sort (Spark's sort-based window, spillable) — the same cost as any
+        exact per-group median, paid on the r-fraction sample only. The
+        scale limit is a single giant GROUP (a global quantile sorts one
+        partition); for that regime sample harder (the whole point of this
+        engine — the sorted set is r*N rows) or use Spark's
+        ``percentile_approx`` sketch on the full frame — mergeable, one
+        pass, already approximate.
+        """
+        if not 0.0 < p < 1.0:
+            raise ValueError(f"p must be in (0,1), got {p}")
+        gs = [F.col(c) for c in group_cols]
+        w = Window.partitionBy(*gs) if group_cols else Window.partitionBy()
+        wo = w.orderBy(F.col(value_col).asc())
+        val = F.col(value_col)
+        rn = F.col("__rn")
+        n = F.col("__n")
+        nd = n.cast("double")
+        ranked = self.df.select(
+            *gs,
+            val.alias("__v"),
+            F.row_number().over(wo).alias("__rn"),
+            F.count(F.lit(1)).over(w).alias("__n"),
+        )
+        k = F.greatest(F.lit(1).cast("bigint"), F.ceil(F.lit(p) * nd))
+        want = rn == k
+        if ci and self.ratio < 1.0:
+            z = stats.z_score(self.config.confidence)
+            half = F.lit(z) * F.sqrt(
+                nd * F.lit(p) * F.lit(1.0 - p) * F.lit(max(0.0, 1.0 - self.ratio))
+            )
+            klo = F.greatest(F.lit(1).cast("bigint"), F.floor(nd * F.lit(p) - half))
+            khi = F.least(n.cast("bigint"), F.ceil(nd * F.lit(p) + half))
+            want = want | (rn == klo) | (rn == khi)
+        picked = ranked.where(want)
+        aggs = [F.max(F.when(rn == k, F.col("__v"))).alias(alias)]
+        if ci and self.ratio < 1.0:
+            aggs.append(F.max(F.when(rn == klo, F.col("__v"))).alias(f"{alias}_ci_lo"))
+            aggs.append(F.max(F.when(rn == khi, F.col("__v"))).alias(f"{alias}_ci_hi"))
+        if min_support is not None and self.ratio < 1.0:
+            aggs.append(F.max(n).alias("n_sampled"))
+            aggs.append((F.max(n) < F.lit(int(min_support))).alias("low_support"))
+        base = picked.groupBy(*gs) if group_cols else picked.groupBy()
+        return base.agg(*aggs)
 
     def approx_distinct(self, value_col: str, *group_cols: str, rsd: float = 0.05, alias: str = "est_distinct") -> DataFrame:
         """Approximate distinct count via the HyperLogLog++ sketch — over

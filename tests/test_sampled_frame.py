@@ -837,6 +837,33 @@ class TestCICoverageSeedSweep:
         cover = sum(1 for r in rows if abs(r["est_count"] - n) <= r["est_count_ci"])
         assert cover >= 88, f"joined count CI covered only {cover}/100"
 
+    def test_quantile_coverage(self, base):
+        """Distribution-free order-statistic CI (approx_quantile): the
+        population median must fall inside [X_(lo), X_(hi)] at >= the
+        binomial floor across 100 seeds. Truth is the POPULATION discrete
+        median (rank ceil(0.5*N) of the full column) — the estimand the
+        binomial argument bounds. Heavy ties (97 distinct values) only
+        make the interval conservative, never anti-conservative."""
+        vals = sorted(i % 97 for i in range(self.N))
+        truth = vals[max(1, -(-self.N // 2)) - 1]
+        frames = []
+        for s in self.SEEDS:
+            sf = SampledFrame.from_dataframe(
+                base, SamplingConfig(ratio=0.1, seed=s), observe=False
+            )
+            frames.append(
+                sf.approx_quantile("value", 0.5, ci=True).withColumn(
+                    "__seed", F.lit(s)
+                )
+            )
+        rows = self._union(frames)
+        cover = sum(
+            1
+            for r in rows
+            if r["est_quantile_ci_lo"] <= truth <= r["est_quantile_ci_hi"]
+        )
+        assert cover >= 88, f"quantile CI covered only {cover}/100"
+
     def test_joined_count_ci_understates_under_key_multiplicity(self, spark):
         """HONESTY PIN: with multiplicity-5 keys, pairs sharing a left row
         are positively correlated, so the independent-Bernoulli CI
@@ -874,3 +901,91 @@ class TestCICoverageSeedSweep:
         # sanity: still unbiased even though the CI is narrow
         assert abs(mean - truth) / truth < 0.05
         assert ratio > 1.15, f"expected understated CI (ratio {ratio:.2f})"
+
+
+class TestApproxQuantile:
+    """Round-6 estimator: discrete sample quantile + distribution-free
+    order-statistic CI (SampledFrame.approx_quantile). Values are pinned
+    against a Python-side sort of the SAME sample (the estimator selects
+    existing data by integer rank, so equality is exact, not approximate);
+    coverage lives in TestCICoverageSeedSweep."""
+
+    def test_rejects_bad_p(self, spark):
+        df = spark.range(10)
+        sf = SampledFrame.from_dataframe(
+            df, SamplingConfig(ratio=0.5, seed=1), observe=False
+        )
+        with pytest.raises(ValueError):
+            sf.approx_quantile("id", 0.0)
+        with pytest.raises(ValueError):
+            sf.approx_quantile("id", 1.0)
+
+    def test_median_matches_manual_rank_selection(self, spark):
+        import math
+
+        df = (
+            spark.range(1000)
+            .select(
+                (F.col("id") % 7).alias("g"),
+                ((F.col("id") * 37) % 501).cast("double").alias("v"),
+            )
+            .localCheckpoint()
+        )
+        sf = SampledFrame.from_dataframe(
+            df, SamplingConfig(ratio=0.3, seed=11), observe=False
+        )
+        rows = {
+            r["g"]: r
+            for r in sf.approx_quantile(
+                "v", 0.5, "g", ci=True, min_support=100
+            ).collect()
+        }
+        sample = sf.df.collect()
+        by_g: dict = {}
+        for r in sample:
+            by_g.setdefault(r["g"], []).append(r["v"])
+        z = 1.959963984540054
+        for g, vals in by_g.items():
+            vals.sort()
+            n = len(vals)
+            k = max(1, math.ceil(0.5 * n))
+            half = z * math.sqrt(n * 0.5 * 0.5 * (1.0 - 0.3))
+            klo = max(1, math.floor(n * 0.5 - half))
+            khi = min(n, math.ceil(n * 0.5 + half))
+            got = rows[g]
+            assert got["est_quantile"] == vals[k - 1]
+            assert got["est_quantile_ci_lo"] == vals[klo - 1]
+            assert got["est_quantile_ci_hi"] == vals[khi - 1]
+            assert got["n_sampled"] == n
+            assert got["low_support"] == (n < 100)
+            # the CI brackets the estimate by construction
+            assert got["est_quantile_ci_lo"] <= got["est_quantile"]
+            assert got["est_quantile"] <= got["est_quantile_ci_hi"]
+
+    def test_tail_quantile_global(self, spark):
+        """p=0.9 on a global (ungrouped) frame; ranks clamp inside [1, n]."""
+        import math
+
+        df = spark.range(500).select(F.col("id").cast("double").alias("v"))
+        sf = SampledFrame.from_dataframe(
+            df, SamplingConfig(ratio=0.2, seed=3), observe=False
+        )
+        row = sf.approx_quantile("v", 0.9, ci=True).collect()[0]
+        vals = sorted(r["v"] for r in sf.df.collect())
+        n = len(vals)
+        k = max(1, math.ceil(0.9 * n))
+        half = 1.959963984540054 * math.sqrt(n * 0.9 * (1.0 - 0.9) * 0.8)
+        klo = max(1, math.floor(n * 0.9 - half))
+        khi = min(n, math.ceil(n * 0.9 + half))
+        assert row["est_quantile"] == vals[k - 1]
+        assert row["est_quantile_ci_lo"] == vals[klo - 1]
+        assert row["est_quantile_ci_hi"] == vals[khi - 1]
+
+    def test_exact_mode_has_no_ci_columns(self, spark):
+        df = spark.range(100).select(F.col("id").cast("double").alias("v"))
+        sf = SampledFrame.from_dataframe(
+            df, SamplingConfig(ratio=1.0), observe=False
+        )
+        out = sf.approx_quantile("v", 0.5, ci=True, min_support=5)
+        assert out.columns == ["est_quantile"]
+        assert out.collect()[0]["est_quantile"] == 49.0
