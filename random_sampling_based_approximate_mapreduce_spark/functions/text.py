@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .rounding import sql_round
+
 # Word boundary for the oracle-checked word pipeline: after lowercasing,
 # anything outside [a-z0-9'] splits. (The reference's delimiter set at
 # RandomizedWordCount.java:31 is a superset of this; see words_reference.)
@@ -168,7 +170,7 @@ def quality_score(col: Column) -> Column:
     )
     punct_comp = F.lit(1.0) - F.least(F.lit(1.0), punct_ratio(col) * F.lit(4.0))
     stop_comp = F.least(F.lit(1.0), stopword_ratio(col) * F.lit(5.0))
-    return F.round((len_comp + punct_comp + stop_comp) / F.lit(3.0), 6)
+    return sql_round((len_comp + punct_comp + stop_comp) / F.lit(3.0), 6)
 
 
 def fingerprint(col: Column) -> Column:

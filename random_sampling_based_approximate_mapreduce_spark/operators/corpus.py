@@ -32,6 +32,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import text as T
+from ..functions.rounding import sql_round
 
 # ---------------------------------------------------------------------------
 # PII injection (deterministic synthetic) + redaction
@@ -546,10 +547,10 @@ def bigram_repetition_stats(
     per_gram = grams.groupBy(id_col, "gram").agg(F.count(F.lit(1)).alias("cnt"))
     return per_gram.groupBy(id_col).agg(
         F.sum("cnt").alias("total_bigrams"),
-        F.round(
+        sql_round(
             F.max("cnt").cast("double") / F.sum("cnt").cast("double"), 6
         ).alias("top_bigram_frac"),
-        F.round(
+        sql_round(
             F.lit(1.0) - F.count(F.lit(1)).cast("double") / F.sum("cnt").cast("double"),
             6,
         ).alias("dup_bigram_frac"),
@@ -678,7 +679,7 @@ def boilerplate_doc_stats(
     return marked.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_grams"),
         F.sum(F.coalesce(F.col("__b"), F.lit(0))).cast("long").alias("n_boiler"),
-        F.round(
+        sql_round(
             F.sum(F.coalesce(F.col("__b"), F.lit(0))).cast("double")
             / F.count(F.lit(1)).cast("double"),
             6,

@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions import text as T
+from ..functions.rounding import sql_round
 from ..functions.hashing import (
     MERSENNE_P,
     hash64,
@@ -350,7 +351,7 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
         inter.join(na, F.col("doc_a") == F.col("na.doc_id"))
         .join(nb, F.col("doc_b") == F.col("nb.doc_id"))
         .where(jac >= threshold)
-        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        .select("doc_a", "doc_b", sql_round(jac, 6).alias("jaccard"))
     )
 
 
@@ -444,7 +445,7 @@ def ngram_jaccard_verify(
     # both empty -> 0/0 = NULL -> NULL >= t is false.
     return (
         joined.where(jac >= threshold)
-        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        .select("doc_a", "doc_b", sql_round(jac, 6).alias("jaccard"))
     )
 
 
@@ -681,7 +682,7 @@ def embedding_dup_pairs(
             .select(
                 F.col("a.vec_id").alias("vec_a"),
                 F.col("b.vec_id").alias("vec_b"),
-                F.round(cos, 6).alias("cosine"),
+                sql_round(cos, 6).alias("cosine"),
             )
             .where(F.col("cosine") >= threshold)
         )

@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.rounding import sql_round
+
 
 def violation_counts(df: DataFrame, preds: "dict[str, Column]") -> DataFrame:
     """One-pass violation counts: {check_name: violated_predicate}.
@@ -141,10 +143,10 @@ def psi_from_counts(c: DataFrame) -> DataFrame:
         "bucket",
         "n_ref",
         "n_cur",
-        F.round(p_ref, 6).alias("p_ref"),
-        F.round(p_cur, 6).alias("p_cur"),
+        sql_round(p_ref, 6).alias("p_ref"),
+        sql_round(p_cur, 6).alias("p_cur"),
         F.when(
             (F.col("n_ref") > 0) & (F.col("n_cur") > 0),
-            F.round((p_ref - p_cur) * F.log(p_ref / p_cur), 6),
+            sql_round((p_ref - p_cur) * F.log(p_ref / p_cur), 6),
         ).alias("psi_term"),
     )

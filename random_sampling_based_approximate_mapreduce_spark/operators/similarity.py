@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions import vectors as V
+from ..functions.rounding import sql_round
 
 _PLANE_SEED = 1234
 
@@ -70,7 +71,7 @@ def knn_brute_force(
         scored = F.broadcast(q).crossJoin(c).select(
             query_id_col,
             "neighbor_id",
-            F.round(V.cosine(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+            sql_round(V.cosine(F.col("qv"), F.col("cv")), 6).alias("cosine"),
         )
         return (
             scored.select(query_id_col, "neighbor_id", "cosine", F.row_number().over(w).alias("rank"))
@@ -318,7 +319,7 @@ def ann_ivf(
         .select(
             query_id_col,
             "neighbor_id",
-            F.round(V.cosine(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+            sql_round(V.cosine(F.col("qv"), F.col("cv")), 6).alias("cosine"),
         )
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc("neighbor_id"))
@@ -454,7 +455,7 @@ def ann_lsh(
         .dropDuplicates([query_id_col, "neighbor_id"])
     )
     scored = cand.select(
-        query_id_col, "neighbor_id", F.round(V.cosine(F.col("qv"), F.col("cv")), 6).alias("cosine")
+        query_id_col, "neighbor_id", sql_round(V.cosine(F.col("qv"), F.col("cv")), 6).alias("cosine")
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (

@@ -47,6 +47,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions.hashing import hash64, hash64_sql
+from ..functions.rounding import sql_round
 
 # hash64 yields 60-bit non-negative ints; (k-1) * 2^60 for k <= 65 has
 # <= 7 significant bits so the double product below is EXACT, and the
@@ -84,7 +85,7 @@ def kmv_distinct(
         F.max("__h").alias("__kth"),
     )
     est = F.when(F.col("__n_kept") < k, F.col("__n_kept")).otherwise(
-        F.round(F.lit(float(k - 1)) * F.lit(HASH_SPACE) / F.col("__kth").cast("double"), 0).cast(
+        sql_round(F.lit(float(k - 1)) * F.lit(HASH_SPACE) / F.col("__kth").cast("double"), 0).cast(
             "long"
         )
     )

@@ -23,6 +23,7 @@ from typing import Callable, Optional
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.rounding import sql_round
 from ..functions import text as T
 from ..operators.quality import psi_bucketize, psi_from_counts
 from ..sampling.config import SamplingConfig
@@ -984,9 +985,9 @@ def _partitioned_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_order_price_quantiles(spark, sf_dir):
     o = load(spark, sf_dir, "orders")
     return o.groupBy("o_orderpriority").agg(
-        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
-        F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90"),
-        F.round(F.expr("percentile(o_totalprice, 0.99)"), 4).alias("p99"),
+        sql_round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+        sql_round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90"),
+        sql_round(F.expr("percentile(o_totalprice, 0.99)"), 4).alias("p99"),
     )
 
 
@@ -1432,10 +1433,16 @@ def _weighted_sample_oracle() -> str:
         " / (SELECT count(*) FROM documents)"
     )
     pi, keep = weighted_bernoulli_sql("doc_id", "n_chars", 0.2, mean_sql, seed=11)
+    # floor-quantization, not round(): Spark rounds the double's exact
+    # decimal value HALF_UP via BigDecimal while DuckDB rounds DOUBLE
+    # with float multiply/round/divide, so quotients within an ulp of a
+    # grid boundary diverge (first seen at sf0.1 where ~6k rows make a
+    # boundary hit likely). floor of the identical product double is
+    # engine-exact — the same discipline as embedding_dim_stats.
     return f"""
     SELECT doc_id::BIGINT AS doc_id, n_chars::BIGINT AS n_chars,
-           round({pi}, 9) AS pi,
-           round(({_TOKEN_COUNT_SQL}) / {pi}, 4) AS ht_tokens
+           floor(({pi}) * 1000000000.0) / 1000000000.0 AS pi,
+           floor((({_TOKEN_COUNT_SQL}) / {pi}) * 10000.0) / 10000.0 AS ht_tokens
     FROM documents WHERE {keep}
     """
 
@@ -1460,12 +1467,20 @@ def q_weighted_sampled_tokens(spark, sf_dir):
     ).first()
     mean_w = tot["s"] / tot["c"]
     sampled = weighted_bernoulli(docs, "doc_id", "n_chars", 0.2, mean_w, seed=11)
+    # floor-quantized (not F.round): see the oracle builder — HALF_UP-on-
+    # BigDecimal vs DuckDB's float round diverge an ulp from the grid.
     return sampled.select(
         "doc_id",
         "n_chars",
-        F.round(F.col("__pi"), 9).alias("pi"),
-        F.round(
-            T.token_count(F.col("text")).cast("double") / F.col("__pi"), 4
+        (F.floor(F.col("__pi") * F.lit(1000000000.0)) / F.lit(1000000000.0)).alias(
+            "pi"
+        ),
+        (
+            F.floor(
+                (T.token_count(F.col("text")).cast("double") / F.col("__pi"))
+                * F.lit(10000.0)
+            )
+            / F.lit(10000.0)
         ).alias("ht_tokens"),
     )
 
@@ -1921,9 +1936,9 @@ def q_lang_id_eval(spark, sf_dir):
         nl.alias("n_labeled"),
         np_.alias("n_predicted"),
         nc.alias("n_correct"),
-        F.when(np_ > 0, F.round(nc / np_.cast("double"), 6)).alias("precision"),
-        F.when(nl > 0, F.round(nc / nl.cast("double"), 6)).alias("recall"),
-        F.when(np_ + nl > 0, F.round(F.lit(2.0) * nc / (np_ + nl).cast("double"), 6)).alias(
+        F.when(np_ > 0, sql_round(nc / np_.cast("double"), 6)).alias("precision"),
+        F.when(nl > 0, sql_round(nc / nl.cast("double"), 6)).alias("recall"),
+        F.when(np_ + nl > 0, sql_round(F.lit(2.0) * nc / (np_ + nl).cast("double"), 6)).alias(
             "f1"
         ),
     )
@@ -1959,7 +1974,7 @@ def q_doc_quality(spark, sf_dir):
     return docs.select(
         "doc_id",
         T.token_count(F.col("text")).alias("n_tokens"),
-        F.round(T.punct_ratio(F.col("text")), 6).alias("punct_ratio"),
+        sql_round(T.punct_ratio(F.col("text")), 6).alias("punct_ratio"),
     )
 
 
@@ -2041,7 +2056,7 @@ def q_training_pipeline(spark, sf_dir):
     return deduped.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),
-        F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+        sql_round(F.avg("n_tokens"), 4).alias("avg_tokens"),
     )
 
 
@@ -2096,7 +2111,7 @@ def _register_multimodal():
         docs = ensure_parallelism(load(spark, sf_dir, "documents"))
         meta = MM.decode_metadata(MM.synthesize_image_assets(docs), decode_stub=False)
         return meta.select(
-            "doc_id", "width", "height", "n_bytes", F.round("mean_val", 6).alias("mean_val")
+            "doc_id", "width", "height", "n_bytes", sql_round("mean_val", 6).alias("mean_val")
         )
 
     @register(
@@ -2118,7 +2133,7 @@ def _register_multimodal():
         docs = ensure_parallelism(load(spark, sf_dir, "documents"))
         meta = MM.decode_metadata(MM.synthesize_audio_assets(docs), decode_stub=False)
         return meta.select(
-            "doc_id", "sample_rate", "n_samples", "n_bytes", F.round("mean_val", 6).alias("mean_val")
+            "doc_id", "sample_rate", "n_samples", "n_bytes", sql_round("mean_val", 6).alias("mean_val")
         )
 
     @register(
@@ -2253,8 +2268,8 @@ def _register_multimodal():
             "doc_id",
             "window_idx",
             "n_w",
-            F.round("rms", 6).alias("rms"),
-            F.round("zcr", 6).alias("zcr"),
+            sql_round("rms", 6).alias("rms"),
+            sql_round("zcr", 6).alias("zcr"),
         )
 
     def _multimodal_knn_frozen_sql() -> str:
@@ -2676,6 +2691,82 @@ def q_order_price_quantile_hash_sampled(spark, sf_dir):
     )
 
 
+def _order_price_percentiles_hash_sampled_oracle() -> str:
+    from ..sampling import stats as _stats
+    from ..sampling.deterministic import hash_bernoulli_sql
+
+    z = _stats.z_score(0.95)
+    keep = hash_bernoulli_sql("o_orderkey::VARCHAR", 0.1, seed=7)
+    # generated per-p so every float literal is the repr of the EXACT
+    # Python double the Spark side feeds to F.lit — e.g. 1.0-0.9 is
+    # 0.09999999999999998, not 0.1; both engines then evaluate the
+    # identical IEEE expression and land on identical integer ranks.
+    cols = []
+    for q in (0.25, 0.5, 0.9):
+        sfx = "_p" + f"{100.0 * q:g}".replace(".", "_")
+        half = f"{z!r} * sqrt(n * {q!r} * {(1.0 - q)!r} * 0.9)"
+        cols.append(
+            f"max(CASE WHEN rn = greatest(1, ceil({q!r} * n)) THEN v END)"
+            f" AS est{sfx}"
+        )
+        cols.append(
+            f"max(CASE WHEN rn = greatest(1, floor(n * {q!r} - {half}))"
+            f" THEN v END) AS est{sfx}_ci_lo"
+        )
+        cols.append(
+            f"max(CASE WHEN rn = least(n, ceil(n * {q!r} + {half}))"
+            f" THEN v END) AS est{sfx}_ci_hi"
+        )
+    sel = ",\n           ".join(cols)
+    return f"""
+    WITH s AS (
+      SELECT o_orderpriority, CAST(o_totalprice AS DOUBLE) AS v
+      FROM orders WHERE {keep}
+    ),
+    r AS (
+      SELECT o_orderpriority, v,
+             row_number() OVER (PARTITION BY o_orderpriority ORDER BY v) AS rn,
+             count(*) OVER (PARTITION BY o_orderpriority) AS n
+      FROM s
+    )
+    SELECT o_orderpriority,
+           {sel}
+    FROM r GROUP BY 1
+    """
+
+
+@register(
+    "order_price_percentiles_hash_sampled",
+    _order_price_percentiles_hash_sampled_oracle(),
+    doc="Multi-quantile form of the sampled order-statistic estimator, "
+    "fully value-oracled: p25/p50/p90 of o_totalprice per order priority "
+    "from the same 10% hash-deterministic orders sample, all three (with "
+    "their distribution-free CIs) from ONE window pass — one sort, one "
+    "rank-selection filter over the union of the nine candidate ranks, "
+    "one aggregate (SampledFrame.approx_quantile with a probability "
+    "list). The oracle is GENERATED per probability so every float "
+    "literal is the repr of the exact Python double the Spark plan uses "
+    "(1.0-0.9 != 0.1 in IEEE); rank selection then lands on identical "
+    "rows in both engines even where p*n sits an ulp from an integer",
+    tags=("sampled",),
+)
+def q_order_price_percentiles_hash_sampled(spark, sf_dir):
+    from ..sampling.deterministic import hash_bernoulli
+
+    o = load(spark, sf_dir, "orders").withColumn(
+        "__k", F.col("o_orderkey").cast("string")
+    )
+    sampled = hash_bernoulli(o, "__k", 0.1, seed=7).withColumn(
+        "v", F.col("o_totalprice").cast("double")
+    )
+    sf = SampledFrame(
+        df=sampled, ratio=0.1, config=SamplingConfig(ratio=0.1, seed=7)
+    )
+    return sf.approx_quantile(
+        "v", [0.25, 0.5, 0.9], "o_orderpriority", ci=True, alias="est"
+    )
+
+
 def _sum_ci_families_oracle() -> str:
     from ..sampling import stats as _stats
     from ..sampling.deterministic import hash_bernoulli_sql
@@ -2741,10 +2832,10 @@ def q_approx_sum_ci_families(spark, sf_dir):
         "l_returnflag",
         "n_sampled",
         (F.col("__sq").cast("double") / F.lit(0.1)).alias("est_qty"),
-        F.round(
+        sql_round(
             F.lit(z) * F.sqrt(F.lit(0.9) * F.col("__sqq").cast("double")) / F.lit(0.1), 6
         ).alias("ci_sum"),
-        F.round(
+        sql_round(
             F.sqrt(F.lit(0.25) / n) * F.lit(z) * F.sqrt((big_n - n) / (big_n - F.lit(1.0))),
             6,
         ).alias("ci_reference_rel"),
@@ -2790,7 +2881,7 @@ def q_events_ewma(spark, sf_dir):
     )
     # last EWMA value per key: a compact, deterministic summary
     return out.groupBy("event_type").agg(
-        F.round(F.max_by("ewma", F.struct("ts", "event_id")), 6).alias("final_ewma"),
+        sql_round(F.max_by("ewma", F.struct("ts", "event_id")), 6).alias("final_ewma"),
         F.count(F.lit(1)).alias("n"),
     )
 
@@ -3532,7 +3623,7 @@ def q_promo_revenue_share(spark, sf_dir):
         "ship_month",
         F.col("__p").cast("double").alias("promo_revenue"),
         F.col("__t").cast("double").alias("total_revenue"),
-        F.round(
+        sql_round(
             F.col("__p").cast("double") / F.col("__t").cast("double"), 6
         ).alias("promo_share"),
     )
@@ -3690,7 +3781,7 @@ def q_cheapest_supplier_per_part(spark, sf_dir):
         l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
         .groupBy("l_partkey", "p_name", "l_suppkey")
         .agg(
-            F.round(
+            sql_round(
                 F.sum(_dec("l_extendedprice")).cast("double") / F.count(F.lit(1)), 4
             ).alias("avg_price")
         )
@@ -3865,7 +3956,7 @@ def q_tfidf_top_terms(spark, sf_dir):
         "word",
         "tf",
         "df",
-        F.round(
+        sql_round(
             F.col("tf") * F.log(n.scalar().cast("double") / F.col("df")), 6
         ).alias("tfidf"),
     )
@@ -4066,7 +4157,7 @@ def q_events_outlier_rate(spark, sf_dir):
     is_out = (F.abs(F.col("value") - F.col("mu")) > 3.0 * F.col("sigma")).cast("int")
     return j.groupBy("event_type", "n").agg(
         F.sum(is_out).cast("long").alias("n_outliers"),
-        F.round(F.sum(is_out) / F.col("n").cast("double"), 6).alias("outlier_rate"),
+        sql_round(F.sum(is_out) / F.col("n").cast("double"), 6).alias("outlier_rate"),
     )
 
 
@@ -4145,7 +4236,7 @@ def q_promo_share_hash_sampled(spark, sf_dir):
         .groupBy(F.date_trunc("month", F.col("l_shipdate")).alias("ship_month"))
         .agg(
             F.count(F.lit(1)).alias("n_sampled"),
-            F.round(
+            sql_round(
                 F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(zero)).cast("double")
                 / F.sum(rev).cast("double"),
                 6,
@@ -4554,7 +4645,7 @@ def q_doc_quality_logistic(spark, sf_dir):
         + F.lit(_LQ_W_PUNCT) * f_punct
     )
     scored = docs.select(
-        "doc_id", F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6).alias("quality")
+        "doc_id", sql_round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6).alias("quality")
     )
     return scored.select("doc_id", "quality", (F.col("quality") >= 0.5).alias("keep"))
 
@@ -4654,7 +4745,7 @@ def q_small_qty_revenue(spark, sf_dir):
         .where(F.col("l_quantity") < F.col("qty_thresh"))
         .agg(
             F.count(F.lit(1)).alias("n_lines"),
-            F.round(F.sum(_dec("l_extendedprice")).cast("double") / F.lit(7.0), 2).alias(
+            sql_round(F.sum(_dec("l_extendedprice")).cast("double") / F.lit(7.0), 2).alias(
                 "avg_yearly"
             ),
         )
@@ -5003,7 +5094,7 @@ def q_market_share_q8(spark, sf_dir):
         lf.join(of, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("o_year")
         .agg(
-            F.round(
+            sql_round(
                 F.sum(F.when(F.col("supp_nation") == "NATION_3", F.col("volume"))).cast("double")
                 / F.sum("volume").cast("double"),
                 6,
@@ -5460,7 +5551,7 @@ def q_user_retention_cohorts(spark, sf_dir):
             "cohort_day",
             "offset_day",
             "active_users",
-            F.round(F.col("active_users").cast("double") / F.col("cohort_size"), 6).alias(
+            sql_round(F.col("active_users").cast("double") / F.col("cohort_size"), 6).alias(
                 "retention"
             ),
         )
@@ -5701,7 +5792,7 @@ def q_supplier_abc_by_nation(spark, sf_dir):
     shares = s.select(
         "s_nationkey",
         "s_suppkey",
-        F.round(
+        sql_round(
             F.sum("bal").over(w_run).cast("double") / F.sum("bal").over(w_total).cast("double"),
             6,
         ).alias("cum_share"),
@@ -5832,7 +5923,7 @@ def q_event_transition_matrix(spark, sf_dir):
         "cur",
         "nxt",
         "transitions",
-        F.round(
+        sql_round(
             F.col("transitions").cast("double") / F.sum("transitions").over(w_norm),
             6,
         ).alias("prob"),
@@ -5882,7 +5973,7 @@ def q_orders_monthly_growth(spark, sf_dir):
         "month",
         F.col("rev").cast("double").alias("revenue"),
         "n_orders",
-        F.round((F.col("rev").cast("double") - prev) / prev, 6).alias("mom_growth"),
+        sql_round((F.col("rev").cast("double") - prev) / prev, 6).alias("mom_growth"),
     )
 
 
@@ -6034,10 +6125,10 @@ def q_retention_user_sampled(spark, sf_dir):
             "cohort_day",
             "offset_day",
             "sampled_active_users",
-            F.round(
+            sql_round(
                 F.col("sampled_active_users").cast("double") / F.col("cohort_size"), 6
             ).alias("est_retention"),
-            F.round(F.col("sampled_active_users").cast("double") / F.lit(0.4), 2).alias(
+            sql_round(F.col("sampled_active_users").cast("double") / F.lit(0.4), 2).alias(
                 "ht_active_users"
             ),
         )
@@ -6111,9 +6202,9 @@ def q_price_quantity_regression(spark, sf_dir):
     return m.select(
         "p_brand",
         n.alias("n_lines"),
-        F.round(slope, 6).alias("slope"),
-        F.round((F.col("sy") - slope * F.col("sx")) / n, 6).alias("intercept"),
-        F.round((cov_n * cov_n) / (var_x * var_y), 6).alias("r2"),
+        sql_round(slope, 6).alias("slope"),
+        sql_round((F.col("sy") - slope * F.col("sx")) / n, 6).alias("intercept"),
+        sql_round((cov_n * cov_n) / (var_x * var_y), 6).alias("r2"),
     )
 
 
@@ -6440,7 +6531,7 @@ def q_sessions_bounce_rate(spark, sf_dir):
     return per_session.groupBy("day").agg(
         F.count(F.lit(1)).alias("n_sessions"),
         bounce.alias("n_bounce"),
-        F.round(bounce / F.count(F.lit(1)).cast("double"), 6).alias("bounce_rate"),
+        sql_round(bounce / F.count(F.lit(1)).cast("double"), 6).alias("bounce_rate"),
     )
 
 
@@ -6801,7 +6892,7 @@ def q_approx_host_counts_flagged(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda df: df.where(F.col("path").rlike("^(" + "|".join(AL.HACK_PREFIXES) + ")"))
     )
     out = hack.approx_count("host", ci=True, min_support=30, alias="est_cnt")
-    return out.withColumn("est_cnt_ci", F.round(F.col("est_cnt_ci"), 6))
+    return out.withColumn("est_cnt_ci", sql_round(F.col("est_cnt_ci"), 6))
 
 
 @register(
@@ -6879,8 +6970,8 @@ def q_events_type_hour_chi2(spark, sf_dir):
         "event_type",
         "hod",
         "obs",
-        F.round(expected, 6).alias("expected"),
-        F.round((F.col("obs") - expected) * (F.col("obs") - expected) / expected, 6).alias(
+        sql_round(expected, 6).alias("expected"),
+        sql_round((F.col("obs") - expected) * (F.col("obs") - expected) / expected, 6).alias(
             "chi2_term"
         ),
     )
@@ -6950,11 +7041,11 @@ def q_docs_token_entropy_by_lang(spark, sf_dir):
         F.count(F.lit(1)).over(w).alias("vocab"),
     )
     p = F.col("cnt") / F.col("lang_total").cast("double")
-    term = F.round(p * F.log(p), 12).cast("decimal(20,12)")
+    term = sql_round(p * F.log(p), 12).cast("decimal(20,12)")
     return m.groupBy("lang").agg(
         F.max("vocab").alias("vocab_size"),
         F.max("lang_total").alias("n_tokens"),
-        F.round(-F.sum(term).cast("double"), 6).alias("token_entropy"),
+        sql_round(-F.sum(term).cast("double"), 6).alias("token_entropy"),
     )
 
 
@@ -7133,9 +7224,9 @@ def q_order_price_quantiles_hash_sampled(spark, sf_dir):
     s = hash_bernoulli(o, "__k", 0.3, seed=19)
     return s.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_sampled"),
-        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
-        F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90"),
-        F.round(F.expr("percentile(o_totalprice, 0.99)"), 4).alias("p99"),
+        sql_round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+        sql_round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90"),
+        sql_round(F.expr("percentile(o_totalprice, 0.99)"), 4).alias("p99"),
     )
 
 
@@ -7375,6 +7466,7 @@ _CHECK_PRIORITY = [
     # names are skipped harmlessly until they register)
     "sampled_left_join_hash_twin",
     "order_price_quantile_hash_sampled",
+    "order_price_percentiles_hash_sampled",
     # --- the r2 cohort (30): oldest driver signal in the catalog
     # (streaming family, text-quality family, knn, multimodal decode,
     # corpus-prep family, skew handling, zorder layout)

@@ -35,6 +35,7 @@ from typing import Any
 from pyspark.sql import DataFrame, Observation, Window
 from pyspark.sql import functions as F
 
+from ..functions.rounding import sql_round
 from . import stats
 from .config import SamplingConfig
 
@@ -145,7 +146,7 @@ def report_frame(
         F.lit(float(confidence)).alias("confidence"),
         F.when(
             (n > 0) & (big_n > 1),
-            F.round(
+            sql_round(
                 F.sqrt(F.lit(0.25) / n)
                 * F.lit(z)
                 * F.sqrt((big_n - n) / (big_n - F.lit(1.0))),
@@ -713,7 +714,7 @@ class SampledFrame:
     def approx_quantile(
         self,
         value_col: str,
-        p: float,
+        p: "float | Sequence[float]",
         *group_cols: str,
         ci: bool = False,
         min_support: int | None = None,
@@ -721,6 +722,14 @@ class SampledFrame:
     ) -> DataFrame:
         """Grouped (or global) p-quantile estimate from the sample, with an
         optional DISTRIBUTION-FREE order-statistic confidence interval.
+
+        ``p`` may be a single probability or a sequence — a sequence
+        computes EVERY requested quantile (p50/p90/p99 is the common
+        production ask) from the SAME single window pass: one sort, one
+        rank-selection filter covering the union of all candidate ranks,
+        one aggregate. Multi-p output columns carry a ``_pNN`` suffix
+        (``est_quantile_p50``, ``est_quantile_p99_9``, ...); single-p
+        output keeps the unsuffixed names.
 
         Extends the reference's approximate-aggregation surface (sums and
         counts only — RandomSamplingUtil.java has no quantile path) to the
@@ -771,8 +780,19 @@ class SampledFrame:
         ``percentile_approx`` sketch on the full frame — mergeable, one
         pass, already approximate.
         """
-        if not 0.0 < p < 1.0:
-            raise ValueError(f"p must be in (0,1), got {p}")
+        single = isinstance(p, (int, float))
+        ps = [float(p)] if single else [float(q) for q in p]
+        if not ps:
+            raise ValueError("p sequence must be non-empty")
+        for q in ps:
+            if not 0.0 < q < 1.0:
+                raise ValueError(f"p must be in (0,1), got {q}")
+
+        def _sfx(q: float) -> str:
+            return "" if single else "_p" + f"{100.0 * q:g}".replace(".", "_")
+
+        if len({_sfx(q) for q in ps}) != len(ps):
+            raise ValueError(f"duplicate probabilities in p: {ps}")
         gs = [F.col(c) for c in group_cols]
         w = Window.partitionBy(*gs) if group_cols else Window.partitionBy()
         wo = w.orderBy(F.col(value_col).asc())
@@ -786,24 +806,39 @@ class SampledFrame:
             F.row_number().over(wo).alias("__rn"),
             F.count(F.lit(1)).over(w).alias("__n"),
         )
-        k = F.greatest(F.lit(1).cast("bigint"), F.ceil(F.lit(p) * nd))
-        want = rn == k
-        if ci and self.ratio < 1.0:
-            z = stats.z_score(self.config.confidence)
-            half = F.lit(z) * F.sqrt(
-                nd * F.lit(p) * F.lit(1.0 - p) * F.lit(max(0.0, 1.0 - self.ratio))
-            )
-            klo = F.greatest(F.lit(1).cast("bigint"), F.floor(nd * F.lit(p) - half))
-            khi = F.least(n.cast("bigint"), F.ceil(nd * F.lit(p) + half))
-            want = want | (rn == klo) | (rn == khi)
-        picked = ranked.where(want)
-        aggs = [F.max(F.when(rn == k, F.col("__v"))).alias(alias)]
-        if ci and self.ratio < 1.0:
-            aggs.append(F.max(F.when(rn == klo, F.col("__v"))).alias(f"{alias}_ci_lo"))
-            aggs.append(F.max(F.when(rn == khi, F.col("__v"))).alias(f"{alias}_ci_hi"))
+        with_ci = ci and self.ratio < 1.0
+        z = stats.z_score(self.config.confidence) if with_ci else None
+        fpc = max(0.0, 1.0 - self.ratio)
+        want = None
+        aggs: list = []
+        for q in ps:
+            k = F.greatest(F.lit(1).cast("bigint"), F.ceil(F.lit(q) * nd))
+            cond = rn == k
+            aggs.append(F.max(F.when(rn == k, F.col("__v"))).alias(f"{alias}{_sfx(q)}"))
+            if with_ci:
+                half = F.lit(z) * F.sqrt(
+                    nd * F.lit(q) * F.lit(1.0 - q) * F.lit(fpc)
+                )
+                klo = F.greatest(
+                    F.lit(1).cast("bigint"), F.floor(nd * F.lit(q) - half)
+                )
+                khi = F.least(n.cast("bigint"), F.ceil(nd * F.lit(q) + half))
+                cond = cond | (rn == klo) | (rn == khi)
+                aggs.append(
+                    F.max(F.when(rn == klo, F.col("__v"))).alias(
+                        f"{alias}{_sfx(q)}_ci_lo"
+                    )
+                )
+                aggs.append(
+                    F.max(F.when(rn == khi, F.col("__v"))).alias(
+                        f"{alias}{_sfx(q)}_ci_hi"
+                    )
+                )
+            want = cond if want is None else (want | cond)
         if min_support is not None and self.ratio < 1.0:
             aggs.append(F.max(n).alias("n_sampled"))
             aggs.append((F.max(n) < F.lit(int(min_support))).alias("low_support"))
+        picked = ranked.where(want)
         base = picked.groupBy(*gs) if group_cols else picked.groupBy()
         return base.agg(*aggs)
 

@@ -989,3 +989,54 @@ class TestApproxQuantile:
         out = sf.approx_quantile("v", 0.5, ci=True, min_support=5)
         assert out.columns == ["est_quantile"]
         assert out.collect()[0]["est_quantile"] == 49.0
+
+    def test_multi_p_single_pass_matches_single_p(self, spark):
+        """A probability LIST computes every quantile from one window pass
+        and must agree column-for-column with separate single-p calls."""
+        df = (
+            spark.range(2000)
+            .select(
+                (F.col("id") % 3).alias("g"),
+                ((F.col("id") * 131) % 997).cast("double").alias("v"),
+            )
+            .localCheckpoint()
+        )
+        sf = SampledFrame.from_dataframe(
+            df, SamplingConfig(ratio=0.25, seed=5), observe=False
+        )
+        multi = {
+            r["g"]: r
+            for r in sf.approx_quantile(
+                "v", [0.25, 0.5, 0.9], "g", ci=True, min_support=50, alias="est"
+            ).collect()
+        }
+        assert set(multi[0].asDict()) == {
+            "g",
+            "est_p25", "est_p25_ci_lo", "est_p25_ci_hi",
+            "est_p50", "est_p50_ci_lo", "est_p50_ci_hi",
+            "est_p90", "est_p90_ci_lo", "est_p90_ci_hi",
+            "n_sampled", "low_support",
+        }
+        for q, sfx in ((0.25, "_p25"), (0.5, "_p50"), (0.9, "_p90")):
+            single = {
+                r["g"]: r
+                for r in sf.approx_quantile("v", q, "g", ci=True).collect()
+            }
+            for g in multi:
+                assert multi[g][f"est{sfx}"] == single[g]["est_quantile"]
+                assert (
+                    multi[g][f"est{sfx}_ci_lo"] == single[g]["est_quantile_ci_lo"]
+                )
+                assert (
+                    multi[g][f"est{sfx}_ci_hi"] == single[g]["est_quantile_ci_hi"]
+                )
+
+    def test_multi_p_rejects_duplicates_and_empty(self, spark):
+        df = spark.range(10).select(F.col("id").cast("double").alias("v"))
+        sf = SampledFrame.from_dataframe(
+            df, SamplingConfig(ratio=0.5, seed=1), observe=False
+        )
+        with pytest.raises(ValueError):
+            sf.approx_quantile("v", [])
+        with pytest.raises(ValueError):
+            sf.approx_quantile("v", [0.5, 0.5])
