@@ -2691,6 +2691,40 @@ def q_order_price_quantile_hash_sampled(spark, sf_dir):
     )
 
 
+@register(
+    "order_price_quantile_histogram",
+    _order_price_quantile_hash_sampled_oracle(),
+    doc="The SAME estimand as order_price_quantile_hash_sampled — "
+    "identical sample, ranks, and oracle SQL — computed by the exact "
+    "distributed k-selection strategy (approx_quantile method="
+    "'histogram': per-group stats pass, 8192-bin value histogram, "
+    "cumulative-count rank location, targeted-bucket residual sort) "
+    "instead of the per-group window sort. Registering both against ONE "
+    "oracle gives the driver external proof that the scale path is "
+    "value-identical to the reference implementation, the same way "
+    "dedup keeps its blocked and all-pairs forms. The histogram path is "
+    "the few-group/global regime answer to the measured one-sort-task-"
+    "per-group window limit (docs/SCALE.md round 6)",
+    tags=("sampled",),
+)
+def q_order_price_quantile_histogram(spark, sf_dir):
+    from ..sampling.deterministic import hash_bernoulli
+
+    o = load(spark, sf_dir, "orders").withColumn(
+        "__k", F.col("o_orderkey").cast("string")
+    )
+    sampled = hash_bernoulli(o, "__k", 0.1, seed=7).withColumn(
+        "v", F.col("o_totalprice").cast("double")
+    )
+    sf = SampledFrame(
+        df=sampled, ratio=0.1, config=SamplingConfig(ratio=0.1, seed=7)
+    )
+    return sf.approx_quantile(
+        "v", 0.5, "o_orderpriority", ci=True, min_support=100,
+        alias="est_median", method="histogram",
+    )
+
+
 def _order_price_percentiles_hash_sampled_oracle() -> str:
     from ..sampling import stats as _stats
     from ..sampling.deterministic import hash_bernoulli_sql
@@ -7467,6 +7501,7 @@ _CHECK_PRIORITY = [
     "sampled_left_join_hash_twin",
     "order_price_quantile_hash_sampled",
     "order_price_percentiles_hash_sampled",
+    "order_price_quantile_histogram",
     # --- the r2 cohort (30): oldest driver signal in the catalog
     # (streaming family, text-quality family, knn, multimodal decode,
     # corpus-prep family, skew handling, zorder layout)

@@ -719,9 +719,35 @@ class SampledFrame:
         ci: bool = False,
         min_support: int | None = None,
         alias: str = "est_quantile",
+        method: str = "window",
+        n_buckets: int = 8192,
     ) -> DataFrame:
         """Grouped (or global) p-quantile estimate from the sample, with an
         optional DISTRIBUTION-FREE order-statistic confidence interval.
+
+        ``method`` picks the physical strategy; both return IDENTICAL
+        values (the order statistic at a rank is unique; equality is
+        pinned in tests and both run against the same DuckDB oracle):
+
+        - ``"window"`` (default): one hash-shuffle on the group key + an
+          in-partition sort. Right answer when groups are plentiful or
+          samples moderate; limit = ONE SORT TASK PER GROUP (measured:
+          a global quantile runs 1.4x the 1024-group wall on identical
+          data at the 100x corpus, docs/SCALE.md).
+        - ``"histogram"``: exact distributed k-selection — per-group
+          (n, min, max) stats, a ``n_buckets``-bin value histogram
+          (second pass), cumulative bucket counts locate each target
+          rank's bucket + residual rank driver-free, and a third pass
+          sorts ONLY the targeted buckets (~n/n_buckets rows each).
+          Every pass is fully parallel regardless of group count — the
+          scale path for few-group / global quantiles on huge samples.
+          Degenerate value ranges (constant group) collapse to one
+          bucket and degrade gracefully to the full in-group sort.
+
+        NULL values in ``value_col`` are excluded (both methods, so n,
+        ranks, and CIs agree across strategies and engines — engines
+        disagree on NULL sort position, so admitting them would make
+        ranks engine-dependent).
 
         ``p`` may be a single probability or a sequence — a sequence
         computes EVERY requested quantile (p50/p90/p99 is the common
@@ -787,60 +813,203 @@ class SampledFrame:
         for q in ps:
             if not 0.0 < q < 1.0:
                 raise ValueError(f"p must be in (0,1), got {q}")
+        if method not in ("window", "histogram"):
+            raise ValueError(f"method must be 'window' or 'histogram', got {method!r}")
 
         def _sfx(q: float) -> str:
             return "" if single else "_p" + f"{100.0 * q:g}".replace(".", "_")
 
         if len({_sfx(q) for q in ps}) != len(ps):
             raise ValueError(f"duplicate probabilities in p: {ps}")
-        gs = [F.col(c) for c in group_cols]
-        w = Window.partitionBy(*gs) if group_cols else Window.partitionBy()
-        wo = w.orderBy(F.col(value_col).asc())
-        val = F.col(value_col)
-        rn = F.col("__rn")
-        n = F.col("__n")
-        nd = n.cast("double")
-        ranked = self.df.select(
-            *gs,
-            val.alias("__v"),
-            F.row_number().over(wo).alias("__rn"),
-            F.count(F.lit(1)).over(w).alias("__n"),
-        )
         with_ci = ci and self.ratio < 1.0
         z = stats.z_score(self.config.confidence) if with_ci else None
         fpc = max(0.0, 1.0 - self.ratio)
+
+        def rank_targets(n_long):
+            """(output column name, rank Column) per requested statistic.
+            ``n_long`` is the per-group non-null count as a long Column;
+            the arithmetic is IDENTICAL for both methods (and mirrored
+            literally in the DuckDB oracles), so the selected ranks are
+            engine- and strategy-independent."""
+            nd = n_long.cast("double")
+            out = []
+            for q in ps:
+                k = F.greatest(F.lit(1).cast("bigint"), F.ceil(F.lit(q) * nd))
+                out.append((f"{alias}{_sfx(q)}", k))
+                if with_ci:
+                    half = F.lit(z) * F.sqrt(
+                        nd * F.lit(q) * F.lit(1.0 - q) * F.lit(fpc)
+                    )
+                    klo = F.greatest(
+                        F.lit(1).cast("bigint"), F.floor(nd * F.lit(q) - half)
+                    )
+                    khi = F.least(
+                        n_long.cast("bigint"), F.ceil(nd * F.lit(q) + half)
+                    )
+                    out.append((f"{alias}{_sfx(q)}_ci_lo", klo))
+                    out.append((f"{alias}{_sfx(q)}_ci_hi", khi))
+            return out
+
+        flag = min_support is not None and self.ratio < 1.0
+        if method == "histogram":
+            return self._quantile_histogram(
+                value_col, list(group_cols), rank_targets, flag,
+                int(min_support) if flag else 0, int(n_buckets),
+            )
+        gs = [F.col(c) for c in group_cols]
+        w = Window.partitionBy(*gs) if group_cols else Window.partitionBy()
+        wo = w.orderBy(F.col(value_col).asc())
+        rn = F.col("__rn")
+        n = F.col("__n")
+        ranked = self.df.where(F.col(value_col).isNotNull()).select(
+            *gs,
+            F.col(value_col).alias("__v"),
+            F.row_number().over(wo).alias("__rn"),
+            F.count(F.lit(1)).over(w).alias("__n"),
+        )
         want = None
         aggs: list = []
-        for q in ps:
-            k = F.greatest(F.lit(1).cast("bigint"), F.ceil(F.lit(q) * nd))
+        for name, k in rank_targets(n):
+            aggs.append(F.max(F.when(rn == k, F.col("__v"))).alias(name))
             cond = rn == k
-            aggs.append(F.max(F.when(rn == k, F.col("__v"))).alias(f"{alias}{_sfx(q)}"))
-            if with_ci:
-                half = F.lit(z) * F.sqrt(
-                    nd * F.lit(q) * F.lit(1.0 - q) * F.lit(fpc)
-                )
-                klo = F.greatest(
-                    F.lit(1).cast("bigint"), F.floor(nd * F.lit(q) - half)
-                )
-                khi = F.least(n.cast("bigint"), F.ceil(nd * F.lit(q) + half))
-                cond = cond | (rn == klo) | (rn == khi)
-                aggs.append(
-                    F.max(F.when(rn == klo, F.col("__v"))).alias(
-                        f"{alias}{_sfx(q)}_ci_lo"
-                    )
-                )
-                aggs.append(
-                    F.max(F.when(rn == khi, F.col("__v"))).alias(
-                        f"{alias}{_sfx(q)}_ci_hi"
-                    )
-                )
             want = cond if want is None else (want | cond)
-        if min_support is not None and self.ratio < 1.0:
+        if flag:
             aggs.append(F.max(n).alias("n_sampled"))
             aggs.append((F.max(n) < F.lit(int(min_support))).alias("low_support"))
         picked = ranked.where(want)
         base = picked.groupBy(*gs) if group_cols else picked.groupBy()
         return base.agg(*aggs)
+
+    def _quantile_histogram(
+        self,
+        value_col: str,
+        group_cols: list,
+        rank_targets,
+        flag: bool,
+        min_support: int,
+        n_buckets: int,
+    ) -> DataFrame:
+        """Exact distributed k-selection (approx_quantile method=
+        'histogram'). Three fully-parallel passes over the data — stats,
+        histogram, targeted-bucket sort — plus small-frame bookkeeping:
+
+        1. per-group (n, min, max): one partial-aggregated shuffle whose
+           output is ONE ROW PER GROUP;
+        2. value histogram: bucket = floor((v-min)/(max-min)*B) clamped
+           to [0, B-1] (monotone in v under IEEE — subtraction, positive
+           division, and multiplication are correctly-rounded monotone
+           maps, so bucket order == value order and equal values share a
+           bucket); per-(group, bucket) counts, again tiny output;
+        3. cumulative bucket counts (a window over <= B rows per group)
+           locate, for EVERY requested rank k, the bucket with
+           cum_prev < k <= cum and the residual rank k - cum_prev — all
+           as small-frame joins, nothing on the driver; a final pass
+           keeps only targeted buckets (expected n/B rows each) and
+           row_numbers within (group, bucket) to pick residual ranks.
+
+        The selected value at each rank is unique, so the result is
+        bit-identical to the window method (pinned in tests) and checks
+        against the same DuckDB oracle. Worst case: all mass in one
+        bucket (near-constant group) degrades to the window method's
+        in-group sort, never worse.
+        """
+        gs = [F.col(c) for c in group_cols]
+        gnames = list(group_cols)
+        data = self.df.where(F.col(value_col).isNotNull()).select(
+            *gs, F.col(value_col).alias("__v")
+        )
+        sb = data.groupBy(*gs) if gnames else data.groupBy()
+        stats_df = sb.agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.min("__v").alias("__mn"),
+            F.max("__v").alias("__mx"),
+        )
+        out_names = [name for name, _ in rank_targets(F.lit(0).cast("bigint"))]
+        st = F.broadcast(stats_df)
+        joined = data.join(st, on=gnames) if gnames else data.crossJoin(st)
+        span = F.col("__mx") - F.col("__mn")
+        b = F.when(span <= F.lit(0.0), F.lit(0)).otherwise(
+            F.least(
+                F.lit(n_buckets - 1),
+                F.greatest(
+                    F.lit(0),
+                    F.floor(
+                        (F.col("__v") - F.col("__mn"))
+                        / span
+                        * F.lit(float(n_buckets))
+                    ).cast("int"),
+                ),
+            )
+        )
+        bucketed = joined.select(*gs, "__v", b.alias("__b"))
+        hb = bucketed.groupBy(*gs, F.col("__b")) if gnames else bucketed.groupBy(F.col("__b"))
+        hist = hb.agg(F.count(F.lit(1)).alias("__c"))
+        wcum = (
+            Window.partitionBy(*gs).orderBy(F.col("__b"))
+            if gnames
+            else Window.partitionBy().orderBy(F.col("__b"))
+        )
+        cum = hist.select(
+            *gnames, "__b", F.sum("__c").over(wcum).alias("__cum"), F.col("__c")
+        ).withColumn("__cum_prev", F.col("__cum") - F.col("__c"))
+        # Evaluate every target-rank predicate INLINE per histogram row
+        # (then explode the matches) instead of joining a target table —
+        # a join would multiply targets x buckets before its range filter
+        # could prune. Expected exactly one surviving row per target.
+        nsel = stats_df.select(*gnames, "__n") if gnames else stats_df.select("__n")
+        cum2 = (
+            cum.join(F.broadcast(nsel), on=gnames)
+            if gnames
+            else cum.crossJoin(F.broadcast(nsel))
+        )
+        matches = F.array(
+            *[
+                F.when(
+                    (F.col("__cum_prev") < k) & (k <= F.col("__cum")),
+                    F.struct(
+                        F.lit(name).alias("o"),
+                        (k - F.col("__cum_prev")).alias("r"),
+                    ),
+                )
+                for name, k in rank_targets(F.col("__n"))
+            ]
+        )
+        loc = (
+            cum2.select(*gnames, "__b", F.explode(matches).alias("__m"))
+            .where(F.col("__m").isNotNull())
+            .select(
+                *gnames,
+                "__b",
+                F.col("__m.o").alias("__out"),
+                F.col("__m.r").alias("__res"),
+            )
+        )
+        tb = loc.select(*gnames, "__b").distinct()
+        on_cols = gnames + ["__b"] if gnames else ["__b"]
+        cand = bucketed.join(F.broadcast(tb), on=on_cols, how="left_semi")
+        wsel = Window.partitionBy(*(gs + [F.col("__b")])).orderBy(F.col("__v"))
+        rsel = cand.select(
+            *gnames, "__b", "__v", F.row_number().over(wsel).alias("__rn")
+        )
+        hit = rsel.join(F.broadcast(loc), on=on_cols).where(
+            F.col("__rn") == F.col("__res")
+        )
+        base = hit.groupBy(*gs) if gnames else hit.groupBy()
+        res = base.agg(
+            *[
+                F.max(F.when(F.col("__out") == name, F.col("__v"))).alias(name)
+                for name in out_names
+            ]
+        )
+        if flag:
+            supp = stats_df.select(
+                *gnames,
+                F.col("__n").alias("n_sampled"),
+                (F.col("__n") < F.lit(min_support)).alias("low_support"),
+            )
+            res = res.join(supp, on=gnames) if gnames else res.crossJoin(supp)
+            res = res.select(*gnames, *out_names, "n_sampled", "low_support")
+        return res
 
     def approx_distinct(self, value_col: str, *group_cols: str, rsd: float = 0.05, alias: str = "est_distinct") -> DataFrame:
         """Approximate distinct count via the HyperLogLog++ sketch — over

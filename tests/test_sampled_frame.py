@@ -1040,3 +1040,79 @@ class TestApproxQuantile:
             sf.approx_quantile("v", [])
         with pytest.raises(ValueError):
             sf.approx_quantile("v", [0.5, 0.5])
+
+    def test_histogram_method_identical_to_window(self, spark):
+        """The exact distributed k-selection (method='histogram') must be
+        bit-identical to the window sort on every statistic, including
+        constant groups (degenerate one-bucket range), heavy-duplicate
+        groups, tiny groups (rank clamps), and extreme p."""
+        df = (
+            spark.range(20000)
+            .select(
+                (F.col("id") % 7).alias("g"),
+                F.when(F.col("id") % 7 == 3, F.lit(42.0))
+                .when(F.col("id") % 7 == 5, (F.col("id") % 11).cast("double"))
+                .otherwise(((F.col("id") * 131) % 9973).cast("double"))
+                .alias("v"),
+            )
+            .union(
+                spark.range(4).select(
+                    F.lit(99).alias("g"), F.col("id").cast("double").alias("v")
+                )
+            )
+            .localCheckpoint()
+        )
+        sf = SampledFrame.from_dataframe(
+            df, SamplingConfig(ratio=0.3, seed=11), observe=False
+        )
+        for ps in (0.5, [0.25, 0.5, 0.9], 0.01, 0.999):
+            a = {
+                r["g"]: r.asDict()
+                for r in sf.approx_quantile(
+                    "v", ps, "g", ci=True, min_support=50, method="window"
+                ).collect()
+            }
+            b = {
+                r["g"]: r.asDict()
+                for r in sf.approx_quantile(
+                    "v", ps, "g", ci=True, min_support=50, method="histogram"
+                ).collect()
+            }
+            assert a == b, f"method mismatch at p={ps}"
+        ga = sf.approx_quantile("v", [0.1, 0.5, 0.95], ci=True).collect()[0]
+        gb = sf.approx_quantile(
+            "v", [0.1, 0.5, 0.95], ci=True, method="histogram"
+        ).collect()[0]
+        assert ga.asDict() == gb.asDict()
+
+    def test_histogram_method_tiny_bucket_count(self, spark):
+        """n_buckets smaller than distinct values: residual sorts span
+        multi-value buckets and must still select exact ranks."""
+        df = spark.range(5000).select(
+            (F.col("id") % 3).alias("g"),
+            ((F.col("id") * 17) % 4999).cast("double").alias("v"),
+        )
+        sf = SampledFrame.from_dataframe(
+            df, SamplingConfig(ratio=0.5, seed=2), observe=False
+        )
+        a = {
+            r["g"]: r.asDict()
+            for r in sf.approx_quantile(
+                "v", [0.5, 0.9], "g", ci=True, method="window"
+            ).collect()
+        }
+        b = {
+            r["g"]: r.asDict()
+            for r in sf.approx_quantile(
+                "v", [0.5, 0.9], "g", ci=True, method="histogram", n_buckets=8
+            ).collect()
+        }
+        assert a == b
+
+    def test_rejects_unknown_method(self, spark):
+        df = spark.range(10).select(F.col("id").cast("double").alias("v"))
+        sf = SampledFrame.from_dataframe(
+            df, SamplingConfig(ratio=0.5, seed=1), observe=False
+        )
+        with pytest.raises(ValueError):
+            sf.approx_quantile("v", 0.5, method="sort-of")

@@ -45,7 +45,7 @@ def main() -> None:
     spark = get_spark("rsmr-new-estimators-scaling")
     spark.sparkContext.setLogLevel("ERROR")
 
-    def quantile_frame(sf_dir, group_expr, group_name):
+    def quantile_frame(sf_dir, group_expr, group_name, method="window"):
         o = load(spark, sf_dir, "orders").withColumn(
             "__k", F.col("o_orderkey").cast("string")
         )
@@ -57,7 +57,9 @@ def main() -> None:
         sf = SampledFrame(
             df=sampled, ratio=0.1, config=SamplingConfig(ratio=0.1, seed=7)
         )
-        return sf.approx_quantile("v", [0.25, 0.5, 0.9], "g", ci=True, alias="est")
+        return sf.approx_quantile(
+            "v", [0.25, 0.5, 0.9], "g", ci=True, alias="est", method=method
+        )
 
     def timed(build):
         ts = []
@@ -92,6 +94,10 @@ def main() -> None:
         # worst case for the window path: ONE group = one sort task
         entry["quantile_global"] = timed(
             lambda: quantile_frame(d, F.lit(0), "all")
+        )
+        # the fix: exact distributed k-selection (method='histogram')
+        entry["quantile_global_histogram"] = timed(
+            lambda: quantile_frame(d, F.lit(0), "all", method="histogram")
         )
     print(json.dumps(result))
     spark.stop()
