@@ -2561,6 +2561,103 @@ def q_sampled_left_join_hash_twin(spark, sf_dir):
     )
 
 
+def _sampled_full_join_hash_twin_oracle() -> str:
+    from ..sampling.deterministic import hash_bernoulli_sql
+
+    keep_c = hash_bernoulli_sql("c_custkey::VARCHAR", 0.5, seed=5)
+    keep_o = hash_bernoulli_sql("o_orderkey::VARCHAR", 0.5, seed=8)
+    # mirrors join_weighted_full at r1=r2=0.5: matched weight
+    # 1/(r1*r2)=4, each side's null-correction weight (1-1/r)^K/r =
+    # (-1)^K * 2 — all IEEE-exact, every addend an integer-valued
+    # double, so sums are order-independent across engines.
+    return f"""
+    WITH c AS (SELECT c_custkey, c_mktsegment FROM customer WHERE {keep_c}),
+         o AS (SELECT o_orderkey, o_custkey,
+                      CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+                        AS cents
+               FROM orders WHERE {keep_o}),
+         kc AS (SELECT c.c_custkey, c.c_mktsegment,
+                       count(o.o_orderkey) AS k
+                FROM c LEFT JOIN o ON c.c_custkey = o.o_custkey
+                GROUP BY 1, 2),
+         ko AS (SELECT o.o_orderkey, o.cents, count(c.c_custkey) AS k
+                FROM o LEFT JOIN c ON o.o_custkey = c.c_custkey
+                GROUP BY 1, 2),
+         rows_ AS (
+           SELECT c.c_mktsegment, c.c_custkey, o.o_orderkey, o.cents,
+                  4.0 AS w
+           FROM c JOIN o ON c.c_custkey = o.o_custkey
+           UNION ALL
+           SELECT c_mktsegment, c_custkey, NULL, NULL,
+                  CASE WHEN k % 2 = 0 THEN 2.0 ELSE -2.0 END FROM kc
+           UNION ALL
+           SELECT NULL, NULL, o_orderkey, cents,
+                  CASE WHEN k % 2 = 0 THEN 2.0 ELSE -2.0 END FROM ko
+         )
+    SELECT c_mktsegment,
+           sum(w) AS est_rows,
+           sum(coalesce(cents, 0) * w) AS est_cents,
+           sum(CASE WHEN o_orderkey IS NULL THEN w ELSE 0.0 END)
+             AS est_unmatched_cust,
+           sum(CASE WHEN c_custkey IS NULL THEN w ELSE 0.0 END)
+             AS est_unmatched_ord
+    FROM rows_ GROUP BY 1
+    """
+
+
+@register(
+    "sampled_full_join_hash_twin",
+    _sampled_full_join_hash_twin_oracle(),
+    doc="Weighted FULL-OUTER-join composition, value-oracled — completes "
+    "the sampled-join family (inner r5, left r6, right by symmetry). "
+    "Customers and orders each hash-sampled at 0.5 (seeds 5/8), joined "
+    "through SampledFrame.join_weighted_full: matched pairs carry "
+    "1/(r1*r2)=4; every kept customer emits a null-extended row at "
+    "(1-1/r2)^K/r1 = (-1)^K*2 (K = kept-order count) estimating the "
+    "order-less-customer stratum (truly nonzero in TPC-H: ~1/3 of "
+    "customers), and every kept order emits the symmetric row at "
+    "(-1)^K'*2 estimating the customer-less-order stratum (zero truth "
+    "— the signed corrections must hover near zero, which naive 1/r "
+    "weighting would miss by thousands). Grouping by c_mktsegment "
+    "sends order-side corrections to the NULL-segment group — that row "
+    "IS the right-only-stratum estimate. Money flows as exact integer "
+    "cents so both engines produce identical doubles; the oracle "
+    "replicates the three-stratum weighting from first principles",
+    tags=("sampled",),
+)
+def q_sampled_full_join_hash_twin(spark, sf_dir):
+    from ..sampling.deterministic import hash_bernoulli
+
+    c = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    ).withColumn("__k", F.col("c_custkey").cast("string"))
+    sc_df = hash_bernoulli(c, "__k", 0.5, seed=5).drop("__k")
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    ).withColumn("__k", F.col("o_orderkey").cast("string"))
+    so_df = hash_bernoulli(o, "__k", 0.5, seed=8).drop("__k")
+    sc_ = SampledFrame(df=sc_df, ratio=0.5, config=SamplingConfig(ratio=0.5, seed=5))
+    so_ = SampledFrame(df=so_df, ratio=0.5, config=SamplingConfig(ratio=0.5, seed=8))
+    w = sc_.join_weighted_full(so_, "c_custkey", "o_custkey")
+    cents = F.coalesce(
+        (_dec("o_totalprice") * 100).cast("bigint"), F.lit(0)
+    )
+    return w.groupBy("c_mktsegment").agg(
+        F.sum("__weight").alias("est_rows"),
+        F.sum(cents * F.col("__weight")).alias("est_cents"),
+        F.sum(
+            F.when(F.col("o_orderkey").isNull(), F.col("__weight")).otherwise(
+                F.lit(0.0)
+            )
+        ).alias("est_unmatched_cust"),
+        F.sum(
+            F.when(F.col("c_custkey").isNull(), F.col("__weight")).otherwise(
+                F.lit(0.0)
+            )
+        ).alias("est_unmatched_ord"),
+    )
+
+
 def _price_per_qty_hash_sampled_oracle() -> str:
     from ..sampling.deterministic import hash_bernoulli_sql
 
@@ -7502,6 +7599,7 @@ _CHECK_PRIORITY = [
     "order_price_quantile_hash_sampled",
     "order_price_percentiles_hash_sampled",
     "order_price_quantile_histogram",
+    "sampled_full_join_hash_twin",
     # --- the r2 cohort (30): oldest driver signal in the catalog
     # (streaming family, text-quality family, knn, multimodal decode,
     # corpus-prep family, skew handling, zorder layout)

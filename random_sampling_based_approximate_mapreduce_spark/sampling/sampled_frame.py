@@ -528,6 +528,119 @@ class SampledFrame:
         )
         return matched.unionByName(null_rows)
 
+    def join_weighted_right(
+        self,
+        other: "SampledFrame",
+        left_on: str,
+        right_on: str,
+    ) -> DataFrame:
+        """RIGHT equi-join composition — the exact mirror of
+        ``join_weighted_left`` (matched pairs at 1/(r1*r2); every kept
+        RIGHT row emits a null-extended correction row with weight
+        (1-1/r1)^K / r2, K = its kept-left-match count). Implemented by
+        delegation with the sides swapped, columns reordered back to
+        (left columns, right columns, __weight). The variance caveat
+        mirrors too: prefer the LEFT side sampled at >= 0.5 here (the
+        delegated warning text speaks in the swapped orientation).
+        """
+        out = other.join_weighted_left(self, right_on, left_on)
+        return out.select(*self.df.columns, *other.df.columns, "__weight")
+
+    def join_weighted_full(
+        self,
+        other: "SampledFrame",
+        left_on: str,
+        right_on: str,
+    ) -> DataFrame:
+        """FULL OUTER equi-join of two independently-sampled frames with
+        per-row inclusion weights — completing the sampled-join family
+        (inner: ``join_sampled``; left: ``join_weighted_left``; right:
+        the mirror above).
+
+        The population full join has three strata, each estimated
+        unbiasedly by its own row class:
+
+        - MATCHED: kept pairs at the standard HT weight 1/(r1*r2);
+        - LEFT-ONLY: every kept left row emits a null-extended row at
+          (1-1/r2)^K / r1 (K = kept right matches) — by the indicator
+          identity E[(1-1/r2)^K] = 1{m=0} this sums to the population
+          left-only stratum for ANY estimand (join_weighted_left's
+          argument verbatim);
+        - RIGHT-ONLY: symmetric rows at (1-1/r1)^K' / r2.
+
+        So sum(__weight * g(row)) is exactly unbiased for any g over the
+        population full join, and at r1=r2=1 the correction classes
+        vanish into the classical exact full join. Variance: correction
+        magnitudes are |1-1/r2|^K and |1-1/r1|^K', <= 1 iff the OPPOSITE
+        side's ratio >= 0.5 — sample BOTH sides at >= 0.5 for usable
+        unmatched-stratum estimates (warned below otherwise; r1=r2=0.5
+        gives IEEE-exact weights +/-2 and 4, the value-oracled twin's
+        configuration).
+
+        Group-by note: grouping by a LEFT column sends right-only
+        correction rows to that column's NULL group (their left side is
+        null-extended) — the NULL group row IS the estimate of the
+        right-only stratum, it is not junk.
+
+        100 TB shape: three equi-shuffles on the join key (pair join +
+        one per-key count aggregate per side, each one row per distinct
+        key); no driver materialization, no skew beyond the join's own.
+        """
+        overlap = set(self.df.columns) & set(other.df.columns)
+        if overlap:
+            raise ValueError(
+                f"join_weighted_full requires disjoint column names; rename "
+                f"overlapping columns first: {sorted(overlap)}"
+            )
+        r1, r2 = self.ratio, other.ratio
+        if min(r1, r2) < 0.5:
+            import warnings
+
+            warnings.warn(
+                f"join_weighted_full with ratios ({r1}, {r2}): a side "
+                "below 0.5 makes the OTHER side's null-stratum correction "
+                "weights exceed 1 in magnitude — unbiased but "
+                "high-variance; sample both sides at >= 0.5",
+                stacklevel=2,
+            )
+        tl = 0.0 if r2 >= 1.0 else 1.0 - 1.0 / r2
+        tr = 0.0 if r1 >= 1.0 else 1.0 - 1.0 / r1
+        left_cols = self.df.columns
+        right_cols = other.df.columns
+        left_schema = {f.name: f.dataType for f in self.df.schema.fields}
+        right_schema = {f.name: f.dataType for f in other.df.schema.fields}
+        matched = (
+            self.df.join(other.df, F.col(left_on) == F.col(right_on), "inner")
+            .withColumn("__weight", F.lit(1.0 / (r1 * r2)))
+            .select(*left_cols, *right_cols, "__weight")
+        )
+        k = F.coalesce(F.col("__k"), F.lit(0)).cast("double")
+        rcounts = other.df.groupBy(F.col(right_on).alias("__rk")).agg(
+            F.count(F.lit(1)).alias("__k")
+        )
+        left_null = (
+            self.df.join(rcounts, F.col(left_on) == F.col("__rk"), "left")
+            .select(
+                *left_cols,
+                *[F.lit(None).cast(right_schema[c]).alias(c) for c in right_cols],
+                (F.pow(F.lit(tl), k) / F.lit(r1)).alias("__weight"),
+            )
+            .where(F.col("__weight") != 0)
+        )
+        lcounts = self.df.groupBy(F.col(left_on).alias("__lk")).agg(
+            F.count(F.lit(1)).alias("__k")
+        )
+        right_null = (
+            other.df.join(lcounts, F.col(right_on) == F.col("__lk"), "left")
+            .select(
+                *[F.lit(None).cast(left_schema[c]).alias(c) for c in left_cols],
+                *right_cols,
+                (F.pow(F.lit(tr), k) / F.lit(r2)).alias("__weight"),
+            )
+            .where(F.col("__weight") != 0)
+        )
+        return matched.unionByName(left_null).unionByName(right_null)
+
     # -- estimator-aware aggregations ------------------------------------
 
     # count-estimate CI: Poisson/binomial variance of an HT count — a raw

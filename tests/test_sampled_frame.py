@@ -1116,3 +1116,105 @@ class TestApproxQuantile:
         )
         with pytest.raises(ValueError):
             sf.approx_quantile("v", 0.5, method="sort-of")
+
+
+class TestJoinWeightedFullAndRight:
+    """Round-6 completion of the sampled-join family: FULL OUTER with
+    corrections on both sides, RIGHT as the mirrored delegate. The same
+    population as TestJoinWeightedLeft plus right rows whose key has no
+    left partner (a truly nonempty right-only stratum)."""
+
+    @pytest.fixture(scope="class")
+    def population(self, spark):
+        left = [(i, (0, 1, 2, 3)[i % 4]) for i in range(60)]
+        right = [(i, j, 10 * i + j) for i, m in left for j in range(m)]
+        right += [(1000 + i, 0, 7 * i) for i in range(10)]  # right-only keys
+        ldf = spark.createDataFrame(left, ["lkey", "m"]).localCheckpoint()
+        rdf = spark.createDataFrame(right, ["rkey", "j", "val"]).localCheckpoint()
+        truth = {
+            "matched": sum(m for _, m in left),
+            "left_only": sum(1 for _, m in left if m == 0),
+            "right_only": 10,
+        }
+        truth["rows"] = sum(truth.values())
+        return ldf, rdf, truth
+
+    def _frames(self, ldf, rdf, r1, r2, seed):
+        sl = SampledFrame(
+            df=ldf.where(F.rand(seed) < r1) if r1 < 1.0 else ldf,
+            ratio=r1,
+            config=SamplingConfig(ratio=r1, seed=seed),
+        )
+        sr = SampledFrame(
+            df=rdf.where(F.rand(seed + 7919) < r2) if r2 < 1.0 else rdf,
+            ratio=r2,
+            config=SamplingConfig(ratio=r2, seed=seed),
+        )
+        return sl, sr
+
+    def test_exact_mode_is_classical_full_join(self, spark, population):
+        ldf, rdf, truth = population
+        sl, sr = self._frames(ldf, rdf, 1.0, 1.0, 1)
+        rows = sl.join_weighted_full(sr, "lkey", "rkey").collect()
+        assert len(rows) == truth["rows"]
+        assert all(r["__weight"] == 1.0 for r in rows)
+        assert sum(1 for r in rows if r["rkey"] is None) == truth["left_only"]
+        assert sum(1 for r in rows if r["lkey"] is None) == truth["right_only"]
+
+    def test_full_join_unbiased_across_seeds(self, spark, population):
+        """Mean over 40 seeds of each stratum estimate tracks the truth —
+        including the right-only stratum the left composition cannot see.
+        One unioned plan, one collect."""
+        ldf, rdf, truth = population
+        frames = []
+        for s in range(40):
+            seed = 104729 * (s + 1)
+            sl, sr = self._frames(ldf, rdf, 0.6, 0.5, seed)
+            w = sl.join_weighted_full(sr, "lkey", "rkey")
+            frames.append(
+                w.agg(
+                    F.sum("__weight").alias("est_rows"),
+                    F.sum(
+                        F.when(F.col("rkey").isNull(), F.col("__weight")).otherwise(F.lit(0.0))
+                    ).alias("est_left_only"),
+                    F.sum(
+                        F.when(F.col("lkey").isNull(), F.col("__weight")).otherwise(F.lit(0.0))
+                    ).alias("est_right_only"),
+                )
+            )
+        u = frames[0]
+        for f in frames[1:]:
+            u = u.unionByName(f)
+        rows = u.collect()
+        n = len(rows)
+        mean = lambda c: sum(r[c] for r in rows) / n
+        assert abs(mean("est_rows") - truth["rows"]) / truth["rows"] < 0.08
+        assert abs(mean("est_left_only") - truth["left_only"]) < 0.25 * truth["left_only"] + 2
+        assert abs(mean("est_right_only") - truth["right_only"]) < 0.25 * truth["right_only"] + 2
+
+    def test_right_join_mirrors_left(self, spark, population):
+        """join_weighted_right == join_weighted_left with sides swapped,
+        columns in (left, right) order."""
+        ldf, rdf, _ = population
+        sl, sr = self._frames(ldf, rdf, 0.5, 0.5, 31)
+        got = sl.join_weighted_right(sr, "lkey", "rkey")
+        assert got.columns == ldf.columns + rdf.columns + ["__weight"]
+        mirror = sr.join_weighted_left(sl, "rkey", "lkey").select(
+            *ldf.columns, *rdf.columns, "__weight"
+        )
+        a = sorted(map(str, got.collect()))
+        b = sorted(map(str, mirror.collect()))
+        assert a == b
+
+    def test_full_join_rejects_overlapping_columns(self, spark):
+        df = spark.range(5).select(F.col("id"), F.lit(1).alias("x"))
+        sl = SampledFrame.from_dataframe(df, SamplingConfig(ratio=0.5, seed=1), observe=False)
+        sr = SampledFrame.from_dataframe(df, SamplingConfig(ratio=0.5, seed=2), observe=False)
+        with pytest.raises(ValueError):
+            sl.join_weighted_full(sr, "id", "id")
+
+    def test_full_join_warns_below_half(self, spark, population):
+        ldf, rdf, _ = population
+        sl, sr = self._frames(ldf, rdf, 0.3, 0.6, 3)
+        with pytest.warns(UserWarning, match="high-variance"):
+            sl.join_weighted_full(sr, "lkey", "rkey")
