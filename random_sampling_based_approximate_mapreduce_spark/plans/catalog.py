@@ -6793,6 +6793,93 @@ def q_stratified_events_hash_sampled(spark, sf_dir):
     )
 
 
+def _stratified_value_quantile_oracle() -> str:
+    from ..sampling.deterministic import hash_bernoulli_sql
+
+    cases = " ".join(
+        f"WHEN event_type = '{t}' THEN "
+        f"CASE WHEN {hash_bernoulli_sql('event_id::VARCHAR', r, seed=11)} "
+        f"THEN CAST('{1.0 / r}' AS DECIMAL(6,2)) END"
+        for t, r in _STRAT_FRACTIONS.items()
+    )
+    # mirrors weighted_quantile: floor-quantized 2^-20-unit integer
+    # weights (exact cumulative sums), default RANGE window frame (tied
+    # values share one cumulative total in both engines), smallest v
+    # with cum >= p * total.
+    return f"""
+    WITH s AS (
+      SELECT CAST(ts AS DATE) AS d, CAST(value AS DOUBLE) AS v,
+             CASE {cases} END AS w
+      FROM events
+    ),
+    k AS (
+      SELECT d, v, CAST(floor(CAST(w AS DOUBLE) * 1048576.0) AS BIGINT) AS ws
+      FROM s WHERE w IS NOT NULL
+    ),
+    c AS (
+      SELECT d, v,
+             sum(ws) OVER (PARTITION BY d ORDER BY v) AS cum,
+             sum(ws) OVER (PARTITION BY d) AS tot,
+             count(*) OVER (PARTITION BY d) AS n
+      FROM k
+    )
+    SELECT d,
+           min(CASE WHEN CAST(cum AS DOUBLE) >= 0.5 * CAST(tot AS DOUBLE)
+                    THEN v END) AS est_p50,
+           min(CASE WHEN CAST(cum AS DOUBLE) >= 0.9 * CAST(tot AS DOUBLE)
+                    THEN v END) AS est_p90,
+           max(n)::BIGINT AS n_sampled,
+           (max(n) < 100) AS low_support
+    FROM c GROUP BY 1
+    """
+
+
+@register(
+    "stratified_value_quantile_hash_sampled",
+    _stratified_value_quantile_oracle(),
+    doc="Weighted quantiles from a STRATIFIED sample, fully value-oracled "
+    "(round 6: closes the quantile gap in the weighted-estimator family "
+    "— weighted_count/weighted_sum existed, the CDF inverse did not). "
+    "Daily p50/p90 of event value from the same deterministic stratified "
+    "hash sample as stratified_events_hash_sampled (rare strata kept at "
+    "50%, bulk at 5%): each day mixes strata, so the PLAIN sample "
+    "quantile is biased toward over-sampled rare strata and the weighted "
+    "empirical-CDF inverse (sampling/sampled_frame.weighted_quantile) "
+    "undoes the design distortion. Determinism: weights floor-quantized "
+    "to integer 2^-20 units (exact cumulative sums — float cumsums are "
+    "order-dependent at value ties), default RANGE window frame so tied "
+    "values share one cumulative total in both engines, selection = "
+    "smallest v with cum >= p*total; the oracle mirrors the arithmetic "
+    "literally. min_support=100 flags thin days",
+    tags=("sampled",),
+)
+def q_stratified_value_quantile_hash_sampled(spark, sf_dir):
+    from ..sampling.deterministic import _BUCKETS, _priority
+    from ..sampling.sampled_frame import weighted_quantile
+
+    e = load(spark, sf_dir, "events").withColumn(
+        "__k", F.col("event_id").cast("string")
+    )
+    pri = F.pmod(_priority(F.col("__k"), 11), F.lit(_BUCKETS))
+    w = None
+    for t, r in _STRAT_FRACTIONS.items():
+        cond = (F.col("event_type") == t) & (pri < int(r * _BUCKETS))
+        weight = F.lit(str(1.0 / r)).cast("decimal(6,2)")
+        w = F.when(cond, weight) if w is None else w.when(cond, weight)
+    s = (
+        e.withColumn("w", w)
+        .where(F.col("w").isNotNull())
+        .select(
+            F.to_date("ts").alias("d"),
+            F.col("value").cast("double").alias("v"),
+            "w",
+        )
+    )
+    return weighted_quantile(
+        s, "v", [0.5, 0.9], "d", weight_col="w", min_support=100, alias="est"
+    )
+
+
 def _file_pick(n_groups: int = 8, keep_ratio: float = 0.5, seed: str = "file") -> tuple:
     """Frozen md5 file-group pick: group g kept iff hash64('file|g') lands
     under the ratio — pure Python, no Spark, so the picked set is a
@@ -7600,6 +7687,7 @@ _CHECK_PRIORITY = [
     "order_price_percentiles_hash_sampled",
     "order_price_quantile_histogram",
     "sampled_full_join_hash_twin",
+    "stratified_value_quantile_hash_sampled",
     # --- the r2 cohort (30): oldest driver signal in the catalog
     # (streaming family, text-quality family, knn, multimodal decode,
     # corpus-prep family, skew handling, zorder layout)

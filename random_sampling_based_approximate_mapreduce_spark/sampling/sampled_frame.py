@@ -270,6 +270,97 @@ def weighted_sum(
     return base.agg(*aggs)
 
 
+def weighted_quantile(
+    df: DataFrame,
+    value_col: str,
+    p,
+    *group_cols: str,
+    weight_col: str = "__weight",
+    min_support: int | None = None,
+    alias: str = "est_quantile",
+    scale_bits: int = 20,
+) -> DataFrame:
+    """Weighted p-quantile(s) from a ``__weight``-carrying frame (the
+    output of ``stratified_sample`` or the weighted-join compositions):
+    the smallest sampled value whose CUMULATIVE WEIGHT reaches p of the
+    group's total weight — the weighted empirical-CDF inverse, which
+    estimates the POPULATION quantile from a stratified sample where the
+    plain sample quantile would be biased toward over-sampled strata
+    (rare strata carry small weights, bulk strata large ones; the
+    weighting undoes the design distortion).
+
+    Determinism discipline: weights are floor-quantized to integer
+    2^-scale_bits units, so cumulative sums are EXACT integers — float
+    cumulative sums would be order-dependent across engines at value
+    ties. The cumulative window uses the default RANGE frame (ORDER BY
+    value), so tied values share one cumulative total in both Spark and
+    DuckDB (SQL-standard frame semantics), and the selected value at
+    every threshold is engine-identical; the SQL oracle mirrors the
+    floor/RANGE arithmetic literally. Quantization perturbs each weight
+    by < 2^-20 relative — orders of magnitude below sampling error.
+    The exact-integer compare holds while total scaled weight < 2^53
+    (~8e15; e.g. 1e8 rows at weight 100 is 1e16*... keep scale_bits
+    lower for extreme totals).
+
+    No CI: the distribution-free binomial interval assumes EQUAL
+    weights; an effective-sample-size approximation exists but is not
+    exact, and this engine does not ship approximations it cannot bound
+    — use ``min_support`` (per-group raw row count) as the honesty
+    signal, or design strata so per-group supports are healthy.
+
+    100 TB shape: identical to ``approx_quantile``'s window method (one
+    hash-shuffle + in-partition sort per group, on the sampled rows
+    only); the histogram k-selection upgrade applies the same way if a
+    few-group weighted quantile at extreme scale ever becomes hot.
+    """
+    single = isinstance(p, (int, float))
+    ps = [float(p)] if single else [float(q) for q in p]
+    if not ps:
+        raise ValueError("p sequence must be non-empty")
+    for q in ps:
+        if not 0.0 < q < 1.0:
+            raise ValueError(f"p must be in (0,1), got {q}")
+
+    def _sfx(q: float) -> str:
+        return "" if single else "_p" + f"{100.0 * q:g}".replace(".", "_")
+
+    if len({_sfx(q) for q in ps}) != len(ps):
+        raise ValueError(f"duplicate probabilities in p: {ps}")
+    gs = [F.col(c) for c in group_cols]
+    ws = F.floor(
+        F.col(weight_col).cast("double") * F.lit(float(1 << scale_bits))
+    ).cast("bigint")
+    data = df.where(F.col(value_col).isNotNull()).select(
+        *gs, F.col(value_col).alias("__v"), ws.alias("__ws")
+    )
+    wcum = (
+        Window.partitionBy(*gs).orderBy(F.col("__v"))
+        if group_cols
+        else Window.partitionBy().orderBy(F.col("__v"))
+    )  # default RANGE frame: ties share one cumulative total
+    wtot = Window.partitionBy(*gs) if group_cols else Window.partitionBy()
+    staged = data.select(
+        *gs,
+        "__v",
+        F.sum("__ws").over(wcum).alias("__cum"),
+        F.sum("__ws").over(wtot).alias("__tot"),
+        F.count(F.lit(1)).over(wtot).alias("__n"),
+    )
+    aggs: list = []
+    for q in ps:
+        thresh = F.lit(q) * F.col("__tot").cast("double")
+        aggs.append(
+            F.min(
+                F.when(F.col("__cum").cast("double") >= thresh, F.col("__v"))
+            ).alias(f"{alias}{_sfx(q)}")
+        )
+    if min_support is not None:
+        aggs.append(F.max("__n").alias("n_sampled"))
+        aggs.append((F.max("__n") < F.lit(int(min_support))).alias("low_support"))
+    base = staged.groupBy(*gs) if group_cols else staged.groupBy()
+    return base.agg(*aggs)
+
+
 def _is_metrics_missing_error(exc: Exception, key: str) -> bool:
     """Classify a JVM-side Observation.get failure as
     'metrics never materialized' (the zero-row-sample edge where AQE's
