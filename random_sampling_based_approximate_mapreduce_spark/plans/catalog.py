@@ -6880,6 +6880,79 @@ def q_stratified_value_quantile_hash_sampled(spark, sf_dir):
     )
 
 
+def _sampled_topk_tokens_oracle() -> str:
+    from ..operators.dedup import _WORD_SPLIT_SQL
+    from ..sampling import stats as _stats
+    from ..sampling.deterministic import hash_bernoulli_sql
+
+    z = _stats.z_score(0.95)
+    keep = hash_bernoulli_sql("doc_id::VARCHAR", 0.1, seed=21)
+    return f"""
+    WITH d AS (SELECT doc_id, text FROM documents WHERE {keep}),
+    toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text),
+               '{_WORD_SPLIT_SQL}'), t -> len(t) > 0)) AS tok
+      FROM d
+    ),
+    x AS (SELECT doc_id, tok, count(*)::BIGINT AS x FROM toks GROUP BY 1, 2),
+    m AS (SELECT tok, sum(x)::BIGINT AS sx, sum(x * x)::BIGINT AS sxx
+          FROM x GROUP BY tok),
+    e AS (SELECT tok, sx * 10.0 AS est,
+                 {z!r} * sqrt(0.9 * CAST(sxx AS DOUBLE)) / 0.1 AS est_ci
+          FROM m),
+    sel AS (SELECT tok, est, est_ci,
+                   row_number() OVER w AS rank,
+                   lead(est + est_ci) OVER w AS nxt
+            FROM e WINDOW w AS (ORDER BY est DESC, tok ASC))
+    SELECT tok, est, est_ci, rank,
+           coalesce((est - est_ci) > nxt, TRUE) AS stable
+    FROM sel WHERE rank <= 15
+    """
+
+
+@register(
+    "sampled_topk_tokens",
+    _sampled_topk_tokens_oracle(),
+    doc="Approximate heavy hitters with rank-stability honesty, fully "
+    "value-oracled (SampledFrame.approx_topk): top-15 corpus tokens by "
+    "HT-estimated total count from a 10% DOCUMENT-level hash sample — "
+    "cluster sampling, so the estimator aggregates per-(doc, token) "
+    "counts and approx_sum's HT variance V^=(1-r)/r^2 * sum x_d^2 is "
+    "exactly the cluster-level CI (sampling token ROWS instead would "
+    "need no clustering but resample every doc's parse; sampling docs "
+    "is the scan-cheap form the reference's design implies). Each item "
+    "carries est +/- ci and `stable` = lower bound clears the NEXT "
+    "rank's upper bound (computed against rank 16 before truncation) — "
+    "adjacent ranks without clearance are statistically interchangeable "
+    "at this sample size, which the reference's plain sorted output "
+    "hides. Deterministic: integer moments scaled by an IEEE-exact 10.0, "
+    "ties broken by token; the CI float and even the flag's comparison "
+    "reproduce in DuckDB from the same integer sums. Plan: partial-agg "
+    "shuffle + TakeOrderedAndProject(16), no global sort",
+    tags=("sampled",),
+)
+def q_sampled_topk_tokens(spark, sf_dir):
+    from ..sampling.deterministic import hash_bernoulli
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text").withColumn(
+        "__k", F.col("doc_id").cast("string")
+    )
+    s = hash_bernoulli(docs, "__k", 0.1, seed=21)
+    toks = s.select(
+        "doc_id",
+        F.explode_outer(
+            F.filter(
+                F.split(F.lower(F.col("text")), T.WORD_SPLIT_RE),
+                lambda t: F.length(t) > 0,
+            )
+        ).alias("tok"),
+    ).where(F.col("tok").isNotNull())
+    x = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("x"))
+    sf = SampledFrame(df=x, ratio=0.1, config=SamplingConfig(ratio=0.1, seed=21))
+    return sf.approx_topk("tok", k=15, value_col="x", alias="est")
+
+
 def _file_pick(n_groups: int = 8, keep_ratio: float = 0.5, seed: str = "file") -> tuple:
     """Frozen md5 file-group pick: group g kept iff hash64('file|g') lands
     under the ratio — pure Python, no Spark, so the picked set is a
@@ -7688,6 +7761,7 @@ _CHECK_PRIORITY = [
     "order_price_quantile_histogram",
     "sampled_full_join_hash_twin",
     "stratified_value_quantile_hash_sampled",
+    "sampled_topk_tokens",
     # --- the r2 cohort (30): oldest driver signal in the catalog
     # (streaming family, text-quality family, knn, multimodal decode,
     # corpus-prep family, skew handling, zorder layout)

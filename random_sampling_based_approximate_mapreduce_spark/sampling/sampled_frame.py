@@ -1215,6 +1215,68 @@ class SampledFrame:
             res = res.select(*gnames, *out_names, "n_sampled", "low_support")
         return res
 
+    def approx_topk(
+        self,
+        *group_cols: str,
+        k: int = 10,
+        value_col: str | None = None,
+        alias: str = "est",
+    ) -> DataFrame:
+        """Approximate top-k heavy hitters by HT-estimated count (or sum
+        of ``value_col``), with per-item CI and a RANK-STABILITY flag —
+        the sampled MapReduce classic (the reference's word-count family
+        ends in exactly this 'which keys dominate' question) made honest.
+
+        Output: the k highest-estimate keys with ``rank``, the estimate,
+        its CI half-width (approx_count/approx_sum's HT variance
+        estimator), and ``stable`` = whether this item's LOWER bound
+        clears the NEXT item's UPPER bound (computed against rank k+1
+        before truncation, so the k-th flag is meaningful). An unstable
+        flag says adjacent ranks are statistically interchangeable at
+        this sample size — the reference would silently present them as
+        ordered truth.
+
+        Determinism: estimates are integer moments scaled by 1/r, so the
+        ordering is integer ordering; ties break by the key columns
+        ascending, making rank (and therefore the whole output) value-
+        oracle-able. CI floats are computed from the same integer
+        moments in both engines (identical doubles), so even the
+        flag's float comparison is engine-stable.
+
+        100 TB shape: one partial-aggregated shuffle on the key (the
+        same cost as the underlying count/sum), then a top-(k+1)
+        selection — rank + limit plans as TakeOrderedAndProject (per-
+        partition top-k, driver merge, no global sort exchange) when k
+        is small; the lead() stability window runs on k+1 rows.
+        """
+        if k < 1:
+            raise ValueError(f"k must be >= 1, got {k}")
+        est_col = F.col(alias)
+        ci_col = F.col(f"{alias}_ci")
+        if value_col is None:
+            base = self.approx_count(*group_cols, ci=True, alias=alias)
+        else:
+            base = self.approx_sum(value_col, *group_cols, ci=True, alias=alias)
+        order = [est_col.desc()] + [F.col(c).asc() for c in group_cols]
+        if self.ratio >= 1.0:
+            # exact mode: CI column absent, every rank is exact.
+            # orderBy+limit plans as TakeOrderedAndProject (per-partition
+            # top-k, driver merge); the rank window then runs on k rows.
+            topped = base.orderBy(*order).limit(k)
+            w = Window.orderBy(*order)
+            return topped.select(
+                "*", F.row_number().over(w).alias("rank")
+            ).withColumn("stable", F.lit(True))
+        topped = base.orderBy(*order).limit(k + 1)
+        w = Window.orderBy(*order)
+        ranked = topped.select("*", F.row_number().over(w).alias("rank"))
+        nxt_hi = F.lead(est_col + ci_col).over(w)
+        flagged = ranked.select(
+            "*",
+            F.coalesce((est_col - ci_col) > nxt_hi, F.lit(True)).alias("stable"),
+        )
+        return flagged.where(F.col("rank") <= k)
+
     def approx_distinct(self, value_col: str, *group_cols: str, rsd: float = 0.05, alias: str = "est_distinct") -> DataFrame:
         """Approximate distinct count via the HyperLogLog++ sketch — over
         the FULL frame semantics when possible.

@@ -1302,3 +1302,65 @@ class TestWeightedQuantile:
             weighted_quantile(df, "v", 1.5)
         with pytest.raises(ValueError):
             weighted_quantile(df, "v", [])
+
+
+class TestApproxTopK:
+    """approx_topk: HT-estimated heavy hitters with rank-stability flags."""
+
+    @pytest.fixture(scope="class")
+    def skewed(self, spark):
+        # key j appears 1000-40*j times for j in 0..19 (clear hierarchy),
+        # plus keys 100/101 with IDENTICAL counts (a guaranteed tie)
+        rows = [(j,) for j in range(20) for _ in range(1000 - 40 * j)]
+        rows += [(100,)] * 300 + [(101,)] * 300
+        return spark.createDataFrame(rows, ["key"]).localCheckpoint()
+
+    def test_exact_mode_true_topk(self, skewed):
+        sf = SampledFrame.from_dataframe(
+            skewed, SamplingConfig(ratio=1.0), observe=False
+        )
+        rows = sf.approx_topk("key", k=5).collect()
+        assert [r["key"] for r in rows] == [0, 1, 2, 3, 4]
+        assert [r["rank"] for r in rows] == [1, 2, 3, 4, 5]
+        assert rows[0]["est"] == 1000
+        assert all(r["stable"] for r in rows)
+
+    def test_sampled_heads_and_stability(self, skewed):
+        sf = SampledFrame.from_dataframe(
+            skewed, SamplingConfig(ratio=0.3, seed=7), observe=False
+        )
+        rows = sf.approx_topk("key", k=10).collect()
+        assert len(rows) == 10
+        # the true #1 (1000 vs runner-up 960) must head the estimate list
+        assert rows[0]["key"] == 0
+        # estimates scale to population magnitude
+        assert rows[0]["est"] == pytest.approx(1000, rel=0.25)
+        # CI columns present and positive
+        assert all(r["est_ci"] > 0 for r in rows)
+        # ranks are 1..10 in estimate order
+        assert [r["rank"] for r in rows] == list(range(1, 11))
+        ests = [r["est"] for r in rows]
+        assert ests == sorted(ests, reverse=True)
+
+    def test_tied_keys_flagged_unstable(self, spark):
+        """Two truly tied keys adjacent in the ranking cannot clear each
+        other's CI — the flag must mark the boundary unstable."""
+        rows = [(0,)] * 2000 + [(1,)] * 500 + [(2,)] * 500 + [(3,)] * 20
+        df = spark.createDataFrame(rows, ["key"]).localCheckpoint()
+        sf = SampledFrame.from_dataframe(
+            df, SamplingConfig(ratio=0.3, seed=5), observe=False
+        )
+        got = {r["key"]: r for r in sf.approx_topk("key", k=3).collect()}
+        # key 0 dominates the tied pair: stable
+        assert got[0]["stable"]
+        # whichever of the tied keys ranks 2nd cannot clear the 3rd
+        second = [k for k in (1, 2) if got[k]["rank"] == 2][0]
+        assert not got[second]["stable"]
+
+    def test_rejects_bad_k(self, spark):
+        df = spark.range(10).select(F.col("id").alias("key"))
+        sf = SampledFrame.from_dataframe(
+            df, SamplingConfig(ratio=0.5, seed=1), observe=False
+        )
+        with pytest.raises(ValueError):
+            sf.approx_topk("key", k=0)
