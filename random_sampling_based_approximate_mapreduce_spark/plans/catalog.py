@@ -6953,6 +6953,28 @@ def q_sampled_topk_tokens(spark, sf_dir):
     return sf.approx_topk("tok", k=15, value_col="x", alias="est")
 
 
+@register(
+    "streaming_stratified_counts",
+    _stratified_hash_oracle(),
+    doc="Stratified-sampling estimation AS A STREAMING JOB, value-oracled "
+    "against the SAME SQL as its batch twin (stratified_events_hash_"
+    "sampled): the deterministic per-stratum hash keep/weight CASE is "
+    "map-side on the stream, weighted count/sum estimates run as a "
+    "complete-mode streaming aggregate whose state is ONE ROW PER "
+    "STRATUM forever — an always-current population estimate of a "
+    "firehose with bounded state and no history re-scan. availableNow "
+    "drains the finite verification corpus; complete mode emits the "
+    "whole bounded state at termination, so stream == batch by "
+    "construction (streaming/sampled_stream.stratified_weighted_counts_"
+    "stream). Production swaps the trigger for processing-time",
+    tags=("streaming", "sampled"),
+)
+def q_streaming_stratified_counts(spark, sf_dir):
+    from ..streaming.sampled_stream import stratified_weighted_counts_stream
+
+    return stratified_weighted_counts_stream(spark, sf_dir, _STRAT_FRACTIONS)
+
+
 def _file_pick(n_groups: int = 8, keep_ratio: float = 0.5, seed: str = "file") -> tuple:
     """Frozen md5 file-group pick: group g kept iff hash64('file|g') lands
     under the ratio — pure Python, no Spark, so the picked set is a
@@ -7762,6 +7784,7 @@ _CHECK_PRIORITY = [
     "sampled_full_join_hash_twin",
     "stratified_value_quantile_hash_sampled",
     "sampled_topk_tokens",
+    "streaming_stratified_counts",
     # --- the r2 cohort (30): oldest driver signal in the catalog
     # (streaming family, text-quality family, knn, multimodal decode,
     # corpus-prep family, skew handling, zorder layout)

@@ -341,3 +341,56 @@ def value_psi_counts_stream(spark, sf_dir: str) -> "DataFrame":
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def stratified_weighted_counts_stream(
+    spark, sf_dir: str, fractions: dict, seed: int = 11
+) -> "DataFrame":
+    """Stratified-sampling estimation AS A STREAMING JOB: the
+    deterministic per-stratum hash-Bernoulli keep/weight decision is a
+    map-side CASE on the stream (the same md5 chain as the batch twin,
+    so membership is reproducible row-for-row), and the weighted-count /
+    weighted-sum estimates run as a streaming aggregate in complete
+    mode. State is ONE ROW PER STRATUM forever (counts and sums, never
+    events) — the streaming answer to 'keep an always-current estimate
+    of a firehose without re-scanning history'.
+
+    Returns the final (event_type, n_sampled, est_cnt, est_value_sum)
+    table after an availableNow run, value-comparable to the SAME DuckDB
+    oracle as the batch twin (stratified_events_hash_sampled): complete
+    mode emits the whole bounded state at termination, so stream ==
+    batch by construction. Production: a processing-time trigger feeding
+    the estimates table.
+    """
+    from pyspark.sql import functions as F
+
+    from ..sampling.deterministic import _BUCKETS, _priority
+
+    src = _stream_source_dir(spark, sf_dir)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    keyed = stream.withColumn("__k", F.col("event_id").cast("string"))
+    pri = F.pmod(_priority(F.col("__k"), seed), F.lit(_BUCKETS))
+    w = None
+    for t, r in fractions.items():
+        cond = (F.col("event_type") == t) & (pri < int(r * _BUCKETS))
+        weight = F.lit(str(1.0 / r)).cast("decimal(6,2)")
+        w = F.when(cond, weight) if w is None else w.when(cond, weight)
+    s = keyed.withColumn("w", w).where(F.col("w").isNotNull())
+    agg = s.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.sum("w").cast("double").alias("est_cnt"),
+        F.sum(F.col("w") * F.col("value").cast("decimal(12,2)"))
+        .cast("double")
+        .alias("est_value_sum"),
+    )
+    name = "rsmr_stream_stratified_counts"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

@@ -444,3 +444,28 @@ class TestStreamingSessions:
                 b.n_events,
             )
             assert abs(g.total_value - b.total_value) < 1e-9
+
+
+def test_streaming_stratified_counts_equals_batch(spark, sf_dir):
+    """Stream/batch parity for the stratified weighted estimates: the
+    complete-mode streaming aggregate must emit exactly the batch twin's
+    rows (same deterministic hash sample, same stratum-bounded state)."""
+    from random_sampling_based_approximate_mapreduce_spark.plans.catalog import (
+        QUERIES,
+        _STRAT_FRACTIONS,
+    )
+    from random_sampling_based_approximate_mapreduce_spark.streaming.sampled_stream import (
+        stratified_weighted_counts_stream,
+    )
+
+    got = {
+        r["event_type"]: r.asDict()
+        for r in stratified_weighted_counts_stream(
+            spark, sf_dir, _STRAT_FRACTIONS
+        ).collect()
+    }
+    want = {
+        r["event_type"]: r.asDict()
+        for r in QUERIES["stratified_events_hash_sampled"].spark(spark, sf_dir).collect()
+    }
+    assert got == want
