@@ -69,11 +69,19 @@ def main() -> None:
             ts.append(time.monotonic() - t0)
         return round(min(ts), 3)
 
+    from random_sampling_based_approximate_mapreduce_spark.sources.scale_up import (
+        ensure_scaled_tables,
+    )
+
     result: dict = {"sf_dir": SF_DIR, "scales": {}}
     dirs = {1: SF_DIR}
+    ref_dirs = {1: SF_DIR}
     for c in COPIES:
         t0 = time.monotonic()
         dirs[c] = ensure_scaled_tpch(spark, SF_DIR, copies=c)
+        ref_dirs[c] = ensure_scaled_tables(
+            spark, SF_DIR, ("events", "documents"), copies=c
+        )
         result["scales"][str(c)] = {
             "build_sec": round(time.monotonic() - t0, 1)
         }
@@ -98,6 +106,15 @@ def main() -> None:
         # the fix: exact distributed k-selection (method='histogram')
         entry["quantile_global_histogram"] = timed(
             lambda: quantile_frame(d, F.lit(0), "all", method="histogram")
+        )
+        rd = ref_dirs[c]
+        entry["weighted_quantile_daily"] = timed(
+            lambda: QUERIES["stratified_value_quantile_hash_sampled"].spark(
+                spark, rd
+            )
+        )
+        entry["topk_tokens"] = timed(
+            lambda: QUERIES["sampled_topk_tokens"].spark(spark, rd)
         )
     print(json.dumps(result))
     spark.stop()
