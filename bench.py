@@ -155,9 +155,14 @@ BENCH_QUERIES = [
     "forecast_revenue_q6",
     "returned_items_topk_q10",
     "waiting_suppliers_q21",
-    # round-6 addition: the unbiased weighted LEFT-join composition
-    # (matched pairs at 1/(r1*r2), per-left-row null correction rows)
+    # round-6 additions: the weighted join compositions (LEFT: matched
+    # pairs at 1/(r1*r2) + per-left-row null corrections; FULL: both
+    # sides corrected), the sampled-quantile estimator, and the sampled
+    # top-k heavy hitters with rank-stability flags
     "sampled_left_join_hash_twin",
+    "sampled_full_join_hash_twin",
+    "order_price_quantile_hash_sampled",
+    "sampled_topk_tokens",
     # the scale-correct LSH->verify->CC composition is the headline
     # clustering number; the all-pairs forms (dedup_clusters,
     # dedup_embedding) stay in the catalog as oracle-only baselines.
