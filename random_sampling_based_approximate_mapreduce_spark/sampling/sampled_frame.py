@@ -226,15 +226,26 @@ def weighted_count(
     ``approx_count``'s n*(1-r)/r^2 form, so the two CI surfaces agree on
     their overlap. One aggregation pass; coverage property-tested across
     100 seeds in tests/test_sampled_frame.py.
+
+    HONESTY GUARD: the variance estimator is ONLY valid for genuine
+    inclusion weights (w_i = 1/pi_i >= 1). The weighted-join
+    compositions (``join_weighted_left/right/full``) emit SIGNED
+    correction rows whose weights are not inclusion probabilities —
+    their point estimates remain unbiased, but w*(w-1) over signed
+    weights is statistically meaningless, so any group containing a
+    weight < 1 gets a NULL CI (detected in the same aggregation pass)
+    rather than a silently wrong number. Joined-frame CIs belong to the
+    join composition itself (see ``join_sampled``'s count CI and its
+    documented multiplicity caveat).
     """
     base = df.groupBy(*[F.col(c) for c in group_cols]) if group_cols else df.groupBy()
     aggs = [F.sum("__weight").alias(alias)]
     if ci_confidence is not None:
         z = stats.z_score(ci_confidence)
         w = F.col("__weight")
+        ci = F.lit(z) * F.sqrt(F.greatest(F.sum(w * (w - F.lit(1.0))), F.lit(0.0)))
         aggs.append(
-            (F.lit(z) * F.sqrt(F.greatest(F.sum(w * (w - F.lit(1.0))), F.lit(0.0))))
-            .alias(f"{alias}_ci")
+            F.when(F.min(w) >= F.lit(1.0), ci).alias(f"{alias}_ci")
         )
     if min_support is not None:
         aggs.extend(_support_cols(min_support))
@@ -252,18 +263,21 @@ def weighted_sum(
     """HT sum estimate from a ``__weight``-carrying frame (rare-group
     flags as in ``weighted_count``; ``ci_confidence`` adds the HT
     variance-estimator half-width V^ = sum_sampled x_i^2*w_i*(w_i - 1),
-    the value-weighted analogue of ``weighted_count``'s CI)."""
+    the value-weighted analogue of ``weighted_count``'s CI, under the
+    same honesty guard: groups containing a weight < 1 — e.g. the
+    signed correction rows of the weighted-join compositions — get a
+    NULL CI instead of a statistically meaningless one)."""
     base = df.groupBy(*[F.col(c) for c in group_cols]) if group_cols else df.groupBy()
     x = F.col(value_col).cast("double")
     aggs = [F.sum(F.col(value_col) * F.col("__weight")).alias(alias)]
     if ci_confidence is not None:
         z = stats.z_score(ci_confidence)
         w = F.col("__weight")
+        ci = F.lit(z) * F.sqrt(
+            F.greatest(F.sum(x * x * w * (w - F.lit(1.0))), F.lit(0.0))
+        )
         aggs.append(
-            (
-                F.lit(z)
-                * F.sqrt(F.greatest(F.sum(x * x * w * (w - F.lit(1.0))), F.lit(0.0)))
-            ).alias(f"{alias}_ci")
+            F.when(F.min(w) >= F.lit(1.0), ci).alias(f"{alias}_ci")
         )
     if min_support is not None:
         aggs.extend(_support_cols(min_support))

@@ -1364,3 +1364,46 @@ class TestApproxTopK:
         )
         with pytest.raises(ValueError):
             sf.approx_topk("key", k=0)
+
+
+class TestWeightedCIHonestyGuard:
+    """weighted_count/weighted_sum CIs are only valid for genuine
+    inclusion weights (>= 1); signed weighted-join correction rows must
+    NULL the CI, never produce a plausible-looking wrong number."""
+
+    def test_join_frame_ci_is_null(self, spark):
+        from random_sampling_based_approximate_mapreduce_spark.sampling.sampled_frame import (
+            weighted_count,
+            weighted_sum,
+        )
+
+        left = spark.range(200).select(F.col("id").alias("lk"))
+        right = spark.range(400).select((F.col("id") % 200).alias("rk"))
+        sl = SampledFrame.from_dataframe(
+            left, SamplingConfig(ratio=0.5, seed=3), observe=False
+        )
+        sr = SampledFrame.from_dataframe(
+            right, SamplingConfig(ratio=0.5, seed=11), observe=False
+        )
+        w = sl.join_weighted_full(sr, "lk", "rk").withColumn(
+            "x", F.coalesce(F.col("rk"), F.lit(0)).cast("double")
+        )
+        c = weighted_count(w, ci_confidence=0.95).collect()[0]
+        s = weighted_sum(w, "x", ci_confidence=0.95).collect()[0]
+        # point estimates still present and sane; CIs honestly NULL
+        assert c["est_count"] is not None
+        assert c["est_count_ci"] is None
+        assert s["est_sum_ci"] is None
+
+    def test_stratified_frame_ci_still_present(self, spark):
+        from random_sampling_based_approximate_mapreduce_spark.sampling.sampled_frame import (
+            stratified_sample,
+            weighted_count,
+        )
+
+        df = spark.range(5000).select(
+            (F.col("id") % 2).alias("s"), F.col("id").alias("v")
+        )
+        w = stratified_sample(df, "s", {0: 0.2, 1: 0.5}, seed=9)
+        row = weighted_count(w, ci_confidence=0.95).collect()[0]
+        assert row["est_count_ci"] is not None and row["est_count_ci"] > 0
