@@ -233,14 +233,25 @@ def main() -> None:
     # (ADVICE r5).
     vs_prev = None
     here = os.path.dirname(os.path.abspath(__file__))
-    benches = sorted(
-        glob.glob(os.path.join(here, "BENCH_r*.json")),
-        key=lambda p: int(re.search(r"BENCH_r(\d+)", p).group(1)),
-    )
-    cur_round = int(os.environ.get("SPARK_GRAFT_ROUND", 0)) or (
-        int(re.search(r"BENCH_r(\d+)", benches[-1]).group(1)) + 1 if benches else 1
-    )
+    cur_round = 0  # safe fallback for the artifact path if detection fails
     try:
+        # everything below is advisory; a stray non-matching BENCH_r*
+        # filename or a malformed SPARK_GRAFT_ROUND must never abort the
+        # benchmark itself (review r6: the glob key and int() had drifted
+        # out of the try block)
+        benches = sorted(
+            (
+                p
+                for p in glob.glob(os.path.join(here, "BENCH_r*.json"))
+                if re.search(r"BENCH_r(\d+)", p)
+            ),
+            key=lambda p: int(re.search(r"BENCH_r(\d+)", p).group(1)),
+        )
+        cur_round = int(os.environ.get("SPARK_GRAFT_ROUND", 0)) or (
+            int(re.search(r"BENCH_r(\d+)", benches[-1]).group(1)) + 1
+            if benches
+            else 1
+        )
         benches = [
             p
             for p in benches

@@ -168,26 +168,29 @@ def minhash_lsh_candidates_sql() -> str:
 
 # --- SimHash ---------------------------------------------------------------
 
-SIMHASH_BITS = 63
+SIMHASH_BITS = 60
 
 
 def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """(id, simhash) — 63-bit majority-vote signature over token hashes.
+    """(id, simhash) — 60-bit majority-vote signature over token hashes.
 
-    Explode tokens (with multiplicity), hash each JVM-side, take 63
+    Explode tokens (with multiplicity), hash each JVM-side, take 60
     per-bit +1/-1 sums in one hash aggregation (map-side partial combine,
     one shuffle on id), then assemble sign bits.
 
-    63 bits, not 32 or 64: at 32 bits the signature SATURATES at corpus
+    60 bits, not 32: at 32 bits the signature SATURATES at corpus
     scale — on the 200k-doc Zipf measurement corpus the pigeonhole
     8-bit-chunk buckets held n/256 docs each and near-identical
     signatures produced 170M "near-dup" pairs (n^2 growth, measured
     round 6); production simhash is 64-bit for exactly this reason
-    (precision grows exponentially in bits). 63 rather than 64 keeps
-    bit assembly in POSITIVE signed-long arithmetic in both engines —
-    DuckDB raises on `1::BIGINT << 63`, and Spark's 2^63 literal
-    overflows — so the SQL mirror stays a line-for-line transliteration
-    with no sign-bit special case.
+    (precision grows exponentially in bits). 60 is the full width of
+    the engine's md5-prefix hash (functions/hashing.hash64 draws 15 hex
+    chars, so token hashes live in [0, 2^60)): a round-6 review pass
+    caught that a wider signature just appends CONSTANT-ZERO bits and
+    dead per-token vote sums — bits beyond the hash width carry no
+    entropy. 60 also keeps bit assembly in positive signed-long
+    arithmetic in both engines, so the SQL mirror stays a line-for-line
+    transliteration with no sign-bit special case.
     """
     from ..sources.tables import ensure_parallelism
 
@@ -493,13 +496,16 @@ def blocked_dup_clusters(
     groups = with_fp.groupBy("__fp").agg(
         F.min(id_col).alias("__rep"), F.count(F.lit(1)).alias("__gn")
     )
+    # normalize to the canonical (doc_id, text) names at the boundary:
+    # ngram_jaccard_verify (and the pair columns downstream) are written
+    # against them, so custom text_col/id_col inputs work uniformly
     reps = (
         with_fp.join(groups.select("__fp", "__rep"), "__fp")
         .where(F.col(id_col) == F.col("__rep"))
-        .select(F.col(id_col), F.col(text_col))
+        .select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
         .localCheckpoint(eager=True)
     )
-    cand = minhash_lsh_candidates(reps, text_col, id_col).localCheckpoint(eager=True)
+    cand = minhash_lsh_candidates(reps).localCheckpoint(eager=True)
     verified = ngram_jaccard_verify(reps, cand, threshold).localCheckpoint(eager=True)
     rep_comp = connected_components(verified).withColumnRenamed("node", "__rep")
     shingleable = F.size(T.word_tokens(F.col(text_col))) >= F.lit(SHINGLE_K)

@@ -6722,17 +6722,14 @@ def q_purchase_attribution_last_touch(spark, sf_dir):
 
 
 def _stratified_hash_oracle() -> str:
-    from ..sampling.deterministic import hash_bernoulli_sql
+    from ..sampling.deterministic import stratified_hash_weight_sql
 
-    cases = " ".join(
-        f"WHEN event_type = '{t}' THEN "
-        f"CASE WHEN {hash_bernoulli_sql('event_id::VARCHAR', r, seed=11)} "
-        f"THEN CAST('{1.0 / r}' AS DECIMAL(6,2)) END"
-        for t, r in _STRAT_FRACTIONS.items()
+    w_case = stratified_hash_weight_sql(
+        "event_type", "event_id::VARCHAR", _STRAT_FRACTIONS, seed=11
     )
     return f"""
     WITH s AS (
-      SELECT event_type, CAST(value AS DECIMAL(12,2)) AS v, CASE {cases} END AS w
+      SELECT event_type, CAST(value AS DECIMAL(12,2)) AS v, {w_case} AS w
       FROM events
     )
     SELECT event_type,
@@ -6770,21 +6767,16 @@ _STRAT_FRACTIONS = {
     tags=("sampled",),
 )
 def q_stratified_events_hash_sampled(spark, sf_dir):
+    from ..sampling.deterministic import stratified_hash_weight
+
     e = load(spark, sf_dir, "events").withColumn(
         "__k", F.col("event_id").cast("string")
     )
     # one pass: the keep-decision and the HT weight as a single CASE per
     # stratum (hash_bernoulli filters one global ratio; here the ratio
-    # varies by stratum, so inline its predicate per branch)
-    from ..sampling.deterministic import _priority  # same frozen hash chain
-    from ..sampling.deterministic import _BUCKETS
-
-    pri = F.pmod(_priority(F.col("__k"), 11), F.lit(_BUCKETS))
-    w = None
-    for t, r in _STRAT_FRACTIONS.items():
-        cond = (F.col("event_type") == t) & (pri < int(r * _BUCKETS))
-        weight = F.lit(str(1.0 / r)).cast("decimal(6,2)")
-        w = F.when(cond, weight) if w is None else w.when(cond, weight)
+    # varies by stratum) — the shared helper is the single source of
+    # truth for the weight encoding across batch/stream/oracle sites
+    w = stratified_hash_weight("event_type", "__k", _STRAT_FRACTIONS, seed=11)
     s = e.withColumn("w", w).where(F.col("w").isNotNull())
     return s.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_sampled"),
@@ -6794,13 +6786,10 @@ def q_stratified_events_hash_sampled(spark, sf_dir):
 
 
 def _stratified_value_quantile_oracle() -> str:
-    from ..sampling.deterministic import hash_bernoulli_sql
+    from ..sampling.deterministic import stratified_hash_weight_sql
 
-    cases = " ".join(
-        f"WHEN event_type = '{t}' THEN "
-        f"CASE WHEN {hash_bernoulli_sql('event_id::VARCHAR', r, seed=11)} "
-        f"THEN CAST('{1.0 / r}' AS DECIMAL(6,2)) END"
-        for t, r in _STRAT_FRACTIONS.items()
+    w_case = stratified_hash_weight_sql(
+        "event_type", "event_id::VARCHAR", _STRAT_FRACTIONS, seed=11
     )
     # mirrors weighted_quantile: floor-quantized 2^-20-unit integer
     # weights (exact cumulative sums), default RANGE window frame (tied
@@ -6809,7 +6798,7 @@ def _stratified_value_quantile_oracle() -> str:
     return f"""
     WITH s AS (
       SELECT CAST(ts AS DATE) AS d, CAST(value AS DOUBLE) AS v,
-             CASE {cases} END AS w
+             {w_case} AS w
       FROM events
     ),
     k AS (
@@ -6854,18 +6843,13 @@ def _stratified_value_quantile_oracle() -> str:
     tags=("sampled",),
 )
 def q_stratified_value_quantile_hash_sampled(spark, sf_dir):
-    from ..sampling.deterministic import _BUCKETS, _priority
+    from ..sampling.deterministic import stratified_hash_weight
     from ..sampling.sampled_frame import weighted_quantile
 
     e = load(spark, sf_dir, "events").withColumn(
         "__k", F.col("event_id").cast("string")
     )
-    pri = F.pmod(_priority(F.col("__k"), 11), F.lit(_BUCKETS))
-    w = None
-    for t, r in _STRAT_FRACTIONS.items():
-        cond = (F.col("event_type") == t) & (pri < int(r * _BUCKETS))
-        weight = F.lit(str(1.0 / r)).cast("decimal(6,2)")
-        w = F.when(cond, weight) if w is None else w.when(cond, weight)
+    w = stratified_hash_weight("event_type", "__k", _STRAT_FRACTIONS, seed=11)
     s = (
         e.withColumn("w", w)
         .where(F.col("w").isNotNull())

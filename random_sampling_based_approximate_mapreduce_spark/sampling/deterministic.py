@@ -48,6 +48,42 @@ def hash_bernoulli_sql(key_expr: str, ratio: float, seed: int = 42) -> str:
     return f"(({_priority_sql(key_expr, seed)}) % {_BUCKETS}) < {int(ratio * _BUCKETS)}"
 
 
+def stratified_hash_weight(
+    strata_col: str, key_col: str, fractions: dict, seed: int = 42
+) -> Column:
+    """Deterministic per-stratum keep/weight decision as ONE chained CASE:
+    rows whose md5 priority lands under their stratum's fraction get the
+    HT weight 1/fraction as DECIMAL(6,2) (exact for the engine's
+    standard fraction grids), everything else NULL (filter on
+    ``isNotNull``). The single source of truth for every stratified
+    hash-sampled surface — batch twins, the weighted-quantile twin, and
+    the streaming estimator all call this (and its SQL mirror), so the
+    weight encoding can never drift between the sites whose parity the
+    oracles pin (review r6: the CASE was previously copy-pasted in five
+    places)."""
+    pri = F.pmod(_priority(F.col(key_col), seed), F.lit(_BUCKETS))
+    w = None
+    for t, r in fractions.items():
+        cond = (F.col(strata_col) == t) & (pri < int(r * _BUCKETS))
+        weight = F.lit(str(1.0 / r)).cast("decimal(6,2)")
+        w = F.when(cond, weight) if w is None else w.when(cond, weight)
+    return w
+
+
+def stratified_hash_weight_sql(
+    strata_expr: str, key_expr: str, fractions: dict, seed: int = 42
+) -> str:
+    """DuckDB mirror of ``stratified_hash_weight`` (a CASE expression
+    yielding the DECIMAL(6,2) weight or NULL)."""
+    cases = " ".join(
+        f"WHEN {strata_expr} = '{t}' THEN "
+        f"CASE WHEN {hash_bernoulli_sql(key_expr, r, seed=seed)} "
+        f"THEN CAST('{1.0 / r}' AS DECIMAL(6,2)) END"
+        for t, r in fractions.items()
+    )
+    return f"CASE {cases} END"
+
+
 def weighted_bernoulli(
     df: DataFrame,
     key_col: str,

@@ -284,6 +284,29 @@ def weighted_sum(
     return base.agg(*aggs)
 
 
+def _normalize_quantile_ps(p):
+    """Shared probability-list normalization for the quantile surfaces
+    (``SampledFrame.approx_quantile`` and ``weighted_quantile``):
+    returns (ps, suffix_fn). The ``_pNN`` suffix format is LOAD-BEARING —
+    the generated DuckDB oracles name their columns with it — so both
+    estimators must derive it from this one function (review r6: it was
+    previously duplicated verbatim in both)."""
+    single = isinstance(p, (int, float))
+    ps = [float(p)] if single else [float(q) for q in p]
+    if not ps:
+        raise ValueError("p sequence must be non-empty")
+    for q in ps:
+        if not 0.0 < q < 1.0:
+            raise ValueError(f"p must be in (0,1), got {q}")
+
+    def sfx(q: float) -> str:
+        return "" if single else "_p" + f"{100.0 * q:g}".replace(".", "_")
+
+    if len({sfx(q) for q in ps}) != len(ps):
+        raise ValueError(f"duplicate probabilities in p: {ps}")
+    return ps, sfx
+
+
 def weighted_quantile(
     df: DataFrame,
     value_col: str,
@@ -327,19 +350,7 @@ def weighted_quantile(
     only); the histogram k-selection upgrade applies the same way if a
     few-group weighted quantile at extreme scale ever becomes hot.
     """
-    single = isinstance(p, (int, float))
-    ps = [float(p)] if single else [float(q) for q in p]
-    if not ps:
-        raise ValueError("p sequence must be non-empty")
-    for q in ps:
-        if not 0.0 < q < 1.0:
-            raise ValueError(f"p must be in (0,1), got {q}")
-
-    def _sfx(q: float) -> str:
-        return "" if single else "_p" + f"{100.0 * q:g}".replace(".", "_")
-
-    if len({_sfx(q) for q in ps}) != len(ps):
-        raise ValueError(f"duplicate probabilities in p: {ps}")
+    ps, _sfx = _normalize_quantile_ps(p)
     gs = [F.col(c) for c in group_cols]
     ws = F.floor(
         F.col(weight_col).cast("double") * F.lit(float(1 << scale_bits))
@@ -1024,21 +1035,9 @@ class SampledFrame:
         ``percentile_approx`` sketch on the full frame — mergeable, one
         pass, already approximate.
         """
-        single = isinstance(p, (int, float))
-        ps = [float(p)] if single else [float(q) for q in p]
-        if not ps:
-            raise ValueError("p sequence must be non-empty")
-        for q in ps:
-            if not 0.0 < q < 1.0:
-                raise ValueError(f"p must be in (0,1), got {q}")
+        ps, _sfx = _normalize_quantile_ps(p)
         if method not in ("window", "histogram"):
             raise ValueError(f"method must be 'window' or 'histogram', got {method!r}")
-
-        def _sfx(q: float) -> str:
-            return "" if single else "_p" + f"{100.0 * q:g}".replace(".", "_")
-
-        if len({_sfx(q) for q in ps}) != len(ps):
-            raise ValueError(f"duplicate probabilities in p: {ps}")
         with_ci = ci and self.ratio < 1.0
         z = stats.z_score(self.config.confidence) if with_ci else None
         fpc = max(0.0, 1.0 - self.ratio)

@@ -364,18 +364,13 @@ def stratified_weighted_counts_stream(
     """
     from pyspark.sql import functions as F
 
-    from ..sampling.deterministic import _BUCKETS, _priority
+    from ..sampling.deterministic import stratified_hash_weight
 
     src = _stream_source_dir(spark, sf_dir)
     schema = spark.read.parquet(src).schema
     stream = spark.readStream.schema(schema).parquet(src)
     keyed = stream.withColumn("__k", F.col("event_id").cast("string"))
-    pri = F.pmod(_priority(F.col("__k"), seed), F.lit(_BUCKETS))
-    w = None
-    for t, r in fractions.items():
-        cond = (F.col("event_type") == t) & (pri < int(r * _BUCKETS))
-        weight = F.lit(str(1.0 / r)).cast("decimal(6,2)")
-        w = F.when(cond, weight) if w is None else w.when(cond, weight)
+    w = stratified_hash_weight("event_type", "__k", fractions, seed=seed)
     s = keyed.withColumn("w", w).where(F.col("w").isNotNull())
     agg = s.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_sampled"),

@@ -253,3 +253,21 @@ class TestBlockedDupClustersCollapse:
         # of the fixed hash makes whichever outcome stable)
         assert raw_cand >= 4 * 28
         assert rep_cand <= 10
+
+
+def test_blocked_dup_clusters_custom_column_names(spark, sf_dir):
+    """Review regression: text_col/id_col were dead parameters — the
+    verify stage hardcoded (doc_id, text) and threw on any other names.
+    Renamed inputs must now produce the identical clustering."""
+    from pyspark.sql import functions as F
+
+    from random_sampling_based_approximate_mapreduce_spark.operators.dedup import blocked_dup_clusters
+    from random_sampling_based_approximate_mapreduce_spark.sources.tables import load
+
+    docs = load(spark, sf_dir, "documents")
+    default = sorted(map(str, blocked_dup_clusters(docs).collect()))
+    renamed = docs.select(F.col("doc_id").alias("id"), F.col("text").alias("body"))
+    custom = sorted(
+        map(str, blocked_dup_clusters(renamed, text_col="body", id_col="id").collect())
+    )
+    assert default == custom and len(default) > 0

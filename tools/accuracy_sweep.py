@@ -194,7 +194,10 @@ def main() -> None:
     ap.add_argument("--all", action="store_true", help="sweep every experiment")
     ap.add_argument("--out", default=None, help="write the combined JSON artifact here")
     ap.add_argument("--gate", action="store_true",
-                    help="exit 1 if any run fails ok (3x-slack rel-L1) or share_ok")
+                    help="exit 1 if any run fails grouped_ok (closed-form "
+                    "grouped rel-L1 bound) or share_ok (per-group share "
+                    "z-scores); the reference-style 'ok' flag is recorded "
+                    "but not gated — see the module docstring")
     args = ap.parse_args()
     ratios = [float(r) for r in args.ratios.split(",")]
 
