@@ -6959,6 +6959,61 @@ def q_streaming_stratified_counts(spark, sf_dir):
     return stratified_weighted_counts_stream(spark, sf_dir, _STRAT_FRACTIONS)
 
 
+def _distinct_users_chao_oracle() -> str:
+    from ..sampling.deterministic import hash_bernoulli_sql
+
+    keep = hash_bernoulli_sql("event_id::VARCHAR", 0.1, seed=31)
+    return f"""
+    WITH s AS (
+      SELECT event_type, user_id FROM events
+      WHERE {keep} AND user_id IS NOT NULL
+    ),
+    c AS (SELECT event_type, user_id, count(*)::BIGINT AS c
+          FROM s GROUP BY 1, 2),
+    m AS (SELECT event_type,
+                 count(*)::BIGINT AS d_sampled,
+                 (count(*) FILTER (WHERE c = 1))::BIGINT AS f1,
+                 (count(*) FILTER (WHERE c = 2))::BIGINT AS f2
+          FROM c GROUP BY 1)
+    SELECT event_type,
+           CAST(d_sampled AS DOUBLE)
+             + CAST(f1 * (f1 - 1) AS DOUBLE)
+               / (2.0 * CAST(f2 + 1 AS DOUBLE)) AS est_distinct,
+           d_sampled, f1, f2
+    FROM m
+    """
+
+
+@register(
+    "distinct_users_chao_hash_sampled",
+    _distinct_users_chao_oracle(),
+    doc="Unseen-species distinct estimation from a sample, fully "
+    "value-oracled: population distinct users per event type via the "
+    "bias-corrected Chao1 estimator d + f1(f1-1)/(2(f2+1)) over a 10% "
+    "hash-deterministic row sample (SampledFrame.approx_distinct_chao). "
+    "This is the correction approx_distinct's honesty note has pointed "
+    "at since round 3 — distinct counts do NOT Horvitz-Thompson-scale "
+    "(d/r overestimates, raw d underestimates), and Chao1 infers the "
+    "unseen mass from the sample's singleton/doubleton profile, for "
+    "which Bernoulli row sampling is exactly the abundance model. The "
+    "integer moments (d, f1, f2) ship alongside the estimate: they ARE "
+    "the estimator, and the single final double division is the only "
+    "float op, so both engines produce identical values. Accuracy "
+    "(estimate brackets the true distinct count far better than either "
+    "naive form) is pinned in tests/test_sampled_frame.py",
+    tags=("sampled",),
+)
+def q_distinct_users_chao_hash_sampled(spark, sf_dir):
+    from ..sampling.deterministic import hash_bernoulli
+
+    e = load(spark, sf_dir, "events").withColumn(
+        "__k", F.col("event_id").cast("string")
+    )
+    sampled = hash_bernoulli(e, "__k", 0.1, seed=31)
+    sf = SampledFrame(df=sampled, ratio=0.1, config=SamplingConfig(ratio=0.1, seed=31))
+    return sf.approx_distinct_chao("user_id", "event_type")
+
+
 def _file_pick(n_groups: int = 8, keep_ratio: float = 0.5, seed: str = "file") -> tuple:
     """Frozen md5 file-group pick: group g kept iff hash64('file|g') lands
     under the ratio — pure Python, no Spark, so the picked set is a
@@ -7769,6 +7824,7 @@ _CHECK_PRIORITY = [
     "stratified_value_quantile_hash_sampled",
     "sampled_topk_tokens",
     "streaming_stratified_counts",
+    "distinct_users_chao_hash_sampled",
     # --- the r2 cohort (30): oldest driver signal in the catalog
     # (streaming family, text-quality family, knn, multimodal decode,
     # corpus-prep family, skew handling, zorder layout)

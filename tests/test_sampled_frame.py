@@ -1407,3 +1407,37 @@ class TestWeightedCIHonestyGuard:
         w = stratified_sample(df, "s", {0: 0.2, 1: 0.5}, seed=9)
         row = weighted_count(w, ci_confidence=0.95).collect()[0]
         assert row["est_count_ci"] is not None and row["est_count_ci"] > 0
+
+
+class TestApproxDistinctChao:
+    """Chao1 unseen-species distinct estimation from a Bernoulli sample."""
+
+    def test_chao_beats_both_naive_forms(self, spark):
+        """1000 users x 10 rows each, 20% sample: ~11% of users are never
+        seen (d underestimates) and scale-up d/r overcounts ~4.5x; the
+        Chao1 correction must land far closer than either."""
+        truth = 1000
+        df = (
+            spark.range(truth * 10)
+            .select((F.col("id") % truth).alias("user_id"))
+            .localCheckpoint()
+        )
+        sf = SampledFrame.from_dataframe(
+            df, SamplingConfig(ratio=0.2, seed=17), observe=False
+        )
+        row = sf.approx_distinct_chao("user_id").collect()[0]
+        d, est = row["d_sampled"], row["est_distinct"]
+        assert d < truth  # sampled distinct genuinely undercounts
+        naive_scale = d / 0.2
+        assert abs(est - truth) < abs(d - truth)
+        assert abs(est - truth) < abs(naive_scale - truth)
+        assert est == pytest.approx(truth, rel=0.1)
+        # the estimate is exactly the closed form of its own moments
+        f1, f2 = row["f1"], row["f2"]
+        assert est == pytest.approx(d + f1 * (f1 - 1) / (2.0 * (f2 + 1)), abs=1e-9)
+
+    def test_exact_mode_returns_sampled_distinct(self, spark):
+        df = spark.range(500).select((F.col("id") % 50).alias("u"))
+        sf = SampledFrame.from_dataframe(df, SamplingConfig(ratio=1.0), observe=False)
+        row = sf.approx_distinct_chao("u").collect()[0]
+        assert row["est_distinct"] == 50.0 and row["d_sampled"] == 50
