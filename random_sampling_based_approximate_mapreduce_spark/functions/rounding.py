@@ -22,10 +22,17 @@ values at 4 precisions (zero mismatches, including exact half-integer
 products, negatives, and magnitudes where +0.5 is absorbed).
 
 Implementation notes:
-- floor is computed as ``y - pmod(y, 1.0)`` (exact: fmod introduces no
-  rounding), NOT ``F.floor`` — Spark's floor returns LONG, which under
-  ANSI mode throws on products beyond int64 range; this stays double
-  end-to-end exactly like the C recipe.
+- The naive ``floor(|x| + 0.5)`` textbook recipe is NOT std::round: the
+  ``+ 0.5`` itself rounds, so a double within half an ulp below k-0.5
+  double-rounds UP to k (adversarial case 0.49999999999999994 -> 1.0
+  where std::round gives 0.0; pinned in tests/test_rounding.py). The
+  exact form compares the TRUE fraction instead: ``t = trunc(|x|)``
+  (guarded bigint cast — exact floor for non-negative doubles < 2^63,
+  ANSI-safe; |x| >= 9e18 passes through, such doubles are already
+  integral) and ``frac = |x| - t``, which is EXACT in IEEE (the
+  difference of a double and its floor is a representable multiple of
+  its ulp, and correctly-rounded subtraction of a representable result
+  is exact). Then half-away is ``t + 1 if frac >= 0.5 else t``.
 - Everything is built-in Column arithmetic — whole-stage codegen, no
   UDF, negligible cost over ``F.round``.
 """
@@ -38,11 +45,14 @@ from pyspark.sql import functions as F
 
 def sql_round(col: "Column | str", digits: int = 0) -> Column:
     """Round a double Column to ``digits`` decimals with C/DuckDB
-    semantics (half away from zero on the raw double product). Drop-in
-    replacement for ``F.round`` in value-oracled outputs."""
+    semantics (std::round: half away from zero evaluated exactly on the
+    raw double product, no double-rounding). Drop-in replacement for
+    ``F.round`` in value-oracled outputs."""
     c = F.col(col) if isinstance(col, str) else col
     scale = F.lit(float(10.0 ** digits))
     x = c.cast("double") * scale
-    y = F.abs(x) + F.lit(0.5)
-    fl = y - F.pmod(y, F.lit(1.0))
+    ax = F.abs(x)
+    t = F.when(ax < F.lit(9.0e18), ax.cast("bigint").cast("double")).otherwise(ax)
+    frac = ax - t
+    fl = F.when(frac >= F.lit(0.5), t + F.lit(1.0)).otherwise(t)
     return F.when(x < F.lit(0.0), -fl).otherwise(fl) / scale
