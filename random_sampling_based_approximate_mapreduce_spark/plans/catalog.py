@@ -7014,6 +7014,68 @@ def q_distinct_users_chao_hash_sampled(spark, sf_dir):
     return sf.approx_distinct_chao("user_id", "event_type")
 
 
+def _bootstrap_qty_ci_oracle() -> str:
+    from ..sampling import stats as _stats
+    from ..sampling.bootstrap import _multiplier_sql, _uniform_sql
+
+    z = _stats.z_score(0.95)
+    mult = _multiplier_sql(_uniform_sql("bk", "rep", 42))
+    return f"""
+    WITH d AS (
+      SELECT l_returnflag,
+             l_orderkey::VARCHAR || '-' || l_linenumber::VARCHAR AS bk,
+             l_quantity::BIGINT AS x
+      FROM lineitem
+    ),
+    r AS (SELECT d.*, t.rep
+          FROM d CROSS JOIN (SELECT unnest(range(64)) AS rep) t),
+    m AS (SELECT l_returnflag, rep,
+                 sum(x * ({mult}))::BIGINT AS sr,
+                 sum(x)::BIGINT AS s
+          FROM r GROUP BY 1, 2),
+    f AS (SELECT l_returnflag, CAST(sr AS DOUBLE) AS srd, s FROM m)
+    SELECT l_returnflag,
+           max(s) AS est_sum,
+           {z!r} * sqrt(greatest(
+             (sum(srd * srd) - sum(srd) * sum(srd) / 64.0) / 63.0, 0.0))
+             AS est_sum_ci
+    FROM f GROUP BY 1
+    """
+
+
+@register(
+    "bootstrap_qty_ci_by_flag",
+    _bootstrap_qty_ci_oracle(),
+    doc="Deterministic Poisson-bootstrap CI, fully value-oracled "
+    "(sampling/bootstrap.poisson_bootstrap_sum): quantity sum per "
+    "return flag with a 64-replicate bootstrap half-width — the "
+    "general-purpose CI for aggregates WITHOUT a closed-form variance, "
+    "as one distributed pass. Each row's replicate multipliers are the "
+    "Poisson(1) inverse-CDF of the (row key, replicate, seed) md5 "
+    "uniform — no engine RNG — so every replicate sum, and therefore "
+    "the CI itself, reproduces bit-for-bit in DuckDB (replicate sums "
+    "are exact BIGINTs; their squares stay below 2^53 at every checked "
+    "SF, so even the moment sums are exact integer-valued doubles; one "
+    "sqrt at the end). Shuffle carries (flag, replicate) partials — "
+    "64x more GROUP rows, not data rows. The bootstrap's honesty "
+    "caveat (no finite-population factor: it widens the closed-form "
+    "Bernoulli CI by ~1/sqrt(1-r)) is pinned against approx_sum's "
+    "closed form in tests/test_sampled_frame.py",
+    tags=("sampled",),
+)
+def q_bootstrap_qty_ci_by_flag(spark, sf_dir):
+    from ..sampling.bootstrap import poisson_bootstrap_sum
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.concat_ws("-", F.col("l_orderkey"), F.col("l_linenumber")).alias("bk"),
+        F.col("l_quantity").cast("bigint").alias("x"),
+    )
+    return poisson_bootstrap_sum(
+        li, "x", "bk", "l_returnflag", n_replicates=64, seed=42
+    )
+
+
 def _file_pick(n_groups: int = 8, keep_ratio: float = 0.5, seed: str = "file") -> tuple:
     """Frozen md5 file-group pick: group g kept iff hash64('file|g') lands
     under the ratio — pure Python, no Spark, so the picked set is a
@@ -7825,6 +7887,7 @@ _CHECK_PRIORITY = [
     "sampled_topk_tokens",
     "streaming_stratified_counts",
     "distinct_users_chao_hash_sampled",
+    "bootstrap_qty_ci_by_flag",
     # --- the r2 cohort (30): oldest driver signal in the catalog
     # (streaming family, text-quality family, knn, multimodal decode,
     # corpus-prep family, skew handling, zorder layout)

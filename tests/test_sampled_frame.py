@@ -1441,3 +1441,64 @@ class TestApproxDistinctChao:
         sf = SampledFrame.from_dataframe(df, SamplingConfig(ratio=1.0), observe=False)
         row = sf.approx_distinct_chao("u").collect()[0]
         assert row["est_distinct"] == 50.0 and row["d_sampled"] == 50
+
+
+class TestPoissonBootstrap:
+    """Deterministic Poisson bootstrap (sampling/bootstrap.py)."""
+
+    def test_estimate_is_exact_and_run_deterministic(self, spark):
+        from random_sampling_based_approximate_mapreduce_spark.sampling.bootstrap import (
+            poisson_bootstrap_sum,
+        )
+
+        df = spark.range(3000).select(
+            (F.col("id") % 3).alias("g"),
+            F.col("id").alias("k"),
+            ((F.col("id") % 97) + 1).alias("x"),
+        ).localCheckpoint()
+        a = sorted(map(str, poisson_bootstrap_sum(df, "x", "k", "g").collect()))
+        b = sorted(map(str, poisson_bootstrap_sum(df, "x", "k", "g").collect()))
+        assert a == b  # multipliers are hash-deterministic, no RNG
+        exact = {
+            r["g"]: r["s"]
+            for r in df.groupBy("g").agg(F.sum("x").alias("s")).collect()
+        }
+        for row in poisson_bootstrap_sum(df, "x", "k", "g").collect():
+            assert row["est_sum"] == exact[row["g"]]
+            assert row["est_sum_ci"] > 0
+
+    def test_bootstrap_tracks_closed_form_without_fpc(self, spark):
+        """HONESTY PIN: on a Bernoulli(r) sample the bootstrap half-width
+        must land near the closed-form HT width DIVIDED by its sqrt(1-r)
+        finite-population factor (resampling cannot know the frame is a
+        without-replacement draw) — i.e. wider by ~1/sqrt(1-r), never
+        tighter than the closed form."""
+        from random_sampling_based_approximate_mapreduce_spark.sampling.bootstrap import (
+            poisson_bootstrap_sum,
+        )
+
+        df = spark.range(20000).select(
+            F.col("id").alias("k"), ((F.col("id") % 97) + 1).alias("x")
+        )
+        r = 0.1
+        sf = SampledFrame.from_dataframe(
+            df, SamplingConfig(ratio=r, seed=23), observe=False
+        )
+        closed = sf.approx_sum("x", ci=True).collect()[0]
+        boot = poisson_bootstrap_sum(
+            sf.df, "x", "k", n_replicates=128, seed=5
+        ).collect()[0]
+        scaled_boot_ci = boot["est_sum_ci"] / r
+        expected = closed["est_sum_ci"] / (1.0 - r) ** 0.5
+        ratio = scaled_boot_ci / expected
+        # 128 replicates: sd of the sd estimate ~ 1/sqrt(2*127) ~ 6%
+        assert 0.8 < ratio < 1.25, ratio
+
+    def test_rejects_too_few_replicates(self, spark):
+        from random_sampling_based_approximate_mapreduce_spark.sampling.bootstrap import (
+            poisson_bootstrap_sum,
+        )
+
+        df = spark.range(10).select(F.col("id").alias("k"), F.lit(1).alias("x"))
+        with pytest.raises(ValueError):
+            poisson_bootstrap_sum(df, "x", "k", n_replicates=1)
