@@ -247,7 +247,11 @@ def main() -> None:
             ),
             key=lambda p: int(re.search(r"BENCH_r(\d+)", p).group(1)),
         )
-        cur_round = int(os.environ.get("SPARK_GRAFT_ROUND", 0)) or (
+        try:
+            env_round = int(os.environ.get("SPARK_GRAFT_ROUND", 0))
+        except ValueError:
+            env_round = 0  # malformed env var -> fall back to glob detection
+        cur_round = env_round or (
             int(re.search(r"BENCH_r(\d+)", benches[-1]).group(1)) + 1
             if benches
             else 1

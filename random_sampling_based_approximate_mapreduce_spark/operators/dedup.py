@@ -6,7 +6,7 @@ exact SQL mirror so the DuckDB oracle can verify it value-for-value:
 - exact           : hash-groupBy on the raw text (catalog: dedup_exact)
 - fingerprint     : hash-groupBy on normalized text (catalog: dedup_fingerprint)
 - MinHash + LSH   : shingle -> signature -> band -> bucket-join candidates
-- SimHash         : per-token hash bit-vote -> 63-bit doc signature
+- SimHash         : per-token hash bit-vote -> 60-bit doc signature
 - n-gram Jaccard  : shingle explode + self-join -> exact pairwise Jaccard
 
 Scale notes (100 TB):
@@ -281,11 +281,12 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3, blocked: bool = Tr
             )
         )
     n_chunks = max_hamming + 1
-    # 63/4 = 15-bit chunks for the default; the 3 leftover high bits sit
-    # in no chunk, which preserves completeness (a pair with <= max_hamming
+    # 60/4 = 15-bit chunks tile the signature exactly at the default; when
+    # SIMHASH_BITS is not divisible, leftover high bits sit in no chunk,
+    # which still preserves completeness (a pair with <= max_hamming
     # differing bits touches at most max_hamming of the n_chunks covered
     # chunks, so at least one still agrees) while the exact Hamming filter
-    # runs over ALL 63 bits
+    # runs over ALL signature bits
     chunk_bits = SIMHASH_BITS // n_chunks
     mask = (1 << chunk_bits) - 1
     chunks = F.array(

@@ -7871,8 +7871,8 @@ _CHECK_PRIORITY = [
     # CORRECTNESS_r0{1..5}.json): all 181 registered queries have a driver
     # row; the staleness histogram for the 165 value-oracled queries is
     # r2: 30, r3: 36, r4: 49, r5: 50. With a 50-slot budget the r6 head is
-    # [the 8 new round-6 queries] + [all 30 of the r2 cohort] + [the first
-    # ~12 of the r3 cohort]; the remaining r3 queries lead the r7 head
+    # [the 10 new round-6 queries] + [all 30 of the r2 cohort] + [the first
+    # ~10 of the r3 cohort]; the remaining r3 queries lead the r7 head
     # (they fit its budget whole, so every value-oracled query is
     # re-checked within two rounds regardless of within-cohort order).
     #

@@ -53,7 +53,12 @@ for _k in range(8):
 
 
 def _uniform(key: Column, rep: Column, seed: int) -> Column:
-    keyrep = F.concat_ws("|", key.cast("string"), rep.cast("string"))
+    # F.concat (NULL-propagating, like SQL ||), NOT concat_ws (which
+    # skips NULLs): a NULL key then yields a NULL uniform, every CASE
+    # branch misses, and BOTH engines land on the constant tail
+    # multiplier — mirror-consistent, though statistically degenerate;
+    # callers must provide row-identifying non-null keys (docstring).
+    keyrep = F.concat(key.cast("string"), F.lit("|"), rep.cast("string"))
     return F.pmod(_priority(keyrep, seed), F.lit(_BUCKETS)).cast("double") / F.lit(
         float(_BUCKETS)
     )

@@ -61,6 +61,8 @@ def stratified_hash_weight(
     weight encoding can never drift between the sites whose parity the
     oracles pin (review r6: the CASE was previously copy-pasted in five
     places)."""
+    if not fractions:
+        raise ValueError("fractions must be a non-empty {stratum: ratio} dict")
     pri = F.pmod(_priority(F.col(key_col), seed), F.lit(_BUCKETS))
     w = None
     for t, r in fractions.items():
@@ -74,9 +76,12 @@ def stratified_hash_weight_sql(
     strata_expr: str, key_expr: str, fractions: dict, seed: int = 42
 ) -> str:
     """DuckDB mirror of ``stratified_hash_weight`` (a CASE expression
-    yielding the DECIMAL(6,2) weight or NULL)."""
+    yielding the DECIMAL(6,2) weight or NULL). Stratum keys are quoted
+    with '' doubling so keys containing quotes stay valid SQL."""
+    if not fractions:
+        raise ValueError("fractions must be a non-empty {stratum: ratio} dict")
     cases = " ".join(
-        f"WHEN {strata_expr} = '{t}' THEN "
+        f"WHEN {strata_expr} = '{str(t).replace(chr(39), chr(39) * 2)}' THEN "
         f"CASE WHEN {hash_bernoulli_sql(key_expr, r, seed=seed)} "
         f"THEN CAST('{1.0 / r}' AS DECIMAL(6,2)) END"
         for t, r in fractions.items()
