@@ -7866,75 +7866,21 @@ def q_cohort_ltv_weekly(spark, sf_dir):
 # queries first, so every family gets an external signal each round.
 # Already-verified queries and rows-only variants go last.
 _CHECK_PRIORITY = [
-    # === ROUND 6 rotation (VERDICT r5 item 1: drain the stale half of the
-    # catalog oldest-first). Cumulative driver state after r5 (from
-    # CORRECTNESS_r0{1..5}.json): all 181 registered queries have a driver
-    # row; the staleness histogram for the 165 value-oracled queries is
-    # r2: 30, r3: 36, r4: 49, r5: 50. With a 50-slot budget the r6 head is
-    # [the 10 new round-6 queries] + [all 30 of the r2 cohort] + [the first
-    # ~10 of the r3 cohort]; the remaining r3 queries lead the r7 head
-    # (they fit its budget whole, so every value-oracled query is
-    # re-checked within two rounds regardless of within-cohort order).
+    # === ROUND 8 rotation (VERDICT r7 item 1, non-negotiable): the 50
+    # driver slots are exactly the 26 queries whose last driver
+    # hash-green is r3 (dedup family first) plus the 24 oldest of the
+    # 49 r4-green queries, in r4 check order. After r8 no value-oracled
+    # query's driver green is older than r4; the remaining 25 r4
+    # queries plus any round-8 additions lead the r9 head.
     #
-    # --- head: round-6 NEW queries (value-oracled at registration; unknown
-    # names are skipped harmlessly until they register)
-    "sampled_left_join_hash_twin",
-    "order_price_quantile_hash_sampled",
-    "order_price_percentiles_hash_sampled",
-    "order_price_quantile_histogram",
-    "sampled_full_join_hash_twin",
-    "stratified_value_quantile_hash_sampled",
-    "sampled_topk_tokens",
-    "streaming_stratified_counts",
-    "distinct_users_chao_hash_sampled",
-    "bootstrap_qty_ci_by_flag",
-    # --- the r2 cohort (30): oldest driver signal in the catalog
-    # (streaming family, text-quality family, knn, multimodal decode,
-    # corpus-prep family, skew handling, zorder layout)
-    "exact_k_event_sample",
-    "weighted_sampled_tokens",
-    "streaming_events_hourly",
-    "streaming_dedup_minhash",
-    "streaming_dedup_incremental",
-    "lang_id_counts",
-    "doc_quality",
-    "token_stats",
-    "knn_brute_force",
-    "knn_lsh",
-    "tpch_q1_sql",
-    "multimodal_meta",
-    "multimodal_frame_counts",
-    "multimodal_decode_bmp",
-    "multimodal_decode_wav",
-    "training_pipeline",
-    "dedup_embedding_blocked",
-    "skewed_events_salted_join",
-    "skewed_events_two_phase",
-    "corpus_pipeline_full",
-    "pii_redaction",
-    "heavy_hitter_tokens",
-    "sequence_packing",
-    "boilerplate_ngrams",
-    "dedup_keep_best",
-    "decontaminate_ngrams",
-    "doc_repetition",
-    "dedup_incremental",
-    "events_zorder_buckets",
-    "boilerplate_strip",
-    # --- the r3 cohort (36): the 50-slot budget reaches ~19 of these
-    # (reference word/char/xml families, sampling report, TPC-H Q1/Q3,
-    # relational batch, JSON/props, bucketed join moved up per the r5
-    # verdict call-out); the rest lead the r7 head
-    "word_count",
-    "char_count",
-    "xml_page_words",
-    "word_count_multifile",
-    "word_count_reference_delims",
-    "word_count_rowgroup_sampled",
-    "sampling_report",
-    "tpch_q1",
-    "tpch_q1_hash_sampled",
-    "tpch_q3_topk",
+    # --- slots 1-26: the r3-stale cohort
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "dedup_clusters_blocked",
+    "cross_doc_dup_spans",
+    "dedup_exact",
+    "dedup_fingerprint",
     "revenue_by_nation",
     "top_orders_per_priority",
     "order_rollup",
@@ -7951,18 +7897,10 @@ _CHECK_PRIORITY = [
     "salted_orders_join",
     "bloom_semi_join",
     "skewed_events_suggested_salts",
-    "dedup_exact",
-    "dedup_fingerprint",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_simhash_pairs",
-    "dedup_clusters_blocked",
-    "cross_doc_dup_spans",
     "customer_upsert",
     "dataset_split_md5",
     "docs_cap_per_lang",
-    # ---- below here: past the harness budget. The 49 queries hash-green
-    # in r4, r4 check order.
+    # --- slots 27-50: the 24 oldest r4-green queries (r4 check order)
     "customer_rfm_segments",
     "event_transition_matrix",
     "orders_monthly_growth",
@@ -7987,6 +7925,10 @@ _CHECK_PRIORITY = [
     "user_state_scd2",
     "orders_profile",
     "doc_quality_logistic",
+    # ---- below here: past the 50-slot harness budget.
+    # Round-8 NEW queries go first so they lead the r9 head (each is
+    # locally oracle-checked + pytest-covered at registration).
+    # --- the remaining 25 r4-green queries (r4 check order): r9 head
     "top_supplier_revenue",
     "small_qty_revenue",
     "volume_shipping_q7",
@@ -8012,8 +7954,7 @@ _CHECK_PRIORITY = [
     "events_daily_unpivot",
     "events_outlier_rate",
     "promo_share_hash_sampled",
-    # ---- the 50 queries hash-green in r5 (freshest signal, lowest
-    # re-check value), r5 check order.
+    # --- the r5-green cohort (50), r5 check order
     "word_count_hash_sampled",
     "char_count_hash_sampled",
     "log_host_hash_sampled",
@@ -8064,6 +8005,57 @@ _CHECK_PRIORITY = [
     "events_daily_pivot",
     "events_ewma",
     "hash_sampled_events",
+    # --- the r7-green cohort (50, freshest signal): re-checked last
+    "sampled_left_join_hash_twin",
+    "order_price_quantile_hash_sampled",
+    "order_price_percentiles_hash_sampled",
+    "order_price_quantile_histogram",
+    "sampled_full_join_hash_twin",
+    "stratified_value_quantile_hash_sampled",
+    "sampled_topk_tokens",
+    "streaming_stratified_counts",
+    "distinct_users_chao_hash_sampled",
+    "bootstrap_qty_ci_by_flag",
+    "exact_k_event_sample",
+    "weighted_sampled_tokens",
+    "streaming_events_hourly",
+    "streaming_dedup_minhash",
+    "streaming_dedup_incremental",
+    "lang_id_counts",
+    "doc_quality",
+    "token_stats",
+    "knn_brute_force",
+    "knn_lsh",
+    "tpch_q1_sql",
+    "multimodal_meta",
+    "multimodal_frame_counts",
+    "multimodal_decode_bmp",
+    "multimodal_decode_wav",
+    "training_pipeline",
+    "dedup_embedding_blocked",
+    "skewed_events_salted_join",
+    "skewed_events_two_phase",
+    "corpus_pipeline_full",
+    "pii_redaction",
+    "heavy_hitter_tokens",
+    "sequence_packing",
+    "boilerplate_ngrams",
+    "dedup_keep_best",
+    "decontaminate_ngrams",
+    "doc_repetition",
+    "dedup_incremental",
+    "events_zorder_buckets",
+    "boilerplate_strip",
+    "word_count",
+    "char_count",
+    "xml_page_words",
+    "word_count_multifile",
+    "word_count_reference_delims",
+    "word_count_rowgroup_sampled",
+    "sampling_report",
+    "tpch_q1",
+    "tpch_q1_hash_sampled",
+    "tpch_q3_topk",
     # ---- permanently rows-only-by-nature (engine RNG / approx sketches /
     # data-trained state; each tagged at its @register site). All got a
     # driver rows-signal by r4 - a repeat no_oracle row carries no further
