@@ -7031,7 +7031,7 @@ def _bootstrap_qty_ci_oracle() -> str:
           FROM d CROSS JOIN (SELECT unnest(range(64)) AS rep) t),
     m AS (SELECT l_returnflag, rep,
                  sum(x * ({mult}))::BIGINT AS sr,
-                 sum(x)::BIGINT AS s
+                 sum(CASE WHEN rep = 0 THEN x END)::BIGINT AS s
           FROM r GROUP BY 1, 2),
     f AS (SELECT l_returnflag, CAST(sr AS DOUBLE) AS srd, s FROM m)
     SELECT l_returnflag,

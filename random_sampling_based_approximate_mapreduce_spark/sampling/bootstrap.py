@@ -100,12 +100,19 @@ def poisson_bootstrap_sum(
 ) -> DataFrame:
     """Per-group sum with a deterministic Poisson-bootstrap CI.
 
-    Output: ``alias`` (the exact sum, untouched by the bootstrap) and
+    Output: ``alias`` (the plain sum, untouched by the bootstrap) and
     ``{alias}_ci`` = z * sd over ``n_replicates`` multiplier-weighted
     replicate sums. ``key_col`` must identify rows (it seeds the
     multiplier hash); replicate b of a row is a pure function of
     (key, b, seed), so the whole computation is value-oracle-able via
     ``poisson_bootstrap_sum_sql``-style mirrors.
+
+    The point estimate is computed ONCE, inside replicate 0's partial
+    aggregate (every replicate covers the same rows, so any replicate's
+    unweighted sum is THE sum) — not as a max over all replicates,
+    which for non-integer doubles would pick the largest
+    rounding-ordering of the same value (upward-biased in last ulps)
+    and compute it B times redundantly (ADVICE r7).
 
     100 TB shape: one explode by replicate id (xB CPU on the value
     column only — the inherent bootstrap cost) into a partial-aggregated
@@ -125,13 +132,14 @@ def poisson_bootstrap_sum(
     m = _multiplier(_uniform(F.col("__bk"), F.col("__rep"), seed))
     per = d.groupBy(*gs, F.col("__rep")).agg(
         F.sum(F.col("__x") * m).alias("__sr"),
-        F.sum("__x").alias("__s"),
+        # plain sum materialized only in replicate 0's row; NULL elsewhere
+        F.sum(F.when(F.col("__rep") == F.lit(0), F.col("__x"))).alias("__s"),
     )
     srd = F.col("__sr").cast("double")
     rn = float(n_replicates)
     base = per.groupBy(*gs) if group_cols else per.groupBy()
     agged = base.agg(
-        F.max("__s").alias(alias),
+        F.max("__s").alias(alias),  # max over {the one non-NULL}: a pick, not a compare
         F.sum(srd).alias("__ssum"),
         F.sum(srd * srd).alias("__ssq"),
     )

@@ -317,14 +317,23 @@ def weighted_quantile(
     alias: str = "est_quantile",
     scale_bits: int = 20,
 ) -> DataFrame:
-    """Weighted p-quantile(s) from a ``__weight``-carrying frame (the
-    output of ``stratified_sample`` or the weighted-join compositions):
-    the smallest sampled value whose CUMULATIVE WEIGHT reaches p of the
-    group's total weight — the weighted empirical-CDF inverse, which
-    estimates the POPULATION quantile from a stratified sample where the
-    plain sample quantile would be biased toward over-sampled strata
-    (rare strata carry small weights, bulk strata large ones; the
-    weighting undoes the design distortion).
+    """Weighted p-quantile(s) from a ``__weight``-carrying frame with
+    NONNEGATIVE weights (the output of ``stratified_sample`` or the
+    plain sampled frames): the smallest sampled value whose CUMULATIVE
+    WEIGHT reaches p of the group's total weight — the weighted
+    empirical-CDF inverse, which estimates the POPULATION quantile from
+    a stratified sample where the plain sample quantile would be biased
+    toward over-sampled strata (rare strata carry small weights, bulk
+    strata large ones; the weighting undoes the design distortion).
+
+    HONESTY GUARD: the CDF inverse is undefined over signed weights —
+    a negative-weight row makes the "cumulative weight" non-monotone,
+    so the threshold crossing is meaningless. The weighted-join
+    compositions (``join_weighted_left/right/full``) emit SIGNED
+    correction rows; feeding those frames here gets a NULL quantile for
+    any group containing a weight < 0 (same contract as
+    ``weighted_count``/``weighted_sum``'s CI guard) rather than a
+    silently wrong number.
 
     Determinism discipline: weights are floor-quantized to integer
     2^-scale_bits units, so cumulative sums are EXACT integers — float
@@ -367,16 +376,24 @@ def weighted_quantile(
     staged = data.select(
         *gs,
         "__v",
+        "__ws",
         F.sum("__ws").over(wcum).alias("__cum"),
         F.sum("__ws").over(wtot).alias("__tot"),
         F.count(F.lit(1)).over(wtot).alias("__n"),
     )
+    # signed-weight guard: detected in the same aggregation pass
+    nonneg = F.min("__ws") >= F.lit(0)
     aggs: list = []
     for q in ps:
         thresh = F.lit(q) * F.col("__tot").cast("double")
         aggs.append(
-            F.min(
-                F.when(F.col("__cum").cast("double") >= thresh, F.col("__v"))
+            F.when(
+                nonneg,
+                F.min(
+                    F.when(
+                        F.col("__cum").cast("double") >= thresh, F.col("__v")
+                    )
+                ),
             ).alias(f"{alias}{_sfx(q)}")
         )
     if min_support is not None:
@@ -384,6 +401,19 @@ def weighted_quantile(
         aggs.append((F.max("__n") < F.lit(int(min_support))).alias("low_support"))
     base = staged.groupBy(*gs) if group_cols else staged.groupBy()
     return base.agg(*aggs)
+
+
+def _quantile_value_filter(df: DataFrame, value_col: str):
+    """Shared admission predicate for both quantile strategies: NULLs
+    are always excluded; for float/double columns non-finite values
+    (NaN/±Inf) are excluded too (ADVICE r7 — see ``approx_quantile``).
+    One predicate used by BOTH methods so n, ranks, and CIs stay
+    strategy- and engine-identical. ``abs(v) < +Inf`` is a single
+    comparison that rejects NaN (compares false) and ±Inf together."""
+    cond = F.col(value_col).isNotNull()
+    if dict(df.dtypes).get(value_col) in ("float", "double"):
+        cond = cond & (F.abs(F.col(value_col)) < F.lit(float("inf")))
+    return cond
 
 
 def _is_metrics_missing_error(exc: Exception, key: str) -> bool:
@@ -394,14 +424,16 @@ def _is_metrics_missing_error(exc: Exception, key: str) -> bool:
     Matching is deliberately on the error's OWN text, not the full
     stringified stack trace: a bare substring like 'assert' would match
     a scala.Predef frame in ANY task failure. Known shapes: the
-    CollectMetrics assertion (java.lang.AssertionError naming the node /
-    'observed metrics'), and the empty-metrics-map lookup
-    ('NoSuchElementException: key not found: <key>'). Probes the first
-    TWO lines plus the wrapped ``java_exception``: a raw Py4JJavaError's
-    own first line is just 'An error occurred while calling oNN.get.' —
-    the java exception text starts on line 2, and matching line 1 only
-    would re-raise the zero-row edge on py4j versions that don't convert
-    it (ADVICE r5).
+    CollectMetrics assertion (java.lang.AssertionError whose MESSAGE
+    names the node or 'observed metrics' — a bare AssertionError is NOT
+    enough, since any early JVM assertion would otherwise be silently
+    downgraded to the fallback count path; ADVICE r7), and the
+    empty-metrics-map lookup ('NoSuchElementException: key not found:
+    <key>'). Probes the first TWO lines plus the wrapped
+    ``java_exception``: a raw Py4JJavaError's own first line is just
+    'An error occurred while calling oNN.get.' — the java exception
+    text starts on line 2, and matching line 1 only would re-raise the
+    zero-row edge on py4j versions that don't convert it (ADVICE r5).
     """
     lines = str(exc).splitlines() if str(exc) else []
     probe = " ".join(lines[:2])
@@ -412,7 +444,6 @@ def _is_metrics_missing_error(exc: Exception, key: str) -> bool:
     return (
         "CollectMetrics" in probe
         or "observed metrics" in probe.lower()
-        or "java.lang.AssertionError" in probe
         or ("key not found" in probe and key in probe)
         or "NoSuchElementException" in type(exc).__name__
     )
@@ -976,7 +1007,12 @@ class SampledFrame:
         NULL values in ``value_col`` are excluded (both methods, so n,
         ranks, and CIs agree across strategies and engines — engines
         disagree on NULL sort position, so admitting them would make
-        ranks engine-dependent).
+        ranks engine-dependent). Non-finite floats (NaN/±Inf) are
+        excluded for the same reason (ADVICE r7: Spark sorts NaN last
+        while the histogram bucket arithmetic would collapse on a NaN
+        span — rather than let the two methods silently diverge, both
+        treat non-finite like NULL; the bit-identity claim between the
+        methods therefore holds on ALL inputs).
 
         ``p`` may be a single probability or a sequence — a sequence
         computes EVERY requested quantile (p50/p90/p99 is the common
@@ -1078,7 +1114,7 @@ class SampledFrame:
         wo = w.orderBy(F.col(value_col).asc())
         rn = F.col("__rn")
         n = F.col("__n")
-        ranked = self.df.where(F.col(value_col).isNotNull()).select(
+        ranked = self.df.where(_quantile_value_filter(self.df, value_col)).select(
             *gs,
             F.col(value_col).alias("__v"),
             F.row_number().over(wo).alias("__rn"),
@@ -1132,7 +1168,7 @@ class SampledFrame:
         """
         gs = [F.col(c) for c in group_cols]
         gnames = list(group_cols)
-        data = self.df.where(F.col(value_col).isNotNull()).select(
+        data = self.df.where(_quantile_value_filter(self.df, value_col)).select(
             *gs, F.col(value_col).alias("__v")
         )
         sb = data.groupBy(*gs) if gnames else data.groupBy()

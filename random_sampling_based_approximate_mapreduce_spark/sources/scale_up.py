@@ -27,8 +27,14 @@ from __future__ import annotations
 import os
 import re
 import shutil
+import time
 
 from pyspark.sql import DataFrame, SparkSession
+
+# staging dirs older than this are reclaimed even if a process with the
+# builder's PID is alive (PID recycling; ADVICE r7) — generous: a real
+# 10-copy sf0.1 build takes ~1 minute on the bench box
+_STAGING_MAX_AGE_S = 3600.0
 
 
 def _pid_alive(pid: int) -> bool:
@@ -160,15 +166,28 @@ def ensure_scaled_tables(
     # while their builder PID is alive — a builder that crashed mid-build
     # would otherwise leak a multi-hundred-MB '.staging.<pid>' dir forever,
     # the very accumulation this sweep exists to prevent (ADVICE r5).
+    # A live PID alone is not proof of an active builder: PIDs recycle,
+    # and an unrelated long-lived process could pin the leak forever
+    # (ADVICE r7) — so a staging dir older than _STAGING_MAX_AGE_S is
+    # reclaimed regardless (no real build of these replicas approaches
+    # an hour; a builder that old is crashed or its PID was recycled).
+    now = time.time()
     for name in os.listdir(cache_root):
         if not name.startswith(family) or name == os.path.basename(dest):
             continue
+        path = os.path.join(cache_root, name)
         m = re.search(r"\.staging\.(\d+)$", name)
         if m:
             pid = int(m.group(1))
-            if pid == os.getpid() or _pid_alive(pid):
-                continue  # an active builder owns it
-        shutil.rmtree(os.path.join(cache_root, name), ignore_errors=True)
+            try:
+                age = now - os.stat(path).st_mtime
+            except OSError:
+                continue  # vanished under us (concurrent sweep)
+            if age < _STAGING_MAX_AGE_S and (
+                pid == os.getpid() or _pid_alive(pid)
+            ):
+                continue  # an active, recent builder owns it
+        shutil.rmtree(path, ignore_errors=True)
 
     def _build(staging: str) -> None:
         os.makedirs(staging, exist_ok=True)

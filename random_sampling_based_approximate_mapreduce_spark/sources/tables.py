@@ -142,8 +142,21 @@ def ensure_layout(src: str, write_fn) -> str:
     write_fn(staging)
     try:
         os.rename(staging, src)
-    except OSError:  # another session published first; ours is equivalent
-        shutil.rmtree(staging, ignore_errors=True)
+    except OSError:
+        if os.path.exists(os.path.join(src, "_SUCCESS")):
+            # another session published first; ours is equivalent
+            shutil.rmtree(staging, ignore_errors=True)
+        else:
+            # src exists but is NOT a published layout (marker missing —
+            # e.g. swept by hand): without this branch every future call
+            # would rebuild and fail to publish forever. Replace it with
+            # our complete build; if a racer beats the second rename,
+            # their layout is equivalent and ours is discarded.
+            shutil.rmtree(src, ignore_errors=True)
+            try:
+                os.rename(staging, src)
+            except OSError:
+                shutil.rmtree(staging, ignore_errors=True)
     return src
 
 

@@ -530,9 +530,33 @@ class TestMetricsMissingClassifier:
 
     def test_python_side_shapes(self):
         clf = self._clf()
-        assert clf(Exception("java.lang.AssertionError: assertion failed"), "total_records")
+        assert clf(
+            Exception(
+                "java.lang.AssertionError: assertion failed: "
+                "found no observed metrics"
+            ),
+            "total_records",
+        )
         assert clf(Exception("found no observed metrics for CollectMetrics"), "total_records")
         assert clf(Exception("key not found: total_records"), "total_records")
+
+    def test_bare_assertion_error_reraises(self):
+        # ADVICE r7: an AssertionError that does NOT name CollectMetrics /
+        # observed metrics is an unrelated JVM failure, not the zero-row
+        # metrics edge - it must re-raise, not downgrade to the fallback.
+        clf = self._clf()
+        assert not clf(
+            Exception("java.lang.AssertionError: assertion failed"),
+            "total_records",
+        )
+        assert not clf(
+            Exception(
+                "An error occurred while calling o123.get.\n"
+                ": java.lang.AssertionError: assertion failed: "
+                "unrelated invariant in some other operator"
+            ),
+            "total_records",
+        )
 
     def test_raw_py4j_shape_java_text_on_line_two(self):
         clf = self._clf()
@@ -1117,6 +1141,41 @@ class TestApproxQuantile:
         with pytest.raises(ValueError):
             sf.approx_quantile("v", 0.5, method="sort-of")
 
+    def test_non_finite_excluded_both_methods(self, spark):
+        """ADVICE r7: NaN/±Inf are excluded like NULLs in BOTH methods
+        (Spark sorts NaN last while the histogram bucket arithmetic
+        collapses on a NaN span — admitting them would let the two
+        strategies silently diverge). Ranks, n_sampled, and the selected
+        values must match a finite-only manual sort, identically for
+        window and histogram."""
+        import math
+
+        finite = [float(v) for v in range(1, 201)]
+        rows = [("a", v) for v in finite]
+        rows += [
+            ("a", float("nan")),
+            ("a", float("inf")),
+            ("a", float("-inf")),
+            ("a", None),
+        ]
+        rows += [("b", float(v)) for v in range(1, 51)]  # all-finite control
+        df = spark.createDataFrame(rows, "g string, v double").localCheckpoint()
+        sf = SampledFrame.from_dataframe(
+            df, SamplingConfig(ratio=1.0), observe=False
+        )
+        for method in ("window", "histogram"):
+            got = {
+                r["g"]: r
+                for r in sf.approx_quantile(
+                    "v", [0.5, 0.99], "g", method=method
+                ).collect()
+            }
+            # group a: 200 finite values 1..200; NaN/Inf/NULL dropped, so
+            # rank ceil(p*200) selects from the finite values only
+            assert got["a"]["est_quantile_p50"] == float(math.ceil(0.5 * 200)), method
+            assert got["a"]["est_quantile_p99"] == float(math.ceil(0.99 * 200)), method
+            assert got["b"]["est_quantile_p50"] == 25.0, method
+
 
 class TestJoinWeightedFullAndRight:
     """Round-6 completion of the sampled-join family: FULL OUTER with
@@ -1302,6 +1361,40 @@ class TestWeightedQuantile:
             weighted_quantile(df, "v", 1.5)
         with pytest.raises(ValueError):
             weighted_quantile(df, "v", [])
+
+    def test_signed_weight_guard_nulls_quantile(self, spark):
+        """ADVICE r7: a group containing a NEGATIVE weight (the signed
+        correction rows of the weighted-join compositions) must get a
+        NULL quantile — the CDF inverse is undefined over signed weights
+        — while clean groups in the same frame stay estimated."""
+        from random_sampling_based_approximate_mapreduce_spark.sampling.sampled_frame import (
+            weighted_quantile,
+        )
+
+        rows = [("clean", float(v), 1.0) for v in range(1, 101)]
+        rows += [("signed", float(v), 1.0) for v in range(1, 101)]
+        rows += [("signed", 50.0, -0.5)]  # one correction row poisons the group
+        df = spark.createDataFrame(rows, "g string, v double, __weight double")
+        got = {
+            r["g"]: r
+            for r in weighted_quantile(df, "v", [0.5, 0.9], "g").collect()
+        }
+        assert got["clean"]["est_quantile_p50"] == 50.0
+        assert got["clean"]["est_quantile_p90"] == 90.0
+        assert got["signed"]["est_quantile_p50"] is None
+        assert got["signed"]["est_quantile_p90"] is None
+
+    def test_zero_weight_rows_are_admitted(self, spark):
+        """Weight 0 is a legitimate inclusion weight (a row that
+        contributes no mass); only weights < 0 trip the guard."""
+        from random_sampling_based_approximate_mapreduce_spark.sampling.sampled_frame import (
+            weighted_quantile,
+        )
+
+        rows = [(float(v), 1.0) for v in range(1, 11)] + [(1000.0, 0.0)]
+        df = spark.createDataFrame(rows, "v double, __weight double")
+        got = weighted_quantile(df, "v", 0.5).collect()[0]
+        assert got["est_quantile"] == 5.0  # zero-weight row moves nothing
 
 
 class TestApproxTopK:

@@ -141,6 +141,39 @@ class TestStagingPrune:
         assert os.path.exists(live_staging), "live builder's staging removed"
         os.rmdir(live_staging)
 
+    def test_aged_live_pid_staging_reclaimed(self, spark, sf_dir, cache_root):
+        """ADVICE r7: a live PID is not proof of an active builder (PID
+        recycling) — a staging dir past _STAGING_MAX_AGE_S is reclaimed
+        even when its PID exists; a FRESH live-pid dir still survives."""
+        import os
+        import time
+
+        from random_sampling_based_approximate_mapreduce_spark.sources.scale_up import (
+            _STAGING_MAX_AGE_S,
+        )
+
+        d = ensure_scaled_tables(
+            spark, sf_dir, ("events",), copies=2, cache_root=cache_root
+        )
+        family_prefix = os.path.basename(d).rsplit("_", 1)[0] + "_"
+        stale = os.path.join(cache_root, family_prefix + "cafecafe0000")
+        aged = stale + f".staging.{os.getpid()}"
+        fresh = os.path.join(
+            cache_root, family_prefix + "cafecafe1111" + f".staging.{os.getpid()}"
+        )
+        for p in (aged, fresh):
+            os.makedirs(p, exist_ok=True)
+        old = time.time() - _STAGING_MAX_AGE_S - 60.0
+        os.utime(aged, (old, old))
+        os.remove(os.path.join(d, "_SUCCESS"))
+        d2 = ensure_scaled_tables(
+            spark, sf_dir, ("events",), copies=2, cache_root=cache_root
+        )
+        assert d2 == d
+        assert not os.path.exists(aged), "aged live-pid staging leaked"
+        assert os.path.exists(fresh), "fresh live builder's staging removed"
+        os.rmdir(fresh)
+
 
 class TestFooterSampleBound:
     def test_stride_honors_budget(self):
