@@ -477,6 +477,12 @@ class SampledFrame:
     observed_base: DataFrame | None = None
     job_id: str = field(default_factory=_next_job_id)
     _start_time: float = field(default_factory=time.monotonic)
+    # join-composition provenance (set by join_sampled when row-id columns
+    # are provided): (r1, r2) component ratios + (left_id, right_id) column
+    # tuples. Present => approx_count/approx_sum CIs use the cluster
+    # variance estimator that is design-correct under key multiplicity.
+    join_ratios: tuple | None = None
+    join_ids: tuple | None = None
 
     # -- construction -----------------------------------------------------
 
@@ -546,9 +552,18 @@ class SampledFrame:
             observed_base=self.observed_base,
             job_id=self.job_id,
             _start_time=self._start_time,
+            join_ratios=self.join_ratios,
+            join_ids=self.join_ids,
         )
 
-    def join_sampled(self, other: "SampledFrame", on, how: str = "inner") -> "SampledFrame":
+    def join_sampled(
+        self,
+        other: "SampledFrame",
+        on,
+        how: str = "inner",
+        left_id=None,
+        right_id=None,
+    ) -> "SampledFrame":
         """Join two independently-sampled frames, composing the sampling
         metadata — the relational propagation the reference cannot do
         (its sampling lives in the input reader; SURVEY.md §2.5).
@@ -560,18 +575,47 @@ class SampledFrame:
         accordingly (1/(r1*r2) scale-up) — check ``low_support`` flags on
         grouped estimates before trusting rare groups.
 
-        CI caveat: the estimators' intervals assume pair survivals are
-        independent, which holds only when join keys are (near-)unique on
-        at least one side. Pairs sharing a row are positively correlated,
-        so on hot keys the stated CI UNDERSTATES the real spread (at
-        multiplicity 5 / r1=0.4 / r2=0.5 the true std is ~sqrt(2) of the
-        CI-implied one — pinned by the seed-sweep coverage tests). The
-        point estimates stay unbiased either way.
+        ``left_id`` / ``right_id`` (column name or list): columns that
+        identify the input's SAMPLING UNITS — the unit whose keep/drop
+        decision is one Bernoulli draw. For engine-RNG samples that is
+        the physical row (any unique key); for ``hash_bernoulli`` it is
+        the HASH KEY (rows sharing the key are kept/dropped together,
+        i.e. fully correlated — the id must group them). When BOTH are
+        given, ``approx_count``/``approx_sum`` CIs on the joined frame
+        switch to the cluster variance estimator (VERDICT r6/r7 item:
+        design-correct under key multiplicity):
+
+            V^ = [ (1-r1*r2) * sum_pairs x^2
+                 + (1-r1)    * sum_left_rows  (S_l^2 - Q_l)
+                 + (1-r2)    * sum_right_rows (S_j^2 - Q_j) ] / (r1*r2)^2
+
+        (S = a row's kept-pair value sum, Q = its kept-pair x^2 sum) —
+        the design-unbiased HT variance for the pair-inclusion design
+        pi_pair = r1*r2, pi_pairs-sharing-a-left-row = r1*r2^2,
+        pi_pairs-sharing-a-right-row = r1^2*r2: pairs sharing a row are
+        positively correlated, which the independent-Bernoulli formula
+        ignores. On unique keys S^2 - Q == 0 on both sides and V^
+        collapses EXACTLY to the classical (1-r)/r^2 * sum x^2, so the
+        corrected path never widens the 1:1 case; coverage under
+        multiplicity 5 is seed-sweep-tested.
+
+        CI caveat WITHOUT ids: the intervals assume pair survivals are
+        independent, which holds only when join keys are (near-)unique
+        on both sides. On hot keys the stated CI UNDERSTATES the real
+        spread (at multiplicity 5 / r1=0.4 / r2=0.5 the true std is
+        ~sqrt(2) of the CI-implied one — pinned by the seed-sweep
+        tests). Point estimates stay unbiased either way; pass the ids
+        to get honest intervals.
 
         Only inner joins compose into a single-ratio SampledFrame: an
         outer join's rows have MIXED inclusion probabilities, so the
         result needs per-row weights — ``join_weighted_left`` provides
         exactly that (unbiased, including the null-extended stratum).
+
+        100 TB shape (corrected CI): two partial-aggregated shuffles
+        keyed (group, row-id) whose outputs collapse to one row per
+        group, then a per-group join — the same order of cost as the
+        grouped aggregate itself, no driver math.
         """
         if how != "inner":
             raise ValueError(
@@ -579,6 +623,13 @@ class SampledFrame:
                 "rows have mixed inclusion probabilities; use "
                 "join_weighted_left for an unbiased per-row-weighted left join"
             )
+        if (left_id is None) != (right_id is None):
+            raise ValueError(
+                "left_id and right_id must be given together: the cluster "
+                "variance needs BOTH sides' row identities (a one-sided id "
+                "cannot see pairs sharing a row of the other side)"
+            )
+        norm = lambda v: tuple([v] if isinstance(v, str) else v)  # noqa: E731
         cfg = self.config
         return SampledFrame(
             df=self.df.join(other.df, on, how),
@@ -586,6 +637,8 @@ class SampledFrame:
             config=cfg,
             observation=None,
             sample_observation=None,
+            join_ratios=(self.ratio, other.ratio) if left_id is not None else None,
+            join_ids=(norm(left_id), norm(right_id)) if left_id is not None else None,
         )
 
     def join_weighted_left(
@@ -796,6 +849,71 @@ class SampledFrame:
     # (it applies one global p=0.5 bound; SURVEY.md §7 "hard parts").
     # Inlined in approx_count so the CI reads the exact integer count.
 
+    def _joined_cluster_agg(
+        self,
+        x,
+        group_cols,
+        alias: str,
+        min_support: int | None,
+    ) -> DataFrame:
+        """Count/sum aggregation with the cluster-variance CI for
+        join-composed frames carrying row ids (see ``join_sampled``).
+
+        One pair-level projection feeds two 2-level aggregation chains —
+        per (group, left-row-id) then per group, and per (group,
+        right-row-id) then per group — giving, per output group:
+        sum x (the HT numerator), P = sum x^2 over pairs, and the two
+        same-row excess terms D_side = sum_rows (S^2 - Q). The variance
+        combines them per the derivation in ``join_sampled``'s docstring.
+        Two shuffles keyed (group, row-id) with partial aggregation, one
+        tiny per-group join — no driver math, no extra pass over pairs.
+        """
+        r1, r2 = self.join_ratios
+        lid, rid = self.join_ids
+        gs = list(group_cols)
+        ids = list(dict.fromkeys(list(lid) + list(rid)))
+        d = self.df.select(
+            *[F.col(c) for c in gs],
+            *[F.col(c) for c in ids],
+            x.cast("double").alias("__x"),
+        )
+        z = stats.z_score(self.config.confidence)
+        r = self.ratio
+
+        def side(idcols, tag):
+            per = d.groupBy(*[F.col(c) for c in (gs + list(idcols))]).agg(
+                F.coalesce(F.sum("__x"), F.lit(0.0)).alias("__s"),
+                F.coalesce(F.sum(F.col("__x") * F.col("__x")), F.lit(0.0)).alias("__q"),
+                F.count(F.lit(1)).alias("__c"),
+            )
+            base = per.groupBy(*[F.col(c) for c in gs]) if gs else per.groupBy()
+            return base.agg(
+                F.sum("__s").alias(f"__sx{tag}"),
+                F.sum("__q").alias(f"__p{tag}"),
+                F.sum(F.col("__s") * F.col("__s") - F.col("__q")).alias(f"__d{tag}"),
+                F.sum("__c").alias(f"__n{tag}"),
+            )
+
+        lagg = side(lid, "l")
+        # right-side output is one row per group: broadcast it back
+        rsel = side(rid, "r").select(*gs, "__dr") if gs else side(rid, "r").select("__dr")
+        joined = lagg.join(F.broadcast(rsel), on=gs) if gs else lagg.crossJoin(rsel)
+        var = (
+            F.lit(1.0 - r) * F.col("__pl")
+            + F.lit(1.0 - r1) * F.col("__dl")
+            + F.lit(1.0 - r2) * F.col("__dr")
+        ) / F.lit(r * r)
+        cols: list = [F.col(c) for c in gs]
+        cols.append((F.col("__sxl") * F.lit(self.scale)).alias(alias))
+        cols.append(
+            (F.lit(z) * F.sqrt(F.greatest(var, F.lit(0.0)))).alias(f"{alias}_ci")
+        )
+        if min_support is not None:
+            n = F.col("__nl")
+            cols.append(n.alias("n_sampled"))
+            cols.append((n < F.lit(int(min_support))).alias("low_support"))
+        return joined.select(*cols)
+
     def approx_count(
         self,
         *group_cols: str,
@@ -813,7 +931,16 @@ class SampledFrame:
         prefix task is the canonical rare-key family); the engine surfaces
         it instead. The flag is on the exact integer sampled count — no
         float back-derivation — so it is value-oracle-checkable.
+
+        On a join-composed frame carrying row ids (``join_sampled`` with
+        ``left_id``/``right_id``) the CI uses the cluster variance
+        estimator instead — design-correct under key multiplicity (see
+        ``join_sampled``); the point estimate is unchanged.
         """
+        if ci and self.ratio < 1.0 and self.join_ids is not None:
+            return self._joined_cluster_agg(
+                F.lit(1), group_cols, alias, min_support
+            )
         base = self.df.groupBy(*[F.col(c) for c in group_cols]) if group_cols else self.df.groupBy()
         agg = base.agg(F.count(F.lit(1)).alias("__n"))
         n = F.col("__n")
@@ -863,7 +990,16 @@ class SampledFrame:
         (``n_sampled`` + ``low_support`` columns from the exact per-group
         sampled row count) — sums on rare keys are even worse than counts
         because a single large value dominates the estimate.
+
+        On a join-composed frame carrying row ids (``join_sampled`` with
+        ``left_id``/``right_id``) the CI uses the cluster variance
+        estimator instead — design-correct under key multiplicity (see
+        ``join_sampled``); the point estimate is unchanged.
         """
+        if ci and self.ratio < 1.0 and self.join_ids is not None:
+            return self._joined_cluster_agg(
+                F.col(value_col), group_cols, alias, min_support
+            )
         est = (F.sum(F.col(value_col)) * F.lit(self.scale)).alias(alias)
         base = self.df.groupBy(*[F.col(c) for c in group_cols]) if group_cols else self.df.groupBy()
         aggs = [est]

@@ -926,6 +926,195 @@ class TestCICoverageSeedSweep:
         assert abs(mean - truth) / truth < 0.05
         assert ratio > 1.15, f"expected understated CI (ratio {ratio:.2f})"
 
+    def test_joined_count_cluster_ci_covers_under_key_multiplicity(self, spark):
+        """VERDICT r6/r7 item: the SAME multiplicity-5 fixture, but with
+        row ids passed to join_sampled — the cluster variance estimator
+        must (a) restore nominal coverage and (b) track the empirical
+        spread (the ~sqrt(2) understatement gone), while the unique-key
+        case is pinned unwidened in
+        test_joined_cluster_ci_equals_classical_on_unique_keys."""
+        n_keys = 400
+        left = (
+            spark.range(n_keys).select(F.col("id").alias("lk")).localCheckpoint()
+        )
+        right = (
+            spark.range(n_keys * 5)
+            .select(F.col("id").alias("rid"), (F.col("id") % n_keys).alias("rk"))
+            .localCheckpoint()
+        )
+        truth = n_keys * 5
+        frames = []
+        for s in self.SEEDS:
+            sl = SampledFrame.from_dataframe(
+                left, SamplingConfig(ratio=0.4, seed=s), observe=False
+            )
+            sr = SampledFrame.from_dataframe(
+                right, SamplingConfig(ratio=0.5, seed=s + 499_979), observe=False
+            )
+            j = sl.join_sampled(
+                sr, F.col("lk") == F.col("rk"), left_id="lk", right_id="rid"
+            )
+            frames.append(j.approx_count(ci=True).withColumn("__seed", F.lit(s)))
+        rows = self._union(frames)
+        cover = sum(1 for r in rows if abs(r["est_count"] - truth) <= r["est_count_ci"])
+        assert cover >= 88, f"cluster-CI covered only {cover}/100"
+        ests = [r["est_count"] for r in rows]
+        mean = sum(ests) / len(ests)
+        emp_std = (sum((e - mean) ** 2 for e in ests) / (len(ests) - 1)) ** 0.5
+        z = 1.959963984540054
+        mean_half = sum(r["est_count_ci"] for r in rows) / len(rows)
+        ratio = emp_std / (mean_half / z)
+        assert 0.8 <= ratio <= 1.25, f"cluster CI mis-scaled (ratio {ratio:.2f})"
+
+    def test_joined_sum_cluster_ci_covers_under_key_multiplicity(self, spark):
+        """Sum variant of the cluster-CI coverage sweep: values vary per
+        right row so the S^2 - Q excess terms do real work."""
+        n_keys = 400
+        left = (
+            spark.range(n_keys).select(F.col("id").alias("lk")).localCheckpoint()
+        )
+        right = (
+            spark.range(n_keys * 5)
+            .select(
+                F.col("id").alias("rid"),
+                (F.col("id") % n_keys).alias("rk"),
+                (F.col("id") % 13).cast("double").alias("val"),
+            )
+            .localCheckpoint()
+        )
+        truth = sum((i % 13) for i in range(n_keys * 5))
+        frames = []
+        for s in self.SEEDS:
+            sl = SampledFrame.from_dataframe(
+                left, SamplingConfig(ratio=0.4, seed=s), observe=False
+            )
+            sr = SampledFrame.from_dataframe(
+                right, SamplingConfig(ratio=0.5, seed=s + 499_979), observe=False
+            )
+            j = sl.join_sampled(
+                sr, F.col("lk") == F.col("rk"), left_id="lk", right_id="rid"
+            )
+            frames.append(
+                j.approx_sum("val", ci=True).withColumn("__seed", F.lit(s))
+            )
+        rows = self._union(frames)
+        cover = sum(1 for r in rows if abs(r["est_sum"] - truth) <= r["est_sum_ci"])
+        assert cover >= 88, f"cluster sum-CI covered only {cover}/100"
+
+
+class TestJoinedClusterCI:
+    """join_sampled with left_id/right_id: the cluster variance estimator
+    V^ = [(1-r1r2)P + (1-r1)(S_l^2-Q_l excess) + (1-r2)(S_j^2-Q_j excess)]
+    / (r1r2)^2. Coverage lives in TestCICoverageSeedSweep; here the
+    arithmetic is pinned directly and the unique-key case is pinned
+    UNWIDENED against the classical independent-Bernoulli CI."""
+
+    def _wrap(self, df, r1, r2, lid, rid):
+        from random_sampling_based_approximate_mapreduce_spark.sampling.sampled_frame import (
+            SampledFrame,
+        )
+
+        return SampledFrame(
+            df=df,
+            ratio=r1 * r2,
+            config=SamplingConfig(ratio=r1 * r2),
+            join_ratios=(r1, r2),
+            join_ids=((lid,), (rid,)),
+        )
+
+    def test_matches_hand_computation(self, spark):
+        """Fixed 'kept pairs' table (no RNG): two left rows sharing right
+        row 7, one left row with two pairs — both excess terms non-zero."""
+        import math
+
+        pairs = [
+            # (lk, rid, x)
+            (1, 7, 2.0),
+            (2, 7, 3.0),  # right row 7 shared by lk 1 and 2
+            (3, 8, 1.0),
+            (3, 9, 5.0),  # left row 3 has two pairs
+        ]
+        df = spark.createDataFrame(pairs, "lk bigint, rid bigint, x double")
+        r1, r2 = 0.4, 0.5
+        sf = self._wrap(df, r1, r2, "lk", "rid")
+        row = sf.approx_sum("x", ci=True, min_support=10).collect()[0]
+        xs = [p[2] for p in pairs]
+        P = sum(v * v for v in xs)
+        # left excess: only lk=3 has >1 pair: (1+5)^2 - (1+25) = 10
+        L2 = (1.0 + 5.0) ** 2 - (1.0 + 25.0)
+        # right excess: only rid=7: (2+3)^2 - (4+9) = 12
+        R2 = (2.0 + 3.0) ** 2 - (4.0 + 9.0)
+        r = r1 * r2
+        var = ((1 - r) * P + (1 - r1) * L2 + (1 - r2) * R2) / (r * r)
+        z = 1.959963984540054
+        assert row["est_sum"] == pytest.approx(sum(xs) / r, rel=1e-12)
+        assert row["est_sum_ci"] == pytest.approx(z * math.sqrt(var), rel=1e-12)
+        assert row["n_sampled"] == 4 and row["low_support"] is True
+
+    def test_count_grouped_matches_hand_computation(self, spark):
+        pairs = [
+            ("a", 1, 7),
+            ("a", 2, 7),
+            ("a", 1, 8),
+            ("b", 3, 9),
+        ]
+        df = spark.createDataFrame(pairs, "g string, lk bigint, rid bigint")
+        r1, r2 = 0.5, 0.5
+        sf = self._wrap(df, r1, r2, "lk", "rid")
+        got = {r["g"]: r for r in sf.approx_count("g", ci=True).collect()}
+        import math
+
+        r = r1 * r2
+        z = 1.959963984540054
+        # group a: P=3; left excess lk=1 has 2 pairs: 4-2=2; right excess
+        # rid=7 has 2 pairs: 4-2=2
+        var_a = ((1 - r) * 3 + (1 - r1) * 2 + (1 - r2) * 2) / (r * r)
+        assert got["a"]["est_count"] == pytest.approx(3 / r)
+        assert got["a"]["est_count_ci"] == pytest.approx(z * math.sqrt(var_a), rel=1e-12)
+        # group b: singleton pair - collapses to classical
+        var_b = (1 - r) * 1 / (r * r)
+        assert got["b"]["est_count_ci"] == pytest.approx(z * math.sqrt(var_b), rel=1e-12)
+
+    def test_unique_keys_unwidened_vs_classical(self, spark):
+        """1:1 join: both excess terms are identically zero, so the
+        cluster CI must equal the classical (1-r)/r^2 form — the
+        corrected path never pays for honesty it doesn't need."""
+        n = 500
+        left = spark.range(n).select(F.col("id").alias("lk"))
+        right = spark.range(n).select(
+            F.col("id").alias("rid"), (F.col("id") % 7).cast("double").alias("v")
+        )
+        sl = SampledFrame.from_dataframe(
+            left, SamplingConfig(ratio=0.4, seed=5), observe=False
+        )
+        sr = SampledFrame.from_dataframe(
+            right, SamplingConfig(ratio=0.5, seed=7), observe=False
+        )
+        with_ids = sl.join_sampled(
+            sr, F.col("lk") == F.col("rid"), left_id="lk", right_id="rid"
+        )
+        without = sl.join_sampled(sr, F.col("lk") == F.col("rid"))
+        a = with_ids.approx_count(ci=True).collect()[0]
+        b = without.approx_count(ci=True).collect()[0]
+        assert a["est_count"] == pytest.approx(b["est_count"], rel=1e-12)
+        assert a["est_count_ci"] == pytest.approx(b["est_count_ci"], rel=1e-12)
+        asum = with_ids.approx_sum("v", ci=True).collect()[0]
+        bsum = without.approx_sum("v", ci=True).collect()[0]
+        assert asum["est_sum"] == pytest.approx(bsum["est_sum"], rel=1e-12)
+        assert asum["est_sum_ci"] == pytest.approx(bsum["est_sum_ci"], rel=1e-12)
+
+    def test_one_sided_id_rejected(self, spark):
+        left = spark.range(5).select(F.col("id").alias("lk"))
+        right = spark.range(5).select(F.col("id").alias("rid"))
+        sl = SampledFrame.from_dataframe(
+            left, SamplingConfig(ratio=0.5, seed=1), observe=False
+        )
+        sr = SampledFrame.from_dataframe(
+            right, SamplingConfig(ratio=0.5, seed=2), observe=False
+        )
+        with pytest.raises(ValueError, match="together"):
+            sl.join_sampled(sr, F.col("lk") == F.col("rid"), left_id="lk")
+
 
 class TestApproxQuantile:
     """Round-6 estimator: discrete sample quantile + distribution-free
