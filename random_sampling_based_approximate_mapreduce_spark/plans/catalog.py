@@ -6975,6 +6975,110 @@ def q_stratified_value_quantile_hash_sampled(spark, sf_dir):
     )
 
 
+def _stratified_quantile_bootstrap_oracle() -> str:
+    from ..sampling.bootstrap import _multiplier_sql, _uniform_sql
+    from ..sampling.deterministic import stratified_hash_weight_sql
+
+    w_case = stratified_hash_weight_sql(
+        "event_type", "event_id::VARCHAR", _STRAT_FRACTIONS, seed=11
+    )
+    mult = _multiplier_sql(_uniform_sql("bk", "rep", 77))
+    # mirrors weighted_quantile_bootstrap literally: rep -1 is the
+    # original sample (multiplier 1); weights w*m floor-quantized to
+    # integer 2^-20 units AFTER the multiply (same parenthesization as
+    # the Spark column); per-(type, rep) CDF inverse under the default
+    # RANGE frame; percentile ranks over the 32 replicate quantiles.
+    # Every (type, rep) group here has thousands of rows so no replicate
+    # quantile is NULL and len(arr) == 32 always — the dynamic Spark
+    # ranks ceil(0.025*32)=1 / ceil(0.975*32)=32 are constants.
+    return f"""
+    WITH s AS (
+      SELECT event_type, CAST(value AS DOUBLE) AS v,
+             event_id::VARCHAR AS bk, CAST({w_case} AS DOUBLE) AS w
+      FROM events
+    ),
+    k AS (SELECT * FROM s WHERE w IS NOT NULL),
+    r AS (SELECT k.*, t.rep
+          FROM k CROSS JOIN (SELECT unnest(range(-1, 32)) AS rep) t),
+    m AS (SELECT event_type, rep, v,
+                 CAST(floor(
+                   (w * CAST(CASE WHEN rep = -1 THEN 1 ELSE {mult} END
+                             AS DOUBLE)) * 1048576.0) AS BIGINT) AS ws
+          FROM r),
+    c AS (SELECT event_type, rep, v, ws,
+                 sum(ws) OVER (PARTITION BY event_type, rep ORDER BY v)
+                   AS cum,
+                 sum(ws) OVER (PARTITION BY event_type, rep) AS tot
+          FROM m),
+    q AS (SELECT event_type, rep,
+                 CASE WHEN min(ws) >= 0 THEN
+                   min(CASE WHEN CAST(cum AS DOUBLE)
+                                 >= 0.5 * CAST(tot AS DOUBLE)
+                            THEN v END) END AS q50
+          FROM c GROUP BY 1, 2),
+    f AS (SELECT event_type,
+                 max(CASE WHEN rep = -1 THEN q50 END) AS est,
+                 list(q50 ORDER BY q50)
+                   FILTER (WHERE rep >= 0 AND q50 IS NOT NULL) AS arr
+          FROM q GROUP BY 1)
+    SELECT event_type,
+           est AS est_p50,
+           CASE WHEN est IS NOT NULL THEN arr[1] END AS est_p50_ci_lo,
+           CASE WHEN est IS NOT NULL THEN arr[32] END AS est_p50_ci_hi
+    FROM f
+    """
+
+
+@register(
+    "stratified_quantile_bootstrap_ci",
+    _stratified_quantile_bootstrap_oracle(),
+    doc="Weighted quantile WITH a bootstrap interval, fully value-oracled "
+    "(VERDICT r6/r7 item: weighted_quantile was the one "
+    "point-estimate-only estimator — the distribution-free binomial "
+    "interval assumes equal weights, so a stratified sample needs "
+    "resampling). Per-event-type median of value from the same "
+    "deterministic stratified hash sample as the other stratified twins "
+    "(rare strata 50%, bulk 5%, seed 11), composed with 32 "
+    "hash-deterministic Poisson(1) replicates "
+    "(sampling/bootstrap.weighted_quantile_bootstrap, seed 77): "
+    "replicate -1 is the original sample (the point estimate), the "
+    "percentile interval selects discrete order statistics of the "
+    "replicate quantiles — no interpolation, no RNG, bit-identical in "
+    "DuckDB. Coverage is seed-sweep-tested in "
+    "tests/test_sampled_frame.py",
+    tags=("sampled",),
+)
+def q_stratified_quantile_bootstrap_ci(spark, sf_dir):
+    from ..sampling.bootstrap import weighted_quantile_bootstrap
+    from ..sampling.deterministic import stratified_hash_weight
+
+    e = load(spark, sf_dir, "events").withColumn(
+        "__k", F.col("event_id").cast("string")
+    )
+    w = stratified_hash_weight("event_type", "__k", _STRAT_FRACTIONS, seed=11)
+    s = (
+        e.withColumn("w", w)
+        .where(F.col("w").isNotNull())
+        .select(
+            "event_type",
+            F.col("value").cast("double").alias("v"),
+            F.col("event_id").cast("string").alias("bk"),
+            "w",
+        )
+    )
+    return weighted_quantile_bootstrap(
+        s,
+        "v",
+        0.5,
+        "event_type",
+        key_col="bk",
+        weight_col="w",
+        n_replicates=32,
+        seed=77,
+        alias="est_p50",
+    )
+
+
 def _sampled_topk_tokens_oracle() -> str:
     from ..operators.dedup import _WORD_SPLIT_SQL
     from ..sampling import stats as _stats
@@ -8040,6 +8144,7 @@ _CHECK_PRIORITY = [
     # Round-8 NEW queries go first so they lead the r9 head (each is
     # locally oracle-checked + pytest-covered at registration).
     "sampled_join_cluster_ci",
+    "stratified_quantile_bootstrap_ci",
     # --- the remaining 25 r4-green queries (r4 check order): r9 head
     "top_supplier_revenue",
     "small_qty_revenue",
