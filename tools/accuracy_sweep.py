@@ -109,6 +109,157 @@ EXPERIMENTS = {
     "events": ("events", _events),
 }
 
+# Estimator-family sweeps beyond plain Bernoulli (VERDICT r7 item 2):
+# stratified weighted counts and the sampled-join composition. Each has
+# its own closed-form expected grouped rel-L1, derived from the same
+# design variance its CI estimator uses, so the sweep ratchets the
+# THEORY the estimators ship with against measured spread.
+FAMILY_SWEEPS = ("stratified_daily", "joined_pairs")
+
+
+def sweep_stratified(spark, sf: str, ratios: list[float]) -> dict:
+    """Daily event counts from a STRATIFIED sample (rare event types
+    oversampled 10x), estimated with weighted_count. Expected grouped
+    rel-L1 under independent per-stratum Bernoulli(r_h):
+    Var(est_g) = sum_h N_gh (1-r_h)/r_h, E|err_g| = sqrt(2/pi * Var_g),
+    E[relL1] = sum_g E|err_g| / N_total — the exact closed form for the
+    estimand weighted_count's CI bounds (HT variance, VERDICT r5/r6)."""
+    from random_sampling_based_approximate_mapreduce_spark.sampling.sampled_frame import (
+        stratified_sample,
+        weighted_count,
+    )
+
+    base = ensure_parallelism(
+        load(spark, sf, "events").select(
+            "event_type", F.to_date("ts").alias("d")
+        )
+    ).localCheckpoint()
+    t0 = time.monotonic()
+    exact_gh = {
+        (r["d"], r["event_type"]): r["c"]
+        for r in base.groupBy("d", "event_type").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    base_wall = time.monotonic() - t0
+    type_totals: dict = {}
+    for (_, h), c in exact_gh.items():
+        type_totals[h] = type_totals.get(h, 0) + c
+    total = sum(type_totals.values())
+    rare = {h for h, c in type_totals.items() if c / total < 0.05}
+    exact_g: dict = {}
+    for (g, _), c in exact_gh.items():
+        exact_g[g] = exact_g.get(g, 0) + c
+
+    print(f"query=stratified_daily sf={sf} groups={len(exact_g)} "
+          f"strata={len(type_totals)} rare={sorted(rare)} exact_wall={base_wall:.3f}s")
+    print(f"{'ratio':>7} {'wall_s':>8} {'actual_err':>11} {'exp_grouped':>12} {'gok':>4}")
+    out = {"query": "stratified_daily", "sf": sf,
+           "exact_wall_s": round(base_wall, 3), "runs": []}
+    for r in ratios:
+        if r >= 1.0:
+            continue
+        fracs = {h: (min(1.0, 10.0 * r) if h in rare else r) for h in type_totals}
+        t0 = time.monotonic()
+        w = stratified_sample(base, "event_type", fracs, seed=123)
+        got = {row["d"]: row["est_count"]
+               for row in weighted_count(w, "d").collect()}
+        wall = time.monotonic() - t0
+        err = sum(abs(got.get(g, 0.0) - c) for g, c in exact_g.items()) / total
+        expected = (
+            (2.0 / math.pi) ** 0.5
+            * sum(
+                (sum(
+                    exact_gh.get((g, h), 0) * (1.0 - fracs[h]) / fracs[h]
+                    for h in type_totals
+                )) ** 0.5
+                for g in exact_g
+            )
+            / total
+        )
+        grouped_ok = expected == 0.0 or err <= 3.0 * expected
+        print(f"{r:>7} {wall:>8.3f} {err:>11.5f} {expected:>12.5f} "
+              f"{'y' if grouped_ok else 'N'}")
+        out["runs"].append(
+            {"ratio": r, "wall_s": round(wall, 3), "actual_err": round(err, 6),
+             "expected_grouped_err": round(expected, 6), "grouped_ok": bool(grouped_ok)}
+        )
+    print(json.dumps(out))
+    return out
+
+
+def sweep_joined(spark, sf: str, ratios: list[float]) -> dict:
+    """Per-priority pair counts from joining orders (Bernoulli r1=0.5)
+    to lineitem (Bernoulli r2=grid), HT-scaled by 1/(r1*r2). Expected
+    grouped rel-L1 from the DESIGN variance the cluster CI estimates
+    (sampled_frame.join_sampled): pairs sharing a kept order are
+    correlated, so Var(T_g) = [r1r2(1-r1r2) N_g + r1r2^2(1-r1) M2_g]
+    / (r1r2)^2 with M2_g = sum_orders (m^2 - m); the right-side excess
+    is zero (each lineitem row joins exactly one order)."""
+    r1 = 0.5
+    orders = ensure_parallelism(
+        load(spark, sf, "orders").select("o_orderkey", "o_orderpriority")
+    ).localCheckpoint()
+    li = ensure_parallelism(
+        load(spark, sf, "lineitem").select("l_orderkey")
+    ).localCheckpoint()
+    t0 = time.monotonic()
+    per_order = (
+        orders.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("o_orderpriority", "o_orderkey")
+        .agg(F.count(F.lit(1)).alias("m"))
+    )
+    stats_rows = (
+        per_order.groupBy("o_orderpriority")
+        .agg(
+            F.sum("m").alias("n"),
+            F.sum(F.col("m") * F.col("m") - F.col("m")).alias("m2"),
+        )
+        .collect()
+    )
+    base_wall = time.monotonic() - t0
+    exact_g = {r["o_orderpriority"]: r["n"] for r in stats_rows}
+    m2_g = {r["o_orderpriority"]: r["m2"] for r in stats_rows}
+    total = sum(exact_g.values())
+
+    print(f"query=joined_pairs sf={sf} r1={r1} groups={len(exact_g)} "
+          f"pairs={total} exact_wall={base_wall:.3f}s")
+    print(f"{'ratio':>7} {'wall_s':>8} {'actual_err':>11} {'exp_grouped':>12} {'gok':>4}")
+    out = {"query": "joined_pairs", "sf": sf, "r1": r1,
+           "exact_wall_s": round(base_wall, 3), "runs": []}
+    for r2 in ratios:
+        if r2 >= 1.0:
+            continue
+        t0 = time.monotonic()
+        so = orders.sample(withReplacement=False, fraction=r1, seed=123)
+        sl = li.sample(withReplacement=False, fraction=r2, seed=777)
+        got = {
+            row["o_orderpriority"]: row["c"] / (r1 * r2)
+            for row in so.join(sl, F.col("o_orderkey") == F.col("l_orderkey"))
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        }
+        wall = time.monotonic() - t0
+        err = sum(abs(got.get(g, 0.0) - c) for g, c in exact_g.items()) / total
+        rr = r1 * r2
+        expected = (
+            (2.0 / math.pi) ** 0.5
+            * sum(
+                ((rr * (1.0 - rr) * exact_g[g]
+                  + r1 * r2 * r2 * (1.0 - r1) * m2_g[g]) / (rr * rr)) ** 0.5
+                for g in exact_g
+            )
+            / total
+        )
+        grouped_ok = err <= 3.0 * expected
+        print(f"{r2:>7} {wall:>8.3f} {err:>11.5f} {expected:>12.5f} "
+              f"{'y' if grouped_ok else 'N'}")
+        out["runs"].append(
+            {"ratio": r2, "wall_s": round(wall, 3), "actual_err": round(err, 6),
+             "expected_grouped_err": round(expected, 6), "grouped_ok": bool(grouped_ok)}
+        )
+    print(json.dumps(out))
+    return out
+
 
 def run_once(spark, sf_dir: str, table: str, pipeline, ratio: float):
     base = ensure_parallelism(load(spark, sf_dir, table))
@@ -190,7 +341,8 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--ratios", default="1.0,0.5,0.25,0.1,0.01")
-    ap.add_argument("--query", default="word_count", choices=sorted(EXPERIMENTS))
+    ap.add_argument("--query", default="word_count",
+                    choices=sorted(EXPERIMENTS) + list(FAMILY_SWEEPS))
     ap.add_argument("--all", action="store_true", help="sweep every experiment")
     ap.add_argument("--out", default=None, help="write the combined JSON artifact here")
     ap.add_argument("--gate", action="store_true",
@@ -203,8 +355,17 @@ def main() -> None:
 
     spark = get_spark("rsmr-accuracy-sweep")
     spark.sparkContext.setLogLevel("ERROR")
-    queries = sorted(EXPERIMENTS) if args.all else [args.query]
-    results = [sweep_query(spark, args.sf, q, ratios) for q in queries]
+    queries = (
+        sorted(EXPERIMENTS) + list(FAMILY_SWEEPS) if args.all else [args.query]
+    )
+    results = []
+    for q in queries:
+        if q == "stratified_daily":
+            results.append(sweep_stratified(spark, args.sf, ratios))
+        elif q == "joined_pairs":
+            results.append(sweep_joined(spark, args.sf, ratios))
+        else:
+            results.append(sweep_query(spark, args.sf, q, ratios))
     doc = {"sf": args.sf, "ratios": ratios, "seed": 123, "queries": results}
     if args.out:
         with open(args.out, "w") as fh:
@@ -213,10 +374,11 @@ def main() -> None:
     spark.stop()
     if args.gate:
         bad = [
-            (q["query"], run["ratio"], "grouped" if not run["grouped_ok"] else "share")
+            (q["query"], run["ratio"],
+             "grouped" if not run.get("grouped_ok", True) else "share")
             for q in results
             for run in q["runs"]
-            if not (run["grouped_ok"] and run["share_ok"])
+            if not (run.get("grouped_ok", True) and run.get("share_ok", True))
         ]
         if bad:
             print(f"ACCURACY GATE FAILED: {bad}")
