@@ -14,8060 +14,32 @@ cast back to DOUBLE; averages are exact-decimal-sum / count in DOUBLE;
 integral doubles (quantities) sum as BIGINT. Raw ``sum(double)`` never
 crosses an oracle boundary.
 """
-
 from __future__ import annotations
 
-from dataclasses import dataclass, field
-from typing import Callable, Optional
+from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
-from ..functions.rounding import sql_round
-from ..functions import text as T
-from ..operators.quality import psi_bucketize, psi_from_counts
-from ..sampling.config import SamplingConfig
-from ..sampling.sampled_frame import SampledFrame
-from ..sources import apache_log as AL
-from ..sources import wireless as WL
-from ..sources import xml_pages as XP
-from ..sources.tables import ensure_parallelism, load
-
-
-@dataclass
-class QueryDef:
-    """One catalog entry: Spark implementation + optional DuckDB oracle."""
-
-    spark: Callable[[SparkSession, str], DataFrame]
-    oracle: Optional[str]
-    doc: str = ""
-    tags: tuple = ()
-
-
-QUERIES: dict[str, QueryDef] = {}
-
-
-def register(name: str, oracle: Optional[str], doc: str = "", tags: tuple = ()):
-    def deco(fn):
-        QUERIES[name] = QueryDef(spark=fn, oracle=oracle, doc=doc, tags=tags)
-        return fn
-
-    return deco
-
-
-def _dec(col, prec: int = 12, scale: int = 2):
-    return F.col(col).cast(f"decimal({prec},{scale})") if isinstance(col, str) else col.cast(f"decimal({prec},{scale})")
-
-
-# race-safe one-time /tmp layout materializer (shared with streaming)
-from ..sources.tables import ensure_layout as _ensure_layout  # noqa: E402
-
-
-# ===========================================================================
-# 1. Reference surface — word/char counting (RandomizedWordCount /
-#    RandomizedCharacterCount)
-# ===========================================================================
-
-_WORD_SPLIT_SQL = "[^a-z0-9'']+"
-
-# cheap built-in tokenize pipelines skip the parallelism shuffle below this
-# input size (measured crossover, sources/tables.ensure_parallelism docstring)
-_CHEAP_PIPE_BYTES = 128 << 20
-
-_TOKEN_COUNT_SQL = (
-    r"CASE WHEN length(trim(text)) = 0 THEN 0 "
-    r"ELSE len(string_split_regex(trim(text), '\s+')) END"
-)
-
-
-@register(
-    "word_count",
-    f"""
-    SELECT word, count(*)::BIGINT AS cnt
-    FROM (
-      SELECT unnest(string_split_regex(lower(text), '{_WORD_SPLIT_SQL}')) AS word
-      FROM documents
-      WHERE NOT regexp_matches(text, '[0-9]')
-    )
-    WHERE word <> '' AND NOT regexp_matches(word, '^[0-9]+$')
-    GROUP BY word
-    """,
-    doc="P2+P3+P4+G3: digit-line drop, tokenize, numeric-token drop, count "
-    "(RandomizedWordCount.java:30-39)",
-)
-def q_word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = ensure_parallelism(
-        load(spark, sf_dir, "documents").select("text"), skip_below_bytes=_CHEAP_PIPE_BYTES
-    )
-    kept = T.drop_digit_lines(docs, "text")
-    return T.explode_words(kept, "text").groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
-
-
-@register(
-    "char_count",
-    """
-    SELECT ch, count(*)::BIGINT AS cnt
-    FROM (SELECT unnest(string_split_regex(text, '')) AS ch FROM documents)
-    WHERE ch <> ''
-    GROUP BY ch
-    """,
-    doc="P5+G3: per-character counts (RandomizedCharacterCount.java:27-33)",
-)
-def q_char_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = ensure_parallelism(
-        load(spark, sf_dir, "documents").select("text"), skip_below_bytes=_CHEAP_PIPE_BYTES
-    )
-    return T.explode_chars(docs, "text").groupBy("ch").agg(F.count(F.lit(1)).alias("cnt"))
-
-
-def _ref_delims_sql() -> str:
-    return T.REFERENCE_DELIMS_RE.replace("'", "''")
-
-
-@register(
-    "word_count_reference_delims",
-    f"""
-    SELECT word, count(*)::BIGINT AS cnt
-    FROM (
-      SELECT unnest(string_split_regex(lower(text), '{_ref_delims_sql()}')) AS word
-      FROM documents
-      WHERE NOT regexp_matches(text, '[0-9]')
-    )
-    WHERE word <> '' AND NOT regexp_matches(word, '^[0-9]+$')
-    GROUP BY word
-    """,
-    doc="P1+P2+P3+P4+G3 with the reference's EXACT delimiter set and "
-    "normalize path (lower + percent-repair + url_decode, "
-    "RandomizedWordCount.java:31,41-53). The corpus contains no "
-    "percent-escapes, so the DuckDB mirror lowers without decoding (RE2 "
-    "has no lookahead and DuckDB no url_decode); the decode/repair "
-    "semantics are value-tested with crafted escapes in "
-    "tests/test_text_functions.py",
-)
-def q_word_count_reference_delims(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = ensure_parallelism(
-        load(spark, sf_dir, "documents").select("text"), skip_below_bytes=_CHEAP_PIPE_BYTES
-    )
-    return (
-        T.explode_words_reference(docs, "text")
-        .groupBy("word")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
-
-
-@register(
-    "word_count_rowgroup_sampled",
-    f"""
-    SELECT word, count(*)::DOUBLE AS est_cnt
-    FROM (
-      SELECT unnest(string_split_regex(lower(text), '{_WORD_SPLIT_SQL}')) AS word
-      FROM documents
-      WHERE NOT regexp_matches(text, '[0-9]')
-    )
-    WHERE word <> '' AND NOT regexp_matches(word, '^[0-9]+$')
-    GROUP BY word
-    """,
-    doc="Row-group cluster sampling (sources/rowgroup_parquet.py): the "
-    "reference's skip-without-materialize (RandomizedXMLRecordReader.java:"
-    "117-123) at the columnar layer — unpicked parquet row groups are "
-    "never read; achieved ratio is exact from footer counts; HT-scaled "
-    "word count on the sample. Value-oracle-able BECAUSE the testdata "
-    "files hold a single row group: the never-empty pick guarantees that "
-    "group, the footer-derived achieved ratio is exactly 1.0, and the HT "
-    "estimate degenerates to the exact count — so word_count's own SQL "
-    "(est_cnt = cnt::DOUBLE) is an exact mirror. The measured >2x "
-    "scan-floor win on a 1.9 GB multi-row-group file is in docs/SCALE.md",
-    tags=("sampled",),
-)
-def q_word_count_rowgroup_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..sources.rowgroup_parquet import read_parquet_rowgroup_sampled
-
-    sf = read_parquet_rowgroup_sampled(spark, f"{sf_dir}/documents.parquet", 0.5)
-    words = sf.transform(lambda df: T.explode_words(T.drop_digit_lines(df, "text"), "text"))
-    return words.approx_count("word", alias="est_cnt")
-
-
-@register(
-    "word_count_sampled",
-    None,
-    doc="A1+A6: sampled word count with HT scale-up (ratio=0.1, seed=42); "
-    "accuracy asserted statistically in tests (non-SQL-oracle-able)",
-    tags=("sampled",),
-)
-def q_word_count_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
-    sf = SampledFrame.from_dataframe(docs, SamplingConfig(ratio=0.1, seed=42), observe=False)
-    words = sf.transform(lambda df: T.explode_words(T.drop_digit_lines(df, "text"), "text"))
-    return words.approx_count("word", alias="est_cnt")
-
-
-# ===========================================================================
-# 2. Reference surface — the 7 Apache-log tasks, via raw-line round-trip
-#    (synthesize -> parse -> aggregate; oracle computes directly)
-# ===========================================================================
-
-def _log(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return AL.access_log(load(spark, sf_dir, "events"))
-
-
-@register(
-    "log_hack",
-    AL.ORACLE_ACCESS_LOG_CTE
-    + """
-    SELECT host, count(*)::BIGINT AS cnt FROM access_log
-    WHERE """
-    + " OR ".join(f"starts_with(path, '{p}')" for p in AL.HACK_PREFIXES)
-    + " GROUP BY host",
-    doc="P6+P8+G3: hack-probe hits per host (RandomizedApacheLogAnalysis.java:56-75)",
-)
-def q_log_hack(spark, sf_dir):
-    return AL.task_hack(_log(spark, sf_dir))
-
-
-@register(
-    "log_host",
-    AL.ORACLE_ACCESS_LOG_CTE + "SELECT host, count(*)::BIGINT AS cnt FROM access_log GROUP BY host",
-    doc="P6+G3: requests per host (:77-79)",
-)
-def q_log_host(spark, sf_dir):
-    return AL.task_host(_log(spark, sf_dir))
-
-
-@register(
-    "log_dateweek",
-    AL.ORACLE_ACCESS_LOG_CTE
-    + "SELECT strftime(ts, '%a %H') AS dateweek, count(*)::BIGINT AS cnt FROM access_log GROUP BY 1",
-    doc="P9+G3: requests per weekday+hour (:82-86)",
-)
-def q_log_dateweek(spark, sf_dir):
-    return AL.task_dateweek(_log(spark, sf_dir))
-
-
-@register(
-    "log_size",
-    AL.ORACLE_ACCESS_LOG_CTE
-    + "SELECT (floor(bytes / 100) * 100)::BIGINT AS size_bucket, count(*)::BIGINT AS cnt "
-    "FROM access_log GROUP BY 1",
-    doc="P10+G3: 100-byte response-size histogram (:89-91)",
-)
-def q_log_size(spark, sf_dir):
-    return AL.task_size(_log(spark, sf_dir))
-
-
-@register(
-    "log_totalsize",
-    AL.ORACLE_ACCESS_LOG_CTE + "SELECT sum(bytes)::BIGINT AS total_bytes FROM access_log",
-    doc="P12+G4: global byte sum (:93-95)",
-)
-def q_log_totalsize(spark, sf_dir):
-    return AL.task_totalsize(_log(spark, sf_dir))
-
-
-@register(
-    "log_pagesize",
-    AL.ORACLE_ACCESS_LOG_CTE
-    + "SELECT path, sum(bytes)::BIGINT AS total_bytes FROM access_log GROUP BY path",
-    doc="P11+G4: bytes per page (:97-101)",
-)
-def q_log_pagesize(spark, sf_dir):
-    return AL.task_pagesize(_log(spark, sf_dir))
-
-
-@register(
-    "log_page",
-    AL.ORACLE_ACCESS_LOG_CTE + "SELECT path, count(*)::BIGINT AS cnt FROM access_log GROUP BY path",
-    doc="P11+G3: hits per page (:104-107)",
-)
-def q_log_page(spark, sf_dir):
-    return AL.task_page(_log(spark, sf_dir))
-
-
-@register(
-    "log_host_sampled",
-    None,
-    doc="The reference's flagship mode: sampled log scan (ratio=0.1) + per-host "
-    "HT-scaled count with CI columns",
-    tags=("sampled",),
-)
-def q_log_host_sampled(spark, sf_dir):
-    raw = AL.synthesize_raw_log(load(spark, sf_dir, "events"))
-    sf = SampledFrame.from_dataframe(raw, SamplingConfig(ratio=0.1, seed=42), observe=False)
-    parsed = sf.transform(lambda df: AL.parse_apache_log(df))
-    return parsed.approx_count("host", ci=True, alias="est_cnt")
-
-
-# ===========================================================================
-# 3. Reference surface — wireless link pairs + XML page words
-# ===========================================================================
-
-
-@register(
-    "wireless_link_pairs",
-    WL.ORACLE_WIRELESS_CTE
-    + """
-    SELECT greatest(snd_id, rcv_id) || '->' || least(snd_id, rcv_id) AS link,
-           count(*)::BIGINT AS cnt
-    FROM wireless GROUP BY 1
-    """,
-    doc="P13+P14+G1: canonical unordered link-pair traffic "
-    "(RandomizedWirelessLogAnalysis.java:29-59)",
-)
-def q_wireless_link_pairs(spark, sf_dir):
-    return WL.link_pairs(load(spark, sf_dir, "events"))
-
-
-@register(
-    "xml_page_words",
-    f"""
-    SELECT word, count(*)::BIGINT AS cnt
-    FROM (
-      SELECT unnest(string_split_regex(lower(text), '{_WORD_SPLIT_SQL}')) AS word
-      FROM documents
-    )
-    WHERE word <> '' AND NOT regexp_matches(word, '^[0-9]+$')
-    GROUP BY word
-    """,
-    doc="S3 round-trip: wrap docs as <page> XML, extract text back, word-count "
-    "(randwordcount-over-wiki.xml; RandomizedXMLRecordReader.java:113-151)",
-)
-def q_xml_page_words(spark, sf_dir):
-    return XP.page_word_counts(load(spark, sf_dir, "documents"))
-
-
-@register(
-    "xml_page_words_sampled",
-    None,
-    doc="S3+A1: page-level Bernoulli sampling BEFORE field extraction "
-    "(the reference XML reader's skip-without-parse, RandomizedXMLRecord"
-    "Reader.java:117-123) with HT-scaled word counts (ratio=0.25)",
-    tags=("sampled",),
-)
-def q_xml_page_words_sampled(spark, sf_dir):
-    pages = XP.wrap_documents(load(spark, sf_dir, "documents"))
-    sf = SampledFrame.from_dataframe(pages, SamplingConfig(ratio=0.25, seed=42), observe=False)
-    words = sf.transform(
-        lambda df: T.explode_words(XP.extract_fields(df, "page_xml"), "text")
-    )
-    return words.approx_count("word", alias="est_cnt")
-
-
-# ===========================================================================
-# 4. Relational surface (beyond the reference: joins/windows/rollup/set-ops
-#    — "free with DataFrame", SURVEY.md §2.5, but judged as capability)
-# ===========================================================================
-
-
-@register(
-    "tpch_q1",
-    """
-    SELECT l_returnflag, l_linestatus,
-           sum(l_quantity::BIGINT)::BIGINT AS sum_qty,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1.00 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1.00 - CAST(l_discount AS DECIMAL(4,2))) * (1.00 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
-           CAST(sum(l_quantity::BIGINT) AS DOUBLE) / count(*) AS avg_qty,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_price,
-           CAST(sum(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / count(*) AS avg_disc,
-           count(*)::BIGINT AS count_order
-    FROM lineitem
-    WHERE l_shipdate <= TIMESTAMP '2000-09-02'
-    GROUP BY l_returnflag, l_linestatus
-    """,
-    doc="TPC-H Q1 pricing summary: multi-agg groupBy with exact decimal math",
-)
-def q_tpch_q1(spark, sf_dir):
-    l = load(spark, sf_dir, "lineitem").where(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"))
-    price, disc, tax = _dec("l_extendedprice"), _dec("l_discount", 4, 2), _dec("l_tax", 4, 2)
-    one = F.lit("1.00").cast("decimal(4,2)")
-    qty_l = F.col("l_quantity").cast("bigint")
-    n = F.count(F.lit(1))
-    return l.groupBy("l_returnflag", "l_linestatus").agg(
-        F.sum(qty_l).alias("sum_qty"),
-        F.sum(price).cast("double").alias("sum_base_price"),
-        F.sum(price * (one - disc)).cast("double").alias("sum_disc_price"),
-        F.sum(price * (one - disc) * (one + tax)).cast("double").alias("sum_charge"),
-        (F.sum(qty_l).cast("double") / n).alias("avg_qty"),
-        (F.sum(price).cast("double") / n).alias("avg_price"),
-        (F.sum(disc).cast("double") / n).alias("avg_disc"),
-        n.cast("long").alias("count_order"),
-    )
-
-
-@register(
-    "tpch_q3_topk",
-    """
-    SELECT o.o_orderkey,
-           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (1.00 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
-           o.o_orderdate, o.o_orderpriority
-    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
-                    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-    WHERE c.c_mktsegment = 'BUILDING'
-      AND o.o_orderdate < TIMESTAMP '1998-03-15'
-      AND l.l_shipdate  > TIMESTAMP '1998-03-15'
-    GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
-    ORDER BY revenue DESC, o_orderkey
-    LIMIT 10
-    """,
-    doc="TPC-H Q3: 3-way join + agg + deterministic top-k (broadcast dim, "
-    "shuffle on orderkey)",
-)
-def q_tpch_q3(spark, sf_dir):
-    c = load(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
-    o = load(spark, sf_dir, "orders").where(F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp"))
-    l = load(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp"))
-    one = F.lit("1.00").cast("decimal(4,2)")
-    rev = F.sum(_dec("l_extendedprice") * (one - _dec("l_discount", 4, 2))).cast("double")
-    return (
-        l.join(F.broadcast(o), l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(rev.alias("revenue"))
-        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
-        .limit(10)
-    )
-
-
-@register(
-    "revenue_by_nation",
-    """
-    SELECT n.n_name,
-           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (1.00 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
-    FROM region r
-      JOIN nation n   ON n.n_regionkey = r.r_regionkey
-      JOIN customer c ON c.c_nationkey = n.n_nationkey
-      JOIN orders o   ON o.o_custkey = c.c_custkey
-      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-    WHERE r.r_name = 'ASIA'
-    GROUP BY n.n_name
-    """,
-    doc="TPC-H Q5-style 5-way star join; dims broadcast, fact shuffles once",
-)
-def q_revenue_by_nation(spark, sf_dir):
-    r = load(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
-    n = load(spark, sf_dir, "nation")
-    c = load(spark, sf_dir, "customer")
-    o = load(spark, sf_dir, "orders")
-    l = load(spark, sf_dir, "lineitem")
-    one = F.lit("1.00").cast("decimal(4,2)")
-    rev = F.sum(_dec("l_extendedprice") * (one - _dec("l_discount", 4, 2))).cast("double")
-    dims = F.broadcast(
-        c.join(n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey), c.c_nationkey == n.n_nationkey)
-        .select("c_custkey", "n_name")
-    )
-    return (
-        l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(dims, o.o_custkey == dims.c_custkey)
-        .groupBy("n_name")
-        .agg(rev.alias("revenue"))
-    )
-
-
-@register(
-    "top_orders_per_priority",
-    """
-    SELECT o_orderpriority, o_orderkey, o_totalprice, rn
-    FROM (
-      SELECT o_orderpriority, o_orderkey, o_totalprice,
-             row_number() OVER (PARTITION BY o_orderpriority
-                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
-      FROM orders
-    ) WHERE rn <= 3
-    """,
-    doc="Window top-k per group (absent from the reference; SURVEY.md §2.5)",
-)
-def q_top_orders_per_priority(spark, sf_dir):
-    from pyspark.sql.window import Window
-
-    o = load(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_orderpriority").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
-    return (
-        o.select("o_orderpriority", "o_orderkey", "o_totalprice", F.row_number().over(w).alias("rn"))
-        .where(F.col("rn") <= 3)
-    )
-
-
-@register(
-    "order_rollup",
-    """
-    SELECT o_orderstatus, o_orderpriority, count(*)::BIGINT AS cnt,
-           CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
-    FROM orders
-    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
-    """,
-    doc="ROLLUP grouping-sets aggregate (absent from the reference)",
-)
-def q_order_rollup(spark, sf_dir):
-    o = load(spark, sf_dir, "orders")
-    return o.rollup("o_orderstatus", "o_orderpriority").agg(
-        F.count(F.lit(1)).alias("cnt"),
-        F.sum(_dec("o_totalprice")).cast("double").alias("total"),
-    )
-
-
-@register(
-    "urgent_only_customers",
-    """
-    SELECT c_nationkey, count(*)::BIGINT AS cnt
-    FROM customer
-    WHERE c_custkey IN (
-      SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
-      EXCEPT
-      SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
-    )
-    GROUP BY c_nationkey
-    """,
-    doc="Set ops (EXCEPT) + semi/anti join: customers with URGENT orders but "
-    "no LOW orders, counted per nation",
-)
-def q_urgent_only_customers(spark, sf_dir):
-    c = load(spark, sf_dir, "customer")
-    o = load(spark, sf_dir, "orders")
-    urgent = o.where(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
-    low = o.where(F.col("o_orderpriority") == "5-LOW").select("o_custkey")
-    keys = urgent.subtract(low)  # EXCEPT DISTINCT
-    return (
-        c.join(keys, c.c_custkey == keys.o_custkey, "left_semi")
-        .groupBy("c_nationkey")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
-
-
-@register(
-    "exists_subquery_customers",
-    """
-    SELECT c_mktsegment, count(*)::BIGINT AS cnt
-    FROM customer c
-    WHERE EXISTS (SELECT 1 FROM orders o
-                  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
-      AND NOT EXISTS (SELECT 1 FROM orders o
-                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice < 1000)
-    GROUP BY c_mktsegment
-    """,
-    doc="Correlated EXISTS / NOT EXISTS subqueries through the SQL surface: "
-    "Catalyst decorrelates them into a left-semi + left-anti join pair (no "
-    "per-row subquery execution anywhere) — the rewrite the reference's "
-    "hand-wired pipelines could never get",
-)
-def q_exists_subquery_customers(spark, sf_dir):
-    load(spark, sf_dir, "customer").createOrReplaceTempView("customer")
-    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
-    return spark.sql(
-        """
-        SELECT c_mktsegment, count(*) AS cnt
-        FROM customer c
-        WHERE EXISTS (SELECT 1 FROM orders o
-                      WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
-          AND NOT EXISTS (SELECT 1 FROM orders o
-                          WHERE o.o_custkey = c.c_custkey AND o.o_totalprice < 1000)
-        GROUP BY c_mktsegment
-        """
-    )
-
-
-@register(
-    "events_grouping_sets",
-    """
-    SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
-           count(*)::BIGINT AS cnt
-    FROM events
-    GROUP BY GROUPING SETS ((event_type), (strftime(ts, '%Y-%m-%d')), ())
-    """,
-    doc="GROUPING SETS (Expand operator): per-type totals, per-day totals, "
-    "and the grand total in ONE pass over the input — three aggregations "
-    "for one scan+shuffle",
-)
-def q_events_grouping_sets(spark, sf_dir):
-    load(spark, sf_dir, "events").createOrReplaceTempView("events")
-    return spark.sql(
-        """
-        SELECT event_type, date_format(ts, 'yyyy-MM-dd') AS day, count(*) AS cnt
-        FROM events
-        GROUP BY GROUPING SETS ((event_type), (date_format(ts, 'yyyy-MM-dd')), ())
-        """
-    )
-
-
-@register(
-    "priority_distinct_customers",
-    """
-    SELECT o_orderpriority, count(DISTINCT o_custkey)::BIGINT AS n_customers
-    FROM orders GROUP BY o_orderpriority
-    """,
-    doc="Distinct aggregation (absent from the reference)",
-)
-def q_priority_distinct_customers(spark, sf_dir):
-    o = load(spark, sf_dir, "orders")
-    return o.groupBy("o_orderpriority").agg(F.count_distinct("o_custkey").alias("n_customers"))
-
-
-@register(
-    "salted_orders_join",
-    """
-    SELECT c.c_mktsegment, count(*)::BIGINT AS n_orders,
-           CAST(sum(CAST(o.o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
-    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
-    GROUP BY c.c_mktsegment
-    """,
-    doc="Explicit salted join (skew fallback beyond AQE): big side salted, "
-    "small side replicated per salt; results identical to the plain join "
-    "- the oracle proves salting is semantics-preserving",
-)
-def q_salted_orders_join(spark, sf_dir):
-    from ..operators.skew import salted_join
-
-    o = load(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
-    c = load(spark, sf_dir, "customer").select(
-        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
-    )
-    joined = salted_join(o, c, "o_custkey", n_salts=8)
-    return joined.groupBy("c_mktsegment").agg(
-        F.count(F.lit(1)).alias("n_orders"),
-        F.sum(_dec("o_totalprice")).cast("double").alias("revenue"),
-    )
-
-
-# Deterministic Zipf-head key: 75% of events funnel to user 0, the rest
-# keep their uniform user_id — the "one mega-key" shape that breaks plain
-# shuffle joins/aggs at 100 TB (one task owns the hot key). Derived, not
-# stored, so both engines compute it identically.
-_SKEW_USER_SQL = "CASE WHEN event_id % 4 < 3 THEN 0 ELSE user_id END"
-
-
-def _skew_user():
-    return (
-        F.when(F.pmod(F.col("event_id"), F.lit(4)) < 3, F.lit(0))
-        .otherwise(F.col("user_id"))
-        .cast("long")
-        .alias("skew_user")
-    )
-
-
-@register(
-    "skewed_events_salted_join",
-    f"""
-    SELECT c.c_mktsegment, count(*)::BIGINT AS n_events,
-           CAST(sum(CAST(e.value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
-    FROM (SELECT {_SKEW_USER_SQL} AS skew_user, value FROM events) e
-    JOIN customer c ON e.skew_user = c.c_custkey
-    GROUP BY c.c_mktsegment
-    """,
-    doc="Salted join under REAL skew: a deterministic Zipf-head key (75% "
-    "of events on one user) joined to the customer dim with the big side "
-    "salted 8 ways, so the hot key spreads over 8 tasks instead of "
-    "funneling through one. The oracle is the plain join - salting is "
-    "semantics-preserving; docs/SCALE.md holds the straggler measurement",
-)
-def q_skewed_events_salted_join(spark, sf_dir):
-    from ..operators.skew import salted_join
-
-    ev = load(spark, sf_dir, "events").select(_skew_user(), "value")
-    dim = load(spark, sf_dir, "customer").select(
-        F.col("c_custkey").alias("skew_user"), "c_mktsegment"
-    )
-    joined = salted_join(ev, dim, "skew_user", n_salts=8)
-    return joined.groupBy("c_mktsegment").agg(
-        F.count(F.lit(1)).alias("n_events"),
-        F.sum(_dec("value")).cast("double").alias("total_value"),
-    )
-
-
-@register(
-    "skewed_events_suggested_salts",
-    f"""
-    SELECT c.c_mktsegment, count(*)::BIGINT AS n_events,
-           CAST(sum(CAST(e.value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
-    FROM (SELECT {_SKEW_USER_SQL} AS skew_user, value FROM events) e
-    JOIN customer c ON e.skew_user = c.c_custkey
-    GROUP BY c.c_mktsegment
-    """,
-    doc="The salted join again, but n_salts is chosen by "
-    "skew.suggest_n_salts from the OBSERVED hottest-key share (seeded "
-    "sample + ceil(hot_share x shuffle_partitions)) instead of a "
-    "caller-picked constant — the auto-tuned form a 100 TB job wants. "
-    "The oracle is the plain join: whatever n the probe picks, salting "
-    "is semantics-preserving, so correctness never depends on the "
-    "suggestion",
-)
-def q_skewed_events_suggested_salts(spark, sf_dir):
-    from ..operators.skew import salted_join, suggest_n_salts
-
-    ev = load(spark, sf_dir, "events").select(_skew_user(), "value")
-    dim = load(spark, sf_dir, "customer").select(
-        F.col("c_custkey").alias("skew_user"), "c_mktsegment"
-    )
-    n = suggest_n_salts(ev, "skew_user", sample_ratio=0.1)
-    joined = salted_join(ev, dim, "skew_user", n_salts=n)
-    return joined.groupBy("c_mktsegment").agg(
-        F.count(F.lit(1)).alias("n_events"),
-        F.sum(_dec("value")).cast("double").alias("total_value"),
-    )
-
-
-@register(
-    "skewed_events_two_phase",
-    f"""
-    SELECT skew_user, count(*)::BIGINT AS n_events,
-           CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
-    FROM (SELECT {_SKEW_USER_SQL} AS skew_user, value FROM events)
-    GROUP BY skew_user
-    """,
-    doc="Two-phase (salted) aggregation over the same Zipf-head key: "
-    "groupBy(key, salt) partials then merge per key. For count/sum "
-    "Catalyst's map-side partial agg already absorbs most skew; this "
-    "demonstrates the explicit form used when partial state is too wide "
-    "to combine map-side. Decimal sums keep both phases order-exact, so "
-    "the plain-SQL oracle hash-matches",
-)
-def q_skewed_events_two_phase(spark, sf_dir):
-    from ..operators.skew import two_phase_agg
-
-    ev = load(spark, sf_dir, "events").select(
-        _skew_user(), _dec("value").alias("value_dec")
-    )
-    out = two_phase_agg(
-        ev,
-        ["skew_user"],
-        {"n_events": ("count", None), "total_value": ("sum", "value_dec")},
-        n_salts=16,
-    )
-    return out.select(
-        "skew_user", "n_events", F.col("total_value").cast("double").alias("total_value")
-    )
-
-
-@register(
-    "bucketed_orders_join",
-    """
-    SELECT c.c_mktsegment, count(*)::BIGINT AS n_orders,
-           CAST(sum(CAST(o.o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
-    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
-    GROUP BY c.c_mktsegment
-    """,
-    doc="Co-bucketed join: both sides bucketBy(8, o_custkey) saved as "
-    "managed tables (one-time per sf_dir), joined bucket-to-bucket - the "
-    "exchange-free SMJ plan shape is asserted in tests/test_scale_layout"
-    ".py; here the oracle hash-checks that bucketed results equal the "
-    "plain join's",
-)
-def q_bucketed_orders_join(spark, sf_dir):
-    import hashlib
-    import os
-    import shutil
-
-    # Per-PID table names: bucket metadata lives in each session's catalog
-    # but all sessions share the warehouse DIRECTORY, so a shared name lets
-    # two concurrent sessions race on the same table path. One extra
-    # materialization per process is the price of isolation.
-    suffix = f"{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}_{os.getpid()}"
-    ot, ct = f"rsmr_b_orders_{suffix}", f"rsmr_b_customer_{suffix}"
-    if not spark.catalog.tableExists(ot) or not spark.catalog.tableExists(ct):
-        # Bucket metadata lives in the (session-local) catalog, not the files:
-        # a fresh session can find a stale warehouse dir from a prior run whose
-        # table entry is gone. Clear it so saveAsTable can recreate both sides.
-        warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
-        for name in (ot, ct):
-            spark.sql(f"DROP TABLE IF EXISTS {name}")
-            shutil.rmtree(f"{warehouse}/{name}", ignore_errors=True)
-        load(spark, sf_dir, "orders").select("o_custkey", "o_totalprice").write.bucketBy(
-            8, "o_custkey"
-        ).sortBy("o_custkey").saveAsTable(ot)
-        load(spark, sf_dir, "customer").select(
-            F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
-        ).write.bucketBy(8, "o_custkey").sortBy("o_custkey").saveAsTable(ct)
-    return (
-        spark.table(ot)
-        .join(spark.table(ct), "o_custkey")
-        .groupBy("c_mktsegment")
-        .agg(
-            F.count(F.lit(1)).alias("n_orders"),
-            F.sum(_dec("o_totalprice")).cast("double").alias("revenue"),
-        )
-    )
-
-
-@register(
-    "bloom_semi_join",
-    """
-    SELECT l.l_linestatus AS l_linestatus,
-           sum(l.l_quantity::BIGINT)::BIGINT AS sum_qty,
-           count(*)::BIGINT AS cnt
-    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
-    WHERE o.o_orderpriority = '1-URGENT'
-    GROUP BY 1
-    """,
-    doc="Bloom-filter semi-join reduction (operators/bloom.py): the urgent "
-    "orders' DISTINCT md5 key buckets broadcast as a one-hash Bloom "
-    "bitmap relation; lineitem is LEFT-SEMI filtered on the bucket "
-    "INSIDE its scan stage, so non-joining rows never reach the "
-    "l_orderkey exchange (~selectivity-fold fewer shuffle bytes). "
-    "Bucket collisions (false positives) are dropped by the real join "
-    "that follows, so the composition equals the plain join EXACTLY — "
-    "the oracle is the plain-join SQL and correctness never depends on "
-    "the filter. The merge hint pins the big-side shuffle the filter "
-    "exists to shrink (without it the tiny sf dim would broadcast and "
-    "hide the point); tests/test_bloom.py asserts the semi-join sits "
-    "below the exchange in the executed plan",
-)
-def q_bloom_semi_join(spark, sf_dir):
-    from ..operators.bloom import bloom_semi_join
-
-    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_linestatus", "l_quantity")
-    urgent = (
-        load(spark, sf_dir, "orders")
-        .where(F.col("o_orderpriority") == "1-URGENT")
-        .select("o_orderkey")
-    )
-    reduced = bloom_semi_join(li, "l_orderkey", urgent, "o_orderkey")
-    j = reduced.join(urgent.hint("merge"), reduced["l_orderkey"] == urgent["o_orderkey"])
-    return j.groupBy("l_linestatus").agg(
-        F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
-        F.count(F.lit(1)).alias("cnt"),
-    )
-
-
-@register(
-    "word_count_multifile",
-    f"""
-    SELECT word, count(*)::BIGINT AS cnt
-    FROM (
-      SELECT unnest(string_split_regex(lower(text), '{_WORD_SPLIT_SQL}')) AS word
-      FROM documents
-      WHERE NOT regexp_matches(text, '[0-9]')
-    )
-    WHERE word <> '' AND NOT regexp_matches(word, '^[0-9]+$')
-    GROUP BY word
-    """,
-    doc="word_count over a MULTI-FILE raw-text layout (documents.text "
-    "split across 8 .txt part files, one-time per sf_dir): the scan "
-    "parallelizes per file split with no repartition needed — the layout "
-    "a 100 TB text corpus actually arrives in. Value-oracled against the "
-    "single-table word_count SQL (text is newline-free, so the text-file "
-    "round trip is line-faithful)",
-)
-def q_word_count_multifile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import hashlib
-
-    key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    src = _ensure_layout(
-        f"/tmp/rsmr_text_multifile_{key}",
-        lambda d: load(spark, sf_dir, "documents")
-        .select("text")
-        .repartition(8)
-        .write.mode("overwrite")
-        .text(d),
-    )
-    lines = spark.read.text(src)
-    kept = T.drop_digit_lines(lines, "value")
-    return T.explode_words(kept, "value").groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
-
-
-@register(
-    "word_count_byteblock_sampled",
-    None,
-    doc="BYTE-BLOCK cluster sampling over the 8-file text layout "
-    "(sources/byteblock_text.py): hash-picked byte blocks become the "
-    "scan's only partitions, so unpicked blocks cost zero I/O even "
-    "within a single huge file — the raw-text transplant of the "
-    "reference's byte-level skip (RandomizedXMLRecordReader.java:"
-    "117-123) one level below file-sampling. Rows-only ceiling: a "
-    "line's cluster membership is its byte offset's block, which no "
-    "SQL oracle can recompute; the skip semantics are value-proven "
-    "against a pure-Python ownership oracle in "
-    "tests/test_byteblock_text.py instead",
-    tags=("sampled",),
-)
-def q_word_count_byteblock_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import hashlib
-
-    from ..sources.byteblock_text import read_text_byteblock_sampled
-
-    key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    src = _ensure_layout(
-        f"/tmp/rsmr_text_multifile_{key}",
-        lambda d: load(spark, sf_dir, "documents")
-        .select("text")
-        .repartition(8)
-        .write.mode("overwrite")
-        .text(d),
-    )
-    # 64 KiB blocks so the small test layout still has blocks to skip;
-    # at corpus scale use the 16 MiB default (the natural text split)
-    sf = read_text_byteblock_sampled(spark, src, 0.5, block_bytes=64 * 1024, seed=11)
-    words = sf.transform(lambda df: T.explode_words(T.drop_digit_lines(df, "value"), "value"))
-    return words.approx_count("word", alias="est_cnt")
-
-
-@register(
-    "word_count_file_sampled",
-    None,
-    doc="TWO-STAGE cluster sampling over the 8-file text layout: skip "
-    "whole files (scan cost ~ file_ratio — the win no row sampler gets), "
-    "Bernoulli rows within survivors, HT scale-up at the composed ratio. "
-    "Measured 3x faster than row-only sampling at the same nominal ratio "
-    "on a 410 MB corpus (docs/SCALE.md). Cluster-sampling variance is "
-    "honest-flagged in the source docstring (sampled -> rows-only check)",
-    tags=("sampled",),
-)
-def q_word_count_file_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import hashlib
-
-    from ..sources.text import read_text_file_sampled
-
-    key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    src = _ensure_layout(
-        f"/tmp/rsmr_text_multifile_{key}",
-        lambda d: load(spark, sf_dir, "documents")
-        .select("text")
-        .repartition(8)
-        .write.mode("overwrite")
-        .text(d),
-    )
-    sf = read_text_file_sampled(spark, src, 0.5, SamplingConfig(ratio=0.5, seed=42))
-    words = sf.transform(lambda df: T.explode_words(T.drop_digit_lines(df, "value"), "value"))
-    return words.approx_count("word", alias="est_cnt")
-
-
-@register(
-    "docs_partitioned_lang",
-    """
-    SELECT lang, source, count(*)::BIGINT AS n_docs,
-           CAST(avg(n_chars) AS DOUBLE) AS avg_chars
-    FROM documents WHERE lang IN ('en', 'fr')
-    GROUP BY lang, source
-    """,
-    doc="Documents re-laid-out as hive-partitioned parquet (PARTITIONED BY "
-    "lang, one-time per sf_dir); the lang IN (...) filter prunes to 2 of 5 "
-    "partition directories at planning time (PartitionFilters, asserted in "
-    "tests/test_scale_layout.py) — the layout+pruning path that turns a "
-    "100 TB scan into a 2-partition scan. Value-oracled against the flat "
-    "table",
-)
-def q_docs_partitioned_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
-    part = _partitioned_docs(spark, sf_dir)
-    return (
-        part.where(F.col("lang").isin("en", "fr"))
-        .groupBy("lang", "source")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.avg("n_chars").cast("double").alias("avg_chars"),
-        )
-    )
-
-
-def _partitioned_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hive-partitioned (by lang) copy of the documents table, written once
-    per sf_dir; returns the partition-discovering read."""
-    import hashlib
-
-    key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    src = _ensure_layout(
-        f"/tmp/rsmr_docs_bylang_{key}",
-        lambda d: load(spark, sf_dir, "documents")
-        .write.mode("overwrite")
-        .partitionBy("lang")
-        .parquet(d),
-    )
-    return spark.read.parquet(src)
-
-
-@register(
-    "order_price_quantiles",
-    """
-    SELECT o_orderpriority,
-           round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
-           round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
-           round(quantile_cont(o_totalprice, 0.99), 4) AS p99
-    FROM orders GROUP BY o_orderpriority
-    """,
-    doc="Exact interpolated quantiles per group (percentile <-> DuckDB "
-    "quantile_cont); the sampled/sketch path is approx_quantile_events",
-)
-def q_order_price_quantiles(spark, sf_dir):
-    o = load(spark, sf_dir, "orders")
-    return o.groupBy("o_orderpriority").agg(
-        sql_round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
-        sql_round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90"),
-        sql_round(F.expr("percentile(o_totalprice, 0.99)"), 4).alias("p99"),
-    )
-
-
-@register(
-    "approx_quantile_events",
-    None,
-    doc="KLL/Greenwald-Khanna approximate quantiles (approx_percentile "
-    "sketch, mergeable across partitions - the 100 TB path; accuracy vs "
-    "exact percentile asserted in tests)",
-    tags=("approx",),
-)
-def q_approx_quantile_events(spark, sf_dir):
-    e = load(spark, sf_dir, "events")
-    return e.groupBy("event_type").agg(
-        F.expr("approx_percentile(value, 0.5, 1000)").alias("p50"),
-        F.expr("approx_percentile(value, 0.99, 1000)").alias("p99"),
-    )
-
-
-# ===========================================================================
-# 5. Events: time-series aggs (batch forms of the streaming operators)
-# ===========================================================================
-
-
-@register(
-    "events_hourly",
-    """
-    SELECT date_trunc('hour', ts) AS hour, event_type,
-           count(*)::BIGINT AS cnt,
-           CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
-    FROM events GROUP BY 1, 2
-    """,
-    doc="Hourly windowed aggregate (batch twin of streaming/windowed_counts)",
-)
-def q_events_hourly(spark, sf_dir):
-    e = load(spark, sf_dir, "events")
-    return e.groupBy(
-        F.date_trunc("hour", F.col("ts")).alias("hour"), F.col("event_type")
-    ).agg(
-        F.count(F.lit(1)).alias("cnt"),
-        F.sum(_dec("value")).cast("double").alias("total_value"),
-    )
-
-
-def sessionize_events(e: DataFrame, gap_us: int = 1_800_000_000) -> DataFrame:
-    """events -> (user_id, ts, session_id) via gaps-and-islands (lag gap
-    marker + running sum over ONE user_id window chain).
-
-    Shared by user_sessions and sessions_bounce_rate so the gap threshold
-    and the (ts, event_id) tiebreak can never drift apart between the
-    per-user rollup and the bounce KPI built on it (the same single-
-    definition rule as psi_bucketize for the PSI twins).
-    """
-    from pyspark.sql.window import Window
-
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
-    is_new = F.when(gap <= gap_us, F.lit(0)).otherwise(F.lit(1))
-    return e.select("user_id", "ts", "event_id", is_new.alias("is_new")).select(
-        "user_id",
-        "ts",
-        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("session_id"),
-    )
-
-
-
-@register(
-    "user_sessions",
-    """
-    SELECT user_id, count(*)::BIGINT AS n_sessions, sum(n_events)::BIGINT AS n_events
-    FROM (
-      SELECT user_id, session_id, count(*) AS n_events
-      FROM (
-        SELECT user_id, ts,
-               sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                 ROWS UNBOUNDED PRECEDING) AS session_id
-        FROM (
-          SELECT user_id, ts, event_id,
-                 CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                           <= 1800000000 THEN 0 ELSE 1 END AS is_new
-          FROM events
-        )
-      ) GROUP BY user_id, session_id
-    ) GROUP BY user_id
-    """,
-    doc="Sessionization via lag + running sum over event-time gaps >30min",
-)
-def q_user_sessions(spark, sf_dir):
-    sess = sessionize_events(load(spark, sf_dir, "events"))
-    per_session = sess.groupBy("user_id", "session_id").agg(F.count(F.lit(1)).alias("n_events"))
-    return per_session.groupBy("user_id").agg(
-        F.count(F.lit(1)).alias("n_sessions"), F.sum("n_events").alias("n_events")
-    )
-
-
-@register(
-    "events_asof_purchase",
-    """
-    WITH purchases AS (
-      SELECT user_id, ts, max(value) AS purchase_value
-      FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
-    ),
-    clicks AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
-    SELECT c.event_id, c.user_id, c.ts,
-           p.ts AS purchase_ts, p.purchase_value
-    FROM clicks c ASOF LEFT JOIN purchases p
-      ON c.user_id = p.user_id AND p.ts <= c.ts
-    """,
-    doc="AS-OF JOIN (operator Spark lacks natively): every click gets the "
-    "user's most recent purchase at or before it, via the union+window "
-    "composition in operators/temporal.py — ONE shuffle on the key, no "
-    "join fan-out. Oracle is DuckDB's native ASOF LEFT JOIN",
-)
-def q_events_asof_purchase(spark, sf_dir):
-    from ..operators.temporal import asof_join
-
-    ev = ensure_parallelism(load(spark, sf_dir, "events"))
-    purchases = (
-        ev.where(F.col("event_type") == "purchase")
-        .groupBy("user_id", "ts")
-        .agg(F.max("value").alias("purchase_value"))
-    )
-    clicks = ev.where(F.col("event_type") == "click").select("event_id", "user_id", "ts")
-    out = asof_join(clicks, purchases, on="user_id", payload=["purchase_value"])
-    return out.select(
-        "event_id",
-        "user_id",
-        "ts",
-        F.col("matched.ts").alias("purchase_ts"),
-        F.col("matched.purchase_value").alias("purchase_value"),
-    )
-
-
-@register(
-    "events_asof_next_purchase",
-    """
-    WITH purchases AS (
-      SELECT user_id, ts, min(value) AS purchase_value
-      FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
-    ),
-    clicks AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
-    SELECT c.event_id, c.user_id, c.ts,
-           p.ts AS purchase_ts, p.purchase_value
-    FROM clicks c ASOF LEFT JOIN purchases p
-      ON c.user_id = p.user_id AND p.ts >= c.ts
-    """,
-    doc="FORWARD as-of join (attribution shape: next purchase at or after "
-    "each click) — same union+window plan with reversed time order; "
-    "oracled against DuckDB's ASOF with the >= inequality",
-)
-def q_events_asof_next_purchase(spark, sf_dir):
-    from ..operators.temporal import asof_join
-
-    ev = ensure_parallelism(load(spark, sf_dir, "events"))
-    purchases = (
-        ev.where(F.col("event_type") == "purchase")
-        .groupBy("user_id", "ts")
-        .agg(F.min("value").alias("purchase_value"))
-    )
-    clicks = ev.where(F.col("event_type") == "click").select("event_id", "user_id", "ts")
-    out = asof_join(clicks, purchases, on="user_id", payload=["purchase_value"], direction="forward")
-    return out.select(
-        "event_id",
-        "user_id",
-        "ts",
-        F.col("matched.ts").alias("purchase_ts"),
-        F.col("matched.purchase_value").alias("purchase_value"),
-    )
-
-
-@register(
-    "events_in_campaigns",
-    """
-    WITH campaigns AS (
-      SELECT i::BIGINT AS campaign_id,
-             TIMESTAMP '2024-01-01' + to_hours(12*i) AS c_start,
-             TIMESTAMP '2024-01-01' + to_hours(12*i + 36) AS c_end
-      FROM range(60) t(i)
-    )
-    SELECT campaign_id, count(*)::BIGINT AS cnt,
-           CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
-    FROM events e JOIN campaigns c ON e.ts >= c.c_start AND e.ts < c.c_end
-    GROUP BY campaign_id
-    """,
-    doc="RANGE JOIN via binning (operators/temporal.py): 60 overlapping "
-    "36h campaign windows (12h stride) joined to events as a bin equi-join "
-    "+ residual filter instead of the O(|L|x|R|) nested-loop theta join "
-    "Spark would otherwise plan; tests assert the plan contains no "
-    "BroadcastNestedLoopJoin. Oracle is the plain range-predicate join",
-)
-def q_events_in_campaigns(spark, sf_dir):
-    from ..operators.temporal import range_join_binned
-
-    ev = ensure_parallelism(load(spark, sf_dir, "events"))
-    base = F.lit("2024-01-01 00:00:00").cast("timestamp")
-    campaigns = spark.range(60).select(
-        F.col("id").alias("campaign_id"),
-        (base + F.make_interval(hours=F.col("id") * 12)).alias("c_start"),
-        (base + F.make_interval(hours=F.col("id") * 12 + 36)).alias("c_end"),
-    )
-    joined = range_join_binned(ev, campaigns, "ts", "c_start", "c_end", width_seconds=12 * 3600)
-    return joined.groupBy("campaign_id").agg(
-        F.count(F.lit(1)).alias("cnt"),
-        F.sum(_dec("value")).cast("double").alias("total_value"),
-    )
-
-
-@register(
-    "events_daily_pivot",
-    """
-    SELECT date_trunc('day', ts) AS day,
-           count(CASE WHEN event_type = 'click' THEN 1 END)::BIGINT AS click,
-           count(CASE WHEN event_type = 'error' THEN 1 END)::BIGINT AS error,
-           count(CASE WHEN event_type = 'purchase' THEN 1 END)::BIGINT AS purchase,
-           count(CASE WHEN event_type = 'signup' THEN 1 END)::BIGINT AS signup,
-           count(CASE WHEN event_type = 'view' THEN 1 END)::BIGINT AS "view"
-    FROM events GROUP BY 1
-    """,
-    doc="Pivot: event-type counts per day (explicit value list -> stable cols)",
-)
-def q_events_daily_pivot(spark, sf_dir):
-    e = load(spark, sf_dir, "events")
-    out = (
-        e.groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
-        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
-        .agg(F.count(F.lit(1)))
-    )
-    return out.select(
-        "day", *[F.coalesce(F.col(c), F.lit(0)).cast("long").alias(c) for c in ("click", "error", "purchase", "signup", "view")]
-    )
-
-
-@register(
-    "approx_events_by_type",
-    None,
-    doc="A1+A6: sampled event counts by type, HT-scaled with CI (ratio=0.1)",
-    tags=("sampled",),
-)
-def q_approx_events_by_type(spark, sf_dir):
-    e = load(spark, sf_dir, "events")
-    sf = SampledFrame.from_dataframe(e, SamplingConfig(ratio=0.1, seed=42), observe=False)
-    return sf.approx_count("event_type", ci=True, alias="est_cnt")
-
-
-def _hash_bernoulli_oracle() -> str:
-    from ..sampling.deterministic import hash_bernoulli_sql
-
-    return f"""
-    SELECT event_type, (count(*) / 0.2) AS est_cnt
-    FROM events
-    WHERE {hash_bernoulli_sql("event_id", 0.2, seed=42)}
-    GROUP BY event_type
-    """
-
-
-@register(
-    "hll_users_daily",
-    None,
-    doc="MERGEABLE distinct sketches (Datasketches HLL): one pass builds a "
-    "per-day user sketch; per-day estimates AND the all-days total come "
-    "from the same sketches — the total is hll_union_agg over the daily "
-    "sketches, no second scan of the raw data. At 100 TB this is the only "
-    "viable distinct-tracking shape: sketches persist per shard/day and "
-    "union across them is a few KB of state. Accuracy vs exact distinct "
-    "is asserted in tests (estimates are engine-specific -> rows-only "
-    "oracle)",
-    tags=("approx",),
-)
-def q_hll_users_daily(spark, sf_dir):
-    ev = load(spark, sf_dir, "events")
-    sk = ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day")).agg(
-        F.hll_sketch_agg("user_id").alias("sk")
-    )
-    daily = sk.select("day", F.hll_sketch_estimate("sk").alias("est_users"))
-    total = sk.agg(F.hll_union_agg("sk").alias("u")).select(
-        F.lit("ALL").alias("day"), F.hll_sketch_estimate("u").alias("est_users")
-    )
-    return daily.unionByName(total)
-
-
-@register(
-    "hash_sampled_events",
-    _hash_bernoulli_oracle(),
-    doc="Hash-deterministic Bernoulli sampling (A1 variant): selection is a "
-    "pure function of the key hash, so the SAMPLED estimate itself is "
-    "value-checked against the SQL oracle - impossible for RNG sampling",
-)
-def q_hash_sampled_events(spark, sf_dir):
-    from ..sampling.deterministic import hash_bernoulli
-
-    e = load(spark, sf_dir, "events")
-    return (
-        hash_bernoulli(e, "event_id", 0.2, seed=42)
-        .groupBy("event_type")
-        .agg((F.count(F.lit(1)) / F.lit(0.2)).alias("est_cnt"))
-    )
-
-
-def _exact_k_oracle() -> str:
-    from ..sampling.deterministic import exact_k_sample_sql
-
-    inner = exact_k_sample_sql("events", "event_id", k=100, seed=7)
-    return f"SELECT event_id::BIGINT AS event_id, event_type FROM ({inner})"
-
-
-@register(
-    "exact_k_event_sample",
-    _exact_k_oracle(),
-    doc="Exactly-k uniform sample by smallest hash priority; plans as "
-    "TakeOrderedAndProject (per-partition top-k + driver merge, no global "
-    "sort shuffle); fully value-checked against the SQL oracle",
-)
-def q_exact_k_event_sample(spark, sf_dir):
-    from ..sampling.deterministic import exact_k_sample
-
-    e = load(spark, sf_dir, "events")
-    return exact_k_sample(e, "event_id", k=100, seed=7).select("event_id", "event_type")
-
-
-def _sampling_report_oracle() -> str:
-    from ..sampling import stats as _stats
-    from ..sampling.deterministic import hash_bernoulli_sql
-
-    z = _stats.z_score(0.95)
-    keep = hash_bernoulli_sql("doc_id", 0.1, seed=7)
-    return f"""
-    WITH s AS (
-      SELECT count(*)::BIGINT AS total_records,
-             (count(*) FILTER (WHERE {keep}))::BIGINT AS sampled_records
-      FROM documents
-    )
-    SELECT total_records, sampled_records,
-           CAST(0.1 AS DOUBLE) AS designed_ratio,
-           CASE WHEN total_records > 0
-                THEN CAST(sampled_records AS DOUBLE) / CAST(total_records AS DOUBLE)
-           END AS achieved_ratio,
-           CAST(0.95 AS DOUBLE) AS confidence,
-           CASE WHEN sampled_records > 0 AND total_records > 1 THEN
-             round(sqrt(CAST(0.25 AS DOUBLE) / CAST(sampled_records AS DOUBLE))
-                   * {z!r}
-                   * sqrt((CAST(total_records AS DOUBLE) - CAST(sampled_records AS DOUBLE))
-                          / (CAST(total_records AS DOUBLE) - 1.0)), 12)
-           END AS predicted_error
-    FROM s
-    """
-
-
-@register(
-    "sampling_report",
-    _sampling_report_oracle(),
-    doc="A4+A5 under the driver's value check: the reference's signature "
-    "report block (RandomSamplingUtil.java:306-328 — total, sampled, "
-    "designed vs achieved rate, confidence, predicted error per the "
-    ":376-378 estimator) as a 1-row DataFrame over a hash-deterministic "
-    "Bernoulli(0.1) sample of documents. The md5 acceptance rule makes "
-    "sampled_records (and so every derived field) exactly reproducible "
-    "in DuckDB; z is a config-only literal; predicted_error rounds to "
-    "12 dp for engine-stable doubles. One scan, map-side partials, "
-    "1-row final — the report costs a single agg at any corpus size",
-)
-def q_sampling_report(spark, sf_dir):
-    from ..sampling.sampled_frame import report_frame
-
-    docs = load(spark, sf_dir, "documents")
-    return report_frame(docs, "doc_id", ratio=0.1, seed=7, confidence=0.95)
-
-
-@register(
-    "events_props_json",
-    """
-    SELECT (CAST(json_extract_string(props, '$.k') AS BIGINT) % 10) AS k_bucket,
-           count(*)::BIGINT AS cnt,
-           min(CAST(json_extract_string(props, '$.k') AS BIGINT))::BIGINT AS min_k,
-           max(CAST(json_extract_string(props, '$.k') AS BIGINT))::BIGINT AS max_k,
-           CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
-    FROM events
-    WHERE json_extract_string(props, '$.k') IS NOT NULL
-    GROUP BY 1
-    """,
-    doc="Schema-on-read over the events.props JSON column: "
-    "get_json_object extraction (JVM-side JSON path, no UDF) feeding a "
-    "grouped aggregate. At 100 TB prefer from_json with an explicit "
-    "schema once the shape is known (single parse, columnar after), but "
-    "path extraction is the exploratory first pass; decimal value sums "
-    "keep the oracle hash-stable",
-)
-def q_events_props_json(spark, sf_dir):
-    e = load(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").cast("long")
-    return (
-        e.where(k.isNotNull())
-        .groupBy(F.pmod(k, F.lit(10)).alias("k_bucket"))
-        .agg(
-            F.count(F.lit(1)).alias("cnt"),
-            F.min(k).alias("min_k"),
-            F.max(k).alias("max_k"),
-            F.sum(_dec("value")).cast("double").alias("total_value"),
-        )
-    )
-
-
-@register(
-    "events_props_typed",
-    """
-    SELECT ((TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) % 7) + 7) % 7
-             AS k_mod,
-           count(*)::BIGINT AS cnt,
-           sum(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT))::BIGINT AS sum_k
-    FROM events
-    WHERE json_type(props, '$.k') IN ('BIGINT', 'UBIGINT')
-    GROUP BY 1
-    """,
-    doc="from_json single-parse over events.props with an EXPLICIT schema: "
-    "one JSON parse per row yields a typed struct (columnar afterwards), "
-    "vs get_json_object which re-parses per extracted path — the "
-    "production shape once the payload schema is known. Same oracle "
-    "technique as events_props_json. Oracle mirrors Spark's "
-    "from_json(LongType) contract exactly: json_type IN "
-    "('BIGINT','UBIGINT') admits only bare integer JSON numbers (a QUOTED "
-    "'5' or a 5.5 is nulled by Spark but TRY_CAST-able in DuckDB), and "
-    "the ((x % 7) + 7) % 7 idiom mirrors Spark pmod for negative k "
-    "(DuckDB % takes the dividend's sign)",
-)
-def q_events_props_typed(spark, sf_dir):
-    from pyspark.sql.types import LongType, StructField, StructType
-
-    e = load(spark, sf_dir, "events")
-    schema = StructType([StructField("k", LongType())])
-    parsed = e.select(F.from_json("props", schema).alias("p")).where(
-        F.col("p.k").isNotNull()
-    )
-    return parsed.groupBy(F.pmod(F.col("p.k"), F.lit(7)).alias("k_mod")).agg(
-        F.count(F.lit(1)).alias("cnt"),
-        F.sum("p.k").alias("sum_k"),
-    )
-
-
-def _weighted_sample_oracle() -> str:
-    from ..sampling.deterministic import weighted_bernoulli_sql
-
-    mean_sql = (
-        "CAST((SELECT sum(n_chars) FROM documents) AS DOUBLE)"
-        " / (SELECT count(*) FROM documents)"
-    )
-    pi, keep = weighted_bernoulli_sql("doc_id", "n_chars", 0.2, mean_sql, seed=11)
-    # floor-quantization, not round(): Spark rounds the double's exact
-    # decimal value HALF_UP via BigDecimal while DuckDB rounds DOUBLE
-    # with float multiply/round/divide, so quotients within an ulp of a
-    # grid boundary diverge (first seen at sf0.1 where ~6k rows make a
-    # boundary hit likely). floor of the identical product double is
-    # engine-exact — the same discipline as embedding_dim_stats.
-    return f"""
-    SELECT doc_id::BIGINT AS doc_id, n_chars::BIGINT AS n_chars,
-           floor(({pi}) * 1000000000.0) / 1000000000.0 AS pi,
-           floor((({_TOKEN_COUNT_SQL}) / {pi}) * 10000.0) / 10000.0 AS ht_tokens
-    FROM documents WHERE {keep}
-    """
-
-
-@register(
-    "weighted_sampled_tokens",
-    _weighted_sample_oracle(),
-    doc="Size-biased AQP: deterministic Poisson sample with inclusion "
-    "prob ∝ n_chars (a CHEAP scan column), Horvitz-Thompson terms "
-    "tokens/pi for the EXPENSIVE tokenization computed only on sampled "
-    "rows — big docs carry most of the token mass, so weighting cuts "
-    "estimator variance at equal sample cost. Hash-deterministic, so "
-    "sample membership, pi, and every HT term value-check against the "
-    "oracle (mean weight from exact integer sums on both sides)",
-)
-def q_weighted_sampled_tokens(spark, sf_dir):
-    from ..sampling.deterministic import weighted_bernoulli
-
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
-    tot = docs.agg(
-        F.sum("n_chars").alias("s"), F.count(F.lit(1)).alias("c")
-    ).first()
-    mean_w = tot["s"] / tot["c"]
-    sampled = weighted_bernoulli(docs, "doc_id", "n_chars", 0.2, mean_w, seed=11)
-    # floor-quantized (not F.round): see the oracle builder — HALF_UP-on-
-    # BigDecimal vs DuckDB's float round diverge an ulp from the grid.
-    return sampled.select(
-        "doc_id",
-        "n_chars",
-        (F.floor(F.col("__pi") * F.lit(1000000000.0)) / F.lit(1000000000.0)).alias(
-            "pi"
-        ),
-        (
-            F.floor(
-                (T.token_count(F.col("text")).cast("double") / F.col("__pi"))
-                * F.lit(10000.0)
-            )
-            / F.lit(10000.0)
-        ).alias("ht_tokens"),
-    )
-
-
-@register(
-    "stratified_events_by_type",
-    None,
-    doc="Stratified Bernoulli sampling (sampleBy): rare strata kept at high "
-    "fractions, bulk strata cut hard; per-row HT weights -> weighted-count "
-    "estimates per stratum (accuracy asserted in tests)",
-    tags=("sampled",),
-)
-def q_stratified_events_by_type(spark, sf_dir):
-    from ..sampling.sampled_frame import stratified_sample, weighted_count
-
-    e = load(spark, sf_dir, "events")
-    # error/signup are rare -> keep half; view/click dominate -> 5%
-    fractions = {"view": 0.05, "click": 0.05, "purchase": 0.2, "error": 0.5, "signup": 0.5}
-    return weighted_count(
-        stratified_sample(e, "event_type", fractions, seed=42), "event_type", alias="est_cnt"
-    )
-
-
-# ===========================================================================
-# 6. Dedup (exact + fingerprint; MinHash/SimHash/Jaccard in operators/dedup)
-# ===========================================================================
-
-
-@register(
-    "dedup_exact",
-    """
-    SELECT md5(text) AS text_md5, min(doc_id)::BIGINT AS keep_id, count(*)::BIGINT AS n_copies
-    FROM documents GROUP BY md5(text)
-    """,
-    doc="Exact dedup via hash-groupBy: canonical keeper + copy count per "
-    "distinct text (scales as one shuffle on the hash)",
-)
-def q_dedup_exact(spark, sf_dir):
-    docs = load(spark, sf_dir, "documents")
-    return docs.groupBy(F.md5(F.col("text")).alias("text_md5")).agg(
-        F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies")
-    )
-
-
-@register(
-    "dedup_fingerprint",
-    """
-    SELECT (('0x' || substr(md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g'))), 1, 15))::BIGINT) AS fp,
-           min(doc_id)::BIGINT AS keep_id, count(*)::BIGINT AS n_copies
-    FROM documents GROUP BY 1
-    """,
-    doc="Fingerprint dedup: 60-bit hash of normalized text (case/punct/ws-"
-    "insensitive near-exact dedup)",
-)
-def q_dedup_fingerprint(spark, sf_dir):
-    docs = load(spark, sf_dir, "documents")
-    return docs.groupBy(T.fingerprint(F.col("text")).alias("fp")).agg(
-        F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies")
-    )
-
-
-@register(
-    "customer_upsert",
-    """
-    WITH upd AS (
-      SELECT c_custkey, 'UPDATED' AS c_mktsegment FROM customer WHERE c_custkey % 10 = 0
-      UNION ALL
-      SELECT c_custkey + 1000000, 'NEW' FROM customer WHERE c_custkey % 100 = 0)
-    SELECT c_custkey::BIGINT AS c_custkey, c_mktsegment
-    FROM customer WHERE c_custkey NOT IN (SELECT c_custkey FROM upd)
-    UNION ALL
-    SELECT c_custkey::BIGINT, c_mktsegment FROM upd
-    """,
-    doc="SCD-1 upsert on plain parquet (MERGE INTO without a table "
-    "format): updates win per key via one anti-join + union — no "
-    "full-outer join, no per-column coalesce. The update batch "
-    "(deterministic synthetic corrections + inserts) is broadcast-sized, "
-    "so the base never shuffles; pairs with partition-overwrite writes",
-)
-def q_customer_upsert(spark, sf_dir):
-    from ..operators.merge import merge_upsert
-
-    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
-    updates = (
-        cust.where(F.col("c_custkey") % 10 == 0)
-        .select("c_custkey", F.lit("UPDATED").alias("c_mktsegment"))
-        .unionByName(
-            cust.where(F.col("c_custkey") % 100 == 0).select(
-                (F.col("c_custkey") + 1000000).alias("c_custkey"),
-                F.lit("NEW").alias("c_mktsegment"),
-            )
-        )
-    )
-    return merge_upsert(cust, updates, "c_custkey")
-
-
-_FP_SQL = (
-    r"(('0x' || substr(md5(trim(regexp_replace(regexp_replace(lower(text), "
-    r"'[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))), 1, 15))::BIGINT)"
-)
-
-
-@register(
-    "dedup_incremental",
-    f"""
-    WITH fpd AS (SELECT doc_id, lang, {_FP_SQL} AS fp FROM documents),
-    ex AS (SELECT DISTINCT fp FROM fpd WHERE doc_id % 5 <> 0),
-    inc AS (SELECT * FROM fpd WHERE doc_id % 5 = 0),
-    novel AS (SELECT * FROM inc WHERE fp NOT IN (SELECT fp FROM ex)),
-    best AS (SELECT min(doc_id) AS doc_id FROM novel GROUP BY fp)
-    SELECT n.doc_id::BIGINT AS doc_id, n.lang
-    FROM novel n JOIN best USING (doc_id)
-    """,
-    doc="Incremental (daily-crawl) dedup: the incoming batch (doc_id % 5 "
-    "= 0 stands in for today's crawl) is anti-joined against the EXISTING "
-    "corpus fingerprint index, then deduped within itself — the full "
-    "corpus is never re-deduplicated. At 100 TB the existing side is the "
-    "stored two-longs-per-doc index, so the anti-join moves index-sized "
-    "data (or broadcasts the day's batch against it)",
-)
-def q_dedup_incremental(spark, sf_dir):
-    from ..operators import corpus as C
-
-    docs = ensure_parallelism(
-        load(spark, sf_dir, "documents").select("doc_id", "text", "lang")
-    )
-    incoming = docs.where(F.col("doc_id") % 5 == 0)
-    existing = docs.where(F.col("doc_id") % 5 != 0)
-    return C.dedup_incremental(incoming, existing).select("doc_id", "lang")
-
-
-# ===========================================================================
-# 7. Near-dup dedup: MinHash-LSH, SimHash, exact n-gram Jaccard, embeddings
-# ===========================================================================
-
-
-def _register_dedup():
-    from ..operators import dedup as D
-
-    @register(
-        "dedup_minhash_lsh",
-        D.minhash_lsh_candidates_sql(),
-        doc="MinHash(12)+LSH(4x3) candidate near-dup pairs; signature is a "
-        "per-row column expression, one shuffle on band keys",
-    )
-    def q_dedup_minhash(spark, sf_dir):
-        return D.minhash_lsh_candidates(load(spark, sf_dir, "documents"))
-
-    @register(
-        "dedup_simhash",
-        D.simhash_sql(),
-        doc="SimHash-32 signature per doc (token-hash bit votes; one hash agg)",
-    )
-    def q_dedup_simhash(spark, sf_dir):
-        return D.simhash(load(spark, sf_dir, "documents"))
-
-    @register(
-        "dedup_simhash_pairs",
-        D.simhash_near_pairs_sql(3),
-        doc="SimHash near-dup pairs via pigeonhole bit-chunk blocking "
-        "(chunk equi-join + exact Hamming verify; no quadratic pairing); "
-        "oracle is the brute-force all-pairs ground truth",
-    )
-    def q_dedup_simhash_pairs(spark, sf_dir):
-        return D.simhash_near_pairs(load(spark, sf_dir, "documents"), max_hamming=3, blocked=True)
-
-    @register(
-        "dedup_ngram_jaccard",
-        D.ngram_jaccard_sql(0.5),
-        doc="Exact word-3-shingle Jaccard >= 0.5 pairs (shingle-explode join; "
-        "at scale runs after LSH blocking)",
-    )
-    def q_dedup_jaccard(spark, sf_dir):
-        return D.ngram_jaccard_pairs(load(spark, sf_dir, "documents"), 0.5)
-
-    @register(
-        "dedup_clusters",
-        D.connected_components_sql(
-            f"SELECT doc_a, doc_b FROM ({D.ngram_jaccard_sql(0.5)})"
-        ),
-        doc="Duplicate clustering: near-dup pairs -> connected components "
-        "(iterative min-label propagation, lineage-checkpointed per round; "
-        "oracle is a recursive CTE reaching the same fixpoint)",
-    )
-    def q_dedup_clusters(spark, sf_dir):
-        # localCheckpoint: see q_dedup_clusters_blocked — the edge list is
-        # tiny but connected_components references it repeatedly
-        pairs = D.ngram_jaccard_pairs(
-            load(spark, sf_dir, "documents"), 0.5
-        ).localCheckpoint(eager=True)
-        return D.connected_components(pairs)
-
-    @register(
-        "dedup_clusters_blocked",
-        D.connected_components_sql(
-            f"SELECT doc_a, doc_b FROM ({D.ngram_jaccard_verify_sql(0.5)})"
-        ),
-        doc="The SCALE composition of duplicate clustering: MinHash-LSH "
-        "blocking bounds the candidate pairs, exact Jaccard verifies only "
-        "those, components cluster the survivors — no quadratic stage "
-        "anywhere (dedup_clusters keeps the all-pairs sweep as baseline). "
-        "Value-oracled end-to-end: DuckDB composes the same candidate SQL, "
-        "verify CTE, and recursive components. Crossover note (measured "
-        "sf0.1, identical 477-component output): with the pair-list "
-        "checkpoints the blocked form runs 3.5s vs the all-pairs sweep's "
-        "~3.0s warm — near-parity at test scale where shingle buckets are "
-        "tiny and blocking pays an extra tokenization pass; the blocked "
-        "form pulls ahead once the candidate set is sparse relative to "
-        "N^2 — which is exactly the 100 TB regime. Round 6: runs through "
-        "blocked_dup_clusters, which collapses exact-duplicate texts to "
-        "one representative before LSH (the band self-join is Theta(f^2) "
-        "in duplicate multiplicity) and re-expands members afterwards — "
-        "provably value-identical, so THIS oracle, which composes the "
-        "pipeline over the raw corpus in DuckDB, doubles as the proof "
-        "obligation for the collapse",
-    )
-    def q_dedup_clusters_blocked(spark, sf_dir):
-        docs = load(spark, sf_dir, "documents")
-        return D.blocked_dup_clusters(docs, threshold=0.5)
-
-    @register(
-        "dedup_embedding",
-        """
-        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
-        SELECT a.vec_id::BIGINT AS vec_a, b.vec_id::BIGINT AS vec_b,
-               round(list_dot_product(a.v, b.v) /
-                     (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
-        FROM e a JOIN e b ON a.vec_id < b.vec_id
-        WHERE round(list_dot_product(a.v, b.v) /
-                    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.3
-        """,
-        doc="Embedding cosine pairs >= threshold via blocked-GEMM all-pairs "
-        "(one numpy matmul per block-pair group; 45x over the joined HOF "
-        "form). Threshold 0.3 because the synthetic vectors are "
-        "near-orthogonal — a production near-dup cut of 0.95+ would leave "
-        "the value oracle vacuously empty here",
-    )
-    def q_dedup_embedding(spark, sf_dir):
-        from ..operators.dedup import embedding_dup_pairs
-
-        return embedding_dup_pairs(load(spark, sf_dir, "embeddings"), threshold=0.3)
-
-
-_register_dedup()
-
-
-def _register_dedup_embedding_blocked():
-    from ..operators.dedup import embedding_lsh_sql
-
-    @register(
-        "dedup_embedding_blocked",
-        embedding_lsh_sql(threshold=0.3, n_planes=2, n_tables=8, dim=64),
-        doc="Embedding near-dup pairs via hyperplane-LSH bucketing + exact "
-        "Arrow-cosine verify — the scale path (candidates from a (table, "
-        "bucket) equi-join only; no all-pairs self-join in the plan). "
-        "Value-oracled: the DuckDB mirror reproduces the frozen hyperplane "
-        "sign buckets literal-for-literal. Demo params are tuned for the "
-        "near-orthogonal testdata (threshold 0.3, 2 planes x 8 tables, "
-        "analytic recall ~0.97); production near-dup (cosine>=0.95) runs "
-        "8x8 with 256-way blocking at recall ~0.9998",
-    )
-    def q_dedup_embedding_blocked(spark, sf_dir):
-        from ..operators.dedup import embedding_dup_pairs_lsh
-
-        return embedding_dup_pairs_lsh(
-            load(spark, sf_dir, "embeddings"), threshold=0.3, n_planes=2, n_tables=8
-        )
-
-
-_register_dedup_embedding_blocked()
-
-
-# ===========================================================================
-# 8. Similarity search
-# ===========================================================================
-
-
-def _register_similarity():
-    from ..operators import similarity as S
-
-    @register(
-        "knn_brute_force",
-        S.knn_brute_force_sql(k=5, n_queries=3),
-        doc="Exact top-5 cosine neighbors for 3 query vectors (broadcast "
-        "queries x corpus scan; shuffle-free)",
-    )
-    def q_knn(spark, sf_dir):
-        emb = load(spark, sf_dir, "embeddings")
-        return S.knn_brute_force(emb, emb.where(F.col("vec_id") < 3), k=5)
-
-    @register(
-        "knn_lsh",
-        S.ann_lsh_sql(k=5, n_queries=3, dim=64, n_planes=4, n_tables=8),
-        doc="LSH-bucketed ANN top-5 — VALUE-oracled: the DuckDB mirror "
-        "reproduces the frozen hyperplane sign buckets, candidate dedup, "
-        "exact rescoring, and tie-break rank literal-for-literal (recall "
-        "vs brute force additionally asserted in tests/test_similarity.py)",
-        tags=("approx",),
-    )
-    def q_knn_lsh(spark, sf_dir):
-        emb = load(spark, sf_dir, "embeddings")
-        return S.ann_lsh(emb, emb.where(F.col("vec_id") < 3), k=5, n_planes=4, n_tables=8)
-
-    @register(
-        "knn_ivf",
-        None,
-        doc="IVF ANN top-5: driver-trained coarse quantizer (bounded sample, "
-        "seeded k-means), distributed cell assignment + probed-cell ranking "
-        "(approximate; recall asserted in tests/test_similarity.py)",
-        tags=("approx",),
-    )
-    def q_knn_ivf(spark, sf_dir):
-        emb = load(spark, sf_dir, "embeddings")
-        return S.ann_ivf(emb, emb.where(F.col("vec_id") < 3), k=5, n_centroids=16, n_probe=6)
-
-    from ..operators import ivf_frozen as IVF
-
-    @register(
-        "knn_ivf_frozen",
-        S.ann_ivf_sql(
-            IVF.EMBEDDINGS_CENTROIDS,
-            k=5,
-            n_probe=6,
-            corpus_sql="SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings",
-            query_where="id < 3",
-        ),
-        doc="IVF ANN top-5 with the coarse quantizer FROZEN as literals "
-        "(tools/freeze_ivf.py trains it once, seeded — the FAISS 'ship "
-        "the trained quantizer with the index' deployment shape): cell "
-        "assignment, probe fan-out, rescore, and rank are all "
-        "deterministic, so the DuckDB mirror (ann_ivf_sql) value-checks "
-        "the whole IVF pipeline — the hash-green twin of the rows-only "
-        "train-at-query-time knn_ivf, exactly like the frozen-hyperplane "
-        "knn_lsh upgrade. Assignment scores round to 6dp before argmax "
-        "(ties -> lower cell) so numpy-vs-SQL summation ulp drift cannot "
-        "flip a cell choice",
-        tags=("approx",),
-    )
-    def q_knn_ivf_frozen(spark, sf_dir):
-        emb = load(spark, sf_dir, "embeddings")
-        return S.ann_ivf(
-            emb,
-            emb.where(F.col("vec_id") < 3),
-            k=5,
-            n_probe=6,
-            centroids=IVF.EMBEDDINGS_CENTROIDS,
-            round_dp=6,
-        )
-
-
-_register_similarity()
-
-
-# ===========================================================================
-# 9. Text analysis (training-data pipeline operators)
-# ===========================================================================
-
-
-def _lang_id_pick_sql() -> tuple:
-    """(pick_expr, best_expr) — the DuckDB rendering of
-    functions.text.lang_id, shared by the count and eval oracles."""
-    langs = sorted(T.LANG_MARKERS.items())
-    score = {
-        lang: "(" + " + ".join(
-            f"(CASE WHEN ' ' || lower(text) || ' ' LIKE '% {m} %' THEN 1 ELSE 0 END)" for m in ms
-        ) + ")"
-        for lang, ms in langs
-    }
-    best = "greatest(" + ", ".join(score[lang] for lang, _ in langs) + ")"
-    pick = "'und'"
-    for lang, _ in reversed(langs):
-        pick = f"(CASE WHEN {score[lang]} = best AND best > 0 THEN '{lang}' ELSE {pick} END)"
-    return pick, best
-
-
-def _lang_id_sql() -> str:
-    """DuckDB mirror of functions.text.lang_id + counts per predicted lang."""
-    pick, best = _lang_id_pick_sql()
-    return f"""
-    SELECT pred_lang, count(*)::BIGINT AS cnt FROM (
-      SELECT {pick} AS pred_lang
-      FROM (SELECT text, {best} AS best FROM documents)
-    ) GROUP BY pred_lang
-    """
-
-
-def _lang_id_eval_sql() -> str:
-    pick, best = _lang_id_pick_sql()
-    return f"""
-    WITH scored AS (
-      SELECT lang AS label, {pick} AS pred
-      FROM (SELECT text, lang, {best} AS best FROM documents)
-    ),
-    by_label AS (
-      SELECT label AS cls, count(*) AS n_labeled,
-             sum(CASE WHEN label = pred THEN 1 ELSE 0 END) AS n_correct
-      FROM scored GROUP BY label
-    ),
-    by_pred AS (SELECT pred AS cls, count(*) AS n_predicted FROM scored GROUP BY pred)
-    SELECT coalesce(l.cls, p.cls) AS cls,
-           coalesce(n_labeled, 0)::BIGINT AS n_labeled,
-           coalesce(n_predicted, 0)::BIGINT AS n_predicted,
-           coalesce(n_correct, 0)::BIGINT AS n_correct,
-           CASE WHEN coalesce(n_predicted, 0) > 0
-                THEN round(coalesce(n_correct, 0) / CAST(n_predicted AS DOUBLE), 6) END
-             AS precision,
-           CASE WHEN coalesce(n_labeled, 0) > 0
-                THEN round(coalesce(n_correct, 0) / CAST(n_labeled AS DOUBLE), 6) END
-             AS recall,
-           CASE WHEN coalesce(n_predicted, 0) + coalesce(n_labeled, 0) > 0
-                THEN round(2.0 * coalesce(n_correct, 0)
-                           / CAST(coalesce(n_predicted, 0) + coalesce(n_labeled, 0)
-                                  AS DOUBLE), 6)
-           END AS f1
-    FROM by_label l FULL OUTER JOIN by_pred p ON l.cls = p.cls
-    """
-
-
-@register(
-    "lang_id_eval",
-    _lang_id_eval_sql(),
-    doc="Model evaluation of the lang-id heuristic against the labeled "
-    "lang column: per-class precision / recall / F1 from the confusion "
-    "counts — the eval loop every classifier that gates training data "
-    "must run. Two class-bounded aggregates (per label with a "
-    "conditional correct count; per prediction) full-outer-joined on "
-    "the class, so prediction-only classes ('und') appear with a "
-    "defined precision and NULL recall rather than vanishing. F1 is "
-    "computed as 2c/(n_pred + n_labeled) — the EXACT algebraic "
-    "simplification of 2PR/(P+R), one division instead of three, so no "
-    "intermediate-rounding drift between engines. At scale both "
-    "aggregates are map-side-combinable single shuffles over the fact; "
-    "the join is class-bounded",
-)
-def q_lang_id_eval(spark, sf_dir):
-    docs = load(spark, sf_dir, "documents").select(
-        F.col("lang").alias("label"), T.lang_id(F.col("text")).alias("pred")
-    )
-    by_label = docs.groupBy(F.col("label").alias("cls")).agg(
-        F.count(F.lit(1)).alias("n_labeled"),
-        F.sum(F.when(F.col("label") == F.col("pred"), 1).otherwise(0)).alias("n_correct"),
-    )
-    by_pred = docs.groupBy(F.col("pred").alias("p_cls")).agg(
-        F.count(F.lit(1)).alias("n_predicted")
-    )
-    j = by_label.join(by_pred, by_label.cls == by_pred.p_cls, "full_outer")
-    cls = F.coalesce(F.col("cls"), F.col("p_cls"))
-    nl = F.coalesce(F.col("n_labeled"), F.lit(0))
-    np_ = F.coalesce(F.col("n_predicted"), F.lit(0))
-    nc = F.coalesce(F.col("n_correct"), F.lit(0))
-    return j.select(
-        cls.alias("cls"),
-        nl.alias("n_labeled"),
-        np_.alias("n_predicted"),
-        nc.alias("n_correct"),
-        F.when(np_ > 0, sql_round(nc / np_.cast("double"), 6)).alias("precision"),
-        F.when(nl > 0, sql_round(nc / nl.cast("double"), 6)).alias("recall"),
-        F.when(np_ + nl > 0, sql_round(F.lit(2.0) * nc / (np_ + nl).cast("double"), 6)).alias(
-            "f1"
-        ),
-    )
-
-
-@register(
-    "lang_id_counts",
-    _lang_id_sql(),
-    doc="Stopword-marker language ID heuristic, counted per predicted lang",
-)
-def q_lang_id_counts(spark, sf_dir):
-    docs = load(spark, sf_dir, "documents")
-    return docs.select(T.lang_id(F.col("text")).alias("pred_lang")).groupBy("pred_lang").agg(
-        F.count(F.lit(1)).alias("cnt")
-    )
-
-
-@register(
-    "doc_quality",
-    r"""
-    SELECT doc_id::BIGINT AS doc_id,
-           CASE WHEN length(trim(text)) = 0 THEN 0
-                ELSE len(string_split_regex(trim(text), '\s+')) END::BIGINT AS n_tokens,
-           round(CASE WHEN length(regexp_replace(text, '\s', '', 'g')) = 0 THEN 0.0
-                 ELSE CAST(length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS DOUBLE)
-                      / length(regexp_replace(text, '\s', '', 'g')) END, 6) AS punct_ratio
-    FROM documents
-    """,
-    doc="Per-doc quality metrics: whitespace token count + punctuation ratio",
-)
-def q_doc_quality(spark, sf_dir):
-    docs = load(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        T.token_count(F.col("text")).alias("n_tokens"),
-        sql_round(T.punct_ratio(F.col("text")), 6).alias("punct_ratio"),
-    )
-
-
-@register(
-    "token_stats",
-    r"""
-    SELECT sum(CASE WHEN length(trim(text)) = 0 THEN 0
-               ELSE len(string_split_regex(trim(text), '\s+')) END)::BIGINT AS total_ws_tokens,
-           sum(len(regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)|[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+')))::BIGINT AS total_bpe_tokens,
-           sum(length(text))::BIGINT AS total_chars
-    FROM documents
-    """,
-    doc="Corpus token budget: whitespace + BPE-ish subword counts + chars",
-)
-def q_token_stats(spark, sf_dir):
-    docs = load(spark, sf_dir, "documents")
-    return docs.agg(
-        F.sum(T.token_count(F.col("text"))).alias("total_ws_tokens"),
-        F.sum(T.bpe_ish_token_count(F.col("text"))).alias("total_bpe_tokens"),
-        F.sum(F.length("text")).cast("long").alias("total_chars"),
-    )
-
-
-def _training_pipeline_sql() -> str:
-    """DuckDB mirror of the composed pipeline (keep formulas in sync with
-    functions/text: lang_id, token_count, fingerprint)."""
-    from ..functions.hashing import hash64_sql
-
-    langs = sorted(T.LANG_MARKERS.items())
-    score = {
-        lang: "(" + " + ".join(
-            f"(CASE WHEN ' ' || lower(text) || ' ' LIKE '% {m} %' THEN 1 ELSE 0 END)" for m in ms
-        ) + ")"
-        for lang, ms in langs
-    }
-    best = "greatest(" + ", ".join(score[lang] for lang, _ in langs) + ")"
-    pick = "'und'"
-    for lang, _ in reversed(langs):
-        pick = f"(CASE WHEN {score[lang]} = best AND best > 0 THEN '{lang}' ELSE {pick} END)"
-    norm = r"trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))"
-    return rf"""
-    WITH scored AS (SELECT doc_id, text, {best} AS best FROM documents),
-    enriched AS (
-      SELECT doc_id,
-             {pick} AS lang,
-             CASE WHEN length(trim(text)) = 0 THEN 0
-                  ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
-             {hash64_sql(norm)} AS fp
-      FROM scored
-    ),
-    kept AS (SELECT * FROM enriched WHERE lang = 'en' AND n_tokens >= 20),
-    deduped AS (SELECT min(doc_id) AS doc_id, min_by(n_tokens, doc_id) AS n_tokens
-                FROM kept GROUP BY fp)
-    SELECT count(*)::BIGINT AS n_docs, sum(n_tokens)::BIGINT AS total_tokens,
-           round(avg(n_tokens), 4) AS avg_tokens
-    FROM deduped
-    """
-
-
-@register(
-    "training_pipeline",
-    _training_pipeline_sql(),
-    doc="Composed training-data pipeline in one plan: language filter -> "
-    "length filter -> fingerprint dedup (min_by representative) -> corpus "
-    "stats; every stage is a projection/agg, one shuffle on fingerprint",
-)
-def q_training_pipeline(spark, sf_dir):
-    docs = ensure_parallelism(load(spark, sf_dir, "documents").select("doc_id", "text"))
-    enriched = docs.select(
-        "doc_id",
-        T.lang_id(F.col("text")).alias("lang"),
-        T.token_count(F.col("text")).alias("n_tokens"),
-        T.fingerprint(F.col("text")).alias("fp"),
-    )
-    kept = enriched.where((F.col("lang") == "en") & (F.col("n_tokens") >= 20))
-    deduped = kept.groupBy("fp").agg(
-        F.min("doc_id").alias("doc_id"), F.min_by("n_tokens", "doc_id").alias("n_tokens")
-    )
-    return deduped.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("n_tokens").alias("total_tokens"),
-        sql_round(F.avg("n_tokens"), 4).alias("avg_tokens"),
-    )
-
-
-# ===========================================================================
-# 10. Multimodal plumbing (Arrow/mapInPandas path; decode stubbed —
-#     deterministic pseudo-features so the oracle can verify the plumbing)
-# ===========================================================================
-
-
-def _register_multimodal():
-    from ..sources import multimodal as MM
-
-    @register(
-        "multimodal_meta",
-        """
-        SELECT doc_id::BIGINT AS doc_id, 'image' AS modality,
-               octet_length(encode(text))::BIGINT AS n_bytes,
-               (320 + octet_length(encode(text)) % 320)::INT AS width,
-               (240 + octet_length(encode(text)) % 240)::INT AS height,
-               NULL::INT AS sample_rate,
-               NULL::BIGINT AS n_samples,
-               NULL::DOUBLE AS mean_val
-        FROM documents
-        """,
-        doc="Binary-column decode pipeline via Arrow mapInPandas (stubbed "
-        "codec for opaque text-as-bytes assets; real BMP/WAV decode is "
-        "oracle-checked by multimodal_decode_bmp / multimodal_decode_wav)",
-    )
-    def q_multimodal_meta(spark, sf_dir):
-        docs = load(spark, sf_dir, "documents")
-        return MM.decode_metadata(MM.attach_binary_content(docs))
-
-    @register(
-        "multimodal_decode_bmp",
-        """
-        SELECT doc_id::BIGINT AS doc_id,
-               (16 + doc_id % 16)::INT AS width,
-               (8 + doc_id % 8)::INT AS height,
-               (54 + ((3*(16 + doc_id % 16) + 3) // 4) * 4 * (8 + doc_id % 8))::BIGINT AS n_bytes,
-               round((SELECT avg((doc_id + y.r) % 256) FROM range(15) y(r)
-                      WHERE y.r < 8 + doc_id % 8), 6) AS mean_val
-        FROM documents
-        """,
-        doc="REAL image decode: synthesized 24-bit BMPs (doc_id-derived "
-        "dims, row-gradient pixels) -> pure-Python header parse + numpy "
-        "pixel mean via Arrow mapInPandas (sources/multimodal.decode_bmp). "
-        "Width/height/file-size/pixel-mean all value-checked against the "
-        "closed-form oracle — the decoder, padding logic, and bottom-up "
-        "row order are exactly what a real codec must get right",
-    )
-    def q_multimodal_decode_bmp(spark, sf_dir):
-        docs = ensure_parallelism(load(spark, sf_dir, "documents"))
-        meta = MM.decode_metadata(MM.synthesize_image_assets(docs), decode_stub=False)
-        return meta.select(
-            "doc_id", "width", "height", "n_bytes", sql_round("mean_val", 6).alias("mean_val")
-        )
-
-    @register(
-        "multimodal_decode_wav",
-        """
-        SELECT doc_id::BIGINT AS doc_id,
-               (8000 + (doc_id % 4) * 4000)::INT AS sample_rate,
-               (1000 + doc_id % 500)::BIGINT AS n_samples,
-               (44 + 2 * (1000 + doc_id % 500))::BIGINT AS n_bytes,
-               round((SELECT avg(((doc_id*31 + i.r*17) % 2048) - 1024)
-                      FROM range(1500) i(r) WHERE i.r < 1000 + doc_id % 500), 6) AS mean_val
-        FROM documents
-        """,
-        doc="REAL audio decode: synthesized RIFF/WAVE PCM16 streams -> "
-        "pure-Python chunk walk + numpy sample stats "
-        "(sources/multimodal.decode_wav), value-checked closed-form",
-    )
-    def q_multimodal_decode_wav(spark, sf_dir):
-        docs = ensure_parallelism(load(spark, sf_dir, "documents"))
-        meta = MM.decode_metadata(MM.synthesize_audio_assets(docs), decode_stub=False)
-        return meta.select(
-            "doc_id", "sample_rate", "n_samples", "n_bytes", sql_round("mean_val", 6).alias("mean_val")
-        )
-
-    @register(
-        "multimodal_frame_counts",
-        """
-        SELECT doc_id::BIGINT AS doc_id,
-               ((greatest(octet_length(encode(text)) // 64, 1) + 3) // 4)::BIGINT AS n_frames
-        FROM documents
-        """,
-        doc="Video-style frame sampling (1 row -> N frames through "
-        "mapInPandas), counted per doc",
-    )
-    def q_multimodal_frames(spark, sf_dir):
-        docs = load(spark, sf_dir, "documents")
-        frames = MM.sample_frames(MM.attach_binary_content(docs, "video"))
-        return frames.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_frames"))
-
-    @register(
-        "multimodal_knn",
-        None,
-        doc="End-to-end multimodal pipeline: binary content -> stub encoder "
-        "embeddings (mapInPandas) -> brute-force top-3 cosine neighbors; "
-        "determinism asserted in tests (encoder not SQL-expressible)",
-        tags=("approx",),
-    )
-    def q_multimodal_knn(spark, sf_dir):
-        from ..operators import similarity as S
-
-        docs = load(spark, sf_dir, "documents")
-        emb = MM.extract_embeddings(MM.attach_binary_content(docs))
-        return S.knn_brute_force(
-            emb, emb.where(F.col("doc_id") < 3), k=3, id_col="doc_id"
-        )
-
-    @register(
-        "video_container_meta",
-        """
-        SELECT doc_id::BIGINT AS doc_id,
-               CASE WHEN doc_id % 2 = 0 THEN 'mp4' ELSE 'avi' END AS container,
-               CASE doc_id % 3 WHEN 0 THEN 'avc1' WHEN 1 THEN 'hvc1'
-                    ELSE 'av01' END AS codec,
-               (320 + (doc_id % 4) * 160)::INT AS width,
-               (240 + (doc_id % 4) * 120)::INT AS height,
-               (24 + doc_id % 48)::BIGINT AS n_frames,
-               round(CAST(24 + doc_id % 48 AS DOUBLE)
-                     / (12 + (doc_id % 3) * 6), 6) AS duration_s
-        FROM documents
-        """,
-        doc="REAL video container metadata WITHOUT frame decode: "
-        "synthesized MP4 (ISO-BMFF ftyp/moov/mvhd/stsd/stsz boxes) and "
-        "AVI (RIFF hdrl/avih/strh chunks) streams -> dependency-free "
-        "header walk (sources/multimodal.parse_video_container) pulling "
-        "container, codec fourcc, dimensions, frame count, and duration "
-        "— value-checked closed-form like the BMP/WAV decoders. This is "
-        "the cheap metadata pass a 100 TB video pipeline runs before "
-        "spending GPU time on frames; only pixel decode remains stubbed "
-        "(needs ffmpeg)",
-    )
-    def q_video_container_meta(spark, sf_dir):
-        docs = ensure_parallelism(load(spark, sf_dir, "documents"))
-        meta = MM.video_container_metadata(MM.synthesize_video_assets(docs))
-        return meta
-
-    @register(
-        "video_pixel_stats",
-        """
-        SELECT doc_id::BIGINT AS doc_id,
-               (24 + doc_id % 32)::BIGINT AS n_frames,
-               (16 + (doc_id % 3) * 8)::INT AS width,
-               (12 + (doc_id % 3) * 6)::INT AS height,
-               CAST(doc_id % 150 AS DOUBLE)
-                 + (24 + doc_id % 32 - 1) / 2.0
-                 + ((12 + (doc_id % 3) * 6) - 1) / 2.0 AS mean_pixel
-        FROM documents
-        """,
-        doc="REAL video frame decode, no ffmpeg (closes the VERDICT r4 "
-        "'pixel decode descoped' boundary for the uncompressed case): "
-        "synthesized raw-'DIB ' AVIs (actual BGR24 frame payloads in the "
-        "movi list) -> RIFF walk + numpy frame slicing "
-        "(sources/multimodal.decode_avi_frames) -> per-doc decoded frame "
-        "count, dimensions, and mean over every decoded pixel byte. "
-        "Pixels are doc_id-derived (value base+f+r, wrap-free by "
-        "construction) so the mean has the closed form base + (n-1)/2 + "
-        "(h-1)/2 — exactly representable as a double on both engines — "
-        "and the oracle value-checks the decode end to end. Compressed "
-        "codecs still raise NotImplementedError (entropy decode needs "
-        "ffmpeg; the container-metadata pass handles those)",
-    )
-    def q_video_pixel_stats(spark, sf_dir):
-        docs = ensure_parallelism(load(spark, sf_dir, "documents"))
-        return MM.video_frame_pixel_stats(MM.synthesize_raw_video_assets(docs))
-
-    @register(
-        "audio_frame_features",
-        """
-        WITH p AS (SELECT doc_id, 1000 + doc_id % 500 AS n FROM documents),
-        s AS (
-          SELECT doc_id, i, CAST(i // 256 AS INT) AS w,
-                 ((doc_id * 31 + i * 17) % 2048) - 1024 AS v
-          FROM p, unnest(generate_series(0, n - 1)) AS t(i)
-        ),
-        x AS (
-          SELECT doc_id, w, i, v,
-                 lag(v) OVER (PARTITION BY doc_id, w ORDER BY i) AS pv
-          FROM s
-        )
-        SELECT doc_id::BIGINT AS doc_id, w AS window_idx,
-               count(*)::BIGINT AS n_w,
-               round(sqrt(CAST(sum(v*v) AS DOUBLE) / count(*)), 6) AS rms,
-               CASE WHEN count(*) > 1 THEN
-                 round(CAST(count_if(pv IS NOT NULL AND pv * v < 0) AS DOUBLE)
-                       / (count(*) - 1), 6)
-               END AS zcr
-        FROM x GROUP BY doc_id, w
-        """,
-        doc="REAL audio feature extraction (the decode->featurize step a "
-        "multimodal corpus pipeline runs before model time): synthesized "
-        "PCM16 WAVs -> RIFF walk to raw int16 samples "
-        "(sources/multimodal.decode_wav_samples) -> per 256-sample window, "
-        "RMS energy and zero-crossing rate via numpy, Arrow-batched "
-        "mapInPandas. The signal is doc_id-derived "
-        "(s[i]=((doc_id*31+i*17)%2048)-1024), so DuckDB regenerates it "
-        "with generate_series and a lag() window and value-checks every "
-        "windowed feature — the decode, the windowing, and the math are "
-        "all end-to-end oracled. Map-only at any scale (no cross-window "
-        "state)",
-    )
-    def q_audio_frame_features(spark, sf_dir):
-        docs = ensure_parallelism(load(spark, sf_dir, "documents"))
-        feats = MM.audio_frame_features(MM.synthesize_audio_assets(docs), window=256)
-        return feats.select(
-            "doc_id",
-            "window_idx",
-            "n_w",
-            sql_round("rms", 6).alias("rms"),
-            sql_round("zcr", 6).alias("zcr"),
-        )
-
-    def _multimodal_knn_frozen_sql() -> str:
-        from ..operators import ivf_frozen as IVF
-        from ..operators import similarity as S
-
-        return S.ann_ivf_sql(
-            IVF.DOC_HASH_CENTROIDS,
-            k=3,
-            n_probe=6,
-            corpus_sql=(
-                f"SELECT doc_id AS id, {MM.hash_embedding_sql('text', 16)} AS v "
-                "FROM documents"
-            ),
-            query_where="id < 3",
-        )
-
-    @register(
-        "multimodal_knn_frozen",
-        _multimodal_knn_frozen_sql(),
-        doc="End-to-end multimodal retrieval, VALUE-oracled: binary "
-        "content -> closed-form md5 hash encoder (Arrow-batched "
-        "mapInPandas, the same plumbing as the numpy-RNG stub but with "
-        "exact 2^-10-rational features DuckDB reproduces bit-for-bit) -> "
-        "IVF with frozen doc-hash centroids (tools/freeze_ivf.py) -> "
-        "top-3 cosine. The hash-green twin of the rows-only "
-        "multimodal_knn: every stage (encode, assign, probe, rescore, "
-        "rank) is mirrored in SQL",
-        tags=("approx",),
-    )
-    def q_multimodal_knn_frozen(spark, sf_dir):
-        from ..operators import ivf_frozen as IVF
-        from ..operators import similarity as S
-
-        docs = load(spark, sf_dir, "documents")
-        emb = MM.extract_embeddings_hash(MM.attach_binary_content(docs), dim=16)
-        return S.ann_ivf(
-            emb,
-            emb.where(F.col("doc_id") < 3),
-            k=3,
-            n_probe=6,
-            id_col="doc_id",
-            centroids=IVF.DOC_HASH_CENTROIDS,
-            round_dp=6,
-        )
-
-
-_register_multimodal()
-
-
-# ===========================================================================
-# 10b. SQL surface — the same engine through spark.sql() text (the catalog
-#      is DataFrame-first; this proves the SQL path end-to-end)
-# ===========================================================================
-
-
-@register(
-    "tpch_q1_sql",
-    """
-    SELECT l_returnflag, l_linestatus,
-           CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
-           count(*)::BIGINT AS count_order
-    FROM lineitem
-    WHERE l_shipdate <= DATE '1998-09-02'
-    GROUP BY l_returnflag, l_linestatus
-    """,
-    doc="TPC-H Q1 via spark.sql() text over registered temp views — the "
-    "engine's SQL-string surface (same Catalyst plan as the DataFrame form)",
-)
-def q_tpch_q1_sql(spark, sf_dir):
-    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
-    return spark.sql(
-        """
-        SELECT l_returnflag, l_linestatus,
-               CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
-               CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
-               count(*) AS count_order
-        FROM lineitem
-        WHERE l_shipdate <= DATE '1998-09-02'
-        GROUP BY l_returnflag, l_linestatus
-        """
-    )
-
-
-@register(
-    "tpch_q1_sampled",
-    None,
-    doc="A1+A6 on relational data: TPC-H Q1 aggregates from a 10% lineitem "
-    "sample, HT-scaled with CI columns (AQP over the warehouse path)",
-    tags=("sampled",),
-)
-def q_tpch_q1_sampled(spark, sf_dir):
-    li = load(spark, sf_dir, "lineitem").where(F.col("l_shipdate") <= "1998-09-02")
-    sf = SampledFrame.from_dataframe(li, SamplingConfig(ratio=0.1, seed=42), observe=False)
-    counts = sf.approx_count("l_returnflag", "l_linestatus", ci=True, alias="est_orders")
-    sums = sf.approx_sum("l_quantity", "l_returnflag", "l_linestatus", ci=True, alias="est_qty")
-    return counts.join(sums, ["l_returnflag", "l_linestatus"])
-
-
-def _tpch_q1_hash_sampled_oracle() -> str:
-    from ..sampling.deterministic import hash_bernoulli_sql
-
-    keep = hash_bernoulli_sql("l_orderkey::VARCHAR || '-' || l_linenumber::VARCHAR", 0.2, seed=42)
-    return f"""
-    SELECT l_returnflag, l_linestatus,
-           CAST(count(*) AS DOUBLE) * 5.0 AS est_orders,
-           CAST(sum(l_quantity) AS DOUBLE) * 5.0 AS est_qty,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) * 5.0
-             AS est_base_price
-    FROM lineitem
-    WHERE l_shipdate <= TIMESTAMP '2000-09-02' AND {keep}
-    GROUP BY l_returnflag, l_linestatus
-    """
-
-
-@register(
-    "tpch_q1_hash_sampled",
-    _tpch_q1_hash_sampled_oracle(),
-    doc="A1+A6 on relational data with a FULL value oracle: TPC-H Q1 "
-    "aggregates HT-scaled from a hash-deterministic 20% Bernoulli sample "
-    "keyed on (l_orderkey, l_linenumber) — the deterministic twin of "
-    "tpch_q1_sampled (whose engine-RNG sample is rows-only-checkable "
-    "forever). Exercises the REAL SampledFrame estimator methods "
-    "(approx_count/approx_sum), not a reimplementation: membership, "
-    "scale-up, and the decimal money sum are all value-checked. "
-    "l_quantity sums exactly (integral doubles < 2^53); money goes "
-    "through DECIMAL before the double scale-up, per the module's "
-    "float-stability discipline",
-    tags=("sampled",),
-)
-def q_tpch_q1_hash_sampled(spark, sf_dir):
-    from ..sampling.deterministic import hash_bernoulli
-
-    li = (
-        load(spark, sf_dir, "lineitem")
-        .where(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"))
-        .withColumn(
-            "__k", F.concat_ws("-", F.col("l_orderkey"), F.col("l_linenumber"))
-        )
-    )
-    sampled = hash_bernoulli(li, "__k", 0.2, seed=42).drop("__k")
-    sf = SampledFrame(df=sampled, ratio=0.2, config=SamplingConfig(ratio=0.2, seed=42))
-    counts = sf.approx_count("l_returnflag", "l_linestatus", alias="est_orders")
-    qty = sf.approx_sum("l_quantity", "l_returnflag", "l_linestatus", alias="est_qty")
-    price = (
-        sf.df.groupBy("l_returnflag", "l_linestatus")
-        .agg((F.sum(_dec("l_extendedprice")).cast("double") * F.lit(sf.scale)).alias("est_base_price"))
-    )
-    return counts.join(qty, ["l_returnflag", "l_linestatus"]).join(
-        price, ["l_returnflag", "l_linestatus"]
-    )
-
-
-def _sampled_join_hash_twin_oracle() -> str:
-    from ..sampling.deterministic import hash_bernoulli_sql
-
-    keep_l = hash_bernoulli_sql("l_orderkey::VARCHAR || '-' || l_linenumber::VARCHAR", 0.2, seed=9)
-    keep_o = hash_bernoulli_sql("o_orderkey::VARCHAR", 0.5, seed=3)
-    return f"""
-    SELECT o.o_orderpriority,
-           CAST(count(*) * 10.0 AS DOUBLE) AS est_pairs,
-           CAST(sum(l.l_quantity::BIGINT) * 10.0 AS DOUBLE) AS est_qty
-    FROM (SELECT * FROM lineitem WHERE {keep_l}) l
-    JOIN (SELECT * FROM orders   WHERE {keep_o}) o
-      ON l.l_orderkey = o.o_orderkey
-    GROUP BY o.o_orderpriority
-    """
-
-
-@register(
-    "sampled_join_hash_twin",
-    _sampled_join_hash_twin_oracle(),
-    doc="Sampled-JOIN composition, value-oracled (SURVEY.md §2.5: the "
-    "relational propagation the reference cannot do — its sampling lives "
-    "in the input reader, so it can never join two sampled inputs and "
-    "keep the estimators honest). Two deterministic hash samples on "
-    "INDEPENDENT keys — lineitem at r=0.2 (line identity, seed 9), "
-    "orders at r=0.5 (orderkey, seed 3) — joined through "
-    "SampledFrame.join_sampled, which composes the metadata to "
-    "ratio r1*r2 = 0.1 (a pair survives iff BOTH rows were kept), so the "
-    "per-priority HT scale-up is exactly 10x on pair counts AND on "
-    "quantity sums. Every moment is an exact integer sum before the one "
-    "float multiply, so both engines produce identical doubles. Until "
-    "this query the join composition was pytest-only; this makes it a "
-    "driver-checkable parity artifact",
-    tags=("sampled",),
-)
-def q_sampled_join_hash_twin(spark, sf_dir):
-    from ..sampling.deterministic import hash_bernoulli
-
-    l = load(spark, sf_dir, "lineitem").withColumn(
-        "__k", F.concat_ws("-", F.col("l_orderkey"), F.col("l_linenumber"))
-    )
-    sl_df = hash_bernoulli(l, "__k", 0.2, seed=9).drop("__k")
-    o = load(spark, sf_dir, "orders").withColumn("__k", F.col("o_orderkey").cast("string"))
-    so_df = hash_bernoulli(o, "__k", 0.5, seed=3).drop("__k")
-    sl = SampledFrame(df=sl_df, ratio=0.2, config=SamplingConfig(ratio=0.2, seed=9))
-    so = SampledFrame(df=so_df, ratio=0.5, config=SamplingConfig(ratio=0.5, seed=3))
-    joined = sl.join_sampled(so, F.col("l_orderkey") == F.col("o_orderkey"))
-    joined = joined.transform(
-        lambda df: df.withColumn("__qty", F.col("l_quantity").cast("bigint"))
-    )
-    pairs = joined.approx_count("o_orderpriority", alias="est_pairs")
-    qty = joined.approx_sum("__qty", "o_orderpriority", alias="est_qty")
-    return pairs.join(qty, "o_orderpriority")
-
-
-def _sampled_left_join_hash_twin_oracle() -> str:
-    from ..sampling.deterministic import hash_bernoulli_sql
-
-    keep_o = hash_bernoulli_sql("o_orderkey::VARCHAR", 0.2, seed=3)
-    keep_l = hash_bernoulli_sql(
-        "l_orderkey::VARCHAR || '-' || l_linenumber::VARCHAR", 0.5, seed=9
-    )
-    # mirrors join_weighted_left at (r1=0.2, r2=0.5): matched weight
-    # 1/(r1*r2)=10, per-kept-order null/correction weight (1-1/r2)^K/r1 =
-    # (-1)^K * 5. All moments are exact integer sums before ONE float
-    # multiply, so both engines produce identical doubles.
-    return f"""
-    WITH o AS (SELECT * FROM orders   WHERE {keep_o}),
-         l AS (SELECT * FROM lineitem WHERE {keep_l}),
-         k AS (SELECT o.o_orderkey, o.o_orderpriority,
-                      count(l.l_orderkey) AS kk
-               FROM o LEFT JOIN l ON o.o_orderkey = l.l_orderkey
-               GROUP BY 1, 2),
-         m AS (SELECT o.o_orderpriority, count(*)::BIGINT AS pairs,
-                      sum(l.l_quantity::BIGINT) AS qty
-               FROM o JOIN l ON o.o_orderkey = l.l_orderkey GROUP BY 1),
-         c AS (SELECT o_orderpriority,
-                      sum(CASE WHEN kk % 2 = 0 THEN 1 ELSE -1 END)::BIGINT
-                        AS corr
-               FROM k GROUP BY 1)
-    SELECT c.o_orderpriority,
-           CAST(coalesce(m.pairs, 0) * 10.0 + c.corr * 5.0 AS DOUBLE)
-             AS est_rows,
-           CAST(coalesce(m.qty, 0) * 10.0 AS DOUBLE) AS est_qty,
-           CAST(c.corr * 5.0 AS DOUBLE) AS est_unmatched
-    FROM c LEFT JOIN m USING (o_orderpriority)
-    """
-
-
-@register(
-    "sampled_left_join_hash_twin",
-    _sampled_left_join_hash_twin_oracle(),
-    doc="Weighted LEFT-join composition, value-oracled (VERDICT r5 item "
-    "4: the outer join join_sampled refuses, done right). Orders "
-    "hash-sampled at r1=0.2 (seed 3) LEFT-joined to lineitem "
-    "hash-sampled at r2=0.5 (line identity, seed 9) through "
-    "SampledFrame.join_weighted_left: matched pairs carry weight "
-    "1/(r1*r2)=10; every kept order also emits a null-extended row "
-    "with weight (1-1/r2)^K/r1 = (-1)^K*5 (K = its kept-match count), "
-    "which by E[(1-1/r2)^K] = 1{m=0} makes every weighted aggregate "
-    "unbiased for the population left join — including est_unmatched, "
-    "where the naive 1/r1 weighting would report a large positive count "
-    "for TPC-H's zero truly-lineitem-less orders and the signed "
-    "correction correctly hovers near zero. Weights at these ratios are "
-    "IEEE-exact (+/-5, 10) and every addend is an integer-valued "
-    "double, so sums are order-independent and both engines produce "
-    "identical doubles. The oracle replicates the estimator "
-    "arithmetic (matched*10 + (-1)^K*5) from first principles in SQL",
-    tags=("sampled",),
-)
-def q_sampled_left_join_hash_twin(spark, sf_dir):
-    from ..sampling.deterministic import hash_bernoulli
-
-    o = load(spark, sf_dir, "orders").withColumn(
-        "__k", F.col("o_orderkey").cast("string")
-    )
-    so_df = hash_bernoulli(o, "__k", 0.2, seed=3).drop("__k")
-    li = load(spark, sf_dir, "lineitem").withColumn(
-        "__k", F.concat_ws("-", F.col("l_orderkey"), F.col("l_linenumber"))
-    )
-    sl_df = hash_bernoulli(li, "__k", 0.5, seed=9).drop("__k")
-    so = SampledFrame(df=so_df, ratio=0.2, config=SamplingConfig(ratio=0.2, seed=3))
-    sl = SampledFrame(df=sl_df, ratio=0.5, config=SamplingConfig(ratio=0.5, seed=9))
-    w = so.join_weighted_left(sl, "o_orderkey", "l_orderkey")
-    return w.groupBy("o_orderpriority").agg(
-        F.sum("__weight").alias("est_rows"),
-        F.sum(
-            F.coalesce(F.col("l_quantity").cast("bigint"), F.lit(0))
-            * F.col("__weight")
-        ).alias("est_qty"),
-        F.sum(
-            F.when(F.col("l_orderkey").isNull(), F.col("__weight")).otherwise(
-                F.lit(0.0)
-            )
-        ).alias("est_unmatched"),
-    )
-
-
-def _sampled_join_cluster_ci_oracle() -> str:
-    from ..sampling import stats as _stats
-    from ..sampling.deterministic import hash_bernoulli_sql
-
-    r1, r2 = 0.5, 0.2
-    r = r1 * r2
-    z = _stats.z_score(0.95)
-    keep_o = hash_bernoulli_sql("o_orderkey::VARCHAR", r1, seed=3)
-    keep_l = hash_bernoulli_sql(
-        "l_orderkey::VARCHAR || '-' || l_linenumber::VARCHAR", r2, seed=9
-    )
-    scale = 1.0 / r
-    a, b, c, rr = 1.0 - r, 1.0 - r1, 1.0 - r2, r * r
-    # mirrors _joined_cluster_agg literally: every moment (P, L2, R2) is
-    # an exact integer sum; the variance combine uses the SAME double
-    # literals and left-associated order as the Spark expression, so
-    # both engines produce identical doubles. The right-side excess R2
-    # is NOT zero here: the synthetic lineitem has duplicate
-    # (l_orderkey, l_linenumber) keys, and hash_bernoulli keeps/drops
-    # all rows of a key together — so key-sharing rows are fully
-    # correlated and clustering by the SAMPLING key is the
-    # design-correct unit (the id passed to join_sampled is the
-    # sampling key for exactly this reason).
-    return f"""
-    WITH o AS (SELECT * FROM orders WHERE {keep_o}),
-         l AS (SELECT * FROM lineitem WHERE {keep_l}),
-         p AS (SELECT o.o_orderpriority AS g, o.o_orderkey AS lk,
-                      l.l_orderkey AS rk1, l.l_linenumber AS rk2,
-                      l.l_quantity::BIGINT AS qty
-               FROM o JOIN l ON o.o_orderkey = l.l_orderkey),
-         perl AS (SELECT g, lk,
-                         count(*)::BIGINT AS cs,
-                         sum(qty)::BIGINT AS qs,
-                         sum(qty * qty)::BIGINT AS qq
-                  FROM p GROUP BY 1, 2),
-         aggl AS (SELECT g,
-                         sum(cs)::BIGINT AS n,
-                         sum(cs * cs - cs)::BIGINT AS cl2,
-                         sum(qs)::BIGINT AS sq,
-                         sum(qq)::BIGINT AS qp,
-                         sum(qs * qs - qq)::BIGINT AS ql2
-                  FROM perl GROUP BY 1),
-         perr AS (SELECT g, rk1, rk2,
-                         count(*)::BIGINT AS cs,
-                         sum(qty)::BIGINT AS qs,
-                         sum(qty * qty)::BIGINT AS qq
-                  FROM p GROUP BY 1, 2, 3),
-         aggr AS (SELECT g,
-                         sum(cs * cs - cs)::BIGINT AS cr2,
-                         sum(qs * qs - qq)::BIGINT AS qr2
-                  FROM perr GROUP BY 1)
-    SELECT g AS o_orderpriority,
-           CAST(n AS DOUBLE) * {scale!r} AS est_pairs,
-           {z!r} * sqrt(greatest(
-             ({a!r} * CAST(n AS DOUBLE) + {b!r} * CAST(cl2 AS DOUBLE)
-              + {c!r} * CAST(cr2 AS DOUBLE)) / {rr!r}, 0.0)) AS est_pairs_ci,
-           CAST(sq AS DOUBLE) * {scale!r} AS est_qty,
-           {z!r} * sqrt(greatest(
-             ({a!r} * CAST(qp AS DOUBLE) + {b!r} * CAST(ql2 AS DOUBLE)
-              + {c!r} * CAST(qr2 AS DOUBLE)) / {rr!r}, 0.0)) AS est_qty_ci
-    FROM aggl JOIN aggr USING (g)
-    """
-
-
-@register(
-    "sampled_join_cluster_ci",
-    _sampled_join_cluster_ci_oracle(),
-    doc="Cluster-variance CI for the sampled-join composition, fully "
-    "value-oracled (VERDICT r6/r7 item: the join_sampled count/sum CI "
-    "was design-incorrect under key multiplicity, understating spread "
-    "by ~sqrt(2) on multiplicity-5 keys). Orders hash-sampled at "
-    "r1=0.5 (seed 3) joined to lineitem at r2=0.2 (line identity, "
-    "seed 9) with row ids passed to join_sampled, so "
-    "approx_count/approx_sum dispatch to the cluster estimator "
-    "V^=[(1-r1r2)P + (1-r1)(S_l^2-Q_l) + (1-r2)(S_j^2-Q_j)]/(r1r2)^2 "
-    "— pairs sharing a kept order (TPC-H multiplicity ~4) are "
-    "positively correlated and the classical independent-Bernoulli "
-    "form ignores it. Every moment is an exact integer sum before the "
-    "mirrored double combine, so both engines produce identical "
-    "doubles; coverage is seed-sweep-tested in "
-    "tests/test_sampled_frame.py (nominal at multiplicity 5, "
-    "unwidened at 1:1)",
-    tags=("sampled",),
-)
-def q_sampled_join_cluster_ci(spark, sf_dir):
-    from ..sampling.deterministic import hash_bernoulli
-
-    o = load(spark, sf_dir, "orders").withColumn(
-        "__k", F.col("o_orderkey").cast("string")
-    )
-    so_df = hash_bernoulli(o, "__k", 0.5, seed=3).drop("__k")
-    li = load(spark, sf_dir, "lineitem").withColumn(
-        "__k", F.concat_ws("-", F.col("l_orderkey"), F.col("l_linenumber"))
-    )
-    sl_df = hash_bernoulli(li, "__k", 0.2, seed=9).drop("__k")
-    so = SampledFrame(df=so_df, ratio=0.5, config=SamplingConfig(ratio=0.5, seed=3))
-    sl = SampledFrame(df=sl_df, ratio=0.2, config=SamplingConfig(ratio=0.2, seed=9))
-    joined = so.join_sampled(
-        sl,
-        F.col("o_orderkey") == F.col("l_orderkey"),
-        left_id="o_orderkey",
-        right_id=["l_orderkey", "l_linenumber"],
-    )
-    joined = joined.transform(
-        lambda df: df.withColumn("__qty", F.col("l_quantity").cast("bigint"))
-    )
-    pairs = joined.approx_count("o_orderpriority", ci=True, alias="est_pairs")
-    qty = joined.approx_sum("__qty", "o_orderpriority", ci=True, alias="est_qty")
-    return pairs.join(qty, "o_orderpriority")
-
-
-def _sampled_full_join_hash_twin_oracle() -> str:
-    from ..sampling.deterministic import hash_bernoulli_sql
-
-    keep_c = hash_bernoulli_sql("c_custkey::VARCHAR", 0.5, seed=5)
-    keep_o = hash_bernoulli_sql("o_orderkey::VARCHAR", 0.5, seed=8)
-    # mirrors join_weighted_full at r1=r2=0.5: matched weight
-    # 1/(r1*r2)=4, each side's null-correction weight (1-1/r)^K/r =
-    # (-1)^K * 2 — all IEEE-exact, every addend an integer-valued
-    # double, so sums are order-independent across engines.
-    return f"""
-    WITH c AS (SELECT c_custkey, c_mktsegment FROM customer WHERE {keep_c}),
-         o AS (SELECT o_orderkey, o_custkey,
-                      CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
-                        AS cents
-               FROM orders WHERE {keep_o}),
-         kc AS (SELECT c.c_custkey, c.c_mktsegment,
-                       count(o.o_orderkey) AS k
-                FROM c LEFT JOIN o ON c.c_custkey = o.o_custkey
-                GROUP BY 1, 2),
-         ko AS (SELECT o.o_orderkey, o.cents, count(c.c_custkey) AS k
-                FROM o LEFT JOIN c ON o.o_custkey = c.c_custkey
-                GROUP BY 1, 2),
-         rows_ AS (
-           SELECT c.c_mktsegment, c.c_custkey, o.o_orderkey, o.cents,
-                  4.0 AS w
-           FROM c JOIN o ON c.c_custkey = o.o_custkey
-           UNION ALL
-           SELECT c_mktsegment, c_custkey, NULL, NULL,
-                  CASE WHEN k % 2 = 0 THEN 2.0 ELSE -2.0 END FROM kc
-           UNION ALL
-           SELECT NULL, NULL, o_orderkey, cents,
-                  CASE WHEN k % 2 = 0 THEN 2.0 ELSE -2.0 END FROM ko
-         )
-    SELECT c_mktsegment,
-           sum(w) AS est_rows,
-           sum(coalesce(cents, 0) * w) AS est_cents,
-           sum(CASE WHEN o_orderkey IS NULL THEN w ELSE 0.0 END)
-             AS est_unmatched_cust,
-           sum(CASE WHEN c_custkey IS NULL THEN w ELSE 0.0 END)
-             AS est_unmatched_ord
-    FROM rows_ GROUP BY 1
-    """
-
-
-@register(
-    "sampled_full_join_hash_twin",
-    _sampled_full_join_hash_twin_oracle(),
-    doc="Weighted FULL-OUTER-join composition, value-oracled — completes "
-    "the sampled-join family (inner r5, left r6, right by symmetry). "
-    "Customers and orders each hash-sampled at 0.5 (seeds 5/8), joined "
-    "through SampledFrame.join_weighted_full: matched pairs carry "
-    "1/(r1*r2)=4; every kept customer emits a null-extended row at "
-    "(1-1/r2)^K/r1 = (-1)^K*2 (K = kept-order count) estimating the "
-    "order-less-customer stratum (truly nonzero in TPC-H: ~1/3 of "
-    "customers), and every kept order emits the symmetric row at "
-    "(-1)^K'*2 estimating the customer-less-order stratum (zero truth "
-    "— the signed corrections must hover near zero, which naive 1/r "
-    "weighting would miss by thousands). Grouping by c_mktsegment "
-    "sends order-side corrections to the NULL-segment group — that row "
-    "IS the right-only-stratum estimate. Money flows as exact integer "
-    "cents so both engines produce identical doubles; the oracle "
-    "replicates the three-stratum weighting from first principles",
-    tags=("sampled",),
-)
-def q_sampled_full_join_hash_twin(spark, sf_dir):
-    from ..sampling.deterministic import hash_bernoulli
-
-    c = load(spark, sf_dir, "customer").select(
-        "c_custkey", "c_mktsegment"
-    ).withColumn("__k", F.col("c_custkey").cast("string"))
-    sc_df = hash_bernoulli(c, "__k", 0.5, seed=5).drop("__k")
-    o = load(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_custkey", "o_totalprice"
-    ).withColumn("__k", F.col("o_orderkey").cast("string"))
-    so_df = hash_bernoulli(o, "__k", 0.5, seed=8).drop("__k")
-    sc_ = SampledFrame(df=sc_df, ratio=0.5, config=SamplingConfig(ratio=0.5, seed=5))
-    so_ = SampledFrame(df=so_df, ratio=0.5, config=SamplingConfig(ratio=0.5, seed=8))
-    w = sc_.join_weighted_full(so_, "c_custkey", "o_custkey")
-    cents = F.coalesce(
-        (_dec("o_totalprice") * 100).cast("bigint"), F.lit(0)
-    )
-    return w.groupBy("c_mktsegment").agg(
-        F.sum("__weight").alias("est_rows"),
-        F.sum(cents * F.col("__weight")).alias("est_cents"),
-        F.sum(
-            F.when(F.col("o_orderkey").isNull(), F.col("__weight")).otherwise(
-                F.lit(0.0)
-            )
-        ).alias("est_unmatched_cust"),
-        F.sum(
-            F.when(F.col("c_custkey").isNull(), F.col("__weight")).otherwise(
-                F.lit(0.0)
-            )
-        ).alias("est_unmatched_ord"),
-    )
-
-
-def _price_per_qty_hash_sampled_oracle() -> str:
-    from ..sampling.deterministic import hash_bernoulli_sql
-
-    keep = hash_bernoulli_sql("l_orderkey::VARCHAR || '-' || l_linenumber::VARCHAR", 0.1, seed=42)
-    return f"""
-    SELECT l_returnflag,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
-             / CAST(sum(l_quantity::BIGINT) AS DOUBLE) AS est_price_per_qty,
-           count(*)::BIGINT AS n_sampled
-    FROM lineitem
-    WHERE {keep}
-    GROUP BY l_returnflag
-    """
-
-
-@register(
-    "price_per_qty_hash_sampled",
-    _price_per_qty_hash_sampled_oracle(),
-    doc="Ratio-of-sums estimator with a FULL value oracle: avg price per "
-    "unit per return flag from a hash-deterministic 10% sample — the "
-    "deterministic twin of approx_price_per_qty (engine-RNG, rows-only "
-    "forever). The ratio of two HT sums is scale-free (1/r cancels), so "
-    "the estimate is sampled-sum(price)/sampled-sum(qty); sums follow "
-    "the float-stability discipline (DECIMAL money sum, BIGINT qty sum, "
-    "ONE double division) so both engines produce the identical double. "
-    "tests pin SampledFrame.approx_ratio to this stable composition on "
-    "the same sample, so the real estimator method stays value-anchored",
-    tags=("sampled",),
-)
-def q_price_per_qty_hash_sampled(spark, sf_dir):
-    from ..sampling.deterministic import hash_bernoulli
-
-    li = load(spark, sf_dir, "lineitem").withColumn(
-        "__k", F.concat_ws("-", F.col("l_orderkey"), F.col("l_linenumber"))
-    )
-    sampled = hash_bernoulli(li, "__k", 0.1, seed=42)
-    return sampled.groupBy("l_returnflag").agg(
-        (
-            F.sum(_dec("l_extendedprice")).cast("double")
-            / F.sum(F.col("l_quantity").cast("bigint")).cast("double")
-        ).alias("est_price_per_qty"),
-        F.count(F.lit(1)).alias("n_sampled"),
-    )
-
-
-@register(
-    "approx_price_per_qty",
-    None,
-    doc="Ratio-of-sums estimator (avg price per unit) from a 10% sample "
-    "with Taylor-linearized CI per return flag; coverage asserted in tests",
-    tags=("sampled",),
-)
-def q_approx_price_per_qty(spark, sf_dir):
-    li = load(spark, sf_dir, "lineitem")
-    sf = SampledFrame.from_dataframe(li, SamplingConfig(ratio=0.1, seed=42), observe=False)
-    return sf.approx_ratio("l_extendedprice", "l_quantity", "l_returnflag", ci=True)
-
-
-def _order_price_quantile_hash_sampled_oracle() -> str:
-    from ..sampling import stats as _stats
-    from ..sampling.deterministic import hash_bernoulli_sql
-
-    z = _stats.z_score(0.95)
-    keep = hash_bernoulli_sql("o_orderkey::VARCHAR", 0.1, seed=7)
-    # rank arithmetic mirrors SampledFrame.approx_quantile at p=0.5,
-    # r=0.1: every *0.5 is exact IEEE exponent math, so the floor/ceil
-    # boundaries cannot drift between engines; the selected values are
-    # untouched data (no interpolation).
-    half = f"{z!r} * sqrt(n * 0.5 * 0.5 * 0.9)"
-    return f"""
-    WITH s AS (
-      SELECT o_orderpriority, CAST(o_totalprice AS DOUBLE) AS v
-      FROM orders WHERE {keep}
-    ),
-    r AS (
-      SELECT o_orderpriority, v,
-             row_number() OVER (PARTITION BY o_orderpriority ORDER BY v) AS rn,
-             count(*) OVER (PARTITION BY o_orderpriority) AS n
-      FROM s
-    )
-    SELECT o_orderpriority,
-           max(CASE WHEN rn = greatest(1, ceil(0.5 * n)) THEN v END)
-             AS est_median,
-           max(CASE WHEN rn = greatest(1, floor(n * 0.5 - {half})) THEN v END)
-             AS est_median_ci_lo,
-           max(CASE WHEN rn = least(n, ceil(n * 0.5 + {half})) THEN v END)
-             AS est_median_ci_hi,
-           max(n)::BIGINT AS n_sampled,
-           (max(n) < 100) AS low_support
-    FROM r GROUP BY 1
-    """
-
-
-@register(
-    "order_price_quantile_hash_sampled",
-    _order_price_quantile_hash_sampled_oracle(),
-    doc="Sampled median with a DISTRIBUTION-FREE order-statistic CI, fully "
-    "value-oracled — the deterministic twin of SampledFrame."
-    "approx_quantile (round 6: extends the reference's approximate-"
-    "aggregation surface, sums/counts only in RandomSamplingUtil.java, to "
-    "quantiles). Median o_totalprice per order priority from a 10% "
-    "hash-deterministic orders sample; estimate = order statistic at rank "
-    "ceil(p*n) (percentile_disc semantics — an actual data value, no "
-    "cross-engine interpolation arithmetic), CI = order statistics at the "
-    "binomial ranks n*p -/+ z*sqrt(n*p*(1-p)*(1-r)) with the engine's "
-    "(1-r) FPC. p=0.5 keeps every rank boundary exact in IEEE (*0.5 is "
-    "exponent math), so both engines select identical rows; the oracle "
-    "replicates the rank arithmetic from first principles in SQL. "
-    "min_support=100 exercises the rare-group honesty contract "
-    "(n_sampled + low_support) on the same output. CI coverage is "
-    "seed-sweep-tested in tests/test_sampled_frame.py",
-    tags=("sampled",),
-)
-def q_order_price_quantile_hash_sampled(spark, sf_dir):
-    from ..sampling.deterministic import hash_bernoulli
-
-    o = load(spark, sf_dir, "orders").withColumn(
-        "__k", F.col("o_orderkey").cast("string")
-    )
-    sampled = hash_bernoulli(o, "__k", 0.1, seed=7).withColumn(
-        "v", F.col("o_totalprice").cast("double")
-    )
-    sf = SampledFrame(
-        df=sampled, ratio=0.1, config=SamplingConfig(ratio=0.1, seed=7)
-    )
-    return sf.approx_quantile(
-        "v", 0.5, "o_orderpriority", ci=True, min_support=100, alias="est_median"
-    )
-
-
-@register(
-    "order_price_quantile_histogram",
-    _order_price_quantile_hash_sampled_oracle(),
-    doc="The SAME estimand as order_price_quantile_hash_sampled — "
-    "identical sample, ranks, and oracle SQL — computed by the exact "
-    "distributed k-selection strategy (approx_quantile method="
-    "'histogram': per-group stats pass, 8192-bin value histogram, "
-    "cumulative-count rank location, targeted-bucket residual sort) "
-    "instead of the per-group window sort. Registering both against ONE "
-    "oracle gives the driver external proof that the scale path is "
-    "value-identical to the reference implementation, the same way "
-    "dedup keeps its blocked and all-pairs forms. The histogram path is "
-    "the few-group/global regime answer to the measured one-sort-task-"
-    "per-group window limit (docs/SCALE.md round 6)",
-    tags=("sampled",),
-)
-def q_order_price_quantile_histogram(spark, sf_dir):
-    from ..sampling.deterministic import hash_bernoulli
-
-    o = load(spark, sf_dir, "orders").withColumn(
-        "__k", F.col("o_orderkey").cast("string")
-    )
-    sampled = hash_bernoulli(o, "__k", 0.1, seed=7).withColumn(
-        "v", F.col("o_totalprice").cast("double")
-    )
-    sf = SampledFrame(
-        df=sampled, ratio=0.1, config=SamplingConfig(ratio=0.1, seed=7)
-    )
-    return sf.approx_quantile(
-        "v", 0.5, "o_orderpriority", ci=True, min_support=100,
-        alias="est_median", method="histogram",
-    )
-
-
-def _order_price_percentiles_hash_sampled_oracle() -> str:
-    from ..sampling import stats as _stats
-    from ..sampling.deterministic import hash_bernoulli_sql
-
-    z = _stats.z_score(0.95)
-    keep = hash_bernoulli_sql("o_orderkey::VARCHAR", 0.1, seed=7)
-    # generated per-p so every float literal is the repr of the EXACT
-    # Python double the Spark side feeds to F.lit — e.g. 1.0-0.9 is
-    # 0.09999999999999998, not 0.1; both engines then evaluate the
-    # identical IEEE expression and land on identical integer ranks.
-    cols = []
-    for q in (0.25, 0.5, 0.9):
-        sfx = "_p" + f"{100.0 * q:g}".replace(".", "_")
-        half = f"{z!r} * sqrt(n * {q!r} * {(1.0 - q)!r} * 0.9)"
-        cols.append(
-            f"max(CASE WHEN rn = greatest(1, ceil({q!r} * n)) THEN v END)"
-            f" AS est{sfx}"
-        )
-        cols.append(
-            f"max(CASE WHEN rn = greatest(1, floor(n * {q!r} - {half}))"
-            f" THEN v END) AS est{sfx}_ci_lo"
-        )
-        cols.append(
-            f"max(CASE WHEN rn = least(n, ceil(n * {q!r} + {half}))"
-            f" THEN v END) AS est{sfx}_ci_hi"
-        )
-    sel = ",\n           ".join(cols)
-    return f"""
-    WITH s AS (
-      SELECT o_orderpriority, CAST(o_totalprice AS DOUBLE) AS v
-      FROM orders WHERE {keep}
-    ),
-    r AS (
-      SELECT o_orderpriority, v,
-             row_number() OVER (PARTITION BY o_orderpriority ORDER BY v) AS rn,
-             count(*) OVER (PARTITION BY o_orderpriority) AS n
-      FROM s
-    )
-    SELECT o_orderpriority,
-           {sel}
-    FROM r GROUP BY 1
-    """
-
-
-@register(
-    "order_price_percentiles_hash_sampled",
-    _order_price_percentiles_hash_sampled_oracle(),
-    doc="Multi-quantile form of the sampled order-statistic estimator, "
-    "fully value-oracled: p25/p50/p90 of o_totalprice per order priority "
-    "from the same 10% hash-deterministic orders sample, all three (with "
-    "their distribution-free CIs) from ONE window pass — one sort, one "
-    "rank-selection filter over the union of the nine candidate ranks, "
-    "one aggregate (SampledFrame.approx_quantile with a probability "
-    "list). The oracle is GENERATED per probability so every float "
-    "literal is the repr of the exact Python double the Spark plan uses "
-    "(1.0-0.9 != 0.1 in IEEE); rank selection then lands on identical "
-    "rows in both engines even where p*n sits an ulp from an integer",
-    tags=("sampled",),
-)
-def q_order_price_percentiles_hash_sampled(spark, sf_dir):
-    from ..sampling.deterministic import hash_bernoulli
-
-    o = load(spark, sf_dir, "orders").withColumn(
-        "__k", F.col("o_orderkey").cast("string")
-    )
-    sampled = hash_bernoulli(o, "__k", 0.1, seed=7).withColumn(
-        "v", F.col("o_totalprice").cast("double")
-    )
-    sf = SampledFrame(
-        df=sampled, ratio=0.1, config=SamplingConfig(ratio=0.1, seed=7)
-    )
-    return sf.approx_quantile(
-        "v", [0.25, 0.5, 0.9], "o_orderpriority", ci=True, alias="est"
-    )
-
-
-def _sum_ci_families_oracle() -> str:
-    from ..sampling import stats as _stats
-    from ..sampling.deterministic import hash_bernoulli_sql
-
-    z = _stats.z_score(0.95)
-    keep = hash_bernoulli_sql("l_orderkey::VARCHAR || '-' || l_linenumber::VARCHAR", 0.1, seed=42)
-    return f"""
-    WITH s AS (
-      SELECT l_returnflag,
-             count(*)::BIGINT AS n_sampled,
-             sum(l_quantity::BIGINT)::BIGINT AS sq,
-             sum(l_quantity::BIGINT * l_quantity::BIGINT)::BIGINT AS sqq
-      FROM lineitem WHERE {keep}
-      GROUP BY l_returnflag
-    )
-    SELECT l_returnflag,
-           n_sampled,
-           CAST(sq AS DOUBLE) / 0.1 AS est_qty,
-           round({z!r} * sqrt(0.9 * CAST(sqq AS DOUBLE)) / 0.1, 6) AS ci_sum,
-           round(sqrt(0.25 / CAST(n_sampled AS DOUBLE)) * {z!r}
-                 * sqrt((CAST(n_sampled AS DOUBLE) / 0.1 - CAST(n_sampled AS DOUBLE))
-                        / (CAST(n_sampled AS DOUBLE) / 0.1 - 1.0)), 6) AS ci_reference_rel
-    FROM s
-    """
-
-
-@register(
-    "approx_sum_ci_families",
-    _sum_ci_families_oracle(),
-    doc="The engine's TWO error-bound families side by side, value-oracled "
-    "(VERDICT r3 item 6): per return flag from a hash-deterministic 10% "
-    "lineitem sample, (a) ci_sum = z*sqrt((1-r)*Σ_s qty²)/r — the proper "
-    "normal-approximation half-width for an HT sum (unbiased HT variance "
-    "estimator; sampled_frame.approx_sum), which reads the VALUE column; "
-    "and (b) ci_reference_rel = sqrt(0.25/n)*z*sqrt((N-n)/(N-1)) with "
-    "N = n/r — the reference's worst-case p=0.5 PROPORTION bound "
-    "(RandomSamplingUtil.java:376-378, stats.achieved_error), which is "
-    "blind to values and therefore honest only for counts. Every moment "
-    "is an exact BIGINT sum before one double conversion, so both "
-    "engines produce identical doubles (round 6dp on the sqrt outputs); "
-    "the skewed-column test in tests/test_sampled_frame.py shows family "
-    "(b) underestimating sum error 10x where (a) stays calibrated",
-    tags=("sampled",),
-)
-def q_approx_sum_ci_families(spark, sf_dir):
-    from ..sampling import stats as _stats
-    from ..sampling.deterministic import hash_bernoulli
-
-    z = _stats.z_score(0.95)
-    li = load(spark, sf_dir, "lineitem").withColumn(
-        "__k", F.concat_ws("-", F.col("l_orderkey"), F.col("l_linenumber"))
-    )
-    sampled = hash_bernoulli(li, "__k", 0.1, seed=42)
-    q = F.col("l_quantity").cast("bigint")
-    agg = sampled.groupBy("l_returnflag").agg(
-        F.count(F.lit(1)).alias("n_sampled"),
-        F.sum(q).alias("__sq"),
-        F.sum(q * q).alias("__sqq"),
-    )
-    n = F.col("n_sampled").cast("double")
-    big_n = n / F.lit(0.1)
-    return agg.select(
-        "l_returnflag",
-        "n_sampled",
-        (F.col("__sq").cast("double") / F.lit(0.1)).alias("est_qty"),
-        sql_round(
-            F.lit(z) * F.sqrt(F.lit(0.9) * F.col("__sqq").cast("double")) / F.lit(0.1), 6
-        ).alias("ci_sum"),
-        sql_round(
-            F.sqrt(F.lit(0.25) / n) * F.lit(z) * F.sqrt((big_n - n) / (big_n - F.lit(1.0))),
-            6,
-        ).alias("ci_reference_rel"),
-    )
-
-
-@register(
-    "events_ewma",
-    """
-    WITH ordered AS (
-      SELECT event_type, value,
-             row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS rn,
-             count(*) OVER (PARTITION BY event_type) AS n
-      FROM events
-    )
-    SELECT event_type,
-           round(sum((CASE WHEN rn = 1 THEN power(0.9, n - 1)
-                      ELSE 0.1 * power(0.9, n - rn) END) * value), 6) AS final_ewma,
-           count(*)::BIGINT AS n
-    FROM ordered GROUP BY event_type
-    """,
-    doc="Per-key exponentially-weighted moving average over event time via "
-    "applyInPandas (iterative recurrence - no recursive window in Spark; "
-    "grouped Arrow batches, one group per key). VALUE-oracled: the final "
-    "EWMA state unrolls to the closed form "
-    "s_n = (1-a)^(n-1) x_1 + sum_i a (1-a)^(n-i) x_i, which DuckDB "
-    "computes from row_number weights; the (ts, event_id) sort contract "
-    "makes the recurrence order identical on both sides, and round(6) "
-    "absorbs iterative-vs-closed-form float noise",
-    tags=("approx",),
-)
-def q_events_ewma(spark, sf_dir):
-    from ..operators.pandas_ops import grouped_ewma
-
-    e = load(spark, sf_dir, "events")
-    out = grouped_ewma(
-        e,
-        key_col="event_type",
-        ts_col="ts",
-        value_col="value",
-        alpha=0.1,
-        tiebreak_cols=("event_id",),
-    )
-    # last EWMA value per key: a compact, deterministic summary
-    return out.groupBy("event_type").agg(
-        sql_round(F.max_by("ewma", F.struct("ts", "event_id")), 6).alias("final_ewma"),
-        F.count(F.lit(1)).alias("n"),
-    )
-
-
-@register(
-    "tablesample_words",
-    None,
-    doc="SQL TABLESAMPLE surface: sampled word count via pure SQL with "
-    "REPEATABLE seed + HT scale-up in the projection",
-    tags=("sampled",),
-)
-def q_tablesample_words(spark, sf_dir):
-    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
-    return spark.sql(
-        """
-        SELECT word, count(*) / 0.25 AS est_cnt
-        FROM (
-          SELECT explode(filter(split(lower(text), "[^a-z0-9']+"), t -> length(t) > 0)) AS word
-          FROM documents TABLESAMPLE (25 PERCENT) REPEATABLE (42)
-        )
-        WHERE NOT word RLIKE '^[0-9]+$'
-        GROUP BY word
-        """
-    )
-
-
-# ===========================================================================
-# 11. Structured Streaming (real streaming jobs run to completion with an
-#     availableNow trigger; the exact variant is value-oracle-checked —
-#     stream/batch parity)
-# ===========================================================================
-
-
-@register(
-    "streaming_events_hourly",
-    """
-    SELECT date_trunc('hour', ts) AS hour, event_type,
-           count(*)::BIGINT AS cnt,
-           CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
-    FROM events GROUP BY 1, 2
-    """,
-    doc="Hourly rollup AS A STREAMING JOB (file source -> windowed agg -> "
-    "memory sink, availableNow); exact stream/batch parity vs the SQL oracle",
-)
-def q_streaming_events_hourly(spark, sf_dir):
-    from ..streaming.sampled_stream import events_hourly_stream
-
-    return events_hourly_stream(spark, sf_dir, sampled=False)
-
-
-@register(
-    "streaming_user_sessions",
-    """
-    WITH marked AS (
-      SELECT user_id, ts, value,
-             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                       <= 1800000000 THEN 0 ELSE 1 END AS is_new,
-             event_id
-      FROM events
-    ),
-    sess AS (
-      SELECT user_id, ts, value,
-             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                               ROWS UNBOUNDED PRECEDING) AS sid
-      FROM marked
-    )
-    SELECT user_id,
-           min(ts) AS session_start,
-           max(ts) + INTERVAL 30 MINUTE AS session_end,
-           count(*)::BIGINT AS n_events,
-           CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
-    FROM sess GROUP BY user_id, sid
-    """,
-    doc="Event-time sessionization AS A STREAMING JOB via the native "
-    "session_window operator (30-min gap, merging-session state store). "
-    "VALUE-oracled: session merge is boundary-INCLUSIVE (an exactly-30:00 "
-    "gap merges — pinned empirically) and window end = last event + gap, "
-    "so the stream result equals the batch gaps-and-islands form with "
-    "end = max(ts) + gap; batch twin is user_sessions. Complete mode + "
-    "availableNow for the finite verification run; production = "
-    "watermark + append (state bounded by the live-session horizon)",
-    tags=("streaming",),
-)
-def q_streaming_user_sessions(spark, sf_dir):
-    from ..streaming.sampled_stream import user_sessions_stream
-
-    return user_sessions_stream(spark, sf_dir)
-
-
-@register(
-    "streaming_sampled_hourly",
-    None,
-    doc="Streaming hash-Bernoulli sample (replay-deterministic) -> windowed "
-    "agg with HT scale-up; accuracy asserted in tests (non-SQL-oracle-able)",
-    tags=("sampled", "streaming"),
-)
-def q_streaming_sampled_hourly(spark, sf_dir):
-    from ..streaming.sampled_stream import events_hourly_stream
-
-    return events_hourly_stream(spark, sf_dir, sampled=True, ratio=0.1)
-
-
-from ..streaming.minhash_state import dedup_minhash_stream_sql as _mh_stream_sql  # noqa: E402
-
-
-@register(
-    "streaming_dedup_minhash",
-    _mh_stream_sql(),
-    doc="STATEFUL streaming near-dedup: per-row MinHash banding -> "
-    "applyInPandasWithState keeps first-seen owner per (band, key) bucket "
-    "across micro-batches -> flagged-doc rollup. Value-oracled: with event "
-    "time monotone in doc_id the result equals the batch LSH-candidate "
-    "min-partner per doc (streaming/minhash_state.py docstring proves the "
-    "identity)",
-)
-def q_streaming_dedup_minhash(spark, sf_dir):
-    from ..streaming.minhash_state import dedup_minhash_stream_run
-
-    return dedup_minhash_stream_run(spark, sf_dir)
-
-
-@register(
-    "streaming_dedup_incremental",
-    f"""
-    WITH fpd AS (SELECT doc_id, {_FP_SQL} AS fp FROM documents),
-    ex AS (SELECT DISTINCT fp FROM fpd WHERE doc_id % 5 <> 0)
-    SELECT fp, count(*)::BIGINT AS n_incoming
-    FROM fpd WHERE doc_id % 5 = 0 AND fp NOT IN (SELECT fp FROM ex)
-    GROUP BY fp
-    """,
-    doc="Streaming corpus admission: incoming docs stream anti-joined "
-    "against the STATIC fingerprint index (stream-static join — no "
-    "stream-side join state) with an fp-level novel-count rollup. The "
-    "roster is arrival-order independent, so the whole streaming query "
-    "value-checks against the batch SQL oracle; batch twin is "
-    "dedup_incremental",
-)
-def q_streaming_dedup_incremental(spark, sf_dir):
-    from ..streaming.admit_stream import dedup_incremental_stream_run
-
-    return dedup_incremental_stream_run(spark, sf_dir)
-
-
-@register(
-    "streaming_ivf_cells",
-    None,  # model-state operator: centroids are learned, no static SQL
-    # mirror exists; running-mean identity + recall vs batch IVF are
-    # pytest'd (tests/test_streaming.py::TestStreamingIVF)
-    doc="Incremental IVF over a vector stream: per-micro-batch mini-batch "
-    "k-means (Sculley WWW'10) via foreachBatch — distributed assignment + "
-    "per-cell sufficient stats, O(centroids x dim) driver update — then "
-    "final corpus occupancy by learned cell",
-)
-def q_streaming_ivf_cells(spark, sf_dir):
-    from ..streaming.ivf_stream import streaming_ivf_cells_run
-
-    return streaming_ivf_cells_run(spark, sf_dir)
-
-
-# ===========================================================================
-# 11. Corpus preparation (LLM training-data ops: PII redaction, heavy
-#     hitters, sequence packing, boilerplate detection, keep-best dedup)
-# ===========================================================================
-
-def _pii_redaction_sql() -> str:
-    from ..operators.corpus import EMAIL_RE, PHONE_RE, SSN_RE, inject_pii_sql
-
-    injected = inject_pii_sql()
-    redacted = f"regexp_replace({injected}, '{EMAIL_RE}', '[EMAIL]', 'g')"
-    redacted = f"regexp_replace({redacted}, '{SSN_RE}', '[SSN]', 'g')"
-    redacted = f"regexp_replace({redacted}, '{PHONE_RE}', '[PHONE]', 'g')"
-    return f"""
-    SELECT doc_id::BIGINT AS doc_id,
-           len(regexp_extract_all({injected}, '{EMAIL_RE}'))::BIGINT AS n_emails,
-           len(regexp_extract_all({injected}, '{PHONE_RE}'))::BIGINT AS n_phones,
-           len(regexp_extract_all({injected}, '{SSN_RE}'))::BIGINT AS n_ssns,
-           length({redacted})::BIGINT AS clean_len
-    FROM documents
-    WHERE len(regexp_extract_all({injected}, '{EMAIL_RE}'))
-        + len(regexp_extract_all({injected}, '{PHONE_RE}'))
-        + len(regexp_extract_all({injected}, '{SSN_RE}')) > 0
-    """
-
-
-@register(
-    "pii_redaction",
-    _pii_redaction_sql(),
-    doc="PII redaction pass over the corpus (synthetic doc_id-derived PII "
-    "so the oracle mirrors the exact bytes): typed placeholder replacement "
-    "+ per-doc match counts. Pure regexp Column chain — map-only at 100 TB",
-)
-def q_pii_redaction(spark, sf_dir):
-    from ..operators import corpus as C
-
-    docs = load(spark, sf_dir, "documents")
-    injected = docs.select(
-        "doc_id", C.inject_pii(F.col("doc_id"), F.col("text")).alias("text")
-    )
-    counts = C.pii_counts(F.col("text"))
-    out = injected.select(
-        "doc_id",
-        counts["n_emails"].alias("n_emails"),
-        counts["n_phones"].alias("n_phones"),
-        counts["n_ssns"].alias("n_ssns"),
-        F.length(C.redact_pii(F.col("text"))).cast("long").alias("clean_len"),
-    )
-    return out.where(F.col("n_emails") + F.col("n_phones") + F.col("n_ssns") > 0)
-
-
-@register(
-    "heavy_hitter_tokens",
-    f"""
-    SELECT word AS token, cnt FROM (
-      SELECT word, count(*)::BIGINT AS cnt FROM (
-        SELECT unnest(string_split_regex(lower(text), '{_WORD_SPLIT_SQL}')) AS word
-        FROM documents)
-      WHERE word <> '' AND NOT regexp_matches(word, '^[0-9]+$')
-      GROUP BY word)
-    ORDER BY cnt DESC, token ASC LIMIT 50
-    """,
-    doc="Exact top-50 token frequencies, deterministic tie-break. Compiles "
-    "to partial-agg + TakeOrderedAndProject (per-task k-row heap), so no "
-    "global sort shuffle; output is 50 rows at any corpus size. The "
-    "bounded-memory approximate sibling (Misra-Gries merge) lives in "
-    "operators/corpus.misra_gries with its guarantee tested",
-)
-def q_heavy_hitter_tokens(spark, sf_dir):
-    from ..operators import corpus as C
-
-    docs = ensure_parallelism(load(spark, sf_dir, "documents").select("text"))
-    return C.heavy_hitter_tokens(docs, "text", k=50).select(
-        F.col("token"), F.col("cnt")
-    )
-
-
-@register(
-    "sequence_packing",
-    f"""
-    WITH t AS (SELECT doc_id, {_TOKEN_COUNT_SQL} AS n_tokens FROM documents),
-    b AS (SELECT doc_id, n_tokens,
-                 CAST(floor(CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
-                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS DOUBLE)
-                      / 2048) AS BIGINT) AS bin_id
-          FROM t)
-    SELECT bin_id, count(*)::BIGINT AS n_docs, sum(n_tokens)::BIGINT AS bin_tokens,
-           min(doc_id)::BIGINT AS first_doc, max(doc_id)::BIGINT AS last_doc
-    FROM b GROUP BY bin_id
-    """,
-    doc="Greedy sequence packing under a 2048-token budget as a DISTRIBUTED "
-    "prefix sum (range shuffle + per-partition Arrow cumsum + "
-    "O(partitions) driver offset exchange) — never a single-partition "
-    "global window. Oracle mirrors the semantics with a window cumsum, "
-    "which DuckDB can afford at oracle scale",
-)
-def q_sequence_packing(spark, sf_dir):
-    from ..operators import corpus as C
-
-    docs = load(spark, sf_dir, "documents").select(
-        "doc_id", T.token_count(F.col("text")).alias("n_tokens")
-    )
-    packed = C.pack_sequences(docs, budget=2048, order_col="doc_id", tokens_col="n_tokens")
-    return packed.groupBy("bin_id").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("n_tokens").alias("bin_tokens"),
-        F.min("doc_id").alias("first_doc"),
-        F.max("doc_id").alias("last_doc"),
-    )
-
-
-@register(
-    "boilerplate_ngrams",
-    f"""
-    WITH w AS (SELECT list_filter(string_split_regex(lower(text), '{_WORD_SPLIT_SQL}'),
-                                  t -> len(t) > 0) AS w
-               FROM documents),
-    s AS (SELECT unnest(list_distinct(list_transform(generate_series(1, len(w) - 2),
-                        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS ngram
-          FROM w)
-    SELECT ngram, count(*)::BIGINT AS doc_freq
-    FROM s GROUP BY ngram HAVING count(*) >= 4
-    ORDER BY doc_freq DESC, ngram ASC LIMIT 100
-    """,
-    doc="Corpus-level boilerplate: 3-gram shingles shared by >= 4 docs, "
-    "top-100. Per-doc distinct happens inside the row (array_distinct) "
-    "BEFORE the explode+shuffle, bounding the shuffle at docs x distinct "
-    "shingles; TakeOrderedAndProject caps the output",
-)
-def q_boilerplate_ngrams(spark, sf_dir):
-    from ..operators import corpus as C
-
-    docs = ensure_parallelism(load(spark, sf_dir, "documents").select("text"))
-    return C.boilerplate_ngrams(docs, "text", k=3, min_doc_freq=4, top=100)
-
-
-def _dup_spans_sql() -> str:
-    from ..functions.hashing import hash64_sql
-
-    gram = hash64_sql("array_to_string(w[pos:pos+2], ' ')")
-    return f"""
-    WITH toks AS (
-      SELECT doc_id, list_filter(string_split_regex(lower(text), '{_WORD_SPLIT_SQL}'),
-                                 t -> len(t) > 0) AS w
-      FROM documents),
-    g AS (
-      SELECT doc_id, pos::BIGINT AS pos, {gram} AS h
-      FROM (SELECT doc_id, w,
-                   unnest(generate_series(1, greatest(len(w) - 2, 0))) AS pos
-            FROM toks)),
-    shared AS (SELECT h FROM g GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
-    d AS (SELECT doc_id, pos FROM g WHERE h IN (SELECT h FROM shared)),
-    flagged AS (
-      SELECT doc_id, pos,
-             CASE WHEN pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 2
-                  THEN 1 ELSE 0 END AS new_island
-      FROM d),
-    islands AS (
-      SELECT doc_id, pos,
-             sum(new_island) OVER (PARTITION BY doc_id ORDER BY pos) AS island
-      FROM flagged)
-    SELECT doc_id, min(pos)::BIGINT AS start_tok, (max(pos) + 2)::BIGINT AS end_tok,
-           count(*)::BIGINT AS n_gram_hits
-    FROM islands GROUP BY doc_id, island
-    """
-
-
-@register(
-    "cross_doc_dup_spans",
-    _dup_spans_sql(),
-    doc="Exact-substring dedup at token granularity (the span-strip stage "
-    "of LLM corpus pipelines): merged token intervals covered by 3-grams "
-    "shared across >= 2 distinct documents, per doc. Unlike the top-N "
-    "boilerplate path the shared-gram relation is UNBOUNDED and the "
-    "output is positional (strippable [start_tok, end_tok] spans via "
-    "gaps-and-islands). One (hash, doc, pos) shuffle + hash equi-join + "
-    "per-doc window over duplicated positions only — the shuffle-banded "
-    "stand-in for a suffix-array ExactSubstr global sort. md5 gram "
-    "hashes make every span value-reproducible in DuckDB",
-)
-def q_cross_doc_dup_spans(spark, sf_dir):
-    from ..operators import corpus as C
-
-    docs = ensure_parallelism(load(spark, sf_dir, "documents").select("doc_id", "text"))
-    return C.duplicate_spans(docs, "text", "doc_id", k=3, min_docs=2)
-
-
-def _dedup_keep_best_sql() -> str:
-    from ..functions.hashing import hash64_sql
-
-    norm = r"trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))"
-    return f"""
-    WITH e AS (SELECT doc_id, {hash64_sql(f"substr({norm}, 1, 120)")} AS fp,
-               {_TOKEN_COUNT_SQL} AS q
-               FROM documents)
-    SELECT fp, arg_max(doc_id, q * 4294967296 - doc_id)::BIGINT AS kept_doc,
-           max(q)::BIGINT AS kept_quality, count(*)::BIGINT AS n_members
-    FROM e GROUP BY fp HAVING count(*) >= 2
-    """
-
-
-@register(
-    "dedup_keep_best",
-    _dedup_keep_best_sql(),
-    doc="Prefix-fingerprint dedup (re-crawl family: same normalized 120-char "
-    "prefix, different trailing junk) keeping the BEST group member "
-    "(longest, ties -> lowest id) via a scalar-ranked max_by — one shuffle, "
-    "one partial-merge aggregate, no window. Complements "
-    "training_pipeline's keep-first full-fingerprint dedup",
-)
-def q_dedup_keep_best(spark, sf_dir):
-    from ..operators import corpus as C
-
-    docs = ensure_parallelism(load(spark, sf_dir, "documents").select("doc_id", "text"))
-    return C.keep_best_by_fingerprint(docs).where(F.col("n_members") >= 2)
-
-
-@register(
-    "decontaminate_ngrams",
-    f"""
-    WITH w AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '{_WORD_SPLIT_SQL}'),
-                                          t -> len(t) > 0) AS w
-               FROM documents),
-    g AS (SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(w) - 2),
-                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS ngram
-          FROM w),
-    e AS (SELECT DISTINCT ngram FROM g WHERE doc_id % 37 = 0)
-    SELECT g.doc_id::BIGINT AS doc_id, count(*)::BIGINT AS n_shared_ngrams
-    FROM g JOIN e USING (ngram)
-    WHERE g.doc_id % 37 <> 0
-    GROUP BY g.doc_id
-    """,
-    doc="Benchmark decontamination: training docs sharing any k-word "
-    "shingle with the held-out eval slice (doc_id % 37 = 0 stands in for "
-    "a benchmark set; real pipelines use k of 8-13, here k=3 so the "
-    "synthetic corpus overlaps). Eval grams are BROADCAST — the corpus "
-    "side is a map-only scan + broadcast-hash probe, no big-side shuffle",
-)
-def q_decontaminate_ngrams(spark, sf_dir):
-    from ..operators import corpus as C
-
-    docs = ensure_parallelism(load(spark, sf_dir, "documents").select("doc_id", "text"))
-    eval_docs = docs.where(F.col("doc_id") % 37 == 0)
-    train = docs.where(F.col("doc_id") % 37 != 0)
-    return C.ngram_contamination(train, eval_docs, k=3)
-
-
-@register(
-    "doc_repetition",
-    f"""
-    WITH w AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '{_WORD_SPLIT_SQL}'),
-                                          t -> len(t) > 0) AS w
-               FROM documents),
-    g AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 1),
-                 i -> w[i] || ' ' || w[i+1])) AS gram
-          FROM w),
-    c AS (SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY doc_id, gram)
-    SELECT doc_id::BIGINT AS doc_id,
-           sum(cnt)::BIGINT AS total_bigrams,
-           round(CAST(max(cnt) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE), 6) AS top_bigram_frac,
-           round(1.0 - CAST(count(*) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE), 6) AS dup_bigram_frac
-    FROM c GROUP BY doc_id
-    """,
-    doc="Intra-document repetition stats (Gopher-style quality filters): "
-    "per-doc duplicate-bigram and top-bigram fractions. The per-doc mode "
-    "is computed DISTRIBUTIVELY (explode + two-level agg with map-side "
-    "combine), never a per-row O(len^2) expression — a giant document "
-    "spreads across tasks instead of making one codegen straggler",
-)
-def q_doc_repetition(spark, sf_dir):
-    from ..operators import corpus as C
-
-    docs = ensure_parallelism(load(spark, sf_dir, "documents").select("doc_id", "text"))
-    return C.bigram_repetition_stats(docs)
-
-
-@register(
-    "boilerplate_strip",
-    f"""
-    WITH w AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '{_WORD_SPLIT_SQL}'),
-                                          t -> len(t) > 0) AS w
-               FROM documents),
-    g AS (SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(w) - 2),
-                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS ngram
-          FROM w),
-    b AS (SELECT ngram FROM (SELECT ngram, count(*) AS doc_freq FROM g
-                             GROUP BY ngram HAVING count(*) >= 4
-                             ORDER BY doc_freq DESC, ngram ASC LIMIT 100)),
-    s AS (SELECT g.doc_id, count(*) AS n_grams,
-                 sum(CASE WHEN b.ngram IS NOT NULL THEN 1 ELSE 0 END) AS n_boiler
-          FROM g LEFT JOIN b USING (ngram) GROUP BY g.doc_id)
-    SELECT doc_id::BIGINT AS doc_id, n_grams::BIGINT AS n_grams,
-           n_boiler::BIGINT AS n_boiler,
-           round(CAST(n_boiler AS DOUBLE) / CAST(n_grams AS DOUBLE), 6) AS boiler_frac
-    FROM s WHERE n_boiler > 0
-    """,
-    doc="End-to-end boilerplate cleaning: detect corpus-level boilerplate "
-    "grams (doc_freq >= 4, top-100) then score every document's "
-    "boilerplate fraction via a BROADCAST left join against the per-doc "
-    "distinct gram explode — the corpus never shuffles on the gram; "
-    "filter at boiler_frac to strip. Composes boilerplate_ngrams with "
-    "the decontamination probe shape",
-)
-def q_boilerplate_strip(spark, sf_dir):
-    from ..operators import corpus as C
-
-    docs = ensure_parallelism(load(spark, sf_dir, "documents").select("doc_id", "text"))
-    boiler = C.boilerplate_ngrams(docs, "text", k=3, min_doc_freq=4, top=100)
-    return C.boilerplate_doc_stats(docs, boiler, k=3).where(F.col("n_boiler") > 0)
-
-
-@register(
-    "docs_cap_per_lang",
-    """
-    SELECT lang, doc_id, n_chars FROM (
-      SELECT lang, doc_id, n_chars,
-             row_number() OVER (PARTITION BY lang
-                                ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS rk
-      FROM documents)
-    WHERE rk <= 40
-    """,
-    doc="Corpus balancing quota: keep at most 40 docs per language by "
-    "STABLE md5-hash rank (same survivors under any partitioning or "
-    "rerun — no RNG). One shuffle on the group key + per-partition "
-    "window rank; dominant-group skew is AQE-split, and the uniform "
-    "hash admits a map-only prefix pre-filter when k << group size",
-)
-def q_docs_cap_per_lang(spark, sf_dir):
-    from ..operators import corpus as C
-
-    docs = load(spark, sf_dir, "documents").select("lang", "doc_id", "n_chars")
-    return C.cap_per_group(docs, "lang", k=40)
-
-
-def _zorder_sql() -> str:
-    from ..functions.zorder import z_value_sql
-
-    # (((x % m) + m) % m) = Spark's F.pmod for any sign of x; bare DuckDB %
-    # follows the dividend's sign and would feed negative lanes into the
-    # bit interleave for pre-1970 timestamps or negative ids
-    z = z_value_sql(
-        "(((user_id % 65536) + 65536) % 65536)",
-        "((((floor(epoch(ts))::BIGINT // 60) % 65536) + 65536) % 65536)",
-        16,
-    )
-    return f"""
-    WITH z AS (SELECT user_id, (floor(epoch(ts))::BIGINT // 60) AS minute, {z} AS zval
-               FROM events)
-    SELECT (zval >> 24)::BIGINT AS z_bucket, count(*)::BIGINT AS cnt,
-           min(user_id)::BIGINT AS min_user, max(user_id)::BIGINT AS max_user,
-           min(minute)::BIGINT AS min_minute, max(minute)::BIGINT AS max_minute
-    FROM z GROUP BY 1
-    """
-
-
-@register(
-    "events_zorder_buckets",
-    _zorder_sql(),
-    doc="Z-order (Morton) layout key over (user_id, event minute): "
-    "interleaved bits give min/max file pruning on BOTH dimensions when "
-    "the table is range-written by zval — the lakehouse layout for "
-    "filter-on-either workloads. Pure codegen bit chain (no UDF), "
-    "deterministic, so the bucket ranges are value-oracled; the "
-    "min/max per bucket IS the pruning rectangle a writer would get",
-)
-def q_events_zorder_buckets(spark, sf_dir):
-    from ..functions.zorder import z_value
-
-    e = load(spark, sf_dir, "events").select(
-        "user_id",
-        (F.unix_timestamp("ts") / F.lit(60)).cast("long").alias("minute"),
-    )
-    z = z_value(
-        F.pmod(F.col("user_id"), F.lit(65536)),
-        F.pmod(F.col("minute"), F.lit(65536)),
-        16,
-    )
-    return (
-        e.withColumn("zval", z)
-        .groupBy(F.shiftright("zval", 24).cast("long").alias("z_bucket"))
-        .agg(
-            F.count(F.lit(1)).alias("cnt"),
-            F.min("user_id").alias("min_user"),
-            F.max("user_id").alias("max_user"),
-            F.min("minute").alias("min_minute"),
-            F.max("minute").alias("max_minute"),
-        )
-    )
-
-
-def _dataset_split_sql() -> str:
-    from ..operators.corpus import md5_bucket_sql
-
-    b = md5_bucket_sql("doc_id")
-    return f"""
-    SELECT doc_id::BIGINT AS doc_id, {b}::INT AS bucket,
-           CASE WHEN {b} < 244 THEN 'train'
-                WHEN {b} < 250 THEN 'val'
-                ELSE 'test' END AS split
-    FROM documents
-    """
-
-
-@register(
-    "dataset_split_md5",
-    _dataset_split_sql(),
-    doc="Deterministic train/val/test split from 256 md5-derived buckets "
-    "(~95/2.5/2.5). Content-hash bucketing keeps a row's split stable "
-    "under repartitioning, re-crawls, and incremental appends — no RNG, "
-    "no ordering dependence; md5 (not xxhash64) so any engine reproduces "
-    "the assignment. Map-only Column chain at any scale",
-)
-def q_dataset_split_md5(spark, sf_dir):
-    from ..operators import corpus as C
-
-    docs = load(spark, sf_dir, "documents").select("doc_id")
-    return C.hash_split(docs).select("doc_id", "bucket", "split")
-
-
-def _corpus_pipeline_full_sql() -> str:
-    from ..functions.hashing import hash64_sql
-    from ..operators.corpus import md5_bucket_sql
-
-    bucket = md5_bucket_sql("doc_id")
-    norm = r"trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))"
-    fp = hash64_sql(f"substr({norm}, 1, 120)")
-    return f"""
-    WITH w AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '{_WORD_SPLIT_SQL}'),
-                                          t -> len(t) > 0) AS w
-               FROM documents),
-    g AS (SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(w) - 2),
-                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS ngram
-          FROM w),
-    e AS (SELECT DISTINCT ngram FROM g WHERE doc_id % 37 = 0),
-    tr AS (SELECT doc_id, text, lang, n_chars FROM documents
-           WHERE {bucket} < 244 AND doc_id % 37 <> 0),
-    contaminated AS (SELECT DISTINCT g.doc_id FROM g JOIN e USING (ngram)
-                     JOIN tr ON g.doc_id = tr.doc_id),
-    clean AS (SELECT * FROM tr WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
-    f AS (SELECT doc_id, lang, n_chars, {fp} AS fp, {_TOKEN_COUNT_SQL} AS q FROM clean),
-    kept AS (SELECT arg_max(doc_id, q * 4294967296 - doc_id) AS doc_id
-             FROM f GROUP BY fp),
-    kd AS (SELECT f.* FROM f JOIN kept USING (doc_id)),
-    capped AS (SELECT * FROM (
-        SELECT kd.*, row_number() OVER (PARTITION BY lang
-            ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS rk
-        FROM kd) WHERE rk <= 40)
-    SELECT lang, count(*)::BIGINT AS n_docs, sum(q)::BIGINT AS total_tokens,
-           sum(n_chars)::BIGINT AS total_chars
-    FROM capped GROUP BY lang
-    """
-
-
-@register(
-    "corpus_pipeline_full",
-    _corpus_pipeline_full_sql(),
-    doc="Flagship end-to-end corpus preparation: md5 train split -> drop "
-    "the eval slice and every train doc sharing a 3-gram with it "
-    "(broadcast decontamination) -> keep-best prefix-fingerprint dedup "
-    "(one shuffle, scalar-ranked max_by) -> per-language quota cap "
-    "(stable hash rank) -> per-language token/char totals. Every stage "
-    "is deterministic, so the ENTIRE five-stage pipeline value-checks "
-    "against one SQL mirror — the composition a 100 TB training-data "
-    "job runs, with shuffles only on fp and lang (both post-filter)",
-)
-def q_corpus_pipeline_full(spark, sf_dir):
-    from ..operators import corpus as C
-
-    docs = ensure_parallelism(
-        load(spark, sf_dir, "documents").select("doc_id", "text", "lang", "n_chars")
-    )
-    eval_docs = docs.where(F.col("doc_id") % 37 == 0)
-    train = (
-        C.hash_split(docs)
-        .where(F.col("split") == "train")
-        .where(F.col("doc_id") % 37 != 0)
-        .drop("bucket", "split")
-    )
-    # clean is referenced twice (keep_best input + the semi-join left
-    # side) but needs no checkpoint: the repeated subtrees are identical,
-    # so Spark's ReusedExchange shares them (verified — an explicit
-    # localCheckpoint of the contaminated-id list measured no faster).
-    cont = C.ngram_contamination(train, eval_docs, k=3).select("doc_id")
-    clean = train.join(cont, "doc_id", "left_anti")
-    kept = C.keep_best_by_fingerprint(clean).select(
-        F.col("kept_doc").alias("doc_id")
-    )
-    clean_kept = clean.join(kept, "doc_id", "left_semi")
-    capped = C.cap_per_group(clean_kept, "lang", k=40)
-    return capped.groupBy("lang").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum(T.token_count(F.col("text"))).alias("total_tokens"),
-        F.sum("n_chars").alias("total_chars"),
-    )
-
-
-# ===========================================================================
-# 12. Analytic-join coverage + value-oracled sketches (round-4 widening)
-#
-# The reference is a word-count/log MapReduce engine; these queries cover the
-# classic warehouse join/subquery shapes (TPC-H Q2/Q13/Q14/Q16/Q18/Q22
-# patterns) plus index/sketch builds a training-data pipeline runs, each with
-# a DuckDB value oracle. Scalar subqueries use Spark 4's DataFrame subquery
-# API (``DataFrame.scalar()``) so they plan as a real ScalarSubquery — a
-# driver-broadcast single value, not a join — exactly like the SQL form.
-# (A constant-key equi-join was measured first: FoldablePropagation folds
-# the 1=1 condition away and degrades it to BroadcastNestedLoopJoin.)
-# ===========================================================================
-
-
-@register(
-    "order_counts_distribution",
-    """
-    SELECT c_count, count(*)::BIGINT AS custdist
-    FROM (
-      SELECT coalesce(n, 0)::BIGINT AS c_count
-      FROM customer LEFT JOIN (
-        SELECT o_custkey, count(*)::BIGINT AS n FROM orders GROUP BY o_custkey
-      ) oc ON c_custkey = o_custkey
-    )
-    GROUP BY c_count
-    """,
-    doc="TPC-H Q13 shape: customer order-count distribution via left outer "
-    "join + double aggregation. 100 TB shape: the fact side is "
-    "pre-aggregated to one row per custkey BEFORE the join, so the join "
-    "input is |customers|, not |orders|; second agg keys on the tiny "
-    "c_count domain (map-side combine collapses it almost entirely)",
-)
-def q_order_counts_distribution(spark, sf_dir):
-    c = load(spark, sf_dir, "customer").select("c_custkey")
-    oc = (
-        load(spark, sf_dir, "orders")
-        .groupBy("o_custkey")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
-    per = c.join(oc, c.c_custkey == oc.o_custkey, "left").select(
-        F.coalesce(F.col("n"), F.lit(0).cast("long")).alias("c_count")
-    )
-    return per.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
-
-
-@register(
-    "promo_revenue_share",
-    """
-    SELECT date_trunc('month', l_shipdate) AS ship_month,
-           CAST(sum(CASE WHEN p_type = 'PROMO'
-                    THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (1.00 - CAST(l_discount AS DECIMAL(4,2)))
-                    ELSE CAST(0.00 AS DECIMAL(12,2)) END) AS DOUBLE) AS promo_revenue,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1.00 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS total_revenue,
-           round(CAST(sum(CASE WHEN p_type = 'PROMO'
-                         THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (1.00 - CAST(l_discount AS DECIMAL(4,2)))
-                         ELSE CAST(0.00 AS DECIMAL(12,2)) END) AS DOUBLE)
-                 / CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1.00 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE),
-                 6) AS promo_share
-    FROM lineitem JOIN part ON p_partkey = l_partkey
-    GROUP BY 1
-    """,
-    doc="TPC-H Q14 shape: conditional-aggregation ratio (promo revenue "
-    "share per ship month). Dim broadcast, one fact shuffle on the month "
-    "key; both sums are exact DECIMAL (order-independent) cast to DOUBLE "
-    "only at the boundary, so the share divides two identical doubles on "
-    "both engines",
-)
-def q_promo_revenue_share(spark, sf_dir):
-    l = load(spark, sf_dir, "lineitem").select(
-        "l_partkey", "l_extendedprice", "l_discount", "l_shipdate"
-    )
-    p = load(spark, sf_dir, "part").select("p_partkey", "p_type")
-    one = F.lit("1.00").cast("decimal(4,2)")
-    zero = F.lit("0.00").cast("decimal(12,2)")
-    rev = _dec("l_extendedprice") * (one - _dec("l_discount", 4, 2))
-    agg = (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
-        .groupBy(F.date_trunc("month", F.col("l_shipdate")).alias("ship_month"))
-        .agg(
-            F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(zero)).alias("__p"),
-            F.sum(rev).alias("__t"),
-        )
-    )
-    return agg.select(
-        "ship_month",
-        F.col("__p").cast("double").alias("promo_revenue"),
-        F.col("__t").cast("double").alias("total_revenue"),
-        sql_round(
-            F.col("__p").cast("double") / F.col("__t").cast("double"), 6
-        ).alias("promo_share"),
-    )
-
-
-@register(
-    "supplier_cnt_by_brand",
-    """
-    SELECT p_brand, p_type, count(DISTINCT l_suppkey)::BIGINT AS supplier_cnt
-    FROM lineitem JOIN part ON p_partkey = l_partkey
-    WHERE p_size IN (1, 5, 9, 13, 17) AND p_brand <> 'Brand#1'
-      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 1000)
-    GROUP BY p_brand, p_type
-    """,
-    doc="TPC-H Q16 shape: distinct-count by attribute pair with a NOT-IN "
-    "exclusion subquery. NOT IN over non-null keys = broadcast left_anti "
-    "join (the null-safe rewrite Spark itself would plan); part filter "
-    "pushed to the dim scan before its broadcast; countDistinct expands "
-    "to the standard two-phase partial-distinct aggregate",
-)
-def q_supplier_cnt_by_brand(spark, sf_dir):
-    l = load(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
-    p = (
-        load(spark, sf_dir, "part")
-        .where(F.col("p_size").isin(1, 5, 9, 13, 17))
-        .where(F.col("p_brand") != "Brand#1")
-        .select("p_partkey", "p_brand", "p_type")
-    )
-    excl = (
-        load(spark, sf_dir, "supplier")
-        .where(F.col("s_acctbal") < 1000)
-        .select("s_suppkey")
-    )
-    j = l.join(F.broadcast(p), l.l_partkey == p.p_partkey).join(
-        F.broadcast(excl), l.l_suppkey == excl.s_suppkey, "left_anti"
-    )
-    return j.groupBy("p_brand", "p_type").agg(
-        F.countDistinct("l_suppkey").alias("supplier_cnt")
-    )
-
-
-@register(
-    "large_orders_topk",
-    """
-    SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, total_qty
-    FROM (
-      SELECT l_orderkey, sum(l_quantity) AS total_qty
-      FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 300
-    ) big
-    JOIN orders ON o_orderkey = big.l_orderkey
-    JOIN customer ON c_custkey = o_custkey
-    ORDER BY o_totalprice DESC, o_orderkey
-    LIMIT 10
-    """,
-    doc="TPC-H Q18 shape: HAVING-filtered aggregate semi-joined back "
-    "through orders to customers, deterministic top-k. 100 TB shape: the "
-    "per-order quantity aggregate runs FIRST (one shuffle with map-side "
-    "combine) and its >300 survivors are a tiny relation, broadcast to "
-    "orders — the classic agg-then-join inversion. quantities are "
-    "integral doubles, so the group sums are exact on both engines",
-)
-def q_large_orders_topk(spark, sf_dir):
-    big = (
-        load(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_quantity")
-        .groupBy("l_orderkey")
-        .agg(F.sum("l_quantity").alias("total_qty"))
-        .where(F.col("total_qty") > 300)
-    )
-    o = load(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
-    )
-    c = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
-    return (
-        o.join(F.broadcast(big), o.o_orderkey == big.l_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .select("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "total_qty")
-        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
-        .limit(10)
-    )
-
-
-@register(
-    "idle_rich_customers",
-    """
-    WITH ab AS (
-      SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_bal
-      FROM customer WHERE c_acctbal > 0.0
-    )
-    SELECT c_nationkey, count(*)::BIGINT AS numcust,
-           CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
-    FROM customer, ab
-    WHERE c_acctbal > ab.avg_bal
-      AND NOT EXISTS (SELECT 1 FROM orders
-                      WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
-    GROUP BY c_nationkey
-    """,
-    doc="TPC-H Q22 shape: scalar-subquery threshold (global positive-"
-    "balance average) + NOT EXISTS anti-join (customers with no urgent "
-    "order; every synthetic customer has SOME order, so the Q22 "
-    "'no orders at all' predicate would be vacuous — the urgent variant "
-    "keeps the anti-join selective). The average is exact-decimal-sum / "
-    "count in DOUBLE so the > threshold compares identical doubles; it "
-    "attaches via DataFrame.scalar() and plans as a true ScalarSubquery",
-)
-def q_idle_rich_customers(spark, sf_dir):
-    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey", "c_acctbal")
-    avg_bal = (
-        c.where(F.col("c_acctbal") > 0.0)
-        .agg((F.sum(_dec("c_acctbal")).cast("double") / F.count(F.lit(1))).alias("__avg"))
-    )
-    urgent = (
-        load(spark, sf_dir, "orders")
-        .where(F.col("o_orderpriority") == "1-URGENT")
-        .select("o_custkey")
-    )
-    rich = c.where(F.col("c_acctbal") > avg_bal.scalar())
-    idle = rich.join(urgent, rich.c_custkey == urgent.o_custkey, "left_anti")
-    return idle.groupBy("c_nationkey").agg(
-        F.count(F.lit(1)).alias("numcust"),
-        F.sum(_dec("c_acctbal")).cast("double").alias("totacctbal"),
-    )
-
-
-@register(
-    "cheapest_supplier_per_part",
-    """
-    WITH ps AS (
-      SELECT l_partkey, p_name, l_suppkey,
-             round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / count(*), 4) AS avg_price
-      FROM lineitem JOIN part ON p_partkey = l_partkey
-      WHERE p_size <= 3
-      GROUP BY l_partkey, p_name, l_suppkey
-    )
-    SELECT l_partkey AS p_partkey, p_name, l_suppkey AS best_suppkey, avg_price AS best_price
-    FROM (
-      SELECT *, row_number() OVER (PARTITION BY l_partkey
-                                   ORDER BY avg_price, l_suppkey) AS rk
-      FROM ps
-    ) WHERE rk = 1
-    """,
-    doc="TPC-H Q2 shape (min-cost supplier per part) re-expressed as a "
-    "window rank instead of a correlated MIN subquery — one pass, no "
-    "self-join. Part filter pushed before its broadcast; the per-"
-    "(part,supplier) average is exact-decimal-sum / count rounded to 4dp "
-    "BEFORE ranking so the rank order is engine-identical; suppkey "
-    "tiebreak makes rk=1 deterministic under price ties",
-)
-def q_cheapest_supplier_per_part(spark, sf_dir):
-    from pyspark.sql.window import Window
-
-    l = load(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey", "l_extendedprice")
-    p = load(spark, sf_dir, "part").where(F.col("p_size") <= 3).select("p_partkey", "p_name")
-    ps = (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
-        .groupBy("l_partkey", "p_name", "l_suppkey")
-        .agg(
-            sql_round(
-                F.sum(_dec("l_extendedprice")).cast("double") / F.count(F.lit(1)), 4
-            ).alias("avg_price")
-        )
-    )
-    w = Window.partitionBy("l_partkey").orderBy(F.asc("avg_price"), F.asc("l_suppkey"))
-    return (
-        ps.withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") == 1)
-        .select(
-            F.col("l_partkey").alias("p_partkey"),
-            "p_name",
-            F.col("l_suppkey").alias("best_suppkey"),
-            F.col("avg_price").alias("best_price"),
-        )
-    )
-
-_CM_W = 512  # CountMin width (buckets per row)
-_CM_D = 3  # CountMin depth (hash rows)
-
-
-def _cm_buckets(word_col):
-    """(rix, bucket) structs for the d CountMin rows of one token.
-
-    Bucket = md5-derived 60-bit hash of 'cm{r}|token' mod width — fully
-    deterministic and reproducible in the SQL oracle (functions/hashing
-    docstring). explode_outer per module convention (no inferred
-    size()>0 pushdown re-evaluating the hash chain; the array is a
-    constant-size literal so nulls are impossible anyway).
-    """
-    from ..functions.hashing import hash64
-
-    return F.array(
-        *[
-            F.struct(
-                F.lit(r).alias("rix"),
-                F.pmod(
-                    hash64(F.concat(F.lit(f"cm{r}|"), word_col)), F.lit(_CM_W)
-                ).alias("bucket"),
-            )
-            for r in range(_CM_D)
-        ]
-    )
-
-
-def _cm_bucket_sql(r: int, word_expr: str) -> str:
-    from ..functions.hashing import hash64_sql
-
-    inner = "'cm" + str(r) + "|' || " + word_expr
-    return f"({hash64_sql(inner)} % {_CM_W})"
-
-
-def _countmin_sql() -> str:
-    rb_rows = " UNION ALL ".join(
-        f"SELECT word, {r} AS rix, {_cm_bucket_sql(r, 'word')} AS bucket FROM w"
-        for r in range(_CM_D)
-    )
-    return f"""
-    WITH w AS (
-      SELECT word FROM (
-        SELECT unnest(string_split_regex(lower(text), '{_WORD_SPLIT_SQL}')) AS word
-        FROM documents
-        WHERE NOT regexp_matches(text, '[0-9]')
-      ) WHERE word <> '' AND NOT regexp_matches(word, '^[0-9]+$')
-    ),
-    rb AS ({rb_rows}),
-    sketch AS (SELECT rix, bucket, count(*)::BIGINT AS c FROM rb GROUP BY rix, bucket),
-    exact AS (SELECT word, count(*)::BIGINT AS exact_cnt FROM w GROUP BY word),
-    probes AS (SELECT word, exact_cnt FROM exact WHERE exact_cnt >= 50),
-    pb AS (SELECT p.word, p.exact_cnt, r.r AS rix,
-                  CASE r.r {' '.join(f"WHEN {r} THEN {_cm_bucket_sql(r, 'p.word')}" for r in range(_CM_D))} END AS bucket
-           FROM probes p, range({_CM_D}) r(r))
-    SELECT pb.word, pb.exact_cnt, min(s.c)::BIGINT AS cm_estimate
-    FROM pb JOIN sketch s ON s.rix = pb.rix AND s.bucket = pb.bucket
-    GROUP BY pb.word, pb.exact_cnt
-    """
-
-
-@register(
-    "countmin_tokens",
-    _countmin_sql(),
-    doc="CountMin frequency sketch with a FULL value oracle: the sketch "
-    "uses frozen md5-derived hash rows (d=3, w=512), so unlike RNG-seeded "
-    "sketches the whole build + point-query path is deterministic and "
-    "DuckDB reproduces it bit-for-bit. Probes are the tokens whose exact "
-    "count >= 50 (a deterministic set), output (word, exact_cnt, "
-    "cm_estimate) — the one-sided overestimate guarantee is also pinned "
-    "in tests. 100 TB shape: the sketch is ONE groupBy over (rix,bucket) "
-    "with map-side combine onto a bounded d*w=1536-cell relation — the "
-    "distributive-merge property that makes CountMin the scan-once "
-    "answer when the key domain itself is shuffle-prohibitive; the tiny "
-    "sketch then broadcasts to the probe side",
-)
-def q_countmin_tokens(spark, sf_dir):
-    docs = ensure_parallelism(
-        load(spark, sf_dir, "documents").select("text"),
-        skip_below_bytes=_CHEAP_PIPE_BYTES,
-    )
-    words = T.explode_words(T.drop_digit_lines(docs, "text"), "text")
-    rb = (
-        words.select(F.explode_outer(_cm_buckets(F.col("word"))).alias("rb"))
-        .select("rb.rix", "rb.bucket")
-    )
-    sketch = rb.groupBy("rix", "bucket").agg(F.count(F.lit(1)).alias("c"))
-    exact = words.groupBy("word").agg(F.count(F.lit(1)).alias("exact_cnt"))
-    probes = exact.where(F.col("exact_cnt") >= 50)
-    pb = (
-        probes.select(
-            "word", "exact_cnt", F.explode_outer(_cm_buckets(F.col("word"))).alias("rb")
-        )
-        .select("word", "exact_cnt", "rb.rix", "rb.bucket")
-    )
-    est = pb.join(F.broadcast(sketch), ["rix", "bucket"])
-    return est.groupBy("word", "exact_cnt").agg(F.min("c").alias("cm_estimate"))
-
-
-@register(
-    "tfidf_top_terms",
-    f"""
-    WITH tok AS (
-      SELECT doc_id, word FROM (
-        SELECT doc_id, unnest(string_split_regex(lower(text), '{_WORD_SPLIT_SQL}')) AS word
-        FROM documents
-      ) WHERE word <> '' AND NOT regexp_matches(word, '^[0-9]+$')
-    ),
-    dfx AS (SELECT word, count(*)::BIGINT AS df
-            FROM (SELECT DISTINCT doc_id, word FROM tok) GROUP BY word),
-    nn AS (SELECT count(*)::BIGINT AS n FROM documents),
-    tf AS (SELECT doc_id, word, count(*)::BIGINT AS tf
-           FROM tok WHERE doc_id % 97 = 0 GROUP BY doc_id, word),
-    scored AS (
-      SELECT tf.doc_id, tf.word, tf.tf, dfx.df,
-             round(tf.tf * ln(CAST(nn.n AS DOUBLE) / dfx.df), 6) AS tfidf
-      FROM tf JOIN dfx USING (word), nn
-    )
-    SELECT doc_id, word, tf, df, tfidf FROM (
-      SELECT *, row_number() OVER (PARTITION BY doc_id
-                                   ORDER BY tfidf DESC, word) AS rk
-      FROM scored
-    ) WHERE rk <= 3
-    """,
-    doc="TF-IDF term weighting: top-3 terms per probe doc by "
-    "tf * ln(N/df). 100 TB shape: df is ONE distinct-then-count shuffle "
-    "over (doc,word) pairs for the whole corpus (unavoidable — it IS the "
-    "statistic), then broadcasts to the tf side, which is computed only "
-    "for the probe docs (filter pushed to the scan); the corpus count "
-    "attaches via DataFrame.scalar() (a true ScalarSubquery). round(6) "
-    "BEFORE ranking absorbs ln() last-ulp differences so the rank order "
-    "is engine-identical, with the word tiebreak pinning ties",
-)
-def q_tfidf_top_terms(spark, sf_dir):
-    from pyspark.sql.window import Window
-
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-    tok = (
-        docs.select("doc_id", F.explode_outer(T.words(F.col("text"))).alias("word"))
-        .where(F.length("word") > 0)
-        .where(~F.col("word").rlike("^[0-9]+$"))
-    )
-    df_tbl = (
-        tok.select("doc_id", "word").distinct()
-        .groupBy("word")
-        .agg(F.count(F.lit(1)).alias("df"))
-    )
-    n = docs.agg(F.count(F.lit(1)).alias("__n"))
-    tf = (
-        tok.where(F.col("doc_id") % 97 == 0)
-        .groupBy("doc_id", "word")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    scored = tf.join(F.broadcast(df_tbl), "word").select(
-        "doc_id",
-        "word",
-        "tf",
-        "df",
-        sql_round(
-            F.col("tf") * F.log(n.scalar().cast("double") / F.col("df")), 6
-        ).alias("tfidf"),
-    )
-    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("word"))
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") <= 3)
-        .select("doc_id", "word", "tf", "df", "tfidf")
-    )
-
-
-@register(
-    "bigram_inverted_index",
-    f"""
-    WITH w AS (
-      SELECT doc_id,
-             list_filter(string_split_regex(lower(text), '{_WORD_SPLIT_SQL}'),
-                         t -> len(t) > 0) AS w
-      FROM documents
-    ),
-    bg AS (
-      SELECT doc_id,
-             unnest(list_distinct(list_transform(generate_series(1, len(w) - 1),
-                                                 i -> w[i] || ' ' || w[i+1]))) AS bigram
-      FROM w
-    ),
-    dfx AS (SELECT bigram, count(*)::BIGINT AS df
-            FROM bg GROUP BY bigram HAVING count(*) <= 5)
-    SELECT bg.bigram, dfx.df,
-           string_agg(CAST(bg.doc_id AS VARCHAR), ',' ORDER BY bg.doc_id) AS postings
-    FROM bg JOIN dfx USING (bigram)
-    GROUP BY bg.bigram, dfx.df
-    """,
-    doc="Inverted-index build over word bigrams, banded to rare grams "
-    "(df <= 5): token -> sorted posting list, the retrieval structure a "
-    "corpus search/decontamination service materializes. 100 TB shape: "
-    "TWO-PASS on purpose — df counts first (one shuffle, map-side "
-    "combine), then only the surviving rare grams aggregate posting "
-    "lists, so no collect_list ever runs on a stopword-gram key (the "
-    "unbounded-posting-list OOM at scale); the df band relation "
-    "broadcasts, and the gram relation is localCheckpoint'd so both "
-    "passes share ONE tokenize (measured at 20x corpus, "
-    "tools/measure_index_twopass.py: 0.7 vs 20.9 MB shuffle AND 1.1 vs "
-    "5.2 s wall against the one-pass form — without the checkpoint the "
-    "double tokenize costs 10.8 s). Postings serialize as a sorted CSV "
-    "string so the value oracle compares engine-neutral scalars",
-)
-def q_bigram_inverted_index(spark, sf_dir):
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-    bg = (
-        T.with_word_shingles(docs, "text", 2)
-        .select("doc_id", F.explode_outer("shingles").alias("bigram"))
-        .where(F.col("bigram").isNotNull())
-        .localCheckpoint(eager=False)
-    )
-    dfx = (
-        bg.groupBy("bigram")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .where(F.col("df") <= 5)
-    )
-    return (
-        bg.join(F.broadcast(dfx), "bigram")
-        .groupBy("bigram", "df")
-        .agg(
-            F.concat_ws(
-                ",",
-                F.transform(
-                    F.sort_array(F.collect_list("doc_id")), lambda x: x.cast("string")
-                ),
-            ).alias("postings")
-        )
-    )
-
-
-@register(
-    "events_sliding_peak",
-    """
-    SELECT event_type,
-           max(h_sum) AS peak_hour_value,
-           max(h_n)::BIGINT AS peak_hour_events,
-           count(*)::BIGINT AS n_events
-    FROM (
-      SELECT event_type,
-             CAST(sum(CAST(value AS DECIMAL(12,2))) OVER w AS DOUBLE) AS h_sum,
-             count(*) OVER w AS h_n
-      FROM events
-      WINDOW w AS (PARTITION BY event_type ORDER BY epoch_us(ts)
-                   RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
-    )
-    GROUP BY event_type
-    """,
-    doc="Sliding event-time window via a RANGE frame: per event, the "
-    "trailing-1-hour value sum and row count; reduced to the per-type "
-    "peak (the load-spike profile). RANGE (not ROWS) so timestamp ties "
-    "are peers on both engines — frames keyed on integer epoch_us make "
-    "Spark's rangeBetween and DuckDB's RANGE BETWEEN identical; frame "
-    "sums are exact DECIMAL. One shuffle on event_type, sort within "
-    "partitions — no per-row self-join, the scale-correct sliding form",
-)
-def q_events_sliding_peak(spark, sf_dir):
-    from pyspark.sql.window import Window
-
-    e = load(spark, sf_dir, "events").select("event_type", "ts", "value")
-    w = (
-        Window.partitionBy("event_type")
-        .orderBy(F.unix_micros(F.col("ts")))
-        .rangeBetween(-3_600_000_000, 0)
-    )
-    sl = e.select(
-        "event_type",
-        F.sum(_dec("value")).over(w).cast("double").alias("h_sum"),
-        F.count(F.lit(1)).over(w).alias("h_n"),
-    )
-    return sl.groupBy("event_type").agg(
-        F.max("h_sum").alias("peak_hour_value"),
-        F.max("h_n").alias("peak_hour_events"),
-        F.count(F.lit(1)).alias("n_events"),
-    )
-
-
-@register(
-    "both_priority_customers",
-    """
-    SELECT c_nationkey, count(*)::BIGINT AS cnt
-    FROM customer
-    WHERE c_custkey IN (
-      SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
-      INTERSECT
-      SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
-    )
-    GROUP BY c_nationkey
-    """,
-    doc="Set ops (INTERSECT) + semi join: customers with BOTH an urgent "
-    "and a low order, per nation — the intersect twin of "
-    "urgent_only_customers (EXCEPT). Spark plans intersect as a "
-    "distinct left-semi join pair; both branches prune to one column "
-    "before the shuffle",
-)
-def q_both_priority_customers(spark, sf_dir):
-    c = load(spark, sf_dir, "customer")
-    o = load(spark, sf_dir, "orders")
-    urgent = o.where(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
-    low = o.where(F.col("o_orderpriority") == "5-LOW").select("o_custkey")
-    keys = urgent.intersect(low)  # INTERSECT DISTINCT
-    return (
-        c.join(keys, c.c_custkey == keys.o_custkey, "left_semi")
-        .groupBy("c_nationkey")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
-
-
-@register(
-    "events_outlier_rate",
-    """
-    WITH st AS (
-      SELECT event_type,
-             count(*)::BIGINT AS n,
-             CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS s,
-             CAST(sum(CAST(value AS DECIMAL(12,2)) * CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS ss
-      FROM events GROUP BY event_type
-    ),
-    thr AS (
-      SELECT event_type, n,
-             s / n AS mu,
-             sqrt(greatest(ss / n - (s / n) * (s / n), 0.0)) AS sigma
-      FROM st
-    )
-    SELECT e.event_type,
-           thr.n,
-           sum(CASE WHEN abs(e.value - thr.mu) > 3.0 * thr.sigma THEN 1 ELSE 0 END)::BIGINT AS n_outliers,
-           round(sum(CASE WHEN abs(e.value - thr.mu) > 3.0 * thr.sigma THEN 1 ELSE 0 END)
-                 / CAST(thr.n AS DOUBLE), 6) AS outlier_rate
-    FROM events e JOIN thr USING (event_type)
-    GROUP BY e.event_type, thr.n
-    """,
-    doc="Two-pass z-score outlier detection per group: pass 1 computes "
-    "exact moments (count, decimal sum, decimal sum-of-squares -> mu and "
-    "sigma as doubles derived ONLY from exact sums, so both engines get "
-    "bit-identical thresholds; sqrt is IEEE-correctly-rounded, unlike "
-    "ln), pass 2 re-scans with the per-group thresholds BROADCAST — the "
-    "scale-correct filter shape: no window over the fact table, the "
-    "second pass is map-only against a |groups|-row relation. The "
-    "quality-filtering primitive for throwing out corrupt metric rows "
-    "before training aggregation",
-)
-def q_events_outlier_rate(spark, sf_dir):
-    e = load(spark, sf_dir, "events").select("event_type", "value")
-    v = _dec("value")
-    st = e.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(v).cast("double").alias("s"),
-        F.sum(v * v).cast("double").alias("ss"),
-    )
-    mu = F.col("s") / F.col("n")
-    sigma = F.sqrt(F.greatest(F.col("ss") / F.col("n") - mu * mu, F.lit(0.0)))
-    thr = st.select("event_type", "n", mu.alias("mu"), sigma.alias("sigma"))
-    j = e.join(F.broadcast(thr), "event_type")
-    is_out = (F.abs(F.col("value") - F.col("mu")) > 3.0 * F.col("sigma")).cast("int")
-    return j.groupBy("event_type", "n").agg(
-        F.sum(is_out).cast("long").alias("n_outliers"),
-        sql_round(F.sum(is_out) / F.col("n").cast("double"), 6).alias("outlier_rate"),
-    )
-
-
-@register(
-    "events_daily_unpivot",
-    """
-    WITH d AS (
-      SELECT CAST(ts AS DATE) AS day,
-             CAST(count(*) AS DOUBLE) AS cnt,
-             CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
-      FROM events GROUP BY 1
-    )
-    SELECT day, 'cnt' AS metric, cnt AS val FROM d
-    UNION ALL
-    SELECT day, 'total_value' AS metric, total_value AS val FROM d
-    """,
-    doc="Unpivot/melt (the inverse of events_daily_pivot): the daily "
-    "wide aggregate relayed long via DataFrame.unpivot — the "
-    "metrics-table normalization step. Map-only expand over an "
-    "already-tiny aggregate; oracle mirrors it as UNION ALL (what "
-    "Expand generates)",
-)
-def q_events_daily_unpivot(spark, sf_dir):
-    e = load(spark, sf_dir, "events")
-    daily = e.groupBy(F.to_date("ts").alias("day")).agg(
-        F.count(F.lit(1)).cast("double").alias("cnt"),
-        F.sum(_dec("value")).cast("double").alias("total_value"),
-    )
-    return daily.unpivot(["day"], ["cnt", "total_value"], "metric", "val")
-
-
-def _promo_share_sampled_oracle() -> str:
-    from ..sampling.deterministic import hash_bernoulli_sql
-
-    keep = hash_bernoulli_sql(
-        "l_orderkey::VARCHAR || '-' || l_linenumber::VARCHAR", 0.1, seed=42
-    )
-    rev = "CAST(l_extendedprice AS DECIMAL(12,2)) * (1.00 - CAST(l_discount AS DECIMAL(4,2)))"
-    promo = f"CASE WHEN p_type = 'PROMO' THEN {rev} ELSE CAST(0.00 AS DECIMAL(12,2)) END"
-    return f"""
-    SELECT date_trunc('month', l_shipdate) AS ship_month,
-           count(*)::BIGINT AS n_sampled,
-           round(CAST(sum({promo}) AS DOUBLE) / CAST(sum({rev}) AS DOUBLE), 6) AS est_promo_share
-    FROM lineitem JOIN part ON p_partkey = l_partkey
-    WHERE {keep}
-    GROUP BY 1
-    """
-
-
-@register(
-    "promo_share_hash_sampled",
-    _promo_share_sampled_oracle(),
-    doc="The reference's sample->estimate core applied to the Q14 analytic "
-    "shape: promo revenue share per ship month from a hash-deterministic "
-    "10% sample. The share is a RATIO of two HT sums over the same "
-    "sample, so the 1/r scale-up cancels and the estimate is exactly the "
-    "sampled ratio — value-oracled end to end (sample membership, "
-    "decimal sums, one double division). At 100 TB the sample filter "
-    "lands inside the fact scan, cutting the join+agg input 10x while "
-    "the broadcast dim side is untouched",
-    tags=("sampled",),
-)
-def q_promo_share_hash_sampled(spark, sf_dir):
-    from ..sampling.deterministic import hash_bernoulli
-
-    l = load(spark, sf_dir, "lineitem").withColumn(
-        "__k", F.concat_ws("-", F.col("l_orderkey"), F.col("l_linenumber"))
-    )
-    sampled = hash_bernoulli(l, "__k", 0.1, seed=42)
-    p = load(spark, sf_dir, "part").select("p_partkey", "p_type")
-    one = F.lit("1.00").cast("decimal(4,2)")
-    zero = F.lit("0.00").cast("decimal(12,2)")
-    rev = _dec("l_extendedprice") * (one - _dec("l_discount", 4, 2))
-    return (
-        sampled.join(F.broadcast(p), sampled.l_partkey == p.p_partkey)
-        .groupBy(F.date_trunc("month", F.col("l_shipdate")).alias("ship_month"))
-        .agg(
-            F.count(F.lit(1)).alias("n_sampled"),
-            sql_round(
-                F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(zero)).cast("double")
-                / F.sum(rev).cast("double"),
-                6,
-            ).alias("est_promo_share"),
-        )
-    )
-
-
-def _histogram_sampled_oracle() -> str:
-    from ..sampling.deterministic import hash_bernoulli_sql
-
-    keep = hash_bernoulli_sql("event_id::VARCHAR", 0.1, seed=42)
-    return f"""
-    SELECT least(greatest(CAST(floor(value / 25.0) AS INTEGER), 0), 19) AS bucket,
-           count(*)::BIGINT AS n_sampled,
-           CAST(count(*) AS DOUBLE) / 0.1 AS est_cnt,
-           CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / 0.1 AS est_total_value
-    FROM events
-    WHERE {keep}
-    GROUP BY 1
-    """
-
-
-@register(
-    "events_histogram_hash_sampled",
-    _histogram_sampled_oracle(),
-    doc="HT-scaled equi-width histogram from a hash-deterministic 10% "
-    "sample — the profile-cheaply-before-the-full-pass pattern (A1+A6 on "
-    "the histogram shape). est_cnt = n/r and est_total = decimal-sum/r, "
-    "both exact doubles; the deterministic twin keeps the whole "
-    "sample->bucket->scale path value-oracled",
-    tags=("sampled",),
-)
-def q_events_histogram_hash_sampled(spark, sf_dir):
-    from ..sampling.deterministic import hash_bernoulli
-
-    e = load(spark, sf_dir, "events").select("event_id", "value")
-    sampled = hash_bernoulli(
-        e.withColumn("__k", F.col("event_id").cast("string")), "__k", 0.1, seed=42
-    )
-    bucket = F.least(
-        F.greatest(F.floor(F.col("value") / F.lit(25.0)).cast("int"), F.lit(0)),
-        F.lit(19),
-    )
-    return sampled.groupBy(bucket.alias("bucket")).agg(
-        F.count(F.lit(1)).alias("n_sampled"),
-        (F.count(F.lit(1)).cast("double") / F.lit(0.1)).alias("est_cnt"),
-        (F.sum(_dec("value")).cast("double") / F.lit(0.1)).alias("est_total_value"),
-    )
-
-
-def _doc_chunking_sql() -> str:
-    from ..operators.corpus import chunk_documents_sql
-
-    return chunk_documents_sql(chunk_tokens=64, stride=48, word_split_re=_WORD_SPLIT_SQL)
-
-
-@register(
-    "doc_chunking",
-    _doc_chunking_sql(),
-    doc="Context-window preparation: strided 64-token windows (stride 48, "
-    "16-token overlap) per document — the step between corpus cleaning "
-    "and sequence_packing in a pretraining pipeline. Map-only: tokenize "
-    "once per row (CSE discipline), one generator explode, ZERO "
-    "shuffles; value-oracled window-for-window including chunk text",
-)
-def q_doc_chunking(spark, sf_dir):
-    from ..operators.corpus import chunk_documents
-
-    docs = ensure_parallelism(
-        load(spark, sf_dir, "documents").select("doc_id", "text"),
-        skip_below_bytes=_CHEAP_PIPE_BYTES,
-    )
-    return chunk_documents(docs, chunk_tokens=64, stride=48)
-
-
-@register(
-    "events_value_histogram",
-    """
-    SELECT least(greatest(CAST(floor(value / 25.0) AS INTEGER), 0), 19) AS bucket,
-           count(*)::BIGINT AS cnt,
-           CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
-    FROM events
-    GROUP BY 1
-    """,
-    doc="Equi-width histogram (20 x 25-unit buckets, clamped ends) over "
-    "the event value column — the profiling primitive behind range "
-    "pruning and skew diagnosis. Map-only bucket expression + one "
-    "20-key aggregate; floor of an IEEE division is engine-identical, "
-    "bucket sums use the exact-decimal discipline",
-)
-def q_events_value_histogram(spark, sf_dir):
-    e = load(spark, sf_dir, "events").select("value")
-    bucket = F.least(
-        F.greatest(F.floor(F.col("value") / F.lit(25.0)).cast("int"), F.lit(0)),
-        F.lit(19),
-    )
-    return e.groupBy(bucket.alias("bucket")).agg(
-        F.count(F.lit(1)).alias("cnt"),
-        F.sum(_dec("value")).cast("double").alias("total_value"),
-    )
-
-
-# ===========================================================================
-# Round-4 second widening batch: deterministic sketches, time-series
-# spine/gap-fill, SCD2 dimension builds, single-pass profiling, frozen-
-# weight model scoring, the remaining hard TPC-H decorrelation shapes
-# (Q15/Q17/Q7), and the JSONL source round trip. All value-oracled.
-# ===========================================================================
-
-
-def _kmv_users_sql() -> str:
-    from ..operators.sketches import kmv_distinct_sql
-
-    return kmv_distinct_sql("events", "strftime(ts, '%Y-%m-%d')", "day", "user_id::VARCHAR", k=64)
-
-
-@register(
-    "kmv_users_daily",
-    _kmv_users_sql(),
-    doc="KMV (k-minimum-values) distinct-count sketch, the deterministic "
-    "value-oracled counterpart of hll_users_daily: every hash is the "
-    "frozen md5-derived hash64, so the whole build + (k-1)/U_(k) "
-    "estimate path reproduces bit-for-bit in DuckDB (same discipline as "
-    "countmin_tokens). k=64 (~13% SE) with the testdata's 125-141 "
-    "distinct users/day keeps the estimator branch — not the exact "
-    "fallback — under test. 100 TB shape: one map-side-deduped distinct "
-    "shuffle, then a TWO-STAGE salted top-k (salt = h % fanout) so a hot "
-    "group sorts fanout-wide and the final per-group pass sees at most "
-    "fanout*k rows; hash-disjoint salts need no cross-shard dedup "
-    "(operators/sketches.py docstring)",
-)
-def q_kmv_users_daily(spark, sf_dir):
-    from ..operators.sketches import kmv_distinct
-
-    ev = load(spark, sf_dir, "events").select(
-        F.date_format("ts", "yyyy-MM-dd").alias("day"), "user_id"
-    )
-    return kmv_distinct(ev, ["day"], F.col("user_id").cast("string"), k=64, fanout=8)
-
-
-@register(
-    "events_gapfill_hourly",
-    """
-    WITH e AS (
-      SELECT date_trunc('hour', ts) AS hour, value
-      FROM events WHERE event_type = 'purchase' AND value >= 150.0
-    ),
-    counts AS (
-      SELECT hour, count(*)::BIGINT AS cnt,
-             CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
-      FROM e GROUP BY hour
-    ),
-    spine AS (
-      SELECT unnest(generate_series((SELECT min(hour) FROM e),
-                                    (SELECT max(hour) FROM e),
-                                    INTERVAL 1 HOUR)) AS hour
-    )
-    SELECT s.hour, coalesce(c.cnt, 0)::BIGINT AS cnt,
-           coalesce(c.total_value, 0.0) AS total_value
-    FROM spine s LEFT JOIN counts c ON s.hour = c.hour
-    """,
-    doc="Time-series gap fill: a generated hour spine (sequence + explode "
-    "between the observed min/max) left-joined to the sparse hourly "
-    "aggregate, zero-filling the 642 of 720 hours with no qualifying "
-    "event — the resample/asfreq primitive every monitoring pipeline "
-    "needs before windowed math. 100 TB shape: the spine is bounded by "
-    "the TIME RANGE (not the data volume) and is generated from a 1-row "
-    "scalar agg, so the only full-data cost is the one filtered groupBy; "
-    "the join is dimension-sized regardless of input scale",
-)
-def q_events_gapfill_hourly(spark, sf_dir):
-    e = (
-        load(spark, sf_dir, "events")
-        .where((F.col("event_type") == "purchase") & (F.col("value") >= 150.0))
-        .select(F.date_trunc("hour", F.col("ts")).alias("hour"), "value")
-    )
-    counts = e.groupBy("hour").agg(
-        F.count(F.lit(1)).alias("cnt"),
-        F.sum(_dec("value")).cast("double").alias("total_value"),
-    )
-    spine = (
-        e.agg(F.min("hour").alias("lo"), F.max("hour").alias("hi"))
-        .select(F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("hour"))
-    )
-    return spine.join(counts, "hour", "left").select(
-        "hour",
-        F.coalesce("cnt", F.lit(0)).alias("cnt"),
-        F.coalesce("total_value", F.lit(0.0)).alias("total_value"),
-    )
-
-
-@register(
-    "user_state_scd2",
-    """
-    WITH ordered AS (
-      SELECT user_id, event_type, ts,
-             lag(event_type) OVER w AS prev_type
-      FROM events
-      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-    ),
-    flagged AS (
-      SELECT user_id, event_type, ts,
-             sum(CASE WHEN prev_type IS NULL OR prev_type <> event_type
-                      THEN 1 ELSE 0 END)
-               OVER (PARTITION BY user_id ORDER BY ts
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
-      FROM ordered
-    ),
-    versions AS (
-      SELECT user_id, island, event_type,
-             min(ts) AS valid_from, count(*)::BIGINT AS n_events
-      FROM flagged GROUP BY user_id, island, event_type
-    )
-    SELECT user_id, event_type, valid_from,
-           lead(valid_from) OVER (PARTITION BY user_id ORDER BY island) AS valid_to,
-           lead(valid_from) OVER (PARTITION BY user_id ORDER BY island) IS NULL AS is_current,
-           n_events
-    FROM versions
-    """,
-    doc="SCD2 (slowly-changing-dimension type 2) build: per-user "
-    "event_type runs collapse gaps-and-islands-style into versioned "
-    "rows (valid_from, valid_to, is_current), valid_to = next version's "
-    "valid_from (half-open intervals, warehouse convention). "
-    "Deterministic under ties via the (ts, event_id) total order. 100 TB "
-    "shape: every window and the groupBy partition on the SAME user_id "
-    "key, and Catalyst reuses that one exchange end-to-end (plan-audited "
-    "exch=1); sorts are spillable; no self-join, no driver state. The "
-    "dimension-history twin of customer_upsert's current-state merge",
-)
-def q_user_state_scd2(spark, sf_dir):
-    from pyspark.sql.window import Window
-
-    ev = load(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
-    w_ord = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    flagged = (
-        ev.withColumn("__prev", F.lag("event_type").over(w_ord))
-        .withColumn(
-            "__new",
-            F.when(F.col("__prev").isNull() | (F.col("__prev") != F.col("event_type")), 1).otherwise(0),
-        )
-        .withColumn("__island", F.sum("__new").over(w_ord))
-    )
-    versions = flagged.groupBy("user_id", "__island", "event_type").agg(
-        F.min("ts").alias("valid_from"), F.count(F.lit(1)).alias("n_events")
-    )
-    w_isl = Window.partitionBy("user_id").orderBy("__island")
-    lead_from = F.lead("valid_from").over(w_isl)
-    return versions.select(
-        "user_id",
-        "event_type",
-        "valid_from",
-        lead_from.alias("valid_to"),
-        lead_from.isNull().alias("is_current"),
-        "n_events",
-    )
-
-
-# (column, kind) config for the single-pass profiler; kinds drive which
-# min/max metrics exist and how values coerce to the uniform DOUBLE axis
-_PROFILE_COLS = [
-    ("o_orderkey", "num"),
-    ("o_custkey", "num"),
-    ("o_orderstatus", "str"),
-    ("o_totalprice", "num"),
-    ("o_orderdate", "ts"),
-    ("o_orderpriority", "str"),
-]
-
-
-def _profile_sql() -> str:
-    aggs, arms = [], []
-    for c, kind in _PROFILE_COLS:
-        aggs.append(f"count(*) FILTER (WHERE {c} IS NULL)::BIGINT AS {c}__nulls")
-        aggs.append(f"count(DISTINCT {c})::BIGINT AS {c}__nd")
-        arms.append((c, "null_count", f"{c}__nulls"))
-        arms.append((c, "distinct_count", f"{c}__nd"))
-        if kind == "num":
-            aggs.append(f"CAST(min({c}) AS DOUBLE) AS {c}__min")
-            aggs.append(f"CAST(max({c}) AS DOUBLE) AS {c}__max")
-            arms.append((c, "min", f"{c}__min"))
-            arms.append((c, "max", f"{c}__max"))
-        elif kind == "ts":
-            aggs.append(f"epoch_us(min({c}))::BIGINT AS {c}__min")
-            aggs.append(f"epoch_us(max({c}))::BIGINT AS {c}__max")
-            arms.append((c, "min_epoch_us", f"{c}__min"))
-            arms.append((c, "max_epoch_us", f"{c}__max"))
-    union = "\n      UNION ALL ".join(
-        f"SELECT '{c}' AS column_name, '{m}' AS metric, CAST({x} AS DOUBLE) AS value FROM a"
-        for c, m, x in arms
-    )
-    return f"WITH a AS (SELECT {', '.join(aggs)} FROM orders)\n    {union}"
-
-
-@register(
-    "orders_profile",
-    _profile_sql(),
-    doc="Single-pass column profiler over orders: null_count + exact "
-    "distinct_count for every column, min/max for numeric and timestamp "
-    "columns (epoch micros), emitted long-format (column_name, metric, "
-    "value DOUBLE) — the stats pass behind ingestion QA and CBO-style "
-    "planning. One full-scan aggregate; the multi-column exact "
-    "count-distincts plan as Spark's Expand (one pass, xN rows map-side) "
-    "— at 100 TB swap countDistinct for approx_count_distinct (HLL) to "
-    "drop the Expand entirely; exact is kept here because the oracle "
-    "verifies values. The 1-row wide agg then unpivots via stack() — "
-    "map-only on one row",
-)
-def q_orders_profile(spark, sf_dir):
-    o = load(spark, sf_dir, "orders")
-    aggs, arms = [], []
-    for c, kind in _PROFILE_COLS:
-        aggs.append(
-            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).cast("long").alias(f"{c}__nulls")
-        )
-        aggs.append(F.countDistinct(c).alias(f"{c}__nd"))
-        arms.append((c, "null_count", f"{c}__nulls"))
-        arms.append((c, "distinct_count", f"{c}__nd"))
-        if kind == "num":
-            aggs.append(F.min(c).cast("double").alias(f"{c}__min"))
-            aggs.append(F.max(c).cast("double").alias(f"{c}__max"))
-            arms.append((c, "min", f"{c}__min"))
-            arms.append((c, "max", f"{c}__max"))
-        elif kind == "ts":
-            # parquet timestamps read as TIMESTAMP_NTZ; unix_micros only
-            # takes TIMESTAMP and the NTZ->TZ cast would inject the session
-            # timezone — timestampdiff from the NTZ epoch is timezone-free
-            # and mirrors DuckDB's epoch_us on naive timestamps exactly
-            aggs.append(
-                F.expr(
-                    f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', min({c}))"
-                ).alias(f"{c}__min")
-            )
-            aggs.append(
-                F.expr(
-                    f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', max({c}))"
-                ).alias(f"{c}__max")
-            )
-            arms.append((c, "min_epoch_us", f"{c}__min"))
-            arms.append((c, "max_epoch_us", f"{c}__max"))
-    stack_args = ", ".join(f"'{c}', '{m}', CAST({x} AS DOUBLE)" for c, m, x in arms)
-    return o.agg(*aggs).select(
-        F.expr(f"stack({len(arms)}, {stack_args}) AS (column_name, metric, value)")
-    )
-
-
-# Frozen logistic quality-filter weights (fastText-style "is this document
-# worth training on" gate, with the model REDUCED to literals so scoring is
-# a deterministic map-only expression — the same freeze discipline as the
-# LSH hyperplanes and IVF centroids). Features: log doc length, English
-# stopword density, punctuation density.
-_LQ_BIAS = -3.0
-_LQ_W_LEN = 0.6
-_LQ_W_STOP = 3.0
-_LQ_W_PUNCT = -6.0
-_LQ_STOPWORDS = ("the", "and", "of", "to", "is", "a", "in", "it", "that")
-
-
-def _logistic_quality_sql() -> str:
-    stoplist = ", ".join(f"'{s}'" for s in _LQ_STOPWORDS)
-    return rf"""
-    WITH f AS (
-      SELECT doc_id,
-             ln(1.0 + CAST(n_chars AS DOUBLE)) AS f_len,
-             CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
-                                  x -> x IN ({stoplist}))) AS DOUBLE)
-               / len(string_split_regex(lower(trim(text)), '\s+')) AS f_stop,
-             CASE WHEN length(regexp_replace(text, '\s', '', 'g')) = 0 THEN 0.0
-                  ELSE CAST(length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS DOUBLE)
-                       / length(regexp_replace(text, '\s', '', 'g')) END AS f_punct
-      FROM documents
-    ),
-    s AS (
-      SELECT doc_id,
-             round(1.0 / (1.0 + exp(-({_LQ_BIAS} + {_LQ_W_LEN} * f_len
-                                      + {_LQ_W_STOP} * f_stop
-                                      + {_LQ_W_PUNCT} * f_punct))), 6) AS quality
-      FROM f
-    )
-    SELECT doc_id::BIGINT AS doc_id, quality, quality >= 0.5 AS keep FROM s
-    """
-
-
-@register(
-    "doc_quality_logistic",
-    _logistic_quality_sql(),
-    doc="Frozen-weight logistic quality classifier: sigmoid(w . [ln doc "
-    "length, stopword density, punct density]) with the trained weights "
-    "frozen as literals — how fastText-style quality gates actually "
-    "deploy in corpus pipelines (score every doc, keep >= 0.5). Map-only "
-    "Column chain in whole-stage codegen, zero shuffles; round(6) BEFORE "
-    "the keep threshold pins exp/ln across engines (tfidf discipline) "
-    "and makes the boolean derive from the identical rounded value",
-)
-def q_doc_quality_logistic(spark, sf_dir):
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
-    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
-    stop = F.size(F.filter(toks, lambda t: t.isin(*_LQ_STOPWORDS)))
-    f_stop = stop.cast("double") / F.size(toks)
-    f_len = F.log(F.lit(1.0) + F.col("n_chars").cast("double"))
-    f_punct = T.punct_ratio(F.col("text"))
-    z = (
-        F.lit(_LQ_BIAS)
-        + F.lit(_LQ_W_LEN) * f_len
-        + F.lit(_LQ_W_STOP) * f_stop
-        + F.lit(_LQ_W_PUNCT) * f_punct
-    )
-    scored = docs.select(
-        "doc_id", sql_round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6).alias("quality")
-    )
-    return scored.select("doc_id", "quality", (F.col("quality") >= 0.5).alias("keep"))
-
-
-@register(
-    "top_supplier_revenue",
-    """
-    WITH rev AS (
-      SELECT l_suppkey,
-             sum(CAST(l_extendedprice AS DECIMAL(12,2))
-                 * (1.00 - CAST(l_discount AS DECIMAL(4,2)))) AS r
-      FROM lineitem
-      WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
-      GROUP BY l_suppkey
-    )
-    SELECT s_suppkey, s_name, CAST(r AS DOUBLE) AS total_revenue
-    FROM supplier JOIN rev ON s_suppkey = l_suppkey
-    WHERE r = (SELECT max(r) FROM rev)
-    """,
-    doc="TPC-H Q15 (top supplier by quarterly revenue): the CREATE VIEW + "
-    "scalar max re-expressed as one agg reused for both the scalar and "
-    "the probe — the view materializes once, max attaches via "
-    "DataFrame.scalar() (a true ScalarSubquery), and the supplier dim "
-    "broadcasts. Ties are returned (all max-revenue suppliers), exactly "
-    "the spec's semantics. EXACT decimal revenue makes the max-equality "
-    "engine-identical — a double sum would make 'equal to max' "
-    "nondeterministic under partial-agg ordering",
-)
-def q_top_supplier_revenue(spark, sf_dir):
-    one = F.lit("1.00").cast("decimal(4,2)")
-    l = load(spark, sf_dir, "lineitem").where(
-        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
-    )
-    rev = l.groupBy("l_suppkey").agg(
-        F.sum(_dec("l_extendedprice") * (one - _dec("l_discount", 4, 2))).alias("__rev")
-    )
-    mx = rev.agg(F.max("__rev").alias("m"))
-    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
-    return (
-        F.broadcast(s)
-        .join(rev, s.s_suppkey == rev.l_suppkey)
-        .where(F.col("__rev") == mx.scalar())
-        .select("s_suppkey", "s_name", F.col("__rev").cast("double").alias("total_revenue"))
-    )
-
-
-@register(
-    "small_qty_revenue",
-    """
-    WITH lf AS (
-      SELECT l_partkey, l_quantity, l_extendedprice
-      FROM lineitem JOIN part ON p_partkey = l_partkey
-      WHERE p_brand = 'Brand#3'
-    ),
-    pa AS (
-      SELECT l_partkey,
-             0.2 * (CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*))
-               AS qty_thresh
-      FROM lf GROUP BY l_partkey
-    )
-    SELECT count(*)::BIGINT AS n_lines,
-           round(CAST(sum(CAST(lf.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0, 2)
-             AS avg_yearly
-    FROM lf JOIN pa ON lf.l_partkey = pa.l_partkey
-    WHERE lf.l_quantity < pa.qty_thresh
-    """,
-    doc="TPC-H Q17 (small-quantity-order revenue): the correlated "
-    "per-part AVG subquery decorrelated into an agg + broadcast join, "
-    "with the brand filter applied BEFORE the per-part average so the "
-    "threshold build touches only 1/25 of parts — the decorrelate-then-"
-    "push-down plan Catalyst cannot derive from the correlated form "
-    "itself. The threshold is exact-decimal-sum / count (ONE IEEE "
-    "division + multiply), so the l_quantity < thresh row membership is "
-    "engine-identical — a plain double avg() would be partial-agg-order "
-    "dependent. 100 TB: both the threshold relation and the filtered "
-    "part list are partkey-bounded broadcasts; the fact table is "
-    "scanned once",
-)
-def q_small_qty_revenue(spark, sf_dir):
-    pf = (
-        load(spark, sf_dir, "part")
-        .where(F.col("p_brand") == "Brand#3")
-        .select("p_partkey")
-    )
-    l = load(spark, sf_dir, "lineitem").select("l_partkey", "l_quantity", "l_extendedprice")
-    lf = l.join(F.broadcast(pf), l.l_partkey == pf.p_partkey).select(
-        "l_partkey", "l_quantity", "l_extendedprice"
-    )
-    pa = lf.groupBy("l_partkey").agg(
-        (
-            F.lit(0.2)
-            * (F.sum(_dec("l_quantity")).cast("double") / F.count(F.lit(1)))
-        ).alias("qty_thresh")
-    )
-    return (
-        lf.join(F.broadcast(pa), "l_partkey")
-        .where(F.col("l_quantity") < F.col("qty_thresh"))
-        .agg(
-            F.count(F.lit(1)).alias("n_lines"),
-            sql_round(F.sum(_dec("l_extendedprice")).cast("double") / F.lit(7.0), 2).alias(
-                "avg_yearly"
-            ),
-        )
-    )
-
-
-@register(
-    "volume_shipping_q7",
-    """
-    SELECT supp_nation, cust_nation, l_year,
-           CAST(sum(volume) AS DOUBLE) AS revenue
-    FROM (
-      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
-             year(l_shipdate) AS l_year,
-             CAST(l_extendedprice AS DECIMAL(12,2))
-               * (1.00 - CAST(l_discount AS DECIMAL(4,2))) AS volume
-      FROM lineitem
-      JOIN orders   ON o_orderkey = l_orderkey
-      JOIN supplier ON s_suppkey = l_suppkey
-      JOIN customer ON c_custkey = o_custkey
-      JOIN nation n1 ON n1.n_nationkey = s_nationkey
-      JOIN nation n2 ON n2.n_nationkey = c_nationkey
-      WHERE n1.n_name IN ('NATION_1', 'NATION_2')
-        AND n2.n_name IN ('NATION_1', 'NATION_2')
-        AND n1.n_name <> n2.n_name
-    )
-    GROUP BY supp_nation, cust_nation, l_year
-    """,
-    doc="TPC-H Q7 (volume shipping between two nations): the same nation "
-    "dim joined in TWO ROLES (via supplier and via customer). Join order "
-    "is the scale decision: each fact side is reduced by its broadcast "
-    "dim chain FIRST (lineitem->supplier@2/25 nations, orders->customer@"
-    "2/25), so the one unavoidable big-big shuffle join (lineitem x "
-    "orders on orderkey) moves ~2/25 of each input instead of all of it; "
-    "the asymmetric pair filter then cuts same-nation pairs. Exact "
-    "decimal volume, cast to double only at output",
-)
-def q_volume_shipping_q7(spark, sf_dir):
-    one = F.lit("1.00").cast("decimal(4,2)")
-    n = (
-        load(spark, sf_dir, "nation")
-        .where(F.col("n_name").isin("NATION_1", "NATION_2"))
-        .select("n_nationkey", "n_name")
-    )
-    sup = (
-        load(spark, sf_dir, "supplier")
-        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
-        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
-    )
-    cus = (
-        load(spark, sf_dir, "customer")
-        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
-        .select("c_custkey", F.col("n_name").alias("cust_nation"))
-    )
-    lf = (
-        load(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount")
-        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
-    )
-    of = (
-        load(spark, sf_dir, "orders")
-        .select("o_orderkey", "o_custkey")
-        .join(F.broadcast(cus), F.col("o_custkey") == F.col("c_custkey"))
-        .select("o_orderkey", "cust_nation")
-    )
-    return (
-        lf.join(of, F.col("l_orderkey") == F.col("o_orderkey"))
-        .where(F.col("supp_nation") != F.col("cust_nation"))
-        .groupBy(
-            "supp_nation",
-            "cust_nation",
-            F.year("l_shipdate").alias("l_year"),
-        )
-        .agg(
-            F.sum(_dec("l_extendedprice") * (one - _dec("l_discount", 4, 2)))
-            .cast("double")
-            .alias("revenue")
-        )
-    )
-
-
-@register(
-    "documents_jsonl_roundtrip",
-    """
-    SELECT lang, count(*)::BIGINT AS n_docs,
-           sum(n_chars)::BIGINT AS total_chars,
-           sum(length(text))::BIGINT AS total_text_len
-    FROM documents GROUP BY lang
-    """,
-    doc="JSON-lines source round trip: documents written once as an "
-    "8-file .json layout (the interchange format crawl corpora actually "
-    "arrive in), read back with an EXPLICIT schema — schema-on-read "
-    "without the inference pre-scan that would double I/O at 100 TB — "
-    "and aggregated per lang. The oracle computes the same aggregate "
-    "from the parquet table directly, so a green row proves the "
-    "write->escape->parse->read path is lossless (newlines, quotes, "
-    "unicode all JSON-escaped; JSONL stays line-splittable, unlike "
-    "multiLine CSV/JSON which serializes the whole file through one "
-    "reader)",
-)
-def q_documents_jsonl_roundtrip(spark, sf_dir):
-    import hashlib
-
-    key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    src = _ensure_layout(
-        f"/tmp/rsmr_docs_jsonl_{key}",
-        lambda d: load(spark, sf_dir, "documents")
-        .repartition(8)
-        .write.mode("overwrite")
-        .json(d),
-    )
-    schema = "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
-    docs = spark.read.schema(schema).json(src)
-    return docs.groupBy("lang").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("n_chars").alias("total_chars"),
-        F.sum(F.length("text")).alias("total_text_len"),
-    )
-
-
-# ===========================================================================
-# TPC-H completion batch (round 4, third widening): the 11 spec queries not
-# yet covered, adapted to the testdata's slimmed schema (no partsupp table,
-# no l_commitdate/l_receiptdate/l_shipmode, no p_container) — each keeps the
-# spec query's SHAPE (the join/decorrelation structure that matters at
-# 100 TB) and documents the column substitution. With these, all 22 TPC-H
-# query shapes are catalog-registered and value-oracled.
-# ===========================================================================
-
-
-@register(
-    "priority_wait_orders_q4",
-    """
-    SELECT o_orderpriority, count(*)::BIGINT AS order_count
-    FROM orders
-    WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01'
-      AND EXISTS (SELECT 1 FROM lineitem
-                  WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
-    GROUP BY o_orderpriority
-    """,
-    doc="TPC-H Q4 (order priority checking): the correlated EXISTS becomes "
-    "a LEFT SEMI join on orderkey — Spark never materializes the probe "
-    "side's duplicates, so the semi join moves one bit per matching "
-    "orderkey instead of every matching lineitem. Column substitution: "
-    "l_returnflag='R' stands in for the missing "
-    "l_commitdate < l_receiptdate late-line predicate. Both filters are "
-    "pushed scans (quarter window on orders, flag on lineitem); AQE picks "
-    "broadcast for the quarter-bounded orders side when it fits",
-)
-def q_priority_wait_orders_q4(spark, sf_dir):
-    o = (
-        load(spark, sf_dir, "orders")
-        .where((F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-04-01"))
-        .select("o_orderkey", "o_orderpriority")
-    )
-    late = (
-        load(spark, sf_dir, "lineitem")
-        .where(F.col("l_returnflag") == "R")
-        .select("l_orderkey")
-    )
-    return (
-        o.join(late, o.o_orderkey == late.l_orderkey, "left_semi")
-        .groupBy("o_orderpriority")
-        .agg(F.count(F.lit(1)).alias("order_count"))
-    )
-
-
-@register(
-    "local_supplier_volume_q5",
-    """
-    SELECT n_name, CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
-                            * (1.00 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
-             AS revenue
-    FROM customer JOIN orders   ON c_custkey = o_custkey
-                  JOIN lineitem ON l_orderkey = o_orderkey
-                  JOIN supplier ON l_suppkey = s_suppkey
-                  JOIN nation   ON s_nationkey = n_nationkey
-                  JOIN region   ON n_regionkey = r_regionkey
-    WHERE c_nationkey = s_nationkey AND r_name = 'ASIA'
-      AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
-    GROUP BY n_name
-    """,
-    doc="TPC-H Q5 (local supplier volume): unlike the Q5-STYLE star "
-    "(revenue_by_nation), this keeps the spec's c_nationkey = s_nationkey "
-    "locality constraint — the predicate that correlates the two fact "
-    "sides. Shape: region->nation broadcasts reduce supplier (lineitem "
-    "side) and customer (orders side) to the 5 ASIA nations FIRST, the "
-    "one big-big orderkey join then moves ~1/5 of each fact, and the "
-    "locality equality is applied as a post-join filter (it cannot be "
-    "pushed below the orderkey join — it needs both sides). Exact "
-    "decimal revenue, cast to double at output",
-)
-def q_local_supplier_volume_q5(spark, sf_dir):
-    one = F.lit("1.00").cast("decimal(4,2)")
-    r = load(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
-    n = (
-        load(spark, sf_dir, "nation")
-        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
-        .select("n_nationkey", "n_name")
-    )
-    sup = (
-        load(spark, sf_dir, "supplier")
-        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
-        .select("s_suppkey", "s_nationkey", "n_name")
-    )
-    cus = (
-        load(spark, sf_dir, "customer")
-        .join(
-            F.broadcast(n.select(F.col("n_nationkey").alias("cn_key"))),
-            F.col("c_nationkey") == F.col("cn_key"),
-        )
-        .select("c_custkey", "c_nationkey")
-    )
-    lf = (
-        load(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
-        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
-    )
-    of = (
-        load(spark, sf_dir, "orders")
-        .where((F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01"))
-        .select("o_orderkey", "o_custkey")
-        .join(F.broadcast(cus), F.col("o_custkey") == F.col("c_custkey"))
-        .select("o_orderkey", "c_nationkey")
-    )
-    return (
-        lf.join(of, F.col("l_orderkey") == F.col("o_orderkey"))
-        .where(F.col("c_nationkey") == F.col("s_nationkey"))
-        .groupBy("n_name")
-        .agg(
-            F.sum(_dec("l_extendedprice") * (one - _dec("l_discount", 4, 2)))
-            .cast("double")
-            .alias("revenue")
-        )
-    )
-
-
-@register(
-    "forecast_revenue_q6",
-    """
-    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
-                    * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
-           count(*)::BIGINT AS n_lines
-    FROM lineitem
-    WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
-      AND l_discount >= 0.05 AND l_discount <= 0.07
-      AND l_quantity < 24
-    """,
-    doc="TPC-H Q6 (forecasting revenue change): the pure scan-aggregate — "
-    "zero joins, zero groupBy shuffle; the plan is one WholeStageCodegen "
-    "scan stage feeding a 1-row partial+final agg. All three predicates "
-    "reach the parquet reader as PushedFilters, so at 100 TB the scan "
-    "skips row groups on shipdate min/max stats and never decodes "
-    "non-qualifying pages — the query is I/O-bound by design and the "
-    "measure of nothing-but-pushdown. Discount bounds compare the "
-    "stored doubles against the same literals in both engines (same "
-    "bits, same verdict); revenue is the exact decimal product summed",
-)
-def q_forecast_revenue_q6(spark, sf_dir):
-    l = load(spark, sf_dir, "lineitem").where(
-        (F.col("l_shipdate") >= "1996-01-01")
-        & (F.col("l_shipdate") < "1997-01-01")
-        & (F.col("l_discount") >= 0.05)
-        & (F.col("l_discount") <= 0.07)
-        & (F.col("l_quantity") < 24)
-    )
-    return l.agg(
-        F.sum(_dec("l_extendedprice") * _dec("l_discount", 4, 2)).cast("double").alias("revenue"),
-        F.count(F.lit(1)).alias("n_lines"),
-    )
-
-
-@register(
-    "market_share_q8",
-    """
-    SELECT o_year,
-           round(CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume END) AS DOUBLE)
-                 / CAST(sum(volume) AS DOUBLE), 6) AS mkt_share
-    FROM (
-      SELECT year(o_orderdate) AS o_year,
-             CAST(l_extendedprice AS DECIMAL(12,2))
-               * (1.00 - CAST(l_discount AS DECIMAL(4,2))) AS volume,
-             n2.n_name AS supp_nation
-      FROM part JOIN lineitem ON p_partkey = l_partkey
-                JOIN orders   ON o_orderkey = l_orderkey
-                JOIN customer ON o_custkey = c_custkey
-                JOIN nation n1 ON c_nationkey = n1.n_nationkey
-                JOIN region    ON n1.n_regionkey = r_regionkey
-                JOIN supplier  ON l_suppkey = s_suppkey
-                JOIN nation n2 ON s_nationkey = n2.n_nationkey
-      WHERE r_name = 'EUROPE' AND p_type = 'STANDARD'
-        AND o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
-    )
-    GROUP BY o_year
-    """,
-    doc="TPC-H Q8 (national market share): nation joined in TWO ROLES — "
-    "via region for the customer market filter, unfiltered for the "
-    "supplier nationality that feeds the numerator CASE. Shape: lineitem "
-    "is reduced by the broadcast part filter (p_type, 1/6) before the "
-    "big-big orderkey join; orders carries the 2-year window and its "
-    "customer->nation->region broadcast chain (EUROPE, 1/5). The share "
-    "is a ratio of two exact decimal sums — numerator the null-else "
-    "conditional sum — divided once in DOUBLE and rounded to 6dp, so the "
-    "group values are engine-identical",
-)
-def q_market_share_q8(spark, sf_dir):
-    one = F.lit("1.00").cast("decimal(4,2)")
-    p = (
-        load(spark, sf_dir, "part")
-        .where(F.col("p_type") == "STANDARD")
-        .select("p_partkey")
-    )
-    n_all = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
-    sup = (
-        load(spark, sf_dir, "supplier")
-        .join(F.broadcast(n_all), F.col("s_nationkey") == F.col("n_nationkey"))
-        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
-    )
-    r = load(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
-    n_eur = (
-        load(spark, sf_dir, "nation")
-        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
-        .select(F.col("n_nationkey").alias("en_key"))
-    )
-    cus = (
-        load(spark, sf_dir, "customer")
-        .join(F.broadcast(n_eur), F.col("c_nationkey") == F.col("en_key"))
-        .select("c_custkey")
-    )
-    lf = (
-        load(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
-        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
-        .withColumn("volume", _dec("l_extendedprice") * (one - _dec("l_discount", 4, 2)))
-        .select("l_orderkey", "supp_nation", "volume")
-    )
-    of = (
-        load(spark, sf_dir, "orders")
-        .where((F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") < "1997-01-01"))
-        .select("o_orderkey", "o_custkey", "o_orderdate")
-        .join(F.broadcast(cus), F.col("o_custkey") == F.col("c_custkey"))
-        .select("o_orderkey", F.year("o_orderdate").alias("o_year"))
-    )
-    return (
-        lf.join(of, F.col("l_orderkey") == F.col("o_orderkey"))
-        .groupBy("o_year")
-        .agg(
-            sql_round(
-                F.sum(F.when(F.col("supp_nation") == "NATION_3", F.col("volume"))).cast("double")
-                / F.sum("volume").cast("double"),
-                6,
-            ).alias("mkt_share")
-        )
-    )
-
-
-@register(
-    "product_profit_q9",
-    """
-    SELECT nation, o_year, CAST(sum(amount) AS DOUBLE) AS sum_profit
-    FROM (
-      SELECT n_name AS nation, year(o_orderdate) AS o_year,
-             CAST(l_extendedprice AS DECIMAL(12,2))
-               * (1.00 - CAST(l_discount AS DECIMAL(4,2)))
-             - CAST(p_retailprice AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))
-               AS amount
-      FROM lineitem JOIN part     ON p_partkey = l_partkey
-                    JOIN supplier ON l_suppkey = s_suppkey
-                    JOIN nation   ON s_nationkey = n_nationkey
-                    JOIN orders   ON o_orderkey = l_orderkey
-      WHERE p_name LIKE '%gear%'
-    )
-    GROUP BY nation, o_year
-    """,
-    doc="TPC-H Q9 (product type profit): profit per supplier nation per "
-    "year over name-matched parts. Column substitution: with no partsupp "
-    "table, p_retailprice * l_quantity stands in for the spec's "
-    "ps_supplycost * l_quantity cost term (same shape: a per-part unit "
-    "cost carried through the part broadcast). lineitem is reduced by "
-    "the broadcast LIKE-filtered part dim AND the supplier->nation chain "
-    "before the one big-big orderkey join against orders (projected to "
-    "2 columns). Amount is exact decimal end to end — products, "
-    "subtraction, and sum all decimal, cast to double only at output",
-)
-def q_product_profit_q9(spark, sf_dir):
-    one = F.lit("1.00").cast("decimal(4,2)")
-    p = (
-        load(spark, sf_dir, "part")
-        .where(F.col("p_name").like("%gear%"))
-        .select("p_partkey", "p_retailprice")
-    )
-    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
-    sup = (
-        load(spark, sf_dir, "supplier")
-        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
-        .select("s_suppkey", F.col("n_name").alias("nation"))
-    )
-    lf = (
-        load(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice", "l_discount")
-        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
-        .withColumn(
-            "amount",
-            _dec("l_extendedprice") * (one - _dec("l_discount", 4, 2))
-            - _dec("p_retailprice") * _dec("l_quantity"),
-        )
-        .select("l_orderkey", "nation", "amount")
-    )
-    of = load(spark, sf_dir, "orders").select("o_orderkey", F.year("o_orderdate").alias("o_year"))
-    return (
-        lf.join(of, F.col("l_orderkey") == F.col("o_orderkey"))
-        .groupBy("nation", "o_year")
-        .agg(F.sum("amount").cast("double").alias("sum_profit"))
-    )
-
-
-@register(
-    "returned_items_topk_q10",
-    """
-    WITH rev AS (
-      SELECT c_custkey, c_name, n_name,
-             sum(CAST(l_extendedprice AS DECIMAL(12,2))
-                 * (1.00 - CAST(l_discount AS DECIMAL(4,2)))) AS r
-      FROM customer JOIN orders   ON c_custkey = o_custkey
-                    JOIN lineitem ON l_orderkey = o_orderkey
-                    JOIN nation   ON c_nationkey = n_nationkey
-      WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01'
-        AND l_returnflag = 'R'
-      GROUP BY c_custkey, c_name, n_name
-    )
-    SELECT c_custkey, c_name, n_name, CAST(r AS DOUBLE) AS revenue
-    FROM rev
-    ORDER BY r DESC, c_custkey
-    LIMIT 20
-    """,
-    doc="TPC-H Q10 (returned item reporting): top-20 customers by revenue "
-    "lost to returns in one quarter. Shape: both fact filters pushed "
-    "(quarter on orders, flag on lineitem), big-big orderkey join between "
-    "the reduced facts, agg on custkey, then orderBy+limit compiles to "
-    "TakeOrderedAndProject — each task keeps a 20-row heap and the driver "
-    "merges #partitions*20 rows, never a global sort. Exact decimal "
-    "revenue with custkey tiebreak makes the top-20 deterministic",
-)
-def q_returned_items_topk_q10(spark, sf_dir):
-    one = F.lit("1.00").cast("decimal(4,2)")
-    o = (
-        load(spark, sf_dir, "orders")
-        .where((F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-04-01"))
-        .select("o_orderkey", "o_custkey")
-    )
-    l = (
-        load(spark, sf_dir, "lineitem")
-        .where(F.col("l_returnflag") == "R")
-        .select("l_orderkey", "l_extendedprice", "l_discount")
-    )
-    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
-    c = (
-        load(spark, sf_dir, "customer")
-        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
-        .select("c_custkey", "c_name", "n_name")
-    )
-    return (
-        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
-        .groupBy("c_custkey", "c_name", "n_name")
-        .agg(F.sum(_dec("l_extendedprice") * (one - _dec("l_discount", 4, 2))).alias("__r"))
-        .orderBy(F.desc("__r"), F.asc("c_custkey"))
-        .limit(20)
-        .select("c_custkey", "c_name", "n_name", F.col("__r").cast("double").alias("revenue"))
-    )
-
-
-@register(
-    "important_parts_q11",
-    """
-    WITH pv AS (
-      SELECT l_partkey,
-             sum(CAST(l_extendedprice AS DECIMAL(12,2))
-                 * (1.00 - CAST(l_discount AS DECIMAL(4,2)))) AS v
-      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
-      WHERE s_nationkey = 7
-      GROUP BY l_partkey
-    )
-    SELECT l_partkey AS p_partkey, CAST(v AS DOUBLE) AS part_value
-    FROM pv
-    WHERE CAST(v AS DOUBLE) > (SELECT CAST(sum(v) AS DOUBLE) FROM pv) * 0.001
-    """,
-    doc="TPC-H Q11 (important stock identification): parts whose value "
-    "from one nation's suppliers exceeds a fraction of that nation's "
-    "total. Column substitution: with no partsupp, per-part shipped "
-    "value (extendedprice * (1-discount)) stands in for ps_supplycost * "
-    "ps_availqty; the HAVING-against-global-scalar shape is the point. "
-    "The grouped agg builds ONCE and is reused for both the scalar total "
-    "(DataFrame.scalar() -> a true ScalarSubquery, same pattern as Q15) "
-    "and the probe — no second scan of the fact table. Threshold "
-    "compares in DOUBLE on both engines (exact decimal sums cast once, "
-    "one IEEE multiply), so membership is engine-identical",
-)
-def q_important_parts_q11(spark, sf_dir):
-    one = F.lit("1.00").cast("decimal(4,2)")
-    sup = (
-        load(spark, sf_dir, "supplier")
-        .where(F.col("s_nationkey") == 7)
-        .select("s_suppkey")
-    )
-    pv = (
-        load(spark, sf_dir, "lineitem")
-        .select("l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
-        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
-        .groupBy("l_partkey")
-        .agg(F.sum(_dec("l_extendedprice") * (one - _dec("l_discount", 4, 2))).alias("__v"))
-    )
-    tot = pv.agg(F.sum("__v").cast("double").alias("t"))
-    return (
-        pv.where(F.col("__v").cast("double") > tot.scalar() * F.lit(0.001))
-        .select(
-            F.col("l_partkey").alias("p_partkey"),
-            F.col("__v").cast("double").alias("part_value"),
-        )
-    )
-
-
-@register(
-    "priority_case_count_q12",
-    """
-    SELECT l_returnflag,
-           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
-           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END)::BIGINT AS low_line_count
-    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-    WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
-      AND l_returnflag IN ('A', 'R')
-    GROUP BY l_returnflag
-    """,
-    doc="TPC-H Q12 (shipping modes and order priority): the conditional "
-    "two-way count. Column substitution: l_returnflag groups in place of "
-    "the missing l_shipmode, and the ship-window predicate replaces the "
-    "commit/receipt date chain; the priority CASE pair is verbatim spec. "
-    "Shape: lineitem reduced by two pushed filters to ~1/10 before the "
-    "big-big orderkey join; orders projects only (orderkey, priority); "
-    "the CASE counts fold into the map-side partial agg so the final "
-    "shuffle carries 2 longs per flag value",
-)
-def q_priority_case_count_q12(spark, sf_dir):
-    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
-    l = (
-        load(spark, sf_dir, "lineitem")
-        .where(
-            (F.col("l_shipdate") >= "1996-01-01")
-            & (F.col("l_shipdate") < "1997-01-01")
-            & F.col("l_returnflag").isin("A", "R")
-        )
-        .select("l_orderkey", "l_returnflag")
-    )
-    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
-    return (
-        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .groupBy("l_returnflag")
-        .agg(
-            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
-            F.sum(F.when(~hi, 1).otherwise(0)).alias("low_line_count"),
-        )
-    )
-
-
-@register(
-    "disjunctive_parts_q19",
-    """
-    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
-                    * (1.00 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
-           count(*)::BIGINT AS n_lines
-    FROM lineitem JOIN part ON p_partkey = l_partkey
-    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
-           AND l_quantity >= 1 AND l_quantity <= 11)
-       OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
-           AND l_quantity >= 10 AND l_quantity <= 20)
-       OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
-           AND l_quantity >= 20 AND l_quantity <= 30)
-    """,
-    doc="TPC-H Q19 (discounted revenue, disjunctive predicates): the "
-    "OR-of-ANDs mixing columns from both join sides. The scale move is "
-    "pre-filtering each side with the UNION of its own disjunct halves — "
-    "part to (brand IN 1..3 AND size<=15), lineitem to quantity 1..30 — "
-    "predicates derivable from the OR but referencing one table only, so "
-    "they push to the scans; the full three-way OR then evaluates "
-    "post-join on the reduced rows. p_container IS NULL in this schema, "
-    "so the container IN-lists are dropped from each branch (documented "
-    "substitution); brand/size/quantity branch structure is spec-shaped",
-)
-def q_disjunctive_parts_q19(spark, sf_dir):
-    one = F.lit("1.00").cast("decimal(4,2)")
-    p = (
-        load(spark, sf_dir, "part")
-        .where(F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3") & (F.col("p_size") <= 15) & (F.col("p_size") >= 1))
-        .select("p_partkey", "p_brand", "p_size")
-    )
-    l = (
-        load(spark, sf_dir, "lineitem")
-        .where((F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 30))
-        .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
-    )
-    branch = (
-        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 5)
-         & (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 11))
-        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(1, 10)
-           & (F.col("l_quantity") >= 10) & (F.col("l_quantity") <= 20))
-        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 15)
-           & (F.col("l_quantity") >= 20) & (F.col("l_quantity") <= 30))
-    )
-    return (
-        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
-        .where(branch)
-        .agg(
-            F.sum(_dec("l_extendedprice") * (one - _dec("l_discount", 4, 2)))
-            .cast("double")
-            .alias("revenue"),
-            F.count(F.lit(1)).alias("n_lines"),
-        )
-    )
-
-
-@register(
-    "promo_parts_suppliers_q20",
-    """
-    WITH rp AS (SELECT p_partkey FROM part WHERE p_name LIKE 'red %'),
-    sq AS (
-      SELECT l_suppkey, l_partkey, sum(CAST(l_quantity AS DECIMAL(12,2))) AS qty
-      FROM lineitem JOIN rp ON p_partkey = l_partkey
-      WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
-      GROUP BY l_suppkey, l_partkey
-    ),
-    pt AS (SELECT l_partkey, sum(qty) AS part_total FROM sq GROUP BY l_partkey),
-    q AS (
-      SELECT DISTINCT sq.l_suppkey
-      FROM sq JOIN pt ON sq.l_partkey = pt.l_partkey
-      WHERE sq.qty > CAST('0.25' AS DECIMAL(3,2)) * pt.part_total
-    )
-    SELECT s_suppkey, s_name
-    FROM supplier JOIN q ON s_suppkey = l_suppkey
-    WHERE s_nationkey < 10
-    """,
-    doc="TPC-H Q20 (potential part promotion): the spec's doubly-nested "
-    "IN (partkey IN name-filtered parts; availqty > 0.5 * correlated "
-    "shipped qty) decorrelated into a semi-join chain. Column "
-    "substitution: with no partsupp.ps_availqty, a supplier qualifies "
-    "when their shipped quantity of a name-matched part exceeds 0.25 of "
-    "that part's total shipped quantity — the same grouped-agg-derived "
-    "per-part threshold shape. Build: name-filtered part dim broadcasts "
-    "into lineitem, ONE (suppkey,partkey) grouped agg; per-part totals "
-    "re-aggregate that small relation (parts-bounded) and broadcast back; "
-    "exact decimal qty comparison; the qualifying-supplier set "
-    "semi-joins the supplier dim with the nation filter (s_nationkey<10 "
-    "standing in for the spec's single-nation predicate)",
-)
-def q_promo_parts_suppliers_q20(spark, sf_dir):
-    rp = (
-        load(spark, sf_dir, "part")
-        .where(F.col("p_name").like("red %"))
-        .select("p_partkey")
-    )
-    sq = (
-        load(spark, sf_dir, "lineitem")
-        .where((F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01"))
-        .select("l_partkey", "l_suppkey", "l_quantity")
-        .join(F.broadcast(rp), F.col("l_partkey") == F.col("p_partkey"))
-        .groupBy("l_suppkey", "l_partkey")
-        .agg(F.sum(_dec("l_quantity")).alias("qty"))
-    )
-    pt = sq.groupBy(F.col("l_partkey").alias("pt_key")).agg(F.sum("qty").alias("part_total"))
-    quarter = F.lit("0.25").cast("decimal(3,2)")
-    q = (
-        sq.join(F.broadcast(pt), sq.l_partkey == pt.pt_key)
-        .where(F.col("qty") > quarter * F.col("part_total"))
-        .select("l_suppkey")
-        .distinct()
-    )
-    s = (
-        load(spark, sf_dir, "supplier")
-        .where(F.col("s_nationkey") < 10)
-        .select("s_suppkey", "s_name")
-    )
-    return s.join(q, s.s_suppkey == q.l_suppkey, "left_semi")
-
-
-@register(
-    "waiting_suppliers_q21",
-    """
-    WITH ol AS (
-      SELECT l_orderkey, l_suppkey,
-             max(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS is_r
-      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
-      WHERE o_orderstatus = 'F'
-      GROUP BY l_orderkey, l_suppkey
-    ),
-    oa AS (
-      SELECT l_orderkey, count(*) AS n_supp, sum(is_r) AS n_r_supp
-      FROM ol GROUP BY l_orderkey
-    )
-    SELECT s_suppkey, s_name, count(*)::BIGINT AS numwait
-    FROM ol JOIN oa ON ol.l_orderkey = oa.l_orderkey
-            JOIN supplier ON s_suppkey = ol.l_suppkey
-    WHERE ol.is_r = 1 AND oa.n_supp > 1 AND oa.n_r_supp = 1
-    GROUP BY s_suppkey, s_name
-    """,
-    doc="TPC-H Q21 (suppliers who kept orders waiting): the spec's "
-    "correlated EXISTS (another supplier on the order) AND NOT EXISTS "
-    "(another LATE supplier) — two self-joins of the largest table — "
-    "decorrelated into ONE aggregation pass: per-(order,supplier) late "
-    "flags, then per-order supplier counts via a window over the same "
-    "orderkey partitioning, then the sole-late-supplier filter. The "
-    "window reuses the orderkey exchange Catalyst already planned for "
-    "the grouped agg (suppkey is a subkey refinement), so the whole "
-    "decorrelation costs one shuffle of (orderkey,suppkey,flag) triples "
-    "instead of two lineitem self-joins. Column substitution: "
-    "l_returnflag='R' marks the late line (no l_receiptdate/"
-    "l_commitdate); o_orderstatus='F' is verbatim spec",
-)
-def q_waiting_suppliers_q21(spark, sf_dir):
-    from pyspark.sql.window import Window
-
-    o = (
-        load(spark, sf_dir, "orders")
-        .where(F.col("o_orderstatus") == "F")
-        .select("o_orderkey")
-    )
-    l = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_returnflag")
-    ol = (
-        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"), "left_semi")
-        .groupBy("l_orderkey", "l_suppkey")
-        .agg(F.max(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("is_r"))
-    )
-    w = Window.partitionBy("l_orderkey")
-    flagged = ol.select(
-        "l_orderkey",
-        "l_suppkey",
-        "is_r",
-        F.count(F.lit(1)).over(w).alias("n_supp"),
-        F.sum("is_r").over(w).alias("n_r_supp"),
-    ).where((F.col("is_r") == 1) & (F.col("n_supp") > 1) & (F.col("n_r_supp") == 1))
-    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
-    return (
-        flagged.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
-        .groupBy("s_suppkey", "s_name")
-        .agg(F.count(F.lit(1)).alias("numwait"))
-    )
-
-
-# ===========================================================================
-# Behavioral / graph / data-quality batch (round 4, fourth widening):
-# the product-analytics shapes every event warehouse runs (cohort
-# retention, ordered funnels), triangle counting over the wireless device
-# graph (degree-ordered orientation), a Deequ-style one-pass constraint
-# suite, and windowed ABC classification. All value-oracled.
-# ===========================================================================
-
-
-@register(
-    "user_retention_cohorts",
-    """
-    WITH fs AS (
-      SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
-      FROM events GROUP BY user_id
-    ),
-    coh AS (SELECT cohort_day, count(*) AS cohort_size FROM fs GROUP BY cohort_day),
-    act AS (
-      SELECT DISTINCT fs.cohort_day,
-             datediff('day', fs.cohort_day, CAST(e.ts AS DATE)) AS offset_day,
-             e.user_id
-      FROM events e JOIN fs ON e.user_id = fs.user_id
-    )
-    SELECT a.cohort_day, a.offset_day, count(*)::BIGINT AS active_users,
-           round(count(*) / CAST(c.cohort_size AS DOUBLE), 6) AS retention
-    FROM act a JOIN coh c ON a.cohort_day = c.cohort_day
-    GROUP BY a.cohort_day, a.offset_day, c.cohort_size
-    """,
-    doc="Cohort retention matrix: users grouped by first-seen day, "
-    "retention = distinct active users at each day offset / cohort size. "
-    "Scale shape: the first-seen relation derives from a groupBy on "
-    "user_id and joins straight back to events on the SAME key, so "
-    "Catalyst reuses one user_id exchange for both; the distinct "
-    "(cohort, offset, user) dedup and the final (cohort, offset) agg are "
-    "the only further shuffles. The per-cohort sizes relation is "
-    "day-bounded and broadcasts. Retention is one long division rounded "
-    "to 6dp — engine-identical",
-)
-def q_user_retention_cohorts(spark, sf_dir):
-    e = load(spark, sf_dir, "events").select("user_id", F.to_date("ts").alias("day"))
-    fs = e.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
-    coh = fs.groupBy("cohort_day").agg(F.count(F.lit(1)).alias("cohort_size"))
-    act = (
-        e.join(fs, "user_id")
-        .select("cohort_day", F.datediff("day", "cohort_day").alias("offset_day"), "user_id")
-        .distinct()
-    )
-    return (
-        act.groupBy("cohort_day", "offset_day")
-        .agg(F.count(F.lit(1)).alias("active_users"))
-        .join(F.broadcast(coh), "cohort_day")
-        .select(
-            "cohort_day",
-            "offset_day",
-            "active_users",
-            sql_round(F.col("active_users").cast("double") / F.col("cohort_size"), 6).alias(
-                "retention"
-            ),
-        )
-    )
-
-
-@register(
-    "event_funnel",
-    """
-    WITH v AS (
-      SELECT user_id, min(ts) AS t0 FROM events
-      WHERE event_type = 'view' GROUP BY user_id
-    ),
-    c AS (
-      SELECT e.user_id, min(e.ts) AS t1
-      FROM events e JOIN v ON e.user_id = v.user_id
-      WHERE e.event_type = 'click' AND e.ts > v.t0
-      GROUP BY e.user_id
-    ),
-    p AS (
-      SELECT e.user_id, min(e.ts) AS t2
-      FROM events e JOIN c ON e.user_id = c.user_id
-      WHERE e.event_type = 'purchase' AND e.ts > c.t1
-      GROUP BY e.user_id
-    )
-    SELECT 1 AS step, 'view' AS stage, (SELECT count(*) FROM v)::BIGINT AS users
-    UNION ALL
-    SELECT 2, 'click_after_view', (SELECT count(*) FROM c)::BIGINT
-    UNION ALL
-    SELECT 3, 'purchase_after_click', (SELECT count(*) FROM p)::BIGINT
-    """,
-    doc="Ordered funnel (view -> click -> purchase): stage N counts users "
-    "whose earliest stage-N event strictly follows their earliest "
-    "stage-(N-1) event — the standard product-analytics ordered funnel, "
-    "NOT the unordered did-all-three intersection. Each stage is a "
-    "filtered min-agg on user_id joined back to events on user_id: the "
-    "whole chain stays on ONE partitioning key end to end, so Catalyst "
-    "plans one user_id exchange per stage input and never re-keys. "
-    "Strictly-after semantics make the count order-independent and "
-    "engine-identical (no timestamp arithmetic, only comparisons)",
-)
-def q_event_funnel(spark, sf_dir):
-    e = load(spark, sf_dir, "events").select("user_id", "event_type", "ts")
-
-    def stage_min(df, etype, after=None, after_col=None):
-        s = df.where(F.col("event_type") == etype)
-        if after is not None:
-            s = s.join(after, "user_id").where(F.col("ts") > F.col(after_col))
-        return s.groupBy("user_id").agg(F.min("ts").alias(f"t_{etype}"))
-
-    v = stage_min(e, "view")
-    c = stage_min(e, "click", after=v, after_col="t_view")
-    p = stage_min(e, "purchase", after=c, after_col="t_click")
-
-    def _count(step, stage, rel):
-        return rel.agg(F.count(F.lit(1)).alias("users")).select(
-            F.lit(step).alias("step"), F.lit(stage).alias("stage"), "users"
-        )
-
-    return (
-        _count(1, "view", v)
-        .union(_count(2, "click_after_view", c))
-        .union(_count(3, "purchase_after_click", p))
-    )
-
-
-@register(
-    "triangle_count_devices",
-    """
-    WITH raw AS (SELECT user_id % 40 AS a, event_id % 40 AS b FROM events),
-    e AS (
-      SELECT DISTINCT least(a, b) AS lo, greatest(a, b) AS hi
-      FROM raw WHERE a <> b
-    )
-    SELECT 'n_nodes' AS metric,
-           (SELECT count(*) FROM (SELECT lo AS n FROM e UNION SELECT hi FROM e))::BIGINT
-             AS value
-    UNION ALL
-    SELECT 'n_edges', (SELECT count(*) FROM e)::BIGINT
-    UNION ALL
-    SELECT 'n_triangles',
-           (SELECT count(*)
-            FROM e e1 JOIN e e2 ON e2.lo = e1.hi
-                      JOIN e e3 ON e3.lo = e1.lo AND e3.hi = e2.hi)::BIGINT
-    """,
-    doc="Triangle count over the wireless device graph (the sensor CSV's "
-    "canonical link pairs, wireless.py P13/P14, as numeric node ids). "
-    "Spark side counts via DEGREE-ORDERED ORIENTATION "
-    "(operators/graph.py): every edge directed toward the higher "
-    "(degree, id) rank, wedges enumerated only at each triangle's "
-    "lowest-rank vertex — bounding wedge fan-out at O(m^1.5) total "
-    "regardless of hub skew, where the naive undirected self-join is "
-    "quadratic in hub degree. The oracle counts the same triangles by "
-    "lo<mid<hi enumeration — different physical strategy, identical "
-    "logical result, which is exactly what the cross-check proves",
-)
-def q_triangle_count_devices(spark, sf_dir):
-    from ..operators.graph import triangle_count
-
-    e = load(spark, sf_dir, "events").select(
-        (F.col("user_id") % 40).alias("a"), (F.col("event_id") % 40).alias("b")
-    )
-    return triangle_count(e, "a", "b")
-
-
-@register(
-    "orders_quality_checks",
-    """
-    WITH checks AS (
-      SELECT 'custkey_null' AS check_name,
-             sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)::BIGINT AS violations
-      FROM orders
-      UNION ALL
-      SELECT 'orderdate_null',
-             sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END)::BIGINT FROM orders
-      UNION ALL
-      SELECT 'totalprice_nonpositive',
-             sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END)::BIGINT FROM orders
-      UNION ALL
-      SELECT 'orderdate_out_of_range',
-             sum(CASE WHEN o_orderdate < TIMESTAMP '1990-01-01'
-                        OR o_orderdate >= TIMESTAMP '2010-01-01'
-                      THEN 1 ELSE 0 END)::BIGINT FROM orders
-      UNION ALL
-      SELECT 'priority_domain',
-             sum(CASE WHEN o_orderpriority NOT IN
-                      ('1-URGENT', '2-HIGH', '3-MEDIUM', '4-NOT SPECIFIED', '5-LOW')
-                      THEN 1 ELSE 0 END)::BIGINT FROM orders
-      UNION ALL
-      SELECT 'orderkey_duplicates',
-             (count(*) - count(DISTINCT o_orderkey))::BIGINT FROM orders
-      UNION ALL
-      SELECT 'custkey_orphans',
-             (SELECT count(*)::BIGINT FROM orders o
-              LEFT JOIN customer c ON o.o_custkey = c.c_custkey
-              WHERE c.c_custkey IS NULL AND o.o_custkey IS NOT NULL)
-    )
-    SELECT check_name, violations, violations = 0 AS passed FROM checks
-    """,
-    doc="Deequ-style data-quality gate on orders: completeness, domain "
-    "validity, key uniqueness, referential integrity — long-format "
-    "(check_name, violations, passed) so a pipeline can filter(NOT "
-    "passed) and alert per check. Scale shape (operators/quality.py): "
-    "the five row-local checks fold into ONE aggregate over ONE scan "
-    "(each a conditional sum in the same map-side partial agg); "
-    "uniqueness pays the one exact-distinct Expand (approx swap "
-    "documented); orphans are a broadcast LEFT ANTI count. Checks are "
-    "engineered to PASS on the testdata so the green row certifies the "
-    "zero-violation path, and tests/test_quality_graph.py corrupts a "
-    "copy to certify the counting path",
-)
-def q_orders_quality_checks(spark, sf_dir):
-    from ..operators.quality import (
-        quality_report,
-        referential_orphans,
-        uniqueness_violations,
-        violation_counts,
-    )
-
-    o = load(spark, sf_dir, "orders")
-    row_local = violation_counts(
-        o,
-        {
-            "custkey_null": F.col("o_custkey").isNull(),
-            "orderdate_null": F.col("o_orderdate").isNull(),
-            "totalprice_nonpositive": F.col("o_totalprice") <= 0,
-            "orderdate_out_of_range": (F.col("o_orderdate") < "1990-01-01")
-            | (F.col("o_orderdate") >= "2010-01-01"),
-            "priority_domain": ~F.col("o_orderpriority").isin(
-                "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"
-            ),
-        },
-    )
-    uniq = uniqueness_violations(o, ["o_orderkey"], "orderkey_duplicates")
-    orphans = referential_orphans(
-        o,
-        "o_custkey",
-        load(spark, sf_dir, "customer"),
-        "c_custkey",
-        "custkey_orphans",
-        broadcast=True,  # customer dim's key set fits; hint explicitly
-    )
-    return quality_report([row_local, uniq, orphans])
-
-
-@register(
-    "supplier_abc_by_nation",
-    """
-    WITH s AS (
-      SELECT s_nationkey, s_suppkey, CAST(s_acctbal AS DECIMAL(12,2)) AS bal
-      FROM supplier WHERE s_acctbal > 0
-    ),
-    r AS (
-      SELECT s_nationkey, s_suppkey,
-             sum(bal) OVER (PARTITION BY s_nationkey) AS total,
-             sum(bal) OVER (PARTITION BY s_nationkey
-                            ORDER BY bal DESC, s_suppkey
-                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
-      FROM s
-    ),
-    shares AS (
-      SELECT s_nationkey, s_suppkey,
-             round(CAST(run AS DOUBLE) / CAST(total AS DOUBLE), 6) AS cum_share
-      FROM r
-    )
-    SELECT s_nationkey, s_suppkey, cum_share,
-           CASE WHEN cum_share <= 0.5 THEN 'A'
-                WHEN cum_share <= 0.8 THEN 'B'
-                ELSE 'C' END AS abc_class
-    FROM shares
-    """,
-    doc="ABC (Pareto) classification of suppliers by account balance "
-    "within each nation: rank by balance desc, cumulative share of the "
-    "nation total, class A/B/C at 50%/80%. Both window functions — the "
-    "unordered nation total and the running ROWS-frame sum — partition "
-    "on s_nationkey, so Catalyst plans ONE exchange feeding two Window "
-    "nodes over the same sort; no per-nation collect, and nations "
-    "parallelize the cumsum (the global-cumsum single-partition trap "
-    "does not arise). Shares are exact-decimal sums divided once in "
-    "DOUBLE and rounded to 6dp BEFORE the class thresholds, so class "
-    "membership is engine-identical; suppkey tiebreak pins the running "
-    "order under balance ties",
-)
-def q_supplier_abc_by_nation(spark, sf_dir):
-    from pyspark.sql.window import Window
-
-    s = (
-        load(spark, sf_dir, "supplier")
-        .where(F.col("s_acctbal") > 0)
-        .select("s_nationkey", "s_suppkey", _dec("s_acctbal").alias("bal"))
-    )
-    w_total = Window.partitionBy("s_nationkey")
-    w_run = (
-        Window.partitionBy("s_nationkey")
-        .orderBy(F.desc("bal"), F.asc("s_suppkey"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    shares = s.select(
-        "s_nationkey",
-        "s_suppkey",
-        sql_round(
-            F.sum("bal").over(w_run).cast("double") / F.sum("bal").over(w_total).cast("double"),
-            6,
-        ).alias("cum_share"),
-    )
-    return shares.select(
-        "s_nationkey",
-        "s_suppkey",
-        "cum_share",
-        F.when(F.col("cum_share") <= 0.5, "A")
-        .when(F.col("cum_share") <= 0.8, "B")
-        .otherwise("C")
-        .alias("abc_class"),
-    )
-
-
-@register(
-    "customer_rfm_segments",
-    """
-    WITH base AS (
-      SELECT o_custkey,
-             max(o_orderdate) AS last_order,
-             count(*) AS freq,
-             sum(CAST(o_totalprice AS DECIMAL(12,2))) AS money
-      FROM orders GROUP BY o_custkey
-    ),
-    joined AS (
-      SELECT b.*, c.c_nationkey FROM base b JOIN customer c ON b.o_custkey = c.c_custkey
-    ),
-    scored AS (
-      SELECT o_custkey, c_nationkey,
-             ntile(5) OVER (PARTITION BY c_nationkey
-                            ORDER BY last_order, o_custkey) AS r_score,
-             ntile(5) OVER (PARTITION BY c_nationkey
-                            ORDER BY freq, o_custkey) AS f_score,
-             ntile(5) OVER (PARTITION BY c_nationkey
-                            ORDER BY money, o_custkey) AS m_score
-      FROM joined
-    )
-    SELECT o_custkey AS custkey, c_nationkey AS nationkey,
-           r_score, f_score, m_score,
-           r_score || '-' || f_score || '-' || m_score AS segment
-    FROM scored
-    """,
-    doc="RFM (recency-frequency-monetary) customer segmentation, the "
-    "classic CRM quintile scoring: per customer last order date, order "
-    "count, and exact-decimal spend, each scored 1-5 by ntile within the "
-    "customer's nation. Scale shape: one custkey agg over orders, one "
-    "broadcast join to the customer dim for the nation, then THREE ntile "
-    "windows all partitioned on c_nationkey — one exchange feeds them "
-    "and nations parallelize the sorts; a GLOBAL ntile would be the "
-    "single-partition trap (the reason warehouse RFM is scored within "
-    "segment hierarchies). Every ORDER BY carries the custkey tiebreak "
-    "and the monetary sort key is the exact decimal sum, so bucket "
-    "assignment is engine-identical (both engines implement SQL-standard "
-    "ntile: equal buckets, earlier buckets take the remainder)",
-)
-def q_customer_rfm_segments(spark, sf_dir):
-    from pyspark.sql.window import Window
-
-    base = (
-        load(spark, sf_dir, "orders")
-        .groupBy("o_custkey")
-        .agg(
-            F.max("o_orderdate").alias("last_order"),
-            F.count(F.lit(1)).alias("freq"),
-            F.sum(_dec("o_totalprice")).alias("money"),
-        )
-    )
-    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
-    joined = base.join(F.broadcast(c), base.o_custkey == c.c_custkey)
-
-    def w(order_col):
-        return Window.partitionBy("c_nationkey").orderBy(F.asc(order_col), F.asc("o_custkey"))
-
-    scored = joined.select(
-        F.col("o_custkey").alias("custkey"),
-        F.col("c_nationkey").alias("nationkey"),
-        F.ntile(5).over(w("last_order")).alias("r_score"),
-        F.ntile(5).over(w("freq")).alias("f_score"),
-        F.ntile(5).over(w("money")).alias("m_score"),
-    )
-    return scored.withColumn(
-        "segment",
-        F.concat_ws("-", F.col("r_score"), F.col("f_score"), F.col("m_score")),
-    )
-
-
-@register(
-    "event_transition_matrix",
-    """
-    WITH seq AS (
-      SELECT user_id, event_type AS cur,
-             lead(event_type) OVER (PARTITION BY user_id
-                                    ORDER BY ts, event_id) AS nxt
-      FROM events
-    ),
-    cnt AS (
-      SELECT cur, nxt, count(*) AS transitions
-      FROM seq WHERE nxt IS NOT NULL GROUP BY cur, nxt
-    )
-    SELECT cur, nxt, transitions::BIGINT AS transitions,
-           round(transitions / CAST(sum(transitions) OVER (PARTITION BY cur) AS DOUBLE), 6)
-             AS prob
-    FROM cnt
-    """,
-    doc="First-order Markov transition matrix over per-user event "
-    "sequences: P(next event type | current), the feature build behind "
-    "next-action models and session anomaly scoring. Scale shape: ONE "
-    "lead() window partitioned on user_id (ordered by ts with event_id "
-    "tiebreak — concurrent events get a deterministic order), then a "
-    "(cur,nxt) count; the per-cur normalization runs on the COUNTED "
-    "relation, which is event-type-squared-bounded (25 rows here), so "
-    "its window is free at any fact scale. Probabilities are one "
-    "division rounded to 6dp — engine-identical",
-)
-def q_event_transition_matrix(spark, sf_dir):
-    from pyspark.sql.window import Window
-
-    e = load(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
-    w_seq = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
-    seq = e.select(
-        F.col("event_type").alias("cur"),
-        F.lead("event_type").over(w_seq).alias("nxt"),
-    ).where(F.col("nxt").isNotNull())
-    cnt = seq.groupBy("cur", "nxt").agg(F.count(F.lit(1)).alias("transitions"))
-    w_norm = Window.partitionBy("cur")
-    return cnt.select(
-        "cur",
-        "nxt",
-        "transitions",
-        sql_round(
-            F.col("transitions").cast("double") / F.sum("transitions").over(w_norm),
-            6,
-        ).alias("prob"),
-    )
-
-
-@register(
-    "orders_monthly_growth",
-    """
-    WITH monthly AS (
-      SELECT date_trunc('month', o_orderdate) AS month,
-             sum(CAST(o_totalprice AS DECIMAL(12,2))) AS rev,
-             count(*) AS n_orders
-      FROM orders GROUP BY 1
-    )
-    SELECT month, CAST(rev AS DOUBLE) AS revenue, n_orders::BIGINT AS n_orders,
-           round((CAST(rev AS DOUBLE)
-                  - CAST(lag(rev) OVER (ORDER BY month) AS DOUBLE))
-                 / CAST(lag(rev) OVER (ORDER BY month) AS DOUBLE), 6) AS mom_growth
-    FROM monthly
-    """,
-    doc="Month-over-month revenue growth: the reporting query behind "
-    "every KPI dashboard. The lag() window is GLOBAL (ORDER BY month, "
-    "no partition) — which is exactly right HERE because it runs on the "
-    "aggregated month relation, whose cardinality is time-bounded "
-    "(~80 rows for a 7-year table) and independent of fact volume; the "
-    "single-partition sort the plan shows costs microseconds. The trap "
-    "this query documents by contrast: the same window on the raw fact "
-    "table would serialize the whole dataset through one task. Exact "
-    "decimal month sums; growth is one double division rounded to 6dp "
-    "(first month's growth is NULL in both engines)",
-)
-def q_orders_monthly_growth(spark, sf_dir):
-    from pyspark.sql.window import Window
-
-    monthly = (
-        load(spark, sf_dir, "orders")
-        .groupBy(F.date_trunc("month", "o_orderdate").alias("month"))
-        .agg(
-            F.sum(_dec("o_totalprice")).alias("rev"),
-            F.count(F.lit(1)).alias("n_orders"),
-        )
-    )
-    w = Window.orderBy("month")
-    prev = F.lag("rev").over(w).cast("double")
-    return monthly.select(
-        "month",
-        F.col("rev").cast("double").alias("revenue"),
-        "n_orders",
-        sql_round((F.col("rev").cast("double") - prev) / prev, 6).alias("mom_growth"),
-    )
-
-
-@register(
-    "documents_orc_roundtrip",
-    """
-    SELECT lang, count(*)::BIGINT AS n_docs,
-           sum(n_chars)::BIGINT AS total_chars,
-           sum(length(text))::BIGINT AS total_text_len
-    FROM documents GROUP BY lang
-    """,
-    doc="ORC source round trip: documents written once as an 8-file ORC "
-    "layout, read back, and aggregated per lang against the parquet "
-    "oracle — the same lossless-path proof as documents_jsonl_roundtrip "
-    "for the OTHER columnar format Spark ships natively (ORC is what "
-    "Hive-era lakes hand you). Binary columnar means newline-bearing "
-    "text and unicode need no escaping at all, and the reader gets the "
-    "same pushdown/pruning machinery as parquet (ORC carries its own "
-    "stripe-level min/max stats)",
-)
-def q_documents_orc_roundtrip(spark, sf_dir):
-    import hashlib
-
-    key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    src = _ensure_layout(
-        f"/tmp/rsmr_docs_orc_{key}",
-        lambda d: load(spark, sf_dir, "documents")
-        .repartition(8)
-        .write.mode("overwrite")
-        .orc(d),
-    )
-    docs = spark.read.orc(src)
-    return docs.groupBy("lang").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("n_chars").alias("total_chars"),
-        F.sum(F.length("text")).alias("total_text_len"),
-    )
-
-
-@register(
-    "events_csv_roundtrip",
-    """
-    SELECT event_type, count(*)::BIGINT AS n_events,
-           sum(user_id)::BIGINT AS sum_users,
-           sum(length(props))::BIGINT AS total_props_len,
-           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
-    FROM events GROUP BY event_type
-    """,
-    doc="CSV source round trip with embedded-structure torture: events "
-    "written once as an 8-file CSV layout — the props column is a JSON "
-    "string full of commas, quotes, and braces, so every row exercises "
-    "the writer's quote-and-escape path — read back with an EXPLICIT "
-    "schema (no inference pre-scan) and aggregated against the parquet "
-    "oracle. A green row proves quoting is lossless AND the timestamp/"
-    "double round trips are exact (Spark writes doubles shortest-"
-    "round-trip). CSV stays line-splittable because no field contains a "
-    "newline; the sum over value goes through a decimal cast so "
-    "partial-agg order cannot leak into the hash",
-)
-def q_events_csv_roundtrip(spark, sf_dir):
-    import hashlib
-
-    key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    src = _ensure_layout(
-        f"/tmp/rsmr_events_csv_{key}",
-        lambda d: load(spark, sf_dir, "events")
-        .repartition(8)
-        .write.mode("overwrite")
-        .option("header", "false")
-        .csv(d),
-    )
-    schema = (
-        "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, "
-        "value DOUBLE, props STRING"
-    )
-    e = spark.read.schema(schema).csv(src)
-    return e.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n_events"),
-        F.sum("user_id").alias("sum_users"),
-        F.sum(F.length("props")).alias("total_props_len"),
-        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
-    )
-
-
-def _retention_user_sampled_oracle() -> str:
-    from ..sampling.deterministic import hash_bernoulli_sql
-
-    keep = hash_bernoulli_sql("user_id::VARCHAR", 0.4, seed=7)
-    return f"""
-    WITH se AS (SELECT user_id, ts FROM events WHERE {keep}),
-    fs AS (
-      SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day FROM se GROUP BY user_id
-    ),
-    coh AS (SELECT cohort_day, count(*) AS cohort_size FROM fs GROUP BY cohort_day),
-    act AS (
-      SELECT DISTINCT fs.cohort_day,
-             datediff('day', fs.cohort_day, CAST(e.ts AS DATE)) AS offset_day,
-             e.user_id
-      FROM se e JOIN fs ON e.user_id = fs.user_id
-    )
-    SELECT a.cohort_day, a.offset_day, count(*)::BIGINT AS sampled_active_users,
-           round(count(*) / CAST(c.cohort_size AS DOUBLE), 6) AS est_retention,
-           round(count(*) / 0.4, 2) AS ht_active_users
-    FROM act a JOIN coh c ON a.cohort_day = c.cohort_day
-    GROUP BY a.cohort_day, a.offset_day, c.cohort_size
-    """
-
-
-@register(
-    "retention_user_sampled",
-    _retention_user_sampled_oracle(),
-    doc="The reference's sample->estimate core applied to cohort "
-    "retention — with the sampling unit moved from ROWS to USERS "
-    "(cluster sampling, the entity-level analogue of the reference's "
-    "file-level cluster pick, SURVEY 4.2): a user is either fully in or "
-    "fully out by md5 hash, so every sampled user's event history is "
-    "complete and first-seen/offset computations are EXACT for sampled "
-    "users — row-level sampling would corrupt first-seen dates and bias "
-    "every offset. est_retention is a ratio of counts over the same "
-    "sampled cohort (the 1/r HT scale-ups cancel); ht_active_users "
-    "carries the explicit 1/0.4 scale-up for the population-level "
-    "count. Ratio 0.4 keeps the testdata's ~5-user day-cohorts "
-    "populated; at production scale 0.01-0.1 cuts the user_id shuffle "
-    "by the same factor because the hash filter sits in the scan",
-    tags=("sampled",),
-)
-def q_retention_user_sampled(spark, sf_dir):
-    from ..sampling.deterministic import hash_bernoulli
-
-    e = (
-        load(spark, sf_dir, "events")
-        .withColumn("__k", F.col("user_id").cast("string"))
-    )
-    se = hash_bernoulli(e, "__k", 0.4, seed=7).select(
-        "user_id", F.to_date("ts").alias("day")
-    )
-    fs = se.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
-    coh = fs.groupBy("cohort_day").agg(F.count(F.lit(1)).alias("cohort_size"))
-    act = (
-        se.join(fs, "user_id")
-        .select("cohort_day", F.datediff("day", "cohort_day").alias("offset_day"), "user_id")
-        .distinct()
-    )
-    return (
-        act.groupBy("cohort_day", "offset_day")
-        .agg(F.count(F.lit(1)).alias("sampled_active_users"))
-        .join(F.broadcast(coh), "cohort_day")
-        .select(
-            "cohort_day",
-            "offset_day",
-            "sampled_active_users",
-            sql_round(
-                F.col("sampled_active_users").cast("double") / F.col("cohort_size"), 6
-            ).alias("est_retention"),
-            sql_round(F.col("sampled_active_users").cast("double") / F.lit(0.4), 2).alias(
-                "ht_active_users"
-            ),
-        )
-    )
-
-
-# ===========================================================================
-# ML-governance batch (round 4, sixth widening): regression from exact
-# moments, vector-column profiling, and distribution-drift (PSI) — the
-# monitoring surface a training pipeline runs between ingests. All
-# value-oracled.
-# ===========================================================================
-
-
-@register(
-    "price_quantity_regression",
-    """
-    WITH m AS (
-      SELECT p_brand,
-             count(*) AS n,
-             CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sx,
-             CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sy,
-             CAST(sum(CAST(l_quantity AS DECIMAL(12,2))
-                      * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sxy,
-             CAST(sum(CAST(l_quantity AS DECIMAL(12,2))
-                      * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sxx,
-             CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
-                      * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS syy
-      FROM lineitem JOIN part ON p_partkey = l_partkey
-      GROUP BY p_brand
-    )
-    SELECT p_brand, n::BIGINT AS n_lines,
-           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
-           round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6)
-             AS intercept,
-           round(((n * sxy - sx * sy) * (n * sxy - sx * sy))
-                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
-    FROM m
-    """,
-    doc="Per-brand OLS regression (extendedprice on quantity) computed "
-    "from MOMENTS, not a solver: n, Sx, Sy, Sxy, Sxx, Syy accumulate as "
-    "EXACT decimal sums in one map-side-combinable aggregate — the "
-    "classic single-pass distributed regression — then combine into "
-    "slope/intercept/r2 with a fixed IEEE expression on doubles cast "
-    "from those exact sums, so the result is engine-identical without "
-    "any per-partition order sensitivity (a naive sum-of-doubles moment "
-    "would differ run to run). 100 TB: one brand-key shuffle of six "
-    "numbers per brand; the regression itself is free",
-)
-def q_price_quantity_regression(spark, sf_dir):
-    p = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    l = load(spark, sf_dir, "lineitem").select("l_partkey", "l_quantity", "l_extendedprice")
-    x, y = _dec("l_quantity"), _dec("l_extendedprice")
-    m = (
-        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
-        .groupBy("p_brand")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(x).cast("double").alias("sx"),
-            F.sum(y).cast("double").alias("sy"),
-            F.sum(x * y).cast("double").alias("sxy"),
-            F.sum(x * x).cast("double").alias("sxx"),
-            F.sum(y * y).cast("double").alias("syy"),
-        )
-    )
-    n = F.col("n")
-    cov_n = n * F.col("sxy") - F.col("sx") * F.col("sy")
-    var_x = n * F.col("sxx") - F.col("sx") * F.col("sx")
-    var_y = n * F.col("syy") - F.col("sy") * F.col("sy")
-    slope = cov_n / var_x
-    return m.select(
-        "p_brand",
-        n.alias("n_lines"),
-        sql_round(slope, 6).alias("slope"),
-        sql_round((F.col("sy") - slope * F.col("sx")) / n, 6).alias("intercept"),
-        sql_round((cov_n * cov_n) / (var_x * var_y), 6).alias("r2"),
-    )
-
-
-@register(
-    "embedding_dim_stats",
-    """
-    WITH ex AS (
-      SELECT unnest(generate_series(1, len(embedding))) - 1 AS dim,
-             CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS iv
-      FROM embeddings
-    )
-    SELECT dim, count(*)::BIGINT AS n,
-           floor((CAST(sum(CAST(iv AS DECIMAL(38,0))) AS DOUBLE) / count(*) / 1000000)
-                 * 1000000) / 1000000 AS mean,
-           floor(sqrt(greatest(
-             CAST(sum(CAST(iv AS DECIMAL(38,0)) * iv) AS DOUBLE)
-               / count(*) / 1000000000000
-             - (CAST(sum(CAST(iv AS DECIMAL(38,0))) AS DOUBLE) / count(*) / 1000000)
-               * (CAST(sum(CAST(iv AS DECIMAL(38,0))) AS DOUBLE) / count(*) / 1000000),
-             0.0)) * 1000000) / 1000000 AS std
-    FROM ex GROUP BY dim
-    """,
-    doc="Per-dimension mean/std profile of the embedding column — the "
-    "feature-drift monitor a training pipeline runs on every vector "
-    "ingest (a shifted dimension means a broken encoder). posexplode "
-    "fans each vector into (dim, value) rows; each float is quantized "
-    "to INTEGER micro-units via floor(double(val)*1e6) — float->double "
-    "widening is exact and floor of an identical double is identical in "
-    "both engines, whereas a float->DECIMAL(12,6) CAST rounds per value "
-    "under engine-specific modes (Spark HALF_UP, DuckDB half-even) and "
-    "diverged on ~0.1%% of values (caught by the sf0.001 oracle run in "
-    "round 6: every per-dim decimal moment sum differed in the last "
-    "digit). Moment sums run over the integers (DECIMAL(38,0) "
-    "accumulator: iv^2 ~ 1e12, so a BIGINT sum would overflow near 9M "
-    "rows per dim — at 100 TB that is every dim), so they are exact and "
-    "order-independent; ONE cast to double at the end feeds identical "
-    "IEEE mean/std math, truncated at 6dp (floor, tie-free) in both "
-    "engines. One dim-key aggregate — map-side combine keeps the "
-    "shuffle at dims x partitions rows no matter how many vectors",
-)
-def q_embedding_dim_stats(spark, sf_dir):
-    e = load(spark, sf_dir, "embeddings").select(
-        F.posexplode("embedding").alias("dim", "val")
-    )
-    iv = F.floor(F.col("val").cast("double") * F.lit(1000000.0)).cast("bigint")
-    ex = e.select("dim", iv.alias("iv"))
-    n = F.count(F.lit(1))
-    dec = F.col("iv").cast("decimal(38,0)")
-    sx = F.sum(dec).cast("double")
-    sxx = F.sum(dec * F.col("iv")).cast("double")
-    mean = sx / n / F.lit(1000000.0)
-
-    def trunc6(col):
-        return F.floor(col * F.lit(1000000.0)).cast("double") / F.lit(1000000.0)
-
-    return ex.groupBy("dim").agg(
-        n.alias("n"),
-        trunc6(mean).alias("mean"),
-        trunc6(
-            F.sqrt(
-                F.greatest(
-                    sxx / n / F.lit(1_000_000_000_000.0) - mean * mean, F.lit(0.0)
-                )
-            )
-        ).alias("std"),
-    )
-
-
-_PSI_SQL = """
-    WITH b AS (
-      SELECT least(9, CAST(floor(value / 50.0) AS INT)) AS bucket,
-             CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END AS is_ref
-      FROM events
-    ),
-    c AS (
-      SELECT bucket,
-             sum(is_ref)::BIGINT AS n_ref,
-             sum(1 - is_ref)::BIGINT AS n_cur
-      FROM b GROUP BY bucket
-    ),
-    ct AS (
-      SELECT bucket, n_ref, n_cur,
-             sum(n_ref) OVER () AS tr, sum(n_cur) OVER () AS tc
-      FROM c
-    )
-    SELECT bucket, n_ref, n_cur,
-           round(n_ref / CAST(tr AS DOUBLE), 6) AS p_ref,
-           round(n_cur / CAST(tc AS DOUBLE), 6) AS p_cur,
-           CASE WHEN n_ref = 0 OR n_cur = 0 THEN NULL
-                ELSE round((n_ref / CAST(tr AS DOUBLE) - n_cur / CAST(tc AS DOUBLE))
-                           * ln((n_ref / CAST(tr AS DOUBLE))
-                                / (n_cur / CAST(tc AS DOUBLE))), 6)
-           END AS psi_term
-    FROM ct
-    """
-
-
-@register(
-    "events_value_psi",
-    _PSI_SQL,
-    doc="Population Stability Index between the first and second half of "
-    "the event window — THE distribution-drift gate for model inputs "
-    "(PSI > 0.25 = investigate). One scan computes both halves' "
-    "equi-width bucket counts via conditional sums (no second read, no "
-    "self-join); totals come from the 10-row bucket relation so the "
-    "final PSI terms are computed over a constant-size frame. Bucket "
-    "membership is integer floor division (no FP boundary ambiguity); "
-    "shares and ln() run on identical IEEE inputs in both engines, "
-    "rounded at 6dp. A bucket empty on either side gets a NULL term "
-    "(the unsmoothed PSI is undefined there — this dataset's top bucket "
-    "is current-only; production monitors epsilon-smooth or re-bin, and "
-    "the NULL makes the condition visible instead of burying an "
-    "arbitrary clamp in the statistic). The per-bucket long format "
-    "keeps the largest drift contributors visible, and sum(psi_term) "
-    "is the headline statistic",
-)
-def q_events_value_psi(spark, sf_dir):
-    e = psi_bucketize(load(spark, sf_dir, "events"))
-    c = e.groupBy("bucket").agg(
-        F.sum("is_ref").alias("n_ref"),
-        F.sum(F.lit(1) - F.col("is_ref")).alias("n_cur"),
-    )
-    return psi_from_counts(c)
-
-
-@register(
-    "streaming_value_psi",
-    _PSI_SQL,
-    doc="The PSI drift gate AS A STREAMING JOB: per-bucket ref/current "
-    "conditional counts run as a streaming aggregate (complete mode, "
-    "availableNow for the finite verification run), so the monitor "
-    "updates continuously as event files arrive instead of re-scanning "
-    "history per check; the batch psi_from_counts post-processing turns "
-    "the emitted 10-row counts table into the statistic. VALUE-oracled "
-    "against the same SQL as the batch twin — stream/batch parity is "
-    "exactly what complete-mode emission guarantees, and the streaming "
-    "state is bucket-bounded forever (counts, not events). Production: "
-    "a processing-time trigger feeding the monitoring table "
-    "(streaming/sampled_stream.value_psi_counts_stream)",
-    tags=("streaming",),
-)
-def q_streaming_value_psi(spark, sf_dir):
-    from ..streaming.sampled_stream import value_psi_counts_stream
-
-    return psi_from_counts(value_psi_counts_stream(spark, sf_dir))
-
-
-@register(
-    "events_hourly_incremental",
-    """
-    SELECT date_trunc('hour', ts) AS hour, event_type,
-           count(*)::BIGINT AS cnt,
-           CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
-    FROM events GROUP BY 1, 2
-    """,
-    doc="Incremental aggregate maintenance (materialized-view upkeep): the "
-    "running hourly rollup is materialized ONCE for history (events "
-    "before 2024-01-25), and each refresh aggregates ONLY the delta "
-    "(days 25+) and merges it with the stored partials via "
-    "union + re-aggregate — sum-of-counts and sum-of-decimal-sums are "
-    "decomposable, so merged == full recompute, which is exactly what "
-    "the oracle (a full-table aggregate) certifies. 100 TB: the daily "
-    "refresh scans ONE day, never history; merge cost is bounded by "
-    "|delta groups| + |stored groups|, both hour-x-type-bounded. The "
-    "same decomposability argument underlies every partial+final agg in "
-    "the engine (G1) — this query materializes the partial across RUNS "
-    "instead of across tasks",
-)
-def q_events_hourly_incremental(spark, sf_dir):
-    import hashlib
-    import os
-
-    cutoff = "2024-01-25"
-    # The cached base holds a DERIVED aggregate (unlike the verbatim-copy
-    # stream-source caches), so the key must fingerprint the DATA, not
-    # just the path — otherwise regenerated events at the same sf_dir
-    # would silently merge old partials with new deltas. name+size+mtime
-    # of every source file is the standard cheap staleness signature.
-    src_path = os.path.join(sf_dir, "events.parquet")
-    sig = [sf_dir]
-    if os.path.isdir(src_path):
-        for f in sorted(os.listdir(src_path)):
-            st = os.stat(os.path.join(src_path, f))
-            sig.append(f"{f}:{st.st_size}:{st.st_mtime_ns}")
-    elif os.path.exists(src_path):
-        st = os.stat(src_path)
-        sig.append(f"{st.st_size}:{st.st_mtime_ns}")
-    key = hashlib.md5("|".join(sig).encode()).hexdigest()[:10]
-    # Cache name = <source tag>_<data signature>: the tag pins WHICH
-    # source directory the cache derives from, the signature pins the
-    # data generation. Pruning removes same-source caches with a stale
-    # signature (every source regeneration would otherwise leave a dead
-    # /tmp layout behind, accumulating unboundedly — ADVICE r4) while
-    # leaving other sources' caches (sf0.001 vs sf0.1) untouched.
-    src_tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:6]
-    cache_name = f"rsmr_hourly_base_{src_tag}_{key}"
-    import shutil as _shutil
-
-    for _name in os.listdir("/tmp"):
-        _stale_same_src = (
-            _name.startswith(f"rsmr_hourly_base_{src_tag}_") and _name != cache_name
-        )
-        # pre-tag layout (rsmr_hourly_base_<sig> with no source tag):
-        # un-prunable under the old scheme, remove on sight
-        _legacy = _name.startswith("rsmr_hourly_base_") and "_" not in _name[len("rsmr_hourly_base_"):]
-        if _stale_same_src or _legacy:
-            _shutil.rmtree(os.path.join("/tmp", _name), ignore_errors=True)
-
-    def agg_part(df):
-        return df.groupBy(
-            F.date_trunc("hour", "ts").alias("hour"), "event_type"
-        ).agg(
-            F.count(F.lit(1)).alias("cnt"),
-            F.sum(_dec("value")).alias("val_sum"),
-        )
-
-    base_dir = _ensure_layout(
-        f"/tmp/{cache_name}",
-        lambda d: agg_part(
-            load(spark, sf_dir, "events").where(F.col("ts") < cutoff)
-        ).write.mode("overwrite").parquet(d),
-    )
-    base = spark.read.parquet(base_dir)
-    delta = agg_part(load(spark, sf_dir, "events").where(F.col("ts") >= cutoff))
-    return (
-        base.unionByName(delta)
-        .groupBy("hour", "event_type")
-        .agg(
-            F.sum("cnt").alias("cnt"),
-            F.sum("val_sum").cast("double").alias("total_value"),
-        )
-    )
-
-
-@register(
-    "events_dedup_consecutive",
-    """
-    WITH seq AS (
-      SELECT event_type,
-             CASE WHEN event_type = lag(event_type)
-                    OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                  THEN 1 ELSE 0 END AS is_rep
-      FROM events
-    )
-    SELECT event_type,
-           sum(1 - is_rep)::BIGINT AS kept,
-           sum(is_rep)::BIGINT AS dropped
-    FROM seq GROUP BY event_type
-    """,
-    doc="Consecutive-duplicate suppression (the sensor/changelog dedup "
-    "primitive: keep a row only when its type differs from the SAME "
-    "user's previous row): one lag() window on the user_id partitioning "
-    "with the (ts, event_id) tiebreak, then a per-type kept/dropped "
-    "tally. Unlike dropDuplicates, which dedups globally per key, this "
-    "is ORDER-SENSITIVE run-length suppression — expressible only "
-    "through the window, and the window is the whole cost: one "
-    "exchange, no join, no state beyond one lag row per task. The "
-    "NULL-safe inequality matters: each user's FIRST row has a NULL lag "
-    "and must count as kept (CASE's NULL-falsy branch in both engines)",
-)
-def q_events_dedup_consecutive(spark, sf_dir):
-    from pyspark.sql.window import Window
-
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    seq = load(spark, sf_dir, "events").select(
-        "event_type",
-        F.when(F.col("event_type") == F.lag("event_type").over(w), 1)
-        .otherwise(0)
-        .alias("is_rep"),
-    )
-    return seq.groupBy("event_type").agg(
-        F.sum(F.lit(1) - F.col("is_rep")).alias("kept"),
-        F.sum("is_rep").alias("dropped"),
-    )
-
-
-@register(
-    "sessions_bounce_rate",
-    """
-    WITH marked AS (
-      SELECT user_id, ts,
-             CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
-                    OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                  <= 1800000000 THEN 0 ELSE 1 END AS is_new,
-             event_id
-      FROM events
-    ),
-    sess AS (
-      SELECT user_id, ts,
-             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                               ROWS UNBOUNDED PRECEDING) AS sid
-      FROM marked
-    ),
-    per_session AS (
-      SELECT user_id, sid, min(CAST(ts AS DATE)) AS day,
-             count(*) AS n_events
-      FROM sess GROUP BY user_id, sid
-    )
-    SELECT day,
-           count(*)::BIGINT AS n_sessions,
-           sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)::BIGINT AS n_bounce,
-           round(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
-                 / CAST(count(*) AS DOUBLE), 6) AS bounce_rate
-    FROM per_session
-    GROUP BY day
-    """,
-    doc="Daily bounce rate (share of 30-min-gap sessions with exactly one "
-    "event), keyed to each session's START day — the engagement KPI "
-    "downstream of sessionization. Composes the user_sessions "
-    "gaps-and-islands build (same window chain on the user_id "
-    "partitioning, so Catalyst plans ONE user exchange for the lag, the "
-    "running sum, and the per-session agg), then a day-bounded final "
-    "rollup. The bounce flag compares an exact integer event count, and "
-    "the rate is one division rounded at 6dp — engine-identical",
-)
-def q_sessions_bounce_rate(spark, sf_dir):
-    sess = sessionize_events(load(spark, sf_dir, "events")).withColumnRenamed(
-        "session_id", "sid"
-    )
-    per_session = sess.groupBy("user_id", "sid").agg(
-        F.min(F.to_date("ts")).alias("day"), F.count(F.lit(1)).alias("n_events")
-    )
-    bounce = F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
-    return per_session.groupBy("day").agg(
-        F.count(F.lit(1)).alias("n_sessions"),
-        bounce.alias("n_bounce"),
-        sql_round(bounce / F.count(F.lit(1)).cast("double"), 6).alias("bounce_rate"),
-    )
-
-
-_ATTRIBUTION_SQL = """
-    WITH seq AS (
-      SELECT user_id, ts, event_type, value,
-             last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
-                        IGNORE NULLS)
-               OVER (PARTITION BY user_id ORDER BY ts, event_id
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS channel
-      FROM events
-    )
-    SELECT coalesce(channel, 'direct') AS channel,
-           count(*)::BIGINT AS n_purchases,
-           CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS attributed_value
-    FROM seq WHERE event_type = 'purchase'
-    GROUP BY coalesce(channel, 'direct')
-    """
-
-
-@register(
-    "purchase_attribution_last_touch",
-    _ATTRIBUTION_SQL,
-    doc="Last-touch purchase attribution (the marketing-analytics "
-    "workhorse): each purchase's value is credited to the SAME user's "
-    "most recent preceding non-purchase event type; a purchase with no "
-    "prior touch is 'direct'. One window on the user_id partitioning — "
-    "last(ignorenulls) over a ROWS UNBOUNDED..1-PRECEDING frame, so the "
-    "strictly-before semantics need no self-join and no per-user "
-    "collect; the (ts, event_id) tiebreak pins concurrent events. "
-    "Channel totals are exact decimal sums. DuckDB mirrors via "
-    "last_value(... IGNORE NULLS) over the identical frame — the frame "
-    "bound, not the function, carries the strictly-before contract",
-)
-def q_purchase_attribution_last_touch(spark, sf_dir):
-    from pyspark.sql.window import Window
-
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    touch = F.last(
-        F.when(F.col("event_type") != "purchase", F.col("event_type")), ignorenulls=True
-    ).over(w)
-    seq = load(spark, sf_dir, "events").select(
-        "event_type", "value", touch.alias("channel")
-    )
-    return (
-        seq.where(F.col("event_type") == "purchase")
-        .groupBy(F.coalesce(F.col("channel"), F.lit("direct")).alias("channel"))
-        .agg(
-            F.count(F.lit(1)).alias("n_purchases"),
-            F.sum(_dec("value")).cast("double").alias("attributed_value"),
-        )
-    )
-
-
-def _stratified_hash_oracle() -> str:
-    from ..sampling.deterministic import stratified_hash_weight_sql
-
-    w_case = stratified_hash_weight_sql(
-        "event_type", "event_id::VARCHAR", _STRAT_FRACTIONS, seed=11
-    )
-    return f"""
-    WITH s AS (
-      SELECT event_type, CAST(value AS DECIMAL(12,2)) AS v, {w_case} AS w
-      FROM events
-    )
-    SELECT event_type,
-           count(*)::BIGINT AS n_sampled,
-           CAST(sum(w) AS DOUBLE) AS est_cnt,
-           CAST(sum(w * v) AS DOUBLE) AS est_value_sum
-    FROM s WHERE w IS NOT NULL
-    GROUP BY event_type
-    """
-
-
-_STRAT_FRACTIONS = {
-    "view": 0.05,
-    "click": 0.05,
-    "purchase": 0.2,
-    "error": 0.5,
-    "signup": 0.5,
-}
-
-
-@register(
-    "stratified_events_hash_sampled",
-    _stratified_hash_oracle(),
-    doc="The value-oracled twin of stratified_events_by_type: per-stratum "
-    "Bernoulli with the DETERMINISTIC md5 hash instead of sampleBy's "
-    "engine RNG, so sample membership — and therefore the per-stratum "
-    "Horvitz-Thompson weights 1/r_s and every estimate built from them "
-    "— reproduces bit-for-bit in DuckDB. Rare strata (error/signup) "
-    "keep 50%, the bulk (view/click) 5%: the rare-class-preserving "
-    "allocation row-uniform sampling cannot give you, at the same "
-    "total budget. One map-only CASE attaches the weight, one stratum "
-    "agg; at 100 TB the hash filter sits in the scan exactly like "
-    "every other hash-sampled twin. Weighted sums rounded at 2dp "
-    "(weights are exact binary fractions: 20.0, 5.0, 2.0)",
-    tags=("sampled",),
-)
-def q_stratified_events_hash_sampled(spark, sf_dir):
-    from ..sampling.deterministic import stratified_hash_weight
-
-    e = load(spark, sf_dir, "events").withColumn(
-        "__k", F.col("event_id").cast("string")
-    )
-    # one pass: the keep-decision and the HT weight as a single CASE per
-    # stratum (hash_bernoulli filters one global ratio; here the ratio
-    # varies by stratum) — the shared helper is the single source of
-    # truth for the weight encoding across batch/stream/oracle sites
-    w = stratified_hash_weight("event_type", "__k", _STRAT_FRACTIONS, seed=11)
-    s = e.withColumn("w", w).where(F.col("w").isNotNull())
-    return s.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n_sampled"),
-        F.sum("w").cast("double").alias("est_cnt"),
-        F.sum(F.col("w") * _dec("value")).cast("double").alias("est_value_sum"),
-    )
-
-
-def _stratified_value_quantile_oracle() -> str:
-    from ..sampling.deterministic import stratified_hash_weight_sql
-
-    w_case = stratified_hash_weight_sql(
-        "event_type", "event_id::VARCHAR", _STRAT_FRACTIONS, seed=11
-    )
-    # mirrors weighted_quantile: floor-quantized 2^-20-unit integer
-    # weights (exact cumulative sums), default RANGE window frame (tied
-    # values share one cumulative total in both engines), smallest v
-    # with cum >= p * total.
-    return f"""
-    WITH s AS (
-      SELECT CAST(ts AS DATE) AS d, CAST(value AS DOUBLE) AS v,
-             {w_case} AS w
-      FROM events
-    ),
-    k AS (
-      SELECT d, v, CAST(floor(CAST(w AS DOUBLE) * 1048576.0) AS BIGINT) AS ws
-      FROM s WHERE w IS NOT NULL
-    ),
-    c AS (
-      SELECT d, v,
-             sum(ws) OVER (PARTITION BY d ORDER BY v) AS cum,
-             sum(ws) OVER (PARTITION BY d) AS tot,
-             count(*) OVER (PARTITION BY d) AS n
-      FROM k
-    )
-    SELECT d,
-           min(CASE WHEN CAST(cum AS DOUBLE) >= 0.5 * CAST(tot AS DOUBLE)
-                    THEN v END) AS est_p50,
-           min(CASE WHEN CAST(cum AS DOUBLE) >= 0.9 * CAST(tot AS DOUBLE)
-                    THEN v END) AS est_p90,
-           max(n)::BIGINT AS n_sampled,
-           (max(n) < 100) AS low_support
-    FROM c GROUP BY 1
-    """
-
-
-@register(
-    "stratified_value_quantile_hash_sampled",
-    _stratified_value_quantile_oracle(),
-    doc="Weighted quantiles from a STRATIFIED sample, fully value-oracled "
-    "(round 6: closes the quantile gap in the weighted-estimator family "
-    "— weighted_count/weighted_sum existed, the CDF inverse did not). "
-    "Daily p50/p90 of event value from the same deterministic stratified "
-    "hash sample as stratified_events_hash_sampled (rare strata kept at "
-    "50%, bulk at 5%): each day mixes strata, so the PLAIN sample "
-    "quantile is biased toward over-sampled rare strata and the weighted "
-    "empirical-CDF inverse (sampling/sampled_frame.weighted_quantile) "
-    "undoes the design distortion. Determinism: weights floor-quantized "
-    "to integer 2^-20 units (exact cumulative sums — float cumsums are "
-    "order-dependent at value ties), default RANGE window frame so tied "
-    "values share one cumulative total in both engines, selection = "
-    "smallest v with cum >= p*total; the oracle mirrors the arithmetic "
-    "literally. min_support=100 flags thin days",
-    tags=("sampled",),
-)
-def q_stratified_value_quantile_hash_sampled(spark, sf_dir):
-    from ..sampling.deterministic import stratified_hash_weight
-    from ..sampling.sampled_frame import weighted_quantile
-
-    e = load(spark, sf_dir, "events").withColumn(
-        "__k", F.col("event_id").cast("string")
-    )
-    w = stratified_hash_weight("event_type", "__k", _STRAT_FRACTIONS, seed=11)
-    s = (
-        e.withColumn("w", w)
-        .where(F.col("w").isNotNull())
-        .select(
-            F.to_date("ts").alias("d"),
-            F.col("value").cast("double").alias("v"),
-            "w",
-        )
-    )
-    return weighted_quantile(
-        s, "v", [0.5, 0.9], "d", weight_col="w", min_support=100, alias="est"
-    )
-
-
-def _stratified_quantile_bootstrap_oracle() -> str:
-    from ..sampling.bootstrap import _multiplier_sql, _uniform_sql
-    from ..sampling.deterministic import stratified_hash_weight_sql
-
-    w_case = stratified_hash_weight_sql(
-        "event_type", "event_id::VARCHAR", _STRAT_FRACTIONS, seed=11
-    )
-    mult = _multiplier_sql(_uniform_sql("bk", "rep", 77))
-    # mirrors weighted_quantile_bootstrap literally: rep -1 is the
-    # original sample (multiplier 1); weights w*m floor-quantized to
-    # integer 2^-20 units AFTER the multiply (same parenthesization as
-    # the Spark column); per-(type, rep) CDF inverse under the default
-    # RANGE frame; percentile ranks over the 32 replicate quantiles.
-    # Every (type, rep) group here has thousands of rows so no replicate
-    # quantile is NULL and len(arr) == 32 always — the dynamic Spark
-    # ranks ceil(0.025*32)=1 / ceil(0.975*32)=32 are constants.
-    return f"""
-    WITH s AS (
-      SELECT event_type, CAST(value AS DOUBLE) AS v,
-             event_id::VARCHAR AS bk, CAST({w_case} AS DOUBLE) AS w
-      FROM events
-    ),
-    k AS (SELECT * FROM s WHERE w IS NOT NULL),
-    r AS (SELECT k.*, t.rep
-          FROM k CROSS JOIN (SELECT unnest(range(-1, 32)) AS rep) t),
-    m AS (SELECT event_type, rep, v,
-                 CAST(floor(
-                   (w * CAST(CASE WHEN rep = -1 THEN 1 ELSE {mult} END
-                             AS DOUBLE)) * 1048576.0) AS BIGINT) AS ws
-          FROM r),
-    c AS (SELECT event_type, rep, v, ws,
-                 sum(ws) OVER (PARTITION BY event_type, rep ORDER BY v)
-                   AS cum,
-                 sum(ws) OVER (PARTITION BY event_type, rep) AS tot
-          FROM m),
-    q AS (SELECT event_type, rep,
-                 CASE WHEN min(ws) >= 0 THEN
-                   min(CASE WHEN CAST(cum AS DOUBLE)
-                                 >= 0.5 * CAST(tot AS DOUBLE)
-                            THEN v END) END AS q50
-          FROM c GROUP BY 1, 2),
-    f AS (SELECT event_type,
-                 max(CASE WHEN rep = -1 THEN q50 END) AS est,
-                 list(q50 ORDER BY q50)
-                   FILTER (WHERE rep >= 0 AND q50 IS NOT NULL) AS arr
-          FROM q GROUP BY 1)
-    SELECT event_type,
-           est AS est_p50,
-           CASE WHEN est IS NOT NULL THEN arr[1] END AS est_p50_ci_lo,
-           CASE WHEN est IS NOT NULL THEN arr[32] END AS est_p50_ci_hi
-    FROM f
-    """
-
-
-@register(
-    "stratified_quantile_bootstrap_ci",
-    _stratified_quantile_bootstrap_oracle(),
-    doc="Weighted quantile WITH a bootstrap interval, fully value-oracled "
-    "(VERDICT r6/r7 item: weighted_quantile was the one "
-    "point-estimate-only estimator — the distribution-free binomial "
-    "interval assumes equal weights, so a stratified sample needs "
-    "resampling). Per-event-type median of value from the same "
-    "deterministic stratified hash sample as the other stratified twins "
-    "(rare strata 50%, bulk 5%, seed 11), composed with 32 "
-    "hash-deterministic Poisson(1) replicates "
-    "(sampling/bootstrap.weighted_quantile_bootstrap, seed 77): "
-    "replicate -1 is the original sample (the point estimate), the "
-    "percentile interval selects discrete order statistics of the "
-    "replicate quantiles — no interpolation, no RNG, bit-identical in "
-    "DuckDB. Coverage is seed-sweep-tested in "
-    "tests/test_sampled_frame.py",
-    tags=("sampled",),
-)
-def q_stratified_quantile_bootstrap_ci(spark, sf_dir):
-    from ..sampling.bootstrap import weighted_quantile_bootstrap
-    from ..sampling.deterministic import stratified_hash_weight
-
-    e = load(spark, sf_dir, "events").withColumn(
-        "__k", F.col("event_id").cast("string")
-    )
-    w = stratified_hash_weight("event_type", "__k", _STRAT_FRACTIONS, seed=11)
-    s = (
-        e.withColumn("w", w)
-        .where(F.col("w").isNotNull())
-        .select(
-            "event_type",
-            F.col("value").cast("double").alias("v"),
-            F.col("event_id").cast("string").alias("bk"),
-            "w",
-        )
-    )
-    return weighted_quantile_bootstrap(
-        s,
-        "v",
-        0.5,
-        "event_type",
-        key_col="bk",
-        weight_col="w",
-        n_replicates=32,
-        seed=77,
-        alias="est_p50",
-    )
-
-
-def _sampled_topk_tokens_oracle() -> str:
-    from ..operators.dedup import _WORD_SPLIT_SQL
-    from ..sampling import stats as _stats
-    from ..sampling.deterministic import hash_bernoulli_sql
-
-    z = _stats.z_score(0.95)
-    keep = hash_bernoulli_sql("doc_id::VARCHAR", 0.1, seed=21)
-    return f"""
-    WITH d AS (SELECT doc_id, text FROM documents WHERE {keep}),
-    toks AS (
-      SELECT doc_id,
-             unnest(list_filter(string_split_regex(lower(text),
-               '{_WORD_SPLIT_SQL}'), t -> len(t) > 0)) AS tok
-      FROM d
-    ),
-    x AS (SELECT doc_id, tok, count(*)::BIGINT AS x FROM toks GROUP BY 1, 2),
-    m AS (SELECT tok, sum(x)::BIGINT AS sx, sum(x * x)::BIGINT AS sxx
-          FROM x GROUP BY tok),
-    e AS (SELECT tok, sx * 10.0 AS est,
-                 {z!r} * sqrt(0.9 * CAST(sxx AS DOUBLE)) / 0.1 AS est_ci
-          FROM m),
-    sel AS (SELECT tok, est, est_ci,
-                   row_number() OVER w AS rank,
-                   lead(est + est_ci) OVER w AS nxt
-            FROM e WINDOW w AS (ORDER BY est DESC, tok ASC))
-    SELECT tok, est, est_ci, rank,
-           coalesce((est - est_ci) > nxt, TRUE) AS stable
-    FROM sel WHERE rank <= 15
-    """
-
-
-@register(
-    "sampled_topk_tokens",
-    _sampled_topk_tokens_oracle(),
-    doc="Approximate heavy hitters with rank-stability honesty, fully "
-    "value-oracled (SampledFrame.approx_topk): top-15 corpus tokens by "
-    "HT-estimated total count from a 10% DOCUMENT-level hash sample — "
-    "cluster sampling, so the estimator aggregates per-(doc, token) "
-    "counts and approx_sum's HT variance V^=(1-r)/r^2 * sum x_d^2 is "
-    "exactly the cluster-level CI (sampling token ROWS instead would "
-    "need no clustering but resample every doc's parse; sampling docs "
-    "is the scan-cheap form the reference's design implies). Each item "
-    "carries est +/- ci and `stable` = lower bound clears the NEXT "
-    "rank's upper bound (computed against rank 16 before truncation) — "
-    "adjacent ranks without clearance are statistically interchangeable "
-    "at this sample size, which the reference's plain sorted output "
-    "hides. Deterministic: integer moments scaled by an IEEE-exact 10.0, "
-    "ties broken by token; the CI float and even the flag's comparison "
-    "reproduce in DuckDB from the same integer sums. Plan: partial-agg "
-    "shuffle + TakeOrderedAndProject(16), no global sort",
-    tags=("sampled",),
-)
-def q_sampled_topk_tokens(spark, sf_dir):
-    from ..sampling.deterministic import hash_bernoulli
-
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text").withColumn(
-        "__k", F.col("doc_id").cast("string")
-    )
-    s = hash_bernoulli(docs, "__k", 0.1, seed=21)
-    toks = s.select(
-        "doc_id",
-        F.explode_outer(
-            F.filter(
-                F.split(F.lower(F.col("text")), T.WORD_SPLIT_RE),
-                lambda t: F.length(t) > 0,
-            )
-        ).alias("tok"),
-    ).where(F.col("tok").isNotNull())
-    x = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("x"))
-    sf = SampledFrame(df=x, ratio=0.1, config=SamplingConfig(ratio=0.1, seed=21))
-    return sf.approx_topk("tok", k=15, value_col="x", alias="est")
-
-
-@register(
-    "streaming_stratified_counts",
-    _stratified_hash_oracle(),
-    doc="Stratified-sampling estimation AS A STREAMING JOB, value-oracled "
-    "against the SAME SQL as its batch twin (stratified_events_hash_"
-    "sampled): the deterministic per-stratum hash keep/weight CASE is "
-    "map-side on the stream, weighted count/sum estimates run as a "
-    "complete-mode streaming aggregate whose state is ONE ROW PER "
-    "STRATUM forever — an always-current population estimate of a "
-    "firehose with bounded state and no history re-scan. availableNow "
-    "drains the finite verification corpus; complete mode emits the "
-    "whole bounded state at termination, so stream == batch by "
-    "construction (streaming/sampled_stream.stratified_weighted_counts_"
-    "stream). Production swaps the trigger for processing-time",
-    tags=("streaming", "sampled"),
-)
-def q_streaming_stratified_counts(spark, sf_dir):
-    from ..streaming.sampled_stream import stratified_weighted_counts_stream
-
-    return stratified_weighted_counts_stream(spark, sf_dir, _STRAT_FRACTIONS)
-
-
-def _distinct_users_chao_oracle() -> str:
-    from ..sampling.deterministic import hash_bernoulli_sql
-
-    keep = hash_bernoulli_sql("event_id::VARCHAR", 0.1, seed=31)
-    return f"""
-    WITH s AS (
-      SELECT event_type, user_id FROM events
-      WHERE {keep} AND user_id IS NOT NULL
-    ),
-    c AS (SELECT event_type, user_id, count(*)::BIGINT AS c
-          FROM s GROUP BY 1, 2),
-    m AS (SELECT event_type,
-                 count(*)::BIGINT AS d_sampled,
-                 (count(*) FILTER (WHERE c = 1))::BIGINT AS f1,
-                 (count(*) FILTER (WHERE c = 2))::BIGINT AS f2
-          FROM c GROUP BY 1)
-    SELECT event_type,
-           CAST(d_sampled AS DOUBLE)
-             + CAST(f1 * (f1 - 1) AS DOUBLE)
-               / (2.0 * CAST(f2 + 1 AS DOUBLE)) AS est_distinct,
-           d_sampled, f1, f2
-    FROM m
-    """
-
-
-@register(
-    "distinct_users_chao_hash_sampled",
-    _distinct_users_chao_oracle(),
-    doc="Unseen-species distinct estimation from a sample, fully "
-    "value-oracled: population distinct users per event type via the "
-    "bias-corrected Chao1 estimator d + f1(f1-1)/(2(f2+1)) over a 10% "
-    "hash-deterministic row sample (SampledFrame.approx_distinct_chao). "
-    "This is the correction approx_distinct's honesty note has pointed "
-    "at since round 3 — distinct counts do NOT Horvitz-Thompson-scale "
-    "(d/r overestimates, raw d underestimates), and Chao1 infers the "
-    "unseen mass from the sample's singleton/doubleton profile, for "
-    "which Bernoulli row sampling is exactly the abundance model. The "
-    "integer moments (d, f1, f2) ship alongside the estimate: they ARE "
-    "the estimator, and the single final double division is the only "
-    "float op, so both engines produce identical values. Accuracy "
-    "(estimate brackets the true distinct count far better than either "
-    "naive form) is pinned in tests/test_sampled_frame.py",
-    tags=("sampled",),
-)
-def q_distinct_users_chao_hash_sampled(spark, sf_dir):
-    from ..sampling.deterministic import hash_bernoulli
-
-    e = load(spark, sf_dir, "events").withColumn(
-        "__k", F.col("event_id").cast("string")
-    )
-    sampled = hash_bernoulli(e, "__k", 0.1, seed=31)
-    sf = SampledFrame(df=sampled, ratio=0.1, config=SamplingConfig(ratio=0.1, seed=31))
-    return sf.approx_distinct_chao("user_id", "event_type")
-
-
-def _bootstrap_qty_ci_oracle() -> str:
-    from ..sampling import stats as _stats
-    from ..sampling.bootstrap import _multiplier_sql, _uniform_sql
-
-    z = _stats.z_score(0.95)
-    mult = _multiplier_sql(_uniform_sql("bk", "rep", 42))
-    return f"""
-    WITH d AS (
-      SELECT l_returnflag,
-             l_orderkey::VARCHAR || '-' || l_linenumber::VARCHAR AS bk,
-             l_quantity::BIGINT AS x
-      FROM lineitem
-    ),
-    r AS (SELECT d.*, t.rep
-          FROM d CROSS JOIN (SELECT unnest(range(64)) AS rep) t),
-    m AS (SELECT l_returnflag, rep,
-                 sum(x * ({mult}))::BIGINT AS sr,
-                 sum(CASE WHEN rep = 0 THEN x END)::BIGINT AS s
-          FROM r GROUP BY 1, 2),
-    f AS (SELECT l_returnflag, CAST(sr AS DOUBLE) AS srd, s FROM m)
-    SELECT l_returnflag,
-           max(s) AS est_sum,
-           {z!r} * sqrt(greatest(
-             (sum(srd * srd) - sum(srd) * sum(srd) / 64.0) / 63.0, 0.0))
-             AS est_sum_ci
-    FROM f GROUP BY 1
-    """
-
-
-@register(
-    "bootstrap_qty_ci_by_flag",
-    _bootstrap_qty_ci_oracle(),
-    doc="Deterministic Poisson-bootstrap CI, fully value-oracled "
-    "(sampling/bootstrap.poisson_bootstrap_sum): quantity sum per "
-    "return flag with a 64-replicate bootstrap half-width — the "
-    "general-purpose CI for aggregates WITHOUT a closed-form variance, "
-    "as one distributed pass. Each row's replicate multipliers are the "
-    "Poisson(1) inverse-CDF of the (row key, replicate, seed) md5 "
-    "uniform — no engine RNG — so every replicate sum, and therefore "
-    "the CI itself, reproduces bit-for-bit in DuckDB (replicate sums "
-    "are exact BIGINTs; their squares stay below 2^53 at every checked "
-    "SF, so even the moment sums are exact integer-valued doubles; one "
-    "sqrt at the end). Shuffle carries (flag, replicate) partials — "
-    "64x more GROUP rows, not data rows. The bootstrap's honesty "
-    "caveat (no finite-population factor: it widens the closed-form "
-    "Bernoulli CI by ~1/sqrt(1-r)) is pinned against approx_sum's "
-    "closed form in tests/test_sampled_frame.py",
-    tags=("sampled",),
-)
-def q_bootstrap_qty_ci_by_flag(spark, sf_dir):
-    from ..sampling.bootstrap import poisson_bootstrap_sum
-
-    li = load(spark, sf_dir, "lineitem").select(
-        "l_returnflag",
-        F.concat_ws("-", F.col("l_orderkey"), F.col("l_linenumber")).alias("bk"),
-        F.col("l_quantity").cast("bigint").alias("x"),
-    )
-    return poisson_bootstrap_sum(
-        li, "x", "bk", "l_returnflag", n_replicates=64, seed=42
-    )
-
-
-def _file_pick(n_groups: int = 8, keep_ratio: float = 0.5, seed: str = "file") -> tuple:
-    """Frozen md5 file-group pick: group g kept iff hash64('file|g') lands
-    under the ratio — pure Python, no Spark, so the picked set is a
-    LITERAL both the Spark path list and the oracle's residue IN-list
-    derive from (the same 60-bit md5 scheme as functions/hashing.hash64)."""
-    import hashlib
-
-    def h(s: str) -> int:
-        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
-
-    return tuple(
-        sorted(g for g in range(n_groups) if h(f"{seed}|{g}") % 1000 < int(keep_ratio * 1000))
-    )
-
-
-_FILE_PICKED = _file_pick()
-
-
-def _word_count_file_hash_oracle() -> str:
-    picked = ", ".join(str(g) for g in _FILE_PICKED)
-    scale = f"8.0 / {len(_FILE_PICKED)}"
-    return f"""
-    SELECT word, count(*)::BIGINT AS cnt_sampled,
-           CAST(count(*) * {scale} AS DOUBLE) AS est_cnt
-    FROM (
-      SELECT unnest(string_split_regex(lower(text), '{_WORD_SPLIT_SQL}')) AS word
-      FROM documents
-      WHERE doc_id % 8 IN ({picked})
-        AND NOT regexp_matches(text, '[0-9]')
-    )
-    WHERE word <> '' AND NOT regexp_matches(word, '^[0-9]+$')
-    GROUP BY word
-    """
-
-
-@register(
-    "word_count_file_hash_sampled",
-    _word_count_file_hash_oracle(),
-    doc="The VALUE-ORACLED twin of word_count_file_sampled: file-level "
-    "cluster sampling where both the file layout AND the pick are "
-    "deterministic. The corpus is written once partitioned by "
-    "doc_id % 8 (each residue = one file group), and a frozen md5 hash "
-    "picks which groups to read — Spark passes ONLY the picked "
-    "subdirectory paths to the reader, so unpicked groups cost zero "
-    "I/O (the true cluster-sampling win no row sampler gets), while "
-    "the oracle reproduces the exact same sample as a doc_id residue "
-    "IN-list on the parquet table. The HT scale-up 8/|picked| applies "
-    "to every count identically in both engines. This closes the "
-    "file-sampling family's oracle gap: the RNG-pick original stays as "
-    "the engine-RNG variant, this twin proves the estimator arithmetic "
-    "value-for-value",
-    tags=("sampled",),
-)
-def q_word_count_file_hash_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import hashlib
-
-    key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    src = _ensure_layout(
-        f"/tmp/rsmr_text_bygroup_{key}",
-        lambda d: load(spark, sf_dir, "documents")
-        .select(F.col("text").alias("value"), (F.col("doc_id") % 8).alias("g"))
-        .write.partitionBy("g")
-        .mode("overwrite")
-        .text(d),
-    )
-    lines = spark.read.text([f"{src}/g={g}" for g in _FILE_PICKED])
-    kept = T.drop_digit_lines(lines, "value")
-    scale = F.lit(8.0) / F.lit(float(len(_FILE_PICKED)))
-    return (
-        T.explode_words(kept, "value")
-        .groupBy("word")
-        .agg(F.count(F.lit(1)).alias("cnt_sampled"))
-        .select(
-            "word",
-            "cnt_sampled",
-            (F.col("cnt_sampled") * scale).cast("double").alias("est_cnt"),
-        )
-    )
-
-
-def _word_count_hash_sampled_oracle() -> str:
-    from ..sampling.deterministic import hash_bernoulli_sql
-
-    keep = hash_bernoulli_sql("doc_id::VARCHAR", 0.1, seed=13)
-    return f"""
-    SELECT word, count(*)::BIGINT AS cnt_sampled,
-           CAST(count(*) * 10.0 AS DOUBLE) AS est_cnt
-    FROM (
-      SELECT unnest(string_split_regex(lower(text), '{_WORD_SPLIT_SQL}')) AS word
-      FROM documents
-      WHERE ({keep}) AND NOT regexp_matches(text, '[0-9]')
-    )
-    WHERE word <> '' AND NOT regexp_matches(word, '^[0-9]+$')
-    GROUP BY word
-    """
-
-
-@register(
-    "word_count_hash_sampled",
-    _word_count_hash_sampled_oracle(),
-    doc="The flagship word count with the DETERMINISTIC hash sample "
-    "(doc-level Bernoulli at 10%, frozen md5) instead of the engine-RNG "
-    "Sample node — the value-oracled twin of word_count_sampled, "
-    "completing the twin pattern for the reference's headline workload "
-    "(tpch_q1_hash_sampled established it for Q1). The sampling unit is "
-    "the DOCUMENT, so each kept document contributes its full token "
-    "multiset and the per-word HT estimate cnt/0.1 is unbiased over "
-    "document inclusion; the hash predicate sits in the scan, cutting "
-    "tokenize+shuffle input 10x at any scale",
-    tags=("sampled",),
-)
-def q_word_count_hash_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..sampling.deterministic import hash_bernoulli
-
-    docs = load(spark, sf_dir, "documents").withColumn(
-        "__k", F.col("doc_id").cast("string")
-    )
-    sampled = hash_bernoulli(docs, "__k", 0.1, seed=13).select("text")
-    kept = T.drop_digit_lines(sampled, "text")
-    return (
-        T.explode_words(kept, "text")
-        .groupBy("word")
-        .agg(F.count(F.lit(1)).alias("cnt_sampled"))
-        .select(
-            "word",
-            "cnt_sampled",
-            (F.col("cnt_sampled") * F.lit(10.0)).cast("double").alias("est_cnt"),
-        )
-    )
-
-
-def _log_host_hash_sampled_oracle() -> str:
-    from ..sampling.deterministic import hash_bernoulli_sql
-
-    keep = hash_bernoulli_sql("event_id::VARCHAR", 0.1, seed=17)
-    cte = AL.ORACLE_ACCESS_LOG_CTE.replace(
-        "FROM events", f"FROM (SELECT * FROM events WHERE {keep})"
-    )
-    return (
-        cte
-        + """
-    SELECT host, count(*)::BIGINT AS cnt_sampled,
-           CAST(count(*) * 10.0 AS DOUBLE) AS est_cnt
-    FROM access_log GROUP BY host
-    """
-    )
-
-
-@register(
-    "log_host_hash_sampled",
-    _log_host_hash_sampled_oracle(),
-    doc="Per-host request counts from a deterministic 10% line sample — "
-    "the value-oracled twin of log_host_sampled (engine RNG), applying "
-    "the twin pattern to the reference's log-analysis workload. The "
-    "hash filter runs on event_id BEFORE the synthesize->parse round "
-    "trip, so 90% of lines are never formatted OR regex-parsed — the "
-    "same parse-cost-dominates reasoning as the reference's input-level "
-    "sampling (its entire thesis); HT scale-up 1/0.1 on each host count",
-    tags=("sampled",),
-)
-def q_log_host_hash_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..sampling.deterministic import hash_bernoulli
-
-    e = load(spark, sf_dir, "events").withColumn(
-        "__k", F.col("event_id").cast("string")
-    )
-    sampled = hash_bernoulli(e, "__k", 0.1, seed=17).drop("__k")
-    log = AL.access_log(sampled)
-    return (
-        AL.task_host(log)
-        .withColumnRenamed("cnt", "cnt_sampled")
-        .select(
-            "host",
-            "cnt_sampled",
-            (F.col("cnt_sampled") * F.lit(10.0)).cast("double").alias("est_cnt"),
-        )
-    )
-
-
-def _approx_host_counts_flagged_oracle() -> str:
-    from ..sampling import stats as _stats
-    from ..sampling.deterministic import hash_bernoulli_sql
-
-    z = _stats.z_score(0.95)
-    keep = hash_bernoulli_sql("event_id::VARCHAR", 0.1, seed=17)
-    cte = AL.ORACLE_ACCESS_LOG_CTE.replace(
-        "FROM events", f"FROM (SELECT * FROM events WHERE {keep})"
-    )
-    probe = " OR ".join(f"starts_with(path, '{p}')" for p in AL.HACK_PREFIXES)
-    return (
-        cte
-        + f"""
-    SELECT host,
-           CAST(count(*) * 10.0 AS DOUBLE) AS est_cnt,
-           round({z!r} * sqrt(CAST(count(*) AS DOUBLE) * 0.9) / 0.1, 6) AS est_cnt_ci,
-           count(*)::BIGINT AS n_sampled,
-           (count(*) < 30) AS low_support
-    FROM access_log WHERE {probe} GROUP BY host
-    """
-    )
-
-
-@register(
-    "approx_host_counts_flagged",
-    _approx_host_counts_flagged_oracle(),
-    doc="Per-group small-sample honesty on the hack-prefix family (VERDICT "
-    "r4 item 6; SURVEY.md §7 declared risk): hack-probe hits per host from "
-    "a deterministic 10% line sample, HT-scaled with a per-group CI, PLUS "
-    "the exact sampled support n_sampled and a low_support flag where "
-    "n < 30 (the normal-approximation floor: relative CI width is "
-    "z*sqrt((1-r)/n), so n=5 at 95% is +/-83%). The reference reports the "
-    "scaled-up hack counts with one GLOBAL p=0.5 error bound "
-    "(RandomizedApacheLogAnalysis.java:56-75 + RandomSamplingUtil.java:"
-    "376-378) and silently presents garbage on rare hosts; this engine "
-    "flags exactly which groups cannot be trusted. Hash-deterministic "
-    "sampling (same sample as log_host_hash_sampled: event_id, seed 17) "
-    "makes flag, CI, and estimate all value-oracle-checkable.",
-    tags=("sampled",),
-)
-def q_approx_host_counts_flagged(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..sampling.deterministic import hash_bernoulli
-
-    e = load(spark, sf_dir, "events").withColumn("__k", F.col("event_id").cast("string"))
-    sampled = hash_bernoulli(e, "__k", 0.1, seed=17).drop("__k")
-    parsed = AL.access_log(sampled)
-    sf = SampledFrame(df=parsed, ratio=0.1, config=SamplingConfig(ratio=0.1, seed=17))
-    hack = sf.transform(
-        lambda df: df.where(F.col("path").rlike("^(" + "|".join(AL.HACK_PREFIXES) + ")"))
-    )
-    out = hack.approx_count("host", ci=True, min_support=30, alias="est_cnt")
-    return out.withColumn("est_cnt_ci", sql_round(F.col("est_cnt_ci"), 6))
-
-
-@register(
-    "events_type_hour_chi2",
-    """
-    WITH o AS (
-      SELECT event_type, hour(ts) AS hod, count(*) AS obs
-      FROM events GROUP BY event_type, hour(ts)
-    ),
-    grid AS (
-      SELECT t.event_type, h.hod
-      FROM (SELECT DISTINCT event_type FROM events) t,
-           (SELECT unnest(generate_series(0, 23)) AS hod) h
-    ),
-    full_o AS (
-      SELECT g.event_type, g.hod, coalesce(o.obs, 0) AS obs
-      FROM grid g LEFT JOIN o ON g.event_type = o.event_type AND g.hod = o.hod
-    ),
-    m AS (
-      SELECT event_type, hod, obs,
-             sum(obs) OVER (PARTITION BY event_type) AS row_total,
-             sum(obs) OVER (PARTITION BY hod) AS col_total,
-             sum(obs) OVER () AS grand
-      FROM full_o
-    )
-    SELECT event_type, hod, obs::BIGINT AS obs,
-           round(CAST(row_total * col_total AS DOUBLE) / grand, 6) AS expected,
-           round((obs - CAST(row_total * col_total AS DOUBLE) / grand)
-                 * (obs - CAST(row_total * col_total AS DOUBLE) / grand)
-                 / (CAST(row_total * col_total AS DOUBLE) / grand), 6) AS chi2_term
-    FROM m
-    """,
-    doc="Chi-square independence test of event type vs hour-of-day — the "
-    "seasonality-confound check run before trusting per-type metrics "
-    "(a type whose traffic clusters in specific hours needs "
-    "hour-stratified evaluation). One scan builds the contingency "
-    "counts; the row/column/grand totals come from three windows over "
-    "the CONTINGENCY relation (type x 24 cells, constant-size — never "
-    "the fact table), so the margins cost nothing at any scale. All "
-    "inputs are integer counts, combined through a fixed IEEE "
-    "expression and rounded at 6dp — engine-identical; sum(chi2_term) "
-    "vs the chi2(df=(R-1)(C-1)) critical value is the verdict and is "
-    "cross-checked against scipy in tests",
-)
-def q_events_type_hour_chi2(spark, sf_dir):
-    from pyspark.sql.window import Window
-
-    e = load(spark, sf_dir, "events")
-    o = e.groupBy("event_type", F.hour("ts").alias("hod")).agg(
-        F.count(F.lit(1)).alias("obs")
-    )
-    # DENSIFY to the full type x 24 grid: a zero-observed cell still
-    # contributes (0-E)^2/E = E to the statistic, and dropping it both
-    # understates chi2 and breaks margin conservation. The grid comes
-    # from an explode over the bounded distinct-types relation — a
-    # map-side fan-out, not a cross join (which would plan a nested loop)
-    grid = (
-        e.select("event_type")
-        .distinct()
-        .select("event_type", F.explode(F.sequence(F.lit(0), F.lit(23))).alias("hod"))
-    )
-    full_o = grid.join(o, ["event_type", "hod"], "left").select(
-        "event_type", "hod", F.coalesce(F.col("obs"), F.lit(0)).alias("obs")
-    )
-    m = full_o.select(
-        "event_type",
-        "hod",
-        "obs",
-        F.sum("obs").over(Window.partitionBy("event_type")).alias("row_total"),
-        F.sum("obs").over(Window.partitionBy("hod")).alias("col_total"),
-        F.sum("obs").over(Window.partitionBy()).alias("grand"),
-    )
-    expected = (F.col("row_total") * F.col("col_total")).cast("double") / F.col("grand")
-    return m.select(
-        "event_type",
-        "hod",
-        "obs",
-        sql_round(expected, 6).alias("expected"),
-        sql_round((F.col("obs") - expected) * (F.col("obs") - expected) / expected, 6).alias(
-            "chi2_term"
-        ),
-    )
-
-
-@register(
-    "docs_token_entropy_by_lang",
-    f"""
-    WITH tok AS (
-      SELECT lang, word, count(*) AS cnt
-      FROM (
-        SELECT lang,
-               unnest(string_split_regex(lower(text), '{_WORD_SPLIT_SQL}')) AS word
-        FROM documents
-        WHERE NOT regexp_matches(text, '[0-9]')
-      )
-      WHERE word <> '' AND NOT regexp_matches(word, '^[0-9]+$')
-      GROUP BY lang, word
-    ),
-    m AS (
-      SELECT lang, word, cnt,
-             sum(cnt) OVER (PARTITION BY lang) AS lang_total,
-             count(*) OVER (PARTITION BY lang) AS vocab
-      FROM tok
-    )
-    SELECT lang,
-           max(vocab)::BIGINT AS vocab_size,
-           max(lang_total)::BIGINT AS n_tokens,
-           round(-CAST(sum(CAST(round((cnt / CAST(lang_total AS DOUBLE))
-                                      * ln(cnt / CAST(lang_total AS DOUBLE)), 12)
-                               AS DECIMAL(20,12))) AS DOUBLE), 6) AS token_entropy
-    FROM m GROUP BY lang
-    """,
-    doc="Per-language token (Shannon) entropy — the diversity metric a "
-    "training-data pipeline tracks per slice: a collapsing entropy "
-    "means boilerplate/dedup failure upstream, and cross-language "
-    "entropy gaps drive per-language sampling temperature. Build: one "
-    "tokenize pass into (lang, word) counts (the word_count shuffle "
-    "keyed wider), per-lang totals from a window over the vocab-bounded "
-    "counts relation, then -sum(p ln p) per lang. Every p derives from "
-    "integer counts through one division; each p*ln(p) TERM is rounded "
-    "at 12dp and summed as an exact DECIMAL — a plain double sum over "
-    "~1e4 addends would be partial-agg-order dependent (the same "
-    "order-independence discipline as every money sum in this file, "
-    "applied to transcendental terms)",
-)
-def q_docs_token_entropy_by_lang(spark, sf_dir):
-    from pyspark.sql.window import Window
-
-    docs = load(spark, sf_dir, "documents").select("lang", "text")
-    kept = T.drop_digit_lines(docs, "text")
-    # explode_words projects the token alone; this build carries lang
-    # through the explode (same explode_outer discipline, see
-    # functions/text.explode_words docstring)
-    tok = (
-        kept.select("lang", F.explode_outer(T.words(F.col("text"))).alias("word"))
-        .where(F.length("word") > 0)
-        .where(~F.col("word").rlike("^[0-9]+$"))
-        .groupBy("lang", "word")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
-    w = Window.partitionBy("lang")
-    m = tok.select(
-        "lang",
-        "cnt",
-        F.sum("cnt").over(w).alias("lang_total"),
-        F.count(F.lit(1)).over(w).alias("vocab"),
-    )
-    p = F.col("cnt") / F.col("lang_total").cast("double")
-    term = sql_round(p * F.log(p), 12).cast("decimal(20,12)")
-    return m.groupBy("lang").agg(
-        F.max("vocab").alias("vocab_size"),
-        F.max("lang_total").alias("n_tokens"),
-        sql_round(-F.sum(term).cast("double"), 6).alias("token_entropy"),
-    )
-
-
-@register(
-    "streaming_attribution_last_touch",
-    _ATTRIBUTION_SQL,
-    doc="Last-touch attribution AS A STATEFUL STREAMING JOB "
-    "(streaming/attribution_state.py): applyInPandasWithState keeps ONE "
-    "short string of state per user (the most recent non-purchase "
-    "touch) and emits (channel, value) per purchase — the custom "
-    "stateful operator pattern for semantics session_window/"
-    "dropDuplicates can't express. VALUE-oracled against the SAME SQL "
-    "as the batch window twin: with per-user in-order arrival "
-    "(availableNow over one ordered source) every purchase credits the "
-    "identical channel, and the per-channel totals hash-match. State is "
-    "live-user-bounded with event-time eviction; the ordering contract "
-    "(per-key ordered upstream, or watermark-delayed per-batch sort) is "
-    "documented in the module, not hidden",
-    tags=("streaming",),
-)
-def q_streaming_attribution_last_touch(spark, sf_dir):
-    from ..streaming.attribution_state import attribution_stream
-
-    return attribution_stream(spark, sf_dir)
-
-
-@register(
-    "events_rolling_wau",
-    """
-    WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
-    ex AS (
-      SELECT unnest(generate_series(day, day + INTERVAL 6 DAY, INTERVAL 1 DAY))::DATE
-               AS wday,
-             user_id
-      FROM du
-    ),
-    b AS (SELECT max(day) AS hi FROM du)
-    SELECT wday, count(DISTINCT user_id)::BIGINT AS wau
-    FROM ex, b WHERE wday <= b.hi
-    GROUP BY wday
-    """,
-    doc="Rolling 7-day active users (WAU) per day — the flagship product "
-    "health metric. The naive form is a RANGE join (every day joined to "
-    "the 7 days around it), which Spark can only plan as a broadcast "
-    "nested loop; the scale form used here EXPLODES each (day, user) "
-    "contribution into the <=7 window days it serves, then one distinct "
-    "count per window day — a map-side x7 fan-out of the already-"
-    "compacted (day,user) relation followed by ONE shuffle, no join at "
-    "all. Partial windows past the data's last day are dropped via a "
-    "scalar max-day bound (a true ScalarSubquery); leading partial "
-    "windows are the standard WAU convention (day 1's WAU is day 1's "
-    "DAU). Exact distinct at test scale; the 100 TB swap to "
-    "approx_count_distinct or a KMV merge is the documented variant",
-)
-def q_events_rolling_wau(spark, sf_dir):
-    du = (
-        load(spark, sf_dir, "events")
-        .select(F.to_date("ts").alias("day"), "user_id")
-        .distinct()
-    )
-    ex = du.select(
-        F.explode(
-            F.expr("sequence(day, day + interval 6 day, interval 1 day)")
-        ).alias("wday"),
-        "user_id",
-    )
-    hi = du.agg(F.max("day").alias("hi"))
-    return (
-        ex.where(F.col("wday") <= hi.scalar())
-        .groupBy("wday")
-        .agg(F.count_distinct("user_id").alias("wau"))
-    )
-
-
-def _dedup_summary_sql() -> str:
-    from ..operators.dedup import minhash_lsh_candidates_sql
-
-    return f"""
-    WITH cand AS ({minhash_lsh_candidates_sql()}),
-    near AS (
-      SELECT count(*) AS n_pairs,
-             count(DISTINCT doc_b) AS n_near_dup
-      FROM cand
-    ),
-    ex AS (
-      SELECT count(*) AS n_docs,
-             count(DISTINCT md5(text)) AS n_unique_texts
-      FROM documents
-    )
-    SELECT 'n_docs' AS metric, n_docs::BIGINT AS value FROM ex
-    UNION ALL SELECT 'n_exact_dups', (n_docs - n_unique_texts)::BIGINT FROM ex
-    UNION ALL SELECT 'n_near_dup_docs', n_near_dup::BIGINT FROM near
-    UNION ALL SELECT 'n_candidate_pairs', n_pairs::BIGINT FROM near
-    """
-
-
-@register(
-    "corpus_dedup_summary",
-    _dedup_summary_sql(),
-    doc="The dedup dashboard: corpus size, exact-duplicate count (md5 "
-    "text identity), near-duplicate document count and candidate-pair "
-    "count from the MinHash-LSH banding — the four numbers a corpus "
-    "owner tracks per crawl to see duplication drift BEFORE paying for "
-    "a full clustering pass. Composes the already-oracled components "
-    "(dedup_exact's hash-groupBy, dedup_minhash_lsh's band join) into "
-    "one long-format relation via unions of 1-row aggregates; every "
-    "underlying shuffle is the component query's own, nothing new",
-)
-def q_corpus_dedup_summary(spark, sf_dir):
-    from ..operators import dedup as D
-
-    docs = load(spark, sf_dir, "documents")
-    cand = D.minhash_lsh_candidates(docs)
-    near = cand.agg(
-        F.count(F.lit(1)).alias("n_pairs"),
-        F.count_distinct("doc_b").alias("n_near_dup"),
-    )
-    ex = docs.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.count_distinct(F.md5("text")).alias("n_unique_texts"),
-    )
-
-    def row(label, col, rel):
-        return rel.select(F.lit(label).alias("metric"), F.col(col).cast("long").alias("value"))
-
-    return (
-        row("n_docs", "n_docs", ex)
-        .union(
-            ex.select(
-                F.lit("n_exact_dups").alias("metric"),
-                (F.col("n_docs") - F.col("n_unique_texts")).cast("long").alias("value"),
-            )
-        )
-        .union(row("n_near_dup_docs", "n_near_dup", near))
-        .union(row("n_candidate_pairs", "n_pairs", near))
-    )
-
-
-def _quantiles_hash_sampled_oracle() -> str:
-    from ..sampling.deterministic import hash_bernoulli_sql
-
-    keep = hash_bernoulli_sql("o_orderkey::VARCHAR", 0.3, seed=19)
-    return f"""
-    SELECT o_orderpriority,
-           count(*)::BIGINT AS n_sampled,
-           round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
-           round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
-           round(quantile_cont(o_totalprice, 0.99), 4) AS p99
-    FROM orders WHERE {keep}
-    GROUP BY o_orderpriority
-    """
-
-
-@register(
-    "order_price_quantiles_hash_sampled",
-    _quantiles_hash_sampled_oracle(),
-    doc="Per-group quantiles from a DETERMINISTIC 30% hash sample — the "
-    "AQP twin for ORDER STATISTICS, where the reference's estimator "
-    "family (count/sum HT scale-ups) does not even apply: a sample "
-    "quantile estimates the population quantile DIRECTLY, no 1/r "
-    "factor, which is why quantiles are the friendliest aggregate to "
-    "sample (the estimator is the identity). The hash filter sits in "
-    "the scan, cutting the per-group sort input 3.3x; the exact "
-    "interpolated percentile then runs on the sample — value-oracled "
-    "end to end because sample membership is md5-frozen. Accuracy vs "
-    "the exact twin asserted in tests (order-statistic error scales "
-    "with 1/sqrt(n) density at the quantile, not with 1/r)",
-    tags=("sampled",),
-)
-def q_order_price_quantiles_hash_sampled(spark, sf_dir):
-    from ..sampling.deterministic import hash_bernoulli
-
-    o = load(spark, sf_dir, "orders").withColumn(
-        "__k", F.col("o_orderkey").cast("string")
-    )
-    s = hash_bernoulli(o, "__k", 0.3, seed=19)
-    return s.groupBy("o_orderpriority").agg(
-        F.count(F.lit(1)).alias("n_sampled"),
-        sql_round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
-        sql_round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90"),
-        sql_round(F.expr("percentile(o_totalprice, 0.99)"), 4).alias("p99"),
-    )
-
-
-def _char_count_hash_sampled_oracle() -> str:
-    from ..sampling.deterministic import hash_bernoulli_sql
-
-    keep = hash_bernoulli_sql("doc_id::VARCHAR", 0.1, seed=21)
-    return f"""
-    SELECT ch, count(*)::BIGINT AS cnt_sampled,
-           CAST(count(*) * 10.0 AS DOUBLE) AS est_cnt
-    FROM (SELECT unnest(string_split_regex(text, '')) AS ch
-          FROM documents WHERE {keep})
-    WHERE ch <> ''
-    GROUP BY ch
-    """
-
-
-@register(
-    "char_count_hash_sampled",
-    _char_count_hash_sampled_oracle(),
-    doc="randcharcount's sampled mode with the deterministic doc-level "
-    "hash sample (10%, frozen md5) — the value-oracled twin completing "
-    "the charcount family. The filter sits before the per-character "
-    "explode, the single most amplifying transform in the engine "
-    "(~1000 rows out per doc in), so the 10x input cut is a 10x cut of "
-    "the explode AND the shuffle; HT 1/0.1 per character count",
-    tags=("sampled",),
-)
-def q_char_count_hash_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..sampling.deterministic import hash_bernoulli
-
-    docs = load(spark, sf_dir, "documents").withColumn(
-        "__k", F.col("doc_id").cast("string")
-    )
-    s = hash_bernoulli(docs, "__k", 0.1, seed=21).select("text")
-    return (
-        T.explode_chars(s, "text")
-        .groupBy("ch")
-        .agg(F.count(F.lit(1)).alias("cnt_sampled"))
-        .select(
-            "ch",
-            "cnt_sampled",
-            (F.col("cnt_sampled") * F.lit(10.0)).cast("double").alias("est_cnt"),
-        )
-    )
-
-
-def _wireless_hash_sampled_oracle() -> str:
-    from ..sampling.deterministic import hash_bernoulli_sql
-
-    keep = hash_bernoulli_sql("event_id::VARCHAR", 0.1, seed=23)
-    cte = WL.ORACLE_WIRELESS_CTE.replace(
-        "FROM events", f"FROM (SELECT * FROM events WHERE {keep})"
-    )
-    return (
-        cte
-        + """
-    SELECT greatest(snd_id, rcv_id) || '->' || least(snd_id, rcv_id) AS link,
-           count(*)::BIGINT AS cnt_sampled,
-           CAST(count(*) * 10.0 AS DOUBLE) AS est_cnt
-    FROM wireless GROUP BY 1
-    """
-    )
-
-
-@register(
-    "wireless_links_hash_sampled",
-    _wireless_hash_sampled_oracle(),
-    doc="The wireless link-pair analysis from a deterministic 10% line "
-    "sample — the value-oracled twin completing the wireless family: "
-    "the hash filter runs before the CSV synthesize->parse round trip "
-    "(the reference's skip-before-parse), HT 1/0.1 per canonical link",
-    tags=("sampled",),
-)
-def q_wireless_links_hash_sampled(spark, sf_dir):
-    from ..sampling.deterministic import hash_bernoulli
-
-    e = load(spark, sf_dir, "events").withColumn(
-        "__k", F.col("event_id").cast("string")
-    )
-    s = hash_bernoulli(e, "__k", 0.1, seed=23).drop("__k")
-    return (
-        WL.link_pairs(s)
-        .withColumnRenamed("cnt", "cnt_sampled")
-        .select(
-            "link",
-            "cnt_sampled",
-            (F.col("cnt_sampled") * F.lit(10.0)).cast("double").alias("est_cnt"),
-        )
-    )
-
-
-def _xml_hash_sampled_oracle() -> str:
-    from ..sampling.deterministic import hash_bernoulli_sql
-
-    keep = hash_bernoulli_sql("doc_id::VARCHAR", 0.25, seed=29)
-    return f"""
-    SELECT word, count(*)::BIGINT AS cnt_sampled,
-           CAST(count(*) * 4.0 AS DOUBLE) AS est_cnt
-    FROM (
-      SELECT unnest(string_split_regex(lower(text), '{_WORD_SPLIT_SQL}')) AS word
-      FROM documents WHERE {keep}
-    )
-    WHERE word <> '' AND NOT regexp_matches(word, '^[0-9]+$')
-    GROUP BY word
-    """
-
-
-@register(
-    "xml_page_words_hash_sampled",
-    _xml_hash_sampled_oracle(),
-    doc="The XML page workload from a deterministic 25% PAGE sample — the "
-    "value-oracled twin completing the XML family (its engine-RNG "
-    "sibling xml_page_words_sampled stays rows-only). Pages wrap "
-    "documents one-to-one, so the page-level pick is a doc_id hash; the "
-    "kept pages go through the full wrap->extract XML round trip "
-    "(sample-before-extract, the RandomizedXMLRecordReader skip), and "
-    "the oracle reproduces the identical sample on the parquet table. "
-    "With this, EVERY reference workload family — word, char, log, "
-    "wireless, XML, Q1 — has a value-oracled sampled twin",
-    tags=("sampled",),
-)
-def q_xml_page_words_hash_sampled(spark, sf_dir):
-    from ..sampling.deterministic import hash_bernoulli
-
-    docs = load(spark, sf_dir, "documents").withColumn(
-        "__k", F.col("doc_id").cast("string")
-    )
-    s = hash_bernoulli(docs, "__k", 0.25, seed=29).drop("__k")
-    return (
-        XP.page_word_counts(s)
-        .withColumnRenamed("cnt", "cnt_sampled")
-        .select(
-            "word",
-            "cnt_sampled",
-            (F.col("cnt_sampled") * F.lit(4.0)).cast("double").alias("est_cnt"),
-        )
-    )
-
-
-@register(
-    "cohort_ltv_weekly",
-    """
-    WITH fs AS (
-      SELECT user_id, min(date_trunc('week', ts)) AS cohort_week
-      FROM events GROUP BY user_id
-    ),
-    p AS (
-      SELECT e.user_id, fs.cohort_week,
-             datediff('week', fs.cohort_week, date_trunc('week', e.ts)) AS offset_week,
-             CAST(e.value AS DECIMAL(12,2)) AS v
-      FROM events e JOIN fs ON e.user_id = fs.user_id
-      WHERE e.event_type = 'purchase'
-    ),
-    w AS (
-      SELECT cohort_week, offset_week,
-             sum(v) AS rev, count(*) AS n_purchases
-      FROM p GROUP BY cohort_week, offset_week
-    )
-    SELECT cohort_week, offset_week,
-           n_purchases::BIGINT AS n_purchases,
-           CAST(rev AS DOUBLE) AS week_revenue,
-           CAST(sum(rev) OVER (PARTITION BY cohort_week ORDER BY offset_week
-                               ROWS UNBOUNDED PRECEDING) AS DOUBLE)
-             AS cumulative_ltv
-    FROM w
-    """,
-    doc="Cohort lifetime value: purchase revenue by first-seen week x "
-    "week offset, with the running cumulative LTV per cohort — the "
-    "monetary companion to user_retention_cohorts and the table a "
-    "growth team reads payback periods from. Shape: the first-seen "
-    "relation groups and joins back on the SAME user_id key (one "
-    "exchange reused, the retention pattern); the cumulative window "
-    "runs over the cohort x offset relation, which is time-bounded "
-    "(weeks squared), never the fact table. Revenue is exact decimal "
-    "end to end — the cumulative sum is a decimal running total, so "
-    "even the window's intermediate states are order-exact — cast to "
-    "double only at output",
-)
-def q_cohort_ltv_weekly(spark, sf_dir):
-    from pyspark.sql.window import Window
-
-    e = load(spark, sf_dir, "events")
-    fs = e.groupBy("user_id").agg(
-        F.min(F.date_trunc("week", "ts")).alias("cohort_week")
-    )
-    p = (
-        e.where(F.col("event_type") == "purchase")
-        .join(fs, "user_id")
-        .select(
-            "cohort_week",
-            (
-                F.datediff(F.date_trunc("week", "ts"), F.col("cohort_week")) / 7
-            ).cast("int").alias("offset_week"),
-            _dec("value").alias("v"),
-        )
-    )
-    w = p.groupBy("cohort_week", "offset_week").agg(
-        F.sum("v").alias("rev"), F.count(F.lit(1)).alias("n_purchases")
-    )
-    cum = (
-        Window.partitionBy("cohort_week")
-        .orderBy("offset_week")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    return w.select(
-        "cohort_week",
-        "offset_week",
-        "n_purchases",
-        F.col("rev").cast("double").alias("week_revenue"),
-        F.sum("rev").over(cum).cast("double").alias("cumulative_ltv"),
-    )
+# the registry and the shared helpers tests import from here
+from ._base import QUERIES, QueryDef, register, _dec  # noqa: F401
+
+# Family modules self-register into QUERIES on import. Import order =
+# the original single-file source order, so any query not listed in
+# _CHECK_PRIORITY keeps its pre-split position in the registry.
+from . import reference_tasks  # noqa: E402,F401
+from . import relational  # noqa: E402,F401
+from . import events_queries  # noqa: E402,F401
+from . import dedup_text  # noqa: E402,F401
+from . import multimodal_queries  # noqa: E402,F401
+from . import sql_sampled  # noqa: E402,F401
+from . import streaming_corpus  # noqa: E402,F401
+from . import warehouse  # noqa: E402,F401
+from . import tpch_behavioral  # noqa: E402,F401
+from . import estimators  # noqa: E402,F401
+
+# re-exports pinned by tests (import surface of the old single file)
+from .estimators import _STRAT_FRACTIONS, _FILE_PICKED  # noqa: E402,F401
+from .warehouse import _LQ_W_LEN  # noqa: E402,F401
 
 
 # ===========================================================================

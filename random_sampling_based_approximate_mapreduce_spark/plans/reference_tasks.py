@@ -1,0 +1,305 @@
+"""Reference surface: word/char counting, the 7 Apache-log tasks, wireless link pairs, XML page words.
+
+Split out of the single-file catalog (round 8, VERDICT r7 item 6);
+query text is unchanged. Entries self-register into the shared
+``QUERIES`` registry on import — ``plans.catalog`` imports every
+family module in the original source order.
+"""
+
+from __future__ import annotations
+
+from ._base import (
+    AL,
+    DataFrame,
+    F,
+    SampledFrame,
+    SamplingConfig,
+    SparkSession,
+    T,
+    WL,
+    XP,
+    _CHEAP_PIPE_BYTES,
+    _WORD_SPLIT_SQL,
+    ensure_parallelism,
+    load,
+    register,
+)
+
+# ===========================================================================
+# 1. Reference surface — word/char counting (RandomizedWordCount /
+#    RandomizedCharacterCount)
+# ===========================================================================
+
+
+
+
+
+@register(
+    "word_count",
+    f"""
+    SELECT word, count(*)::BIGINT AS cnt
+    FROM (
+      SELECT unnest(string_split_regex(lower(text), '{_WORD_SPLIT_SQL}')) AS word
+      FROM documents
+      WHERE NOT regexp_matches(text, '[0-9]')
+    )
+    WHERE word <> '' AND NOT regexp_matches(word, '^[0-9]+$')
+    GROUP BY word
+    """,
+    doc="P2+P3+P4+G3: digit-line drop, tokenize, numeric-token drop, count "
+    "(RandomizedWordCount.java:30-39)",
+)
+def q_word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = ensure_parallelism(
+        load(spark, sf_dir, "documents").select("text"), skip_below_bytes=_CHEAP_PIPE_BYTES
+    )
+    kept = T.drop_digit_lines(docs, "text")
+    return T.explode_words(kept, "text").groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+@register(
+    "char_count",
+    """
+    SELECT ch, count(*)::BIGINT AS cnt
+    FROM (SELECT unnest(string_split_regex(text, '')) AS ch FROM documents)
+    WHERE ch <> ''
+    GROUP BY ch
+    """,
+    doc="P5+G3: per-character counts (RandomizedCharacterCount.java:27-33)",
+)
+def q_char_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = ensure_parallelism(
+        load(spark, sf_dir, "documents").select("text"), skip_below_bytes=_CHEAP_PIPE_BYTES
+    )
+    return T.explode_chars(docs, "text").groupBy("ch").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def _ref_delims_sql() -> str:
+    return T.REFERENCE_DELIMS_RE.replace("'", "''")
+
+
+@register(
+    "word_count_reference_delims",
+    f"""
+    SELECT word, count(*)::BIGINT AS cnt
+    FROM (
+      SELECT unnest(string_split_regex(lower(text), '{_ref_delims_sql()}')) AS word
+      FROM documents
+      WHERE NOT regexp_matches(text, '[0-9]')
+    )
+    WHERE word <> '' AND NOT regexp_matches(word, '^[0-9]+$')
+    GROUP BY word
+    """,
+    doc="P1+P2+P3+P4+G3 with the reference's EXACT delimiter set and "
+    "normalize path (lower + percent-repair + url_decode, "
+    "RandomizedWordCount.java:31,41-53). The corpus contains no "
+    "percent-escapes, so the DuckDB mirror lowers without decoding (RE2 "
+    "has no lookahead and DuckDB no url_decode); the decode/repair "
+    "semantics are value-tested with crafted escapes in "
+    "tests/test_text_functions.py",
+)
+def q_word_count_reference_delims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = ensure_parallelism(
+        load(spark, sf_dir, "documents").select("text"), skip_below_bytes=_CHEAP_PIPE_BYTES
+    )
+    return (
+        T.explode_words_reference(docs, "text")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@register(
+    "word_count_rowgroup_sampled",
+    f"""
+    SELECT word, count(*)::DOUBLE AS est_cnt
+    FROM (
+      SELECT unnest(string_split_regex(lower(text), '{_WORD_SPLIT_SQL}')) AS word
+      FROM documents
+      WHERE NOT regexp_matches(text, '[0-9]')
+    )
+    WHERE word <> '' AND NOT regexp_matches(word, '^[0-9]+$')
+    GROUP BY word
+    """,
+    doc="Row-group cluster sampling (sources/rowgroup_parquet.py): the "
+    "reference's skip-without-materialize (RandomizedXMLRecordReader.java:"
+    "117-123) at the columnar layer — unpicked parquet row groups are "
+    "never read; achieved ratio is exact from footer counts; HT-scaled "
+    "word count on the sample. Value-oracle-able BECAUSE the testdata "
+    "files hold a single row group: the never-empty pick guarantees that "
+    "group, the footer-derived achieved ratio is exactly 1.0, and the HT "
+    "estimate degenerates to the exact count — so word_count's own SQL "
+    "(est_cnt = cnt::DOUBLE) is an exact mirror. The measured >2x "
+    "scan-floor win on a 1.9 GB multi-row-group file is in docs/SCALE.md",
+    tags=("sampled",),
+)
+def q_word_count_rowgroup_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.rowgroup_parquet import read_parquet_rowgroup_sampled
+
+    sf = read_parquet_rowgroup_sampled(spark, f"{sf_dir}/documents.parquet", 0.5)
+    words = sf.transform(lambda df: T.explode_words(T.drop_digit_lines(df, "text"), "text"))
+    return words.approx_count("word", alias="est_cnt")
+
+
+@register(
+    "word_count_sampled",
+    None,
+    doc="A1+A6: sampled word count with HT scale-up (ratio=0.1, seed=42); "
+    "accuracy asserted statistically in tests (non-SQL-oracle-able)",
+    tags=("sampled",),
+)
+def q_word_count_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    sf = SampledFrame.from_dataframe(docs, SamplingConfig(ratio=0.1, seed=42), observe=False)
+    words = sf.transform(lambda df: T.explode_words(T.drop_digit_lines(df, "text"), "text"))
+    return words.approx_count("word", alias="est_cnt")
+
+
+# ===========================================================================
+# 2. Reference surface — the 7 Apache-log tasks, via raw-line round-trip
+#    (synthesize -> parse -> aggregate; oracle computes directly)
+# ===========================================================================
+
+def _log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return AL.access_log(load(spark, sf_dir, "events"))
+
+
+@register(
+    "log_hack",
+    AL.ORACLE_ACCESS_LOG_CTE
+    + """
+    SELECT host, count(*)::BIGINT AS cnt FROM access_log
+    WHERE """
+    + " OR ".join(f"starts_with(path, '{p}')" for p in AL.HACK_PREFIXES)
+    + " GROUP BY host",
+    doc="P6+P8+G3: hack-probe hits per host (RandomizedApacheLogAnalysis.java:56-75)",
+)
+def q_log_hack(spark, sf_dir):
+    return AL.task_hack(_log(spark, sf_dir))
+
+
+@register(
+    "log_host",
+    AL.ORACLE_ACCESS_LOG_CTE + "SELECT host, count(*)::BIGINT AS cnt FROM access_log GROUP BY host",
+    doc="P6+G3: requests per host (:77-79)",
+)
+def q_log_host(spark, sf_dir):
+    return AL.task_host(_log(spark, sf_dir))
+
+
+@register(
+    "log_dateweek",
+    AL.ORACLE_ACCESS_LOG_CTE
+    + "SELECT strftime(ts, '%a %H') AS dateweek, count(*)::BIGINT AS cnt FROM access_log GROUP BY 1",
+    doc="P9+G3: requests per weekday+hour (:82-86)",
+)
+def q_log_dateweek(spark, sf_dir):
+    return AL.task_dateweek(_log(spark, sf_dir))
+
+
+@register(
+    "log_size",
+    AL.ORACLE_ACCESS_LOG_CTE
+    + "SELECT (floor(bytes / 100) * 100)::BIGINT AS size_bucket, count(*)::BIGINT AS cnt "
+    "FROM access_log GROUP BY 1",
+    doc="P10+G3: 100-byte response-size histogram (:89-91)",
+)
+def q_log_size(spark, sf_dir):
+    return AL.task_size(_log(spark, sf_dir))
+
+
+@register(
+    "log_totalsize",
+    AL.ORACLE_ACCESS_LOG_CTE + "SELECT sum(bytes)::BIGINT AS total_bytes FROM access_log",
+    doc="P12+G4: global byte sum (:93-95)",
+)
+def q_log_totalsize(spark, sf_dir):
+    return AL.task_totalsize(_log(spark, sf_dir))
+
+
+@register(
+    "log_pagesize",
+    AL.ORACLE_ACCESS_LOG_CTE
+    + "SELECT path, sum(bytes)::BIGINT AS total_bytes FROM access_log GROUP BY path",
+    doc="P11+G4: bytes per page (:97-101)",
+)
+def q_log_pagesize(spark, sf_dir):
+    return AL.task_pagesize(_log(spark, sf_dir))
+
+
+@register(
+    "log_page",
+    AL.ORACLE_ACCESS_LOG_CTE + "SELECT path, count(*)::BIGINT AS cnt FROM access_log GROUP BY path",
+    doc="P11+G3: hits per page (:104-107)",
+)
+def q_log_page(spark, sf_dir):
+    return AL.task_page(_log(spark, sf_dir))
+
+
+@register(
+    "log_host_sampled",
+    None,
+    doc="The reference's flagship mode: sampled log scan (ratio=0.1) + per-host "
+    "HT-scaled count with CI columns",
+    tags=("sampled",),
+)
+def q_log_host_sampled(spark, sf_dir):
+    raw = AL.synthesize_raw_log(load(spark, sf_dir, "events"))
+    sf = SampledFrame.from_dataframe(raw, SamplingConfig(ratio=0.1, seed=42), observe=False)
+    parsed = sf.transform(lambda df: AL.parse_apache_log(df))
+    return parsed.approx_count("host", ci=True, alias="est_cnt")
+
+
+# ===========================================================================
+# 3. Reference surface — wireless link pairs + XML page words
+# ===========================================================================
+
+
+@register(
+    "wireless_link_pairs",
+    WL.ORACLE_WIRELESS_CTE
+    + """
+    SELECT greatest(snd_id, rcv_id) || '->' || least(snd_id, rcv_id) AS link,
+           count(*)::BIGINT AS cnt
+    FROM wireless GROUP BY 1
+    """,
+    doc="P13+P14+G1: canonical unordered link-pair traffic "
+    "(RandomizedWirelessLogAnalysis.java:29-59)",
+)
+def q_wireless_link_pairs(spark, sf_dir):
+    return WL.link_pairs(load(spark, sf_dir, "events"))
+
+
+@register(
+    "xml_page_words",
+    f"""
+    SELECT word, count(*)::BIGINT AS cnt
+    FROM (
+      SELECT unnest(string_split_regex(lower(text), '{_WORD_SPLIT_SQL}')) AS word
+      FROM documents
+    )
+    WHERE word <> '' AND NOT regexp_matches(word, '^[0-9]+$')
+    GROUP BY word
+    """,
+    doc="S3 round-trip: wrap docs as <page> XML, extract text back, word-count "
+    "(randwordcount-over-wiki.xml; RandomizedXMLRecordReader.java:113-151)",
+)
+def q_xml_page_words(spark, sf_dir):
+    return XP.page_word_counts(load(spark, sf_dir, "documents"))
+
+
+@register(
+    "xml_page_words_sampled",
+    None,
+    doc="S3+A1: page-level Bernoulli sampling BEFORE field extraction "
+    "(the reference XML reader's skip-without-parse, RandomizedXMLRecord"
+    "Reader.java:117-123) with HT-scaled word counts (ratio=0.25)",
+    tags=("sampled",),
+)
+def q_xml_page_words_sampled(spark, sf_dir):
+    pages = XP.wrap_documents(load(spark, sf_dir, "documents"))
+    sf = SampledFrame.from_dataframe(pages, SamplingConfig(ratio=0.25, seed=42), observe=False)
+    words = sf.transform(
+        lambda df: T.explode_words(XP.extract_fields(df, "page_xml"), "text")
+    )
+    return words.approx_count("word", alias="est_cnt")

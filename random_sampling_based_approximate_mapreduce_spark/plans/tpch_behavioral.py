@@ -1,0 +1,1279 @@
+"""TPC-H completion batch (all 22 spec shapes) plus behavioral / graph / data-quality queries.
+
+Split out of the single-file catalog (round 8, VERDICT r7 item 6);
+query text is unchanged. Entries self-register into the shared
+``QUERIES`` registry on import — ``plans.catalog`` imports every
+family module in the original source order.
+"""
+
+from __future__ import annotations
+
+from ._base import F, _dec, _ensure_layout, load, register, sql_round
+
+# ===========================================================================
+# TPC-H completion batch (round 4, third widening): the 11 spec queries not
+# yet covered, adapted to the testdata's slimmed schema (no partsupp table,
+# no l_commitdate/l_receiptdate/l_shipmode, no p_container) — each keeps the
+# spec query's SHAPE (the join/decorrelation structure that matters at
+# 100 TB) and documents the column substitution. With these, all 22 TPC-H
+# query shapes are catalog-registered and value-oracled.
+# ===========================================================================
+
+
+@register(
+    "priority_wait_orders_q4",
+    """
+    SELECT o_orderpriority, count(*)::BIGINT AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+    GROUP BY o_orderpriority
+    """,
+    doc="TPC-H Q4 (order priority checking): the correlated EXISTS becomes "
+    "a LEFT SEMI join on orderkey — Spark never materializes the probe "
+    "side's duplicates, so the semi join moves one bit per matching "
+    "orderkey instead of every matching lineitem. Column substitution: "
+    "l_returnflag='R' stands in for the missing "
+    "l_commitdate < l_receiptdate late-line predicate. Both filters are "
+    "pushed scans (quarter window on orders, flag on lineitem); AQE picks "
+    "broadcast for the quarter-bounded orders side when it fits",
+)
+def q_priority_wait_orders_q4(spark, sf_dir):
+    o = (
+        load(spark, sf_dir, "orders")
+        .where((F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-04-01"))
+        .select("o_orderkey", "o_orderpriority")
+    )
+    late = (
+        load(spark, sf_dir, "lineitem")
+        .where(F.col("l_returnflag") == "R")
+        .select("l_orderkey")
+    )
+    return (
+        o.join(late, o.o_orderkey == late.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@register(
+    "local_supplier_volume_q5",
+    """
+    SELECT n_name, CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                            * (1.00 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+             AS revenue
+    FROM customer JOIN orders   ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+                  JOIN supplier ON l_suppkey = s_suppkey
+                  JOIN nation   ON s_nationkey = n_nationkey
+                  JOIN region   ON n_regionkey = r_regionkey
+    WHERE c_nationkey = s_nationkey AND r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+    """,
+    doc="TPC-H Q5 (local supplier volume): unlike the Q5-STYLE star "
+    "(revenue_by_nation), this keeps the spec's c_nationkey = s_nationkey "
+    "locality constraint — the predicate that correlates the two fact "
+    "sides. Shape: region->nation broadcasts reduce supplier (lineitem "
+    "side) and customer (orders side) to the 5 ASIA nations FIRST, the "
+    "one big-big orderkey join then moves ~1/5 of each fact, and the "
+    "locality equality is applied as a post-join filter (it cannot be "
+    "pushed below the orderkey join — it needs both sides). Exact "
+    "decimal revenue, cast to double at output",
+)
+def q_local_supplier_volume_q5(spark, sf_dir):
+    one = F.lit("1.00").cast("decimal(4,2)")
+    r = load(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    n = (
+        load(spark, sf_dir, "nation")
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+    )
+    sup = (
+        load(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_nationkey", "n_name")
+    )
+    cus = (
+        load(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(n.select(F.col("n_nationkey").alias("cn_key"))),
+            F.col("c_nationkey") == F.col("cn_key"),
+        )
+        .select("c_custkey", "c_nationkey")
+    )
+    lf = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    of = (
+        load(spark, sf_dir, "orders")
+        .where((F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01"))
+        .select("o_orderkey", "o_custkey")
+        .join(F.broadcast(cus), F.col("o_custkey") == F.col("c_custkey"))
+        .select("o_orderkey", "c_nationkey")
+    )
+    return (
+        lf.join(of, F.col("l_orderkey") == F.col("o_orderkey"))
+        .where(F.col("c_nationkey") == F.col("s_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.sum(_dec("l_extendedprice") * (one - _dec("l_discount", 4, 2)))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+@register(
+    "forecast_revenue_q6",
+    """
+    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+           count(*)::BIGINT AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount >= 0.05 AND l_discount <= 0.07
+      AND l_quantity < 24
+    """,
+    doc="TPC-H Q6 (forecasting revenue change): the pure scan-aggregate — "
+    "zero joins, zero groupBy shuffle; the plan is one WholeStageCodegen "
+    "scan stage feeding a 1-row partial+final agg. All three predicates "
+    "reach the parquet reader as PushedFilters, so at 100 TB the scan "
+    "skips row groups on shipdate min/max stats and never decodes "
+    "non-qualifying pages — the query is I/O-bound by design and the "
+    "measure of nothing-but-pushdown. Discount bounds compare the "
+    "stored doubles against the same literals in both engines (same "
+    "bits, same verdict); revenue is the exact decimal product summed",
+)
+def q_forecast_revenue_q6(spark, sf_dir):
+    l = load(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return l.agg(
+        F.sum(_dec("l_extendedprice") * _dec("l_discount", 4, 2)).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@register(
+    "market_share_q8",
+    """
+    SELECT o_year,
+           round(CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume END) AS DOUBLE)
+                 / CAST(sum(volume) AS DOUBLE), 6) AS mkt_share
+    FROM (
+      SELECT year(o_orderdate) AS o_year,
+             CAST(l_extendedprice AS DECIMAL(12,2))
+               * (1.00 - CAST(l_discount AS DECIMAL(4,2))) AS volume,
+             n2.n_name AS supp_nation
+      FROM part JOIN lineitem ON p_partkey = l_partkey
+                JOIN orders   ON o_orderkey = l_orderkey
+                JOIN customer ON o_custkey = c_custkey
+                JOIN nation n1 ON c_nationkey = n1.n_nationkey
+                JOIN region    ON n1.n_regionkey = r_regionkey
+                JOIN supplier  ON l_suppkey = s_suppkey
+                JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE r_name = 'EUROPE' AND p_type = 'STANDARD'
+        AND o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+    )
+    GROUP BY o_year
+    """,
+    doc="TPC-H Q8 (national market share): nation joined in TWO ROLES — "
+    "via region for the customer market filter, unfiltered for the "
+    "supplier nationality that feeds the numerator CASE. Shape: lineitem "
+    "is reduced by the broadcast part filter (p_type, 1/6) before the "
+    "big-big orderkey join; orders carries the 2-year window and its "
+    "customer->nation->region broadcast chain (EUROPE, 1/5). The share "
+    "is a ratio of two exact decimal sums — numerator the null-else "
+    "conditional sum — divided once in DOUBLE and rounded to 6dp, so the "
+    "group values are engine-identical",
+)
+def q_market_share_q8(spark, sf_dir):
+    one = F.lit("1.00").cast("decimal(4,2)")
+    p = (
+        load(spark, sf_dir, "part")
+        .where(F.col("p_type") == "STANDARD")
+        .select("p_partkey")
+    )
+    n_all = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    sup = (
+        load(spark, sf_dir, "supplier")
+        .join(F.broadcast(n_all), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    r = load(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    n_eur = (
+        load(spark, sf_dir, "nation")
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(F.col("n_nationkey").alias("en_key"))
+    )
+    cus = (
+        load(spark, sf_dir, "customer")
+        .join(F.broadcast(n_eur), F.col("c_nationkey") == F.col("en_key"))
+        .select("c_custkey")
+    )
+    lf = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .withColumn("volume", _dec("l_extendedprice") * (one - _dec("l_discount", 4, 2)))
+        .select("l_orderkey", "supp_nation", "volume")
+    )
+    of = (
+        load(spark, sf_dir, "orders")
+        .where((F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") < "1997-01-01"))
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+        .join(F.broadcast(cus), F.col("o_custkey") == F.col("c_custkey"))
+        .select("o_orderkey", F.year("o_orderdate").alias("o_year"))
+    )
+    return (
+        lf.join(of, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_year")
+        .agg(
+            sql_round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_3", F.col("volume"))).cast("double")
+                / F.sum("volume").cast("double"),
+                6,
+            ).alias("mkt_share")
+        )
+    )
+
+
+@register(
+    "product_profit_q9",
+    """
+    SELECT nation, o_year, CAST(sum(amount) AS DOUBLE) AS sum_profit
+    FROM (
+      SELECT n_name AS nation, year(o_orderdate) AS o_year,
+             CAST(l_extendedprice AS DECIMAL(12,2))
+               * (1.00 - CAST(l_discount AS DECIMAL(4,2)))
+             - CAST(p_retailprice AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))
+               AS amount
+      FROM lineitem JOIN part     ON p_partkey = l_partkey
+                    JOIN supplier ON l_suppkey = s_suppkey
+                    JOIN nation   ON s_nationkey = n_nationkey
+                    JOIN orders   ON o_orderkey = l_orderkey
+      WHERE p_name LIKE '%gear%'
+    )
+    GROUP BY nation, o_year
+    """,
+    doc="TPC-H Q9 (product type profit): profit per supplier nation per "
+    "year over name-matched parts. Column substitution: with no partsupp "
+    "table, p_retailprice * l_quantity stands in for the spec's "
+    "ps_supplycost * l_quantity cost term (same shape: a per-part unit "
+    "cost carried through the part broadcast). lineitem is reduced by "
+    "the broadcast LIKE-filtered part dim AND the supplier->nation chain "
+    "before the one big-big orderkey join against orders (projected to "
+    "2 columns). Amount is exact decimal end to end — products, "
+    "subtraction, and sum all decimal, cast to double only at output",
+)
+def q_product_profit_q9(spark, sf_dir):
+    one = F.lit("1.00").cast("decimal(4,2)")
+    p = (
+        load(spark, sf_dir, "part")
+        .where(F.col("p_name").like("%gear%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    sup = (
+        load(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("nation"))
+    )
+    lf = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice", "l_discount")
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .withColumn(
+            "amount",
+            _dec("l_extendedprice") * (one - _dec("l_discount", 4, 2))
+            - _dec("p_retailprice") * _dec("l_quantity"),
+        )
+        .select("l_orderkey", "nation", "amount")
+    )
+    of = load(spark, sf_dir, "orders").select("o_orderkey", F.year("o_orderdate").alias("o_year"))
+    return (
+        lf.join(of, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("nation", "o_year")
+        .agg(F.sum("amount").cast("double").alias("sum_profit"))
+    )
+
+
+@register(
+    "returned_items_topk_q10",
+    """
+    WITH rev AS (
+      SELECT c_custkey, c_name, n_name,
+             sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                 * (1.00 - CAST(l_discount AS DECIMAL(4,2)))) AS r
+      FROM customer JOIN orders   ON c_custkey = o_custkey
+                    JOIN lineitem ON l_orderkey = o_orderkey
+                    JOIN nation   ON c_nationkey = n_nationkey
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01'
+        AND l_returnflag = 'R'
+      GROUP BY c_custkey, c_name, n_name
+    )
+    SELECT c_custkey, c_name, n_name, CAST(r AS DOUBLE) AS revenue
+    FROM rev
+    ORDER BY r DESC, c_custkey
+    LIMIT 20
+    """,
+    doc="TPC-H Q10 (returned item reporting): top-20 customers by revenue "
+    "lost to returns in one quarter. Shape: both fact filters pushed "
+    "(quarter on orders, flag on lineitem), big-big orderkey join between "
+    "the reduced facts, agg on custkey, then orderBy+limit compiles to "
+    "TakeOrderedAndProject — each task keeps a 20-row heap and the driver "
+    "merges #partitions*20 rows, never a global sort. Exact decimal "
+    "revenue with custkey tiebreak makes the top-20 deterministic",
+)
+def q_returned_items_topk_q10(spark, sf_dir):
+    one = F.lit("1.00").cast("decimal(4,2)")
+    o = (
+        load(spark, sf_dir, "orders")
+        .where((F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-04-01"))
+        .select("o_orderkey", "o_custkey")
+    )
+    l = (
+        load(spark, sf_dir, "lineitem")
+        .where(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    c = (
+        load(spark, sf_dir, "customer")
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", "c_name", "n_name")
+    )
+    return (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(_dec("l_extendedprice") * (one - _dec("l_discount", 4, 2))).alias("__r"))
+        .orderBy(F.desc("__r"), F.asc("c_custkey"))
+        .limit(20)
+        .select("c_custkey", "c_name", "n_name", F.col("__r").cast("double").alias("revenue"))
+    )
+
+
+@register(
+    "important_parts_q11",
+    """
+    WITH pv AS (
+      SELECT l_partkey,
+             sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                 * (1.00 - CAST(l_discount AS DECIMAL(4,2)))) AS v
+      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      WHERE s_nationkey = 7
+      GROUP BY l_partkey
+    )
+    SELECT l_partkey AS p_partkey, CAST(v AS DOUBLE) AS part_value
+    FROM pv
+    WHERE CAST(v AS DOUBLE) > (SELECT CAST(sum(v) AS DOUBLE) FROM pv) * 0.001
+    """,
+    doc="TPC-H Q11 (important stock identification): parts whose value "
+    "from one nation's suppliers exceeds a fraction of that nation's "
+    "total. Column substitution: with no partsupp, per-part shipped "
+    "value (extendedprice * (1-discount)) stands in for ps_supplycost * "
+    "ps_availqty; the HAVING-against-global-scalar shape is the point. "
+    "The grouped agg builds ONCE and is reused for both the scalar total "
+    "(DataFrame.scalar() -> a true ScalarSubquery, same pattern as Q15) "
+    "and the probe — no second scan of the fact table. Threshold "
+    "compares in DOUBLE on both engines (exact decimal sums cast once, "
+    "one IEEE multiply), so membership is engine-identical",
+)
+def q_important_parts_q11(spark, sf_dir):
+    one = F.lit("1.00").cast("decimal(4,2)")
+    sup = (
+        load(spark, sf_dir, "supplier")
+        .where(F.col("s_nationkey") == 7)
+        .select("s_suppkey")
+    )
+    pv = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(_dec("l_extendedprice") * (one - _dec("l_discount", 4, 2))).alias("__v"))
+    )
+    tot = pv.agg(F.sum("__v").cast("double").alias("t"))
+    return (
+        pv.where(F.col("__v").cast("double") > tot.scalar() * F.lit(0.001))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.col("__v").cast("double").alias("part_value"),
+        )
+    )
+
+
+@register(
+    "priority_case_count_q12",
+    """
+    SELECT l_returnflag,
+           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END)::BIGINT AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_returnflag IN ('A', 'R')
+    GROUP BY l_returnflag
+    """,
+    doc="TPC-H Q12 (shipping modes and order priority): the conditional "
+    "two-way count. Column substitution: l_returnflag groups in place of "
+    "the missing l_shipmode, and the ship-window predicate replaces the "
+    "commit/receipt date chain; the priority CASE pair is verbatim spec. "
+    "Shape: lineitem reduced by two pushed filters to ~1/10 before the "
+    "big-big orderkey join; orders projects only (orderkey, priority); "
+    "the CASE counts fold into the map-side partial agg so the final "
+    "shuffle carries 2 longs per flag value",
+)
+def q_priority_case_count_q12(spark, sf_dir):
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    l = (
+        load(spark, sf_dir, "lineitem")
+        .where(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & F.col("l_returnflag").isin("A", "R")
+        )
+        .select("l_orderkey", "l_returnflag")
+    )
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    return (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~hi, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "disjunctive_parts_q19",
+    """
+    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (1.00 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+           count(*)::BIGINT AS n_lines
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
+           AND l_quantity >= 1 AND l_quantity <= 11)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
+           AND l_quantity >= 10 AND l_quantity <= 20)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+           AND l_quantity >= 20 AND l_quantity <= 30)
+    """,
+    doc="TPC-H Q19 (discounted revenue, disjunctive predicates): the "
+    "OR-of-ANDs mixing columns from both join sides. The scale move is "
+    "pre-filtering each side with the UNION of its own disjunct halves — "
+    "part to (brand IN 1..3 AND size<=15), lineitem to quantity 1..30 — "
+    "predicates derivable from the OR but referencing one table only, so "
+    "they push to the scans; the full three-way OR then evaluates "
+    "post-join on the reduced rows. p_container IS NULL in this schema, "
+    "so the container IN-lists are dropped from each branch (documented "
+    "substitution); brand/size/quantity branch structure is spec-shaped",
+)
+def q_disjunctive_parts_q19(spark, sf_dir):
+    one = F.lit("1.00").cast("decimal(4,2)")
+    p = (
+        load(spark, sf_dir, "part")
+        .where(F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3") & (F.col("p_size") <= 15) & (F.col("p_size") >= 1))
+        .select("p_partkey", "p_brand", "p_size")
+    )
+    l = (
+        load(spark, sf_dir, "lineitem")
+        .where((F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 30))
+        .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    )
+    branch = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 5)
+         & (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 11))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(1, 10)
+           & (F.col("l_quantity") >= 10) & (F.col("l_quantity") <= 20))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 15)
+           & (F.col("l_quantity") >= 20) & (F.col("l_quantity") <= 30))
+    )
+    return (
+        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .where(branch)
+        .agg(
+            F.sum(_dec("l_extendedprice") * (one - _dec("l_discount", 4, 2)))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "promo_parts_suppliers_q20",
+    """
+    WITH rp AS (SELECT p_partkey FROM part WHERE p_name LIKE 'red %'),
+    sq AS (
+      SELECT l_suppkey, l_partkey, sum(CAST(l_quantity AS DECIMAL(12,2))) AS qty
+      FROM lineitem JOIN rp ON p_partkey = l_partkey
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+      GROUP BY l_suppkey, l_partkey
+    ),
+    pt AS (SELECT l_partkey, sum(qty) AS part_total FROM sq GROUP BY l_partkey),
+    q AS (
+      SELECT DISTINCT sq.l_suppkey
+      FROM sq JOIN pt ON sq.l_partkey = pt.l_partkey
+      WHERE sq.qty > CAST('0.25' AS DECIMAL(3,2)) * pt.part_total
+    )
+    SELECT s_suppkey, s_name
+    FROM supplier JOIN q ON s_suppkey = l_suppkey
+    WHERE s_nationkey < 10
+    """,
+    doc="TPC-H Q20 (potential part promotion): the spec's doubly-nested "
+    "IN (partkey IN name-filtered parts; availqty > 0.5 * correlated "
+    "shipped qty) decorrelated into a semi-join chain. Column "
+    "substitution: with no partsupp.ps_availqty, a supplier qualifies "
+    "when their shipped quantity of a name-matched part exceeds 0.25 of "
+    "that part's total shipped quantity — the same grouped-agg-derived "
+    "per-part threshold shape. Build: name-filtered part dim broadcasts "
+    "into lineitem, ONE (suppkey,partkey) grouped agg; per-part totals "
+    "re-aggregate that small relation (parts-bounded) and broadcast back; "
+    "exact decimal qty comparison; the qualifying-supplier set "
+    "semi-joins the supplier dim with the nation filter (s_nationkey<10 "
+    "standing in for the spec's single-nation predicate)",
+)
+def q_promo_parts_suppliers_q20(spark, sf_dir):
+    rp = (
+        load(spark, sf_dir, "part")
+        .where(F.col("p_name").like("red %"))
+        .select("p_partkey")
+    )
+    sq = (
+        load(spark, sf_dir, "lineitem")
+        .where((F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01"))
+        .select("l_partkey", "l_suppkey", "l_quantity")
+        .join(F.broadcast(rp), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(_dec("l_quantity")).alias("qty"))
+    )
+    pt = sq.groupBy(F.col("l_partkey").alias("pt_key")).agg(F.sum("qty").alias("part_total"))
+    quarter = F.lit("0.25").cast("decimal(3,2)")
+    q = (
+        sq.join(F.broadcast(pt), sq.l_partkey == pt.pt_key)
+        .where(F.col("qty") > quarter * F.col("part_total"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    s = (
+        load(spark, sf_dir, "supplier")
+        .where(F.col("s_nationkey") < 10)
+        .select("s_suppkey", "s_name")
+    )
+    return s.join(q, s.s_suppkey == q.l_suppkey, "left_semi")
+
+
+@register(
+    "waiting_suppliers_q21",
+    """
+    WITH ol AS (
+      SELECT l_orderkey, l_suppkey,
+             max(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS is_r
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      WHERE o_orderstatus = 'F'
+      GROUP BY l_orderkey, l_suppkey
+    ),
+    oa AS (
+      SELECT l_orderkey, count(*) AS n_supp, sum(is_r) AS n_r_supp
+      FROM ol GROUP BY l_orderkey
+    )
+    SELECT s_suppkey, s_name, count(*)::BIGINT AS numwait
+    FROM ol JOIN oa ON ol.l_orderkey = oa.l_orderkey
+            JOIN supplier ON s_suppkey = ol.l_suppkey
+    WHERE ol.is_r = 1 AND oa.n_supp > 1 AND oa.n_r_supp = 1
+    GROUP BY s_suppkey, s_name
+    """,
+    doc="TPC-H Q21 (suppliers who kept orders waiting): the spec's "
+    "correlated EXISTS (another supplier on the order) AND NOT EXISTS "
+    "(another LATE supplier) — two self-joins of the largest table — "
+    "decorrelated into ONE aggregation pass: per-(order,supplier) late "
+    "flags, then per-order supplier counts via a window over the same "
+    "orderkey partitioning, then the sole-late-supplier filter. The "
+    "window reuses the orderkey exchange Catalyst already planned for "
+    "the grouped agg (suppkey is a subkey refinement), so the whole "
+    "decorrelation costs one shuffle of (orderkey,suppkey,flag) triples "
+    "instead of two lineitem self-joins. Column substitution: "
+    "l_returnflag='R' marks the late line (no l_receiptdate/"
+    "l_commitdate); o_orderstatus='F' is verbatim spec",
+)
+def q_waiting_suppliers_q21(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    o = (
+        load(spark, sf_dir, "orders")
+        .where(F.col("o_orderstatus") == "F")
+        .select("o_orderkey")
+    )
+    l = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_returnflag")
+    ol = (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"), "left_semi")
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("is_r"))
+    )
+    w = Window.partitionBy("l_orderkey")
+    flagged = ol.select(
+        "l_orderkey",
+        "l_suppkey",
+        "is_r",
+        F.count(F.lit(1)).over(w).alias("n_supp"),
+        F.sum("is_r").over(w).alias("n_r_supp"),
+    ).where((F.col("is_r") == 1) & (F.col("n_supp") > 1) & (F.col("n_r_supp") == 1))
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        flagged.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+# ===========================================================================
+# Behavioral / graph / data-quality batch (round 4, fourth widening):
+# the product-analytics shapes every event warehouse runs (cohort
+# retention, ordered funnels), triangle counting over the wireless device
+# graph (degree-ordered orientation), a Deequ-style one-pass constraint
+# suite, and windowed ABC classification. All value-oracled.
+# ===========================================================================
+
+
+@register(
+    "user_retention_cohorts",
+    """
+    WITH fs AS (
+      SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+      FROM events GROUP BY user_id
+    ),
+    coh AS (SELECT cohort_day, count(*) AS cohort_size FROM fs GROUP BY cohort_day),
+    act AS (
+      SELECT DISTINCT fs.cohort_day,
+             datediff('day', fs.cohort_day, CAST(e.ts AS DATE)) AS offset_day,
+             e.user_id
+      FROM events e JOIN fs ON e.user_id = fs.user_id
+    )
+    SELECT a.cohort_day, a.offset_day, count(*)::BIGINT AS active_users,
+           round(count(*) / CAST(c.cohort_size AS DOUBLE), 6) AS retention
+    FROM act a JOIN coh c ON a.cohort_day = c.cohort_day
+    GROUP BY a.cohort_day, a.offset_day, c.cohort_size
+    """,
+    doc="Cohort retention matrix: users grouped by first-seen day, "
+    "retention = distinct active users at each day offset / cohort size. "
+    "Scale shape: the first-seen relation derives from a groupBy on "
+    "user_id and joins straight back to events on the SAME key, so "
+    "Catalyst reuses one user_id exchange for both; the distinct "
+    "(cohort, offset, user) dedup and the final (cohort, offset) agg are "
+    "the only further shuffles. The per-cohort sizes relation is "
+    "day-bounded and broadcasts. Retention is one long division rounded "
+    "to 6dp — engine-identical",
+)
+def q_user_retention_cohorts(spark, sf_dir):
+    e = load(spark, sf_dir, "events").select("user_id", F.to_date("ts").alias("day"))
+    fs = e.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    coh = fs.groupBy("cohort_day").agg(F.count(F.lit(1)).alias("cohort_size"))
+    act = (
+        e.join(fs, "user_id")
+        .select("cohort_day", F.datediff("day", "cohort_day").alias("offset_day"), "user_id")
+        .distinct()
+    )
+    return (
+        act.groupBy("cohort_day", "offset_day")
+        .agg(F.count(F.lit(1)).alias("active_users"))
+        .join(F.broadcast(coh), "cohort_day")
+        .select(
+            "cohort_day",
+            "offset_day",
+            "active_users",
+            sql_round(F.col("active_users").cast("double") / F.col("cohort_size"), 6).alias(
+                "retention"
+            ),
+        )
+    )
+
+
+@register(
+    "event_funnel",
+    """
+    WITH v AS (
+      SELECT user_id, min(ts) AS t0 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, min(e.ts) AS t1
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t0
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t1
+      GROUP BY e.user_id
+    )
+    SELECT 1 AS step, 'view' AS stage, (SELECT count(*) FROM v)::BIGINT AS users
+    UNION ALL
+    SELECT 2, 'click_after_view', (SELECT count(*) FROM c)::BIGINT
+    UNION ALL
+    SELECT 3, 'purchase_after_click', (SELECT count(*) FROM p)::BIGINT
+    """,
+    doc="Ordered funnel (view -> click -> purchase): stage N counts users "
+    "whose earliest stage-N event strictly follows their earliest "
+    "stage-(N-1) event — the standard product-analytics ordered funnel, "
+    "NOT the unordered did-all-three intersection. Each stage is a "
+    "filtered min-agg on user_id joined back to events on user_id: the "
+    "whole chain stays on ONE partitioning key end to end, so Catalyst "
+    "plans one user_id exchange per stage input and never re-keys. "
+    "Strictly-after semantics make the count order-independent and "
+    "engine-identical (no timestamp arithmetic, only comparisons)",
+)
+def q_event_funnel(spark, sf_dir):
+    e = load(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+
+    def stage_min(df, etype, after=None, after_col=None):
+        s = df.where(F.col("event_type") == etype)
+        if after is not None:
+            s = s.join(after, "user_id").where(F.col("ts") > F.col(after_col))
+        return s.groupBy("user_id").agg(F.min("ts").alias(f"t_{etype}"))
+
+    v = stage_min(e, "view")
+    c = stage_min(e, "click", after=v, after_col="t_view")
+    p = stage_min(e, "purchase", after=c, after_col="t_click")
+
+    def _count(step, stage, rel):
+        return rel.agg(F.count(F.lit(1)).alias("users")).select(
+            F.lit(step).alias("step"), F.lit(stage).alias("stage"), "users"
+        )
+
+    return (
+        _count(1, "view", v)
+        .union(_count(2, "click_after_view", c))
+        .union(_count(3, "purchase_after_click", p))
+    )
+
+
+@register(
+    "triangle_count_devices",
+    """
+    WITH raw AS (SELECT user_id % 40 AS a, event_id % 40 AS b FROM events),
+    e AS (
+      SELECT DISTINCT least(a, b) AS lo, greatest(a, b) AS hi
+      FROM raw WHERE a <> b
+    )
+    SELECT 'n_nodes' AS metric,
+           (SELECT count(*) FROM (SELECT lo AS n FROM e UNION SELECT hi FROM e))::BIGINT
+             AS value
+    UNION ALL
+    SELECT 'n_edges', (SELECT count(*) FROM e)::BIGINT
+    UNION ALL
+    SELECT 'n_triangles',
+           (SELECT count(*)
+            FROM e e1 JOIN e e2 ON e2.lo = e1.hi
+                      JOIN e e3 ON e3.lo = e1.lo AND e3.hi = e2.hi)::BIGINT
+    """,
+    doc="Triangle count over the wireless device graph (the sensor CSV's "
+    "canonical link pairs, wireless.py P13/P14, as numeric node ids). "
+    "Spark side counts via DEGREE-ORDERED ORIENTATION "
+    "(operators/graph.py): every edge directed toward the higher "
+    "(degree, id) rank, wedges enumerated only at each triangle's "
+    "lowest-rank vertex — bounding wedge fan-out at O(m^1.5) total "
+    "regardless of hub skew, where the naive undirected self-join is "
+    "quadratic in hub degree. The oracle counts the same triangles by "
+    "lo<mid<hi enumeration — different physical strategy, identical "
+    "logical result, which is exactly what the cross-check proves",
+)
+def q_triangle_count_devices(spark, sf_dir):
+    from ..operators.graph import triangle_count
+
+    e = load(spark, sf_dir, "events").select(
+        (F.col("user_id") % 40).alias("a"), (F.col("event_id") % 40).alias("b")
+    )
+    return triangle_count(e, "a", "b")
+
+
+@register(
+    "orders_quality_checks",
+    """
+    WITH checks AS (
+      SELECT 'custkey_null' AS check_name,
+             sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)::BIGINT AS violations
+      FROM orders
+      UNION ALL
+      SELECT 'orderdate_null',
+             sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END)::BIGINT FROM orders
+      UNION ALL
+      SELECT 'totalprice_nonpositive',
+             sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END)::BIGINT FROM orders
+      UNION ALL
+      SELECT 'orderdate_out_of_range',
+             sum(CASE WHEN o_orderdate < TIMESTAMP '1990-01-01'
+                        OR o_orderdate >= TIMESTAMP '2010-01-01'
+                      THEN 1 ELSE 0 END)::BIGINT FROM orders
+      UNION ALL
+      SELECT 'priority_domain',
+             sum(CASE WHEN o_orderpriority NOT IN
+                      ('1-URGENT', '2-HIGH', '3-MEDIUM', '4-NOT SPECIFIED', '5-LOW')
+                      THEN 1 ELSE 0 END)::BIGINT FROM orders
+      UNION ALL
+      SELECT 'orderkey_duplicates',
+             (count(*) - count(DISTINCT o_orderkey))::BIGINT FROM orders
+      UNION ALL
+      SELECT 'custkey_orphans',
+             (SELECT count(*)::BIGINT FROM orders o
+              LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+              WHERE c.c_custkey IS NULL AND o.o_custkey IS NOT NULL)
+    )
+    SELECT check_name, violations, violations = 0 AS passed FROM checks
+    """,
+    doc="Deequ-style data-quality gate on orders: completeness, domain "
+    "validity, key uniqueness, referential integrity — long-format "
+    "(check_name, violations, passed) so a pipeline can filter(NOT "
+    "passed) and alert per check. Scale shape (operators/quality.py): "
+    "the five row-local checks fold into ONE aggregate over ONE scan "
+    "(each a conditional sum in the same map-side partial agg); "
+    "uniqueness pays the one exact-distinct Expand (approx swap "
+    "documented); orphans are a broadcast LEFT ANTI count. Checks are "
+    "engineered to PASS on the testdata so the green row certifies the "
+    "zero-violation path, and tests/test_quality_graph.py corrupts a "
+    "copy to certify the counting path",
+)
+def q_orders_quality_checks(spark, sf_dir):
+    from ..operators.quality import (
+        quality_report,
+        referential_orphans,
+        uniqueness_violations,
+        violation_counts,
+    )
+
+    o = load(spark, sf_dir, "orders")
+    row_local = violation_counts(
+        o,
+        {
+            "custkey_null": F.col("o_custkey").isNull(),
+            "orderdate_null": F.col("o_orderdate").isNull(),
+            "totalprice_nonpositive": F.col("o_totalprice") <= 0,
+            "orderdate_out_of_range": (F.col("o_orderdate") < "1990-01-01")
+            | (F.col("o_orderdate") >= "2010-01-01"),
+            "priority_domain": ~F.col("o_orderpriority").isin(
+                "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"
+            ),
+        },
+    )
+    uniq = uniqueness_violations(o, ["o_orderkey"], "orderkey_duplicates")
+    orphans = referential_orphans(
+        o,
+        "o_custkey",
+        load(spark, sf_dir, "customer"),
+        "c_custkey",
+        "custkey_orphans",
+        broadcast=True,  # customer dim's key set fits; hint explicitly
+    )
+    return quality_report([row_local, uniq, orphans])
+
+
+@register(
+    "supplier_abc_by_nation",
+    """
+    WITH s AS (
+      SELECT s_nationkey, s_suppkey, CAST(s_acctbal AS DECIMAL(12,2)) AS bal
+      FROM supplier WHERE s_acctbal > 0
+    ),
+    r AS (
+      SELECT s_nationkey, s_suppkey,
+             sum(bal) OVER (PARTITION BY s_nationkey) AS total,
+             sum(bal) OVER (PARTITION BY s_nationkey
+                            ORDER BY bal DESC, s_suppkey
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+      FROM s
+    ),
+    shares AS (
+      SELECT s_nationkey, s_suppkey,
+             round(CAST(run AS DOUBLE) / CAST(total AS DOUBLE), 6) AS cum_share
+      FROM r
+    )
+    SELECT s_nationkey, s_suppkey, cum_share,
+           CASE WHEN cum_share <= 0.5 THEN 'A'
+                WHEN cum_share <= 0.8 THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM shares
+    """,
+    doc="ABC (Pareto) classification of suppliers by account balance "
+    "within each nation: rank by balance desc, cumulative share of the "
+    "nation total, class A/B/C at 50%/80%. Both window functions — the "
+    "unordered nation total and the running ROWS-frame sum — partition "
+    "on s_nationkey, so Catalyst plans ONE exchange feeding two Window "
+    "nodes over the same sort; no per-nation collect, and nations "
+    "parallelize the cumsum (the global-cumsum single-partition trap "
+    "does not arise). Shares are exact-decimal sums divided once in "
+    "DOUBLE and rounded to 6dp BEFORE the class thresholds, so class "
+    "membership is engine-identical; suppkey tiebreak pins the running "
+    "order under balance ties",
+)
+def q_supplier_abc_by_nation(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    s = (
+        load(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") > 0)
+        .select("s_nationkey", "s_suppkey", _dec("s_acctbal").alias("bal"))
+    )
+    w_total = Window.partitionBy("s_nationkey")
+    w_run = (
+        Window.partitionBy("s_nationkey")
+        .orderBy(F.desc("bal"), F.asc("s_suppkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    shares = s.select(
+        "s_nationkey",
+        "s_suppkey",
+        sql_round(
+            F.sum("bal").over(w_run).cast("double") / F.sum("bal").over(w_total).cast("double"),
+            6,
+        ).alias("cum_share"),
+    )
+    return shares.select(
+        "s_nationkey",
+        "s_suppkey",
+        "cum_share",
+        F.when(F.col("cum_share") <= 0.5, "A")
+        .when(F.col("cum_share") <= 0.8, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )
+
+
+@register(
+    "customer_rfm_segments",
+    """
+    WITH base AS (
+      SELECT o_custkey,
+             max(o_orderdate) AS last_order,
+             count(*) AS freq,
+             sum(CAST(o_totalprice AS DECIMAL(12,2))) AS money
+      FROM orders GROUP BY o_custkey
+    ),
+    joined AS (
+      SELECT b.*, c.c_nationkey FROM base b JOIN customer c ON b.o_custkey = c.c_custkey
+    ),
+    scored AS (
+      SELECT o_custkey, c_nationkey,
+             ntile(5) OVER (PARTITION BY c_nationkey
+                            ORDER BY last_order, o_custkey) AS r_score,
+             ntile(5) OVER (PARTITION BY c_nationkey
+                            ORDER BY freq, o_custkey) AS f_score,
+             ntile(5) OVER (PARTITION BY c_nationkey
+                            ORDER BY money, o_custkey) AS m_score
+      FROM joined
+    )
+    SELECT o_custkey AS custkey, c_nationkey AS nationkey,
+           r_score, f_score, m_score,
+           r_score || '-' || f_score || '-' || m_score AS segment
+    FROM scored
+    """,
+    doc="RFM (recency-frequency-monetary) customer segmentation, the "
+    "classic CRM quintile scoring: per customer last order date, order "
+    "count, and exact-decimal spend, each scored 1-5 by ntile within the "
+    "customer's nation. Scale shape: one custkey agg over orders, one "
+    "broadcast join to the customer dim for the nation, then THREE ntile "
+    "windows all partitioned on c_nationkey — one exchange feeds them "
+    "and nations parallelize the sorts; a GLOBAL ntile would be the "
+    "single-partition trap (the reason warehouse RFM is scored within "
+    "segment hierarchies). Every ORDER BY carries the custkey tiebreak "
+    "and the monetary sort key is the exact decimal sum, so bucket "
+    "assignment is engine-identical (both engines implement SQL-standard "
+    "ntile: equal buckets, earlier buckets take the remainder)",
+)
+def q_customer_rfm_segments(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    base = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count(F.lit(1)).alias("freq"),
+            F.sum(_dec("o_totalprice")).alias("money"),
+        )
+    )
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    joined = base.join(F.broadcast(c), base.o_custkey == c.c_custkey)
+
+    def w(order_col):
+        return Window.partitionBy("c_nationkey").orderBy(F.asc(order_col), F.asc("o_custkey"))
+
+    scored = joined.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("c_nationkey").alias("nationkey"),
+        F.ntile(5).over(w("last_order")).alias("r_score"),
+        F.ntile(5).over(w("freq")).alias("f_score"),
+        F.ntile(5).over(w("money")).alias("m_score"),
+    )
+    return scored.withColumn(
+        "segment",
+        F.concat_ws("-", F.col("r_score"), F.col("f_score"), F.col("m_score")),
+    )
+
+
+@register(
+    "event_transition_matrix",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type AS cur,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS nxt
+      FROM events
+    ),
+    cnt AS (
+      SELECT cur, nxt, count(*) AS transitions
+      FROM seq WHERE nxt IS NOT NULL GROUP BY cur, nxt
+    )
+    SELECT cur, nxt, transitions::BIGINT AS transitions,
+           round(transitions / CAST(sum(transitions) OVER (PARTITION BY cur) AS DOUBLE), 6)
+             AS prob
+    FROM cnt
+    """,
+    doc="First-order Markov transition matrix over per-user event "
+    "sequences: P(next event type | current), the feature build behind "
+    "next-action models and session anomaly scoring. Scale shape: ONE "
+    "lead() window partitioned on user_id (ordered by ts with event_id "
+    "tiebreak — concurrent events get a deterministic order), then a "
+    "(cur,nxt) count; the per-cur normalization runs on the COUNTED "
+    "relation, which is event-type-squared-bounded (25 rows here), so "
+    "its window is free at any fact scale. Probabilities are one "
+    "division rounded to 6dp — engine-identical",
+)
+def q_event_transition_matrix(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    e = load(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    w_seq = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    seq = e.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w_seq).alias("nxt"),
+    ).where(F.col("nxt").isNotNull())
+    cnt = seq.groupBy("cur", "nxt").agg(F.count(F.lit(1)).alias("transitions"))
+    w_norm = Window.partitionBy("cur")
+    return cnt.select(
+        "cur",
+        "nxt",
+        "transitions",
+        sql_round(
+            F.col("transitions").cast("double") / F.sum("transitions").over(w_norm),
+            6,
+        ).alias("prob"),
+    )
+
+
+@register(
+    "orders_monthly_growth",
+    """
+    WITH monthly AS (
+      SELECT date_trunc('month', o_orderdate) AS month,
+             sum(CAST(o_totalprice AS DECIMAL(12,2))) AS rev,
+             count(*) AS n_orders
+      FROM orders GROUP BY 1
+    )
+    SELECT month, CAST(rev AS DOUBLE) AS revenue, n_orders::BIGINT AS n_orders,
+           round((CAST(rev AS DOUBLE)
+                  - CAST(lag(rev) OVER (ORDER BY month) AS DOUBLE))
+                 / CAST(lag(rev) OVER (ORDER BY month) AS DOUBLE), 6) AS mom_growth
+    FROM monthly
+    """,
+    doc="Month-over-month revenue growth: the reporting query behind "
+    "every KPI dashboard. The lag() window is GLOBAL (ORDER BY month, "
+    "no partition) — which is exactly right HERE because it runs on the "
+    "aggregated month relation, whose cardinality is time-bounded "
+    "(~80 rows for a 7-year table) and independent of fact volume; the "
+    "single-partition sort the plan shows costs microseconds. The trap "
+    "this query documents by contrast: the same window on the raw fact "
+    "table would serialize the whole dataset through one task. Exact "
+    "decimal month sums; growth is one double division rounded to 6dp "
+    "(first month's growth is NULL in both engines)",
+)
+def q_orders_monthly_growth(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    monthly = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("month", "o_orderdate").alias("month"))
+        .agg(
+            F.sum(_dec("o_totalprice")).alias("rev"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+    w = Window.orderBy("month")
+    prev = F.lag("rev").over(w).cast("double")
+    return monthly.select(
+        "month",
+        F.col("rev").cast("double").alias("revenue"),
+        "n_orders",
+        sql_round((F.col("rev").cast("double") - prev) / prev, 6).alias("mom_growth"),
+    )
+
+
+@register(
+    "documents_orc_roundtrip",
+    """
+    SELECT lang, count(*)::BIGINT AS n_docs,
+           sum(n_chars)::BIGINT AS total_chars,
+           sum(length(text))::BIGINT AS total_text_len
+    FROM documents GROUP BY lang
+    """,
+    doc="ORC source round trip: documents written once as an 8-file ORC "
+    "layout, read back, and aggregated per lang against the parquet "
+    "oracle — the same lossless-path proof as documents_jsonl_roundtrip "
+    "for the OTHER columnar format Spark ships natively (ORC is what "
+    "Hive-era lakes hand you). Binary columnar means newline-bearing "
+    "text and unicode need no escaping at all, and the reader gets the "
+    "same pushdown/pruning machinery as parquet (ORC carries its own "
+    "stripe-level min/max stats)",
+)
+def q_documents_orc_roundtrip(spark, sf_dir):
+    import hashlib
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    src = _ensure_layout(
+        f"/tmp/rsmr_docs_orc_{key}",
+        lambda d: load(spark, sf_dir, "documents")
+        .repartition(8)
+        .write.mode("overwrite")
+        .orc(d),
+    )
+    docs = spark.read.orc(src)
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum(F.length("text")).alias("total_text_len"),
+    )
+
+
+@register(
+    "events_csv_roundtrip",
+    """
+    SELECT event_type, count(*)::BIGINT AS n_events,
+           sum(user_id)::BIGINT AS sum_users,
+           sum(length(props))::BIGINT AS total_props_len,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY event_type
+    """,
+    doc="CSV source round trip with embedded-structure torture: events "
+    "written once as an 8-file CSV layout — the props column is a JSON "
+    "string full of commas, quotes, and braces, so every row exercises "
+    "the writer's quote-and-escape path — read back with an EXPLICIT "
+    "schema (no inference pre-scan) and aggregated against the parquet "
+    "oracle. A green row proves quoting is lossless AND the timestamp/"
+    "double round trips are exact (Spark writes doubles shortest-"
+    "round-trip). CSV stays line-splittable because no field contains a "
+    "newline; the sum over value goes through a decimal cast so "
+    "partial-agg order cannot leak into the hash",
+)
+def q_events_csv_roundtrip(spark, sf_dir):
+    import hashlib
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    src = _ensure_layout(
+        f"/tmp/rsmr_events_csv_{key}",
+        lambda d: load(spark, sf_dir, "events")
+        .repartition(8)
+        .write.mode("overwrite")
+        .option("header", "false")
+        .csv(d),
+    )
+    schema = (
+        "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, "
+        "value DOUBLE, props STRING"
+    )
+    e = spark.read.schema(schema).csv(src)
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("user_id").alias("sum_users"),
+        F.sum(F.length("props")).alias("total_props_len"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+    )
+
+
+def _retention_user_sampled_oracle() -> str:
+    from ..sampling.deterministic import hash_bernoulli_sql
+
+    keep = hash_bernoulli_sql("user_id::VARCHAR", 0.4, seed=7)
+    return f"""
+    WITH se AS (SELECT user_id, ts FROM events WHERE {keep}),
+    fs AS (
+      SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day FROM se GROUP BY user_id
+    ),
+    coh AS (SELECT cohort_day, count(*) AS cohort_size FROM fs GROUP BY cohort_day),
+    act AS (
+      SELECT DISTINCT fs.cohort_day,
+             datediff('day', fs.cohort_day, CAST(e.ts AS DATE)) AS offset_day,
+             e.user_id
+      FROM se e JOIN fs ON e.user_id = fs.user_id
+    )
+    SELECT a.cohort_day, a.offset_day, count(*)::BIGINT AS sampled_active_users,
+           round(count(*) / CAST(c.cohort_size AS DOUBLE), 6) AS est_retention,
+           round(count(*) / 0.4, 2) AS ht_active_users
+    FROM act a JOIN coh c ON a.cohort_day = c.cohort_day
+    GROUP BY a.cohort_day, a.offset_day, c.cohort_size
+    """
+
+
+@register(
+    "retention_user_sampled",
+    _retention_user_sampled_oracle(),
+    doc="The reference's sample->estimate core applied to cohort "
+    "retention — with the sampling unit moved from ROWS to USERS "
+    "(cluster sampling, the entity-level analogue of the reference's "
+    "file-level cluster pick, SURVEY 4.2): a user is either fully in or "
+    "fully out by md5 hash, so every sampled user's event history is "
+    "complete and first-seen/offset computations are EXACT for sampled "
+    "users — row-level sampling would corrupt first-seen dates and bias "
+    "every offset. est_retention is a ratio of counts over the same "
+    "sampled cohort (the 1/r HT scale-ups cancel); ht_active_users "
+    "carries the explicit 1/0.4 scale-up for the population-level "
+    "count. Ratio 0.4 keeps the testdata's ~5-user day-cohorts "
+    "populated; at production scale 0.01-0.1 cuts the user_id shuffle "
+    "by the same factor because the hash filter sits in the scan",
+    tags=("sampled",),
+)
+def q_retention_user_sampled(spark, sf_dir):
+    from ..sampling.deterministic import hash_bernoulli
+
+    e = (
+        load(spark, sf_dir, "events")
+        .withColumn("__k", F.col("user_id").cast("string"))
+    )
+    se = hash_bernoulli(e, "__k", 0.4, seed=7).select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    fs = se.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    coh = fs.groupBy("cohort_day").agg(F.count(F.lit(1)).alias("cohort_size"))
+    act = (
+        se.join(fs, "user_id")
+        .select("cohort_day", F.datediff("day", "cohort_day").alias("offset_day"), "user_id")
+        .distinct()
+    )
+    return (
+        act.groupBy("cohort_day", "offset_day")
+        .agg(F.count(F.lit(1)).alias("sampled_active_users"))
+        .join(F.broadcast(coh), "cohort_day")
+        .select(
+            "cohort_day",
+            "offset_day",
+            "sampled_active_users",
+            sql_round(
+                F.col("sampled_active_users").cast("double") / F.col("cohort_size"), 6
+            ).alias("est_retention"),
+            sql_round(F.col("sampled_active_users").cast("double") / F.lit(0.4), 2).alias(
+                "ht_active_users"
+            ),
+        )
+    )
