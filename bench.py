@@ -163,6 +163,12 @@ BENCH_QUERIES = [
     "sampled_full_join_hash_twin",
     "order_price_quantile_hash_sampled",
     "sampled_topk_tokens",
+    # round-8 additions: the cluster-variance join CI (two extra
+    # (group, row-id) partial-agg shuffles over the joined pairs) and
+    # the bootstrap weighted quantile (x33 replicate explode into
+    # per-(group, rep) window sorts)
+    "sampled_join_cluster_ci",
+    "stratified_quantile_bootstrap_ci",
     # the scale-correct LSH->verify->CC composition is the headline
     # clustering number; the all-pairs forms (dedup_clusters,
     # dedup_embedding) stay in the catalog as oracle-only baselines.

@@ -871,7 +871,11 @@ class SampledFrame:
         r1, r2 = self.join_ratios
         lid, rid = self.join_ids
         gs = list(group_cols)
-        ids = list(dict.fromkeys(list(lid) + list(rid)))
+        # dedupe, and drop id columns already present as group columns
+        # (selecting a name twice would make the groupBy ambiguous)
+        ids = [
+            c for c in dict.fromkeys(list(lid) + list(rid)) if c not in gs
+        ]
         d = self.df.select(
             *[F.col(c) for c in gs],
             *[F.col(c) for c in ids],
@@ -881,7 +885,8 @@ class SampledFrame:
         r = self.ratio
 
         def side(idcols, tag):
-            per = d.groupBy(*[F.col(c) for c in (gs + list(idcols))]).agg(
+            keys = list(dict.fromkeys(gs + list(idcols)))
+            per = d.groupBy(*[F.col(c) for c in keys]).agg(
                 F.coalesce(F.sum("__x"), F.lit(0.0)).alias("__s"),
                 F.coalesce(F.sum(F.col("__x") * F.col("__x")), F.lit(0.0)).alias("__q"),
                 F.count(F.lit(1)).alias("__c"),
