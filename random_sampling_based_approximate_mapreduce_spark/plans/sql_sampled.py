@@ -299,7 +299,8 @@ def _sampled_join_cluster_ci_oracle() -> str:
                          sum(cs * cs - cs)::BIGINT AS cl2,
                          sum(qs)::BIGINT AS sq,
                          sum(qq)::BIGINT AS qp,
-                         sum(qs * qs - qq)::BIGINT AS ql2
+                         sum(qs * qs - qq)::BIGINT AS ql2,
+                         sum(qs * cs - qs)::BIGINT AS qx1l
                   FROM perl GROUP BY 1),
          perr AS (SELECT g, rk1, rk2,
                          count(*)::BIGINT AS cs,
@@ -308,18 +309,27 @@ def _sampled_join_cluster_ci_oracle() -> str:
                   FROM p GROUP BY 1, 2, 3),
          aggr AS (SELECT g,
                          sum(cs * cs - cs)::BIGINT AS cr2,
-                         sum(qs * qs - qq)::BIGINT AS qr2
-                  FROM perr GROUP BY 1)
+                         sum(qs * qs - qq)::BIGINT AS qr2,
+                         sum(qs * cs - qs)::BIGINT AS qx1r
+                  FROM perr GROUP BY 1),
+         fin AS (SELECT *,
+                        CAST(sq AS DOUBLE) / CAST(n AS DOUBLE) AS m,
+                        {a!r} * CAST(qp AS DOUBLE) + {b!r} * CAST(ql2 AS DOUBLE)
+                          + {c!r} * CAST(qr2 AS DOUBLE) AS axx,
+                        {a!r} * CAST(sq AS DOUBLE) + {b!r} * CAST(qx1l AS DOUBLE)
+                          + {c!r} * CAST(qx1r AS DOUBLE) AS ax1,
+                        {a!r} * CAST(n AS DOUBLE) + {b!r} * CAST(cl2 AS DOUBLE)
+                          + {c!r} * CAST(cr2 AS DOUBLE) AS a11
+                 FROM aggl JOIN aggr USING (g))
     SELECT g AS o_orderpriority,
            CAST(n AS DOUBLE) * {scale!r} AS est_pairs,
-           {z!r} * sqrt(greatest(
-             ({a!r} * CAST(n AS DOUBLE) + {b!r} * CAST(cl2 AS DOUBLE)
-              + {c!r} * CAST(cr2 AS DOUBLE)) / {rr!r}, 0.0)) AS est_pairs_ci,
+           {z!r} * sqrt(greatest(a11 / {rr!r}, 0.0)) AS est_pairs_ci,
            CAST(sq AS DOUBLE) * {scale!r} AS est_qty,
-           {z!r} * sqrt(greatest(
-             ({a!r} * CAST(qp AS DOUBLE) + {b!r} * CAST(ql2 AS DOUBLE)
-              + {c!r} * CAST(qr2 AS DOUBLE)) / {rr!r}, 0.0)) AS est_qty_ci
-    FROM aggl JOIN aggr USING (g)
+           {z!r} * sqrt(greatest(axx / {rr!r}, 0.0)) AS est_qty_ci,
+           m AS est_qty_mean,
+           {z!r} * sqrt(greatest(axx - 2.0 * m * ax1 + m * m * a11, 0.0))
+             / CAST(n AS DOUBLE) AS est_qty_mean_ci
+    FROM fin
     """
 
 
@@ -336,11 +346,12 @@ def _sampled_join_cluster_ci_oracle() -> str:
     "V^=[(1-r1r2)P + (1-r1)(S_l^2-Q_l) + (1-r2)(S_j^2-Q_j)]/(r1r2)^2 "
     "— pairs sharing a kept order (TPC-H multiplicity ~4) are "
     "positively correlated and the classical independent-Bernoulli "
-    "form ignores it. Every moment is an exact integer sum before the "
-    "mirrored double combine, so both engines produce identical "
-    "doubles; coverage is seed-sweep-tested in "
-    "tests/test_sampled_frame.py (nominal at multiplicity 5, "
-    "unwidened at 1:1)",
+    "form ignores it. The mean columns exercise the delta-method "
+    "composition (Axx - 2m Ax1 + m^2 A11)/N^2 over the same moments. "
+    "Every moment is an exact integer sum before the mirrored double "
+    "combine, so both engines produce identical doubles; coverage is "
+    "seed-sweep-tested in tests/test_sampled_frame.py (nominal at "
+    "multiplicity 5, unwidened at 1:1)",
     tags=("sampled",),
 )
 def q_sampled_join_cluster_ci(spark, sf_dir):
@@ -367,7 +378,10 @@ def q_sampled_join_cluster_ci(spark, sf_dir):
     )
     pairs = joined.approx_count("o_orderpriority", ci=True, alias="est_pairs")
     qty = joined.approx_sum("__qty", "o_orderpriority", ci=True, alias="est_qty")
-    return pairs.join(qty, "o_orderpriority")
+    mean = joined.approx_mean(
+        "__qty", "o_orderpriority", ci=True, alias="est_qty_mean"
+    )
+    return pairs.join(qty, "o_orderpriority").join(mean, "o_orderpriority")
 
 
 def _sampled_full_join_hash_twin_oracle() -> str:

@@ -884,25 +884,7 @@ class SampledFrame:
         z = stats.z_score(self.config.confidence)
         r = self.ratio
 
-        def side(idcols, tag):
-            keys = list(dict.fromkeys(gs + list(idcols)))
-            per = d.groupBy(*[F.col(c) for c in keys]).agg(
-                F.coalesce(F.sum("__x"), F.lit(0.0)).alias("__s"),
-                F.coalesce(F.sum(F.col("__x") * F.col("__x")), F.lit(0.0)).alias("__q"),
-                F.count(F.lit(1)).alias("__c"),
-            )
-            base = per.groupBy(*[F.col(c) for c in gs]) if gs else per.groupBy()
-            return base.agg(
-                F.sum("__s").alias(f"__sx{tag}"),
-                F.sum("__q").alias(f"__p{tag}"),
-                F.sum(F.col("__s") * F.col("__s") - F.col("__q")).alias(f"__d{tag}"),
-                F.sum("__c").alias(f"__n{tag}"),
-            )
-
-        lagg = side(lid, "l")
-        # right-side output is one row per group: broadcast it back
-        rsel = side(rid, "r").select(*gs, "__dr") if gs else side(rid, "r").select("__dr")
-        joined = lagg.join(F.broadcast(rsel), on=gs) if gs else lagg.crossJoin(rsel)
+        joined = self._joined_cluster_moments(d, gs, ["__dr"])
         var = (
             F.lit(1.0 - r) * F.col("__pl")
             + F.lit(1.0 - r1) * F.col("__dl")
@@ -917,6 +899,103 @@ class SampledFrame:
             n = F.col("__nl")
             cols.append(n.alias("n_sampled"))
             cols.append((n < F.lit(int(min_support))).alias("low_support"))
+        return joined.select(*cols)
+
+    def _joined_cluster_moments(self, d, gs, right_cols):
+        """The two 2-level aggregation chains shared by every joined
+        cluster estimator: per (group, side-row-id) partial sums of
+        (S = sum x, Q = sum x^2, C = row count), then per group the
+        totals plus the three same-row excess terms
+        Dxx = sum(S^2 - Q), Dx1 = sum(S*C - S), D11 = sum(C^2 - C) —
+        the cross-moment analogues needed for sums (Dxx), the
+        count/value covariance (Dx1), and counts (D11). ``right_cols``
+        names which right-side columns the caller consumes (the rest
+        are dropped before the broadcast back)."""
+        lid, rid = self.join_ids
+
+        def side(idcols, tag):
+            keys = list(dict.fromkeys(gs + list(idcols)))
+            per = d.groupBy(*[F.col(c) for c in keys]).agg(
+                F.coalesce(F.sum("__x"), F.lit(0.0)).alias("__s"),
+                F.coalesce(F.sum(F.col("__x") * F.col("__x")), F.lit(0.0)).alias("__q"),
+                F.count(F.lit(1)).alias("__c"),
+            )
+            base = per.groupBy(*[F.col(c) for c in gs]) if gs else per.groupBy()
+            s, q, c = F.col("__s"), F.col("__q"), F.col("__c")
+            return base.agg(
+                F.sum("__s").alias(f"__sx{tag}"),
+                F.sum("__q").alias(f"__p{tag}"),
+                F.sum(s * s - q).alias(f"__d{tag}"),
+                F.sum(s * c.cast("double") - s).alias(f"__dx1{tag}"),
+                F.sum(c * c - c).alias(f"__d11{tag}"),
+                F.sum("__c").alias(f"__n{tag}"),
+            )
+
+        lagg = side(lid, "l")
+        # right-side output is one row per group: broadcast it back
+        rsel = (
+            side(rid, "r").select(*gs, *right_cols)
+            if gs
+            else side(rid, "r").select(*right_cols)
+        )
+        return lagg.join(F.broadcast(rsel), on=gs) if gs else lagg.crossJoin(rsel)
+
+    def _joined_cluster_mean(
+        self,
+        value_col: str,
+        group_cols,
+        alias: str,
+        min_support: int | None,
+    ) -> DataFrame:
+        """Mean with the delta-method cluster CI for join-composed frames
+        carrying row ids. mean = T_x / T_1 (HT scales cancel); by the
+        delta method Var(mean) ~= [Var(T_x) - 2m Cov(T_x, T_1)
+        + m^2 Var(T_1)] / T_1^2, each (co)variance from the cluster
+        design formula with the matching moment (x*x, x*1, 1*1):
+
+            A_uv = (1-r1r2) * sum_pairs u*v
+                 + (1-r1) * sum_left  (S_u S_v - sum u*v)
+                 + (1-r2) * sum_right (S_u S_v - sum u*v)
+
+        so Var(mean) ~= (A_xx - 2m A_x1 + m^2 A_11) / N^2 with N the
+        kept pair count (the (r1r2)^2 factors cancel against T_1^2).
+        On unique keys every excess term vanishes and this reduces to
+        (1-r) * sum(x - m)^2 / N^2 — the classical z*s/sqrt(n) width
+        WITH the finite-population factor the iid formula lacks (the
+        HT derivation includes it naturally; coverage seed-swept).
+        NULL values are excluded, matching ``approx_mean``/``avg``.
+        """
+        r1, r2 = self.join_ratios
+        gs = list(group_cols)
+        ids = [
+            c
+            for c in dict.fromkeys(list(self.join_ids[0]) + list(self.join_ids[1]))
+            if c not in gs
+        ]
+        d = self.df.where(F.col(value_col).isNotNull()).select(
+            *[F.col(c) for c in gs],
+            *[F.col(c) for c in ids],
+            F.col(value_col).cast("double").alias("__x"),
+        )
+        z = stats.z_score(self.config.confidence)
+        r = self.ratio
+        joined = self._joined_cluster_moments(d, gs, ["__dr", "__dx1r", "__d11r"])
+        a, b, c = F.lit(1.0 - r), F.lit(1.0 - r1), F.lit(1.0 - r2)
+        axx = a * F.col("__pl") + b * F.col("__dl") + c * F.col("__dr")
+        ax1 = a * F.col("__sxl") + b * F.col("__dx1l") + c * F.col("__dx1r")
+        a11 = a * F.col("__nl").cast("double") + b * F.col("__d11l") + c * F.col("__d11r")
+        n = F.col("__nl").cast("double")
+        m = F.col("__sxl") / n
+        var = F.greatest(
+            axx - F.lit(2.0) * m * ax1 + m * m * a11, F.lit(0.0)
+        )
+        cols: list = [F.col(x) for x in gs]
+        cols.append(m.alias(alias))
+        cols.append((F.lit(z) * F.sqrt(var) / n).alias(f"{alias}_ci"))
+        if min_support is not None:
+            nn = F.col("__nl")
+            cols.append(nn.alias("n_sampled"))
+            cols.append((nn < F.lit(int(min_support))).alias("low_support"))
         return joined.select(*cols)
 
     def approx_count(
@@ -1039,7 +1118,17 @@ class SampledFrame:
 
         ``min_support``: the same rare-group honesty contract as every
         other grouped estimator (``n_sampled`` + ``low_support``).
+
+        On a join-composed frame carrying row ids (``join_sampled`` with
+        ``left_id``/``right_id``) the CI uses the delta-method cluster
+        variance instead — joined pairs sharing a kept row are not iid,
+        so the classical s/sqrt(n) width understates on hot keys just
+        like the count/sum case (see ``_joined_cluster_mean``).
         """
+        if ci and self.ratio < 1.0 and self.join_ids is not None:
+            return self._joined_cluster_mean(
+                value_col, group_cols, alias, min_support
+            )
         est = F.avg(F.col(value_col)).alias(alias)
         base = self.df.groupBy(*[F.col(c) for c in group_cols]) if group_cols else self.df.groupBy()
         aggs = [est]
