@@ -1143,6 +1143,90 @@ class SampledFrame:
             aggs.extend(_support_cols(min_support))
         return base.agg(*aggs)
 
+    def _joined_cluster_ratio(
+        self,
+        num_col: str,
+        den_col: str,
+        group_cols,
+        alias: str,
+        min_support: int | None,
+    ) -> DataFrame:
+        """Ratio-of-sums with the cluster-design Taylor CI for
+        join-composed frames carrying row ids: Var(R^) ~= [A_xx
+        + R^2 A_yy - 2R A_xy] / (sum y)^2 with each bilinear A_uv the
+        cluster combine (1-r1r2)*sum uv + (1-r1)*excess_left
+        + (1-r2)*excess_right over (x,x), (y,y), (x,y) moments — the
+        two-column generalization of ``_joined_cluster_mean`` (mean is
+        this with y = 1). On unique keys every excess vanishes and the
+        value equals the classical Taylor form in ``approx_ratio``.
+        NULLs contribute 0 to every moment, matching the plain path's
+        null-skipping sums."""
+        r1, r2 = self.join_ratios
+        gs = list(group_cols)
+        ids = [
+            c
+            for c in dict.fromkeys(list(self.join_ids[0]) + list(self.join_ids[1]))
+            if c not in gs
+        ]
+        d = self.df.select(
+            *[F.col(c) for c in gs],
+            *[F.col(c) for c in ids],
+            F.coalesce(F.col(num_col).cast("double"), F.lit(0.0)).alias("__x"),
+            F.coalesce(F.col(den_col).cast("double"), F.lit(0.0)).alias("__y"),
+        )
+        z = stats.z_score(self.config.confidence)
+        r = self.ratio
+
+        def side(idcols, tag):
+            keys = list(dict.fromkeys(gs + list(idcols)))
+            xx, yy = F.col("__x"), F.col("__y")
+            per = d.groupBy(*[F.col(c) for c in keys]).agg(
+                F.sum("__x").alias("__sx"),
+                F.sum("__y").alias("__sy"),
+                F.sum(xx * xx).alias("__qxx"),
+                F.sum(yy * yy).alias("__qyy"),
+                F.sum(xx * yy).alias("__qxy"),
+                F.count(F.lit(1)).alias("__c"),
+            )
+            base = per.groupBy(*[F.col(c) for c in gs]) if gs else per.groupBy()
+            sx, sy = F.col("__sx"), F.col("__sy")
+            return base.agg(
+                F.sum("__sx").alias(f"__tx{tag}"),
+                F.sum("__sy").alias(f"__ty{tag}"),
+                F.sum("__qxx").alias(f"__pxx{tag}"),
+                F.sum("__qyy").alias(f"__pyy{tag}"),
+                F.sum("__qxy").alias(f"__pxy{tag}"),
+                F.sum(sx * sx - F.col("__qxx")).alias(f"__dxx{tag}"),
+                F.sum(sy * sy - F.col("__qyy")).alias(f"__dyy{tag}"),
+                F.sum(sx * sy - F.col("__qxy")).alias(f"__dxy{tag}"),
+                F.sum("__c").alias(f"__n{tag}"),
+            )
+
+        lagg = side(self.join_ids[0], "l")
+        rc = ["__dxxr", "__dyyr", "__dxyr"]
+        rsel = (
+            side(self.join_ids[1], "r").select(*gs, *rc)
+            if gs
+            else side(self.join_ids[1], "r").select(*rc)
+        )
+        joined = lagg.join(F.broadcast(rsel), on=gs) if gs else lagg.crossJoin(rsel)
+        a, b, c = F.lit(1.0 - r), F.lit(1.0 - r1), F.lit(1.0 - r2)
+        axx = a * F.col("__pxxl") + b * F.col("__dxxl") + c * F.col("__dxxr")
+        ayy = a * F.col("__pyyl") + b * F.col("__dyyl") + c * F.col("__dyyr")
+        axy = a * F.col("__pxyl") + b * F.col("__dxyl") + c * F.col("__dxyr")
+        R = F.col("__txl") / F.col("__tyl")
+        var = F.greatest(
+            axx + R * R * ayy - F.lit(2.0) * R * axy, F.lit(0.0)
+        ) / (F.col("__tyl") * F.col("__tyl"))
+        cols: list = [F.col(x) for x in gs]
+        cols.append(R.alias(alias))
+        cols.append((F.lit(z) * F.sqrt(var)).alias(f"{alias}_ci"))
+        if min_support is not None:
+            nn = F.col("__nl")
+            cols.append(nn.alias("n_sampled"))
+            cols.append((nn < F.lit(int(min_support))).alias("low_support"))
+        return joined.select(*cols)
+
     def approx_ratio(
         self,
         num_col: str,
@@ -1166,7 +1250,16 @@ class SampledFrame:
         kept a spurious extra 1/r — conservative by 1/sqrt(r), same
         correction as approx_sum's; pinned in tests.) All four moments
         come from the same aggregation pass — no second job.
+
+        On a join-composed frame carrying row ids (``join_sampled`` with
+        ``left_id``/``right_id``) the CI uses the cluster-design Taylor
+        combine instead (see ``_joined_cluster_ratio``); the point
+        estimate is unchanged.
         """
+        if ci and self.ratio < 1.0 and self.join_ids is not None:
+            return self._joined_cluster_ratio(
+                num_col, den_col, group_cols, alias, min_support
+            )
         x, y = F.col(num_col), F.col(den_col)
         base = self.df.groupBy(*[F.col(c) for c in group_cols]) if group_cols else self.df.groupBy()
         flag = min_support is not None and self.ratio < 1.0

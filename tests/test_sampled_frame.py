@@ -1004,6 +1004,43 @@ class TestCICoverageSeedSweep:
         cover = sum(1 for r in rows if abs(r["est_mean"] - truth) <= r["est_mean_ci"])
         assert cover >= 88, f"cluster mean-CI covered only {cover}/100"
 
+    def test_joined_ratio_cluster_ci_covers_under_key_multiplicity(self, spark):
+        """Cluster Taylor CI for the joined RATIO at multiplicity 5."""
+        n_keys = 400
+        left = (
+            spark.range(n_keys).select(F.col("id").alias("lk")).localCheckpoint()
+        )
+        right = (
+            spark.range(n_keys * 5)
+            .select(
+                F.col("id").alias("rid"),
+                (F.col("id") % n_keys).alias("rk"),
+                ((F.col("id") % n_keys) % 13).cast("double").alias("x"),
+                (1.0 + (F.col("id") % 5)).cast("double").alias("y"),
+            )
+            .localCheckpoint()
+        )
+        tx = sum((i % n_keys) % 13 for i in range(n_keys * 5))
+        ty = sum(1.0 + (i % 5) for i in range(n_keys * 5))
+        truth = tx / ty
+        frames = []
+        for s in self.SEEDS:
+            sl = SampledFrame.from_dataframe(
+                left, SamplingConfig(ratio=0.4, seed=s), observe=False
+            )
+            sr = SampledFrame.from_dataframe(
+                right, SamplingConfig(ratio=0.5, seed=s + 499_979), observe=False
+            )
+            j = sl.join_sampled(
+                sr, F.col("lk") == F.col("rk"), left_id="lk", right_id="rid"
+            )
+            frames.append(
+                j.approx_ratio("x", "y", ci=True).withColumn("__seed", F.lit(s))
+            )
+        rows = self._union(frames)
+        cover = sum(1 for r in rows if abs(r["est_ratio"] - truth) <= r["est_ratio_ci"])
+        assert cover >= 88, f"cluster ratio-CI covered only {cover}/100"
+
     def test_weighted_quantile_bootstrap_coverage(self, spark):
         """VERDICT r6/r7 item: weighted_quantile composed with the
         deterministic Poisson bootstrap — the percentile interval must
@@ -1250,6 +1287,80 @@ class TestJoinedClusterCI:
         assert row["est_mean"] == pytest.approx(m, rel=1e-12)
         assert row["est_mean_ci"] == pytest.approx(z * math.sqrt(var) / n, rel=1e-12)
         assert row["n_sampled"] == 4 and row["low_support"] is True
+
+    def test_ratio_matches_hand_computation(self, spark):
+        """Cluster Taylor ratio CI: Var(R) ~= (Axx + R^2 Ayy - 2R Axy)
+        / (sum y)^2 pinned against Python on a fixed pair table."""
+        import math
+
+        pairs = [
+            (1, 7, 2.0, 1.0),
+            (2, 7, 3.0, 2.0),
+            (3, 8, 1.0, 4.0),
+            (3, 9, 5.0, 1.0),
+        ]
+        df = spark.createDataFrame(pairs, "lk bigint, rid bigint, x double, y double")
+        r1, r2 = 0.4, 0.5
+        sf = self._wrap(df, r1, r2, "lk", "rid")
+        row = sf.approx_ratio("x", "y", ci=True, min_support=10).collect()[0]
+        r = r1 * r2
+        a, b, c = 1 - r, 1 - r1, 1 - r2
+        xs = [p[2] for p in pairs]
+        ys = [p[3] for p in pairs]
+        R = sum(xs) / sum(ys)
+
+        def clusters(keyidx):
+            groups: dict = {}
+            for p in pairs:
+                groups.setdefault(p[keyidx], []).append(p)
+            out = []
+            for rows in groups.values():
+                sx = sum(p[2] for p in rows)
+                sy = sum(p[3] for p in rows)
+                qxx = sum(p[2] * p[2] for p in rows)
+                qyy = sum(p[3] * p[3] for p in rows)
+                qxy = sum(p[2] * p[3] for p in rows)
+                out.append((sx * sx - qxx, sy * sy - qyy, sx * sy - qxy))
+            return [sum(v[i] for v in out) for i in range(3)]
+
+        dl = clusters(0)
+        dr = clusters(1)
+        pxx = sum(v * v for v in xs)
+        pyy = sum(v * v for v in ys)
+        pxy = sum(x * y for x, y in zip(xs, ys))
+        axx = a * pxx + b * dl[0] + c * dr[0]
+        ayy = a * pyy + b * dl[1] + c * dr[1]
+        axy = a * pxy + b * dl[2] + c * dr[2]
+        var = max(axx + R * R * ayy - 2 * R * axy, 0.0) / (sum(ys) ** 2)
+        z = 1.959963984540054
+        assert row["est_ratio"] == pytest.approx(R, rel=1e-12)
+        assert row["est_ratio_ci"] == pytest.approx(z * math.sqrt(var), rel=1e-12)
+        assert row["n_sampled"] == 4 and row["low_support"] is True
+
+    def test_ratio_unique_keys_reduces_to_classical(self, spark):
+        """1:1 join: excesses vanish, so the cluster ratio CI equals the
+        classical (1-r)-Taylor width (same reduction as count/sum)."""
+        n = 400
+        left = spark.range(n).select(F.col("id").alias("lk"))
+        right = spark.range(n).select(
+            F.col("id").alias("rid"),
+            ((F.col("id") * 13) % 31).cast("double").alias("x"),
+            (1.0 + (F.col("id") % 7)).cast("double").alias("y"),
+        )
+        sl = SampledFrame.from_dataframe(
+            left, SamplingConfig(ratio=0.4, seed=5), observe=False
+        )
+        sr = SampledFrame.from_dataframe(
+            right, SamplingConfig(ratio=0.5, seed=7), observe=False
+        )
+        with_ids = sl.join_sampled(
+            sr, F.col("lk") == F.col("rid"), left_id="lk", right_id="rid"
+        )
+        without = sl.join_sampled(sr, F.col("lk") == F.col("rid"))
+        a = with_ids.approx_ratio("x", "y", ci=True).collect()[0]
+        b = without.approx_ratio("x", "y", ci=True).collect()[0]
+        assert a["est_ratio"] == pytest.approx(b["est_ratio"], rel=1e-12)
+        assert a["est_ratio_ci"] == pytest.approx(b["est_ratio_ci"], rel=1e-9)
 
     def test_mean_unique_keys_reduces_to_classical_with_fpc(self, spark):
         """1:1 join: every excess term vanishes, so the cluster mean CI
