@@ -117,6 +117,8 @@ _CHECK_PRIORITY = [
     # locally oracle-checked + pytest-covered at registration).
     "sampled_join_cluster_ci",
     "stratified_quantile_bootstrap_ci",
+    "stratified_value_mean_hash_sampled",
+    "stratified_purchase_share_hash_sampled",
     # --- the remaining 25 r4-green queries (r4 check order): r9 head
     "top_supplier_revenue",
     "small_qty_revenue",

@@ -1720,3 +1720,167 @@ def q_cohort_ltv_weekly(spark, sf_dir):
         F.col("rev").cast("double").alias("week_revenue"),
         F.sum("rev").over(cum).cast("double").alias("cumulative_ltv"),
     )
+
+
+def _stratified_value_mean_oracle() -> str:
+    from ..sampling import stats as _stats
+    from ..sampling.deterministic import stratified_hash_weight_sql
+
+    z = _stats.z_score(0.95)
+    w_case = stratified_hash_weight_sql(
+        "event_type", "event_id::VARCHAR", _STRAT_FRACTIONS, seed=11
+    )
+    # mirrors weighted_mean literally: value goes through DECIMAL cents
+    # (exact), weights are exact doubles (2/5/20), every moment addend
+    # is an exact integer-valued double (w(w-1)x^2 <= 380 * 1e8 per row,
+    # sums < 2^53), so sums are order-independent; the delta-method
+    # combine (A - 2mB + m^2 C)/(t1*t1) and the min(w) >= 1 guard use
+    # the same literals and association as the Spark expression.
+    return f"""
+    WITH s AS (
+      SELECT CAST(ts AS DATE) AS d,
+             CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+             CAST({w_case} AS DOUBLE) AS w
+      FROM events
+    ),
+    k AS (SELECT d, CAST(cents AS DOUBLE) AS x, w FROM s WHERE w IS NOT NULL),
+    a AS (SELECT d,
+                 sum(w * x) AS tx, sum(w) AS t1,
+                 sum(w * (w - 1.0) * x * x) AS ma,
+                 sum(w * (w - 1.0) * x) AS mb,
+                 sum(w * (w - 1.0)) AS mc,
+                 min(w) AS minw, count(*)::BIGINT AS n
+          FROM k GROUP BY 1)
+    SELECT d,
+           tx / t1 AS est_mean,
+           CASE WHEN minw >= 1.0 THEN
+             {z!r} * sqrt(greatest(
+               ma - 2.0 * (tx / t1) * mb + (tx / t1) * (tx / t1) * mc,
+               0.0) / (t1 * t1)) END AS est_mean_ci,
+           n AS n_sampled, (n < 100) AS low_support
+    FROM a
+    """
+
+
+@register(
+    "stratified_value_mean_hash_sampled",
+    _stratified_value_mean_oracle(),
+    doc="HT mean from a STRATIFIED sample, fully value-oracled (round 8: "
+    "completes the weighted-estimator family — count/sum/quantile "
+    "existed, the design-consistent mean did not; a plain avg of the "
+    "sampled values is biased toward over-sampled strata). Daily mean "
+    "event value in CENTS from the same deterministic stratified hash "
+    "sample as the other stratified twins (rare types at 50%, bulk at "
+    "5%, seed 11), via sampling/sampled_frame.weighted_mean = the "
+    "ratio of HT sums with the Taylor delta-method CI "
+    "Var ~= sum w(w-1)(x-m)^2 / (sum w)^2, computed single-pass from "
+    "exact integer moments so both engines produce identical doubles. "
+    "At uniform weights the width reduces to the classical z*s/sqrt(n) "
+    "WITH the finite-population factor (pinned in tests); groups "
+    "containing a weight < 1 get a NULL CI (honesty guard)",
+    tags=("sampled",),
+)
+def q_stratified_value_mean_hash_sampled(spark, sf_dir):
+    from ..sampling.deterministic import stratified_hash_weight
+    from ..sampling.sampled_frame import weighted_mean
+
+    e = load(spark, sf_dir, "events").withColumn(
+        "__k", F.col("event_id").cast("string")
+    )
+    w = stratified_hash_weight("event_type", "__k", _STRAT_FRACTIONS, seed=11)
+    s = (
+        e.withColumn("w", w)
+        .where(F.col("w").isNotNull())
+        .select(
+            F.to_date("ts").alias("d"),
+            (_dec("value") * 100).cast("bigint").cast("double").alias("x"),
+            "w",
+        )
+    )
+    return weighted_mean(
+        s, "x", "d", weight_col="w", min_support=100, ci_confidence=0.95,
+        alias="est_mean",
+    )
+
+
+def _stratified_purchase_share_oracle() -> str:
+    from ..sampling import stats as _stats
+    from ..sampling.deterministic import stratified_hash_weight_sql
+
+    z = _stats.z_score(0.95)
+    w_case = stratified_hash_weight_sql(
+        "event_type", "event_id::VARCHAR", _STRAT_FRACTIONS, seed=11
+    )
+    # mirrors weighted_ratio: R = purchase-value share of daily value;
+    # x = cents for purchase events else 0, y = cents. Two-column
+    # Taylor combine (Axx - 2R Axy + R^2 Ayy)/(ty*ty), same guard.
+    return f"""
+    WITH s AS (
+      SELECT CAST(ts AS DATE) AS d,
+             CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+             (event_type = 'purchase') AS is_p,
+             CAST({w_case} AS DOUBLE) AS w
+      FROM events
+    ),
+    k AS (SELECT d,
+                 CASE WHEN is_p THEN CAST(cents AS DOUBLE) ELSE 0.0 END AS x,
+                 CAST(cents AS DOUBLE) AS y, w
+          FROM s WHERE w IS NOT NULL),
+    a AS (SELECT d,
+                 sum(w * x) AS tx, sum(w * y) AS ty,
+                 sum(w * (w - 1.0) * x * x) AS axx,
+                 sum(w * (w - 1.0) * y * y) AS ayy,
+                 sum(w * (w - 1.0) * x * y) AS axy,
+                 min(w) AS minw, count(*)::BIGINT AS n
+          FROM k GROUP BY 1)
+    SELECT d,
+           tx / ty AS est_ratio,
+           CASE WHEN minw >= 1.0 THEN
+             {z!r} * sqrt(greatest(
+               axx - 2.0 * (tx / ty) * axy
+                 + (tx / ty) * (tx / ty) * ayy,
+               0.0) / (ty * ty)) END AS est_ratio_ci,
+           n AS n_sampled, (n < 100) AS low_support
+    FROM a
+    """
+
+
+@register(
+    "stratified_purchase_share_hash_sampled",
+    _stratified_purchase_share_oracle(),
+    doc="HT ratio-of-sums from a STRATIFIED sample, fully value-oracled "
+    "(round 8, the two-column completion of weighted_mean): the daily "
+    "share of event value carried by purchase events, R = "
+    "sum(w * purchase_cents) / sum(w * cents) via "
+    "sampling/sampled_frame.weighted_ratio with the Taylor combine "
+    "(Axx - 2R Axy + R^2 Ayy)/(sum wy)^2 over exact integer moments — "
+    "a domain-share estimand the reference's global proportion bound "
+    "cannot address per group. Same stratified design, determinism "
+    "discipline, and weight-honesty guard as the mean twin",
+    tags=("sampled",),
+)
+def q_stratified_purchase_share_hash_sampled(spark, sf_dir):
+    from ..sampling.deterministic import stratified_hash_weight
+    from ..sampling.sampled_frame import weighted_ratio
+
+    e = load(spark, sf_dir, "events").withColumn(
+        "__k", F.col("event_id").cast("string")
+    )
+    w = stratified_hash_weight("event_type", "__k", _STRAT_FRACTIONS, seed=11)
+    cents = (_dec("value") * 100).cast("bigint").cast("double")
+    s = (
+        e.withColumn("w", w)
+        .where(F.col("w").isNotNull())
+        .select(
+            F.to_date("ts").alias("d"),
+            F.when(F.col("event_type") == "purchase", cents)
+            .otherwise(F.lit(0.0))
+            .alias("x"),
+            cents.alias("y"),
+            "w",
+        )
+    )
+    return weighted_ratio(
+        s, "x", "y", "d", weight_col="w", min_support=100, ci_confidence=0.95,
+        alias="est_ratio",
+    )

@@ -284,6 +284,103 @@ def weighted_sum(
     return base.agg(*aggs)
 
 
+def weighted_mean(
+    df: DataFrame,
+    value_col: str,
+    *group_cols: str,
+    weight_col: str = "__weight",
+    min_support: int | None = None,
+    ci_confidence: float | None = None,
+    alias: str = "est_mean",
+) -> DataFrame:
+    """HT mean from a ``__weight``-carrying frame: the ratio of HT sums
+    Σwx / Σw — the design-consistent estimator of the population mean
+    under ANY per-row inclusion weights (a plain avg of the sampled
+    values is biased toward over-sampled strata). Rows with NULL
+    ``value_col`` are excluded from numerator AND denominator (the
+    estimand is the mean of the non-null population values, matching
+    ``avg`` semantics).
+
+    ``ci_confidence``: Taylor-linearized delta-method interval over the
+    HT variance estimators of the two sums and their covariance —
+    Var(m^) ~= Σ w(w-1)(x - m)² / (Σw)², computed single-pass from the
+    moments A = Σw(w-1)x², B = Σw(w-1)x, C = Σw(w-1) as
+    (A - 2mB + m²C)/(Σw)². At uniform weights w = 1/r this reduces to
+    (1-r)·Σ(x-m)²/n² — the classical z·s/√n width WITH the
+    finite-population factor (same reduction as the joined-mean
+    cluster CI; pinned in tests). Same honesty guard as
+    ``weighted_count``: any group containing a weight < 1 (signed
+    correction rows are not inclusion weights) gets a NULL CI.
+    """
+    d = df.where(F.col(value_col).isNotNull())
+    base = d.groupBy(*[F.col(c) for c in group_cols]) if group_cols else d.groupBy()
+    w = F.col(weight_col).cast("double")
+    x = F.col(value_col).cast("double")
+    tx, t1 = F.sum(w * x), F.sum(w)
+    aggs: list = [(tx / t1).alias(alias)]
+    if ci_confidence is not None:
+        z = stats.z_score(ci_confidence)
+        ww = w * (w - F.lit(1.0))
+        A, B, C = F.sum(ww * x * x), F.sum(ww * x), F.sum(ww)
+        m = tx / t1
+        var = F.greatest(
+            A - F.lit(2.0) * m * B + m * m * C, F.lit(0.0)
+        ) / (t1 * t1)
+        aggs.append(
+            F.when(F.min(w) >= F.lit(1.0), F.lit(z) * F.sqrt(var)).alias(
+                f"{alias}_ci"
+            )
+        )
+    if min_support is not None:
+        aggs.extend(_support_cols(min_support))
+    return base.agg(*aggs)
+
+
+def weighted_ratio(
+    df: DataFrame,
+    num_col: str,
+    den_col: str,
+    *group_cols: str,
+    weight_col: str = "__weight",
+    min_support: int | None = None,
+    ci_confidence: float | None = None,
+    alias: str = "est_ratio",
+) -> DataFrame:
+    """HT ratio-of-sums R = Σwx / Σwy from a ``__weight``-carrying
+    frame (domain shares, per-unit rates). NULLs contribute 0 to the
+    moment they are null in (matching ``approx_ratio``'s null-skipping
+    sums).
+
+    ``ci_confidence``: the two-column Taylor combine
+    Var(R^) ~= [A_xx - 2R A_xy + R² A_yy] / (Σwy)² with each
+    A_uv = Σ w(w-1) u v — the weighted analogue of ``approx_ratio``'s
+    (1-r) form, to which it reduces exactly at uniform weights
+    w = 1/r. Honesty guard as in ``weighted_mean``.
+    """
+    base = df.groupBy(*[F.col(c) for c in group_cols]) if group_cols else df.groupBy()
+    w = F.col(weight_col).cast("double")
+    x = F.coalesce(F.col(num_col).cast("double"), F.lit(0.0))
+    y = F.coalesce(F.col(den_col).cast("double"), F.lit(0.0))
+    tx, ty = F.sum(w * x), F.sum(w * y)
+    aggs: list = [(tx / ty).alias(alias)]
+    if ci_confidence is not None:
+        z = stats.z_score(ci_confidence)
+        ww = w * (w - F.lit(1.0))
+        axx, ayy, axy = F.sum(ww * x * x), F.sum(ww * y * y), F.sum(ww * x * y)
+        R = tx / ty
+        var = F.greatest(
+            axx - F.lit(2.0) * R * axy + R * R * ayy, F.lit(0.0)
+        ) / (ty * ty)
+        aggs.append(
+            F.when(F.min(w) >= F.lit(1.0), F.lit(z) * F.sqrt(var)).alias(
+                f"{alias}_ci"
+            )
+        )
+    if min_support is not None:
+        aggs.extend(_support_cols(min_support))
+    return base.agg(*aggs)
+
+
 def _normalize_quantile_ps(p):
     """Shared probability-list normalization for the quantile surfaces
     (``SampledFrame.approx_quantile`` and ``weighted_quantile``):

@@ -966,6 +966,53 @@ class TestCICoverageSeedSweep:
         ratio = emp_std / (mean_half / z)
         assert 0.8 <= ratio <= 1.25, f"cluster CI mis-scaled (ratio {ratio:.2f})"
 
+    def test_stratified_mean_and_ratio_coverage(self, base):
+        """weighted_mean / weighted_ratio Taylor CIs at nominal coverage
+        under the stratified design (round 8 additions)."""
+        from random_sampling_based_approximate_mapreduce_spark.sampling.sampled_frame import (
+            stratified_sample,
+            weighted_mean,
+            weighted_ratio,
+        )
+
+        truth_mean = sum(i % 97 for i in range(self.N)) / self.N
+        tx = sum(i % 97 for i in range(self.N) if i % 2 == 0)
+        ty = sum(i % 97 for i in range(self.N))
+        truth_ratio = tx / ty
+        fracs = {0: 0.05, 1: 0.3}
+        mframes, rframes = [], []
+        for s in self.SEEDS:
+            w = stratified_sample(base, "stratum", fracs, seed=s)
+            mframes.append(
+                weighted_mean(w, "value", ci_confidence=0.95).withColumn(
+                    "__seed", F.lit(s)
+                )
+            )
+            w2 = w.select(
+                F.when(F.col("stratum") == 0, F.col("value").cast("double"))
+                .otherwise(F.lit(0.0))
+                .alias("x"),
+                F.col("value").cast("double").alias("y"),
+                "__weight",
+            )
+            rframes.append(
+                weighted_ratio(w2, "x", "y", ci_confidence=0.95).withColumn(
+                    "__seed", F.lit(s)
+                )
+            )
+        mrows = self._union(mframes)
+        cover_m = sum(
+            1 for r in mrows if abs(r["est_mean"] - truth_mean) <= r["est_mean_ci"]
+        )
+        assert cover_m >= 88, f"weighted mean CI covered only {cover_m}/100"
+        rrows = self._union(rframes)
+        cover_r = sum(
+            1
+            for r in rrows
+            if abs(r["est_ratio"] - truth_ratio) <= r["est_ratio_ci"]
+        )
+        assert cover_r >= 88, f"weighted ratio CI covered only {cover_r}/100"
+
     def test_joined_mean_cluster_ci_covers_under_key_multiplicity(self, spark):
         """Delta-method cluster CI for the joined MEAN: nominal coverage
         at multiplicity 5, where the classical iid s/sqrt(n) width would
@@ -1860,6 +1907,107 @@ class TestWeightedQuantile:
         df = spark.createDataFrame(rows, "v double, __weight double")
         got = weighted_quantile(df, "v", 0.5).collect()[0]
         assert got["est_quantile"] == 5.0  # zero-weight row moves nothing
+
+
+class TestWeightedMeanRatio:
+    """weighted_mean / weighted_ratio: HT ratio-of-sums estimators for
+    __weight-carrying frames (round 8; coverage in the seed sweep)."""
+
+    def test_mean_corrects_stratified_bias(self, spark):
+        """Stratum a (low values) at 100%, stratum b (high) at 10%: the
+        plain avg collapses toward a; the weighted mean must sit near
+        the population mean."""
+        from random_sampling_based_approximate_mapreduce_spark.sampling.sampled_frame import (
+            stratified_sample,
+            weighted_mean,
+        )
+
+        pop = spark.range(20000).select(
+            F.when(F.col("id") % 2 == 0, "a").otherwise("b").alias("s"),
+            F.when(F.col("id") % 2 == 0, (F.col("id") % 100).cast("double"))
+            .otherwise((1000 + F.col("id") % 100).cast("double"))
+            .alias("v"),
+        )
+        truth = (sum(range(100)) / 100 + 1000 + sum(range(100)) / 100) / 2
+        w = stratified_sample(pop, "s", {"a": 1.0, "b": 0.1}, seed=13)
+        est = weighted_mean(w, "v", ci_confidence=0.95, min_support=10).collect()[0]
+        naive = w.agg(F.avg("v")).collect()[0][0]
+        assert abs(naive - truth) > 300  # plain avg is badly biased
+        assert abs(est["est_mean"] - truth) <= 3 * est["est_mean_ci"]
+        assert est["low_support"] is False
+
+    def test_mean_hand_computation_and_uniform_reduction(self, spark):
+        """Pinned formula: Var = sum w(w-1)(x-m)^2 / (sum w)^2; at
+        uniform w = 1/r it equals (1-r) * sum (x-m)^2 / n^2."""
+        import math
+
+        vals = [float(v) for v in (3, 7, 11, 20, 1, 9)]
+        r = 0.25
+        w = 1.0 / r
+        df = spark.createDataFrame(
+            [(v, w) for v in vals], "v double, __weight double"
+        )
+        from random_sampling_based_approximate_mapreduce_spark.sampling.sampled_frame import (
+            weighted_mean,
+        )
+
+        row = weighted_mean(df, "v", ci_confidence=0.95).collect()[0]
+        n = len(vals)
+        m = sum(vals) / n
+        var = w * (w - 1) * sum((v - m) ** 2 for v in vals) / (w * n) ** 2
+        assert var == pytest.approx(
+            (1 - r) * sum((v - m) ** 2 for v in vals) / n**2
+        )
+        z = 1.959963984540054
+        assert row["est_mean"] == pytest.approx(m, rel=1e-12)
+        assert row["est_mean_ci"] == pytest.approx(z * math.sqrt(var), rel=1e-12)
+
+    def test_ratio_hand_computation(self, spark):
+        import math
+
+        rows = [(4.0, 2.0, 2.0), (6.0, 3.0, 2.0), (10.0, 2.0, 5.0)]
+        df = spark.createDataFrame(rows, "x double, y double, __weight double")
+        from random_sampling_based_approximate_mapreduce_spark.sampling.sampled_frame import (
+            weighted_ratio,
+        )
+
+        row = weighted_ratio(df, "x", "y", ci_confidence=0.95).collect()[0]
+        tx = sum(w * x for x, y, w in rows)
+        ty = sum(w * y for x, y, w in rows)
+        R = tx / ty
+        axx = sum(w * (w - 1) * x * x for x, y, w in rows)
+        ayy = sum(w * (w - 1) * y * y for x, y, w in rows)
+        axy = sum(w * (w - 1) * x * y for x, y, w in rows)
+        var = max(axx - 2 * R * axy + R * R * ayy, 0.0) / (ty * ty)
+        z = 1.959963984540054
+        assert row["est_ratio"] == pytest.approx(R, rel=1e-12)
+        assert row["est_ratio_ci"] == pytest.approx(z * math.sqrt(var), rel=1e-12)
+
+    def test_non_inclusion_weight_nulls_ci(self, spark):
+        """The correction rows of the weighted joins (weights < 1, some
+        negative) are not inclusion weights: the point estimate stays,
+        the CI goes NULL — same contract as weighted_count/sum."""
+        from random_sampling_based_approximate_mapreduce_spark.sampling.sampled_frame import (
+            weighted_mean,
+            weighted_ratio,
+        )
+
+        rows = [("ok", 5.0, 2.0), ("ok", 7.0, 2.0), ("bad", 5.0, 2.0), ("bad", 3.0, 0.5)]
+        df = spark.createDataFrame(rows, "g string, v double, __weight double")
+        got = {
+            r["g"]: r
+            for r in weighted_mean(df, "v", "g", ci_confidence=0.95).collect()
+        }
+        assert got["ok"]["est_mean_ci"] is not None
+        assert got["bad"]["est_mean"] is not None
+        assert got["bad"]["est_mean_ci"] is None
+        df2 = df.withColumn("y", F.lit(1.0))
+        got2 = {
+            r["g"]: r
+            for r in weighted_ratio(df2, "v", "y", "g", ci_confidence=0.95).collect()
+        }
+        assert got2["ok"]["est_ratio_ci"] is not None
+        assert got2["bad"]["est_ratio_ci"] is None
 
 
 class TestApproxTopK:
