@@ -169,6 +169,8 @@ BENCH_QUERIES = [
     # per-(group, rep) window sorts)
     "sampled_join_cluster_ci",
     "stratified_quantile_bootstrap_ci",
+    "stratified_value_mean_hash_sampled",
+    "stratified_purchase_share_hash_sampled",
     # the scale-correct LSH->verify->CC composition is the headline
     # clustering number; the all-pairs forms (dedup_clusters,
     # dedup_embedding) stay in the catalog as oracle-only baselines.
