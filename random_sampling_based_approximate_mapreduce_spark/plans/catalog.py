@@ -119,6 +119,7 @@ _CHECK_PRIORITY = [
     "stratified_quantile_bootstrap_ci",
     "stratified_value_mean_hash_sampled",
     "stratified_purchase_share_hash_sampled",
+    "streaming_stratified_mean",
     # --- the remaining 25 r4-green queries (r4 check order): r9 head
     "top_supplier_revenue",
     "small_qty_revenue",

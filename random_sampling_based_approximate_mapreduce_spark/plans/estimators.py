@@ -1884,3 +1884,25 @@ def q_stratified_purchase_share_hash_sampled(spark, sf_dir):
         s, "x", "y", "d", weight_col="w", min_support=100, ci_confidence=0.95,
         alias="est_ratio",
     )
+
+
+@register(
+    "streaming_stratified_mean",
+    _stratified_value_mean_oracle(),
+    doc="The HT mean WITH its Taylor CI as a STREAMING JOB, value-oracled "
+    "against the SAME SQL as its batch twin (stratified_value_mean_"
+    "hash_sampled): everything the interval needs is a sum — tx, t1, "
+    "the three delta-method moments, min(w), row count — so streaming "
+    "state is one row of seven exact moments per day forever, and the "
+    "est/CI combine is a stateless projection over the complete-mode "
+    "aggregate. availableNow drains the verification corpus; stream == "
+    "batch by construction (streaming/sampled_stream."
+    "stratified_weighted_mean_stream). Production swaps the trigger "
+    "for processing-time to keep an always-current mean-with-interval "
+    "of a firehose",
+    tags=("streaming", "sampled"),
+)
+def q_streaming_stratified_mean(spark, sf_dir):
+    from ..streaming.sampled_stream import stratified_weighted_mean_stream
+
+    return stratified_weighted_mean_stream(spark, sf_dir, _STRAT_FRACTIONS)

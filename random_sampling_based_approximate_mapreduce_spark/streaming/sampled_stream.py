@@ -389,3 +389,84 @@ def stratified_weighted_counts_stream(
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def stratified_weighted_mean_stream(
+    spark, sf_dir: str, fractions: dict, seed: int = 11,
+    confidence: float = 0.95, min_support: int = 100,
+) -> "DataFrame":
+    """The HT MEAN estimator with its Taylor CI as a streaming job — the
+    streaming twin of ``sampled_frame.weighted_mean`` over the same
+    deterministic stratified hash sample (round 8; the counts/sums twin
+    is ``stratified_weighted_counts_stream``).
+
+    Everything the interval needs is a SUM — tx, t1, the three
+    delta-method moments A/B/C, min(w), and the row count — so the
+    streaming state is ONE ROW OF SEVEN EXACT MOMENTS PER GROUP (day)
+    forever, and the est/CI combine is a stateless projection over the
+    complete-mode aggregate. Value goes through DECIMAL cents so every
+    moment addend is an exact integer-valued double; the combine uses
+    the identical literals and association as the batch estimator, so
+    the availableNow run hash-matches the SAME DuckDB oracle as the
+    batch twin (stratified_value_mean_hash_sampled) — stream == batch
+    by construction. Production swaps the trigger for processing-time
+    to keep an always-current mean-with-interval of a firehose.
+    """
+    from pyspark.sql import functions as F
+
+    from ..sampling import stats
+    from ..sampling.deterministic import stratified_hash_weight
+
+    src = _stream_source_dir(spark, sf_dir)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    keyed = stream.withColumn("__k", F.col("event_id").cast("string"))
+    w = stratified_hash_weight("event_type", "__k", fractions, seed=seed)
+    s = (
+        keyed.withColumn("w", w)
+        .where(F.col("w").isNotNull())
+        .select(
+            F.to_date("ts").alias("d"),
+            (F.col("value").cast("decimal(12,2)") * 100)
+            .cast("bigint")
+            .cast("double")
+            .alias("x"),
+            F.col("w").cast("double").alias("w"),
+        )
+    )
+    wc, xc = F.col("w"), F.col("x")
+    ww = wc * (wc - F.lit(1.0))
+    agg = s.groupBy("d").agg(
+        F.sum(wc * xc).alias("__tx"),
+        F.sum(wc).alias("__t1"),
+        F.sum(ww * xc * xc).alias("__ma"),
+        F.sum(ww * xc).alias("__mb"),
+        F.sum(ww).alias("__mc"),
+        F.min(wc).alias("__minw"),
+        F.count(F.lit(1)).alias("n_sampled"),
+    )
+    z = stats.z_score(confidence)
+    m = F.col("__tx") / F.col("__t1")
+    var = F.greatest(
+        F.col("__ma") - F.lit(2.0) * m * F.col("__mb") + m * m * F.col("__mc"),
+        F.lit(0.0),
+    ) / (F.col("__t1") * F.col("__t1"))
+    out = agg.select(
+        "d",
+        m.alias("est_mean"),
+        F.when(F.col("__minw") >= F.lit(1.0), F.lit(z) * F.sqrt(var)).alias(
+            "est_mean_ci"
+        ),
+        F.col("n_sampled"),
+        (F.col("n_sampled") < F.lit(int(min_support))).alias("low_support"),
+    )
+    name = "rsmr_stream_stratified_mean"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

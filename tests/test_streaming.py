@@ -469,3 +469,31 @@ def test_streaming_stratified_counts_equals_batch(spark, sf_dir):
         for r in QUERIES["stratified_events_hash_sampled"].spark(spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_streaming_stratified_mean_equals_batch(spark, sf_dir):
+    """Stream/batch parity for the weighted MEAN + Taylor CI (round 8):
+    every moment the interval needs is a sum, so the complete-mode
+    streaming aggregate must emit exactly the batch twin's rows —
+    including the CI doubles, since the combine uses identical literals
+    and association on exact-integer moments."""
+    from random_sampling_based_approximate_mapreduce_spark.plans.catalog import (
+        QUERIES,
+        _STRAT_FRACTIONS,
+    )
+    from random_sampling_based_approximate_mapreduce_spark.streaming.sampled_stream import (
+        stratified_weighted_mean_stream,
+    )
+
+    got = {
+        r["d"]: r.asDict()
+        for r in stratified_weighted_mean_stream(
+            spark, sf_dir, _STRAT_FRACTIONS
+        ).collect()
+    }
+    want = {
+        r["d"]: r.asDict()
+        for r in QUERIES["stratified_value_mean_hash_sampled"].spark(spark, sf_dir).collect()
+    }
+    assert got == want
+    assert any(v["est_mean_ci"] is not None for v in got.values())
