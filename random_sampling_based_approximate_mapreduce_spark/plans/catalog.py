@@ -120,6 +120,7 @@ _CHECK_PRIORITY = [
     "stratified_value_mean_hash_sampled",
     "stratified_purchase_share_hash_sampled",
     "streaming_stratified_mean",
+    "sampled_left_join_unmatched_boot_ci",
     # --- the remaining 25 r4-green queries (r4 check order): r9 head
     "top_supplier_revenue",
     "small_qty_revenue",

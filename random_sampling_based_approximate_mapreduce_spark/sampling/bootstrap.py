@@ -102,10 +102,22 @@ def poisson_bootstrap_sum(
 
     Output: ``alias`` (the plain sum, untouched by the bootstrap) and
     ``{alias}_ci`` = z * sd over ``n_replicates`` multiplier-weighted
-    replicate sums. ``key_col`` must identify rows (it seeds the
-    multiplier hash); replicate b of a row is a pure function of
+    replicate sums. ``key_col`` names the RESAMPLING UNIT and seeds the
+    multiplier hash; replicate b of a row is a pure function of
     (key, b, seed), so the whole computation is value-oracle-able via
     ``poisson_bootstrap_sum_sql``-style mirrors.
+
+    CLUSTER bootstrap for free: rows sharing a key draw the SAME
+    multiplier (the hash sees only the key value), so passing a
+    cluster id — e.g. the LEFT-row id over a ``join_weighted_left``
+    frame, where a kept left row's matched pairs and its signed
+    correction row are one dependent unit — resamples whole clusters
+    together. That is the standard cluster bootstrap, and it is the
+    interval for the weighted-join estimands whose closed forms the
+    engine deliberately refuses (the signed-weight honesty guards):
+    valid when clusters are independent, i.e. the join key is unique
+    on the clustered side (PK-FK). Pass a row-unique key only when
+    rows genuinely are independent.
 
     The point estimate is computed ONCE, inside replicate 0's partial
     aggregate (every replicate covers the same rows, so any replicate's

@@ -1051,6 +1051,52 @@ class TestCICoverageSeedSweep:
         cover = sum(1 for r in rows if abs(r["est_mean"] - truth) <= r["est_mean_ci"])
         assert cover >= 88, f"cluster mean-CI covered only {cover}/100"
 
+    def test_unmatched_cluster_bootstrap_coverage(self, spark):
+        """Round 8: the weighted left join's null-stratum estimand
+        (est_unmatched) gains an interval via the CLUSTER bootstrap —
+        poisson_bootstrap_sum keyed by the LEFT-row id, so each order's
+        signed correction resamples as one unit. Truth = the 500 truly
+        matchless left rows; coverage must clear the binomial floor
+        (measured 97/100 — slightly conservative, the documented
+        missing finite-population factor)."""
+        from random_sampling_based_approximate_mapreduce_spark.sampling.bootstrap import (
+            poisson_bootstrap_sum,
+        )
+
+        n_left = 2000
+        left = (
+            spark.range(n_left).select(F.col("id").alias("lk")).localCheckpoint()
+        )
+        right = (
+            spark.range(n_left * 3)
+            .select(
+                (F.col("id") % n_left).alias("rk"),
+                (F.col("id") / n_left).cast("int").alias("j"),
+            )
+            .where(F.col("j") < F.col("rk") % 4)
+            .select("rk")
+            .localCheckpoint()
+        )
+        truth = sum(1 for i in range(n_left) if i % 4 == 0)
+        frames = []
+        for s in self.SEEDS:
+            sl = SampledFrame.from_dataframe(
+                left, SamplingConfig(ratio=0.5, seed=s), observe=False
+            )
+            sr = SampledFrame.from_dataframe(
+                right, SamplingConfig(ratio=0.5, seed=s + 499_979), observe=False
+            )
+            w = sl.join_weighted_left(sr, "lk", "rk")
+            corr = w.where(F.col("rk").isNull())
+            frames.append(
+                poisson_bootstrap_sum(
+                    corr, "__weight", "lk", seed=17, alias="est_unm"
+                ).withColumn("__seed", F.lit(s))
+            )
+        rows = self._union(frames)
+        cover = sum(1 for r in rows if abs(r["est_unm"] - truth) <= r["est_unm_ci"])
+        assert cover >= 88, f"cluster-bootstrap CI covered only {cover}/100"
+
     def test_joined_ratio_cluster_ci_covers_under_key_multiplicity(self, spark):
         """Cluster Taylor CI for the joined RATIO at multiplicity 5."""
         n_keys = 400
