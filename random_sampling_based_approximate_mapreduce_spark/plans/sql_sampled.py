@@ -460,12 +460,16 @@ def q_sampled_join_cluster_ci(spark, sf_dir):
     joined = joined.transform(
         lambda df: df.withColumn("__qty", F.col("l_quantity").cast("bigint"))
     )
-    pairs = joined.approx_count("o_orderpriority", ci=True, alias="est_pairs")
-    qty = joined.approx_sum("__qty", "o_orderpriority", ci=True, alias="est_qty")
-    mean = joined.approx_mean(
-        "__qty", "o_orderpriority", ci=True, alias="est_qty_mean"
+    # the fused single-moments-pass form (approx_join_stats) — pinned
+    # equal to the three separate estimators in pytest; 7 exchanges
+    # instead of the 21 the count+sum+mean joins cost
+    return joined.approx_join_stats(
+        "__qty",
+        "o_orderpriority",
+        count_alias="est_pairs",
+        sum_alias="est_qty",
+        mean_alias="est_qty_mean",
     )
-    return pairs.join(qty, "o_orderpriority").join(mean, "o_orderpriority")
 
 
 def _sampled_full_join_hash_twin_oracle() -> str:

@@ -1095,6 +1095,123 @@ class SampledFrame:
             cols.append((nn < F.lit(int(min_support))).alias("low_support"))
         return joined.select(*cols)
 
+    def approx_join_stats(
+        self,
+        value_col: str,
+        *group_cols: str,
+        min_support: int | None = None,
+        count_alias: str = "est_pairs",
+        sum_alias: str = "est_sum",
+        mean_alias: str = "est_mean",
+    ) -> DataFrame:
+        """Count + sum + mean WITH their cluster CIs for a join-composed
+        frame carrying row ids, in ONE moments pass — the fused form of
+        calling ``approx_count``/``approx_sum``/``approx_mean`` and
+        joining (which costs three (group, row-id) aggregation chains
+        and two joins; measured 21 exchanges vs 7 on the catalog twin).
+        All three estimators read the same per-(group, row-id) partial
+        sums: the count moments are the C-column family (S=C, Q=C for
+        x=1), the sum/mean moments the X-column family, so one chain
+        carries everything. Requires ``join_ratios``/``join_ids`` (see
+        ``join_sampled``); output columns and values are identical to
+        the separate methods (pinned in tests).
+
+        NULL handling matches the separates: the count covers ALL pairs
+        (rows), the sum skips NULL values, the mean divides by the
+        NON-NULL count — the per-id aggregates carry both row counts.
+        """
+        if self.join_ids is None or self.join_ratios is None:
+            raise ValueError(
+                "approx_join_stats needs a join-composed frame with row "
+                "ids (join_sampled with left_id/right_id)"
+            )
+        r1, r2 = self.join_ratios
+        gs = list(group_cols)
+        ids = [
+            c
+            for c in dict.fromkeys(list(self.join_ids[0]) + list(self.join_ids[1]))
+            if c not in gs
+        ]
+        d = self.df.select(
+            *[F.col(c) for c in gs],
+            *[F.col(c) for c in ids],
+            F.col(value_col).cast("double").alias("__x"),
+        )
+        z = stats.z_score(self.config.confidence)
+        r = self.ratio
+
+        def side(idcols, tag):
+            keys = list(dict.fromkeys(gs + list(idcols)))
+            xx = F.col("__x")
+            per = d.groupBy(*[F.col(c) for c in keys]).agg(
+                F.coalesce(F.sum("__x"), F.lit(0.0)).alias("__s"),
+                F.coalesce(F.sum(xx * xx), F.lit(0.0)).alias("__q"),
+                F.count(F.lit(1)).alias("__c"),
+                F.count("__x").alias("__c2"),
+            )
+            base = per.groupBy(*[F.col(c) for c in gs]) if gs else per.groupBy()
+            s, q = F.col("__s"), F.col("__q")
+            c, c2 = F.col("__c"), F.col("__c2")
+            return base.agg(
+                F.sum("__s").alias(f"__sx{tag}"),
+                F.sum("__q").alias(f"__p{tag}"),
+                F.sum(s * s - q).alias(f"__dxx{tag}"),
+                F.sum(s * c2.cast("double") - s).alias(f"__dx1{tag}"),
+                F.sum(c2 * c2 - c2).alias(f"__d11n{tag}"),
+                F.sum(c * c - c).alias(f"__d11{tag}"),
+                F.sum("__c").alias(f"__n{tag}"),
+                F.sum("__c2").alias(f"__n2{tag}"),
+            )
+
+        lagg = side(self.join_ids[0], "l")
+        rc = ["__dxxr", "__dx1r", "__d11nr", "__d11r"]
+        rsel = (
+            side(self.join_ids[1], "r").select(*gs, *rc)
+            if gs
+            else side(self.join_ids[1], "r").select(*rc)
+        )
+        joined = lagg.join(F.broadcast(rsel), on=gs) if gs else lagg.crossJoin(rsel)
+        a, b, c = F.lit(1.0 - r), F.lit(1.0 - r1), F.lit(1.0 - r2)
+        rr = F.lit(r * r)
+        # count: x = 1 moments are the C family
+        n_all = F.col("__nl").cast("double")
+        cnt_var = (a * n_all + b * F.col("__d11l") + c * F.col("__d11r")) / rr
+        # sum: the X family
+        sum_var = (
+            a * F.col("__pl") + b * F.col("__dxxl") + c * F.col("__dxxr")
+        ) / rr
+        # mean: delta method over X and non-null-count moments
+        n2 = F.col("__n2l").cast("double")
+        axx = a * F.col("__pl") + b * F.col("__dxxl") + c * F.col("__dxxr")
+        ax1 = a * F.col("__sxl") + b * F.col("__dx1l") + c * F.col("__dx1r")
+        a11 = a * n2 + b * F.col("__d11nl") + c * F.col("__d11nr")
+        m = F.col("__sxl") / n2
+        mean_var = F.greatest(
+            axx - F.lit(2.0) * m * ax1 + m * m * a11, F.lit(0.0)
+        )
+        cols: list = [F.col(x) for x in gs]
+        cols.append((n_all * F.lit(self.scale)).alias(count_alias))
+        cols.append(
+            (F.lit(z) * F.sqrt(F.greatest(cnt_var, F.lit(0.0)))).alias(
+                f"{count_alias}_ci"
+            )
+        )
+        cols.append((F.col("__sxl") * F.lit(self.scale)).alias(sum_alias))
+        cols.append(
+            (F.lit(z) * F.sqrt(F.greatest(sum_var, F.lit(0.0)))).alias(
+                f"{sum_alias}_ci"
+            )
+        )
+        cols.append(m.alias(mean_alias))
+        cols.append(
+            (F.lit(z) * F.sqrt(mean_var) / n2).alias(f"{mean_alias}_ci")
+        )
+        if min_support is not None:
+            nn = F.col("__nl")
+            cols.append(nn.alias("n_sampled"))
+            cols.append((nn < F.lit(int(min_support))).alias("low_support"))
+        return joined.select(*cols)
+
     def approx_count(
         self,
         *group_cols: str,

@@ -1326,6 +1326,82 @@ class TestJoinedClusterCI:
         assert asum["est_sum"] == pytest.approx(bsum["est_sum"], rel=1e-12)
         assert asum["est_sum_ci"] == pytest.approx(bsum["est_sum_ci"], rel=1e-12)
 
+    def test_join_stats_fused_equals_separates(self, spark):
+        """approx_join_stats must reproduce the three separate
+        estimators' columns exactly — including on NULL values, where
+        the count covers all pairs, the sum skips NULLs, and the mean
+        divides by the non-null count."""
+        n = 300
+        left = spark.range(n).select(F.col("id").alias("lk"))
+        right = spark.range(n * 2).select(
+            (F.col("id") % n).alias("rk"),
+            F.col("id").alias("rid"),
+            F.when(F.col("id") % 7 == 0, F.lit(None).cast("double"))
+            .otherwise(((F.col("id") * 13) % 31).cast("double"))
+            .alias("v"),
+            (F.col("id") % 3).cast("string").alias("g"),
+        )
+        sl = SampledFrame.from_dataframe(
+            left, SamplingConfig(ratio=0.4, seed=5), observe=False
+        )
+        sr = SampledFrame.from_dataframe(
+            right, SamplingConfig(ratio=0.5, seed=7), observe=False
+        )
+        j = sl.join_sampled(
+            sr, F.col("lk") == F.col("rk"), left_id="lk", right_id="rid"
+        )
+        fused = {
+            r["g"]: r.asDict()
+            for r in j.approx_join_stats("v", "g", min_support=10).collect()
+        }
+        cnt = {
+            r["g"]: r.asDict()
+            for r in j.approx_count("g", ci=True, alias="est_pairs").collect()
+        }
+        sm = {
+            r["g"]: r.asDict()
+            for r in j.approx_sum("v", "g", ci=True, alias="est_sum").collect()
+        }
+        mn = {
+            r["g"]: r.asDict()
+            for r in j.approx_mean(
+                "v", "g", ci=True, min_support=10, alias="est_mean"
+            ).collect()
+        }
+        for g in fused:
+            assert fused[g]["est_pairs"] == cnt[g]["est_pairs"]
+            assert fused[g]["est_pairs_ci"] == pytest.approx(
+                cnt[g]["est_pairs_ci"], rel=1e-12
+            )
+            assert fused[g]["est_sum"] == pytest.approx(sm[g]["est_sum"], rel=1e-12)
+            assert fused[g]["est_sum_ci"] == pytest.approx(
+                sm[g]["est_sum_ci"], rel=1e-12
+            )
+            assert fused[g]["est_mean"] == pytest.approx(mn[g]["est_mean"], rel=1e-12)
+            assert fused[g]["est_mean_ci"] == pytest.approx(
+                mn[g]["est_mean_ci"], rel=1e-12
+            )
+        # n_sampled counts ALL pairs (the count estimator's support)
+        all_pairs = {
+            r["g"]: r["n_sampled"]
+            for r in j.approx_count("g", min_support=10).collect()
+        }
+        for g in fused:
+            assert fused[g]["n_sampled"] == all_pairs[g]
+
+    def test_join_stats_requires_ids(self, spark):
+        left = spark.range(5).select(F.col("id").alias("lk"))
+        right = spark.range(5).select(F.col("id").alias("rid"))
+        sl = SampledFrame.from_dataframe(
+            left, SamplingConfig(ratio=0.5, seed=1), observe=False
+        )
+        sr = SampledFrame.from_dataframe(
+            right, SamplingConfig(ratio=0.5, seed=2), observe=False
+        )
+        j = sl.join_sampled(sr, F.col("lk") == F.col("rid"))
+        with pytest.raises(ValueError, match="row ids"):
+            j.approx_join_stats("lk")
+
     def test_one_sided_id_rejected(self, spark):
         left = spark.range(5).select(F.col("id").alias("lk"))
         right = spark.range(5).select(F.col("id").alias("rid"))
