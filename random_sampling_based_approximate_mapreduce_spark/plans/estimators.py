@@ -1743,7 +1743,8 @@ def _stratified_value_mean_oracle() -> str:
              CAST({w_case} AS DOUBLE) AS w
       FROM events
     ),
-    k AS (SELECT d, CAST(cents AS DOUBLE) AS x, w FROM s WHERE w IS NOT NULL),
+    k AS (SELECT d, CAST(cents AS DOUBLE) AS x, w FROM s
+          WHERE w IS NOT NULL AND cents IS NOT NULL),
     a AS (SELECT d,
                  sum(w * x) AS tx, sum(w) AS t1,
                  sum(w * (w - 1.0) * x * x) AS ma,

@@ -430,7 +430,11 @@ def weighted_quantile(
     correction rows; feeding those frames here gets a NULL quantile for
     any group containing a weight < 0 (same contract as
     ``weighted_count``/``weighted_sum``'s CI guard) rather than a
-    silently wrong number.
+    silently wrong number. A group whose TOTAL quantized weight is zero
+    also gets NULL — every threshold q*0 would be trivially crossed by
+    the first row, fabricating the group minimum as the "quantile"
+    (review r8). NULL values and, for float columns, NaN/±Inf are
+    excluded, matching ``approx_quantile``'s admission predicate.
 
     Determinism discipline: weights are floor-quantized to integer
     2^-scale_bits units, so cumulative sums are EXACT integers — float
@@ -461,7 +465,11 @@ def weighted_quantile(
     ws = F.floor(
         F.col(weight_col).cast("double") * F.lit(float(1 << scale_bits))
     ).cast("bigint")
-    data = df.where(F.col(value_col).isNotNull()).select(
+    # same admission predicate as approx_quantile: NULLs and (for float
+    # columns) NaN/±Inf are excluded — a NaN value would sort last and
+    # be selectable as the "population quantile" (review r8: the two
+    # quantile surfaces must agree on identical input)
+    data = df.where(_quantile_value_filter(df, value_col)).select(
         *gs, F.col(value_col).alias("__v"), ws.alias("__ws")
     )
     wcum = (
@@ -478,14 +486,18 @@ def weighted_quantile(
         F.sum("__ws").over(wtot).alias("__tot"),
         F.count(F.lit(1)).over(wtot).alias("__n"),
     )
-    # signed-weight guard: detected in the same aggregation pass
-    nonneg = F.min("__ws") >= F.lit(0)
+    # honesty guards, detected in the same aggregation pass: signed
+    # weights make the CDF non-monotone; a ZERO total makes every
+    # threshold q*0 = 0 trivially crossed by the first row, so the
+    # "quantile" would be the group minimum — a fabricated value
+    # (review r8: an all-zero-multiplier bootstrap replicate hit this)
+    valid = (F.min("__ws") >= F.lit(0)) & (F.max("__tot") > F.lit(0))
     aggs: list = []
     for q in ps:
         thresh = F.lit(q) * F.col("__tot").cast("double")
         aggs.append(
             F.when(
-                nonneg,
+                valid,
                 F.min(
                     F.when(
                         F.col("__cum").cast("double") >= thresh, F.col("__v")
@@ -999,15 +1011,18 @@ class SampledFrame:
         return joined.select(*cols)
 
     def _joined_cluster_moments(self, d, gs, right_cols):
-        """The two 2-level aggregation chains shared by every joined
-        cluster estimator: per (group, side-row-id) partial sums of
-        (S = sum x, Q = sum x^2, C = row count), then per group the
-        totals plus the three same-row excess terms
-        Dxx = sum(S^2 - Q), Dx1 = sum(S*C - S), D11 = sum(C^2 - C) —
-        the cross-moment analogues needed for sums (Dxx), the
-        count/value covariance (Dx1), and counts (D11). ``right_cols``
-        names which right-side columns the caller consumes (the rest
-        are dropped before the broadcast back)."""
+        """The two 2-level aggregation chains shared by every
+        single-value-column joined cluster estimator (count, sum, mean,
+        and the fused ``approx_join_stats``; the two-column ratio has
+        its own bilinear chain): per (group, side-row-id) partial sums
+        of (S = sum x, Q = sum x^2, C = row count, C2 = non-null-x
+        count), then per group the totals plus the same-row excess
+        terms Dxx = sum(S^2 - Q), Dx1 = sum(S*C2 - S),
+        D11n = sum(C2^2 - C2), D11 = sum(C^2 - C) — the cross-moment
+        analogues for sums (Dxx), the value/non-null-count covariance
+        the mean needs (Dx1, D11n), and all-row counts (D11).
+        ``right_cols`` names which right-side columns the caller
+        consumes (the rest are dropped before the broadcast back)."""
         lid, rid = self.join_ids
 
         def side(idcols, tag):
@@ -1016,16 +1031,20 @@ class SampledFrame:
                 F.coalesce(F.sum("__x"), F.lit(0.0)).alias("__s"),
                 F.coalesce(F.sum(F.col("__x") * F.col("__x")), F.lit(0.0)).alias("__q"),
                 F.count(F.lit(1)).alias("__c"),
+                F.count("__x").alias("__c2"),
             )
             base = per.groupBy(*[F.col(c) for c in gs]) if gs else per.groupBy()
-            s, q, c = F.col("__s"), F.col("__q"), F.col("__c")
+            s, q = F.col("__s"), F.col("__q")
+            c, c2 = F.col("__c"), F.col("__c2")
             return base.agg(
                 F.sum("__s").alias(f"__sx{tag}"),
                 F.sum("__q").alias(f"__p{tag}"),
                 F.sum(s * s - q).alias(f"__d{tag}"),
-                F.sum(s * c.cast("double") - s).alias(f"__dx1{tag}"),
+                F.sum(s * c2.cast("double") - s).alias(f"__dx1{tag}"),
+                F.sum(c2 * c2 - c2).alias(f"__d11n{tag}"),
                 F.sum(c * c - c).alias(f"__d11{tag}"),
                 F.sum("__c").alias(f"__n{tag}"),
+                F.sum("__c2").alias(f"__n2{tag}"),
             )
 
         lagg = side(lid, "l")
@@ -1076,12 +1095,14 @@ class SampledFrame:
         )
         z = stats.z_score(self.config.confidence)
         r = self.ratio
-        joined = self._joined_cluster_moments(d, gs, ["__dr", "__dx1r", "__d11r"])
+        joined = self._joined_cluster_moments(d, gs, ["__dr", "__dx1r", "__d11nr"])
         a, b, c = F.lit(1.0 - r), F.lit(1.0 - r1), F.lit(1.0 - r2)
+        # d is pre-filtered to non-null values, so the non-null-count
+        # moment family (c2) IS the row-count family here
         axx = a * F.col("__pl") + b * F.col("__dl") + c * F.col("__dr")
         ax1 = a * F.col("__sxl") + b * F.col("__dx1l") + c * F.col("__dx1r")
-        a11 = a * F.col("__nl").cast("double") + b * F.col("__d11l") + c * F.col("__d11r")
-        n = F.col("__nl").cast("double")
+        a11 = a * F.col("__n2l").cast("double") + b * F.col("__d11nl") + c * F.col("__d11nr")
+        n = F.col("__n2l").cast("double")
         m = F.col("__sxl") / n
         var = F.greatest(
             axx - F.lit(2.0) * m * ax1 + m * m * a11, F.lit(0.0)
@@ -1139,38 +1160,9 @@ class SampledFrame:
         )
         z = stats.z_score(self.config.confidence)
         r = self.ratio
-
-        def side(idcols, tag):
-            keys = list(dict.fromkeys(gs + list(idcols)))
-            xx = F.col("__x")
-            per = d.groupBy(*[F.col(c) for c in keys]).agg(
-                F.coalesce(F.sum("__x"), F.lit(0.0)).alias("__s"),
-                F.coalesce(F.sum(xx * xx), F.lit(0.0)).alias("__q"),
-                F.count(F.lit(1)).alias("__c"),
-                F.count("__x").alias("__c2"),
-            )
-            base = per.groupBy(*[F.col(c) for c in gs]) if gs else per.groupBy()
-            s, q = F.col("__s"), F.col("__q")
-            c, c2 = F.col("__c"), F.col("__c2")
-            return base.agg(
-                F.sum("__s").alias(f"__sx{tag}"),
-                F.sum("__q").alias(f"__p{tag}"),
-                F.sum(s * s - q).alias(f"__dxx{tag}"),
-                F.sum(s * c2.cast("double") - s).alias(f"__dx1{tag}"),
-                F.sum(c2 * c2 - c2).alias(f"__d11n{tag}"),
-                F.sum(c * c - c).alias(f"__d11{tag}"),
-                F.sum("__c").alias(f"__n{tag}"),
-                F.sum("__c2").alias(f"__n2{tag}"),
-            )
-
-        lagg = side(self.join_ids[0], "l")
-        rc = ["__dxxr", "__dx1r", "__d11nr", "__d11r"]
-        rsel = (
-            side(self.join_ids[1], "r").select(*gs, *rc)
-            if gs
-            else side(self.join_ids[1], "r").select(*rc)
+        joined = self._joined_cluster_moments(
+            d, gs, ["__dr", "__dx1r", "__d11nr", "__d11r"]
         )
-        joined = lagg.join(F.broadcast(rsel), on=gs) if gs else lagg.crossJoin(rsel)
         a, b, c = F.lit(1.0 - r), F.lit(1.0 - r1), F.lit(1.0 - r2)
         rr = F.lit(r * r)
         # count: x = 1 moments are the C family
@@ -1178,11 +1170,11 @@ class SampledFrame:
         cnt_var = (a * n_all + b * F.col("__d11l") + c * F.col("__d11r")) / rr
         # sum: the X family
         sum_var = (
-            a * F.col("__pl") + b * F.col("__dxxl") + c * F.col("__dxxr")
+            a * F.col("__pl") + b * F.col("__dl") + c * F.col("__dr")
         ) / rr
         # mean: delta method over X and non-null-count moments
         n2 = F.col("__n2l").cast("double")
-        axx = a * F.col("__pl") + b * F.col("__dxxl") + c * F.col("__dxxr")
+        axx = a * F.col("__pl") + b * F.col("__dl") + c * F.col("__dr")
         ax1 = a * F.col("__sxl") + b * F.col("__dx1l") + c * F.col("__dx1r")
         a11 = a * n2 + b * F.col("__d11nl") + c * F.col("__d11nr")
         m = F.col("__sxl") / n2
@@ -1337,7 +1329,13 @@ class SampledFrame:
         ``left_id``/``right_id``) the CI uses the delta-method cluster
         variance instead — joined pairs sharing a kept row are not iid,
         so the classical s/sqrt(n) width understates on hot keys just
-        like the count/sum case (see ``_joined_cluster_mean``).
+        like the count/sum case (see ``_joined_cluster_mean``). On that
+        path ``n_sampled`` counts NON-NULL values — the support the
+        mean estimator actually stands on — whereas the plain path's
+        ``n_sampled`` counts all rows (review r8: the difference only
+        shows on NULL-bearing value columns; the count estimator's
+        all-rows support is available from ``approx_count`` or the
+        fused ``approx_join_stats``).
         """
         if ci and self.ratio < 1.0 and self.join_ids is not None:
             return self._joined_cluster_mean(

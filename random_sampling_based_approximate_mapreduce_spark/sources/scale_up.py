@@ -166,11 +166,14 @@ def ensure_scaled_tables(
     # while their builder PID is alive — a builder that crashed mid-build
     # would otherwise leak a multi-hundred-MB '.staging.<pid>' dir forever,
     # the very accumulation this sweep exists to prevent (ADVICE r5).
-    # A live PID alone is not proof of an active builder: PIDs recycle,
-    # and an unrelated long-lived process could pin the leak forever
-    # (ADVICE r7) — so a staging dir older than _STAGING_MAX_AGE_S is
-    # reclaimed regardless (no real build of these replicas approaches
-    # an hour; a builder that old is crashed or its PID was recycled).
+    # A live FOREIGN PID alone is not proof of an active builder: PIDs
+    # recycle, and an unrelated long-lived process could pin the leak
+    # forever (ADVICE r7) — so a foreign staging dir older than
+    # _STAGING_MAX_AGE_S is reclaimed even if its PID exists. Our OWN
+    # pid is exempt from the age check (this process cannot be a
+    # recycled ghost of itself; review r8 — the TTL must never delete
+    # an active builder's staging mid-build and let it publish a
+    # partial replica).
     now = time.time()
     for name in os.listdir(cache_root):
         if not name.startswith(family) or name == os.path.basename(dest):
@@ -179,14 +182,14 @@ def ensure_scaled_tables(
         m = re.search(r"\.staging\.(\d+)$", name)
         if m:
             pid = int(m.group(1))
+            if pid == os.getpid():
+                continue  # our own active build, never swept
             try:
                 age = now - os.stat(path).st_mtime
             except OSError:
                 continue  # vanished under us (concurrent sweep)
-            if age < _STAGING_MAX_AGE_S and (
-                pid == os.getpid() or _pid_alive(pid)
-            ):
-                continue  # an active, recent builder owns it
+            if age < _STAGING_MAX_AGE_S and _pid_alive(pid):
+                continue  # an active, recent foreign builder owns it
         shutil.rmtree(path, ignore_errors=True)
 
     def _build(staging: str) -> None:
@@ -209,6 +212,22 @@ def ensure_scaled_tables(
                 spark.read.parquet(f"{src_dir}/{table}.parquet").write.mode(
                     "overwrite"
                 ).parquet(f"{staging}/{table}.parquet")
+        # completeness check before stamping: if a concurrent sweep (or
+        # anything else) removed earlier table dirs mid-build, refuse to
+        # publish a partial replica under a valid signature (review r8)
+        expected = list(tables) + (
+            list(_COPIED) if any(t in _TPCH_TABLES for t in tables) else []
+        )
+        missing = [
+            t
+            for t in expected
+            if not os.path.isdir(os.path.join(staging, f"{t}.parquet"))
+        ]
+        if missing:
+            raise RuntimeError(
+                f"replica staging lost table dirs mid-build: {missing} "
+                f"(concurrent sweep?); refusing to stamp a partial replica"
+            )
         with open(os.path.join(staging, "_SUCCESS"), "w") as fh:
             fh.write(sig)
 

@@ -433,6 +433,10 @@ def stratified_weighted_mean_stream(
             .alias("x"),
             F.col("w").cast("double").alias("w"),
         )
+        # mirror weighted_mean's NULL exclusion: NULL values leave the
+        # numerator AND the denominator (and n_sampled), or the stream
+        # would diverge from the batch twin on a NULL-bearing corpus
+        .where(F.col("x").isNotNull())
     )
     wc, xc = F.col("w"), F.col("x")
     ww = wc * (wc - F.lit(1.0))

@@ -2030,6 +2030,37 @@ class TestWeightedQuantile:
         got = weighted_quantile(df, "v", 0.5).collect()[0]
         assert got["est_quantile"] == 5.0  # zero-weight row moves nothing
 
+    def test_all_zero_weight_group_nulls_quantile(self, spark):
+        """Review r8: a group whose TOTAL weight is zero must get NULL —
+        every threshold q*0 = 0 is trivially crossed by the first row,
+        which would fabricate the group MINIMUM as the 'quantile'."""
+        from random_sampling_based_approximate_mapreduce_spark.sampling.sampled_frame import (
+            weighted_quantile,
+        )
+
+        rows = [("live", float(v), 1.0) for v in range(1, 11)]
+        rows += [("dead", float(v), 0.0) for v in range(1, 11)]
+        df = spark.createDataFrame(rows, "g string, v double, __weight double")
+        got = {r["g"]: r for r in weighted_quantile(df, "v", 0.5, "g").collect()}
+        assert got["live"]["est_quantile"] == 5.0
+        assert got["dead"]["est_quantile"] is None
+
+    def test_non_finite_values_excluded(self, spark):
+        """Review r8: weighted_quantile uses the same admission predicate
+        as approx_quantile — NaN/±Inf are excluded, not selectable."""
+        from random_sampling_based_approximate_mapreduce_spark.sampling.sampled_frame import (
+            weighted_quantile,
+        )
+
+        rows = [(float(v), 1.0) for v in range(1, 101)]
+        rows += [(float("nan"), 50.0), (float("inf"), 50.0), (float("-inf"), 50.0)]
+        df = spark.createDataFrame(rows, "v double, __weight double")
+        got = weighted_quantile(df, "v", [0.5, 0.99], min_support=10).collect()[0]
+        # with the non-finite mass excluded, thresholds cover 1..100 only
+        assert got["est_quantile_p50"] == 50.0
+        assert got["est_quantile_p99"] == 99.0
+        assert got["n_sampled"] == 100
+
 
 class TestWeightedMeanRatio:
     """weighted_mean / weighted_ratio: HT ratio-of-sums estimators for

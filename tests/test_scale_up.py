@@ -142,9 +142,13 @@ class TestStagingPrune:
         os.rmdir(live_staging)
 
     def test_aged_live_pid_staging_reclaimed(self, spark, sf_dir, cache_root):
-        """ADVICE r7: a live PID is not proof of an active builder (PID
-        recycling) — a staging dir past _STAGING_MAX_AGE_S is reclaimed
-        even when its PID exists; a FRESH live-pid dir still survives."""
+        """ADVICE r7 + review r8: a live FOREIGN PID is not proof of an
+        active builder (PID recycling) — a foreign staging dir past
+        _STAGING_MAX_AGE_S is reclaimed even when its PID exists; a
+        FRESH foreign live-pid dir survives; and our OWN pid's staging
+        is NEVER swept regardless of age (this process cannot be a
+        recycled ghost of itself, and sweeping an active build would
+        publish a partial replica)."""
         import os
         import time
 
@@ -156,23 +160,31 @@ class TestStagingPrune:
             spark, sf_dir, ("events",), copies=2, cache_root=cache_root
         )
         family_prefix = os.path.basename(d).rsplit("_", 1)[0] + "_"
-        stale = os.path.join(cache_root, family_prefix + "cafecafe0000")
-        aged = stale + f".staging.{os.getpid()}"
-        fresh = os.path.join(
-            cache_root, family_prefix + "cafecafe1111" + f".staging.{os.getpid()}"
+        foreign_live = 1  # init: alive, never ours
+        aged_foreign = os.path.join(
+            cache_root, family_prefix + f"cafecafe0000.staging.{foreign_live}"
         )
-        for p in (aged, fresh):
+        fresh_foreign = os.path.join(
+            cache_root, family_prefix + f"cafecafe1111.staging.{foreign_live}"
+        )
+        aged_own = os.path.join(
+            cache_root, family_prefix + f"cafecafe2222.staging.{os.getpid()}"
+        )
+        for p in (aged_foreign, fresh_foreign, aged_own):
             os.makedirs(p, exist_ok=True)
         old = time.time() - _STAGING_MAX_AGE_S - 60.0
-        os.utime(aged, (old, old))
+        os.utime(aged_foreign, (old, old))
+        os.utime(aged_own, (old, old))
         os.remove(os.path.join(d, "_SUCCESS"))
         d2 = ensure_scaled_tables(
             spark, sf_dir, ("events",), copies=2, cache_root=cache_root
         )
         assert d2 == d
-        assert not os.path.exists(aged), "aged live-pid staging leaked"
-        assert os.path.exists(fresh), "fresh live builder's staging removed"
-        os.rmdir(fresh)
+        assert not os.path.exists(aged_foreign), "aged foreign staging leaked"
+        assert os.path.exists(fresh_foreign), "fresh foreign staging removed"
+        assert os.path.exists(aged_own), "our own active staging was swept"
+        os.rmdir(fresh_foreign)
+        os.rmdir(aged_own)
 
 
 class TestFooterSampleBound:
