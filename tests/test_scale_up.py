@@ -139,6 +139,12 @@ class TestStagingPrune:
         assert not os.path.exists(stale), "stale generation not pruned"
         assert not os.path.exists(dead_staging), "dead-pid staging leaked"
         assert os.path.exists(live_staging), "live builder's staging removed"
+        # review r8: ensure_layout must REPAIR a dest that lost its
+        # marker (replace-and-republish), not rebuild forever without
+        # ever publishing
+        assert os.path.exists(os.path.join(d, "_SUCCESS")), (
+            "rebuild did not restore the _SUCCESS marker"
+        )
         os.rmdir(live_staging)
 
     def test_aged_live_pid_staging_reclaimed(self, spark, sf_dir, cache_root):
