@@ -754,10 +754,12 @@ def _sampled_topk_tokens_oracle() -> str:
           FROM m),
     sel AS (SELECT tok, est, est_ci,
                    row_number() OVER w AS rank,
-                   lead(est + est_ci) OVER w AS nxt
+                   lead(est + est_ci) OVER w AS nxt,
+                   lead(TRUE) OVER w AS hasnxt
             FROM e WINDOW w AS (ORDER BY est DESC, tok ASC))
     SELECT tok, est, est_ci, rank,
-           coalesce((est - est_ci) > nxt, TRUE) AS stable
+           CASE WHEN hasnxt IS NULL THEN TRUE
+                ELSE coalesce((est - est_ci) > nxt, FALSE) END AS stable
     FROM sel WHERE rank <= 15
     """
 

@@ -237,7 +237,11 @@ def weighted_quantile_bootstrap(
     per = weighted_quantile(
         d,
         "__v",
-        ps if len(ps) > 1 else ps[0],
+        p,  # pass the ORIGINAL p: suffix derivation must agree between
+        # the inner call and this function's own sfx ([0.5] is a list,
+        # so it gets '_p50' suffixes; review r8: unwrapping it to a
+        # scalar here made the inner aliases unsuffixed and the outer
+        # column references crash)
         *(list(group_cols) + ["__rep"]),
         weight_col="__wm",
         min_support=min_support,

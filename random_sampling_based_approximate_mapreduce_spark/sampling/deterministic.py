@@ -37,15 +37,73 @@ def _priority_sql(key_expr: str, seed: int) -> str:
     return hash64_sql(f"({key_expr})::VARCHAR || '#{seed}'")
 
 
+def bucket_threshold(ratio: float, buckets: int = _BUCKETS) -> int:
+    """The integer acceptance threshold for a hash-Bernoulli ratio —
+    ONE definition shared by the Spark predicate, the SQL mirror, and
+    the report arithmetic, so membership can never drift between them.
+
+    ``round``, not ``int`` (review r8): truncation turned float
+    representation noise into a deterministic bias — 0.29 * 1e6 is
+    289999.99999999994, so int() accepted with probability 289999/1e6
+    while every HT estimator scaled by exactly 1/0.29. And a ratio
+    below 0.5/_BUCKETS would truncate to threshold 0 — a permanently
+    empty sample whose estimates are silently zero — so that raises
+    instead.
+    """
+    t = round(ratio * buckets)
+    if t <= 0:
+        raise ValueError(
+            f"ratio {ratio} is below the hash resolution 1/{buckets}: "
+            "the sample would be permanently empty"
+        )
+    return t
+
+
 def hash_bernoulli(df: DataFrame, key_col: str, ratio: float, seed: int = 42) -> DataFrame:
     """Deterministic Bernoulli(ratio) by key hash; HT scale-up = 1/ratio."""
     pri = F.pmod(_priority(F.col(key_col), seed), F.lit(_BUCKETS))
-    return df.where(pri < int(ratio * _BUCKETS))
+    return df.where(pri < bucket_threshold(ratio))
 
 
 def hash_bernoulli_sql(key_expr: str, ratio: float, seed: int = 42) -> str:
     """DuckDB WHERE-clause mirror of hash_bernoulli."""
-    return f"(({_priority_sql(key_expr, seed)}) % {_BUCKETS}) < {int(ratio * _BUCKETS)}"
+    return f"(({_priority_sql(key_expr, seed)}) % {_BUCKETS}) < {bucket_threshold(ratio)}"
+
+
+def _stratum_weight(r) -> float:
+    """Validate one stratum fraction and return its HT weight 1/r.
+
+    The weight is encoded as DECIMAL(6,2) for cross-engine exactness,
+    which makes three inputs silently dangerous (review r8) — all
+    rejected loudly instead:
+    - r outside (0, 1]: not a sampling fraction (r == 0 previously
+      crashed with ZeroDivisionError; negative/overly large were
+      nonsense weights);
+    - 1/r > 9999.99: DECIMAL(6,2) overflow — Spark's non-ANSI cast
+      yields NULL, silently DROPPING the whole stratum from every
+      estimate, while the DuckDB mirror errors (parity break);
+    - 1/r not exactly two-decimal (e.g. r = 0.3 -> 3.3333...): the
+      stored weight 3.33 would bias every HT estimate by the rounding
+      without any signal to the caller. Pick fractions with exact
+      centi-reciprocals (0.5, 0.25, 0.2, 0.1, 0.05, 0.04, ...).
+    """
+    if not 0.0 < float(r) <= 1.0:
+        raise ValueError(f"stratum fraction must be in (0, 1], got {r}")
+    w = 1.0 / float(r)
+    if w > 9999.99:
+        raise ValueError(
+            f"stratum fraction {r} gives HT weight {w:.1f}, overflowing "
+            "the DECIMAL(6,2) weight encoding (Spark would NULL it and "
+            "silently drop the stratum)"
+        )
+    if abs(w - round(w, 2)) > 1e-9:
+        raise ValueError(
+            f"stratum fraction {r} gives HT weight {w!r}, not exactly "
+            "representable in the DECIMAL(6,2) weight encoding — the "
+            "rounded weight would silently bias every estimate; pick a "
+            "fraction whose reciprocal has at most two decimals"
+        )
+    return w
 
 
 def stratified_hash_weight(
@@ -66,8 +124,11 @@ def stratified_hash_weight(
     pri = F.pmod(_priority(F.col(key_col), seed), F.lit(_BUCKETS))
     w = None
     for t, r in fractions.items():
-        cond = (F.col(strata_col) == t) & (pri < int(r * _BUCKETS))
-        weight = F.lit(str(1.0 / r)).cast("decimal(6,2)")
+        # validate the fraction first: its error messages name the
+        # actual problem (range / overflow / representability) before
+        # bucket_threshold's resolution check can fire
+        weight = F.lit(str(_stratum_weight(r))).cast("decimal(6,2)")
+        cond = (F.col(strata_col) == t) & (pri < bucket_threshold(r))
         w = F.when(cond, weight) if w is None else w.when(cond, weight)
     return w
 
@@ -83,7 +144,7 @@ def stratified_hash_weight_sql(
     cases = " ".join(
         f"WHEN {strata_expr} = '{str(t).replace(chr(39), chr(39) * 2)}' THEN "
         f"CASE WHEN {hash_bernoulli_sql(key_expr, r, seed=seed)} "
-        f"THEN CAST('{1.0 / r}' AS DECIMAL(6,2)) END"
+        f"THEN CAST('{_stratum_weight(r)}' AS DECIMAL(6,2)) END"
         for t, r in fractions.items()
     )
     return f"CASE {cases} END"

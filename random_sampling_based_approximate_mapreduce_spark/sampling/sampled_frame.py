@@ -124,10 +124,10 @@ def report_frame(
     ``stats.achieved_error`` path on the same counts, so the query and
     the library report can never drift apart.
     """
-    from .deterministic import _BUCKETS, _priority
+    from .deterministic import _BUCKETS, _priority, bucket_threshold
 
     z = stats.z_score(confidence)
-    keep = F.pmod(_priority(F.col(key_col), seed), F.lit(_BUCKETS)) < int(ratio * _BUCKETS)
+    keep = F.pmod(_priority(F.col(key_col), seed), F.lit(_BUCKETS)) < bucket_threshold(ratio)
     agg = df.agg(
         F.count(F.lit(1)).alias("total_records"),
         F.count_if(keep).alias("sampled_records"),
@@ -512,6 +512,29 @@ def weighted_quantile(
     return base.agg(*aggs)
 
 
+def _nullsafe_join(left: DataFrame, right: DataFrame, cols, how: str = "inner"):
+    """Equi-join on ``cols`` that treats NULL keys as EQUAL (<=>), so
+    NULL-valued group keys survive the join instead of silently
+    vanishing (review r8: ``on=[...]`` uses plain equality, which can
+    never match NULL to NULL — the histogram quantile method was
+    dropping NULL groups the window method kept). The right side's join
+    columns are renamed before the join and dropped after, so the
+    output schema matches the plain ``on=cols`` form."""
+    renamed = right
+    for c in cols:
+        renamed = renamed.withColumnRenamed(c, f"__rjk_{c}")
+    cond = None
+    for c in cols:
+        e = F.col(c).eqNullSafe(F.col(f"__rjk_{c}"))
+        cond = e if cond is None else (cond & e)
+    out = left.join(renamed, cond, how)
+    if how in ("left_semi", "left_anti"):
+        return out
+    for c in cols:
+        out = out.drop(f"__rjk_{c}")
+    return out
+
+
 def _quantile_value_filter(df: DataFrame, value_col: str):
     """Shared admission predicate for both quantile strategies: NULLs
     are always excluded; for float/double columns non-finite values
@@ -723,8 +746,8 @@ class SampledFrame:
 
         100 TB shape (corrected CI): two partial-aggregated shuffles
         keyed (group, row-id) whose outputs collapse to one row per
-        group, then a per-group join — the same order of cost as the
-        grouped aggregate itself, no driver math.
+        group, then a two-row-per-group union-pivot — the same order of
+        cost as the grouped aggregate itself, no driver math.
         """
         if how != "inner":
             raise ValueError(
@@ -975,7 +998,8 @@ class SampledFrame:
         same-row excess terms D_side = sum_rows (S^2 - Q). The variance
         combines them per the derivation in ``join_sampled``'s docstring.
         Two shuffles keyed (group, row-id) with partial aggregation, one
-        tiny per-group join — no driver math, no extra pass over pairs.
+        tiny union-pivot per group — no driver math, no extra pass over
+        pairs.
         """
         r1, r2 = self.join_ratios
         lid, rid = self.join_ids
@@ -993,7 +1017,7 @@ class SampledFrame:
         z = stats.z_score(self.config.confidence)
         r = self.ratio
 
-        joined = self._joined_cluster_moments(d, gs, ["__dr"])
+        joined = self._joined_cluster_moments(d, gs)
         var = (
             F.lit(1.0 - r) * F.col("__pl")
             + F.lit(1.0 - r1) * F.col("__dl")
@@ -1010,7 +1034,7 @@ class SampledFrame:
             cols.append((n < F.lit(int(min_support))).alias("low_support"))
         return joined.select(*cols)
 
-    def _joined_cluster_moments(self, d, gs, right_cols):
+    def _joined_cluster_moments(self, d, gs):
         """The two 2-level aggregation chains shared by every
         single-value-column joined cluster estimator (count, sum, mean,
         and the fused ``approx_join_stats``; the two-column ratio has
@@ -1021,9 +1045,13 @@ class SampledFrame:
         D11n = sum(C2^2 - C2), D11 = sum(C^2 - C) — the cross-moment
         analogues for sums (Dxx), the value/non-null-count covariance
         the mean needs (Dx1, D11n), and all-row counts (D11).
-        ``right_cols`` names which right-side columns the caller
-        consumes (the rest are dropped before the broadcast back)."""
+        The two sides are combined by UNION + conditional pivot, not an
+        equi-join on the group columns — an equi-join cannot match a
+        NULL group key to itself, so NULL-valued groups would silently
+        vanish from the ci=True output while ci=False kept them
+        (review r8)."""
         lid, rid = self.join_ids
+        names = ("__sx", "__p", "__d", "__dx1", "__d11n", "__d11", "__n", "__n2")
 
         def side(idcols, tag):
             keys = list(dict.fromkeys(gs + list(idcols)))
@@ -1037,24 +1065,27 @@ class SampledFrame:
             s, q = F.col("__s"), F.col("__q")
             c, c2 = F.col("__c"), F.col("__c2")
             return base.agg(
-                F.sum("__s").alias(f"__sx{tag}"),
-                F.sum("__q").alias(f"__p{tag}"),
-                F.sum(s * s - q).alias(f"__d{tag}"),
-                F.sum(s * c2.cast("double") - s).alias(f"__dx1{tag}"),
-                F.sum(c2 * c2 - c2).alias(f"__d11n{tag}"),
-                F.sum(c * c - c).alias(f"__d11{tag}"),
-                F.sum("__c").alias(f"__n{tag}"),
-                F.sum("__c2").alias(f"__n2{tag}"),
-            )
+                F.sum("__s").alias("__sx"),
+                F.sum("__q").alias("__p"),
+                F.sum(s * s - q).alias("__d"),
+                F.sum(s * c2.cast("double") - s).alias("__dx1"),
+                F.sum(c2 * c2 - c2).alias("__d11n"),
+                F.sum(c * c - c).alias("__d11"),
+                F.sum("__c").alias("__n"),
+                F.sum("__c2").alias("__n2"),
+            ).withColumn("__side", F.lit(tag))
 
-        lagg = side(lid, "l")
-        # right-side output is one row per group: broadcast it back
-        rsel = (
-            side(rid, "r").select(*gs, *right_cols)
-            if gs
-            else side(rid, "r").select(*right_cols)
+        u = side(lid, "l").unionByName(side(rid, "r"))
+        base = u.groupBy(*[F.col(c) for c in gs]) if gs else u.groupBy()
+        return base.agg(
+            *[
+                F.max(F.when(F.col("__side") == tag, F.col(name))).alias(
+                    f"{name}{tag}"
+                )
+                for name in names
+                for tag in ("l", "r")
+            ]
         )
-        return lagg.join(F.broadcast(rsel), on=gs) if gs else lagg.crossJoin(rsel)
 
     def _joined_cluster_mean(
         self,
@@ -1095,7 +1126,7 @@ class SampledFrame:
         )
         z = stats.z_score(self.config.confidence)
         r = self.ratio
-        joined = self._joined_cluster_moments(d, gs, ["__dr", "__dx1r", "__d11nr"])
+        joined = self._joined_cluster_moments(d, gs)
         a, b, c = F.lit(1.0 - r), F.lit(1.0 - r1), F.lit(1.0 - r2)
         # d is pre-filtered to non-null values, so the non-null-count
         # moment family (c2) IS the row-count family here
@@ -1160,9 +1191,7 @@ class SampledFrame:
         )
         z = stats.z_score(self.config.confidence)
         r = self.ratio
-        joined = self._joined_cluster_moments(
-            d, gs, ["__dr", "__dx1r", "__d11nr", "__d11r"]
-        )
+        joined = self._joined_cluster_moments(d, gs)
         a, b, c = F.lit(1.0 - r), F.lit(1.0 - r1), F.lit(1.0 - r2)
         rr = F.lit(r * r)
         # count: x = 1 moments are the C family
@@ -1389,6 +1418,8 @@ class SampledFrame:
         z = stats.z_score(self.config.confidence)
         r = self.ratio
 
+        rnames = ("__tx", "__ty", "__pxx", "__pyy", "__pxy", "__dxx", "__dyy", "__dxy", "__n")
+
         def side(idcols, tag):
             keys = list(dict.fromkeys(gs + list(idcols)))
             xx, yy = F.col("__x"), F.col("__y")
@@ -1403,25 +1434,30 @@ class SampledFrame:
             base = per.groupBy(*[F.col(c) for c in gs]) if gs else per.groupBy()
             sx, sy = F.col("__sx"), F.col("__sy")
             return base.agg(
-                F.sum("__sx").alias(f"__tx{tag}"),
-                F.sum("__sy").alias(f"__ty{tag}"),
-                F.sum("__qxx").alias(f"__pxx{tag}"),
-                F.sum("__qyy").alias(f"__pyy{tag}"),
-                F.sum("__qxy").alias(f"__pxy{tag}"),
-                F.sum(sx * sx - F.col("__qxx")).alias(f"__dxx{tag}"),
-                F.sum(sy * sy - F.col("__qyy")).alias(f"__dyy{tag}"),
-                F.sum(sx * sy - F.col("__qxy")).alias(f"__dxy{tag}"),
-                F.sum("__c").alias(f"__n{tag}"),
-            )
+                F.sum("__sx").alias("__tx"),
+                F.sum("__sy").alias("__ty"),
+                F.sum("__qxx").alias("__pxx"),
+                F.sum("__qyy").alias("__pyy"),
+                F.sum("__qxy").alias("__pxy"),
+                F.sum(sx * sx - F.col("__qxx")).alias("__dxx"),
+                F.sum(sy * sy - F.col("__qyy")).alias("__dyy"),
+                F.sum(sx * sy - F.col("__qxy")).alias("__dxy"),
+                F.sum("__c").alias("__n"),
+            ).withColumn("__side", F.lit(tag))
 
-        lagg = side(self.join_ids[0], "l")
-        rc = ["__dxxr", "__dyyr", "__dxyr"]
-        rsel = (
-            side(self.join_ids[1], "r").select(*gs, *rc)
-            if gs
-            else side(self.join_ids[1], "r").select(*rc)
+        # union + conditional pivot, not an equi-join on the group
+        # columns — NULL group keys must survive (review r8)
+        u = side(self.join_ids[0], "l").unionByName(side(self.join_ids[1], "r"))
+        ubase = u.groupBy(*[F.col(c) for c in gs]) if gs else u.groupBy()
+        joined = ubase.agg(
+            *[
+                F.max(F.when(F.col("__side") == tag, F.col(name))).alias(
+                    f"{name}{tag}"
+                )
+                for name in rnames
+                for tag in ("l", "r")
+            ]
         )
-        joined = lagg.join(F.broadcast(rsel), on=gs) if gs else lagg.crossJoin(rsel)
         a, b, c = F.lit(1.0 - r), F.lit(1.0 - r1), F.lit(1.0 - r2)
         axx = a * F.col("__pxxl") + b * F.col("__dxxl") + c * F.col("__dxxr")
         ayy = a * F.col("__pyyl") + b * F.col("__dyyl") + c * F.col("__dyyr")
@@ -1714,7 +1750,9 @@ class SampledFrame:
         )
         out_names = [name for name, _ in rank_targets(F.lit(0).cast("bigint"))]
         st = F.broadcast(stats_df)
-        joined = data.join(st, on=gnames) if gnames else data.crossJoin(st)
+        # _nullsafe_join everywhere a group key crosses a join: plain
+        # equality drops NULL-keyed groups the window method keeps
+        joined = _nullsafe_join(data, st, gnames) if gnames else data.crossJoin(st)
         span = F.col("__mx") - F.col("__mn")
         b = F.when(span <= F.lit(0.0), F.lit(0)).otherwise(
             F.least(
@@ -1746,7 +1784,7 @@ class SampledFrame:
         # could prune. Expected exactly one surviving row per target.
         nsel = stats_df.select(*gnames, "__n") if gnames else stats_df.select("__n")
         cum2 = (
-            cum.join(F.broadcast(nsel), on=gnames)
+            _nullsafe_join(cum, F.broadcast(nsel), gnames)
             if gnames
             else cum.crossJoin(F.broadcast(nsel))
         )
@@ -1774,12 +1812,12 @@ class SampledFrame:
         )
         tb = loc.select(*gnames, "__b").distinct()
         on_cols = gnames + ["__b"] if gnames else ["__b"]
-        cand = bucketed.join(F.broadcast(tb), on=on_cols, how="left_semi")
+        cand = _nullsafe_join(bucketed, F.broadcast(tb), on_cols, how="left_semi")
         wsel = Window.partitionBy(*(gs + [F.col("__b")])).orderBy(F.col("__v"))
         rsel = cand.select(
             *gnames, "__b", "__v", F.row_number().over(wsel).alias("__rn")
         )
-        hit = rsel.join(F.broadcast(loc), on=on_cols).where(
+        hit = _nullsafe_join(rsel, F.broadcast(loc), on_cols).where(
             F.col("__rn") == F.col("__res")
         )
         base = hit.groupBy(*gs) if gnames else hit.groupBy()
@@ -1795,7 +1833,7 @@ class SampledFrame:
                 F.col("__n").alias("n_sampled"),
                 (F.col("__n") < F.lit(min_support)).alias("low_support"),
             )
-            res = res.join(supp, on=gnames) if gnames else res.crossJoin(supp)
+            res = _nullsafe_join(res, supp, gnames) if gnames else res.crossJoin(supp)
             res = res.select(*gnames, *out_names, "n_sampled", "low_support")
         return res
 
@@ -1855,9 +1893,18 @@ class SampledFrame:
         w = Window.orderBy(*order)
         ranked = topped.select("*", F.row_number().over(w).alias("rank"))
         nxt_hi = F.lead(est_col + ci_col).over(w)
+        has_next = F.lead(F.lit(True)).over(w)
+        # stable is TRUE only when the comparison was actually MADE and
+        # held, or there is genuinely no next item; a NULL bound on
+        # either side (e.g. an all-NULL value group) means the bound
+        # comparison never happened — claim UNSTABLE, not stable
+        # (review r8: coalesce-to-True marked exactly the uncomparable
+        # rows as certain)
         flagged = ranked.select(
             "*",
-            F.coalesce((est_col - ci_col) > nxt_hi, F.lit(True)).alias("stable"),
+            F.when(has_next.isNull(), F.lit(True))
+            .otherwise(F.coalesce((est_col - ci_col) > nxt_hi, F.lit(False)))
+            .alias("stable"),
         )
         return flagged.where(F.col("rank") <= k)
 
@@ -2011,8 +2058,25 @@ class SampledFrame:
                 total = self.observed_base.count()
             else:
                 # observe=False frames keep their zero-job contract:
-                # report() must not launch a scan the caller opted out of
-                total = sampled_records if sampled_records is not None else -1
+                # report() must not launch a scan the caller opted out
+                # of. But claiming total == sampled on a ratio<1 frame
+                # would assert actual_ratio 1.0 / achieved_error 0.0 —
+                # a confidently WRONG accuracy claim (review r8) — so
+                # the total is the DESIGN estimate sampled/ratio, and
+                # with no count at all the report refuses instead of
+                # fabricating -1 totals.
+                if sampled_records is None:
+                    raise ValueError(
+                        "report() on an observe=False frame needs "
+                        "sampled_records (or trigger=True with "
+                        "observe=True at construction): there is "
+                        "nothing truthful to report"
+                    )
+                total = (
+                    sampled_records
+                    if self.ratio >= 1.0
+                    else int(round(sampled_records / self.ratio))
+                )
         if sampled_records is None:
             sampled_records = _metric(self.sample_observation, "sampled_records")
             if sampled_records is None:

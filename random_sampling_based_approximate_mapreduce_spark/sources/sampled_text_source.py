@@ -73,7 +73,9 @@ class SampledTextReader(DataSourceReader):
 
     def read(self, partition: _FilePartition):
         ratio, seed = self.ratio, self.seed
-        threshold = int(ratio * _BUCKETS)
+        from ..sampling.deterministic import bucket_threshold
+
+        threshold = bucket_threshold(ratio, _BUCKETS) if ratio < 1.0 else _BUCKETS
         opener = gzip.open if partition.path.endswith(".gz") else open
         with opener(partition.path, "rt", encoding="utf-8", errors="replace") as f:
             for i, line in enumerate(f):

@@ -46,7 +46,11 @@ def sample_stream(
         return stream
     cols = key_cols or stream.columns
     h = F.xxhash64(*[F.col(c) for c in cols], F.lit(cfg.seed if cfg.seed is not None else 0))
-    return stream.where(F.pmod(h, F.lit(_HASH_BUCKETS)) < int(ratio * _HASH_BUCKETS))
+    from ..sampling.deterministic import bucket_threshold
+
+    return stream.where(
+        F.pmod(h, F.lit(_HASH_BUCKETS)) < bucket_threshold(ratio, _HASH_BUCKETS)
+    )
 
 
 def windowed_counts(

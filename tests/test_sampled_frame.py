@@ -513,8 +513,16 @@ class TestEmptySampleReport:
         jobs_before = len(tracker.getJobIdsForGroup(None) or [])
         rep = sf.report(sampled_records=50)
         jobs_after = len(tracker.getJobIdsForGroup(None) or [])
-        assert rep.total_records == 50  # old contract: sampled_records passthrough
+        # review r8: the total is the DESIGN estimate sampled/ratio — the
+        # old sampled_records passthrough claimed actual_ratio 1.0 and
+        # achieved_error 0.0 for a genuinely sampled frame
+        assert rep.total_records == 100
+        assert rep.sampled_records == 50
+        assert abs(rep.actual_ratio - 0.5) < 1e-12
         assert jobs_after == jobs_before  # zero jobs launched
+        # and with no count at all there is nothing truthful to report
+        with pytest.raises(ValueError, match="nothing truthful"):
+            sf.report()
 
 
 class TestMetricsMissingClassifier:
@@ -2161,6 +2169,117 @@ class TestWeightedMeanRatio:
         }
         assert got2["ok"]["est_ratio_ci"] is not None
         assert got2["bad"]["est_ratio_ci"] is None
+
+
+class TestReviewR8Guards:
+    """Second review pass (round 8): validation and NULL-group fixes."""
+
+    def test_bucket_threshold_rounds_and_rejects_zero(self):
+        from random_sampling_based_approximate_mapreduce_spark.sampling.deterministic import (
+            _BUCKETS,
+            bucket_threshold,
+        )
+
+        # round, not int: 0.29 * 1e6 = 289999.99999999994
+        assert bucket_threshold(0.29) == 290000
+        assert bucket_threshold(0.2) == 200000
+        assert bucket_threshold(1.0) == _BUCKETS
+        with pytest.raises(ValueError, match="hash resolution"):
+            bucket_threshold(1e-7)
+
+    def test_stratum_fraction_validation(self, spark):
+        from random_sampling_based_approximate_mapreduce_spark.sampling.deterministic import (
+            stratified_hash_weight,
+            stratified_hash_weight_sql,
+        )
+
+        with pytest.raises(ValueError, match="in \\(0, 1\\]"):
+            stratified_hash_weight("s", "k", {"a": 0.0})
+        with pytest.raises(ValueError, match="not exactly"):
+            stratified_hash_weight("s", "k", {"a": 0.3})
+        with pytest.raises(ValueError, match="overflow"):
+            stratified_hash_weight_sql("s", "k", {"a": 0.00005})
+        # the engine's standard grids stay valid
+        stratified_hash_weight("s", "k", {"a": 0.5, "b": 0.05, "c": 0.04})
+
+    def test_histogram_keeps_null_group_like_window(self, spark):
+        """A NULL-valued group key must yield the SAME quantile row from
+        both strategies (review r8: the equi-joins in the histogram path
+        silently dropped NULL groups the window path kept)."""
+        rows = [("a", float(v)) for v in range(1, 101)]
+        rows += [(None, float(v)) for v in range(1, 51)]
+        df = spark.createDataFrame(rows, "g string, v double").localCheckpoint()
+        sf = SampledFrame.from_dataframe(
+            df, SamplingConfig(ratio=1.0), observe=False
+        )
+        for method in ("window", "histogram"):
+            got = {
+                r["g"]: r
+                for r in sf.approx_quantile(
+                    "v", 0.5, "g", method=method
+                ).collect()
+            }
+            assert set(got) == {"a", None}, method
+            assert got["a"]["est_quantile"] == 50.0, method
+            assert got[None]["est_quantile"] == 25.0, method
+
+    def test_cluster_ci_keeps_null_group(self, spark):
+        """NULL group keys survive the joined cluster estimators
+        (union-pivot, not an equi-join on the group columns)."""
+        left = spark.range(100).select(F.col("id").alias("lk"))
+        right = spark.range(100).select(
+            F.col("id").alias("rid"),
+            F.when(F.col("id") % 2 == 0, "x").alias("g"),  # NULL for odd
+        )
+        sl = SampledFrame.from_dataframe(
+            left, SamplingConfig(ratio=0.5, seed=3), observe=False
+        )
+        sr = SampledFrame.from_dataframe(
+            right, SamplingConfig(ratio=0.5, seed=4), observe=False
+        )
+        j = sl.join_sampled(
+            sr, F.col("lk") == F.col("rid"), left_id="lk", right_id="rid"
+        )
+        with_ci = {r["g"] for r in j.approx_count("g", ci=True).collect()}
+        without = {r["g"] for r in j.approx_count("g").collect()}
+        assert with_ci == without  # NULL group present in both or neither
+        assert None in with_ci
+
+    def test_topk_null_bound_is_not_stable(self, spark):
+        """A rank whose own or next bound is NULL was never compared —
+        it must NOT claim stable=True (review r8)."""
+        rows = [("big", 100.0)] * 40 + [("mid", 50.0)] * 40
+        rows += [("nullish", None)] * 40  # all-NULL values -> NULL est
+        df = spark.createDataFrame(rows, "g string, v double")
+        sf = SampledFrame.from_dataframe(
+            df, SamplingConfig(ratio=0.5, seed=6), observe=False
+        )
+        got = {
+            r["g"]: r
+            for r in sf.approx_topk("g", k=3, value_col="v").collect()
+        }
+        assert got["nullish"]["est"] is None
+        # the row ABOVE the null-bound item could not be compared: unstable
+        ranked = sorted(got.values(), key=lambda r: r["rank"])
+        for i, r in enumerate(ranked[:-1]):
+            if ranked[i + 1]["est"] is None:
+                assert r["stable"] is False
+
+    def test_bootstrap_single_element_list_p(self, spark):
+        """[0.5] (a one-element LIST) must work and carry _p50 suffixes
+        (review r8: it crashed on an unresolved column)."""
+        from random_sampling_based_approximate_mapreduce_spark.sampling.bootstrap import (
+            weighted_quantile_bootstrap,
+        )
+
+        df = spark.range(200).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 50).cast("double").alias("v"),
+            F.lit(1.0).alias("__weight"),
+        )
+        row = weighted_quantile_bootstrap(df, "v", [0.5], key_col="k").collect()[0]
+        assert row["est_quantile_p50"] is not None
+        assert row["est_quantile_p50_ci_lo"] <= row["est_quantile_p50"]
 
 
 class TestApproxTopK:
