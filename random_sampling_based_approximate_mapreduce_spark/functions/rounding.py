@@ -56,3 +56,21 @@ def sql_round(col: "Column | str", digits: int = 0) -> Column:
     frac = ax - t
     fl = F.when(frac >= F.lit(0.5), t + F.lit(1.0)).otherwise(t)
     return F.when(x < F.lit(0.0), -fl).otherwise(fl) / scale
+
+
+def np_sql_round(x, digits: int = 6):
+    """NumPy twin of ``sql_round`` for the Arrow/pandas fast paths
+    (review r8): ``np.round`` rounds HALF TO EVEN, while the engine's
+    declared cross-engine semantics are C/DuckDB half AWAY FROM ZERO
+    evaluated on the raw double — exactly the tie class that produced
+    the oracle mismatches this module's history documents. Same
+    operation sequence as the Column form: scale, abs, truncate,
+    +1 when the fraction reaches .5, re-sign, unscale."""
+    import numpy as np
+
+    scale = 10.0 ** digits
+    xs = np.asarray(x, dtype=np.float64) * scale
+    ax = np.abs(xs)
+    t = np.trunc(ax)
+    fl = np.where(ax - t >= 0.5, t + 1.0, t)
+    return np.where(xs < 0.0, -fl, fl) / scale

@@ -146,15 +146,19 @@ def misra_gries(
     undercounts by at most n/(k+1).  Use when the exact groupBy's
     map-side hash would blow memory (unbounded key space at 100 TB).
 
-    Returns (item, est_count) — a SUPERSET of the true heavy hitters;
-    callers re-check exact counts for the survivors if needed (a cheap
-    semi-join-restricted second pass).
+    Returns (item, est_count) — a SUPERSET of the true NON-NULL heavy
+    hitters; callers re-check exact counts for the survivors if needed
+    (a cheap semi-join-restricted second pass). NULL items are excluded
+    EXPLICITLY (review r8: pandas value_counts drops them silently, so
+    a mostly-NULL column would violate the superset guarantee without
+    any signal) — count NULLs with count_if(col IS NULL), which needs
+    no sketch.
     """
 
     def summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         counters: dict = {}
         for pdf in batches:
-            for item, cnt in pdf[col].value_counts().items():
+            for item, cnt in pdf[col].dropna().value_counts().items():
                 # classic MG with batched decrements
                 if item in counters:
                     counters[item] += cnt
@@ -754,11 +758,24 @@ def keep_best_by_fingerprint(
         fp.alias("fp"),
         q.alias("_quality"),
     )
-    # scalar rank (quality first, lowest id on ties) instead of a struct
-    # key: max_by over a struct has no DuckDB arg_max mirror, and the
-    # scalar is one codegen'd expression. Safe while quality < 2^31 and
-    # id < 2^32 (token counts and doc ids are far below both).
-    rank = F.col("_quality") * F.lit(4294967296) - F.col(id_col)
+    # Fixed-width STRING rank (quality first, lowest id on ties) instead
+    # of a struct key: max_by over a struct has no DuckDB arg_max
+    # mirror, and a SCALAR numeric pack (quality * 2^32 - id, the
+    # pre-round-8 form) silently mis-ranks FRACTIONAL quality columns —
+    # one 1e-6 quality step is worth only ~4295 id units, so large-id
+    # low-quality members could win (review r8). The lexicographic
+    # string "%020.9f(quality)" ++ "%019d(MAX_LONG - id)" orders exactly
+    # by (quality desc-able, id asc on ties) at 1e-9 quality resolution
+    # for any NONNEGATIVE quality and nonnegative integer id — both of
+    # which every quality function in this package satisfies — and
+    # printf formatting is engine-identical, so the DuckDB mirrors stay
+    # bit-for-bit.
+    rank = F.concat(
+        F.format_string("%020.9f", F.col("_quality").cast("double")),
+        F.format_string(
+            "%019d", F.lit(9223372036854775807) - F.col(id_col)
+        ),
+    )
     return enriched.groupBy("fp").agg(
         F.max_by(F.col(id_col), rank).alias("kept_doc"),
         F.max("_quality").alias("kept_quality"),

@@ -31,9 +31,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions import text as T
-from ..functions.rounding import sql_round
+from ..functions.rounding import np_sql_round, sql_round
 from ..functions.hashing import (
     MERSENNE_P,
+    affine_hash,
+    affine_hash_sql,
     hash64,
     hash64_sql,
     minhash_coefficients,
@@ -47,6 +49,16 @@ ROWS_PER_BAND = NUM_HASHES // NUM_BANDS
 SHINGLE_K = 3
 
 _WORD_SPLIT_SQL = "[^a-z0-9'']+"
+
+
+def _shingle_body_sql() -> str:
+    """The k-gram concat body for the DuckDB shingle mirrors, GENERATED
+    from SHINGLE_K (review r8: the bound interpolated SHINGLE_K while the
+    body hardcoded 3-gram text, so changing the constant would silently
+    break Spark/SQL parity)."""
+    return " || ' ' || ".join(
+        "w[i]" if j == 0 else f"w[i+{j}]" for j in range(SHINGLE_K)
+    )
 
 
 def minhash_signatures(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -78,7 +90,7 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text", id_col: str = "d
     hashed = ex.select(F.col(id_col), h.alias("h"))
     mins = hashed.groupBy(id_col).agg(
         *[
-            F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MERSENNE_P)).alias(f"s{j}")
+            F.min(affine_hash(F.col("h"), a, b)).alias(f"s{j}")
             for j, (a, b) in enumerate(coeffs)
         ]
     )
@@ -111,7 +123,11 @@ def minhash_lsh_candidates(
     Measured at test scale recompute is CHEAPER than materialization
     (3.5s vs 4.4s at sf0.1), so the default is off; at corpus scale —
     where recompute means re-scanning the document text — turn it on:
-    bands are (id, band, key), a few dozen bytes per doc.
+    bands are (id, band, key), a few dozen bytes per doc. The cache is
+    NOT unpersisted here (the result is lazy; the bands must stay live
+    until the caller's action runs) — reuse ONE call's result rather
+    than calling repeatedly with persist=True, and release with
+    spark.catalog.clearCache() when done (review r8).
     """
     bands = lsh_band_keys(minhash_signatures(docs, text_col, id_col), id_col)
     if persist:
@@ -134,7 +150,7 @@ def minhash_lsh_candidates_sql() -> str:
     """DuckDB mirror of minhash_lsh_candidates over the documents view."""
     coeffs = minhash_coefficients(NUM_HASHES)
     sig_exprs = ",\n      ".join(
-        f"list_min(list_transform(shingles, s -> ({a} * ({hash64_sql('s')} % {MERSENNE_P}) + {b}) % {MERSENNE_P})) AS s{j}"
+        f"list_min(list_transform(shingles, s -> {affine_hash_sql(hash64_sql('s'), a, b)})) AS s{j}"
         for j, (a, b) in enumerate(coeffs)
     )
     band_selects = "\n      UNION ALL\n      ".join(
@@ -151,7 +167,7 @@ def minhash_lsh_candidates_sql() -> str:
     ), sh AS (
       SELECT doc_id,
              list_distinct(list_transform(generate_series(1, len(w) - {SHINGLE_K - 1}),
-                                          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingles
+                                          i -> {_shingle_body_sql()})) AS shingles
       FROM toks
     ), sig AS (
       SELECT doc_id,
@@ -376,7 +392,7 @@ def ngram_jaccard_sql(threshold: float = 0.5) -> str:
       FROM documents
     ), sh AS (
       SELECT doc_id, list_distinct(list_transform(generate_series(1, len(w) - {SHINGLE_K - 1}),
-                                                  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingles
+                                                  i -> {_shingle_body_sql()})) AS shingles
       FROM toks
     ), nonempty AS (SELECT * FROM sh WHERE len(shingles) > 0),
     ex AS (SELECT doc_id, unnest(shingles) AS s FROM nonempty),
@@ -624,6 +640,17 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # review r8: exhausting max_iters with labels still moving means
+        # a cluster deeper than the iteration budget was SPLIT — that is
+        # a wrong answer, not a degraded one, so refuse loudly (callers
+        # can raise max_iters; one-hop min-label propagation needs
+        # rounds ~ graph diameter)
+        raise RuntimeError(
+            f"connected_components did not converge within {max_iters} "
+            "rounds: a component deeper than the iteration budget would "
+            "be silently split; raise max_iters"
+        )
     return labels
 
 
@@ -694,8 +721,6 @@ def embedding_dup_pairs(
             .where(F.col("cosine") >= threshold)
         )
 
-    import numpy as np
-    import pandas as pd
     from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
     n = e.count()
@@ -741,7 +766,7 @@ def embedding_dup_pairs(
             return M / np.where(norms == 0, 1.0, norms)
 
         A, B = mat(a_rows), mat(b_rows)
-        S = np.round(A @ B.T, 6)
+        S = np_sql_round(A @ B.T, 6)
         ia, ja = np.where(S >= threshold)
         ids_a = a_rows["vec_id"].to_numpy()
         ids_b = b_rows["vec_id"].to_numpy()
@@ -844,7 +869,7 @@ def embedding_dup_pairs_lsh(
         M = np.vstack([np.asarray(v, dtype="float64") for v in pdf["v"]])
         norms = np.linalg.norm(M, axis=1, keepdims=True)
         Mn = M / np.where(norms == 0, 1.0, norms)
-        S = np.round(Mn @ Mn.T, 6)
+        S = np_sql_round(Mn @ Mn.T, 6)
         ids = pdf["vec_id"].to_numpy(dtype="int64")
         iu, ju = np.nonzero(np.triu(S >= threshold, k=1))
         a, bb = ids[iu], ids[ju]

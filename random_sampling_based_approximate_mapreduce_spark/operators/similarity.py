@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions import vectors as V
-from ..functions.rounding import sql_round
+from ..functions.rounding import np_sql_round, sql_round
 
 _PLANE_SEED = 1234
 
@@ -105,7 +105,7 @@ def knn_brute_force(
                 continue
             M = np.vstack([np.asarray(v, dtype="float64") for v in pdf[vec_col]])
             norms = np.linalg.norm(M, axis=1, keepdims=True)
-            S = np.round((M / np.where(norms == 0, 1.0, norms)) @ Qn, 6)
+            S = np_sql_round((M / np.where(norms == 0, 1.0, norms)) @ Qn, 6)
             ids = pdf[id_col].to_numpy(dtype="int64")
             out_q, out_n, out_c = [], [], []
             for j in range(S.shape[1]):
@@ -199,26 +199,6 @@ def train_ivf_centroids(
     return [[float(x) for x in c] for c in centroids]
 
 
-def _centroid_scores(vec_col, centroids: list[list[float]]):
-    """Array of cosine scores of ``vec_col`` against each centroid literal.
-
-    Cosine(v, c_i) = dot(v/|v|, c_i/|c_i|): the row vector is normalized
-    ONCE in its own projection by the caller and the centroid literals are
-    normalized in Python — scoring is then one dot product per centroid.
-    (The naive per-centroid cosine() recomputes |v| for every centroid;
-    expression subtrees inside lambdas are not CSE'd — see
-    functions/text.shingles_from_tokens.)
-    """
-    import math
-
-    normed = []
-    for c in centroids:
-        n = math.sqrt(sum(x * x for x in c)) or 1.0
-        normed.append([x / n for x in c])
-    return F.array(
-        *[V.dot(vec_col, F.array(*[F.lit(float(x)) for x in c])) for c in normed]
-    )
-
 
 def assign_ivf(
     df: DataFrame,
@@ -263,7 +243,7 @@ def assign_ivf(
         M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
         scores = M @ cents_t
         if round_dp is not None:
-            scores = np.round(scores, round_dp)
+            scores = np_sql_round(scores, round_dp)
         # argsort descending; ties broken by cell index (stable ordering)
         idx = np.argsort(-scores, axis=1, kind="stable")[:, :probe]
         return pd.Series([row.astype("int32").tolist() for row in idx])

@@ -130,20 +130,36 @@ def range_join_binned(
     order of the typical interval span: each interval explodes into
     ``span/width + 1`` bin rows, each point maps to exactly one bin.
     """
-    p_bin = F.floor(F.unix_timestamp(F.col(point_ts)) / width_seconds).cast("long")
-    i_start = F.unix_timestamp(F.col(start_col))
-    i_end = F.unix_timestamp(F.col(end_col))
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"range_join_binned supports how='inner'/'left' (got {how!r})"
+        )
+    # bin arithmetic in MICROseconds: unix_timestamp truncates sub-second
+    # end timestamps, so an interval ending at a bin boundary + fraction
+    # lost its last bin and silently missed matching points (review r8)
+    width_us = int(width_seconds) * 1_000_000
+    p_bin = F.floor(F.unix_micros(F.col(point_ts)) / F.lit(width_us)).cast("long")
+    i_start = F.unix_micros(F.col(start_col))
+    i_end = F.unix_micros(F.col(end_col))
     bins = F.sequence(
-        F.floor(i_start / width_seconds).cast("long"),
+        F.floor(i_start / F.lit(width_us)).cast("long"),
         # end is exclusive, but a point in the end's bin can still precede
-        # it — include the bin containing (end - 1s)
-        F.floor((i_end - 1) / width_seconds).cast("long"),
+        # it — include the bin containing (end - 1 microsecond)
+        F.floor((i_end - 1) / F.lit(width_us)).cast("long"),
     )
     iv = intervals.select(
-        "*", F.explode_outer(bins).alias("__bin")
-    ).where(F.col("__bin").isNotNull())
+        "*", F.explode_outer(bins).alias("__bin_i")
+    ).where(F.col("__bin_i").isNotNull())
     pt = points.withColumn("__bin", p_bin)
-    joined = pt.join(iv, "__bin", how).where(
-        (F.col(point_ts) >= F.col(start_col)) & (F.col(point_ts) < F.col(end_col))
+    # the range predicate is part of the JOIN CONDITION, not a post-join
+    # WHERE — a WHERE evaluates NULL on left-join null-extended rows and
+    # drops them, silently degrading how='left' to inner (review r8).
+    # Catalyst still extracts the __bin equality as the hash-join key;
+    # the range residual becomes the join filter.
+    cond = (
+        (F.col("__bin") == F.col("__bin_i"))
+        & (F.col(point_ts) >= F.col(start_col))
+        & (F.col(point_ts) < F.col(end_col))
     )
-    return joined.drop("__bin")
+    joined = pt.join(iv, cond, how)
+    return joined.drop("__bin", "__bin_i")

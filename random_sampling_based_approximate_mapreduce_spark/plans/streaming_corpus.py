@@ -346,7 +346,8 @@ def _dedup_keep_best_sql() -> str:
     WITH e AS (SELECT doc_id, {hash64_sql(f"substr({norm}, 1, 120)")} AS fp,
                {_TOKEN_COUNT_SQL} AS q
                FROM documents)
-    SELECT fp, arg_max(doc_id, q * 4294967296 - doc_id)::BIGINT AS kept_doc,
+    SELECT fp, arg_max(doc_id, printf('%020.9f', CAST(q AS DOUBLE))
+                   || printf('%019d', 9223372036854775807 - doc_id))::BIGINT AS kept_doc,
            max(q)::BIGINT AS kept_quality, count(*)::BIGINT AS n_members
     FROM e GROUP BY fp HAVING count(*) >= 2
     """
@@ -357,7 +358,7 @@ def _dedup_keep_best_sql() -> str:
     _dedup_keep_best_sql(),
     doc="Prefix-fingerprint dedup (re-crawl family: same normalized 120-char "
     "prefix, different trailing junk) keeping the BEST group member "
-    "(longest, ties -> lowest id) via a scalar-ranked max_by — one shuffle, "
+    "(longest, ties -> lowest id) via a string-ranked max_by (exact for fractional quality too) — one shuffle, "
     "one partial-merge aggregate, no window. Complements "
     "training_pipeline's keep-first full-fingerprint dedup",
 )
@@ -591,7 +592,8 @@ def _corpus_pipeline_full_sql() -> str:
                      JOIN tr ON g.doc_id = tr.doc_id),
     clean AS (SELECT * FROM tr WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
     f AS (SELECT doc_id, lang, n_chars, {fp} AS fp, {_TOKEN_COUNT_SQL} AS q FROM clean),
-    kept AS (SELECT arg_max(doc_id, q * 4294967296 - doc_id) AS doc_id
+    kept AS (SELECT arg_max(doc_id, printf('%020.9f', CAST(q AS DOUBLE))
+                        || printf('%019d', 9223372036854775807 - doc_id)) AS doc_id
              FROM f GROUP BY fp),
     kd AS (SELECT f.* FROM f JOIN kept USING (doc_id)),
     capped AS (SELECT * FROM (
@@ -610,7 +612,7 @@ def _corpus_pipeline_full_sql() -> str:
     doc="Flagship end-to-end corpus preparation: md5 train split -> drop "
     "the eval slice and every train doc sharing a 3-gram with it "
     "(broadcast decontamination) -> keep-best prefix-fingerprint dedup "
-    "(one shuffle, scalar-ranked max_by) -> per-language quota cap "
+    "(one shuffle, string-ranked max_by) -> per-language quota cap "
     "(stable hash rank) -> per-language token/char totals. Every stage "
     "is deterministic, so the ENTIRE five-stage pipeline value-checks "
     "against one SQL mirror — the composition a 100 TB training-data "

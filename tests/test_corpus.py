@@ -428,3 +428,51 @@ class TestChunkDocuments:
         for r in rows:
             assert r.bin_id == run // 128
             run += r.n_tokens
+
+
+class TestKeepBestFractionalQuality:
+    def test_fractional_quality_outranks_large_id(self, spark):
+        """Review r8: the old scalar rank (quality * 2^32 - id) let a
+        LARGE id beat a 1e-6 quality edge; the string rank must keep the
+        higher-quality member regardless of id magnitude."""
+        from random_sampling_based_approximate_mapreduce_spark.operators.corpus import (
+            keep_best_by_fingerprint,
+        )
+
+        docs = spark.createDataFrame(
+            [(10000, "same prefix text", 0.666667), (1, "same prefix text", 0.666666)],
+            "doc_id bigint, text string, q double",
+        )
+        out = keep_best_by_fingerprint(
+            docs, quality_col=F.col("q")
+        ).collect()
+        assert len(out) == 1
+        assert out[0]["kept_doc"] == 10000  # higher quality wins
+        assert out[0]["kept_quality"] == 0.666667
+
+    def test_tie_still_keeps_lowest_id(self, spark):
+        from random_sampling_based_approximate_mapreduce_spark.operators.corpus import (
+            keep_best_by_fingerprint,
+        )
+
+        docs = spark.createDataFrame(
+            [(7, "same prefix text", 0.5), (3, "same prefix text", 0.5)],
+            "doc_id bigint, text string, q double",
+        )
+        out = keep_best_by_fingerprint(docs, quality_col=F.col("q")).collect()
+        assert out[0]["kept_doc"] == 3
+
+
+class TestMisraGriesNulls:
+    def test_nulls_excluded_explicitly(self, spark):
+        """Review r8 contract: NULL items are excluded (documented), so a
+        mostly-NULL column still sketches the non-null heavy hitters."""
+        from random_sampling_based_approximate_mapreduce_spark.operators.corpus import (
+            misra_gries,
+        )
+
+        rows = [(None,)] * 400 + [("hot",)] * 100 + [("warm",)] * 50
+        df = spark.createDataFrame(rows, "item string").repartition(4)
+        got = {r["item"]: r["est_count"] for r in misra_gries(df, "item", k=8).collect()}
+        assert None not in got
+        assert "hot" in got  # the non-null heavy hitter survives

@@ -271,3 +271,23 @@ def test_blocked_dup_clusters_custom_column_names(spark, sf_dir):
         map(str, blocked_dup_clusters(renamed, text_col="body", id_col="id").collect())
     )
     assert default == custom and len(default) > 0
+
+
+class TestComponentsConvergenceGuard:
+    def test_non_convergence_raises_instead_of_splitting(self, spark):
+        """Review r8: exhausting max_iters with labels still moving means
+        a deep component would be silently SPLIT — the distributed loop
+        must refuse loudly instead."""
+        from random_sampling_based_approximate_mapreduce_spark.operators.dedup import (
+            connected_components,
+        )
+
+        chain = spark.createDataFrame(
+            [(i, i + 1) for i in range(10)], "doc_a bigint, doc_b bigint"
+        )
+        with pytest.raises(RuntimeError, match="did not converge"):
+            connected_components(chain, max_iters=2, driver_threshold=0)
+        # with a sufficient budget the same chain converges to one label
+        out = connected_components(chain, max_iters=20, driver_threshold=0)
+        comps = {r["component"] for r in out.collect()}
+        assert comps == {0}

@@ -162,3 +162,63 @@ class TestAsofNearest:
         )
         r = asof_join(left, right, on="key", payload=["v"], direction="nearest").collect()[0]
         assert r["matched"]["v"] == 1.0
+
+
+class TestRangeJoinReviewR8:
+    def test_left_join_keeps_unmatched_points(self, spark):
+        """Review r8: the range predicate must live in the JOIN condition
+        — a post-join WHERE nulls out and drops left-join unmatched rows,
+        silently degrading how='left' to inner."""
+        from random_sampling_based_approximate_mapreduce_spark.operators.temporal import (
+            range_join_binned,
+        )
+        from pyspark.sql import functions as F
+
+        points = spark.createDataFrame(
+            [(1, "2024-01-01 00:30:00"), (2, "2024-01-05 00:00:00")],
+            "pid int, ts string",
+        ).select("pid", F.col("ts").cast("timestamp").alias("ts"))
+        intervals = spark.createDataFrame(
+            [("c1", "2024-01-01 00:00:00", "2024-01-01 01:00:00")],
+            "cid string, s string, e string",
+        ).select(
+            "cid",
+            F.col("s").cast("timestamp").alias("s"),
+            F.col("e").cast("timestamp").alias("e"),
+        )
+        out = range_join_binned(points, intervals, "ts", "s", "e", 3600, how="left")
+        rows = {r["pid"]: r for r in out.collect()}
+        assert rows[1]["cid"] == "c1"
+        assert 2 in rows and rows[2]["cid"] is None  # unmatched survives
+
+    def test_subsecond_interval_end_matches(self, spark):
+        """Review r8: bin arithmetic runs in microseconds — an interval
+        ending a fraction past a bin boundary must still match points in
+        that bin (unix_timestamp truncation lost the last bin)."""
+        from random_sampling_based_approximate_mapreduce_spark.operators.temporal import (
+            range_join_binned,
+        )
+        from pyspark.sql import functions as F
+
+        points = spark.createDataFrame(
+            [(1, "2024-01-01 01:00:00.200")], "pid int, ts string"
+        ).select("pid", F.col("ts").cast("timestamp").alias("ts"))
+        intervals = spark.createDataFrame(
+            [("c1", "2024-01-01 00:30:00", "2024-01-01 01:00:00.500")],
+            "cid string, s string, e string",
+        ).select(
+            "cid",
+            F.col("s").cast("timestamp").alias("s"),
+            F.col("e").cast("timestamp").alias("e"),
+        )
+        out = range_join_binned(points, intervals, "ts", "s", "e", 3600).collect()
+        assert len(out) == 1 and out[0]["cid"] == "c1"
+
+    def test_rejects_unsupported_how(self, spark):
+        from random_sampling_based_approximate_mapreduce_spark.operators.temporal import (
+            range_join_binned,
+        )
+
+        df = spark.range(1).selectExpr("cast(id as timestamp) ts")
+        with pytest.raises(ValueError, match="inner"):
+            range_join_binned(df, df, "ts", "ts", "ts", 10, how="full")
