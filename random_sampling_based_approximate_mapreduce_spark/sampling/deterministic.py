@@ -214,3 +214,19 @@ def exact_k_sample(df: DataFrame, key_col: str, k: int, seed: int = 42) -> DataF
 def exact_k_sample_sql(table: str, key_expr: str, k: int, seed: int = 42) -> str:
     """DuckDB mirror (ORDER BY the same hash priority)."""
     return f"SELECT * FROM {table} ORDER BY {_priority_sql(key_expr, seed)}, {key_expr} LIMIT {k}"
+
+
+def md5_accept(key: str, ratio: float) -> bool:
+    """Driver/Python-side hash-Bernoulli accept: first 4 md5 bytes of
+    ``key`` under ``ratio * 2^32``. ONE definition for the cluster-
+    sampling ladder's file/block/row-group pickers (review r8: the
+    identical expression lived in three modules; any change must now
+    land once). Distinct from ``bucket_threshold`` (the 1e6-grid used
+    by the Column/SQL samplers, whose thresholds must be embeddable in
+    mirrored SQL) — this float compare has ~2^-32 grid resolution and
+    needs no SQL mirror because the pick list itself is what gets
+    embedded in the oracles."""
+    import hashlib
+
+    h = hashlib.md5(key.encode()).digest()
+    return int.from_bytes(h[:4], "big") < ratio * 4294967296

@@ -66,8 +66,9 @@ _COMPRESSED_EXTS = (".gz", ".bz2", ".zst", ".zstd", ".snappy", ".lz4", ".deflate
 
 
 def _accept_block(path: str, idx: int, seed: int, ratio: float) -> bool:
-    h = hashlib.md5(f"{seed}:{path}#blk{idx}".encode()).digest()
-    return int.from_bytes(h[:4], "big") < ratio * _CAP
+    from ..sampling.deterministic import md5_accept
+
+    return md5_accept(f"{seed}:{path}#blk{idx}", ratio)
 
 
 def _list_text_files(path: str) -> list[str]:

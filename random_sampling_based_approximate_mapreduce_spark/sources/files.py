@@ -86,13 +86,9 @@ def pick_files(spark: SparkSession, path: str, file_ratio: float, seed: int = 42
     )
     if not files:
         raise ValueError(f"no data files under {path}")
-    cap = 1 << 32
-    picked = [
-        f
-        for f in files
-        if int.from_bytes(hashlib.md5(f"{seed}:{f}".encode()).digest()[:4], "big")
-        < file_ratio * cap
-    ] or [files[0]]
+    from ..sampling.deterministic import md5_accept
+
+    picked = [f for f in files if md5_accept(f"{seed}:{f}", file_ratio)] or [files[0]]
     return picked, len(picked) / len(files)
 
 
@@ -110,7 +106,7 @@ def read_parquet_file_sampled(
     picked, achieved = pick_files(spark, path, file_ratio, seed)
     row_cfg = row_config or SamplingConfig(ratio=1.0)
     sf = SampledFrame.from_dataframe(spark.read.parquet(*picked), row_cfg)
-    combined = SamplingConfig(ratio=achieved * row_cfg.resolve(), seed=row_cfg.seed or seed)
+    combined = SamplingConfig(ratio=achieved * row_cfg.resolve(), seed=seed if row_cfg.seed is None else row_cfg.seed)
     return SampledFrame(
         df=sf.df,
         ratio=achieved * sf.ratio,

@@ -64,8 +64,16 @@ def zorder_key(
     # scale past its lane (or go negative, leaking sign bits through the
     # interleave) and alias into the wrong z cell, silently degrading
     # clustering and footer pruning.
-    ua = ((F.col(dim_a) - F.lit(a_lo)) * lane / F.lit(a_span)).cast("long")
-    ub = ((F.col(dim_b) - F.lit(b_lo)) * lane / F.lit(b_span)).cast("long")
+    # cast the difference to LONG before the lane multiply: a 32-bit
+    # dimension with span > 2^31/lane would overflow the int-preserving
+    # product (ANSI error, or silent negative lanes without ANSI) —
+    # the same hazard replicate_table guards (review r8)
+    ua = (
+        (F.col(dim_a) - F.lit(a_lo)).cast("long") * lane / F.lit(a_span)
+    ).cast("long")
+    ub = (
+        (F.col(dim_b) - F.lit(b_lo)).cast("long") * lane / F.lit(b_span)
+    ).cast("long")
     ua = F.greatest(F.lit(0), F.least(F.lit(lane - 1), ua))
     ub = F.greatest(F.lit(0), F.least(F.lit(lane - 1), ub))
     return df.withColumn("__zval", z_value(ua, ub, bits))

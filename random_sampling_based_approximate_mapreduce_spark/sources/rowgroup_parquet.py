@@ -50,8 +50,9 @@ _CAP = 1 << 32
 
 
 def _accept_rg(path: str, rg: int, seed: int, ratio: float) -> bool:
-    h = hashlib.md5(f"{seed}:{path}#rg{rg}".encode()).digest()
-    return int.from_bytes(h[:4], "big") < ratio * _CAP
+    from ..sampling.deterministic import md5_accept
+
+    return md5_accept(f"{seed}:{path}#rg{rg}", ratio)
 
 
 def _list_parquet_files(path: str) -> list[str]:
@@ -177,7 +178,8 @@ def _compose_row_stage(
         return SampledFrame(df=df, ratio=achieved, config=cfg)
     inner = SampledFrame.from_dataframe(df, row_config, observe=False)
     combined = SamplingConfig(
-        ratio=achieved * inner.ratio, seed=row_config.seed or seed
+        ratio=achieved * inner.ratio,
+        seed=seed if row_config.seed is None else row_config.seed,
     )
     return SampledFrame(df=inner.df, ratio=achieved * inner.ratio, config=combined)
 

@@ -68,8 +68,25 @@ class SampledTextReader(DataSourceReader):
         self.seed = int(options.get("seed", "42"))
 
     def partitions(self):
-        files = sorted(_glob.glob(self.path)) or [self.path]
-        return [_FilePartition(f) for f in files]
+        # expand directories like the sibling sources (review r8: a bare
+        # glob of a directory path yielded the directory itself as a
+        # "file" partition and IsADirectoryError inside the task)
+        import os as _os
+
+        out = []
+        for p in sorted(_glob.glob(self.path)) or [self.path]:
+            if _os.path.isdir(p):
+                out.extend(
+                    sorted(
+                        _os.path.join(p, f)
+                        for f in _os.listdir(p)
+                        if not f.startswith((".", "_"))
+                        and _os.path.isfile(_os.path.join(p, f))
+                    )
+                )
+            else:
+                out.append(p)
+        return [_FilePartition(f) for f in out]
 
     def read(self, partition: _FilePartition):
         ratio, seed = self.ratio, self.seed

@@ -69,7 +69,8 @@ def read_text_file_sampled(
     picked, actual_file_ratio = pick_files(spark, path, file_ratio, seed)
     row_cfg = row_config or SamplingConfig(ratio=1.0)
     combined = SamplingConfig(
-        ratio=actual_file_ratio * row_cfg.resolve(), seed=row_cfg.seed or seed
+        ratio=actual_file_ratio * row_cfg.resolve(),
+        seed=seed if row_cfg.seed is None else row_cfg.seed,
     )
     sf = SampledFrame.from_dataframe(spark.read.text(picked), row_cfg)
     # estimators scale by 1/(file_ratio x row_ratio); the observation only

@@ -74,7 +74,12 @@ def attribution_stream(spark, sf_dir: str) -> DataFrame:
         for etype, value in zip(rows["event_type"], rows["value"]):
             if etype == "purchase":
                 channels.append(last_touch if last_touch is not None else "direct")
-                values.append(float(value))
+                # a NULL purchase value arrives from Arrow as NaN; emit
+                # None so the downstream decimal sum null-skips like the
+                # batch twin (review r8: float NaN through an ANSI
+                # decimal cast kills the whole query)
+                v = float(value)
+                values.append(None if v != v else v)
             else:
                 last_touch = etype
         state.update((last_touch,))

@@ -137,22 +137,21 @@ def streaming_ivf_cells_run(spark: SparkSession, sf_dir: str, n_centroids: int =
     properties (running-mean identity, recall vs batch IVF) are pytest'd.
     """
     import hashlib
-    import os
-    import shutil
 
-    from ..sources.tables import load
+    from ..sources.tables import ensure_layout, load
 
     key = hashlib.md5(f"{sf_dir}|{n_centroids}".encode()).hexdigest()[:10]
-    src = f"/tmp/rsmr_stream_emb_{key}"
-    if not os.path.exists(os.path.join(src, "_SUCCESS")):
-        tmp = f"{src}.build.{os.getpid()}"
-        load(spark, sf_dir, "embeddings").repartitionByRange(4, "vec_id").write.mode(
-            "overwrite"
-        ).parquet(tmp)
-        try:
-            os.rename(tmp, src)
-        except OSError:
-            shutil.rmtree(tmp, ignore_errors=True)  # concurrent builder won
+    # ensure_layout, not a hand-rolled rename (review r8): the bare
+    # rename assumed any OSError meant "a concurrent builder won" and
+    # discarded the fresh build — a stale marker-less src dir would
+    # then be consumed forever; ensure_layout repairs that case
+    src = ensure_layout(
+        f"/tmp/rsmr_stream_emb_{key}",
+        lambda staging: load(spark, sf_dir, "embeddings")
+        .repartitionByRange(4, "vec_id")
+        .write.mode("overwrite")
+        .parquet(staging),
+    )
     index = streaming_ivf_index(spark, src, n_centroids=n_centroids)
     corpus = load(spark, sf_dir, "embeddings").select(
         "vec_id", _as_double(F.col("embedding")).alias("v")

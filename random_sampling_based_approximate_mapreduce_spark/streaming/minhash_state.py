@@ -206,26 +206,27 @@ def dedup_minhash_stream_run(spark, sf_dir: str) -> DataFrame:
     the result value-checkable against the batch LSH-candidate SQL.
     """
     import hashlib
-    import os
 
-    from ..sources.tables import load
+    from ..sources.tables import ensure_layout, load
 
     key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    src = f"/tmp/rsmr_stream_docs_{key}"
-    if not os.path.exists(os.path.join(src, "_SUCCESS")):
-        (
-            load(spark, sf_dir, "documents")
-            .select(
-                "doc_id",
-                "text",
-                (F.timestamp_seconds(F.lit(1704067200) + F.col("doc_id"))).alias("ts"),
-            )
-            # one file -> one deterministic micro-batch; multi-batch state
-            # carry-over is exercised explicitly in tests
-            .coalesce(1)
-            .write.mode("overwrite")
-            .parquet(src)
+    # race-safe one-time materialization via ensure_layout (review r8):
+    # writing straight to the final path let two concurrent sessions
+    # overwrite each other's in-flight output under one _SUCCESS marker
+    src = ensure_layout(
+        f"/tmp/rsmr_stream_docs_{key}",
+        lambda staging: load(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            "text",
+            (F.timestamp_seconds(F.lit(1704067200) + F.col("doc_id"))).alias("ts"),
         )
+        # one file -> one deterministic micro-batch; multi-batch state
+        # carry-over is exercised explicitly in tests
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(staging),
+    )
     schema = spark.read.parquet(src).schema
     stream = spark.readStream.schema(schema).parquet(src)
     verdicts = dedup_stream_minhash(stream, watermark="365 days")
