@@ -26,6 +26,11 @@ from committed files alone. Full-line shape:
   replication of the bench corpus (~sf1; sources/scale_up.py), min-of-2
   (VERDICT r4 item 7): at sf0.1 every TPC-H query sits on the plan floor,
   so THIS block is where data-dependent scaling shows per round.
+- ``sentinel`` is a PINNED constant workload (synthetic range CPU sum +
+  one 1024-key shuffle, no files, no engine code) measured min-of-3 each
+  run; its round-over-round ratio isolates BOX drift, and ``vs_prev``
+  reports ``ratio_code_normalized`` = raw ratio / sentinel ratio once
+  the prior artifact carries a sentinel (VERDICT r8 item 3).
 - ``reference_x10`` runs the reference's flagship workloads (word count,
   log-host count: exact, engine-RNG sampled, hash-deterministic sampled)
   on 10x events/documents replicas and reports the sampled-vs-exact
@@ -205,6 +210,38 @@ def main() -> None:
         "noop"
     ).mode("overwrite").save()
 
+    # Fixed SENTINEL workload (VERDICT r8 item 3): three rounds of
+    # uniform upward drift were indistinguishable from a real per-round
+    # code regression because every measured query also changes hands
+    # between rounds. This workload is PINNED — synthetic range input
+    # (no files), explicit 32 slices (independent of box CPU count),
+    # pure JVM codegen + one 1024-key shuffle, zero engine code on its
+    # path — so its round-over-round ratio measures the BOX, and
+    # vs_prev can report a sentinel-normalized code ratio. NEVER change
+    # the constants below; a changed sentinel is a broken series.
+    def _sentinel_cpu() -> float:
+        t0 = time.monotonic()
+        spark.range(0, 2_000_000_000, 1, 32).selectExpr(
+            "sum(id * 3 + id % 7) AS s"
+        ).write.format("noop").mode("overwrite").save()
+        return time.monotonic() - t0
+
+    def _sentinel_shuffle() -> float:
+        t0 = time.monotonic()
+        spark.range(0, 200_000_000, 1, 32).selectExpr(
+            "id % 1024 AS k", "id AS v"
+        ).groupBy("k").agg({"v": "sum"}).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        return time.monotonic() - t0
+
+    _sentinel_cpu(), _sentinel_shuffle()  # their own warmup pass
+    sentinel = {
+        "cpu_sec": round(min(_sentinel_cpu() for _ in range(3)), 3),
+        "shuffle_sec": round(min(_sentinel_shuffle() for _ in range(3)), 3),
+    }
+    sentinel["sec"] = round(sentinel["cpu_sec"] + sentinel["shuffle_sec"], 3)
+
     # three passes, per-query MEDIAN: single-shot numbers on a shared
     # machine varied by up to 1.7x run-to-run (and the same commit
     # measured 38.6-51.8 s across a day under the driver — documented
@@ -309,6 +346,18 @@ def main() -> None:
                     "this_min_sec": round(cur, 3),
                     "ratio_min_vs_prev": round(cur / prv, 3) if prv else None,
                 }
+                # sentinel normalization (VERDICT r8 item 3): the raw
+                # ratio confounds box drift with code drift; dividing by
+                # the pinned sentinel's own ratio removes the box term.
+                # Available once the prior round's artifact carries a
+                # sentinel (r9+).
+                prev_sent = (parsed_prev.get("sentinel") or {}).get("sec")
+                if prev_sent and sentinel["sec"] and prv:
+                    sent_ratio = sentinel["sec"] / float(prev_sent)
+                    vs_prev["sentinel_ratio"] = round(sent_ratio, 3)
+                    vs_prev["ratio_code_normalized"] = round(
+                        (cur / prv) / sent_ratio, 3
+                    )
     except Exception as exc:  # comparison is advisory; never fail the bench
         vs_prev = {"error": f"{type(exc).__name__}: {exc}"}
 
@@ -394,6 +443,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "queries_min": timings_min,
+        "sentinel": sentinel,
         "vs_prev": vs_prev,
         "tpch_x10": tpch_x10,
         "reference_x10": reference_x10,
@@ -423,6 +473,7 @@ def main() -> None:
         "sf": sf_val,
         "n_queries": len(timings),
         "value_min_sum": round(sum(timings_min.values()), 3),
+        "sentinel_sec": sentinel["sec"],
         "vs_prev": vs_prev,
         "tpch_x10_total_sec": tpch_x10.get("total_sec"),
         "reference_x10_speedup_sampled": reference_x10.get("speedup_sampled"),

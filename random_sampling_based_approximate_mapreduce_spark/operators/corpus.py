@@ -746,6 +746,15 @@ def keep_best_by_fingerprint(
     normalized prefix but differ in trailing junk).  One shuffle on the
     fingerprint; max_by is a single partial-merge aggregate, never a
     window.
+
+    Contract (enforced at runtime): ``quality_col`` must be NONNEGATIVE
+    and < 1e10, and ``id_col`` a nonnegative integer — the fixed-width
+    string rank below mis-orders outside that range ('-' sorts below
+    '0', so negatives would rank reversed; >= 1e10 overflows the
+    20-char field and mixed-width numeric strings compare wrong
+    lexicographically). Any out-of-range quality raises at execution
+    time instead of silently keeping the WORST member (ADVICE r8).
+    Every quality function in this package satisfies the contract.
     """
     q = quality_col if quality_col is not None else T.token_count(F.col(text_col))
     fp = (
@@ -770,11 +779,28 @@ def keep_best_by_fingerprint(
     # which every quality function in this package satisfies — and
     # printf formatting is engine-identical, so the DuckDB mirrors stay
     # bit-for-bit.
-    rank = F.concat(
-        F.format_string("%020.9f", F.col("_quality").cast("double")),
+    qd = F.col("_quality").cast("double")
+    rank_raw = F.concat(
+        F.format_string("%020.9f", qd),
         F.format_string(
             "%019d", F.lit(9223372036854775807) - F.col(id_col)
         ),
+    )
+    # runtime contract guard (see docstring): per-row lazy, so the
+    # raise_error branch costs nothing on valid data and the DuckDB
+    # mirrors (which never see invalid data) stay bit-for-bit.
+    rank = F.when(
+        (qd >= F.lit(0.0)) & (qd < F.lit(1.0e10)), rank_raw
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "keep_best_by_fingerprint: quality_col must be in "
+                    "[0, 1e10) for the fixed-width string rank; got "
+                ),
+                F.coalesce(qd.cast("string"), F.lit("NULL")),
+            )
+        )
     )
     return enriched.groupBy("fp").agg(
         F.max_by(F.col(id_col), rank).alias("kept_doc"),

@@ -42,6 +42,7 @@ def knn_brute_force(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     arrow: bool = True,
+    max_queries: int = 100_000,
 ) -> DataFrame:
     """Exact top-k cosine neighbors per query vector.
 
@@ -49,7 +50,12 @@ def knn_brute_force(
     BEFORE ranking so ordering is engine-stable; ties break on neighbor id.
 
     ``arrow=True`` (default): queries are collected driver-side (the small
-    dim table they are), normalized once, and closed over a mapInPandas
+    dim table they are — ENFORCED: the collect is probed with
+    ``limit(max_queries + 1)`` and refused beyond ``max_queries`` rows,
+    the dedup_clusters driver-guard pattern, so a caller passing a large
+    frame gets a clear error instead of a driver OOM; raise the cap
+    explicitly or use ``ann_lsh``/``knn_ivf`` for query sets that big),
+    normalized once, and closed over a mapInPandas
     scorer — one numpy matmul per Arrow batch of the corpus, emitting only
     each batch's top-k candidates per query. Exact because top-k is
     decomposable: the global winner set is a subset of the per-batch
@@ -80,7 +86,23 @@ def knn_brute_force(
 
     from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
-    q_rows = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")).collect()
+    # limit-probed collect (VERDICT r8 item 4): one row past the cap is
+    # enough to prove the frame is too big — never pull an unbounded
+    # query side to the driver
+    q_rows = (
+        queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"))
+        .limit(max_queries + 1)
+        .collect()
+    )
+    if len(q_rows) > max_queries:
+        raise ValueError(
+            f"knn_brute_force(arrow=True): query frame exceeds "
+            f"max_queries={max_queries} rows; it is collected to the "
+            "driver and closed over the corpus scorer, so this would "
+            "risk a driver OOM. Use ann_lsh/knn_ivf for large query "
+            "sets, or raise max_queries explicitly if the driver has "
+            "the memory."
+        )
     if not q_rows:
         empty = corpus.sparkSession.createDataFrame(
             [], f"{query_id_col} long, neighbor_id long, cosine double, rank int"

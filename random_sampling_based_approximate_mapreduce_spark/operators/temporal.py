@@ -120,7 +120,7 @@ def range_join_binned(
     point_ts: str,
     start_col: str,
     end_col: str,
-    width_seconds: int,
+    width_seconds: float,
     how: str = "inner",
 ) -> DataFrame:
     """Join points to half-open intervals [start, end) via bin equi-join.
@@ -136,8 +136,15 @@ def range_join_binned(
         )
     # bin arithmetic in MICROseconds: unix_timestamp truncates sub-second
     # end timestamps, so an interval ending at a bin boundary + fraction
-    # lost its last bin and silently missed matching points (review r8)
-    width_us = int(width_seconds) * 1_000_000
+    # lost its last bin and silently missed matching points (review r8).
+    # round, don't truncate, the width itself: int(0.5)*1e6 == 0 would
+    # divide by zero and int(1.5) silently binned as 1 s (ADVICE r8)
+    width_us = int(round(width_seconds * 1_000_000))
+    if width_us <= 0:
+        raise ValueError(
+            f"range_join_binned: width_seconds={width_seconds!r} rounds "
+            "to a non-positive microsecond bin width"
+        )
     p_bin = F.floor(F.unix_micros(F.col(point_ts)) / F.lit(width_us)).cast("long")
     i_start = F.unix_micros(F.col(start_col))
     i_end = F.unix_micros(F.col(end_col))

@@ -1746,13 +1746,15 @@ def _stratified_value_mean_oracle() -> str:
       FROM events
     ),
     k AS (SELECT d, CAST(cents AS DOUBLE) AS x, w FROM s
-          WHERE w IS NOT NULL AND cents IS NOT NULL),
+          WHERE w IS NOT NULL),
     a AS (SELECT d,
-                 sum(w * x) AS tx, sum(w) AS t1,
+                 sum(w * x) AS tx,
+                 sum(w) FILTER (WHERE x IS NOT NULL) AS t1,
                  sum(w * (w - 1.0) * x * x) AS ma,
                  sum(w * (w - 1.0) * x) AS mb,
-                 sum(w * (w - 1.0)) AS mc,
-                 min(w) AS minw, count(*)::BIGINT AS n
+                 sum(w * (w - 1.0)) FILTER (WHERE x IS NOT NULL) AS mc,
+                 min(w) FILTER (WHERE x IS NOT NULL) AS minw,
+                 count(x)::BIGINT AS n
           FROM k GROUP BY 1)
     SELECT d,
            tx / t1 AS est_mean,

@@ -55,6 +55,11 @@ class SamplingReport:
     designed_ratio: float
     confidence: float
     wall_clock_sec: float
+    # True when total_records is the DESIGN estimate sampled/ratio
+    # (observe=False frames, which keep their zero-job contract), not a
+    # counted total — consumers must not read actual_ratio /
+    # achieved_error as measured on such a report (ADVICE r8)
+    total_is_estimated: bool = False
 
     @property
     def actual_ratio(self) -> float:
@@ -75,6 +80,7 @@ class SamplingReport:
             "confidence": self.confidence,
             "achieved_error": self.achieved_error,
             "wall_clock_sec": self.wall_clock_sec,
+            "total_is_estimated": self.total_is_estimated,
         }
 
     def __str__(self) -> str:  # the reference prints a similar block (:318-323)
@@ -299,7 +305,12 @@ def weighted_mean(
     values is biased toward over-sampled strata). Rows with NULL
     ``value_col`` are excluded from numerator AND denominator (the
     estimand is the mean of the non-null population values, matching
-    ``avg`` semantics).
+    ``avg`` semantics) — via null-skipping sums over the UNFILTERED
+    frame, so a group whose sampled values are ALL NULL still appears
+    in the output with a NULL mean, exactly as ``avg`` keeps it; a
+    pre-groupBy filter would silently drop the group and diverge from
+    sibling estimators on NULL-heavy data (ADVICE r8). ``n_sampled``
+    counts non-null values (the rows entering the estimator).
 
     ``ci_confidence``: Taylor-linearized delta-method interval over the
     HT variance estimators of the two sums and their covariance —
@@ -312,27 +323,32 @@ def weighted_mean(
     ``weighted_count``: any group containing a weight < 1 (signed
     correction rows are not inclusion weights) gets a NULL CI.
     """
-    d = df.where(F.col(value_col).isNotNull())
-    base = d.groupBy(*[F.col(c) for c in group_cols]) if group_cols else d.groupBy()
+    base = df.groupBy(*[F.col(c) for c in group_cols]) if group_cols else df.groupBy()
     w = F.col(weight_col).cast("double")
     x = F.col(value_col).cast("double")
-    tx, t1 = F.sum(w * x), F.sum(w)
+    # null-skipping: w*x is NULL where x is NULL (sum skips it) and the
+    # denominator only counts weights of non-null values, so the two
+    # sums cover exactly the same rows as the old pre-groupBy filter —
+    # bit-identical where any value exists — while all-NULL groups
+    # survive with a NULL mean
+    w_nn = F.when(x.isNotNull(), w)
+    tx, t1 = F.sum(w * x), F.sum(w_nn)
     aggs: list = [(tx / t1).alias(alias)]
     if ci_confidence is not None:
         z = stats.z_score(ci_confidence)
-        ww = w * (w - F.lit(1.0))
+        ww = w_nn * (w_nn - F.lit(1.0))
         A, B, C = F.sum(ww * x * x), F.sum(ww * x), F.sum(ww)
         m = tx / t1
         var = F.greatest(
             A - F.lit(2.0) * m * B + m * m * C, F.lit(0.0)
         ) / (t1 * t1)
         aggs.append(
-            F.when(F.min(w) >= F.lit(1.0), F.lit(z) * F.sqrt(var)).alias(
+            F.when(F.min(w_nn) >= F.lit(1.0), F.lit(z) * F.sqrt(var)).alias(
                 f"{alias}_ci"
             )
         )
     if min_support is not None:
-        aggs.extend(_support_cols(min_support))
+        aggs.extend(_support_cols(min_support, n=F.count(x)))
     return base.agg(*aggs)
 
 
@@ -2051,6 +2067,7 @@ class SampledFrame:
                 raise
 
         total = _metric(self.observation, "total_records")
+        total_is_estimated = False
         if total is None:
             if self.observation is not None and self.observed_base is not None:
                 # observation existed but never fired (the AQE edge):
@@ -2077,6 +2094,9 @@ class SampledFrame:
                     if self.ratio >= 1.0
                     else int(round(sampled_records / self.ratio))
                 )
+                # flag the design estimate so consumers can tell it from
+                # a counted total (ADVICE r8); ratio >= 1 is exact
+                total_is_estimated = self.ratio < 1.0
         if sampled_records is None:
             sampled_records = _metric(self.sample_observation, "sampled_records")
             if sampled_records is None:
@@ -2091,4 +2111,5 @@ class SampledFrame:
             designed_ratio=self.ratio,
             confidence=self.config.confidence,
             wall_clock_sec=wall,
+            total_is_estimated=total_is_estimated,
         )

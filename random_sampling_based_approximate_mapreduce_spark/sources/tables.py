@@ -149,10 +149,31 @@ def ensure_layout(src: str, write_fn) -> str:
         else:
             # src exists but is NOT a published layout (marker missing —
             # e.g. swept by hand): without this branch every future call
-            # would rebuild and fail to publish forever. Replace it with
-            # our complete build; if a racer beats the second rename,
-            # their layout is equivalent and ours is discarded.
-            shutil.rmtree(src, ignore_errors=True)
+            # would rebuild and fail to publish forever. Claim the broken
+            # dir by ATOMIC rename-aside (not rmtree-then-rename, which
+            # raced: a concurrent builder could publish a valid layout
+            # between our marker check and the rmtree, and we would
+            # delete it — ADVICE r8), re-check the marker on what we
+            # actually grabbed, and put it back if it turned out valid.
+            trash = f"{src}.trash.{os.getpid()}"
+            shutil.rmtree(trash, ignore_errors=True)
+            try:
+                os.rename(src, trash)
+            except OSError:
+                pass  # already gone or claimed by a racer
+            else:
+                if os.path.exists(os.path.join(trash, "_SUCCESS")):
+                    # we grabbed a layout published after our check —
+                    # restore it and discard our equivalent build
+                    try:
+                        os.rename(trash, src)
+                    except OSError:
+                        # a racer published yet another valid copy in
+                        # the meantime; ours-in-trash is redundant
+                        shutil.rmtree(trash, ignore_errors=True)
+                    shutil.rmtree(staging, ignore_errors=True)
+                    return src
+                shutil.rmtree(trash, ignore_errors=True)
             try:
                 os.rename(staging, src)
             except OSError:

@@ -439,7 +439,11 @@ def stratified_weighted_mean_stream(
         )
         # mirror weighted_mean's NULL exclusion: NULL values leave the
         # numerator AND the denominator (and n_sampled), or the stream
-        # would diverge from the batch twin on a NULL-bearing corpus
+        # would diverge from the batch twin on a NULL-bearing corpus.
+        # KNOWN divergence (documented): the batch twin keeps a group
+        # whose values are ALL NULL (NULL mean, avg semantics); this
+        # pre-filter drops it — an all-NULL group has no non-null moment
+        # to carry in streaming state, so it simply never emits
         .where(F.col("x").isNotNull())
     )
     wc, xc = F.col("w"), F.col("x")

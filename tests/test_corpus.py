@@ -476,3 +476,59 @@ class TestMisraGriesNulls:
         got = {r["item"]: r["est_count"] for r in misra_gries(df, "item", k=8).collect()}
         assert None not in got
         assert "hot" in got  # the non-null heavy hitter survives
+
+
+class TestKeepBestQualityContract:
+    """ADVICE r8: negative quality reversed the string-rank ordering
+    (the WORST member was kept) and >= 1e10 overflowed the fixed
+    width. keep_best_by_fingerprint now fails loudly outside
+    [0, 1e10) instead of silently mis-ranking."""
+
+    def _docs(self, spark, q_a, q_b):
+        return spark.createDataFrame(
+            [(1, "same prefix text", q_a), (2, "same prefix text", q_b)],
+            "doc_id bigint, text string, q double",
+        )
+
+    def test_negative_quality_raises(self, spark):
+        from random_sampling_based_approximate_mapreduce_spark.operators.corpus import (
+            keep_best_by_fingerprint,
+        )
+
+        docs = self._docs(spark, -1.0, -5.0)
+        with pytest.raises(Exception) as exc:
+            keep_best_by_fingerprint(docs, quality_col=F.col("q")).collect()
+        assert "keep_best_by_fingerprint" in str(exc.value)
+
+    def test_overflow_quality_raises(self, spark):
+        from random_sampling_based_approximate_mapreduce_spark.operators.corpus import (
+            keep_best_by_fingerprint,
+        )
+
+        docs = self._docs(spark, 1.0e10, 1.0)
+        with pytest.raises(Exception) as exc:
+            keep_best_by_fingerprint(docs, quality_col=F.col("q")).collect()
+        assert "keep_best_by_fingerprint" in str(exc.value)
+
+    def test_null_quality_raises(self, spark):
+        from random_sampling_based_approximate_mapreduce_spark.operators.corpus import (
+            keep_best_by_fingerprint,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "same prefix text", None), (2, "same prefix text", 1.0)],
+            "doc_id bigint, text string, q double",
+        )
+        with pytest.raises(Exception) as exc:
+            keep_best_by_fingerprint(docs, quality_col=F.col("q")).collect()
+        assert "keep_best_by_fingerprint" in str(exc.value)
+
+    def test_valid_boundary_quality_ok(self, spark):
+        from random_sampling_based_approximate_mapreduce_spark.operators.corpus import (
+            keep_best_by_fingerprint,
+        )
+
+        docs = self._docs(spark, 0.0, 9.9e9)
+        out = keep_best_by_fingerprint(docs, quality_col=F.col("q")).collect()
+        assert len(out) == 1
+        assert out[0]["kept_doc"] == 2  # higher quality wins

@@ -520,9 +520,29 @@ class TestEmptySampleReport:
         assert rep.sampled_records == 50
         assert abs(rep.actual_ratio - 0.5) < 1e-12
         assert jobs_after == jobs_before  # zero jobs launched
+        # ADVICE r8: a design-estimated total must be distinguishable
+        # from a counted one — consumers read actual_ratio /
+        # achieved_error as measured otherwise
+        assert rep.total_is_estimated is True
+        assert rep.as_dict()["total_is_estimated"] is True
         # and with no count at all there is nothing truthful to report
         with pytest.raises(ValueError, match="nothing truthful"):
             sf.report()
+
+    def test_observed_report_total_is_counted(self, spark):
+        from random_sampling_based_approximate_mapreduce_spark.sampling.config import (
+            SamplingConfig,
+        )
+        from random_sampling_based_approximate_mapreduce_spark.sampling.sampled_frame import (
+            SampledFrame,
+        )
+
+        df = spark.range(100).selectExpr("cast(id as string) as value")
+        sf = SampledFrame.from_dataframe(df, SamplingConfig(ratio=0.5, seed=1))
+        sf.df.count()  # fire the observation
+        rep = sf.report()
+        assert rep.total_is_estimated is False
+        assert rep.total_records == 100
 
 
 class TestMetricsMissingClassifier:
@@ -2572,3 +2592,58 @@ class TestWeightedQuantileBootstrap:
         )
         with pytest.raises(ValueError):
             weighted_quantile_bootstrap(df, "v", 0.5, key_col="k", n_replicates=1)
+
+
+class TestWeightedMeanNullGroups:
+    """ADVICE r8: weighted_mean filtered NULL values BEFORE groupBy, so a
+    group whose sampled values are all NULL vanished from the output —
+    diverging from avg semantics (which keep the group with a NULL
+    mean). The null-skipping rewrite keeps the group."""
+
+    def _frame(self, spark):
+        from pyspark.sql import functions as F
+
+        return spark.createDataFrame(
+            [
+                ("a", 10.0, 2.0),
+                ("a", None, 2.0),
+                ("b", None, 2.0),
+                ("b", None, 2.0),
+            ],
+            "g string, x double, w double",
+        )
+
+    def test_all_null_group_survives_with_null_mean(self, spark):
+        from random_sampling_based_approximate_mapreduce_spark.sampling.sampled_frame import (
+            weighted_mean,
+        )
+
+        out = {
+            r["g"]: r
+            for r in weighted_mean(
+                self._frame(spark), "x", "g", weight_col="w",
+                min_support=2, ci_confidence=0.95,
+            ).collect()
+        }
+        assert set(out) == {"a", "b"}, "all-NULL group must survive"
+        assert out["b"]["est_mean"] is None
+        assert out["b"]["est_mean_ci"] is None
+        assert out["b"]["n_sampled"] == 0  # counts values, not rows
+        assert out["b"]["low_support"] is True
+        # mixed group: NULL rows excluded from numerator AND denominator
+        assert abs(out["a"]["est_mean"] - 10.0) < 1e-12
+        assert out["a"]["n_sampled"] == 1
+
+    def test_matches_spark_avg_group_set(self, spark):
+        from pyspark.sql import functions as F
+
+        from random_sampling_based_approximate_mapreduce_spark.sampling.sampled_frame import (
+            weighted_mean,
+        )
+
+        df = self._frame(spark)
+        avg_groups = {r["g"] for r in df.groupBy("g").agg(F.avg("x")).collect()}
+        wm_groups = {
+            r["g"] for r in weighted_mean(df, "x", "g", weight_col="w").collect()
+        }
+        assert wm_groups == avg_groups

@@ -176,3 +176,28 @@ class TestBruteForceArrow:
 
     def test_arrow_no_queries(self, emb):
         assert S.knn_brute_force(emb, emb.where(F.col("vec_id") < 0)).count() == 0
+
+
+class TestKnnQueryCollectGuard:
+    """VERDICT r8 item 4: the arrow path collects the query side to the
+    driver; an oversized query frame must be refused (limit-probed), not
+    collected into a driver OOM."""
+
+    def test_oversized_query_frame_refused(self, spark, sf_dir):
+        from random_sampling_based_approximate_mapreduce_spark.operators.similarity import (
+            knn_brute_force,
+        )
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        with pytest.raises(ValueError, match="max_queries"):
+            knn_brute_force(emb, emb, k=2, arrow=True, max_queries=3)
+
+    def test_within_cap_still_works(self, spark, sf_dir):
+        from random_sampling_based_approximate_mapreduce_spark.operators.similarity import (
+            knn_brute_force,
+        )
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        q = emb.where(F.col("vec_id") < 2)
+        out = knn_brute_force(emb, q, k=3, arrow=True, max_queries=2).collect()
+        assert len(out) == 6

@@ -332,3 +332,102 @@ class TestEnsureParallelism:
         assert _parse_bytes("64k") == 64 << 10
         assert _parse_bytes("12345") == 12345
         assert _parse_bytes("nonsense") is None
+
+
+class TestEnsureLayoutRace:
+    """ADVICE r8: the marker-repair branch rmtree'd src between the
+    marker check and the rename, deleting a layout a racer published in
+    that window. The fix claims src by ATOMIC rename-aside and re-checks
+    the marker on what it actually grabbed."""
+
+    def _write_fn(self, content):
+        import os
+
+        def write(staging):
+            os.makedirs(staging, exist_ok=True)
+            with open(os.path.join(staging, "data.txt"), "w") as f:
+                f.write(content)
+            open(os.path.join(staging, "_SUCCESS"), "w").close()
+
+        return write
+
+    def test_repair_broken_layout(self, tmp_path):
+        import os
+
+        from random_sampling_based_approximate_mapreduce_spark.sources.tables import ensure_layout
+
+        src = str(tmp_path / "layout")
+        os.makedirs(src)
+        with open(os.path.join(src, "junk.txt"), "w") as f:
+            f.write("partial")
+        # no _SUCCESS -> broken; must be replaced and republished
+        out = ensure_layout(src, self._write_fn("ours"))
+        assert out == src
+        assert os.path.exists(os.path.join(src, "_SUCCESS"))
+        assert open(os.path.join(src, "data.txt")).read() == "ours"
+        assert not os.path.exists(os.path.join(src, "junk.txt"))
+
+    def test_racer_publish_during_repair_survives(self, tmp_path, monkeypatch):
+        """Simulate the TOCTOU window: a racer publishes a VALID layout
+        at src after our marker check (src looked broken) but before we
+        claim it. Our build must detect the marker on the claimed dir,
+        restore the racer's layout, and discard our staging."""
+        import os
+        import shutil
+
+        from random_sampling_based_approximate_mapreduce_spark.sources import tables as TBL
+
+        src = str(tmp_path / "layout")
+        os.makedirs(src)
+        with open(os.path.join(src, "junk.txt"), "w") as f:
+            f.write("partial")
+
+        real_rename = os.rename
+        fired = {"n": 0}
+
+        def racing_rename(a, b):
+            # first rename is staging -> src: fail it (src exists), and
+            # have the "racer" replace src with its valid layout inside
+            # the window before our repair branch claims src
+            if fired["n"] == 0 and b == src:
+                fired["n"] = 1
+                shutil.rmtree(src)
+                os.makedirs(src)
+                with open(os.path.join(src, "data.txt"), "w") as f:
+                    f.write("racer")
+                open(os.path.join(src, "_SUCCESS"), "w").close()
+                raise OSError("simulated ENOTEMPTY")
+            return real_rename(a, b)
+
+        # the racer's publish happens AFTER ensure_layout's initial
+        # marker check read "missing" -- patching rename reproduces the
+        # exact interleaving the ADVICE describes
+        monkeypatch.setattr(os, "rename", racing_rename)
+        # defeat the post-failure marker re-check shortcut: ensure_layout
+        # re-checks _SUCCESS right after the failed rename and returns
+        # early if present; the ADVICE race is the branch where that
+        # check ALSO read missing. Simulate by hiding the marker from
+        # exists() until the claim happens.
+        real_exists = os.path.exists
+        hidden = {"on": True}
+
+        def patched_exists(p):
+            if hidden["on"] and p == os.path.join(src, "_SUCCESS"):
+                # visible again once src was renamed aside (claimed)
+                if not real_exists(src):
+                    hidden["on"] = False
+                    return real_exists(p)
+                return False
+            return real_exists(p)
+
+        monkeypatch.setattr(os.path, "exists", patched_exists)
+        out = TBL.ensure_layout(src, self._write_fn("ours"))
+        monkeypatch.undo()
+
+        assert out == src
+        assert os.path.exists(os.path.join(src, "_SUCCESS"))
+        assert open(os.path.join(src, "data.txt")).read() == "racer", (
+            "repair branch deleted a layout published during the window"
+        )
+        assert not os.path.exists(src + f".staging.{os.getpid()}")
+        assert not os.path.exists(src + f".trash.{os.getpid()}")

@@ -222,3 +222,48 @@ class TestRangeJoinReviewR8:
         df = spark.range(1).selectExpr("cast(id as timestamp) ts")
         with pytest.raises(ValueError, match="inner"):
             range_join_binned(df, df, "ts", "ts", "ts", 10, how="full")
+
+
+class TestFractionalWidth:
+    """ADVICE r8: int(width_seconds)*1e6 truncated fractional widths —
+    0.5 became 0 (div-by-zero bin math) and 1.5 silently binned as 1s."""
+
+    def test_half_second_width_matches_naive(self, spark):
+        base = dt.datetime(2024, 1, 1)
+        points = spark.createDataFrame(
+            [(i, base + dt.timedelta(microseconds=250_000 * i)) for i in range(20)],
+            ["pid", "ts"],
+        )
+        intervals = spark.createDataFrame(
+            [
+                (
+                    j,
+                    base + dt.timedelta(microseconds=500_000 * j),
+                    base + dt.timedelta(microseconds=1_000_000 + 500_000 * j),
+                )
+                for j in range(6)
+            ],
+            ["iid", "c_start", "c_end"],
+        )
+        binned = {
+            (r["pid"], r["iid"])
+            for r in range_join_binned(
+                points, intervals, "ts", "c_start", "c_end", width_seconds=0.5
+            ).collect()
+        }
+        naive = {
+            (r["pid"], r["iid"])
+            for r in points.join(
+                intervals,
+                (points.ts >= intervals.c_start) & (points.ts < intervals.c_end),
+            ).collect()
+        }
+        assert len(naive) > 0
+        assert binned == naive
+
+    def test_nonpositive_width_raises(self, spark):
+        df = spark.createDataFrame([(0, dt.datetime(2024, 1, 1))], ["pid", "ts"])
+        with pytest.raises(ValueError, match="non-positive"):
+            range_join_binned(df, df, "ts", "ts", "ts", width_seconds=0.0)
+        with pytest.raises(ValueError, match="non-positive"):
+            range_join_binned(df, df, "ts", "ts", "ts", width_seconds=0.0000001)

@@ -43,10 +43,15 @@ DIFFERENT estimands:
   computed exactly from the exact counts. Gated at
   ``actual_err <= 3 * expected_grouped_err`` (the ratio is ~1 for
   many-group families; small-K families like events (K=5) see +/-35%
-  relative noise per realization, still far inside 3x). The
-  reference-style flag vs the global bound is still RECORDED as ``ok``
-  so the caveat stays visible, but it is not gated — at r=0.01 it fails
-  by design for every many-group family.
+  relative noise per realization, still far inside 3x). This IS the
+  artifact's ``ok`` column (VERDICT r8: ``ok`` must gate on the metric
+  actually being measured). The reference-style comparison of the
+  grouped error against A4's GLOBAL proportion bound
+  (RandomSamplingUtil.java:376-378 — which bounds only the global count
+  proportion, never per-group error) is recorded as
+  ``global_bound_ok`` so the reference's own dishonesty stays visible;
+  at r=0.01 it is false BY DESIGN for every many-group family and
+  nothing gates on it.
 - ``max_share_z`` — per-group SHARE errors standardized by their own
   binomial std sqrt(p(1-p)(1-r)/n_total); the gate bounds the max over
   groups at 4.5 (Bonferroni-safe up to ~30k groups at 95%). This is the
@@ -287,7 +292,7 @@ def sweep_query(spark, sf: str, query: str, ratios: list[float]) -> dict:
           f"total_records={base_rep.total_records}")
     print(f"{'ratio':>7} {'wall_s':>8} {'speedup':>8} {'actual_rate':>12} "
           f"{'predicted_err':>14} {'actual_err':>11} {'exp_grouped':>12} "
-          f"{'max_share_z':>11} {'ok':>3} {'gok':>4} {'sok':>4}")
+          f"{'max_share_z':>11} {'gbl':>3} {'ok':>4} {'sok':>4}")
     out = {"query": query, "sf": sf, "exact_wall_s": round(base_wall, 3), "runs": []}
     for r in ratios:
         if r >= 1.0:
@@ -298,7 +303,11 @@ def sweep_query(spark, sf: str, query: str, ratios: list[float]) -> dict:
         )
         err = rel_l1_error(base_df, approx, "key", exact_col="cnt", approx_col="est")
         predicted = rep.achieved_error
-        ok = err <= max(predicted, 0.02) * 3  # reference-style flag (recorded only)
+        # reference-style flag vs A4's GLOBAL proportion bound
+        # (RandomSamplingUtil.java:376-378): A4 bounds only the global
+        # count proportion, NOT the grouped rel-L1 measured here, so
+        # this is recorded for visibility and never gated (VERDICT r8)
+        global_bound_ok = err <= max(predicted, 0.02) * 3
         # correct expected grouped rel-L1 under Bernoulli(r) (module doc)
         expected_grouped = (
             (2.0 / math.pi) ** 0.5
@@ -322,12 +331,17 @@ def sweep_query(spark, sf: str, query: str, ratios: list[float]) -> dict:
         share_ok = max_share_z <= 4.5
         print(f"{r:>7} {wall:>8.3f} {base_wall / wall:>7.2f}x {rep.actual_ratio:>12.4f} "
               f"{predicted:>14.5f} {err:>11.5f} {expected_grouped:>12.5f} "
-              f"{max_share_z:>11.2f} {'y' if ok else 'N'} {'y' if grouped_ok else 'N'} "
-              f"{'y' if share_ok else 'N'}")
+              f"{max_share_z:>11.2f} {'y' if global_bound_ok else 'N'} "
+              f"{'y' if grouped_ok else 'N'} {'y' if share_ok else 'N'}")
         out["runs"].append(
             {"ratio": r, "wall_s": round(wall, 3), "speedup": round(base_wall / wall, 2),
              "actual_rate": round(rep.actual_ratio, 5), "predicted_err": round(predicted, 6),
-             "actual_err": round(err, 6), "ok": bool(ok),
+             "actual_err": round(err, 6),
+             # ok == the gate on the measured metric (grouped rel-L1 vs
+             # its correct closed-form expectation); global_bound_ok ==
+             # the reference-style A4-global comparison, recorded only
+             "ok": bool(grouped_ok),
+             "global_bound_ok": bool(global_bound_ok),
              "expected_grouped_err": round(expected_grouped, 6),
              "grouped_ok": bool(grouped_ok),
              "max_share_err": round(max_share_err, 6),
@@ -346,10 +360,10 @@ def main() -> None:
     ap.add_argument("--all", action="store_true", help="sweep every experiment")
     ap.add_argument("--out", default=None, help="write the combined JSON artifact here")
     ap.add_argument("--gate", action="store_true",
-                    help="exit 1 if any run fails grouped_ok (closed-form "
+                    help="exit 1 if any run fails ok/grouped_ok (closed-form "
                     "grouped rel-L1 bound) or share_ok (per-group share "
-                    "z-scores); the reference-style 'ok' flag is recorded "
-                    "but not gated — see the module docstring")
+                    "z-scores); the reference-style 'global_bound_ok' flag "
+                    "is recorded but not gated — see the module docstring")
     args = ap.parse_args()
     ratios = [float(r) for r in args.ratios.split(",")]
 
