@@ -62,7 +62,11 @@ _CHECK_PRIORITY = [
     # older than r5. The r8-green cohort (freshest signal) re-checks
     # last among oracled queries.
     #
-    # --- slots 1-6: round-8 estimators, never driver-checked
+    # --- slots 1-2: the round-9 bzip2-block source (value-oracled,
+    # never driver-checked)
+    "word_count_bzip2_exact",
+    "xml_page_words_bzip2",
+    # --- slots 2-7: round-8 estimators, never driver-checked
     "sampled_join_cluster_ci",
     "stratified_quantile_bootstrap_ci",
     "stratified_value_mean_hash_sampled",
@@ -255,6 +259,7 @@ _CHECK_PRIORITY = [
     # driver rows-signal by r4 - a repeat no_oracle row carries no further
     # signal, so they close the list and never occupy graded slots.
     "word_count_byteblock_sampled",
+    "word_count_bzip2_sampled",
     "approx_price_per_qty",
     "knn_ivf",
     "multimodal_knn",
@@ -262,6 +267,7 @@ _CHECK_PRIORITY = [
     "tablesample_words",
     "tpch_q1_sampled",
     "word_count_sampled",
+    "word_count_unseeded_sampled",
     "word_count_file_sampled",
     "xml_page_words_sampled",
     "log_host_sampled",

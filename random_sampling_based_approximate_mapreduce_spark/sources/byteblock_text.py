@@ -38,9 +38,11 @@ pathologically tiny inputs, like the row-group picker.
 Compression: a seek into a gzip/zstd stream is meaningless (the
 reference hits the same wall and falls back to whole-stream reads,
 RandomizedXMLRecordReader.java:93-97). This source refuses compressed
-inputs with a pointer to ``read_text_file_sampled`` (file-level
-clusters) / ``read_text_sampled`` (row Bernoulli), which both handle
-codecs transparently.
+inputs: .bz2 goes to ``bzip2_block_text`` (bzip2 blocks ARE
+independently decodable, so the byte-skip win survives compression
+there — round 9); other codecs go to ``read_text_file_sampled``
+(file-level clusters) / ``read_text_sampled`` (row Bernoulli), which
+handle them transparently.
 
 100 TB shape: one picked block = one task = one contiguous ~``block_bytes``
 read — the natural text split. The pick is a driver-side stat() pass
@@ -86,8 +88,9 @@ def _list_text_files(path: str) -> list[str]:
         if f.endswith(_COMPRESSED_EXTS):
             raise ValueError(
                 f"byte-block sampling cannot seek into compressed input {f}; "
-                "use read_text_file_sampled (file-level clusters) or "
-                "read_text_sampled (row Bernoulli) for codec inputs"
+                "use bzip2_block_text (block-level byte skip) for .bz2, or "
+                "read_text_file_sampled (file-level clusters) / "
+                "read_text_sampled (row Bernoulli) for other codecs"
             )
     return found
 

@@ -1,0 +1,533 @@
+"""Bzip2-block byte-skip sampling — splittable COMPRESSED text input.
+
+Closes the one gap byteblock_text leaves open (its module docstring, and
+VERDICT r8 "what's missing" #2): the reference samples splits INSIDE
+splittable-compressed XML streams (RandomizedXMLRecordReader.java:76-106
+rides Hadoop's SplittableCompressionCodec), while ``byteblock_text``
+refuses codecs and the engine fell back to whole-stream reads. This
+module restores the I/O-skip win for bzip2 — the one mainstream codec
+whose format makes mid-stream entry possible — using only public format
+facts (the bzip2 format is documented in the bzip2 sources and the
+Hadoop/commons-compress splittable readers):
+
+- a .bz2 STREAM is ``"BZh" + level digit`` then a sequence of blocks,
+  each starting with the 48-bit magic 0x314159265359 at an arbitrary
+  BIT offset, then a 32-bit block CRC; the stream ends with the 48-bit
+  footer magic 0x177245385090 + a combined CRC.
+- a block decompresses INDEPENDENTLY: fabricate a single-block stream
+  (``"BZh9"`` header — the digit only sizes the decoder buffer, so 9 is
+  always safe — + the block's bits re-aligned to byte boundaries + the
+  footer magic + the block's own CRC, which IS the combined CRC of a
+  one-block stream) and hand it to ``bz2.decompress``. Round-trip
+  equality over every block is pinned in tests.
+
+Sampling design — the byteblock contract transplanted to COMPRESSED
+offset space, so the whole cluster-sampling ladder (file / byte-block /
+row-group / row) keeps one algebra:
+
+- COMPRESSED byte ranges are hash-picked from file sizes alone (zero
+  plan-time I/O; unpicked ranges are never opened — the actual skip).
+- a BLOCK belongs to the range containing its magic's first bit; a LINE
+  belongs to the block containing its first byte. A reader decodes its
+  owned blocks, drops content up to and including the first newline
+  (unless it owns the file's first block), emits complete lines, then
+  decodes FORWARD block-by-block just far enough to finish its final
+  straddling line — exactly Hadoop's LineRecordReader pairing, so the
+  union over all ranges at ratio 1.0 is the file, no loss, no dup
+  (tests prove the partition-boundary algebra per range size).
+- every line's inclusion probability is its range's acceptance
+  probability = ``ratio`` -> HT scale-up 1/ratio, the same estimator
+  contract as byteblock_text (clusters are compressed ranges).
+
+Honesty notes:
+- magic false positives (the 48-bit pattern arising inside compressed
+  data, ~2^-48 per bit position) are handled by retrying a failed block
+  decode against successive candidate end positions; a start-position
+  false positive (astronomically rarer: it must also sit exactly where
+  a range begins scanning) raises a clear error rather than emitting
+  wrong text.
+- multi-stream files (pbzip2-style concatenation) work: block discovery
+  is magic-based, per-block decode is stream-independent, and line
+  ownership is defined file-wide (only the FILE's first block keeps its
+  first line).
+- gzip/zstd/lz4 remain refused in byteblock_text: their formats have no
+  independently-decodable blocks, so a seek is genuinely meaningless
+  there. bzip2 is the codec where the reference's semantics can be met
+  honestly.
+
+100 TB shape: one picked range = one task = one contiguous
+~``range_bytes`` compressed read + a numpy bit-shift magic scan (8
+shifted copies of the range) + per-block decode (itself a numpy bulk
+bit-realign + one C ``bz2.decompress``). Decode dominates, as it
+should; unpicked ranges cost nothing. Scale ``range_bytes`` to a few
+compressed blocks (default 4 MiB ~ 4-40 bzip2 blocks depending on
+level).
+"""
+
+from __future__ import annotations
+
+import bz2
+import hashlib
+import os
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+from ..sampling.config import SamplingConfig
+from ..sampling.sampled_frame import SampledFrame
+
+BLOCK_MAGIC = 0x314159265359
+FOOTER_MAGIC = 0x177245385090
+_MAGIC_BITS = 48
+_FIRST_BLOCK_BIT = 32  # "BZh" + level digit = 4 bytes of stream header
+DEFAULT_RANGE_BYTES = 4 << 20
+_SCAN_CHUNK = 1 << 20  # forward-scan window when hunting the next magic
+
+
+def _shift_left(data: bytes, s: int) -> bytes:
+    """``data`` as a bit string shifted left by ``s`` bits (numpy bulk).
+
+    Output byte i = bits [i*8+s, i*8+s+8) of the input; one byte shorter
+    than the input for s > 0 (the final partial byte is dropped).
+    """
+    import numpy as np
+
+    if s == 0:
+        return data
+    a = np.frombuffer(data, dtype=np.uint8).astype(np.uint16)
+    return (((a[:-1] << s) | (a[1:] >> (8 - s))) & 0xFF).astype(np.uint8).tobytes()
+
+
+def _find_magics(data: bytes, base_byte: int, magic: int) -> list[int]:
+    """ABSOLUTE bit offsets of ``magic`` starts within ``data``.
+
+    The 48-bit pattern is byte-aligned in exactly one of the 8
+    left-shifted copies of the buffer; ``bytes.find`` does the rest. A
+    match at shifted-byte i under shift s = absolute bit
+    ``(base_byte + i) * 8 + s``.
+    """
+    if len(data) < 6:
+        return []
+    pat = magic.to_bytes(6, "big")
+    hits: list[int] = []
+    for s in range(8):
+        shifted = _shift_left(data, s)
+        i = 0
+        while (i := shifted.find(pat, i)) >= 0:
+            hits.append((base_byte + i) * 8 + s)
+            i += 1
+    return sorted(hits)
+
+
+def _get_bits(data: bytes, bit_start: int, nbits: int) -> int:
+    byte0 = bit_start // 8
+    byte_n = (bit_start + nbits + 7) // 8
+    chunk = int.from_bytes(data[byte0:byte_n], "big")
+    total = (byte_n - byte0) * 8
+    return (chunk >> (total - (bit_start - byte0 * 8) - nbits)) & ((1 << nbits) - 1)
+
+
+class _BitWriter:
+    """Accumulate bit-granular writes into a byte buffer (zero-padded)."""
+
+    def __init__(self) -> None:
+        self._acc = 0
+        self._n = 0
+        self.out = bytearray()
+
+    def write(self, val: int, nbits: int) -> None:
+        self._acc = (self._acc << nbits) | (val & ((1 << nbits) - 1))
+        self._n += nbits
+        while self._n >= 8:
+            self.out.append((self._acc >> (self._n - 8)) & 0xFF)
+            self._n -= 8
+            self._acc &= (1 << self._n) - 1
+
+    def write_aligned(self, data: bytes) -> None:
+        assert self._n == 0, "write_aligned requires byte alignment"
+        self.out.extend(data)
+
+    def padded(self) -> bytes:
+        if self._n:
+            self.out.append((self._acc << (8 - self._n)) & 0xFF)
+            self._n = 0
+        return bytes(self.out)
+
+
+def decode_block(data: bytes, bit_start: int, bit_end: int) -> bytes:
+    """Decompress ONE block given its bit span [magic_start, next_magic).
+
+    Fabricates the single-block stream described in the module
+    docstring. The block body is byte-aligned in one numpy pass (the
+    4-byte header leaves the writer byte-aligned, so the body is bulk-
+    appended; only the <=7 leftover bits and the footer go through the
+    bit writer).
+    """
+    crc = _get_bits(data, bit_start + _MAGIC_BITS, 32)
+    s = bit_start % 8
+    first_byte = bit_start // 8
+    nbits = bit_end - bit_start
+    aligned = _shift_left(data[first_byte : (bit_end + 7) // 8 + 1], s)
+    n_full = nbits // 8
+    rem = nbits - n_full * 8
+    w = _BitWriter()
+    for b in b"BZh9":
+        w.write(b, 8)
+    w.write_aligned(aligned[:n_full])
+    if rem:
+        w.write(aligned[n_full] >> (8 - rem), rem)
+    w.write(FOOTER_MAGIC, _MAGIC_BITS)
+    w.write(crc, 32)
+    return bz2.decompress(w.padded())
+
+
+class _FileWindow:
+    """Lazily-extended in-memory window of a file from ``base`` onward.
+
+    A partition only ever touches [its range start, forward spill]; the
+    window grows forward on demand, so bytes before the range and after
+    the spill are never read. All offsets are absolute file offsets.
+    """
+
+    def __init__(self, path: str, base: int) -> None:
+        self._fh = open(path, "rb")
+        self._base = base
+        self._fh.seek(base)
+        self._buf = bytearray()
+        self._eof = False
+        self.size = os.path.getsize(path)
+
+    def close(self) -> None:
+        self._fh.close()
+
+    def ensure(self, upto_abs: int) -> None:
+        need = upto_abs - self._base - len(self._buf)
+        while need > 0 and not self._eof:
+            chunk = self._fh.read(max(need, _SCAN_CHUNK))
+            if not chunk:
+                self._eof = True
+                break
+            self._buf.extend(chunk)
+            need -= len(chunk)
+
+    def slice(self, a_abs: int, b_abs: int) -> bytes:
+        if a_abs < self._base:
+            raise ValueError(
+                f"window starts at byte {self._base}, requested {a_abs}"
+            )
+        b_abs = min(b_abs, self.size)
+        self.ensure(b_abs)
+        return bytes(self._buf[a_abs - self._base : b_abs - self._base])
+
+
+class _CandidateScanner:
+    """Monotonic cached scan for block/footer magics from ``from_byte``.
+
+    One numpy shift pass per _SCAN_CHUNK window, results cached — the
+    per-block end lookups during a range decode reuse the same scan
+    instead of re-shifting a fresh window per block (profiled: the
+    rescan cost exceeded the bz2 decompression itself before this).
+    The scan starts at ``from_byte``, so a magic straddling the range
+    start is invisible — correctly: it belongs to the previous range.
+    """
+
+    def __init__(self, win: _FileWindow, from_byte: int) -> None:
+        self._win = win
+        self._scanned_to = from_byte
+        self._cands: list[int] = []
+
+    def next_after(self, bit: int) -> int | None:
+        """First cached-or-scanned magic at bit > ``bit`` (None at EOF)."""
+        import bisect
+
+        while True:
+            i = bisect.bisect_right(self._cands, bit)
+            if i < len(self._cands):
+                return self._cands[i]
+            if self._scanned_to >= self._win.size:
+                return None
+            stop = min(self._scanned_to + _SCAN_CHUNK, self._win.size)
+            data = self._win.slice(
+                self._scanned_to, min(stop + 6, self._win.size)
+            )
+            found = sorted(
+                m
+                for magic in (BLOCK_MAGIC, FOOTER_MAGIC)
+                for m in _find_magics(data, self._scanned_to, magic)
+            )
+            # a magic starting at byte >= stop is re-found (without the
+            # 6-byte-overlap truncation risk) by the next window
+            self._cands.extend(c for c in found if c < stop * 8)
+            self._scanned_to = stop
+
+
+def _is_block_magic(win: _FileWindow, bit: int) -> bool:
+    data = win.slice(bit // 8, bit // 8 + 7)
+    return _get_bits(data, bit - (bit // 8) * 8, _MAGIC_BITS) == BLOCK_MAGIC
+
+
+def _decode_block_robust(
+    win: _FileWindow, bit_start: int, scanner: _CandidateScanner | None = None
+) -> tuple[bytes, int]:
+    """Decode the block at ``bit_start``; returns (text, end_bit).
+
+    The end is the next block/footer magic candidate; a candidate that
+    is a false positive (the 48-bit pattern inside compressed data)
+    makes the decode fail, so successive candidates are tried — which
+    also means false positives INSIDE an owned block are skipped over
+    naturally. Gives up after 8 candidates: at that point ``bit_start``
+    itself is almost surely a false positive, and wrong text must never
+    be emitted.
+    """
+    if scanner is None:
+        scanner = _CandidateScanner(win, bit_start // 8)
+    end = bit_start + _MAGIC_BITS
+    for _ in range(8):
+        nxt = scanner.next_after(end)
+        if nxt is None:
+            raise ValueError(
+                f"bzip2 block at bit {bit_start}: no end magic before EOF "
+                "(truncated file or false-positive block magic)"
+            )
+        end = nxt
+        try:
+            data = win.slice(bit_start // 8, end // 8 + 8)
+            base_bit = (bit_start // 8) * 8
+            return decode_block(data, bit_start - base_bit, end - base_bit), end
+        except (OSError, EOFError):
+            # bz2 raises OSError on corrupt data and EOFError when the
+            # fabricated stream ends mid-block — both mean the candidate
+            # end was a false positive inside the block
+            continue
+    raise ValueError(
+        f"bzip2 block at bit {bit_start}: decode failed against 8 candidate "
+        "ends — the start magic itself is likely a false positive"
+    )
+
+
+def _list_bz2_files(path: str) -> list[str]:
+    import glob as _glob
+
+    if os.path.isdir(path):
+        found = sorted(
+            f
+            for f in _glob.glob(os.path.join(path, "*"))
+            if os.path.isfile(f) and not os.path.basename(f).startswith(("_", "."))
+        )
+    else:
+        found = sorted(f for f in _glob.glob(path) if os.path.isfile(f)) or [path]
+    if not found:
+        raise ValueError(f"no files under {path}")
+    bad = [f for f in found if not f.endswith(".bz2")]
+    if bad:
+        raise ValueError(
+            f"bzip2_block_text reads .bz2 files only (got {bad[:3]}); raw "
+            "text wants byteblock_text, other codecs want "
+            "read_text_file_sampled / read_text_sampled"
+        )
+    return found
+
+
+def pick_ranges(
+    path: str, ratio: float, range_bytes: int = DEFAULT_RANGE_BYTES, seed: int = 42
+) -> tuple[list[tuple[str, int, int]], int, int]:
+    """Deterministic hash-pick of COMPRESSED byte ranges across files.
+
+    Same pick algebra as ``byteblock_text.pick_blocks`` (md5 of
+    (seed, file, index), never-empty hash-min fallback); boundaries are
+    compressed offsets — the READER resolves them to whole bzip2 blocks
+    and line boundaries. Returns (picked [(file, start, end)],
+    picked_bytes, total_bytes).
+    """
+    from ..sampling.deterministic import md5_accept
+
+    if not 0.0 < ratio <= 1.0:
+        raise ValueError(f"ratio must be in (0, 1], got {ratio}")
+    if range_bytes < 1:
+        raise ValueError(f"range_bytes must be >= 1, got {range_bytes}")
+    ranges: list[tuple[str, int, int, int]] = []
+    total = 0
+    for f in _list_bz2_files(path):
+        size = os.path.getsize(f)
+        total += size
+        for idx in range(0, max(1, -(-size // range_bytes))):
+            start = idx * range_bytes
+            end = min(size, start + range_bytes)
+            ranges.append((f, idx, start, end))
+    picked = [r for r in ranges if md5_accept(f"{seed}:{r[0]}#bzr{r[1]}", ratio)]
+    if not picked and ranges:
+        picked = [
+            min(
+                ranges,
+                key=lambda r: int.from_bytes(
+                    hashlib.md5(f"{seed}:{r[0]}#bzr{r[1]}".encode()).digest()[:4],
+                    "big",
+                ),
+            )
+        ]
+    picked_bytes = sum(e - s for _, _, s, e in picked)
+    return [(f, s, e) for f, _, s, e in picked], picked_bytes, total
+
+
+def _strip_cr(line: bytes) -> str:
+    if line.endswith(b"\r"):
+        line = line[:-1]
+    return line.decode("utf-8", errors="replace")
+
+
+def read_range_lines(path: str, start: int, end: int) -> list[str]:
+    """All text lines OWNED by compressed range [start, end) of a .bz2.
+
+    Pure-Python core shared by the Spark reader and the tests' ownership
+    oracle — the ownership contract lives here exactly once. See the
+    module docstring for the contract; the byteblock quirk is preserved:
+    a line starting exactly at a block boundary belongs to the PREVIOUS
+    block (owners always read one line past their content; followers
+    always drop through their first newline).
+    """
+    win = _FileWindow(path, start)
+    try:
+        end_limit = end * 8
+        scanner = _CandidateScanner(win, start)
+        from_bit = max(start * 8, _FIRST_BLOCK_BIT)
+        first = scanner.next_after(from_bit - 1)
+        while first is not None and first < end_limit and not _is_block_magic(win, first):
+            first = scanner.next_after(first)
+        if first is None or first >= end_limit:
+            return []  # no block starts here; some other range owns these bytes
+        parts: list[bytes] = []
+        cur: int | None = first
+        while cur is not None and cur < end_limit:
+            if _is_block_magic(win, cur):
+                text, cur = _decode_block_robust(win, cur, scanner)
+                parts.append(text)
+            else:
+                cur = scanner.next_after(cur)  # skip footers / stream headers
+        content = b"".join(parts)
+        # the FILE's first block is always the magic at bit 32; only its
+        # owner keeps its first line (start may be nonzero when
+        # range_bytes < 5 puts byte 4 in a later range)
+        file_first = first == _FIRST_BLOCK_BIT
+        if not file_first:
+            nl = content.find(b"\n")
+            if nl < 0:
+                # the whole range is the middle of one line owned by an
+                # earlier block (its reader decodes forward through us)
+                return []
+            content = content[nl + 1 :]
+        pieces = content.split(b"\n")
+        tail = pieces.pop()  # bytes after the last newline (may be empty)
+        out = [_strip_cr(p) for p in pieces]
+        # finish the straddling final line: decode forward block-by-block
+        # until a newline or EOF. ``cur`` sits at the first candidate at
+        # or past the range end (or None at EOF).
+        fwd = bytearray()
+        found_nl = False
+        while cur is not None:
+            if not _is_block_magic(win, cur):
+                cur = scanner.next_after(cur)
+                continue
+            text, cur = _decode_block_robust(win, cur, scanner)
+            fwd.extend(text)
+            if b"\n" in fwd:
+                found_nl = True
+                break
+        if found_nl:
+            j = bytes(fwd).find(b"\n")
+            out.append(_strip_cr(tail + bytes(fwd[:j])))
+        elif tail or fwd:
+            out.append(_strip_cr(tail + bytes(fwd)))  # file without final \n
+        return out
+    finally:
+        win.close()
+
+
+class _RangePartition(InputPartition):
+    def __init__(self, path: str, start: int, end: int):
+        self.path = path
+        self.start = start
+        self.end = end
+
+
+class Bzip2BlockTextDataSource(DataSource):
+    """format name ``bzip2_block_text``; options: path, ratio,
+    range_bytes, seed. Schema ``value string``, one row per line."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "bzip2_block_text"
+
+    def schema(self) -> str:
+        return "value string"
+
+    def reader(self, schema) -> "Bzip2BlockTextReader":
+        return Bzip2BlockTextReader(self.options)
+
+
+class Bzip2BlockTextReader(DataSourceReader):
+    _BATCH_ROWS = 8192
+
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("bzip2_block_text requires .option('path', ...)")
+        self.ratio = float(options.get("ratio", "1.0"))
+        self.range_bytes = int(options.get("range_bytes", str(DEFAULT_RANGE_BYTES)))
+        self.seed = int(options.get("seed", "42"))
+
+    def partitions(self):
+        picked, _, _ = pick_ranges(self.path, self.ratio, self.range_bytes, self.seed)
+        return [_RangePartition(f, s, e) for f, s, e in picked]
+
+    def read(self, partition: _RangePartition):
+        import pyarrow as pa
+
+        # one range = a few decompressed blocks (bounded by range_bytes
+        # * bzip2's ~10x text ratio), so materializing before batching
+        # is bounded by the partition size by construction
+        lines = read_range_lines(partition.path, partition.start, partition.end)
+        for i in range(0, len(lines), self._BATCH_ROWS):
+            yield pa.record_batch(
+                [pa.array(lines[i : i + self._BATCH_ROWS], pa.string())],
+                names=["value"],
+            )
+
+
+def register_bzip2_block_text(spark) -> None:
+    """Register the source with a session (idempotent)."""
+    spark.dataSource.register(Bzip2BlockTextDataSource)
+
+
+def read_text_bzip2_sampled(
+    spark,
+    path: str,
+    range_ratio: float,
+    range_bytes: int = DEFAULT_RANGE_BYTES,
+    seed: int = 42,
+    row_config: SamplingConfig | None = None,
+) -> SampledFrame:
+    """Compressed-range cluster sample of .bz2 text -> SampledFrame.
+
+    Every line's inclusion probability is ``range_ratio`` (its range's
+    independent acceptance); estimators HT-scale by 1/range_ratio.
+    ``row_config`` composes a within-range Bernoulli row stage — the
+    same two-stage algebra as the byteblock / file-level samplers.
+    """
+    register_bzip2_block_text(spark)
+    pick_ranges(path, range_ratio, range_bytes, seed)  # eager validation
+    df = (
+        spark.read.format("bzip2_block_text")
+        .option("path", path)
+        .option("ratio", str(range_ratio))
+        .option("range_bytes", str(range_bytes))
+        .option("seed", str(seed))
+        .load()
+    )
+    if row_config is None:
+        cfg = SamplingConfig(ratio=range_ratio, seed=seed)
+        return SampledFrame(df=df, ratio=range_ratio, config=cfg)
+    inner = SampledFrame.from_dataframe(df, row_config, observe=False)
+    combined = SamplingConfig(
+        ratio=range_ratio * inner.ratio,
+        seed=seed if row_config.seed is None else row_config.seed,
+    )
+    return SampledFrame(df=inner.df, ratio=range_ratio * inner.ratio, config=combined)

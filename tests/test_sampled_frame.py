@@ -2647,3 +2647,74 @@ class TestWeightedMeanNullGroups:
             r["g"] for r in weighted_mean(df, "x", "g", weight_col="w").collect()
         }
         assert wm_groups == avg_groups
+
+
+class TestUnseededSampling:
+    """VERDICT r8 item 6: seed=None mirrors the reference's unseeded
+    java.util.Random — nondeterministic across runs but a fully
+    functional SampledFrame end to end (sample -> estimate -> report)."""
+
+    def test_unseeded_end_to_end_report(self, spark, sf_dir):
+        import math
+
+        from random_sampling_based_approximate_mapreduce_spark.sampling.config import (
+            SamplingConfig,
+        )
+        from random_sampling_based_approximate_mapreduce_spark.sampling.sampled_frame import (
+            SampledFrame,
+        )
+
+        df = spark.read.parquet(f"{sf_dir}/events.parquet")
+        sf = SampledFrame.from_dataframe(df, SamplingConfig(ratio=0.2, seed=None))
+        n = sf.df.count()
+        rep = sf.report()
+        total = df.count()
+        assert rep.total_records == total
+        assert rep.sampled_records == n
+        assert rep.total_is_estimated is False
+        assert 0 < n < total
+        # a plausible Bernoulli(0.2) realization (6-sigma binomial band)
+        sd = math.sqrt(total * 0.2 * 0.8)
+        assert abs(n - 0.2 * total) < 6 * sd
+        est = sf.approx_count(alias="est").collect()[0]["est"]
+        assert est == pytest.approx(n / 0.2)
+
+    def test_unseeded_draws_differ(self, spark, sf_dir):
+        from random_sampling_based_approximate_mapreduce_spark.sampling.config import (
+            SamplingConfig,
+        )
+        from random_sampling_based_approximate_mapreduce_spark.sampling.sampled_frame import (
+            SampledFrame,
+        )
+
+        df = spark.read.parquet(f"{sf_dir}/events.parquet").select("event_id")
+        draws = []
+        for _ in range(3):
+            sf = SampledFrame.from_dataframe(
+                df, SamplingConfig(ratio=0.5, seed=None), observe=False
+            )
+            draws.append(frozenset(r["event_id"] for r in sf.df.collect()))
+        # 3 independent Bernoulli(0.5) draws over hundreds of rows
+        # colliding is astronomically unlikely; a collision here means
+        # the seed was silently fixed
+        assert len(set(draws)) > 1
+
+    def test_seeded_twin_is_reproducible(self, spark, sf_dir):
+        from random_sampling_based_approximate_mapreduce_spark.sampling.config import (
+            SamplingConfig,
+        )
+        from random_sampling_based_approximate_mapreduce_spark.sampling.sampled_frame import (
+            SampledFrame,
+        )
+
+        df = spark.read.parquet(f"{sf_dir}/events.parquet").select("event_id")
+        a, b = (
+            frozenset(
+                r["event_id"]
+                for r in SampledFrame.from_dataframe(
+                    df, SamplingConfig(ratio=0.5, seed=7), observe=False
+                ).df.collect()
+            )
+            for _ in range(2)
+        )
+        assert a == b
