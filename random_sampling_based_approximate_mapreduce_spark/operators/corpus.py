@@ -779,7 +779,11 @@ def keep_best_by_fingerprint(
     # which every quality function in this package satisfies — and
     # printf formatting is engine-identical, so the DuckDB mirrors stay
     # bit-for-bit.
-    qd = F.col("_quality").cast("double")
+    # + 0.0 normalizes IEEE -0.0 to +0.0 BEFORE formatting: -0.0 passes
+    # the >= 0 guard but printf renders a leading '-', which would sort
+    # below every '0…' string and lose a tie it should win (review r9).
+    # DuckDB mirrors need no change: integer quality cannot be -0.0.
+    qd = (F.col("_quality").cast("double") + F.lit(0.0))
     rank_raw = F.concat(
         F.format_string("%020.9f", qd),
         F.format_string(

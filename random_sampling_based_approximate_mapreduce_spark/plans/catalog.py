@@ -57,7 +57,7 @@ _CHECK_PRIORITY = [
     # exactly (a) the 6 round-8 estimator queries whose only green so
     # far is the judge's local re-run — never in a driver head — then
     # (b) the 25 queries whose last driver hash-green is r4, in r4
-    # check order, then (c) the 19 oldest of the 50 r5-green queries in
+    # check order, then (c) the 17 oldest of the 50 r5-green queries in
     # r5 check order. After r9 no value-oracled query's driver green is
     # older than r5. The r8-green cohort (freshest signal) re-checks
     # last among oracled queries.
@@ -66,14 +66,14 @@ _CHECK_PRIORITY = [
     # never driver-checked)
     "word_count_bzip2_exact",
     "xml_page_words_bzip2",
-    # --- slots 2-7: round-8 estimators, never driver-checked
+    # --- slots 3-8: round-8 estimators, never driver-checked
     "sampled_join_cluster_ci",
     "stratified_quantile_bootstrap_ci",
     "stratified_value_mean_hash_sampled",
     "stratified_purchase_share_hash_sampled",
     "streaming_stratified_mean",
     "sampled_left_join_unmatched_boot_ci",
-    # --- slots 7-31: the r4-stale cohort (r4 check order)
+    # --- slots 9-33: the r4-stale cohort (r4 check order)
     "top_supplier_revenue",
     "small_qty_revenue",
     "volume_shipping_q7",
@@ -99,7 +99,7 @@ _CHECK_PRIORITY = [
     "events_daily_unpivot",
     "events_outlier_rate",
     "promo_share_hash_sampled",
-    # --- slots 32-50: the 19 oldest r5-green queries (r5 check order)
+    # --- slots 34-50: the 17 oldest r5-green queries (r5 check order)
     "word_count_hash_sampled",
     "char_count_hash_sampled",
     "log_host_hash_sampled",
@@ -117,10 +117,10 @@ _CHECK_PRIORITY = [
     "streaming_attribution_last_touch",
     "events_value_psi",
     "streaming_value_psi",
+    # ---- below here: past the 50-slot harness budget.
+    # --- the remaining 33 r5-green queries (r5 check order)
     "events_type_hour_chi2",
     "docs_token_entropy_by_lang",
-    # ---- below here: past the 50-slot harness budget.
-    # --- the remaining 31 r5-green queries (r5 check order)
     "lang_id_eval",
     "embedding_dim_stats",
     "price_quantity_regression",

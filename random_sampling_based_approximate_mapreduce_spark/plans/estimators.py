@@ -1724,7 +1724,14 @@ def q_cohort_ltv_weekly(spark, sf_dir):
     )
 
 
-def _stratified_value_mean_oracle() -> str:
+def _stratified_value_mean_oracle(drop_all_null_days: bool = False) -> str:
+    """``drop_all_null_days``: the STREAMING twin pre-filters NULL values
+    (an all-NULL day has no non-null moment to carry in state, so it
+    never emits — documented at the filter site in
+    streaming/sampled_stream.py), while batch weighted_mean keeps such a
+    day with a NULL mean (avg semantics, ADVICE r8). The streaming
+    registration passes True so its oracle matches its own contract
+    instead of silently borrowing the batch one (review r9)."""
     from ..sampling import stats as _stats
     from ..sampling.deterministic import stratified_hash_weight_sql
 
@@ -1763,7 +1770,7 @@ def _stratified_value_mean_oracle() -> str:
                ma - 2.0 * (tx / t1) * mb + (tx / t1) * (tx / t1) * mc,
                0.0) / (t1 * t1)) END AS est_mean_ci,
            n AS n_sampled, (n < 100) AS low_support
-    FROM a
+    FROM a{" WHERE n > 0" if drop_all_null_days else ""}
     """
 
 
@@ -1893,10 +1900,12 @@ def q_stratified_purchase_share_hash_sampled(spark, sf_dir):
 
 @register(
     "streaming_stratified_mean",
-    _stratified_value_mean_oracle(),
+    _stratified_value_mean_oracle(drop_all_null_days=True),
     doc="The HT mean WITH its Taylor CI as a STREAMING JOB, value-oracled "
-    "against the SAME SQL as its batch twin (stratified_value_mean_"
-    "hash_sampled): everything the interval needs is a sum — tx, t1, "
+    "against the batch twin's SQL restricted to days with >= 1 non-null "
+    "value (the stream's own contract: an all-NULL day has no non-null "
+    "moment to carry in state and never emits, while batch weighted_mean "
+    "keeps it with a NULL mean): everything the interval needs is a sum — tx, t1, "
     "the three delta-method moments, min(w), row count — so streaming "
     "state is one row of seven exact moments per day forever, and the "
     "est/CI combine is a stateless projection over the complete-mode "

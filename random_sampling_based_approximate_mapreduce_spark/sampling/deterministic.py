@@ -230,3 +230,50 @@ def md5_accept(key: str, ratio: float) -> bool:
 
     h = hashlib.md5(key.encode()).digest()
     return int.from_bytes(h[:4], "big") < ratio * 4294967296
+
+
+def pick_byte_clusters(
+    files: list[str],
+    ratio: float,
+    unit_bytes: int,
+    key_of,
+) -> tuple[list[tuple[str, int, int]], int, int]:
+    """Shared cluster-pick algebra for the byte-offset samplers
+    (byteblock_text blocks / bzip2_block_text compressed ranges; review
+    r9: the enumeration + md5 accept + never-empty hash-min fallback +
+    byte accounting lived verbatim in both modules — one definition,
+    like ``md5_accept`` itself).
+
+    ``key_of(path, idx) -> str`` namespaces the hash key per sampler so
+    existing seeds keep their historical picks. Returns
+    (picked [(file, start, end)], picked_bytes, total_bytes); units are
+    fixed-size byte spans per file, boundaries resolved by each READER.
+    """
+    import hashlib
+    import os
+
+    if not 0.0 < ratio <= 1.0:
+        raise ValueError(f"ratio must be in (0, 1], got {ratio}")
+    if unit_bytes < 1:
+        raise ValueError(f"unit bytes must be >= 1, got {unit_bytes}")
+    units: list[tuple[str, int, int, int]] = []
+    total = 0
+    for f in files:
+        size = os.path.getsize(f)
+        total += size
+        for idx in range(0, max(1, -(-size // unit_bytes))):
+            start = idx * unit_bytes
+            end = min(size, start + unit_bytes)
+            units.append((f, idx, start, end))
+    picked = [u for u in units if md5_accept(key_of(u[0], u[1]), ratio)]
+    if not picked and units:
+        picked = [
+            min(
+                units,
+                key=lambda u: int.from_bytes(
+                    hashlib.md5(key_of(u[0], u[1]).encode()).digest()[:4], "big"
+                ),
+            )
+        ]
+    picked_bytes = sum(e - s for _, _, s, e in picked)
+    return [(f, s, e) for f, _, s, e in picked], picked_bytes, total

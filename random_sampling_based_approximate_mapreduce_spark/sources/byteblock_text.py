@@ -53,7 +53,6 @@ catalog. Arrow batches carry rows into the JVM columnar-side.
 from __future__ import annotations
 
 import glob as _glob
-import hashlib
 import os
 
 from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
@@ -104,31 +103,14 @@ def pick_blocks(
     Never returns an empty pick (hash-min fallback). Block boundaries are
     raw byte offsets — the READER aligns them to line boundaries.
     """
-    if not 0.0 < ratio <= 1.0:
-        raise ValueError(f"ratio must be in (0, 1], got {ratio}")
-    if block_bytes < 1:
-        raise ValueError(f"block_bytes must be >= 1, got {block_bytes}")
-    blocks: list[tuple[str, int, int, int]] = []  # (file, idx, start, end)
-    total = 0
-    for f in _list_text_files(path):
-        size = os.path.getsize(f)
-        total += size
-        for idx in range(0, max(1, -(-size // block_bytes))):
-            start = idx * block_bytes
-            end = min(size, start + block_bytes)
-            blocks.append((f, idx, start, end))
-    picked = [b for b in blocks if _accept_block(b[0], b[1], seed, ratio)]
-    if not picked and blocks:
-        picked = [
-            min(
-                blocks,
-                key=lambda b: int.from_bytes(
-                    hashlib.md5(f"{seed}:{b[0]}#blk{b[1]}".encode()).digest()[:4], "big"
-                ),
-            )
-        ]
-    picked_bytes = sum(e - s for _, _, s, e in picked)
-    return [(f, s, e) for f, _, s, e in picked], picked_bytes, total
+    from ..sampling.deterministic import pick_byte_clusters
+
+    return pick_byte_clusters(
+        _list_text_files(path),
+        ratio,
+        block_bytes,
+        lambda f, idx: f"{seed}:{f}#blk{idx}",
+    )
 
 
 class _BlockPartition(InputPartition):

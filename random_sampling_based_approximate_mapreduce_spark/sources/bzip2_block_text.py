@@ -67,7 +67,6 @@ level).
 from __future__ import annotations
 
 import bz2
-import hashlib
 import os
 
 from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
@@ -97,25 +96,34 @@ def _shift_left(data: bytes, s: int) -> bytes:
     return (((a[:-1] << s) | (a[1:] >> (8 - s))) & 0xFF).astype(np.uint8).tobytes()
 
 
-def _find_magics(data: bytes, base_byte: int, magic: int) -> list[int]:
-    """ABSOLUTE bit offsets of ``magic`` starts within ``data``.
+def _find_all_magics(data: bytes, base_byte: int, magics: tuple[int, ...]) -> list[int]:
+    """ABSOLUTE bit offsets of any of ``magics`` starting within ``data``.
 
-    The 48-bit pattern is byte-aligned in exactly one of the 8
+    Each 48-bit pattern is byte-aligned in exactly one of the 8
     left-shifted copies of the buffer; ``bytes.find`` does the rest. A
     match at shifted-byte i under shift s = absolute bit
-    ``(base_byte + i) * 8 + s``.
+    ``(base_byte + i) * 8 + s``. All patterns are searched against the
+    SAME shifted buffers — the shift is the expensive part (review r9:
+    shifting separately per pattern doubled the scan cost on the hot
+    per-partition path).
     """
     if len(data) < 6:
         return []
-    pat = magic.to_bytes(6, "big")
+    pats = [m.to_bytes(6, "big") for m in magics]
     hits: list[int] = []
     for s in range(8):
         shifted = _shift_left(data, s)
-        i = 0
-        while (i := shifted.find(pat, i)) >= 0:
-            hits.append((base_byte + i) * 8 + s)
-            i += 1
+        for pat in pats:
+            i = 0
+            while (i := shifted.find(pat, i)) >= 0:
+                hits.append((base_byte + i) * 8 + s)
+                i += 1
     return sorted(hits)
+
+
+def _find_magics(data: bytes, base_byte: int, magic: int) -> list[int]:
+    """Single-pattern convenience over ``_find_all_magics``."""
+    return _find_all_magics(data, base_byte, (magic,))
 
 
 def _get_bits(data: bytes, bit_start: int, nbits: int) -> int:
@@ -249,10 +257,8 @@ class _CandidateScanner:
             data = self._win.slice(
                 self._scanned_to, min(stop + 6, self._win.size)
             )
-            found = sorted(
-                m
-                for magic in (BLOCK_MAGIC, FOOTER_MAGIC)
-                for m in _find_magics(data, self._scanned_to, magic)
+            found = _find_all_magics(
+                data, self._scanned_to, (BLOCK_MAGIC, FOOTER_MAGIC)
             )
             # a magic starting at byte >= stop is re-found (without the
             # 6-byte-overlap truncation risk) by the next window
@@ -338,34 +344,43 @@ def pick_ranges(
     and line boundaries. Returns (picked [(file, start, end)],
     picked_bytes, total_bytes).
     """
-    from ..sampling.deterministic import md5_accept
+    from ..sampling.deterministic import pick_byte_clusters
 
-    if not 0.0 < ratio <= 1.0:
-        raise ValueError(f"ratio must be in (0, 1], got {ratio}")
-    if range_bytes < 1:
-        raise ValueError(f"range_bytes must be >= 1, got {range_bytes}")
-    ranges: list[tuple[str, int, int, int]] = []
-    total = 0
-    for f in _list_bz2_files(path):
-        size = os.path.getsize(f)
-        total += size
-        for idx in range(0, max(1, -(-size // range_bytes))):
-            start = idx * range_bytes
-            end = min(size, start + range_bytes)
-            ranges.append((f, idx, start, end))
-    picked = [r for r in ranges if md5_accept(f"{seed}:{r[0]}#bzr{r[1]}", ratio)]
-    if not picked and ranges:
-        picked = [
-            min(
-                ranges,
-                key=lambda r: int.from_bytes(
-                    hashlib.md5(f"{seed}:{r[0]}#bzr{r[1]}".encode()).digest()[:4],
-                    "big",
-                ),
-            )
-        ]
-    picked_bytes = sum(e - s for _, _, s, e in picked)
-    return [(f, s, e) for f, _, s, e in picked], picked_bytes, total
+    return pick_byte_clusters(
+        _list_bz2_files(path),
+        ratio,
+        range_bytes,
+        lambda f, idx: f"{seed}:{f}#bzr{idx}",
+    )
+
+
+# a reader must know whether its first owned block is the FILE's first
+# block (that one keeps its first line; every other drops through its
+# first newline). "magic at bit 32" is NOT sufficient: a concatenated
+# file can open with an EMPTY stream (header + footer only — pbzip2
+# emits these), pushing the first data block past bit 32; the naive rule
+# dropped the file's first line there (review r9, repro'd). Exact rule:
+# no block magic exists before `first`. start == 0 readers know this
+# from their own scan; others verify by reading the prefix — bounded,
+# because a blockless prefix can only be empty 14-byte streams, so any
+# prefix past the cap (~75k concatenated empty streams) is declared
+# non-first rather than scanned.
+_FILE_FIRST_SCAN_CAP = 1 << 20
+
+
+def _is_file_first_block(path: str, start: int, first_bit: int) -> bool:
+    if start == 0:
+        # the scanner covered [0, first) from byte 0; only non-block
+        # candidates (footers of empty streams) preceded `first`
+        return True
+    first_byte = first_bit // 8
+    if first_byte > _FILE_FIRST_SCAN_CAP:
+        return False
+    with open(path, "rb") as fh:
+        prefix = fh.read(first_byte + 6)
+    return not any(
+        m < first_bit for m in _find_magics(prefix, 0, BLOCK_MAGIC)
+    )
 
 
 def _strip_cr(line: bytes) -> str:
@@ -403,10 +418,7 @@ def read_range_lines(path: str, start: int, end: int) -> list[str]:
             else:
                 cur = scanner.next_after(cur)  # skip footers / stream headers
         content = b"".join(parts)
-        # the FILE's first block is always the magic at bit 32; only its
-        # owner keeps its first line (start may be nonzero when
-        # range_bytes < 5 puts byte 4 in a later range)
-        file_first = first == _FIRST_BLOCK_BIT
+        file_first = _is_file_first_block(path, start, first)
         if not file_first:
             nl = content.find(b"\n")
             if nl < 0:

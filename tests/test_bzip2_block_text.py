@@ -281,3 +281,32 @@ class TestRangeSeamProperties:
         want = sorted((part1 + part2).splitlines())
         for rb in (1024, 4096, 1 << 20):
             assert sorted(self._read_all_ranges(str(p), rb)) == want, rb
+
+
+class TestEmptyLeadingStream:
+    """Review r9 (confirmed repro): a file opening with an EMPTY bzip2
+    stream (pbzip2 emits these) pushes the first data block past bit
+    32; the old 'file-first == magic at bit 32' rule dropped the file's
+    first line at every ratio. The exact rule (no block magic before the
+    first owned block) must keep it."""
+
+    def _read_all(self, path, range_bytes):
+        size = os.path.getsize(path)
+        out = []
+        for start in range(0, max(size, 1), range_bytes):
+            out.extend(read_range_lines(path, start, min(size, start + range_bytes)))
+        return out
+
+    def test_empty_first_stream_keeps_first_line(self, tmp_path):
+        p = tmp_path / "lead_empty.bz2"
+        p.write_bytes(bz2.compress(b"") + bz2.compress(b"hello\nworld\n", 1))
+        for rb in (3, 7, 64, 1 << 20):
+            assert sorted(self._read_all(str(p), rb)) == ["hello", "world"], rb
+
+    def test_multiple_empty_leading_streams(self, tmp_path):
+        p = tmp_path / "many_empty.bz2"
+        p.write_bytes(
+            bz2.compress(b"") * 3 + bz2.compress(b"a\nb\n", 9) + bz2.compress(b"")
+        )
+        for rb in (5, 1 << 20):
+            assert sorted(self._read_all(str(p), rb)) == ["a", "b"], rb

@@ -532,3 +532,20 @@ class TestKeepBestQualityContract:
         out = keep_best_by_fingerprint(docs, quality_col=F.col("q")).collect()
         assert len(out) == 1
         assert out[0]["kept_doc"] == 2  # higher quality wins
+
+    def test_negative_zero_quality_ties_to_lowest_id(self, spark):
+        """Review r9: -0.0 passes the >= 0 guard but printf renders a
+        leading '-', which mis-ordered it below +0.0 despite numeric
+        equality. The +0.0 normalization makes it a true tie (lowest id
+        wins)."""
+        from random_sampling_based_approximate_mapreduce_spark.operators.corpus import (
+            keep_best_by_fingerprint,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "same prefix text", -0.0), (2, "same prefix text", 0.0)],
+            "doc_id bigint, text string, q double",
+        )
+        out = keep_best_by_fingerprint(docs, quality_col=F.col("q")).collect()
+        assert len(out) == 1
+        assert out[0]["kept_doc"] == 1
