@@ -209,6 +209,37 @@ def _support_cols(min_support: int, n=None) -> list:
     ]
 
 
+def compose_cluster_row_stage(
+    df,
+    cluster_ratio: float,
+    seed: int,
+    row_config: "SamplingConfig | None" = None,
+) -> "SampledFrame":
+    """Stage-two composition shared by every cluster sampler (file /
+    byte-block / bzip2-range / row-group; review r9: the identical
+    cluster-then-Bernoulli algebra lived verbatim in three source
+    modules — the combined seed/ratio rule must change in ONE place).
+
+    ``cluster_ratio`` is the coarse inclusion probability of the rows
+    already in ``df`` (their cluster's acceptance); ``row_config`` adds
+    seeded Bernoulli rows within, and estimators scale by the product.
+    The combined seed prefers the row stage's explicit seed, falling
+    back to the cluster seed when the row stage is unseeded.
+    """
+    cluster_ratio = max(cluster_ratio, 1e-12)
+    if row_config is None:
+        cfg = SamplingConfig(ratio=cluster_ratio, seed=seed)
+        return SampledFrame(df=df, ratio=cluster_ratio, config=cfg)
+    inner = SampledFrame.from_dataframe(df, row_config, observe=False)
+    combined = SamplingConfig(
+        ratio=cluster_ratio * inner.ratio,
+        seed=seed if row_config.seed is None else row_config.seed,
+    )
+    return SampledFrame(
+        df=inner.df, ratio=cluster_ratio * inner.ratio, config=combined
+    )
+
+
 def weighted_count(
     df: DataFrame,
     *group_cols: str,

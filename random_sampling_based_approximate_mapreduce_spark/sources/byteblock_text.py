@@ -217,12 +217,6 @@ def read_text_byteblock_sampled(
         .option("seed", str(seed))
         .load()
     )
-    if row_config is None:
-        cfg = SamplingConfig(ratio=block_ratio, seed=seed)
-        return SampledFrame(df=df, ratio=block_ratio, config=cfg)
-    inner = SampledFrame.from_dataframe(df, row_config, observe=False)
-    combined = SamplingConfig(
-        ratio=block_ratio * inner.ratio,
-        seed=seed if row_config.seed is None else row_config.seed,
-    )
-    return SampledFrame(df=inner.df, ratio=block_ratio * inner.ratio, config=combined)
+    from ..sampling.sampled_frame import compose_cluster_row_stage
+
+    return compose_cluster_row_stage(df, block_ratio, seed, row_config)

@@ -299,10 +299,14 @@ def _decode_block_robust(
             data = win.slice(bit_start // 8, end // 8 + 8)
             base_bit = (bit_start // 8) * 8
             return decode_block(data, bit_start - base_bit, end - base_bit), end
-        except (OSError, EOFError):
-            # bz2 raises OSError on corrupt data and EOFError when the
-            # fabricated stream ends mid-block — both mean the candidate
-            # end was a false positive inside the block
+        except (OSError, EOFError, ValueError):
+            # a truncated fabricated stream raises ValueError
+            # ("Compressed data ended before the end-of-stream marker")
+            # — verified empirically, 400/400 simulated false-positive
+            # ends raise exactly that (review r9: the original tuple
+            # caught only OSError/EOFError, making this retry dead
+            # code); OSError covers corrupt-data shapes, EOFError the
+            # incremental-decompressor analogue
             continue
     raise ValueError(
         f"bzip2 block at bit {bit_start}: decode failed against 8 candidate "
@@ -362,10 +366,39 @@ def pick_ranges(
 # dropped the file's first line there (review r9, repro'd). Exact rule:
 # no block magic exists before `first`. start == 0 readers know this
 # from their own scan; others verify by reading the prefix — bounded,
-# because a blockless prefix can only be empty 14-byte streams, so any
-# prefix past the cap (~75k concatenated empty streams) is declared
-# non-first rather than scanned.
+# because a blockless prefix can only be empty 14-byte streams, so a
+# prefix past the cap means ~75k concatenated empty streams. Beyond the
+# cap the owner assumes non-first; to keep that assumption from ever
+# LOSING a line silently, the start == 0 reader independently raises on
+# such a file (_guard_pathological_prefix) — a clear job error instead
+# of wrong output, per the module's honesty stance (review r9, xhigh).
 _FILE_FIRST_SCAN_CAP = 1 << 20
+
+
+def _guard_pathological_prefix(scanner: "_CandidateScanner") -> None:
+    """Raise if the file's first BLOCK magic lies beyond the scan cap.
+
+    Called only by the start == 0 reader (once per file, cached scan):
+    walks candidates from the stream header, skipping footers of empty
+    streams, until a block magic (normal: the very first candidate) or
+    the cap. A file with no blocks at all (empty-only streams) is fine —
+    there is no line to lose.
+    """
+    c = scanner.next_after(_FIRST_BLOCK_BIT - 1)
+    while c is not None:
+        byte = c // 8
+        if byte > _FILE_FIRST_SCAN_CAP:
+            raise ValueError(
+                "bzip2_block_text: the file's first data block sits past "
+                f"{_FILE_FIRST_SCAN_CAP} bytes of blockless prefix "
+                "(~75k concatenated empty streams) — beyond the "
+                "file-first ownership scan cap, so line ownership cannot "
+                "be established honestly. Re-compress the file without "
+                "the degenerate empty-stream prefix."
+            )
+        if _is_block_magic(scanner._win, c):
+            return
+        c = scanner.next_after(c)
 
 
 def _is_file_first_block(path: str, start: int, first_bit: int) -> bool:
@@ -408,6 +441,12 @@ def read_range_lines(path: str, start: int, end: int) -> list[str]:
         while first is not None and first < end_limit and not _is_block_magic(win, first):
             first = scanner.next_after(first)
         if first is None or first >= end_limit:
+            if start == 0:
+                # the byte-0 reader is the one place the pathological
+                # blockless-prefix case (first block past the scan cap)
+                # can be detected exactly — fail the job loudly there
+                # rather than let the true owner silently drop line 1
+                _guard_pathological_prefix(scanner)
             return []  # no block starts here; some other range owns these bytes
         parts: list[bytes] = []
         cur: int | None = first
@@ -534,12 +573,6 @@ def read_text_bzip2_sampled(
         .option("seed", str(seed))
         .load()
     )
-    if row_config is None:
-        cfg = SamplingConfig(ratio=range_ratio, seed=seed)
-        return SampledFrame(df=df, ratio=range_ratio, config=cfg)
-    inner = SampledFrame.from_dataframe(df, row_config, observe=False)
-    combined = SamplingConfig(
-        ratio=range_ratio * inner.ratio,
-        seed=seed if row_config.seed is None else row_config.seed,
-    )
-    return SampledFrame(df=inner.df, ratio=range_ratio * inner.ratio, config=combined)
+    from ..sampling.sampled_frame import compose_cluster_row_stage
+
+    return compose_cluster_row_stage(df, range_ratio, seed, row_config)

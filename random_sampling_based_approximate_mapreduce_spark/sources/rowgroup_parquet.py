@@ -172,16 +172,9 @@ def _compose_row_stage(
     row groups. Mirrors ``text.read_text_file_sampled`` — the coarse
     cluster ratio comes from footer metadata (exact), the fine ratio from
     seeded per-row draws, and estimators scale by the product."""
-    achieved = max(achieved, 1e-12)
-    if row_config is None:
-        cfg = SamplingConfig(ratio=achieved, seed=seed)
-        return SampledFrame(df=df, ratio=achieved, config=cfg)
-    inner = SampledFrame.from_dataframe(df, row_config, observe=False)
-    combined = SamplingConfig(
-        ratio=achieved * inner.ratio,
-        seed=seed if row_config.seed is None else row_config.seed,
-    )
-    return SampledFrame(df=inner.df, ratio=achieved * inner.ratio, config=combined)
+    from ..sampling.sampled_frame import compose_cluster_row_stage
+
+    return compose_cluster_row_stage(df, achieved, seed, row_config)
 
 
 def read_parquet_rowgroup_sampled(

@@ -310,3 +310,60 @@ class TestEmptyLeadingStream:
         )
         for rb in (5, 1 << 20):
             assert sorted(self._read_all(str(p), rb)) == ["a", "b"], rb
+
+
+class TestFalsePositiveEndRetry:
+    """Review r9 (xhigh pass): bz2.decompress raises ValueError — not
+    OSError/EOFError — for a truncated fabricated stream, so the
+    false-positive-end retry was dead code. Pin that a bogus first end
+    candidate is retried past, not crashed on."""
+
+    def test_bogus_end_candidate_is_retried(self, corpus):
+        _, p, _ = corpus
+        blocks, _, data = _magic_bits(p)
+        real_first, real_second = blocks[0], blocks[1]
+
+        class FakeScanner:
+            """Yields a mid-block false positive before the real end."""
+
+            def __init__(self):
+                self.cands = sorted({real_first + 5000, *blocks[1:]}) + [
+                    m for m in _find_magics(data, 0, FOOTER_MAGIC)
+                ]
+
+            def next_after(self, bit):
+                for c in sorted(self.cands):
+                    if c > bit:
+                        return c
+                return None
+
+        win = _FileWindow(p, 0)
+        try:
+            text, end = _decode_block_robust(win, real_first, FakeScanner())
+        finally:
+            win.close()
+        assert end == real_second
+        assert text == bz2.decompress(data)[: len(text)]
+        assert len(text) > 0
+
+    def test_over_cap_blockless_prefix_raises_not_loses(self, tmp_path):
+        """Review r9 (xhigh): a blockless prefix past the file-first scan
+        cap must fail the job loudly (start-0 reader), never silently
+        drop the file's first line."""
+        from random_sampling_based_approximate_mapreduce_spark.sources.bzip2_block_text import (
+            _FILE_FIRST_SCAN_CAP,
+        )
+
+        p = tmp_path / "pathological.bz2"
+        empty = bz2.compress(b"")
+        n = _FILE_FIRST_SCAN_CAP // len(empty) + 2
+        p.write_bytes(empty * n + bz2.compress(b"first\nsecond\n", 1))
+        size = os.path.getsize(str(p))
+        with pytest.raises(ValueError, match="blockless prefix"):
+            for start in range(0, size, 1 << 18):
+                read_range_lines(str(p), start, min(size, start + (1 << 18)))
+
+    def test_empty_only_file_is_fine(self, tmp_path):
+        p = tmp_path / "allempty.bz2"
+        p.write_bytes(bz2.compress(b"") * 5)
+        assert read_range_lines(str(p), 0, os.path.getsize(str(p))) == []
