@@ -4,7 +4,9 @@
 Runs every catalog query on Spark AND its DuckDB oracle SQL on the same
 parquet tables, then compares row count, schema (column names), and sorted
 values (exact equality; NaN==NaN). Queries without an oracle get a
-rows-only check (>=0 rows, stable schema).
+rows-only check: the query must EXECUTE and collect (>=0 rows, >=1
+column); no schema baseline is stored, so schema drift on rows-only
+queries is caught by pytest, not here.
 
 Usage: python tools/check_oracle.py [--sf /root/testdata/sf0.01] [--only name1,name2]
        [--plain-session] [--head N]
@@ -15,6 +17,11 @@ was exactly an engine-session-only assumption, so the gate must also
 pass with zero session preparation (tables.load carries the runtime
 fixups). --head N checks only the first N catalog entries (the driver's
 check budget is ~50).
+
+Gate honesty (review r9): a run that checks ZERO queries exits 1 (a
+typo'd --only must not read as green), unknown --only names exit 1, and
+compare/normalize crashes count as that query's FAIL instead of
+aborting the loop.
 """
 
 from __future__ import annotations
@@ -28,9 +35,8 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def normalize(df, float_sig=12):
+def normalize(df):
     """Sort columns by name, canonicalize values, sort rows."""
-    import pandas as pd
 
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
@@ -50,22 +56,20 @@ def compare(name, spark_pdf, duck_pdf):
         return problems
     if len(spark_pdf) != len(duck_pdf):
         problems.append(f"rowcount: spark={len(spark_pdf)} duck={len(duck_pdf)}")
+        return problems  # value comparison needs equal lengths anyway
     a, b = normalize(spark_pdf), normalize(duck_pdf)
-    if len(a) == len(b):
-        for c in a.columns:
-            va, vb = a[c].values, b[c].values
-            if a[c].dtype.kind == "f":
-                eq = all(
-                    (math.isnan(x) and math.isnan(y)) or x == y
-                    for x, y in zip(va, vb)
-                )
-                if not eq:
-                    bad = [(x, y) for x, y in zip(va, vb) if not (x == y or (math.isnan(x) and math.isnan(y)))][:3]
-                    problems.append(f"values[{c}]: e.g. {bad}")
-            else:
-                if not (va == vb).all():
-                    bad = [(x, y) for x, y in zip(va, vb) if x != y][:3]
-                    problems.append(f"values[{c}]: e.g. {bad}")
+    for c in a.columns:
+        va, vb = a[c].values, b[c].values
+        if a[c].dtype.kind == "f":
+            bad = [
+                (x, y)
+                for x, y in zip(va, vb)
+                if not (x == y or (math.isnan(x) and math.isnan(y)))
+            ]
+        else:
+            bad = [(x, y) for x, y in zip(va, vb) if x != y]
+        if bad:
+            problems.append(f"values[{c}]: e.g. {bad[:3]}")
     return problems
 
 
@@ -86,6 +90,15 @@ def main():
     if args.plain_session:
         from pyspark.sql import SparkSession
 
+        # getOrCreate() would silently reuse an already-configured
+        # session and defeat the bare-session guarantee (review r9) —
+        # refuse instead of quietly testing the wrong environment
+        if SparkSession.getActiveSession() is not None:
+            sys.exit(
+                "--plain-session requires a fresh process: an active "
+                "SparkSession already exists and getOrCreate() would "
+                "reuse its configuration"
+            )
         spark = (
             SparkSession.builder.appName("check-oracle-plain")
             .master("local[8]")
@@ -99,6 +112,10 @@ def main():
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{args.sf}/{t}.parquet'")
 
     only = set(args.only.split(",")) if args.only else None
+    if only:
+        unknown = only - set(QUERIES)
+        if unknown:
+            sys.exit(f"unknown --only names (not in the catalog): {sorted(unknown)}")
     n_pass = n_fail = 0
     for i, (name, qd) in enumerate(QUERIES.items()):
         if args.head is not None and i >= args.head:
@@ -114,8 +131,12 @@ def main():
             n_fail += 1
             continue
         if qd.oracle is None:
-            print(f"ok    {name}: rows-only ({len(spdf)} rows, {len(spdf.columns)} cols) [{time.monotonic()-t0:.1f}s]")
-            n_pass += 1
+            if len(spdf.columns) < 1:
+                print(f"FAIL  {name}: rows-only query returned zero columns")
+                n_fail += 1
+            else:
+                print(f"ok    {name}: rows-only ({len(spdf)} rows, {len(spdf.columns)} cols) [{time.monotonic()-t0:.1f}s]")
+                n_pass += 1
             continue
         try:
             dpdf = con.execute(qd.oracle).fetchdf()
@@ -123,7 +144,15 @@ def main():
             print(f"FAIL  {name}: duckdb error: {str(e)[:300]}")
             n_fail += 1
             continue
-        problems = compare(name, spdf, dpdf)
+        try:
+            # inside the per-query guard: a pathological result shape
+            # (duplicate column names, tz-aware dtypes) must count as
+            # THIS query's FAIL, not abort the whole gate (review r9)
+            problems = compare(name, spdf, dpdf)
+        except Exception as e:
+            print(f"FAIL  {name}: compare error: {type(e).__name__}: {str(e)[:300]}")
+            n_fail += 1
+            continue
         if problems:
             print(f"FAIL  {name}: " + " | ".join(problems))
             n_fail += 1
@@ -133,6 +162,10 @@ def main():
 
     print(f"\n{n_pass} passed, {n_fail} failed")
     spark.stop()
+    if n_pass + n_fail == 0:
+        # a gate that checked nothing is NOT green (typo'd --only,
+        # --head 0, or an over-filtered combination)
+        sys.exit("no queries were checked — refusing to report success")
     sys.exit(1 if n_fail else 0)
 
 
