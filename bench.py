@@ -26,11 +26,13 @@ from committed files alone. Full-line shape:
   replication of the bench corpus (~sf1; sources/scale_up.py), min-of-2
   (VERDICT r4 item 7): at sf0.1 every TPC-H query sits on the plan floor,
   so THIS block is where data-dependent scaling shows per round.
-- ``sentinel`` is a PINNED constant workload (synthetic range CPU sum +
-  one 1024-key shuffle, no files, no engine code) measured min-of-3 each
-  run; its round-over-round ratio isolates BOX drift, and ``vs_prev``
-  reports ``ratio_code_normalized`` = raw ratio / sentinel ratio once
-  the prior artifact carries a sentinel (VERDICT r8 item 3).
+- ``sentinel`` is a PINNED constant battery (synthetic range CPU sum,
+  one 1024-key shuffle, and a parquet scan-agg over a PINNED sf0.1 path
+  — never $SPARK_GRAFT_SF_DIR, which would confound dataset size with
+  box drift) measured min-of-3 BEFORE AND AFTER the headline passes,
+  per-component min; its round-over-round ratio isolates BOX drift, and
+  ``vs_prev`` reports ``ratio_code_normalized`` = raw ratio / sentinel
+  ratio once the prior artifact carries a sentinel (VERDICT r8 item 3).
 - ``reference_x10`` runs the reference's flagship workloads (word count,
   log-host count: exact, engine-RNG sampled, hash-deterministic sampled)
   on 10x events/documents replicas and reports the sampled-vs-exact
@@ -245,22 +247,34 @@ def main() -> None:
         ).save()
         return time.monotonic() - t0
 
+    # the scan component reads a PINNED path, not $SPARK_GRAFT_SF_DIR —
+    # an env-var-sized input would confound dataset changes with box
+    # drift and fake a code speedup in ratio_code_normalized (review r9)
+    _SENTINEL_SCAN_PATH = "/root/testdata/sf0.1/lineitem.parquet"
+
     def _sentinel_scan() -> float:
         t0 = time.monotonic()
-        spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet")).selectExpr(
+        spark.read.parquet(_SENTINEL_SCAN_PATH).selectExpr(
             "l_returnflag AS k", "l_quantity + l_extendedprice AS v"
         ).groupBy("k").agg({"v": "sum"}).write.format("noop").mode(
             "overwrite"
         ).save()
         return time.monotonic() - t0
 
-    def _sentinel_battery() -> dict:
-        _sentinel_cpu(), _sentinel_shuffle(), _sentinel_scan()  # warmup
-        return {
+    _sentinel_has_scan = os.path.exists(_SENTINEL_SCAN_PATH)
+
+    def _sentinel_battery(warm: bool = True) -> dict:
+        if warm:  # the post-pass call is already maximally warm
+            _sentinel_cpu(), _sentinel_shuffle()
+            if _sentinel_has_scan:
+                _sentinel_scan()
+        out = {
             "cpu_sec": round(min(_sentinel_cpu() for _ in range(3)), 3),
             "shuffle_sec": round(min(_sentinel_shuffle() for _ in range(3)), 3),
-            "scan_sec": round(min(_sentinel_scan() for _ in range(3)), 3),
         }
+        if _sentinel_has_scan:
+            out["scan_sec"] = round(min(_sentinel_scan() for _ in range(3)), 3)
+        return out
 
     sentinel_pre = _sentinel_battery()
 
@@ -292,13 +306,14 @@ def main() -> None:
     # post-pass sentinel battery; the reported sentinel is the
     # per-component min of pre and post (the bench's own min-robustness
     # convention), both raw batteries kept for drift forensics
-    sentinel_post = _sentinel_battery()
+    sentinel_post = _sentinel_battery(warm=False)
     sentinel = {
         k: min(sentinel_pre[k], sentinel_post[k]) for k in sentinel_pre
     }
     sentinel["sec"] = round(sum(sentinel.values()), 3)
     sentinel["pre"] = sentinel_pre
     sentinel["post"] = sentinel_post
+    sentinel["scan_path"] = _SENTINEL_SCAN_PATH if _sentinel_has_scan else None
 
     # round-over-round comparison against the newest recorded BENCH file
     # of a PRIOR round, on the shared query set, using THIS run's min
@@ -317,30 +332,24 @@ def main() -> None:
         # filename or a malformed SPARK_GRAFT_ROUND must never abort the
         # benchmark itself (review r6: the glob key and int() had drifted
         # out of the try block)
-        benches = sorted(
-            (
-                p
-                for p in glob.glob(os.path.join(here, "BENCH_r*.json"))
-                if re.search(r"BENCH_r(\d+)", p)
-            ),
-            key=lambda p: int(re.search(r"BENCH_r(\d+)", p).group(1)),
+        # parse each filename's round number ONCE into (round, path)
+        # (review r9: the same regex was re-applied at five sites, with
+        # .group(1) correctness depending on a filter elsewhere)
+        rounds = sorted(
+            (int(m.group(1)), p)
+            for p in glob.glob(os.path.join(here, "BENCH_r*.json"))
+            if (m := re.search(r"BENCH_r(\d+)\.json$", p))
         )
         try:
             env_round = int(os.environ.get("SPARK_GRAFT_ROUND", 0))
         except ValueError:
             env_round = 0  # malformed env var -> fall back to glob detection
-        cur_round = env_round or (
-            int(re.search(r"BENCH_r(\d+)", benches[-1]).group(1)) + 1
-            if benches
-            else 1
-        )
-        benches = [
-            p
-            for p in benches
-            if int(re.search(r"BENCH_r(\d+)", p).group(1)) < cur_round
-        ]
-        if benches:
-            prev_path = benches[-1]
+        if env_round < 0:
+            env_round = 0  # a negative round would name a junk artifact
+        cur_round = env_round or (rounds[-1][0] + 1 if rounds else 1)
+        rounds = [(n, p) for n, p in rounds if n < cur_round]
+        if rounds:
+            prev_round, prev_path = rounds[-1]
             with open(prev_path) as fh:
                 prev_doc = json.load(fh)
             parsed_prev = prev_doc.get("parsed") or prev_doc
@@ -349,7 +358,6 @@ def main() -> None:
             # script commits per round, else the one-time partial
             # reconstruction of r5's tail
             if not (parsed_prev.get("queries_min") or parsed_prev.get("queries")):
-                prev_round = int(re.search(r"BENCH_r(\d+)", prev_path).group(1))
                 for alt in (
                     f"docs/bench/BENCH_r{prev_round:02d}_full.json",
                     f"docs/bench/BENCH_r{prev_round:02d}_partial.json",
@@ -368,6 +376,14 @@ def main() -> None:
             prev_q = parsed_prev.get("queries_min") or parsed_prev.get("queries", {})
             basis = "min_vs_min" if parsed_prev.get("queries_min") else "min_vs_median"
             shared = sorted(set(prev_q) & set(timings_min))
+            if not shared:
+                # say WHY the graded ratio is missing instead of a silent
+                # null indistinguishable from "no prior round" (review r9)
+                vs_prev = {
+                    "error": f"round {prev_round} has no per-query data "
+                    f"(checked {os.path.basename(prev_path)} and the "
+                    "docs/bench fallbacks)"
+                }
             if shared:
                 cur = sum(timings_min[q] for q in shared)
                 prv = sum(float(prev_q[q]) for q in shared)
@@ -457,19 +473,30 @@ def main() -> None:
             "copies": 10,
             "build_sec": build_sec,
             "queries": refm,
+            # a 0.0 rounded min (sub-ms sampled plan) must not raise and
+            # discard the whole measured block (review r9)
             "speedup_sampled": {
-                "word_count": round(refm["word_count"] / refm["word_count_sampled"], 2),
-                "log_host": round(refm["log_host"] / refm["log_host_sampled"], 2),
+                "word_count": round(refm["word_count"] / refm["word_count_sampled"], 2)
+                if refm["word_count_sampled"]
+                else None,
+                "log_host": round(refm["log_host"] / refm["log_host_sampled"], 2)
+                if refm["log_host_sampled"]
+                else None,
             },
         }
     except Exception as exc:  # additive; never fail the bench
         reference_x10 = {"error": f"{type(exc).__name__}: {exc}"}
 
-    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    try:
-        sf_val: float | str = float(sf)
-    except ValueError:
-        sf_val = sf
+    # only a trailing sfN path component is a parseable scale factor;
+    # anything else records as the raw basename, not path garbage
+    base = os.path.basename(SF_DIR.rstrip("/"))
+    if re.fullmatch(r"sf[\d.]+", base):
+        try:
+            sf_val: float | str = float(base[2:])
+        except ValueError:
+            sf_val = base
+    else:
+        sf_val = base
     full_doc = {
         "metric": "rsmr-spark headline queries, total wall sec",
         "value": round(sum(timings.values()), 3),
