@@ -399,13 +399,34 @@ def main() -> None:
                 # ratio confounds box drift with code drift; dividing by
                 # the pinned sentinel's own ratio removes the box term.
                 # Available once the prior round's artifact carries a
-                # sentinel (r9+).
-                prev_sent = (parsed_prev.get("sentinel") or {}).get("sec")
-                if prev_sent and sentinel["sec"] and prv:
-                    sent_ratio = sentinel["sec"] / float(prev_sent)
-                    vs_prev["sentinel_ratio"] = round(sent_ratio, 3)
-                    vs_prev["ratio_code_normalized"] = round(
-                        (cur / prv) / sent_ratio, 3
+                # sentinel (r9+). The ratio is computed over the
+                # INTERSECTION of component keys present in both rounds
+                # (review r10): if e.g. the pinned scan path exists in
+                # one round but not the other, a sec/sec ratio would be
+                # silently skewed by the missing component; the shared
+                # components are recorded so a partial basis is visible.
+                prev_sent = parsed_prev.get("sentinel") or {}
+                comp_keys = sorted(
+                    k
+                    for k in sentinel
+                    if k.endswith("_sec")
+                    and isinstance(prev_sent.get(k), (int, float))
+                )
+                if comp_keys and prv:
+                    prv_sent_sum = sum(float(prev_sent[k]) for k in comp_keys)
+                    cur_sent_sum = sum(sentinel[k] for k in comp_keys)
+                    if prv_sent_sum and cur_sent_sum:
+                        sent_ratio = cur_sent_sum / prv_sent_sum
+                        vs_prev["sentinel_ratio"] = round(sent_ratio, 3)
+                        vs_prev["sentinel_components"] = comp_keys
+                        vs_prev["ratio_code_normalized"] = round(
+                            (cur / prv) / sent_ratio, 3
+                        )
+                elif prev_sent and prv:
+                    vs_prev["sentinel_ratio_error"] = (
+                        "no sentinel components shared between rounds: "
+                        f"prev={sorted(k for k in prev_sent if k.endswith('_sec'))} "
+                        f"this={sorted(k for k in sentinel if k.endswith('_sec'))}"
                     )
     except Exception as exc:  # comparison is advisory; never fail the bench
         vs_prev = {"error": f"{type(exc).__name__}: {exc}"}
@@ -460,7 +481,13 @@ def main() -> None:
             "log_host_hash_sampled",
         ]
         ref_samples: dict[str, list[float]] = {n: [] for n in ref_queries}
-        for _ in range(2):
+        # min-of-3 (VERDICT r9 item 5): these are sub-second queries at
+        # x10 whose single-shot speedups measured 1.8-3.7x on identical
+        # code across r8/r9 runs — the spread was the box, not the
+        # engine. Three passes narrow it; the block stays labeled
+        # indicative because the meaningful series is the committed x100
+        # one (docs/SCALE.md, tools/measure_reference_speedup.py).
+        for _ in range(3):
             for name in ref_queries:
                 t0 = time.monotonic()
                 QUERIES[name].spark(spark, ref_dir).write.format("noop").mode(
@@ -472,6 +499,9 @@ def main() -> None:
         reference_x10 = {
             "copies": 10,
             "build_sec": build_sec,
+            "basis": "min_of_3",
+            "stability": "indicative-only: sub-second queries at x10 "
+            "measure box noise; the graded series is docs/SCALE.md x100",
             "queries": refm,
             # a 0.0 rounded min (sub-ms sampled plan) must not raise and
             # discard the whole measured block (review r9)

@@ -53,72 +53,14 @@ from .warehouse import _LQ_W_LEN  # noqa: E402,F401
 # queries first, so every family gets an external signal each round.
 # Already-verified queries and rows-only variants go last.
 _CHECK_PRIORITY = [
-    # === ROUND 9 rotation (VERDICT r8 item 1): the 50 driver slots are
-    # exactly (a) the 6 round-8 estimator queries whose only green so
-    # far is the judge's local re-run — never in a driver head — then
-    # (b) the 25 queries whose last driver hash-green is r4, in r4
-    # check order, then (c) the 17 oldest of the 50 r5-green queries in
-    # r5 check order. After r9 no value-oracled query's driver green is
-    # older than r5. The r8-green cohort (freshest signal) re-checks
+    # === ROUND 10 rotation (VERDICT r9 item 1): the 50 driver slots are
+    # exactly (a) the 33 queries whose last driver hash-green is r5, in
+    # r5 check order, then (b) the 17 oldest of the 50 r7-green queries
+    # in r7 check order. After r10 no value-oracled query's driver green
+    # is older than r7. The r9-green cohort (freshest signal) re-checks
     # last among oracled queries.
     #
-    # --- slots 1-2: the round-9 bzip2-block source (value-oracled,
-    # never driver-checked)
-    "word_count_bzip2_exact",
-    "xml_page_words_bzip2",
-    # --- slots 3-8: round-8 estimators, never driver-checked
-    "sampled_join_cluster_ci",
-    "stratified_quantile_bootstrap_ci",
-    "stratified_value_mean_hash_sampled",
-    "stratified_purchase_share_hash_sampled",
-    "streaming_stratified_mean",
-    "sampled_left_join_unmatched_boot_ci",
-    # --- slots 9-33: the r4-stale cohort (r4 check order)
-    "top_supplier_revenue",
-    "small_qty_revenue",
-    "volume_shipping_q7",
-    "documents_jsonl_roundtrip",
-    "knn_ivf_frozen",
-    "multimodal_knn_frozen",
-    "video_container_meta",
-    "approx_sum_ci_families",
-    "order_counts_distribution",
-    "promo_revenue_share",
-    "supplier_cnt_by_brand",
-    "large_orders_topk",
-    "idle_rich_customers",
-    "cheapest_supplier_per_part",
-    "countmin_tokens",
-    "tfidf_top_terms",
-    "bigram_inverted_index",
-    "events_value_histogram",
-    "streaming_user_sessions",
-    "doc_chunking",
-    "events_sliding_peak",
-    "both_priority_customers",
-    "events_daily_unpivot",
-    "events_outlier_rate",
-    "promo_share_hash_sampled",
-    # --- slots 34-50: the 17 oldest r5-green queries (r5 check order)
-    "word_count_hash_sampled",
-    "char_count_hash_sampled",
-    "log_host_hash_sampled",
-    "wireless_links_hash_sampled",
-    "xml_page_words_hash_sampled",
-    "word_count_file_hash_sampled",
-    "stratified_events_hash_sampled",
-    "events_histogram_hash_sampled",
-    "order_price_quantiles_hash_sampled",
-    "retention_user_sampled",
-    "events_rolling_wau",
-    "sessions_bounce_rate",
-    "cohort_ltv_weekly",
-    "purchase_attribution_last_touch",
-    "streaming_attribution_last_touch",
-    "events_value_psi",
-    "streaming_value_psi",
-    # ---- below here: past the 50-slot harness budget.
-    # --- the remaining 33 r5-green queries (r5 check order)
+    # --- slots 1-33: the r5-stale cohort (r5 check order)
     "events_type_hour_chi2",
     "docs_token_entropy_by_lang",
     "lang_id_eval",
@@ -152,7 +94,7 @@ _CHECK_PRIORITY = [
     "events_daily_pivot",
     "events_ewma",
     "hash_sampled_events",
-    # --- the r7-green cohort (r7 check order)
+    # --- slots 34-50: the 17 oldest r7-green queries (r7 check order)
     "sampled_left_join_hash_twin",
     "order_price_quantile_hash_sampled",
     "order_price_percentiles_hash_sampled",
@@ -170,6 +112,8 @@ _CHECK_PRIORITY = [
     "streaming_dedup_incremental",
     "lang_id_counts",
     "doc_quality",
+    # ---- below here: past the 50-slot harness budget.
+    # --- the remaining 33 r7-green queries (r7 check order)
     "token_stats",
     "knn_brute_force",
     "knn_lsh",
@@ -203,7 +147,7 @@ _CHECK_PRIORITY = [
     "tpch_q1",
     "tpch_q1_hash_sampled",
     "tpch_q3_topk",
-    # --- the r8-green cohort (freshest signal): re-checked last
+    # --- the r8-green cohort (r8 check order)
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_simhash_pairs",
@@ -254,6 +198,57 @@ _CHECK_PRIORITY = [
     "user_state_scd2",
     "orders_profile",
     "doc_quality_logistic",
+    # --- the r9-green cohort (freshest signal): re-checked last
+    "word_count_bzip2_exact",
+    "xml_page_words_bzip2",
+    "sampled_join_cluster_ci",
+    "stratified_quantile_bootstrap_ci",
+    "stratified_value_mean_hash_sampled",
+    "stratified_purchase_share_hash_sampled",
+    "streaming_stratified_mean",
+    "sampled_left_join_unmatched_boot_ci",
+    "top_supplier_revenue",
+    "small_qty_revenue",
+    "volume_shipping_q7",
+    "documents_jsonl_roundtrip",
+    "knn_ivf_frozen",
+    "multimodal_knn_frozen",
+    "video_container_meta",
+    "approx_sum_ci_families",
+    "order_counts_distribution",
+    "promo_revenue_share",
+    "supplier_cnt_by_brand",
+    "large_orders_topk",
+    "idle_rich_customers",
+    "cheapest_supplier_per_part",
+    "countmin_tokens",
+    "tfidf_top_terms",
+    "bigram_inverted_index",
+    "events_value_histogram",
+    "streaming_user_sessions",
+    "doc_chunking",
+    "events_sliding_peak",
+    "both_priority_customers",
+    "events_daily_unpivot",
+    "events_outlier_rate",
+    "promo_share_hash_sampled",
+    "word_count_hash_sampled",
+    "char_count_hash_sampled",
+    "log_host_hash_sampled",
+    "wireless_links_hash_sampled",
+    "xml_page_words_hash_sampled",
+    "word_count_file_hash_sampled",
+    "stratified_events_hash_sampled",
+    "events_histogram_hash_sampled",
+    "order_price_quantiles_hash_sampled",
+    "retention_user_sampled",
+    "events_rolling_wau",
+    "sessions_bounce_rate",
+    "cohort_ltv_weekly",
+    "purchase_attribution_last_touch",
+    "streaming_attribution_last_touch",
+    "events_value_psi",
+    "streaming_value_psi",
     # ---- permanently rows-only-by-nature (engine RNG / approx sketches /
     # data-trained state; each tagged at its @register site). All got a
     # driver rows-signal by r4 - a repeat no_oracle row carries no further

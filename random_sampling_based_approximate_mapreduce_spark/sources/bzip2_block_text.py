@@ -299,14 +299,18 @@ def _decode_block_robust(
             data = win.slice(bit_start // 8, end // 8 + 8)
             base_bit = (bit_start // 8) * 8
             return decode_block(data, bit_start - base_bit, end - base_bit), end
-        except (OSError, EOFError, ValueError):
+        except (OSError, EOFError, ValueError, IndexError):
             # a truncated fabricated stream raises ValueError
             # ("Compressed data ended before the end-of-stream marker")
             # — verified empirically, 400/400 simulated false-positive
             # ends raise exactly that (review r9: the original tuple
             # caught only OSError/EOFError, making this retry dead
             # code); OSError covers corrupt-data shapes, EOFError the
-            # incremental-decompressor analogue
+            # incremental-decompressor analogue. IndexError (review
+            # r10): a false-positive end candidate in the file's last
+            # bytes can clamp decode_block's aligned slice short at
+            # EOF, so aligned[n_full] is out of bounds — that candidate
+            # is wrong by construction and must be retried, not crash.
             continue
     raise ValueError(
         f"bzip2 block at bit {bit_start}: decode failed against 8 candidate "

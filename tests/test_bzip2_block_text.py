@@ -346,6 +346,39 @@ class TestFalsePositiveEndRetry:
         assert text == bz2.decompress(data)[: len(text)]
         assert len(text) > 0
 
+    def test_eof_clamped_end_candidate_is_retried(self, corpus):
+        """Review r10: a false-positive end candidate in the file's last
+        bytes clamps decode_block's window slice short at EOF, so
+        ``aligned[n_full]`` raises IndexError — which must be treated as
+        a failed candidate (retry), never a crash."""
+        _, p, _ = corpus
+        blocks, footers, data = _magic_bits(p)
+        last = blocks[-1]
+        file_bits = len(data) * 8
+
+        class FakeScanner:
+            """First candidate sits 3 bits past the last full byte —
+            the fabricated span overruns EOF by construction — then
+            the real footer magic follows."""
+
+            def __init__(self):
+                self.cands = [file_bits - 3, *footers]
+
+            def next_after(self, bit):
+                for c in sorted(self.cands):
+                    if c > bit:
+                        return c
+                return None
+
+        win = _FileWindow(p, 0)
+        try:
+            text, end = _decode_block_robust(win, last, FakeScanner())
+        finally:
+            win.close()
+        assert end == footers[-1]
+        assert len(text) > 0
+        assert bz2.decompress(data).endswith(text)
+
     def test_over_cap_blockless_prefix_raises_not_loses(self, tmp_path):
         """Review r9 (xhigh): a blockless prefix past the file-first scan
         cap must fail the job loudly (start-0 reader), never silently

@@ -33,6 +33,10 @@ from random_sampling_based_approximate_mapreduce_spark.session import get_spark 
 
 
 def _timed(fn, n=2):
+    # one untimed warmup pass (review r10): the first workload measured
+    # on a cold session otherwise absorbs JVM/codegen warmup the later
+    # workloads don't pay, biasing the first-vs-rest comparison
+    fn()
     best = float("inf")
     for _ in range(n):
         t0 = time.monotonic()

@@ -1,0 +1,238 @@
+#!/usr/bin/env python
+"""Cold-cache wall-clock for the byte-skip source ladder (VERDICT r9 item 2).
+
+The engine's flagship parity claim with the reference (README.md:5, up to
+~40x by skipping input before decode) is an I/O-REGIME claim: the win
+comes from not READING (and not decoding) the unpicked bytes. On a local
+box every prior measurement ran against a hot page cache, which refunds
+the read cost to the full scan and hides exactly the axis the claim is
+about. This tool measures the skip sources in BOTH regimes:
+
+- warm: inputs fully page-cached (the prior rounds' regime),
+- cold: `posix_fadvise(POSIX_FADV_DONTNEED)` on every input file before
+  each timed pass (real block-device reads; verified effective on this
+  box — a 200 MB file reads 2-3x slower evicted than cached).
+
+For each of the three skip sources it times, min-of-N with an untimed
+JVM/codegen warmup pass first:
+
+  source               skip read (ratio r)        post-read baseline
+  byteblock_text       picked byte blocks only    spark.read.text + sample(r)
+  bzip2_block_text     picked compressed ranges   spark.read.text(.bz2) + sample(r)
+  rowgroup_parquet     picked row groups only     spark.read.parquet + sample(r)
+
+at r in {0.1, 0.01}, over a text corpus built by replicating
+documents.text `--copies` times with per-copy entropy suffixes (without
+them bzip2/parquet fold the replicas to ~nothing and there is nothing to
+skip). Downstream is count() — the cheapest honest downstream, i.e. the
+HARDEST case for the skip claim: any real parse/agg downstream only adds
+work proportional to rows delivered, which favors the skip further.
+
+Eviction caveat (honesty): fadvise drops the page cache, not the device's
+own cache, and a single local NVMe reads ~2 GB/s — the cold/warm gap here
+is a LOWER bound on the gap against 100 TB object storage, where unpicked
+bytes are network transfer. The per-source bytes-opened accounting (from
+the pickers' exact bookkeeping) is printed alongside so the wall-clock
+numbers can be projected onto slower storage.
+
+Usage: python tools/measure_cold_skip.py [--copies 1000] [--passes 2]
+Prints one JSON line; paste the table into docs/SCALE.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from random_sampling_based_approximate_mapreduce_spark.session import get_spark  # noqa: E402
+
+
+def _input_files(path: str) -> list[str]:
+    out = []
+    for root, _, files in os.walk(path):
+        for f in files:
+            if not f.startswith((".", "_")):
+                out.append(os.path.join(root, f))
+    return sorted(out)
+
+
+def _evict(paths: list[str]) -> None:
+    """Drop the page cache for every file (clean pages only — callers
+    must os.sync() once after building the inputs)."""
+    for p in paths:
+        fd = os.open(p, os.O_RDONLY)
+        try:
+            os.posix_fadvise(fd, 0, 0, os.POSIX_FADV_DONTNEED)
+        finally:
+            os.close(fd)
+
+
+def _timed(fn, n: int, evict_paths: list[str] | None = None) -> float:
+    """min-of-n with one untimed warmup pass (JVM/codegen warm; in cold
+    mode the warmup ALSO pre-faults the cache, so the eviction before
+    each timed pass is what makes the pass cold — not session state)."""
+    fn()
+    best = float("inf")
+    for _ in range(n):
+        if evict_paths is not None:
+            _evict(evict_paths)
+        t0 = time.monotonic()
+        fn()
+        best = min(best, time.monotonic() - t0)
+    return round(best, 3)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--sf", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    )
+    ap.add_argument("--copies", type=int, default=1000)
+    ap.add_argument("--passes", type=int, default=2)
+    ap.add_argument("--ratios", type=float, nargs="*", default=[0.1, 0.01])
+    args = ap.parse_args()
+
+    spark = get_spark("measure-cold-skip")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from random_sampling_based_approximate_mapreduce_spark.sources.byteblock_text import (
+        pick_blocks,
+        read_text_byteblock_sampled,
+    )
+    from random_sampling_based_approximate_mapreduce_spark.sources.bzip2_block_text import (
+        pick_ranges,
+        read_text_bzip2_sampled,
+    )
+    from random_sampling_based_approximate_mapreduce_spark.sources.rowgroup_parquet import (
+        pick_row_groups,
+        read_parquet_rowgroup_sampled,
+    )
+    from random_sampling_based_approximate_mapreduce_spark.sources.tables import (
+        ensure_layout,
+    )
+
+    import hashlib
+
+    key = hashlib.md5(f"{args.sf}:{args.copies}:v1".encode()).hexdigest()[:10]
+
+    def corpus_df():
+        return (
+            spark.read.parquet(os.path.join(args.sf, "documents.parquet"))
+            .select("text")
+            .crossJoin(spark.range(args.copies).select(F.col("id").alias("__c")))
+            # per-copy entropy suffix: without it bzip2/parquet fold the
+            # replicas to ~nothing and the skip has nothing to skip
+            .select(
+                F.concat(
+                    F.col("text"),
+                    F.lit(" "),
+                    F.md5(F.concat(F.col("text"), F.col("__c").cast("string"))),
+                    F.lit(" "),
+                    F.md5(F.col("__c").cast("string")),
+                ).alias("value")
+            )
+        )
+
+    text_dir = ensure_layout(
+        f"/tmp/rsmr_cold_txt_{key}",
+        lambda d: corpus_df().repartition(32).write.mode("overwrite").text(d),
+    )
+    bz2_dir = ensure_layout(
+        f"/tmp/rsmr_cold_bz2_{key}",
+        lambda d: corpus_df()
+        .repartition(32)
+        .write.mode("overwrite")
+        .option("compression", "bzip2")
+        .text(d),
+    )
+    pq_dir = ensure_layout(
+        f"/tmp/rsmr_cold_pq_{key}",
+        lambda d: corpus_df()
+        .repartition(32)
+        .write.mode("overwrite")
+        # small row groups so a 1% pick has >=1 group per file to keep
+        .option("parquet.block.size", str(2 * 1024 * 1024))
+        .parquet(d),
+    )
+    os.sync()  # flush dirty pages so fadvise(DONTNEED) can evict them
+
+    layouts = {
+        "byteblock_text": (text_dir, _input_files(text_dir)),
+        "bzip2_block_text": (bz2_dir, _input_files(bz2_dir)),
+        "rowgroup_parquet": (pq_dir, _input_files(pq_dir)),
+    }
+    sizes = {
+        name: round(sum(os.path.getsize(f) for f in files) / 1e6, 1)
+        for name, (_, files) in layouts.items()
+    }
+
+    def workloads(name: str, path: str, r: float):
+        if name == "byteblock_text":
+            skip = lambda: read_text_byteblock_sampled(spark, path, r, seed=9).df.count()  # noqa: E731
+            base = lambda: spark.read.text(path).sample(r, seed=9).count()  # noqa: E731
+            _, picked, total = pick_blocks(path, r, seed=9)
+        elif name == "bzip2_block_text":
+            skip = lambda: read_text_bzip2_sampled(spark, path, r, seed=9).df.count()  # noqa: E731
+            base = lambda: spark.read.text(path).sample(r, seed=9).count()  # noqa: E731
+            _, picked, total = pick_ranges(path, r, seed=9)
+        else:
+            skip = lambda: read_parquet_rowgroup_sampled(spark, path, r, seed=9).df.count()  # noqa: E731
+            base = lambda: spark.read.parquet(path).sample(r, seed=9).count()  # noqa: E731
+            _, picked, total = pick_row_groups(path, r, seed=9)
+        return skip, base, picked, total
+
+    results = []
+    for name, (path, files) in layouts.items():
+        for r in args.ratios:
+            skip, base, picked, total = workloads(name, path, r)
+            row = {
+                "source": name,
+                "ratio": r,
+                "input_mb": sizes[name],
+                # rowgroup accounting is rows, the others bytes
+                "picked_unit": "rows" if name == "rowgroup_parquet" else "bytes",
+                "picked": picked,
+                "total": total,
+                "warm_skip_s": _timed(skip, args.passes),
+                "warm_base_s": _timed(base, args.passes),
+                "cold_skip_s": _timed(skip, args.passes, evict_paths=files),
+                "cold_base_s": _timed(base, args.passes, evict_paths=files),
+            }
+            row["warm_speedup"] = (
+                round(row["warm_base_s"] / row["warm_skip_s"], 2)
+                if row["warm_skip_s"]
+                else None
+            )
+            row["cold_speedup"] = (
+                round(row["cold_base_s"] / row["cold_skip_s"], 2)
+                if row["cold_skip_s"]
+                else None
+            )
+            results.append(row)
+            print(json.dumps(row), file=sys.stderr)  # progress
+
+    print(
+        json.dumps(
+            {
+                "copies": args.copies,
+                "passes": args.passes,
+                "input_mb": sizes,
+                "eviction": "posix_fadvise(POSIX_FADV_DONTNEED) per timed pass",
+                "downstream": "count() (cheapest honest downstream; "
+                "favors the full scan)",
+                "results": results,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
