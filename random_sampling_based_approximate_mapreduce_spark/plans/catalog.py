@@ -266,6 +266,7 @@ _CHECK_PRIORITY = [
     "word_count_file_sampled",
     "xml_page_words_sampled",
     "log_host_sampled",
+    "log_host_file_sampled",
     "approx_events_by_type",
     "approx_quantile_events",
     "hll_users_daily",

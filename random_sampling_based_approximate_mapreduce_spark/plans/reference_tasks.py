@@ -265,7 +265,55 @@ def q_log_page(spark, sf_dir):
     tags=("sampled",),
 )
 def q_log_host_sampled(spark, sf_dir):
+    # Bench-fixture caveat (VERDICT r9 item 6): synthesize_raw_log
+    # builds the raw line from parquet ABOVE the sample, a cost the
+    # reference never pays (it reads log text from disk) and one the
+    # sample cannot skip — sampling correctly sits below the expensive
+    # regex PARSE, but this query's measured sampled-speedup is floored
+    # by the synthesis term and must not be read as the engine's
+    # ceiling. log_host_file_sampled below is the disk-shape twin
+    # (pre-written text, the fixture cost paid once at layout time).
     raw = AL.synthesize_raw_log(load(spark, sf_dir, "events"))
+    sf = SampledFrame.from_dataframe(raw, SamplingConfig(ratio=0.1, seed=42), observe=False)
+    parsed = sf.transform(lambda df: AL.parse_apache_log(df))
+    return parsed.approx_count("host", ci=True, alias="est_cnt")
+
+
+def raw_log_layout(spark, sf_dir: str) -> str:
+    """The synthesized Apache access log written ONCE as plain text files
+    — the reference's actual input shape (a log corpus on disk, not rows
+    synthesized per run). Shared by log_host_file_sampled and
+    tools/measure_reference_speedup.py."""
+    import hashlib
+
+    from ..sources.tables import ensure_layout
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    return ensure_layout(
+        f"/tmp/rsmr_raw_log_{key}",
+        lambda d: AL.synthesize_raw_log(load(spark, sf_dir, "events"))
+        .repartition(8)
+        .write.mode("overwrite")
+        .text(d),
+    )
+
+
+@register(
+    "log_host_file_sampled",
+    None,
+    doc="The reference's flagship shape end-to-end: raw access-log TEXT "
+    "read from disk (written once at layout time), line-level Bernoulli "
+    "sample (ratio=0.1) BELOW the regex parse — exactly where "
+    "RandomizedRecordReader skips — then per-host HT-scaled count with "
+    "CI. Unlike log_host_sampled there is no per-run synthesis above "
+    "the sample, so its measured speedup is the engine's honest one "
+    "(engine-RNG sample -> rows-only check; log_host_hash_sampled is "
+    "the value-oracled estimator twin)",
+    tags=("sampled",),
+)
+def q_log_host_file_sampled(spark, sf_dir):
+    src = raw_log_layout(spark, sf_dir)
+    raw = spark.read.text(src).withColumnRenamed("value", "line")
     sf = SampledFrame.from_dataframe(raw, SamplingConfig(ratio=0.1, seed=42), observe=False)
     parsed = sf.transform(lambda df: AL.parse_apache_log(df))
     return parsed.approx_count("host", ci=True, alias="est_cnt")
@@ -326,6 +374,36 @@ def q_xml_page_words_sampled(spark, sf_dir):
     return words.approx_count("word", alias="est_cnt")
 
 
+def xml_bzip2_layout(spark, sf_dir: str) -> str:
+    """One single-line ``<page>`` record per document, as a bzip2-
+    compressed text corpus (Hadoop Bzip2Codec output) — the reference's
+    literal wiki.xml.bz2 input shape, built once per source dir. Shared
+    by q_xml_page_words_bzip2 and tools/measure_reference_speedup.py
+    (the x10/x100 flagship series measures THIS layout)."""
+    import hashlib
+
+    from ..sources.tables import ensure_layout
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    return ensure_layout(
+        f"/tmp/rsmr_xml_bz2_{key}",
+        lambda d: load(spark, sf_dir, "documents")
+        .select(
+            F.concat(
+                F.lit("<page><title>doc-"),
+                F.col("doc_id").cast("string"),
+                F.lit("</title><text>"),
+                F.col("text"),
+                F.lit("</text></page>"),
+            ).alias("value")
+        )
+        .repartition(4)
+        .write.mode("overwrite")
+        .option("compression", "bzip2")
+        .text(d),
+    )
+
+
 @register(
     "xml_page_words_bzip2",
     f"""
@@ -348,31 +426,9 @@ def q_xml_page_words_sampled(spark, sf_dir):
     "composes identically to word_count_bzip2_sampled",
 )
 def q_xml_page_words_bzip2(spark, sf_dir):
-    import hashlib
-
     from ..sources.bzip2_block_text import read_text_bzip2_sampled
-    from ..sources.tables import ensure_layout
 
-    key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    # one-time layout: one single-line <page> record per document, as a
-    # bzip2-compressed text corpus (Hadoop Bzip2Codec output)
-    src = ensure_layout(
-        f"/tmp/rsmr_xml_bz2_{key}",
-        lambda d: load(spark, sf_dir, "documents")
-        .select(
-            F.concat(
-                F.lit("<page><title>doc-"),
-                F.col("doc_id").cast("string"),
-                F.lit("</title><text>"),
-                F.col("text"),
-                F.lit("</text></page>"),
-            ).alias("value")
-        )
-        .repartition(4)
-        .write.mode("overwrite")
-        .option("compression", "bzip2")
-        .text(d),
-    )
+    src = xml_bzip2_layout(spark, sf_dir)
     sf = read_text_bzip2_sampled(spark, src, 1.0, range_bytes=64 * 1024)
     pages = sf.df.select(F.col("value").alias("page_xml"))
     extracted = XP.extract_fields(pages)

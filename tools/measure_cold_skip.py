@@ -24,9 +24,12 @@ JVM/codegen warmup pass first:
 at r in {0.1, 0.01}, over a text corpus built by replicating
 documents.text `--copies` times with per-copy entropy suffixes (without
 them bzip2/parquet fold the replicas to ~nothing and there is nothing to
-skip). Downstream is count() — the cheapest honest downstream, i.e. the
-HARDEST case for the skip claim: any real parse/agg downstream only adds
-work proportional to rows delivered, which favors the skip further.
+skip). Downstream is sum(length(value)) — the cheapest downstream that still
+forces every path to READ the data column (a bare count() lets the
+parquet baseline answer from footer metadata with an empty projection,
+comparing a real read against a no-op); any real parse/agg downstream
+only adds work proportional to rows delivered, which favors the skip
+further.
 
 Eviction caveat (honesty): fadvise drops the page cache, not the device's
 own cache, and a single local NVMe reads ~2 GB/s — the cold/warm gap here
@@ -120,13 +123,24 @@ def main() -> None:
 
     import hashlib
 
-    key = hashlib.md5(f"{args.sf}:{args.copies}:v1".encode()).hexdigest()[:10]
+    key = hashlib.md5(f"{args.sf}:{args.copies}:v2".encode()).hexdigest()[:10]
 
     def corpus_df():
+        # stream the REPLICA side with 32 partitions and broadcast the
+        # small documents table: the expansion then runs 32-wide instead
+        # of inside one task (a 1-partition crossJoin expanded 20M rows
+        # single-threaded at --copies 4000)
         return (
-            spark.read.parquet(os.path.join(args.sf, "documents.parquet"))
-            .select("text")
-            .crossJoin(spark.range(args.copies).select(F.col("id").alias("__c")))
+            spark.range(args.copies)
+            .repartition(32)
+            .select(F.col("id").alias("__c"))
+            .crossJoin(
+                F.broadcast(
+                    spark.read.parquet(
+                        os.path.join(args.sf, "documents.parquet")
+                    ).select("text")
+                )
+            )
             # per-copy entropy suffix: without it bzip2/parquet fold the
             # replicas to ~nothing and the skip has nothing to skip
             .select(
@@ -173,18 +187,23 @@ def main() -> None:
         for name, (_, files) in layouts.items()
     }
 
+    def _consume(df):
+        # sum(length(value)): forces the value column to be materialized
+        # in every path (count() on parquet plans an empty projection)
+        df.agg(F.sum(F.length("value"))).collect()
+
     def workloads(name: str, path: str, r: float):
         if name == "byteblock_text":
-            skip = lambda: read_text_byteblock_sampled(spark, path, r, seed=9).df.count()  # noqa: E731
-            base = lambda: spark.read.text(path).sample(r, seed=9).count()  # noqa: E731
+            skip = lambda: _consume(read_text_byteblock_sampled(spark, path, r, seed=9).df)  # noqa: E731
+            base = lambda: _consume(spark.read.text(path).sample(r, seed=9))  # noqa: E731
             _, picked, total = pick_blocks(path, r, seed=9)
         elif name == "bzip2_block_text":
-            skip = lambda: read_text_bzip2_sampled(spark, path, r, seed=9).df.count()  # noqa: E731
-            base = lambda: spark.read.text(path).sample(r, seed=9).count()  # noqa: E731
+            skip = lambda: _consume(read_text_bzip2_sampled(spark, path, r, seed=9).df)  # noqa: E731
+            base = lambda: _consume(spark.read.text(path).sample(r, seed=9))  # noqa: E731
             _, picked, total = pick_ranges(path, r, seed=9)
         else:
-            skip = lambda: read_parquet_rowgroup_sampled(spark, path, r, seed=9).df.count()  # noqa: E731
-            base = lambda: spark.read.parquet(path).sample(r, seed=9).count()  # noqa: E731
+            skip = lambda: _consume(read_parquet_rowgroup_sampled(spark, path, r, seed=9).df)  # noqa: E731
+            base = lambda: _consume(spark.read.parquet(path).sample(r, seed=9))  # noqa: E731
             _, picked, total = pick_row_groups(path, r, seed=9)
         return skip, base, picked, total
 
@@ -225,8 +244,8 @@ def main() -> None:
                 "passes": args.passes,
                 "input_mb": sizes,
                 "eviction": "posix_fadvise(POSIX_FADV_DONTNEED) per timed pass",
-                "downstream": "count() (cheapest honest downstream; "
-                "favors the full scan)",
+                "downstream": "sum(length(value)) (cheapest downstream that "
+                "still reads the data column in every path)",
                 "results": results,
             }
         )
