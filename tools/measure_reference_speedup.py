@@ -106,6 +106,17 @@ def main() -> None:
         return timed_min3({"log_file_exact": exact, "log_file_sampled": sampled})
 
     # --- the bzip2 XML flagship series (VERDICT r9 item 3)
+    # 256 KB ranges: the shared layout writes 4 .bz2 part files, and with
+    # the source's 4 MB default a 19.5 MB x100 corpus has ~5 ranges — the
+    # never-empty-pick floor then OPENS ~80% of the bytes at nominal
+    # r=0.1 and caps the measurable speedup at ~1.25x regardless of the
+    # engine. Finer ranges put the achieved byte ratio near r (recorded
+    # below as xml_bz2_achieved_ratio so the speedup can be read against
+    # the ratio actually achieved, not the nominal one). At cluster scale
+    # ranges are HDFS-split-sized and file counts are large, so achieved
+    # converges to r without this adjustment.
+    XML_RANGE_BYTES = 256 * 1024
+
     def measure_xml_bzip2(sf_dir):
         src = xml_bzip2_layout(spark, sf_dir)
 
@@ -127,7 +138,9 @@ def main() -> None:
         def sampled_block():
             # compressed byte-ranges skipped BEFORE any decode, pages
             # extracted after the byte-level read, HT-scaled counts
-            sf = read_text_bzip2_sampled(spark, src, XML_SAMPLE_RATIO, seed=42)
+            sf = read_text_bzip2_sampled(
+                spark, src, XML_SAMPLE_RATIO, range_bytes=XML_RANGE_BYTES, seed=42
+            )
             words = sf.transform(
                 lambda df: T.explode_words(
                     XP.extract_fields(df.select(F.col("value").alias("page_xml"))),
@@ -136,9 +149,18 @@ def main() -> None:
             )
             run_noop(words.approx_count("word", alias="est_cnt"))
 
-        return timed_min3(
+        from random_sampling_based_approximate_mapreduce_spark.sources.bzip2_block_text import (
+            pick_ranges,
+        )
+
+        _, picked_b, total_b = pick_ranges(
+            src, XML_SAMPLE_RATIO, XML_RANGE_BYTES, seed=42
+        )
+        out = timed_min3(
             {"xml_bz2_exact_jvm": exact_jvm, "xml_bz2_sampled_block": sampled_block}
         )
+        out["xml_bz2_achieved_ratio"] = round(picked_b / total_b, 4) if total_b else None
+        return out
 
     out = {"sf": SF_DIR, "xml_sample_ratio": XML_SAMPLE_RATIO, "runs": []}
     dirs = {1: SF_DIR}
