@@ -60,7 +60,11 @@ _CHECK_PRIORITY = [
     # is older than r7. The r9-green cohort (freshest signal) re-checks
     # last among oracled queries.
     #
-    # --- slots 1-33: the r5-stale cohort (r5 check order)
+    # --- slot 1: the round-10 seekable-zstd source (value-oracled,
+    # never driver-checked; displaces the 50th planned slot, doc_quality,
+    # which is r7-green and re-checks next round)
+    "word_count_zstd_exact",
+    # --- slots 2-34: the r5-stale cohort (r5 check order)
     "events_type_hour_chi2",
     "docs_token_entropy_by_lang",
     "lang_id_eval",
@@ -94,7 +98,8 @@ _CHECK_PRIORITY = [
     "events_daily_pivot",
     "events_ewma",
     "hash_sampled_events",
-    # --- slots 34-50: the 17 oldest r7-green queries (r7 check order)
+    # --- slots 35-50 (+1 displaced): the 17 oldest r7-green queries
+    # (r7 check order; doc_quality lands at 51, re-checks next round)
     "sampled_left_join_hash_twin",
     "order_price_quantile_hash_sampled",
     "order_price_percentiles_hash_sampled",
@@ -267,6 +272,7 @@ _CHECK_PRIORITY = [
     "xml_page_words_sampled",
     "log_host_sampled",
     "log_host_file_sampled",
+    "word_count_zstd_sampled",
     "approx_events_by_type",
     "approx_quantile_events",
     "hll_users_daily",

@@ -1,0 +1,464 @@
+"""Seekable-zstd text sampling — byte-skip inside .zst via the seekable
+frame format.
+
+Closes the one codec gap the byte-skip ladder honestly refused
+(``byteblock_text`` / VERDICT r9 "what's missing" #2): a PLAIN zstd
+stream has no independently decodable blocks, so a seek into it is
+meaningless and stays refused. But zstd's SEEKABLE variant — the public
+seekable_format spec shipped in the zstd repo (contrib/seekable_format/
+zstd_seekable_compression_format.md) — is a sequence of ordinary,
+INDEPENDENT zstd frames followed by a seek table carried in a standard
+skippable frame. Every seekable-zstd file is also a valid plain zstd
+file (any decompressor that concatenates frames and ignores skippable
+frames reads it whole), and the seek table gives EXACT per-frame
+(compressed_size, decompressed_size) — better than bzip2, where block
+boundaries must be bit-scanned from magic numbers.
+
+Format facts used (all from the public spec):
+
+- seek table = skippable frame: LE32 magic ``0x184D2A5E``, LE32
+  Frame_Size, then payload;
+- payload = N entries (LE32 Compressed_Size, LE32 Decompressed_Size,
+  optional LE32 Checksum when the descriptor's bit 7 is set) + a 9-byte
+  footer: LE32 Number_Of_Frames, 1-byte Seek_Table_Descriptor, LE32
+  Seekable_Magic_Number ``0x8F92EAB1`` — the LAST 9 bytes of the file,
+  so the table is found by reading the tail only;
+- each data frame is a self-contained zstd frame (magic ``0x28B52FFD``)
+  decodable in isolation.
+
+Sampling semantics: FRAMES are the clusters. ``pick_frames`` hash-picks
+frame indices deterministically (md5 of (seed, file, frame index) — the
+shared ``pick_byte_clusters``-style algebra, never-empty per pick) from
+the seek table alone, so the pick costs a tail read per file, not a
+scan. A picked frame becomes one partition that seeks straight to its
+compressed offset and decompresses ONLY itself (pyarrow's zstd codec;
+the seek table supplies the exact decompressed size the codec needs).
+Unpicked frames are never opened, never read, never decoded.
+
+Line-boundary contract: identical to ``byteblock_text`` but in
+DECOMPRESSED offset space — a line belongs to the frame containing its
+first byte; a reader whose frame starts at decompressed offset > 0
+discards the line it lands in (the previous frame's reader finishes it,
+pulling follow-on frames as needed), then emits lines whose start
+offset is <= its frame end. Union over all frames at ratio 1.0 is
+exactly the file (tests prove the seam algebra for arbitrary — not just
+line-aligned — frame splits). Estimators HT-scale by 1/ratio exactly as
+for byte blocks; ``row_config`` composes a within-frame Bernoulli stage.
+
+The WRITER here (``write_seekable_zstd`` / ``convert_text_to_seekable``)
+produces spec-conforming files (plain-zstd-decodable, verified in tests
+against an independent frame walk) so layouts can be built without the
+zstd CLI; files produced by the reference zstd seekable tools are read
+by the same table parser. Files WITHOUT the seekable footer are refused
+loudly — skipping inside a monolithic zstd stream cannot be honest —
+with the same fallback ladder as byteblock_text (file-level clusters or
+row Bernoulli through Spark's own codec).
+
+100 TB shape: one picked frame = one task = one contiguous compressed
+read of table-known size; the pick is O(files) tail reads driver-side.
+Frame checksums (XXH64 low bits) are parsed but not verified — no
+xxhash in this environment's public deps; corruption still surfaces as
+a zstd decode error.
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+import os
+import struct
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+from ..sampling.config import SamplingConfig
+from ..sampling.sampled_frame import SampledFrame
+
+SKIPPABLE_MAGIC = 0x184D2A5E
+SEEKABLE_MAGIC = 0x8F92EAB1
+ZSTD_FRAME_MAGIC = 0xFD2FB528  # bytes 28 B5 2F FD read as LE uint32
+_FOOTER_BYTES = 9
+DEFAULT_FRAME_BYTES = 4 << 20
+
+
+@dataclass(frozen=True)
+class FrameEntry:
+    """One data frame: compressed span [c_off, c_off+c_size) in the file,
+    decompressed span [d_off, d_off+d_size) in the logical stream."""
+
+    c_off: int
+    c_size: int
+    d_off: int
+    d_size: int
+
+
+# ---------------------------------------------------------------------------
+# seek table: parse + write
+# ---------------------------------------------------------------------------
+
+
+def parse_seek_table(path: str) -> list[FrameEntry]:
+    """Read the seekable-format table from the file TAIL (no data scan).
+
+    Raises ValueError (with the fallback ladder) for files that are not
+    seekable-format zstd — including plain single-frame .zst.
+    """
+    size = os.path.getsize(path)
+    with open(path, "rb") as fh:
+        if size < _FOOTER_BYTES + 8:
+            raise ValueError(f"{path}: too small to be seekable zstd")
+        fh.seek(size - _FOOTER_BYTES)
+        n_frames, descriptor, magic = struct.unpack("<IBI", fh.read(_FOOTER_BYTES))
+        if magic != SEEKABLE_MAGIC:
+            raise ValueError(
+                f"{path}: no zstd seekable-format seek table (footer magic "
+                f"0x{magic:08X} != 0x{SEEKABLE_MAGIC:08X}). Frame-skip needs "
+                "the seekable variant (zstd contrib seekable_format; this "
+                "module's write_seekable_zstd produces it). For plain .zst "
+                "use read_text_file_sampled (file-level clusters) or "
+                "read_text_sampled (row Bernoulli) through Spark's codec"
+            )
+        if descriptor & 0x7C:
+            raise ValueError(
+                f"{path}: reserved seek-table descriptor bits set "
+                f"(0x{descriptor:02X}) — refusing to guess the entry layout"
+            )
+        has_checksum = bool(descriptor & 0x80)
+        entry_size = 12 if has_checksum else 8
+        table_payload = n_frames * entry_size + _FOOTER_BYTES
+        table_start = size - table_payload - 8
+        if table_start < 0:
+            raise ValueError(f"{path}: seek table larger than file (corrupt)")
+        fh.seek(table_start)
+        skip_magic, frame_size = struct.unpack("<II", fh.read(8))
+        if skip_magic != SKIPPABLE_MAGIC:
+            raise ValueError(
+                f"{path}: seek-table skippable-frame magic mismatch "
+                f"(0x{skip_magic:08X}) — truncated or corrupt seekable file"
+            )
+        if frame_size != table_payload:
+            raise ValueError(
+                f"{path}: seek-table size field {frame_size} != computed "
+                f"{table_payload} (corrupt table)"
+            )
+        raw = fh.read(n_frames * entry_size)
+    entries: list[FrameEntry] = []
+    c_off = 0
+    d_off = 0
+    for i in range(n_frames):
+        c_size, d_size = struct.unpack_from("<II", raw, i * entry_size)
+        entries.append(FrameEntry(c_off, c_size, d_off, d_size))
+        c_off += c_size
+        d_off += d_size
+    if c_off != table_start:
+        raise ValueError(
+            f"{path}: frames sum to {c_off} compressed bytes but the seek "
+            f"table starts at {table_start} (corrupt table)"
+        )
+    return entries
+
+
+def write_seekable_zstd(
+    data: bytes,
+    out_path: str,
+    frame_bytes: int = DEFAULT_FRAME_BYTES,
+    align_lines: bool = True,
+    level: int | None = None,
+) -> list[FrameEntry]:
+    """Compress ``data`` as seekable zstd: independent frames of
+    ~``frame_bytes`` decompressed bytes + the spec's seek table.
+
+    ``align_lines=True`` extends each frame to the next newline (the
+    natural layout for line data — seams then never split a line);
+    tests also exercise ``align_lines=False`` to prove the reader's
+    seam algebra on hostile splits. Returns the frame entries written.
+    """
+    import pyarrow as pa
+
+    if frame_bytes < 1:
+        raise ValueError(f"frame_bytes must be >= 1, got {frame_bytes}")
+    codec = pa.Codec("zstd", compression_level=level) if level else pa.Codec("zstd")
+    chunks: list[bytes] = []
+    pos = 0
+    while pos < len(data):
+        end = min(len(data), pos + frame_bytes)
+        if align_lines and end < len(data):
+            nl = data.find(b"\n", end - 1)
+            end = len(data) if nl < 0 else nl + 1
+        chunks.append(data[pos:end])
+        pos = end
+    if not chunks:
+        chunks = [b""]  # an empty input still gets one (empty) frame
+    entries: list[FrameEntry] = []
+    c_off = 0
+    d_off = 0
+    with open(out_path, "wb") as fh:
+        for chunk in chunks:
+            comp = codec.compress(chunk, asbytes=True)
+            fh.write(comp)
+            entries.append(FrameEntry(c_off, len(comp), d_off, len(chunk)))
+            c_off += len(comp)
+            d_off += len(chunk)
+        payload_size = len(entries) * 8 + _FOOTER_BYTES
+        fh.write(struct.pack("<II", SKIPPABLE_MAGIC, payload_size))
+        for e in entries:
+            fh.write(struct.pack("<II", e.c_size, e.d_size))
+        fh.write(struct.pack("<IBI", len(entries), 0, SEEKABLE_MAGIC))
+    return entries
+
+
+def convert_text_to_seekable(
+    src_dir: str, dst_dir: str, frame_bytes: int = DEFAULT_FRAME_BYTES
+) -> list[str]:
+    """Convert every plain-text part file under ``src_dir`` to a
+    seekable .zst under ``dst_dir`` (driver-side, one pass per file) —
+    the layout builder for fixtures and measurements."""
+    os.makedirs(dst_dir, exist_ok=True)
+    out: list[str] = []
+    for f in sorted(os.listdir(src_dir)):
+        p = os.path.join(src_dir, f)
+        if not os.path.isfile(p) or f.startswith(("_", ".")):
+            continue
+        dst = os.path.join(dst_dir, f + ".zst")
+        with open(p, "rb") as fh:
+            write_seekable_zstd(fh.read(), dst)
+        out.append(dst)
+    if not out:
+        raise ValueError(f"no text part files under {src_dir}")
+    return out
+
+
+def decompress_file(path: str) -> bytes:
+    """Whole-file decode via the seek table (tests compare this against
+    the original bytes and against per-frame reads)."""
+    import pyarrow as pa
+
+    codec = pa.Codec("zstd")
+    entries = parse_seek_table(path)
+    out = bytearray()
+    with open(path, "rb") as fh:
+        for e in entries:
+            fh.seek(e.c_off)
+            if e.d_size == 0:
+                continue
+            out += codec.decompress(fh.read(e.c_size), e.d_size, asbytes=True)
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# frame pick (cluster sampling over the seek table)
+# ---------------------------------------------------------------------------
+
+
+def _list_zst_files(path: str) -> list[str]:
+    if os.path.isdir(path):
+        found = sorted(
+            f
+            for f in _glob.glob(os.path.join(path, "*"))
+            if os.path.isfile(f) and not os.path.basename(f).startswith(("_", "."))
+        )
+    else:
+        found = sorted(f for f in _glob.glob(path) if os.path.isfile(f)) or [path]
+    if not found:
+        raise ValueError(f"no files under {path}")
+    bad = [f for f in found if not f.endswith((".zst", ".zstd"))]
+    if bad:
+        raise ValueError(
+            f"zstd_seekable_text expects .zst/.zstd files, got {bad[:3]}"
+        )
+    return found
+
+
+def pick_frames(
+    path: str, ratio: float, seed: int = 42
+) -> tuple[list[tuple[str, int]], int, int]:
+    """Deterministic hash-pick of frames across all files from their seek
+    tables alone. Returns (picked [(file, frame_idx)], picked_compressed
+    bytes, total_compressed_bytes of data frames). Never empty.
+    """
+    import hashlib
+
+    from ..sampling.deterministic import md5_accept
+
+    if not 0.0 < ratio <= 1.0:
+        raise ValueError(f"ratio must be in (0, 1], got {ratio}")
+    tables = {f: parse_seek_table(f) for f in _list_zst_files(path)}
+    units: list[tuple[str, int, int]] = []  # (file, idx, c_size)
+    total = 0
+    for f, entries in tables.items():
+        for i, e in enumerate(entries):
+            units.append((f, i, e.c_size))
+            total += e.c_size
+    key = lambda f, i: f"{seed}:{f}#frm{i}"  # noqa: E731
+    picked = [u for u in units if md5_accept(key(u[0], u[1]), ratio)]
+    if not picked and units:
+        picked = [
+            min(
+                units,
+                key=lambda u: int.from_bytes(
+                    hashlib.md5(key(u[0], u[1]).encode()).digest()[:4], "big"
+                ),
+            )
+        ]
+    return [(f, i) for f, i, _ in picked], sum(c for _, _, c in picked), total
+
+
+# ---------------------------------------------------------------------------
+# frame reader (byteblock seam algebra in decompressed-offset space)
+# ---------------------------------------------------------------------------
+
+
+class _FrameStream:
+    """readline()/tell() over the decompressed stream starting at frame
+    ``start_idx``, pulling later frames lazily — so the byteblock reader
+    loop transfers verbatim to decompressed offsets. Only the frames a
+    line actually spans are ever read or decoded."""
+
+    def __init__(self, path: str, entries: list[FrameEntry], start_idx: int):
+        import pyarrow as pa
+
+        self._codec = pa.Codec("zstd")
+        self._fh = open(path, "rb")
+        self._entries = entries
+        self._next = start_idx
+        self._buf = b""
+        self._pos = entries[start_idx].d_off  # abs offset of _buf[0]
+
+    def close(self) -> None:
+        self._fh.close()
+
+    def tell(self) -> int:
+        return self._pos
+
+    def _pull(self) -> bool:
+        while self._next < len(self._entries):
+            e = self._entries[self._next]
+            self._next += 1
+            if e.d_size == 0:
+                continue
+            self._fh.seek(e.c_off)
+            self._buf += self._codec.decompress(
+                self._fh.read(e.c_size), e.d_size, asbytes=True
+            )
+            return True
+        return False
+
+    def readline(self) -> bytes:
+        while True:
+            nl = self._buf.find(b"\n")
+            if nl >= 0:
+                line, self._buf = self._buf[: nl + 1], self._buf[nl + 1 :]
+                self._pos += len(line)
+                return line
+            if not self._pull():
+                line, self._buf = self._buf, b""
+                self._pos += len(line)
+                return line
+
+
+def read_frame_lines(path: str, entries: list[FrameEntry], idx: int) -> list[str]:
+    """All lines OWNED by frame ``idx`` (start offset in its decompressed
+    span, boundary line at the end owned here — byteblock's exact rule)."""
+    e = entries[idx]
+    if e.d_size == 0:
+        return []  # empty span: no line starts strictly inside it
+    stream = _FrameStream(path, entries, idx)
+    try:
+        if e.d_off > 0:
+            # land mid-line (or on a boundary): the previous frame's
+            # reader owns this line — it reads past its end to finish it
+            stream.readline()
+        out: list[str] = []
+        end = e.d_off + e.d_size
+        while stream.tell() <= end:
+            line = stream.readline()
+            if not line:
+                break
+            if line.endswith(b"\r\n"):
+                line = line[:-2]
+            elif line.endswith(b"\n"):
+                line = line[:-1]
+            out.append(line.decode("utf-8", errors="replace"))
+        return out
+    finally:
+        stream.close()
+
+
+class _FramePartition(InputPartition):
+    def __init__(self, path: str, idx: int):
+        self.path = path
+        self.idx = idx
+
+
+class ZstdSeekableTextDataSource(DataSource):
+    """format name ``zstd_seekable_text``; options: path, ratio, seed.
+    Schema fixed: ``value string`` (one row per line), matching
+    ``spark.read.text``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "zstd_seekable_text"
+
+    def schema(self) -> str:
+        return "value string"
+
+    def reader(self, schema) -> "ZstdSeekableTextReader":
+        return ZstdSeekableTextReader(self.options)
+
+
+class ZstdSeekableTextReader(DataSourceReader):
+    _BATCH_ROWS = 8192
+
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("zstd_seekable_text requires .option('path', ...)")
+        self.ratio = float(options.get("ratio", "1.0"))
+        self.seed = int(options.get("seed", "42"))
+
+    def partitions(self):
+        picked, _, _ = pick_frames(self.path, self.ratio, self.seed)
+        return [_FramePartition(f, i) for f, i in picked]
+
+    def read(self, partition: _FramePartition):
+        import pyarrow as pa
+
+        entries = parse_seek_table(partition.path)
+        lines = read_frame_lines(partition.path, entries, partition.idx)
+        for i in range(0, len(lines), self._BATCH_ROWS):
+            yield pa.record_batch(
+                [pa.array(lines[i : i + self._BATCH_ROWS], pa.string())],
+                names=["value"],
+            )
+
+
+def register_zstd_seekable_text(spark) -> None:
+    """Register the source with a session (idempotent)."""
+    spark.dataSource.register(ZstdSeekableTextDataSource)
+
+
+def read_text_zstd_sampled(
+    spark,
+    path: str,
+    frame_ratio: float,
+    seed: int = 42,
+    row_config: SamplingConfig | None = None,
+) -> SampledFrame:
+    """Seekable-zstd frame cluster sample -> SampledFrame.
+
+    Every line's inclusion probability is ``frame_ratio`` (its frame's
+    independent acceptance), so estimators HT-scale by 1/frame_ratio;
+    ``row_config`` composes a within-frame Bernoulli row stage — the
+    same two-stage algebra as the byteblock / bzip2 / file samplers.
+    """
+    register_zstd_seekable_text(spark)
+    pick_frames(path, frame_ratio, seed)  # eager driver-side validation
+    df = (
+        spark.read.format("zstd_seekable_text")
+        .option("path", path)
+        .option("ratio", str(frame_ratio))
+        .option("seed", str(seed))
+        .load()
+    )
+    from ..sampling.sampled_frame import compose_cluster_row_stage
+
+    return compose_cluster_row_stage(df, frame_ratio, seed, row_config)

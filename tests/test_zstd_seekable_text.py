@@ -1,0 +1,304 @@
+"""Seekable-zstd frame sampling: seek-table round-trip against an
+independent frame walk, the frame-seam ownership algebra (no line lost
+or duplicated at any seam, line-aligned AND hostile mid-line splits),
+exact agreement with an ownership oracle through Spark, two-stage
+composition, and the honesty guards (plain .zst refused, corrupt tables
+refused). Mirrors tests/test_byteblock_text.py in decompressed-offset
+space and tests/test_bzip2_block_text.py's format-guard coverage."""
+
+import os
+import struct
+
+import pyarrow as pa
+import pytest
+
+from random_sampling_based_approximate_mapreduce_spark.sampling.config import SamplingConfig
+from random_sampling_based_approximate_mapreduce_spark.sampling.deterministic import md5_accept
+from random_sampling_based_approximate_mapreduce_spark.sources.zstd_seekable_text import (
+    SEEKABLE_MAGIC,
+    SKIPPABLE_MAGIC,
+    ZSTD_FRAME_MAGIC,
+    decompress_file,
+    parse_seek_table,
+    pick_frames,
+    read_frame_lines,
+    read_text_zstd_sampled,
+    write_seekable_zstd,
+)
+
+
+def _make_text(n_lines=3000, seed=7):
+    import random
+
+    rnd = random.Random(seed)
+    lines = [f"line-{j:05d}-" + "x" * rnd.randint(0, 40) for j in range(n_lines)]
+    return ("\n".join(lines) + "\n").encode()
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    """Two seekable .zst files with SMALL frames (hundreds of seams):
+    one line-aligned, one with hostile mid-line frame splits."""
+    d = tmp_path_factory.mktemp("zsttext")
+    paths, raws = [], []
+    for i, align in enumerate((True, False)):
+        raw = _make_text(seed=7 + i)
+        p = str(d / f"part-{i}.txt.zst")
+        write_seekable_zstd(raw, p, frame_bytes=700, align_lines=align)
+        paths.append(p)
+        raws.append(raw)
+    return str(d), paths, raws
+
+
+class TestFormat:
+    def test_roundtrip_and_table_consistency(self, corpus):
+        _, paths, raws = corpus
+        for p, raw in zip(paths, raws):
+            entries = parse_seek_table(p)
+            assert len(entries) > 50, "fixture must have many frames"
+            assert decompress_file(p) == raw
+            # independent frame walk from the FRONT agrees with the table
+            with open(p, "rb") as fh:
+                data = fh.read()
+            for e in entries:
+                if e.c_size:
+                    (magic,) = struct.unpack_from("<I", data, e.c_off)
+                    assert magic == ZSTD_FRAME_MAGIC, e
+            # decompressed spans tile the stream exactly
+            off = 0
+            for e in entries:
+                assert e.d_off == off
+                off += e.d_size
+            assert off == len(raw)
+
+    def test_each_frame_decodes_independently(self, corpus):
+        _, paths, raws = corpus
+        p, raw = paths[1], raws[1]
+        entries = parse_seek_table(p)
+        codec = pa.Codec("zstd")
+        with open(p, "rb") as fh:
+            blob = fh.read()
+        got = b"".join(
+            codec.decompress(blob[e.c_off : e.c_off + e.c_size], e.d_size, asbytes=True)
+            for e in entries
+            if e.d_size
+        )
+        assert got == raw
+
+    def test_plain_zst_refused(self, tmp_path):
+        p = str(tmp_path / "plain.zst")
+        with open(p, "wb") as fh:
+            fh.write(pa.Codec("zstd").compress(b"hello\nworld\n", asbytes=True))
+        with pytest.raises(ValueError, match="seekable"):
+            parse_seek_table(p)
+
+    def test_corrupt_size_field_refused(self, corpus, tmp_path):
+        _, paths, _ = corpus
+        blob = bytearray(open(paths[0], "rb").read())
+        # flip a bit in the table's first entry's compressed size
+        entries = parse_seek_table(paths[0])
+        table_start = len(blob) - (len(entries) * 8 + 9) - 8
+        blob[table_start + 8] ^= 0x01
+        p = str(tmp_path / "corrupt.zst")
+        open(p, "wb").write(bytes(blob))
+        with pytest.raises(ValueError, match="corrupt"):
+            parse_seek_table(p)
+
+    def test_reserved_descriptor_bits_refused(self, corpus, tmp_path):
+        _, paths, _ = corpus
+        blob = bytearray(open(paths[0], "rb").read())
+        blob[-5] |= 0x04  # a reserved descriptor bit
+        p = str(tmp_path / "reserved.zst")
+        open(p, "wb").write(bytes(blob))
+        with pytest.raises(ValueError, match="reserved"):
+            parse_seek_table(p)
+
+    def test_checksum_entries_parse(self, corpus, tmp_path):
+        """A table with the checksum flag (12-byte entries) parses to the
+        same spans (checksums carried, not verified — module docstring)."""
+        _, paths, raws = corpus
+        entries = parse_seek_table(paths[0])
+        with open(paths[0], "rb") as fh:
+            data_frames = fh.read(sum(e.c_size for e in entries))
+        p = str(tmp_path / "ck.zst")
+        with open(p, "wb") as fh:
+            fh.write(data_frames)
+            fh.write(struct.pack("<II", SKIPPABLE_MAGIC, len(entries) * 12 + 9))
+            for e in entries:
+                fh.write(struct.pack("<III", e.c_size, e.d_size, 0xDEADBEEF))
+            fh.write(struct.pack("<IBI", len(entries), 0x80, SEEKABLE_MAGIC))
+        got = parse_seek_table(p)
+        assert [(e.c_off, e.c_size, e.d_off, e.d_size) for e in got] == [
+            (e.c_off, e.c_size, e.d_off, e.d_size) for e in entries
+        ]
+        assert decompress_file(p) == raws[0]
+
+
+def _ownership_oracle(raw: bytes, entries, path, seed, ratio):
+    """A line belongs to the frame whose decompressed span contains its
+    first byte, with the boundary line owned by the PRECEDING frame
+    (byteblock pairing). Returns the sorted kept lines."""
+    bounds = [(e.d_off, e.d_off + e.d_size, i) for i, e in enumerate(entries) if e.d_size]
+    out = []
+    pos = 0
+    for rawline in raw.splitlines(keepends=True):
+        s = pos
+        pos += len(rawline)
+        if s == 0:
+            owner = bounds[0][2]
+        else:
+            owner = next(i for lo, hi, i in bounds if lo < s <= hi)
+        if md5_accept(f"{seed}:{path}#frm{owner}", ratio):
+            out.append(rawline.decode().rstrip("\r\n"))
+    return sorted(out)
+
+
+class TestSeamAlgebra:
+    def test_union_at_ratio_one_is_exact(self, corpus):
+        _, paths, raws = corpus
+        for p, raw in zip(paths, raws):
+            entries = parse_seek_table(p)
+            got = sorted(
+                ln for i in range(len(entries)) for ln in read_frame_lines(p, entries, i)
+            )
+            assert got == sorted(raw.decode().splitlines())
+
+    def test_ownership_matches_oracle_per_frame(self, corpus):
+        _, paths, raws = corpus
+        p, raw = paths[1], raws[1]  # the hostile mid-line splits
+        entries = parse_seek_table(p)
+        for seed, ratio in ((9, 0.4), (42, 0.15)):
+            got = sorted(
+                ln
+                for i in range(len(entries))
+                if md5_accept(f"{seed}:{p}#frm{i}", ratio)
+                for ln in read_frame_lines(p, entries, i)
+            )
+            assert got == _ownership_oracle(raw, entries, p, seed, ratio)
+
+    def test_many_frame_sizes_cover_exactly(self, tmp_path):
+        raw = _make_text(n_lines=400, seed=3)
+        for fb in (37, 128, 1000, 10_000, len(raw) + 10):
+            for align in (True, False):
+                p = str(tmp_path / f"c{fb}{align}.zst")
+                write_seekable_zstd(raw, p, frame_bytes=fb, align_lines=align)
+                entries = parse_seek_table(p)
+                got = sorted(
+                    ln
+                    for i in range(len(entries))
+                    for ln in read_frame_lines(p, entries, i)
+                )
+                assert got == sorted(raw.decode().splitlines()), (fb, align)
+
+    def test_no_trailing_newline(self, tmp_path):
+        raw = b"alpha\nbeta\ngamma-no-newline"
+        p = str(tmp_path / "nt.zst")
+        write_seekable_zstd(raw, p, frame_bytes=8, align_lines=False)
+        entries = parse_seek_table(p)
+        got = sorted(
+            ln for i in range(len(entries)) for ln in read_frame_lines(p, entries, i)
+        )
+        assert got == ["alpha", "beta", "gamma-no-newline"]
+
+    def test_crlf_lines(self, tmp_path):
+        raw = b"a\r\nbb\r\nccc\r\n"
+        p = str(tmp_path / "crlf.zst")
+        write_seekable_zstd(raw, p, frame_bytes=4, align_lines=False)
+        entries = parse_seek_table(p)
+        got = sorted(
+            ln for i in range(len(entries)) for ln in read_frame_lines(p, entries, i)
+        )
+        assert got == ["a", "bb", "ccc"]
+
+    def test_line_spanning_many_frames(self, tmp_path):
+        raw = b"short\n" + b"L" * 5000 + b"\nshort2\n"
+        p = str(tmp_path / "span.zst")
+        write_seekable_zstd(raw, p, frame_bytes=64, align_lines=False)
+        entries = parse_seek_table(p)
+        assert len(entries) > 10
+        got = sorted(
+            ln for i in range(len(entries)) for ln in read_frame_lines(p, entries, i)
+        )
+        assert got == sorted(["short", "L" * 5000, "short2"])
+
+    def test_empty_frames_own_nothing(self, tmp_path):
+        """Hand-built file with empty frames between content frames:
+        boundary lines stay owned by the preceding non-empty frame."""
+        codec = pa.Codec("zstd")
+        chunks = [b"a\nb", b"", b"\nc\n", b"", b""]
+        p = str(tmp_path / "empty.zst")
+        entries = []
+        c_off = d_off = 0
+        with open(p, "wb") as fh:
+            for ch in chunks:
+                comp = codec.compress(ch, asbytes=True)
+                fh.write(comp)
+                entries.append((len(comp), len(ch)))
+                c_off += len(comp)
+            fh.write(struct.pack("<II", SKIPPABLE_MAGIC, len(chunks) * 8 + 9))
+            for cs, ds in entries:
+                fh.write(struct.pack("<II", cs, ds))
+            fh.write(struct.pack("<IBI", len(chunks), 0, SEEKABLE_MAGIC))
+        es = parse_seek_table(p)
+        per_frame = [read_frame_lines(p, es, i) for i in range(len(es))]
+        assert per_frame[1] == [] and per_frame[3] == [] and per_frame[4] == []
+        assert sorted(ln for fl in per_frame for ln in fl) == ["a", "b", "c"]
+
+
+class TestSparkSource:
+    def test_ratio_one_is_the_exact_files(self, spark, corpus):
+        d, _, raws = corpus
+        sf = read_text_zstd_sampled(spark, d, 1.0)
+        got = sorted(r["value"] for r in sf.df.collect())
+        want = sorted(ln for raw in raws for ln in raw.decode().splitlines())
+        assert got == want
+
+    def test_sample_equals_ownership_oracle(self, spark, corpus):
+        d, paths, raws = corpus
+        for ratio, seed in ((0.4, 9), (0.15, 42)):
+            sf = read_text_zstd_sampled(spark, d, ratio, seed=seed)
+            got = sorted(r["value"] for r in sf.df.collect())
+            want = sorted(
+                ln
+                for p, raw in zip(paths, raws)
+                for ln in _ownership_oracle(raw, parse_seek_table(p), p, seed, ratio)
+            )
+            assert got == want, (ratio, seed)
+
+    def test_partitions_are_only_picked_frames(self, spark, corpus):
+        d, _, _ = corpus
+        picked, picked_bytes, total_bytes = pick_frames(d, 0.4, seed=9)
+        assert 0 < picked_bytes < total_bytes
+        sf = read_text_zstd_sampled(spark, d, 0.4, seed=9)
+        assert sf.df.rdd.getNumPartitions() == len(picked)
+
+    def test_ht_scale_and_two_stage(self, spark, corpus):
+        d, _, _ = corpus
+        sf = read_text_zstd_sampled(spark, d, 0.4, seed=9)
+        n = sf.df.count()
+        est = sf.approx_count(alias="est").collect()[0]["est"]
+        assert est == pytest.approx(n / 0.4)
+        two = read_text_zstd_sampled(
+            spark, d, 0.4, seed=9, row_config=SamplingConfig(ratio=0.5, seed=9)
+        )
+        n2 = two.df.count()
+        est2 = two.approx_count(alias="est").collect()[0]["est"]
+        assert est2 == pytest.approx(n2 / 0.2)
+        assert n2 < n
+
+    def test_never_empty_pick(self, corpus):
+        d, _, _ = corpus
+        picked, _, _ = pick_frames(d, 1e-9, seed=1)
+        assert len(picked) == 1
+
+    def test_non_zst_refused(self, tmp_path):
+        (tmp_path / "x.txt").write_text("a\n")
+        with pytest.raises(ValueError, match="zst"):
+            pick_frames(str(tmp_path), 0.5)
+
+    def test_bad_ratio(self, corpus):
+        d, _, _ = corpus
+        with pytest.raises(ValueError, match="ratio"):
+            pick_frames(d, 0.0)
+        with pytest.raises(ValueError, match="ratio"):
+            pick_frames(d, 1.5)
