@@ -1,5 +1,6 @@
 #!/usr/bin/env python
-"""Cold-cache wall-clock for the byte-skip source ladder (VERDICT r9 item 2).
+"""Cold-cache wall-clock for the byte-skip source ladder (VERDICT r9 item 2;
+the seekable-zstd source joined the ladder in round 10).
 
 The engine's flagship parity claim with the reference (README.md:5, up to
 ~40x by skipping input before decode) is an I/O-REGIME claim: the win
@@ -19,6 +20,7 @@ JVM/codegen warmup pass first:
   source               skip read (ratio r)        post-read baseline
   byteblock_text       picked byte blocks only    spark.read.text + sample(r)
   bzip2_block_text     picked compressed ranges   spark.read.text(.bz2) + sample(r)
+  zstd_seekable_text   picked seekable frames     spark.read.text(.zst) + sample(r)
   rowgroup_parquet     picked row groups only     spark.read.parquet + sample(r)
 
 at r in {0.1, 0.01}, over a text corpus built by replicating
@@ -100,6 +102,12 @@ def main() -> None:
     ap.add_argument("--copies", type=int, default=1000)
     ap.add_argument("--passes", type=int, default=2)
     ap.add_argument("--ratios", type=float, nargs="*", default=[0.1, 0.01])
+    ap.add_argument(
+        "--sources",
+        nargs="*",
+        default=None,
+        help="measure only these sources (layouts still ensured once)",
+    )
     args = ap.parse_args()
 
     spark = get_spark("measure-cold-skip")
@@ -116,6 +124,10 @@ def main() -> None:
     from random_sampling_based_approximate_mapreduce_spark.sources.rowgroup_parquet import (
         pick_row_groups,
         read_parquet_rowgroup_sampled,
+    )
+    from random_sampling_based_approximate_mapreduce_spark.sources.zstd_seekable_text import (
+        pick_frames,
+        read_text_zstd_sampled,
     )
     from random_sampling_based_approximate_mapreduce_spark.sources.tables import (
         ensure_layout,
@@ -175,11 +187,38 @@ def main() -> None:
         .option("parquet.block.size", str(2 * 1024 * 1024))
         .parquet(d),
     )
+
+    def _build_zst(d: str) -> None:
+        # seekable-zstd conversion of the text layout, driver-side but
+        # parallel across part files (pyarrow's codec releases the GIL)
+        from concurrent.futures import ThreadPoolExecutor
+
+        from random_sampling_based_approximate_mapreduce_spark.sources.zstd_seekable_text import (
+            write_seekable_zstd,
+        )
+
+        os.makedirs(d, exist_ok=True)
+
+        def conv(f: str) -> None:
+            with open(os.path.join(text_dir, f), "rb") as fh:
+                write_seekable_zstd(fh.read(), os.path.join(d, f + ".zst"))
+
+        parts = [
+            f
+            for f in sorted(os.listdir(text_dir))
+            if os.path.isfile(os.path.join(text_dir, f))
+            and not f.startswith(("_", "."))
+        ]
+        with ThreadPoolExecutor(8) as ex:
+            list(ex.map(conv, parts))
+
+    zst_dir = ensure_layout(f"/tmp/rsmr_cold_zst_{key}", _build_zst)
     os.sync()  # flush dirty pages so fadvise(DONTNEED) can evict them
 
     layouts = {
         "byteblock_text": (text_dir, _input_files(text_dir)),
         "bzip2_block_text": (bz2_dir, _input_files(bz2_dir)),
+        "zstd_seekable_text": (zst_dir, _input_files(zst_dir)),
         "rowgroup_parquet": (pq_dir, _input_files(pq_dir)),
     }
     sizes = {
@@ -201,6 +240,11 @@ def main() -> None:
             skip = lambda: _consume(read_text_bzip2_sampled(spark, path, r, seed=9).df)  # noqa: E731
             base = lambda: _consume(spark.read.text(path).sample(r, seed=9))  # noqa: E731
             _, picked, total = pick_ranges(path, r, seed=9)
+        elif name == "zstd_seekable_text":
+            skip = lambda: _consume(read_text_zstd_sampled(spark, path, r, seed=9).df)  # noqa: E731
+            # the JVM reads .zst transparently (whole-stream decode)
+            base = lambda: _consume(spark.read.text(path).sample(r, seed=9))  # noqa: E731
+            _, picked, total = pick_frames(path, r, seed=9)
         else:
             skip = lambda: _consume(read_parquet_rowgroup_sampled(spark, path, r, seed=9).df)  # noqa: E731
             base = lambda: _consume(spark.read.parquet(path).sample(r, seed=9))  # noqa: E731
@@ -208,6 +252,11 @@ def main() -> None:
         return skip, base, picked, total
 
     results = []
+    if args.sources:
+        unknown = [s for s in args.sources if s not in layouts]
+        if unknown:
+            raise SystemExit(f"unknown sources {unknown}; have {list(layouts)}")
+        layouts = {k: v for k, v in layouts.items() if k in args.sources}
     for name, (path, files) in layouts.items():
         for r in args.ratios:
             skip, base, picked, total = workloads(name, path, r)
