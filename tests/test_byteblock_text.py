@@ -99,8 +99,13 @@ class TestByteBlockText:
     def test_empty_dir_and_bad_ratio(self, tmp_path):
         with pytest.raises(ValueError, match="no files"):
             pick_blocks(str(tmp_path), 0.5)
+        # ratio validation on a dir the test OWNS — pointing this at a
+        # shared dir like /tmp made the expected error depend on what
+        # other files happened to live there (review r10: a stray .zst
+        # flipped it to the compressed-input refusal)
+        (tmp_path / "a.txt").write_text("x\n")
         with pytest.raises(ValueError, match="ratio"):
-            pick_blocks("/tmp", 0.0)
+            pick_blocks(str(tmp_path), 0.0)
 
 
 class TestSeamProperties:
