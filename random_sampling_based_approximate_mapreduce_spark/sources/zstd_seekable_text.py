@@ -96,12 +96,25 @@ class FrameEntry:
 # ---------------------------------------------------------------------------
 
 
+_TABLE_CACHE: dict[tuple[str, int, float], list[FrameEntry]] = {}
+
+
 def parse_seek_table(path: str) -> list[FrameEntry]:
     """Read the seekable-format table from the file TAIL (no data scan).
 
     Raises ValueError (with the fallback ladder) for files that are not
     seekable-format zstd — including plain single-frame .zst.
+
+    Cached per (path, size, mtime): Spark reuses Python workers across
+    tasks, and every frame partition of a file needs the same table —
+    without the cache a 100k-frame file would pay an O(frames) tail read
+    per task, O(frames^2) across its tasks.
     """
+    st = os.stat(path)
+    cache_key = (path, st.st_size, st.st_mtime)
+    hit = _TABLE_CACHE.get(cache_key)
+    if hit is not None:
+        return hit
     size = os.path.getsize(path)
     with open(path, "rb") as fh:
         if size < _FOOTER_BYTES + 8:
@@ -154,6 +167,9 @@ def parse_seek_table(path: str) -> list[FrameEntry]:
             f"{path}: frames sum to {c_off} compressed bytes but the seek "
             f"table starts at {table_start} (corrupt table)"
         )
+    if len(_TABLE_CACHE) > 256:  # bound worker memory across many files
+        _TABLE_CACHE.clear()
+    _TABLE_CACHE[cache_key] = entries
     return entries
 
 
