@@ -245,6 +245,47 @@ class TestSeamAlgebra:
         assert sorted(ln for fl in per_frame for ln in fl) == ["a", "b", "c"]
 
 
+class TestSeamProperties:
+    """Hypothesis hammering of the frame-ownership pairing WITHOUT Spark
+    (mirrors byteblock's TestSeamProperties in decompressed-offset
+    space): at ratio 1.0 the union over all frame partitions is the
+    file's exact line sequence — every line exactly once, for random
+    corpora (ragged/empty lines, missing trailing newline) and random
+    frame splits including mid-line and empty frames."""
+
+    def test_random_frame_splits_cover_exactly(self, tmp_path):
+        import random
+
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        counter = [0]
+
+        @settings(max_examples=120, deadline=None)
+        @given(
+            seed=st.integers(0, 10**6),
+            n_lines=st.integers(0, 50),
+            frame_bytes=st.integers(1, 64),
+            align=st.booleans(),
+        )
+        def prop(seed, n_lines, frame_bytes, align):
+            rnd = random.Random(seed)
+            lines = ["x" * rnd.randint(0, 2 * frame_bytes) for _ in range(n_lines)]
+            body = ("\n".join(lines) + ("\n" if rnd.random() < 0.8 or not lines else "")).encode()
+            counter[0] += 1
+            p = str(tmp_path / f"prop-{counter[0]}.zst")
+            write_seekable_zstd(body, p, frame_bytes=frame_bytes, align_lines=align)
+            entries = parse_seek_table(p)
+            got = [
+                ln
+                for i in range(len(entries))
+                for ln in read_frame_lines(p, entries, i)
+            ]
+            assert got == body.decode().splitlines(), (seed, n_lines, frame_bytes, align)
+
+        prop()
+
+
 class TestSparkSource:
     def test_ratio_one_is_the_exact_files(self, spark, corpus):
         d, _, raws = corpus
