@@ -249,22 +249,45 @@ def pick_byte_clusters(
     (picked [(file, start, end)], picked_bytes, total_bytes); units are
     fixed-size byte spans per file, boundaries resolved by each READER.
     """
-    import hashlib
     import os
 
-    if not 0.0 < ratio <= 1.0:
-        raise ValueError(f"ratio must be in (0, 1], got {ratio}")
     if unit_bytes < 1:
         raise ValueError(f"unit bytes must be >= 1, got {unit_bytes}")
-    units: list[tuple[str, int, int, int]] = []
-    total = 0
+    units: list[tuple[str, int, int]] = []
+    spans: dict[tuple[str, int], tuple[int, int]] = {}
     for f in files:
         size = os.path.getsize(f)
-        total += size
         for idx in range(0, max(1, -(-size // unit_bytes))):
             start = idx * unit_bytes
             end = min(size, start + unit_bytes)
-            units.append((f, idx, start, end))
+            units.append((f, idx, end - start))
+            spans[(f, idx)] = (start, end)
+    picked, picked_bytes, total = pick_units(units, ratio, key_of)
+    return (
+        [(f, *spans[(f, i)]) for f, i in picked],
+        picked_bytes,
+        total,
+    )
+
+
+def pick_units(
+    units: list[tuple[str, int, int]],
+    ratio: float,
+    key_of,
+) -> tuple[list[tuple[str, int]], int, int]:
+    """The ONE definition of the cluster-pick accept rule: md5 accept per
+    (path, idx) unit + the never-empty hash-min fallback + weight
+    accounting. ``units`` is [(path, idx, weight)]; returns
+    (picked [(path, idx)], picked_weight, total_weight). Shared by the
+    byte-span pickers (via ``pick_byte_clusters``) and the seekable-zstd
+    frame picker, whose units come from a seek table rather than
+    fixed-size spans (review r10: the zstd picker had re-inlined this
+    algebra — the r8/r9 rule stands, any change lands once).
+    """
+    import hashlib
+
+    if not 0.0 < ratio <= 1.0:
+        raise ValueError(f"ratio must be in (0, 1], got {ratio}")
     picked = [u for u in units if md5_accept(key_of(u[0], u[1]), ratio)]
     if not picked and units:
         picked = [
@@ -275,5 +298,8 @@ def pick_byte_clusters(
                 ),
             )
         ]
-    picked_bytes = sum(e - s for _, _, s, e in picked)
-    return [(f, s, e) for f, _, s, e in picked], picked_bytes, total
+    return (
+        [(p, i) for p, i, _ in picked],
+        sum(w for _, _, w in picked),
+        sum(w for _, _, w in units),
+    )

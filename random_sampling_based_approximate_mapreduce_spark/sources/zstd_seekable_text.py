@@ -167,8 +167,11 @@ def parse_seek_table(path: str) -> list[FrameEntry]:
             f"{path}: frames sum to {c_off} compressed bytes but the seek "
             f"table starts at {table_start} (corrupt table)"
         )
-    if len(_TABLE_CACHE) > 256:  # bound worker memory across many files
-        _TABLE_CACHE.clear()
+    while len(_TABLE_CACHE) > 256:  # bound worker memory across many files
+        # FIFO single-entry eviction, not clear(): a task mix cycling
+        # over >256 files would otherwise wipe every hot entry at once
+        # and re-pay the tail parses the cache exists to amortize
+        _TABLE_CACHE.pop(next(iter(_TABLE_CACHE)))
     _TABLE_CACHE[cache_key] = entries
     return entries
 
@@ -227,7 +230,12 @@ def convert_text_to_seekable(
 ) -> list[str]:
     """Convert every plain-text part file under ``src_dir`` to a
     seekable .zst under ``dst_dir`` (driver-side, one pass per file) —
-    the layout builder for fixtures and measurements."""
+    the layout builder for fixtures and measurements.
+
+    Writes a ``_SUCCESS`` marker like Spark's own writers: callers wrap
+    this in ``ensure_layout``, whose published-check is that marker —
+    without it every call would rebuild AND destructively replace a
+    layout another session may be reading (review r10)."""
     os.makedirs(dst_dir, exist_ok=True)
     out: list[str] = []
     for f in sorted(os.listdir(src_dir)):
@@ -236,10 +244,15 @@ def convert_text_to_seekable(
             continue
         dst = os.path.join(dst_dir, f + ".zst")
         with open(p, "rb") as fh:
-            write_seekable_zstd(fh.read(), dst)
+            # review r10: frame_bytes was silently dropped here, so every
+            # converted file was one 4 MB-default frame and the oracled
+            # layout never crossed a seam
+            write_seekable_zstd(fh.read(), dst, frame_bytes=frame_bytes)
         out.append(dst)
     if not out:
         raise ValueError(f"no text part files under {src_dir}")
+    with open(os.path.join(dst_dir, "_SUCCESS"), "w"):
+        pass
     return out
 
 
@@ -289,33 +302,18 @@ def pick_frames(
 ) -> tuple[list[tuple[str, int]], int, int]:
     """Deterministic hash-pick of frames across all files from their seek
     tables alone. Returns (picked [(file, frame_idx)], picked_compressed
-    bytes, total_compressed_bytes of data frames). Never empty.
+    bytes, total_compressed_bytes of data frames). Never empty. The
+    accept rule + never-empty fallback is the shared ``pick_units``
+    algebra (one definition across all cluster pickers).
     """
-    import hashlib
+    from ..sampling.deterministic import pick_units
 
-    from ..sampling.deterministic import md5_accept
-
-    if not 0.0 < ratio <= 1.0:
-        raise ValueError(f"ratio must be in (0, 1], got {ratio}")
-    tables = {f: parse_seek_table(f) for f in _list_zst_files(path)}
-    units: list[tuple[str, int, int]] = []  # (file, idx, c_size)
-    total = 0
-    for f, entries in tables.items():
-        for i, e in enumerate(entries):
-            units.append((f, i, e.c_size))
-            total += e.c_size
-    key = lambda f, i: f"{seed}:{f}#frm{i}"  # noqa: E731
-    picked = [u for u in units if md5_accept(key(u[0], u[1]), ratio)]
-    if not picked and units:
-        picked = [
-            min(
-                units,
-                key=lambda u: int.from_bytes(
-                    hashlib.md5(key(u[0], u[1]).encode()).digest()[:4], "big"
-                ),
-            )
-        ]
-    return [(f, i) for f, i, _ in picked], sum(c for _, _, c in picked), total
+    units = [
+        (f, i, e.c_size)
+        for f in _list_zst_files(path)
+        for i, e in enumerate(parse_seek_table(f))
+    ]
+    return pick_units(units, ratio, lambda f, i: f"{seed}:{f}#frm{i}")
 
 
 # ---------------------------------------------------------------------------
@@ -323,25 +321,38 @@ def pick_frames(
 # ---------------------------------------------------------------------------
 
 
-def _next_line_bytes(fh, entries: list[FrameEntry], j: int, codec):
-    """Concatenated decompressed bytes of frames ``j..`` up to and
-    EXCLUDING the first newline (i.e. one line's content); ``None`` if
-    there are no decompressed bytes at all past ``j`` (EOF). Decodes only
-    the frames that line actually spans."""
-    out = bytearray()
-    seen = False
-    for e in entries[j:]:
-        if e.d_size == 0:
-            continue
-        fh.seek(e.c_off)
-        chunk = codec.decompress(fh.read(e.c_size), e.d_size, asbytes=True)
-        seen = True
-        nl = chunk.find(b"\n")
-        if nl >= 0:
-            out += chunk[:nl]
-            return bytes(out)
-        out += chunk
-    return bytes(out) if seen else None
+def _next_line_bytes(path: str, entries: list[FrameEntry], j: int):
+    """Decompressed bytes of frames ``j..`` up to and EXCLUDING the first
+    newline (i.e. one line's content); ``None`` if there are no
+    decompressed bytes at all past ``j`` (EOF).
+
+    STREAMING decode (review r10): the aligned-layout common case needs
+    only the successor frame's first line, and a one-shot
+    ``Codec.decompress`` of that whole frame doubled every partition's
+    decode work. ``CompressedInputStream`` over the concatenated frames
+    (libzstd streaming — it also skips the trailing seek-table skippable
+    frame) decodes ~one 64 KB chunk instead.
+    """
+    import pyarrow as pa
+
+    if all(e.d_size == 0 for e in entries[j:]):
+        return None
+    raw = pa.OSFile(path, "rb")
+    try:
+        raw.seek(entries[j].c_off)
+        stream = pa.CompressedInputStream(raw, "zstd")
+        out = bytearray()
+        while True:
+            chunk = stream.read(64 * 1024)
+            if not chunk:
+                return bytes(out)
+            nl = chunk.find(b"\n")
+            if nl >= 0:
+                out += chunk[:nl]
+                return bytes(out)
+            out += chunk
+    finally:
+        raw.close()
 
 
 def read_frame_lines(path: str, entries: list[FrameEntry], idx: int) -> list[str]:
@@ -379,12 +390,12 @@ def read_frame_lines(path: str, entries: list[FrameEntry], idx: int) -> list[str
             # a line starts exactly at this frame's end boundary: owned
             # here (the follower discards it); its bytes live entirely in
             # later frames
-            boundary = _next_line_bytes(fh, entries, idx + 1, codec)
+            boundary = _next_line_bytes(path, entries, idx + 1)
             if boundary is not None:
                 parts.append(boundary)
         elif parts:
             # final straddler: complete it from the following frames
-            tail = _next_line_bytes(fh, entries, idx + 1, codec)
+            tail = _next_line_bytes(path, entries, idx + 1)
             if tail is not None:
                 parts[-1] = parts[-1] + tail
     return [

@@ -166,14 +166,17 @@ def main() -> None:
             )
         )
 
+    # corpus_df() already leaves 32 evenly-split partitions (the range
+    # side is repartitioned before the broadcast expansion) — a second
+    # repartition here would shuffle the full expanded corpus again for
+    # the same file layout (review r10)
     text_dir = ensure_layout(
         f"/tmp/rsmr_cold_txt_{key}",
-        lambda d: corpus_df().repartition(32).write.mode("overwrite").text(d),
+        lambda d: corpus_df().write.mode("overwrite").text(d),
     )
     bz2_dir = ensure_layout(
         f"/tmp/rsmr_cold_bz2_{key}",
         lambda d: corpus_df()
-        .repartition(32)
         .write.mode("overwrite")
         .option("compression", "bzip2")
         .text(d),
@@ -181,7 +184,6 @@ def main() -> None:
     pq_dir = ensure_layout(
         f"/tmp/rsmr_cold_pq_{key}",
         lambda d: corpus_df()
-        .repartition(32)
         .write.mode("overwrite")
         # small row groups so a 1% pick has >=1 group per file to keep
         .option("parquet.block.size", str(2 * 1024 * 1024))
@@ -211,6 +213,10 @@ def main() -> None:
         ]
         with ThreadPoolExecutor(8) as ex:
             list(ex.map(conv, parts))
+        # ensure_layout's published-check (a markerless layout would be
+        # rebuilt and replaced on every invocation)
+        with open(os.path.join(d, "_SUCCESS"), "w"):
+            pass
 
     zst_dir = ensure_layout(f"/tmp/rsmr_cold_zst_{key}", _build_zst)
     os.sync()  # flush dirty pages so fadvise(DONTNEED) can evict them
