@@ -53,72 +53,17 @@ from .warehouse import _LQ_W_LEN  # noqa: E402,F401
 # queries first, so every family gets an external signal each round.
 # Already-verified queries and rows-only variants go last.
 _CHECK_PRIORITY = [
-    # === ROUND 10 rotation (VERDICT r9 item 1): the 50 driver slots are
-    # exactly (a) the 33 queries whose last driver hash-green is r5, in
-    # r5 check order, then (b) the 17 oldest of the 50 r7-green queries
-    # in r7 check order. After r10 no value-oracled query's driver green
-    # is older than r7. The r9-green cohort (freshest signal) re-checks
+    # === ROUND 11 rotation (VERDICT r10 item 1): the 50 driver slots are
+    # exactly (a) doc_quality (displaced to slot 51 in r10), (b) the 33
+    # remaining queries whose last driver hash-green is r7, in r7 check
+    # order, then (c) the 16 oldest of the 50 r8-green queries in r8
+    # check order. After r11 no value-oracled query's driver green is
+    # older than r8. The r10-green cohort (freshest signal) re-checks
     # last among oracled queries.
     #
-    # --- slot 1: the round-10 seekable-zstd source (value-oracled,
-    # never driver-checked; displaces the 50th planned slot, doc_quality,
-    # which is r7-green and re-checks next round)
-    "word_count_zstd_exact",
-    # --- slots 2-34: the r5-stale cohort (r5 check order)
-    "events_type_hour_chi2",
-    "docs_token_entropy_by_lang",
-    "lang_id_eval",
-    "embedding_dim_stats",
-    "price_quantity_regression",
-    "events_hourly_incremental",
-    "events_dedup_consecutive",
-    "corpus_dedup_summary",
-    "documents_orc_roundtrip",
-    "events_csv_roundtrip",
-    "approx_host_counts_flagged",
-    "video_pixel_stats",
-    "sampled_join_hash_twin",
-    "audio_frame_features",
-    "log_hack",
-    "log_host",
-    "log_dateweek",
-    "log_size",
-    "log_totalsize",
-    "log_pagesize",
-    "log_page",
-    "dedup_embedding",
-    "dedup_clusters",
-    "dedup_ngram_jaccard",
-    "wireless_link_pairs",
-    "events_hourly",
-    "user_sessions",
-    "events_asof_purchase",
-    "events_asof_next_purchase",
-    "events_in_campaigns",
-    "events_daily_pivot",
-    "events_ewma",
-    "hash_sampled_events",
-    # --- slots 35-50 (+1 displaced): the 17 oldest r7-green queries
-    # (r7 check order; doc_quality lands at 51, re-checks next round)
-    "sampled_left_join_hash_twin",
-    "order_price_quantile_hash_sampled",
-    "order_price_percentiles_hash_sampled",
-    "order_price_quantile_histogram",
-    "sampled_full_join_hash_twin",
-    "stratified_value_quantile_hash_sampled",
-    "sampled_topk_tokens",
-    "streaming_stratified_counts",
-    "distinct_users_chao_hash_sampled",
-    "bootstrap_qty_ci_by_flag",
-    "exact_k_event_sample",
-    "weighted_sampled_tokens",
-    "streaming_events_hourly",
-    "streaming_dedup_minhash",
-    "streaming_dedup_incremental",
-    "lang_id_counts",
+    # --- slot 1: doc_quality (r7-green; displaced at slot 51 in r10)
     "doc_quality",
-    # ---- below here: past the 50-slot harness budget.
-    # --- the remaining 33 r7-green queries (r7 check order)
+    # --- slots 2-34: the remaining r7-stale cohort (r7 check order)
     "token_stats",
     "knn_brute_force",
     "knn_lsh",
@@ -152,7 +97,7 @@ _CHECK_PRIORITY = [
     "tpch_q1",
     "tpch_q1_hash_sampled",
     "tpch_q3_topk",
-    # --- the r8-green cohort (r8 check order)
+    # --- slots 35-50: the 16 oldest r8-green queries (r8 check order)
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_simhash_pairs",
@@ -169,6 +114,8 @@ _CHECK_PRIORITY = [
     "events_grouping_sets",
     "events_props_json",
     "bucketed_orders_join",
+    # ---- below here: past the 50-slot harness budget.
+    # --- the remaining 34 r8-green queries (r8 check order)
     "events_props_typed",
     "docs_partitioned_lang",
     "order_price_quantiles",
@@ -254,6 +201,58 @@ _CHECK_PRIORITY = [
     "streaming_attribution_last_touch",
     "events_value_psi",
     "streaming_value_psi",
+    # --- the r10-green cohort (freshest signal): re-checked last among
+    # oracled queries (r10 check order)
+    "word_count_zstd_exact",
+    "events_type_hour_chi2",
+    "docs_token_entropy_by_lang",
+    "lang_id_eval",
+    "embedding_dim_stats",
+    "price_quantity_regression",
+    "events_hourly_incremental",
+    "events_dedup_consecutive",
+    "corpus_dedup_summary",
+    "documents_orc_roundtrip",
+    "events_csv_roundtrip",
+    "approx_host_counts_flagged",
+    "video_pixel_stats",
+    "sampled_join_hash_twin",
+    "audio_frame_features",
+    "log_hack",
+    "log_host",
+    "log_dateweek",
+    "log_size",
+    "log_totalsize",
+    "log_pagesize",
+    "log_page",
+    "dedup_embedding",
+    "dedup_clusters",
+    "dedup_ngram_jaccard",
+    "wireless_link_pairs",
+    "events_hourly",
+    "user_sessions",
+    "events_asof_purchase",
+    "events_asof_next_purchase",
+    "events_in_campaigns",
+    "events_daily_pivot",
+    "events_ewma",
+    "hash_sampled_events",
+    "sampled_left_join_hash_twin",
+    "order_price_quantile_hash_sampled",
+    "order_price_percentiles_hash_sampled",
+    "order_price_quantile_histogram",
+    "sampled_full_join_hash_twin",
+    "stratified_value_quantile_hash_sampled",
+    "sampled_topk_tokens",
+    "streaming_stratified_counts",
+    "distinct_users_chao_hash_sampled",
+    "bootstrap_qty_ci_by_flag",
+    "exact_k_event_sample",
+    "weighted_sampled_tokens",
+    "streaming_events_hourly",
+    "streaming_dedup_minhash",
+    "streaming_dedup_incremental",
+    "lang_id_counts",
     # ---- permanently rows-only-by-nature (engine RNG / approx sketches /
     # data-trained state; each tagged at its @register site). All got a
     # driver rows-signal by r4 - a repeat no_oracle row carries no further
