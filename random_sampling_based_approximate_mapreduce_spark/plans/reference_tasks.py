@@ -289,13 +289,18 @@ def raw_log_layout(spark, sf_dir: str) -> str:
     from ..sources.tables import ensure_layout
 
     key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    return ensure_layout(
-        f"/tmp/rsmr_raw_log_{key}",
-        lambda d: AL.synthesize_raw_log(load(spark, sf_dir, "events"))
-        .repartition(8)
-        .write.mode("overwrite")
-        .text(d),
-    )
+
+    def _build(d: str) -> None:
+        from ..sources.tables import assert_layout_shape
+
+        AL.synthesize_raw_log(load(spark, sf_dir, "events")).repartition(
+            8
+        ).write.mode("overwrite").text(d)
+        # build-time shape assertion (review r10): the disk-shape twin is
+        # only honest if the corpus actually spans multiple part files
+        assert_layout_shape(d, min_parts=2, what="raw log layout")
+
+    return ensure_layout(f"/tmp/rsmr_raw_log_{key}", _build)
 
 
 @register(
@@ -385,10 +390,11 @@ def xml_bzip2_layout(spark, sf_dir: str) -> str:
     from ..sources.tables import ensure_layout
 
     key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    return ensure_layout(
-        f"/tmp/rsmr_xml_bz2_{key}",
-        lambda d: load(spark, sf_dir, "documents")
-        .select(
+
+    def _build(d: str) -> None:
+        from ..sources.bzip2_block_text import assert_bz2_layout_shape
+
+        load(spark, sf_dir, "documents").select(
             F.concat(
                 F.lit("<page><title>doc-"),
                 F.col("doc_id").cast("string"),
@@ -396,12 +402,12 @@ def xml_bzip2_layout(spark, sf_dir: str) -> str:
                 F.col("text"),
                 F.lit("</text></page>"),
             ).alias("value")
-        )
-        .repartition(4)
-        .write.mode("overwrite")
-        .option("compression", "bzip2")
-        .text(d),
-    )
+        ).repartition(4).write.mode("overwrite").option(
+            "compression", "bzip2"
+        ).text(d)
+        assert_bz2_layout_shape(d, "xml bz2 layout")
+
+    return ensure_layout(f"/tmp/rsmr_xml_bz2_{key}", _build)
 
 
 @register(

@@ -606,15 +606,16 @@ def _bz2_text_layout(spark: SparkSession, sf_dir: str) -> str:
     import hashlib
 
     key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    return _ensure_layout(
-        f"/tmp/rsmr_text_bz2_{key}",
-        lambda d: load(spark, sf_dir, "documents")
-        .select("text")
-        .repartition(4)
-        .write.mode("overwrite")
-        .option("compression", "bzip2")
-        .text(d),
-    )
+
+    def _build(d: str) -> None:
+        from ..sources.bzip2_block_text import assert_bz2_layout_shape
+
+        load(spark, sf_dir, "documents").select("text").repartition(
+            4
+        ).write.mode("overwrite").option("compression", "bzip2").text(d)
+        assert_bz2_layout_shape(d, "bz2 text layout")
+
+    return _ensure_layout(f"/tmp/rsmr_text_bz2_{key}", _build)
 
 
 @register(
@@ -693,6 +694,9 @@ def _zstd_text_layout(spark: SparkSession, sf_dir: str) -> str:
         import shutil
         import tempfile
 
+        from ..sources.tables import assert_layout_shape
+        from ..sources.zstd_seekable_text import parse_seek_table
+
         tmp = tempfile.mkdtemp(prefix="rsmr_zstd_txt_src_")
         try:
             load(spark, sf_dir, "documents").select("text").repartition(
@@ -701,6 +705,16 @@ def _zstd_text_layout(spark: SparkSession, sf_dir: str) -> str:
             convert_text_to_seekable(tmp, d, frame_bytes=16 * 1024)
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
+        # build-time shape assertion (review r10: a dropped frame_bytes
+        # collapsed this layout to one frame per file and the oracle
+        # silently stopped crossing seams): every part must split into
+        # multiple frames, and there must be multiple parts
+        assert_layout_shape(
+            d,
+            min_parts=2,
+            count_units=lambda p: len(parse_seek_table(p)),
+            what="zstd text layout",
+        )
 
     return ensure_layout(f"/tmp/rsmr_text_zstd_{key}", _build)
 

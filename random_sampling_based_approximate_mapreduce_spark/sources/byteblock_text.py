@@ -80,7 +80,11 @@ def _list_text_files(path: str) -> list[str]:
             if os.path.isfile(f) and not os.path.basename(f).startswith(("_", "."))
         )
     else:
-        found = sorted(f for f in _glob.glob(path) if os.path.isfile(f)) or [path]
+        # bare nonexistent path: fail here as "no files", not as a
+        # downstream FileNotFoundError (review r10 ADVICE)
+        found = sorted(f for f in _glob.glob(path) if os.path.isfile(f))
+        if not found and os.path.isfile(path):
+            found = [path]
     if not found:
         raise ValueError(f"no files under {path}")
     for f in found:

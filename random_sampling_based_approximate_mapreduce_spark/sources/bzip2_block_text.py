@@ -126,6 +126,39 @@ def _find_magics(data: bytes, base_byte: int, magic: int) -> list[int]:
     return _find_all_magics(data, base_byte, (magic,))
 
 
+def assert_bz2_layout_shape(d: str, what: str) -> None:
+    """Layout-shape assertion for oracled .bz2 layouts (review r10: a
+    value-oracled seam query is only as strong as its fixture's shape, so
+    builders verify their own nontrivial shape at BUILD time): >= 2
+    non-empty part files, every part holds >= 1 block magic, and any part
+    whose decompressed size spans multiple 900k bzip2 blocks actually
+    contains >= 2 (magic candidates can false-positive at ~2^-48 per bit
+    position — negligible, and only the >= direction is asserted).
+
+    Caveat: bzip2's RLE1 stage runs BEFORE the 900k block split, so a
+    pathologically run-heavy input (megabytes of one repeated byte) can
+    legally pack >2x900k decompressed bytes into one block and fail this
+    guard. That is the desired behavior for ORACLED layouts — such a
+    fixture genuinely has no block seam to cross, so the build should
+    fail loudly rather than publish a seam oracle that tests nothing."""
+    import bz2 as _bz2
+
+    from .tables import assert_layout_shape
+
+    for p in assert_layout_shape(d, min_parts=2, what=what):
+        with open(p, "rb") as fh:
+            raw = fh.read()
+        n = len(_find_magics(raw, 0, BLOCK_MAGIC))
+        need = 2 if len(_bz2.decompress(raw)) >= 2 * 900_000 else 1
+        if n < need:
+            raise ValueError(
+                f"{what}: {os.path.basename(p)} has {n} bzip2 block "
+                f"magic(s), need >= {need} for its decompressed size — "
+                "the oracle would not cross a block seam in this file "
+                "(layout-shape assertion, review r10)"
+            )
+
+
 def _get_bits(data: bytes, bit_start: int, nbits: int) -> int:
     byte0 = bit_start // 8
     byte_n = (bit_start + nbits + 7) // 8
@@ -328,7 +361,11 @@ def _list_bz2_files(path: str) -> list[str]:
             if os.path.isfile(f) and not os.path.basename(f).startswith(("_", "."))
         )
     else:
-        found = sorted(f for f in _glob.glob(path) if os.path.isfile(f)) or [path]
+        # bare nonexistent path: fail here as "no files", not as a
+        # downstream FileNotFoundError (review r10 ADVICE)
+        found = sorted(f for f in _glob.glob(path) if os.path.isfile(f))
+        if not found and os.path.isfile(path):
+            found = [path]
     if not found:
         raise ValueError(f"no files under {path}")
     bad = [f for f in found if not f.endswith(".bz2")]

@@ -65,7 +65,11 @@ def _list_parquet_files(path: str) -> list[str]:
             if not os.path.basename(f).startswith("_")
         )
     else:
-        found = sorted(_glob.glob(path)) or [path]
+        # bare nonexistent path: fail here as "no files", not as a
+        # downstream FileNotFoundError (review r10 ADVICE)
+        found = sorted(_glob.glob(path))
+        if not found and os.path.isfile(path):
+            found = [path]
     if not found:
         raise ValueError(f"no parquet files under {path}")
     return found

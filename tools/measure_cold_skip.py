@@ -192,18 +192,21 @@ def main() -> None:
 
     def _build_zst(d: str) -> None:
         # seekable-zstd conversion of the text layout, driver-side but
-        # parallel across part files (pyarrow's codec releases the GIL)
+        # parallel across part files (pyarrow's codec releases the GIL);
+        # streamed per frame so peak memory is 8 x frame_bytes, not
+        # 8 x part size (review r10 ADVICE: fh.read() per thread OOMed
+        # the builder headroom at large --copies)
         from concurrent.futures import ThreadPoolExecutor
 
         from random_sampling_based_approximate_mapreduce_spark.sources.zstd_seekable_text import (
-            write_seekable_zstd,
+            stream_seekable_zstd,
         )
 
         os.makedirs(d, exist_ok=True)
 
         def conv(f: str) -> None:
             with open(os.path.join(text_dir, f), "rb") as fh:
-                write_seekable_zstd(fh.read(), os.path.join(d, f + ".zst"))
+                stream_seekable_zstd(fh, os.path.join(d, f + ".zst"))
 
         parts = [
             f
