@@ -40,6 +40,13 @@ from committed files alone. Full-line shape:
   input size (BASELINE.md's ~40x-at-GB-scale regime); this block makes
   that trend a per-round series instead of a one-off docs measurement.
 
+- ``--bracket N`` (VERDICT r10 item 6) repeats the headline battery
+  (sentinel-pre, 3 passes, sentinel-post) N times SERIALIZED in one
+  process and records per-run aggregates under ``bracket``, so one
+  artifact brackets the box's drift over the window; ``queries_min``
+  (what vs_prev compares) becomes the min over all runs. Default 1 —
+  the driver's invocation shape is unchanged.
+
 Execution is forced through the noop sink (full plan runs, nothing
 collected to the driver). A tiny warmup query absorbs JVM/codegen
 startup so per-query numbers reflect steady state.
@@ -194,8 +201,26 @@ BENCH_QUERIES = [
 
 
 def main() -> None:
+    import argparse
+
     from random_sampling_based_approximate_mapreduce_spark.plans.catalog import QUERIES
     from random_sampling_based_approximate_mapreduce_spark.session import get_spark
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument(
+        "--bracket",
+        type=int,
+        default=1,
+        help="number of SERIALIZED headline measurement runs (VERDICT r10 "
+        "item 6): each run is its own sentinel-pre + 3 passes + "
+        "sentinel-post battery, so the artifact itself brackets box "
+        "drift over the measurement window instead of narrating N "
+        "separate files in round notes. queries_min becomes the "
+        "min-over-all-runs (what vs_prev compares); per-run aggregates "
+        "land in the 'bracket' field. Default 1 = the driver's shape.",
+    )
+    args = ap.parse_args()
+    n_runs = max(1, args.bracket)
 
     spark = get_spark("rsmr-bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -276,43 +301,71 @@ def main() -> None:
             out["scan_sec"] = round(min(_sentinel_scan() for _ in range(3)), 3)
         return out
 
-    sentinel_pre = _sentinel_battery()
+    from statistics import median
 
-    # three passes, per-query MEDIAN: single-shot numbers on a shared
-    # machine varied by up to 1.7x run-to-run (and the same commit
+    # three passes per run, per-query MEDIAN: single-shot numbers on a
+    # shared machine varied by up to 1.7x run-to-run (and the same commit
     # measured 38.6-51.8 s across a day under the driver — documented
     # lockstep box noise). The median of 3 tolerates one polluted pass in
     # either direction, where a min hides sustained regressions and a
-    # single shot reports noise (VERDICT r3 item 7).
+    # single shot reports noise (VERDICT r3 item 7). With --bracket N the
+    # whole battery (sentinel-pre, 3 passes, sentinel-post) repeats N
+    # times SERIALIZED, per-run aggregates recorded, so one artifact
+    # brackets the box's drift over the window (VERDICT r10 item 6).
     samples: dict[str, list[float]] = {name: [] for name in BENCH_QUERIES}
-    for _ in range(3):
-        for name in BENCH_QUERIES:
-            qd = QUERIES[name]
-            t0 = time.monotonic()
-            qd.spark(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-            samples[name].append(time.monotonic() - t0)
-        # drop dead localCheckpoint/broadcast blocks between passes: the
-        # ContextCleaner only frees them after a driver GC notices the
-        # dead refs, and 40+ queries of accumulated blocks otherwise
-        # bleed executor memory into later passes (observed: the
-        # checkpoint-heavy clustering query 3.4 s isolated vs 7.8 s late
-        # in a pressured pass)
-        spark.sparkContext._jvm.System.gc()
-    from statistics import median
+    bracket_runs: list[dict] = []
+    sentinel_batteries: list[dict] = []
+    for run_i in range(n_runs):
+        run_sentinel_pre = _sentinel_battery() if run_i == 0 else _sentinel_battery(warm=False)
+        run_samples: dict[str, list[float]] = {name: [] for name in BENCH_QUERIES}
+        for _ in range(3):
+            for name in BENCH_QUERIES:
+                qd = QUERIES[name]
+                t0 = time.monotonic()
+                qd.spark(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+                run_samples[name].append(time.monotonic() - t0)
+            # drop dead localCheckpoint/broadcast blocks between passes:
+            # the ContextCleaner only frees them after a driver GC notices
+            # the dead refs, and 40+ queries of accumulated blocks
+            # otherwise bleed executor memory into later passes (observed:
+            # the checkpoint-heavy clustering query 3.4 s isolated vs
+            # 7.8 s late in a pressured pass)
+            spark.sparkContext._jvm.System.gc()
+        run_sentinel_post = _sentinel_battery(warm=False)
+        sentinel_batteries.extend((run_sentinel_pre, run_sentinel_post))
+        for name, ts in run_samples.items():
+            samples[name].extend(ts)
+        run_sent_min = {
+            k: min(run_sentinel_pre[k], run_sentinel_post[k])
+            for k in run_sentinel_pre
+        }
+        bracket_runs.append(
+            {
+                "value": round(
+                    sum(median(ts) for ts in run_samples.values()), 3
+                ),
+                "value_min_sum": round(
+                    sum(min(ts) for ts in run_samples.values()), 3
+                ),
+                "sentinel_sec": round(sum(run_sent_min.values()), 3),
+                "sentinel": {k: round(v, 3) for k, v in run_sent_min.items()},
+            }
+        )
 
+    # graded series: median over ALL pooled passes (3 x n_runs);
+    # queries_min (what vs_prev compares) is the min over all runs
     timings = {name: round(median(ts), 3) for name, ts in samples.items()}
     timings_min = {name: round(min(ts), 3) for name, ts in samples.items()}
 
-    # post-pass sentinel battery; the reported sentinel is the
-    # per-component min of pre and post (the bench's own min-robustness
-    # convention), both raw batteries kept for drift forensics
-    sentinel_post = _sentinel_battery(warm=False)
+    # the reported sentinel is the per-component min across every
+    # pre/post battery of every run (the bench's min-robustness
+    # convention); first-pre and last-post kept for drift forensics
     sentinel = {
-        k: min(sentinel_pre[k], sentinel_post[k]) for k in sentinel_pre
+        k: min(b[k] for b in sentinel_batteries) for k in sentinel_batteries[0]
     }
     sentinel["sec"] = round(sum(sentinel.values()), 3)
-    sentinel["pre"] = sentinel_pre
-    sentinel["post"] = sentinel_post
+    sentinel["pre"] = sentinel_batteries[0]
+    sentinel["post"] = sentinel_batteries[-1]
     sentinel["scan_path"] = _SENTINEL_SCAN_PATH if _sentinel_has_scan else None
 
     # round-over-round comparison against the newest recorded BENCH file
@@ -527,12 +580,24 @@ def main() -> None:
             sf_val = base
     else:
         sf_val = base
+    bracket = {
+        "runs": n_runs,
+        "passes_per_run": 3,
+        "per_run": bracket_runs,
+        "value_min_over_runs": round(
+            min(r["value_min_sum"] for r in bracket_runs), 3
+        ),
+        "value_median_over_runs": round(
+            median(r["value"] for r in bracket_runs), 3
+        ),
+    }
     full_doc = {
         "metric": "rsmr-spark headline queries, total wall sec",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
         "queries_min": timings_min,
+        "bracket": bracket,
         "sentinel": sentinel,
         "vs_prev": vs_prev,
         "tpch_x10": tpch_x10,
@@ -563,6 +628,8 @@ def main() -> None:
         "sf": sf_val,
         "n_queries": len(timings),
         "value_min_sum": round(sum(timings_min.values()), 3),
+        "bracket_runs": n_runs,
+        "bracket_value_min_over_runs": bracket["value_min_over_runs"],
         "sentinel_sec": sentinel["sec"],
         "vs_prev": vs_prev,
         "tpch_x10_total_sec": tpch_x10.get("total_sec"),
