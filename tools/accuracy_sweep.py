@@ -53,6 +53,15 @@ DIFFERENT estimands:
   expect it false in most cells, because A4 bounds only the global
   count proportion, never grouped error; its job is to show exactly
   where the reference's yardstick breaks, and nothing gates on it.
+- ``low_support`` (round 11, VERDICT r10 item 2: the grid now reaches
+  the reference's r=0.001 operating point) — a run is marked
+  low-support when the sample is too thin for the gated bounds to be
+  meaningful: expected kept rows (total * r) < 50, or NO group clears
+  the z-test's N_g*r >= 5 support floor. Such runs are measured and
+  recorded (the wall-clock and error columns are still real data) but
+  EXCLUDED from the gate with the reason stated — gating a
+  normal-approximation bound on a ~6-row sample would be noise
+  theater in either direction.
 - ``max_share_z`` — per-group SHARE errors standardized by their own
   binomial std sqrt(p(1-p)(1-r)/n_total); the gate bounds the max over
   groups at 4.5 (P(|Z|>4.5) ~ 6.8e-6 two-sided: Bonferroni-safe at 95%
@@ -215,11 +224,18 @@ def sweep_stratified(spark, sf: str, ratios: list[float]) -> dict:
             total,
         )
         ok = expected == 0.0 or err <= 3.0 * expected
+        kept_expected = sum(type_totals[h] * fracs[h] for h in type_totals)
+        low_support = (
+            f"expected kept rows {kept_expected:.1f} < 50"
+            if kept_expected < 50.0
+            else None
+        )
         print(f"{r:>7} {wall:>8.3f} {err:>11.5f} {expected:>12.5f} "
-              f"{'y' if ok else 'N'}")
+              f"{'y' if ok else 'N'}{' (low support)' if low_support else ''}")
         out["runs"].append(
             {"ratio": r, "wall_s": round(wall, 3), "actual_err": round(err, 6),
-             "expected_grouped_err": round(expected, 6), "ok": bool(ok)}
+             "expected_grouped_err": round(expected, 6), "ok": bool(ok),
+             "low_support": low_support}
         )
     print(json.dumps(out))
     return out
@@ -297,11 +313,18 @@ def sweep_joined(spark, sf: str, ratios: list[float]) -> dict:
             total,
         )
         ok = err <= 3.0 * expected
+        kept_expected = total * r1 * r2
+        low_support = (
+            f"expected kept pairs {kept_expected:.1f} < 50"
+            if kept_expected < 50.0
+            else None
+        )
         print(f"{r2:>7} {wall:>8.3f} {err:>11.5f} {expected:>12.5f} "
-              f"{'y' if ok else 'N'}")
+              f"{'y' if ok else 'N'}{' (low support)' if low_support else ''}")
         out["runs"].append(
             {"ratio": r2, "wall_s": round(wall, 3), "actual_err": round(err, 6),
-             "expected_grouped_err": round(expected, 6), "ok": bool(ok)}
+             "expected_grouped_err": round(expected, 6), "ok": bool(ok),
+             "low_support": low_support}
         )
     print(json.dumps(out))
     return out
@@ -400,6 +423,21 @@ def sweep_query(spark, sf: str, query: str, ratios: list[float]) -> dict:
         # P(|Z| > 4.5) ~ 6.8e-6 two-sided: Bonferroni-safe at 95% up to
         # ~7,400 z-tested groups (the sweeps have < 200)
         share_ok = max_share_z <= 4.5
+        # low-support honesty (module docstring): at r=0.001 on a small
+        # corpus the kept sample can be a handful of rows — record the
+        # measurement, exclude it from the gate, say why
+        kept_expected = rep.total_records * r
+        low_support = None
+        if kept_expected < 50.0:
+            low_support = (
+                f"expected kept rows {kept_expected:.1f} < 50 — grouped "
+                "bound is a normal approximation with no support here"
+            )
+        elif n_z_excluded == len(base_counts):
+            low_support = (
+                f"all {len(base_counts)} groups below the z-test's "
+                "N_g*r >= 5 support floor"
+            )
         print(f"{r:>7} {wall:>8.3f} {base_wall / wall:>7.2f}x {rep.actual_ratio:>12.4f} "
               f"{predicted:>14.5f} {err:>11.5f} {expected_grouped:>12.5f} "
               f"{max_share_z:>11.2f} {'y' if global_bound_ok else 'N'} "
@@ -419,7 +457,8 @@ def sweep_query(spark, sf: str, query: str, ratios: list[float]) -> dict:
              "max_share_err": round(max_share_err, 6),
              "max_share_z": round(max_share_z, 3),
              "n_share_z_excluded": n_z_excluded,
-             "share_ok": bool(share_ok)}
+             "share_ok": bool(share_ok),
+             "low_support": low_support}
         )
     print(json.dumps(out))
     return out
@@ -428,7 +467,7 @@ def sweep_query(spark, sf: str, query: str, ratios: list[float]) -> dict:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
-    ap.add_argument("--ratios", default="1.0,0.5,0.25,0.1,0.01")
+    ap.add_argument("--ratios", default="1.0,0.5,0.25,0.1,0.01,0.001")
     ap.add_argument("--query", default="word_count",
                     choices=sorted(EXPERIMENTS) + list(FAMILY_SWEEPS))
     ap.add_argument("--all", action="store_true", help="sweep every experiment")
@@ -470,17 +509,30 @@ def main() -> None:
         if empty:
             print(f"ACCURACY GATE FAILED: no measured runs for {empty}")
             sys.exit(1)
+        # low-support runs are recorded but not gated (module docstring):
+        # say which cells were excluded so a grid that silently went all
+        # low-support is visible in the gate output
+        skipped = [
+            (q["query"], run["ratio"], run["low_support"])
+            for q in results
+            for run in q["runs"]
+            if run.get("low_support")
+        ]
+        if skipped:
+            print(f"accuracy gate: {len(skipped)} low-support cell(s) "
+                  f"recorded but not gated: {skipped}")
         bad = [
             (q["query"], run["ratio"],
              "grouped" if not run.get("ok", True) else "share")
             for q in results
             for run in q["runs"]
-            if not (run.get("ok", True) and run.get("share_ok", True))
+            if not run.get("low_support")
+            and not (run.get("ok", True) and run.get("share_ok", True))
         ]
         if bad:
             print(f"ACCURACY GATE FAILED: {bad}")
             sys.exit(1)
-        print("accuracy gate: all runs within bounds")
+        print("accuracy gate: all gated runs within bounds")
 
 
 if __name__ == "__main__":
