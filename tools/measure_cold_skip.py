@@ -106,7 +106,9 @@ def main() -> None:
         "--sources",
         nargs="*",
         default=None,
-        help="measure only these sources (layouts still ensured once)",
+        help="measure only these sources; only the layouts those sources "
+        "need are built (a --copies 16000 bzip2-only cell then skips the "
+        "~25 GB text/parquet twins)",
     )
     args = ap.parse_args()
 
@@ -166,29 +168,46 @@ def main() -> None:
             )
         )
 
+    _ALL_SOURCES = (
+        "byteblock_text",
+        "bzip2_block_text",
+        "zstd_seekable_text",
+        "rowgroup_parquet",
+    )
+    wanted = set(args.sources or _ALL_SOURCES)
+    unknown = wanted - set(_ALL_SOURCES)
+    if unknown:
+        raise SystemExit(f"unknown sources {sorted(unknown)}; have {list(_ALL_SOURCES)}")
+
     # corpus_df() already leaves 32 evenly-split partitions (the range
     # side is repartitioned before the broadcast expansion) — a second
     # repartition here would shuffle the full expanded corpus again for
-    # the same file layout (review r10)
-    text_dir = ensure_layout(
-        f"/tmp/rsmr_cold_txt_{key}",
-        lambda d: corpus_df().write.mode("overwrite").text(d),
-    )
-    bz2_dir = ensure_layout(
-        f"/tmp/rsmr_cold_bz2_{key}",
-        lambda d: corpus_df()
-        .write.mode("overwrite")
-        .option("compression", "bzip2")
-        .text(d),
-    )
-    pq_dir = ensure_layout(
-        f"/tmp/rsmr_cold_pq_{key}",
-        lambda d: corpus_df()
-        .write.mode("overwrite")
-        # small row groups so a 1% pick has >=1 group per file to keep
-        .option("parquet.block.size", str(2 * 1024 * 1024))
-        .parquet(d),
-    )
+    # the same file layout (review r10). Only the layouts the requested
+    # sources need are built: text feeds byteblock AND the zst
+    # conversion; bz2/parquet stand alone.
+    text_dir = bz2_dir = pq_dir = None
+    if wanted & {"byteblock_text", "zstd_seekable_text"}:
+        text_dir = ensure_layout(
+            f"/tmp/rsmr_cold_txt_{key}",
+            lambda d: corpus_df().write.mode("overwrite").text(d),
+        )
+    if "bzip2_block_text" in wanted:
+        bz2_dir = ensure_layout(
+            f"/tmp/rsmr_cold_bz2_{key}",
+            lambda d: corpus_df()
+            .write.mode("overwrite")
+            .option("compression", "bzip2")
+            .text(d),
+        )
+    if "rowgroup_parquet" in wanted:
+        pq_dir = ensure_layout(
+            f"/tmp/rsmr_cold_pq_{key}",
+            lambda d: corpus_df()
+            .write.mode("overwrite")
+            # small row groups so a 1% pick has >=1 group per file to keep
+            .option("parquet.block.size", str(2 * 1024 * 1024))
+            .parquet(d),
+        )
 
     def _build_zst(d: str) -> None:
         # seekable-zstd conversion of the text layout, driver-side but
@@ -221,14 +240,23 @@ def main() -> None:
         with open(os.path.join(d, "_SUCCESS"), "w"):
             pass
 
-    zst_dir = ensure_layout(f"/tmp/rsmr_cold_zst_{key}", _build_zst)
+    zst_dir = (
+        ensure_layout(f"/tmp/rsmr_cold_zst_{key}", _build_zst)
+        if "zstd_seekable_text" in wanted
+        else None
+    )
     os.sync()  # flush dirty pages so fadvise(DONTNEED) can evict them
 
+    layout_dirs = {
+        "byteblock_text": text_dir,
+        "bzip2_block_text": bz2_dir,
+        "zstd_seekable_text": zst_dir,
+        "rowgroup_parquet": pq_dir,
+    }
     layouts = {
-        "byteblock_text": (text_dir, _input_files(text_dir)),
-        "bzip2_block_text": (bz2_dir, _input_files(bz2_dir)),
-        "zstd_seekable_text": (zst_dir, _input_files(zst_dir)),
-        "rowgroup_parquet": (pq_dir, _input_files(pq_dir)),
+        name: (d, _input_files(d))
+        for name, d in layout_dirs.items()
+        if name in wanted and d is not None
     }
     sizes = {
         name: round(sum(os.path.getsize(f) for f in files) / 1e6, 1)
@@ -261,11 +289,6 @@ def main() -> None:
         return skip, base, picked, total
 
     results = []
-    if args.sources:
-        unknown = [s for s in args.sources if s not in layouts]
-        if unknown:
-            raise SystemExit(f"unknown sources {unknown}; have {list(layouts)}")
-        layouts = {k: v for k, v in layouts.items() if k in args.sources}
     for name, (path, files) in layouts.items():
         for r in args.ratios:
             skip, base, picked, total = workloads(name, path, r)
