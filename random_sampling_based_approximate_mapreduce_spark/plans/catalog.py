@@ -54,14 +54,21 @@ from .warehouse import _LQ_W_LEN  # noqa: E402,F401
 # Already-verified queries and rows-only variants go last.
 _CHECK_PRIORITY = [
     # === ROUND 11 rotation (VERDICT r10 item 1): the 50 driver slots are
-    # exactly (a) doc_quality (displaced to slot 51 in r10), (b) the 33
-    # remaining queries whose last driver hash-green is r7, in r7 check
-    # order, then (c) the 16 oldest of the 50 r8-green queries in r8
-    # check order. After r11 no value-oracled query's driver green is
-    # older than r8. The r10-green cohort (freshest signal) re-checks
-    # last among oracled queries.
+    # exactly (a) word_count_gzip_exact (this round's new seam query —
+    # r10 precedent: the new addition takes slot 1), (b) doc_quality
+    # (displaced to slot 51 in r10), (c) the 33 remaining queries whose
+    # last driver hash-green is r7, in r7 check order, then (d) the
+    # oldest of the 50 r8-green queries in r8 check order (15 fit; the
+    # 16th, bucketed_orders_join, is displaced to slot 51 and stays
+    # r8-green — the "nothing older than r8" invariant holds either
+    # way). The r10-green cohort (freshest signal) re-checks last among
+    # oracled queries.
     #
-    # --- slot 1: doc_quality (r7-green; displaced at slot 51 in r10)
+    # --- slot 1: the round-11 addition (BGZF blocked-gzip seam query,
+    # never driver-checked — the r10 precedent: the new value-oracled
+    # query takes slot 1 so its first driver hash-check is immediate)
+    "word_count_gzip_exact",
+    # --- slot 2: doc_quality (r7-green; displaced at slot 51 in r10)
     "doc_quality",
     # --- slots 2-34: the remaining r7-stale cohort (r7 check order)
     "token_stats",
@@ -97,7 +104,9 @@ _CHECK_PRIORITY = [
     "tpch_q1",
     "tpch_q1_hash_sampled",
     "tpch_q3_topk",
-    # --- slots 35-50: the 16 oldest r8-green queries (r8 check order)
+    # --- slots 36-50: the 15 oldest r8-green queries (r8 check order);
+    # the 16th (bucketed_orders_join) sits at slot 51, displaced by the
+    # round-11 addition at slot 1
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_simhash_pairs",
@@ -272,6 +281,7 @@ _CHECK_PRIORITY = [
     "log_host_sampled",
     "log_host_file_sampled",
     "word_count_zstd_sampled",
+    "word_count_gzip_sampled",
     "approx_events_by_type",
     "approx_quantile_events",
     "hll_users_daily",

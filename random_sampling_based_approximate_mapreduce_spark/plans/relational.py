@@ -775,6 +775,107 @@ def q_word_count_zstd_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     return words.approx_count("word", alias="est_cnt")
 
 
+def _bgzf_text_layout(spark: SparkSession, sf_dir: str) -> str:
+    """documents.text as BGZF part files (SAM spec 4.1 blocked gzip:
+    independent gzip members whose headers carry their own compressed
+    size), one-time per sf_dir: text written by Spark, converted
+    driver-side by the module's own spec-conforming writer. Small
+    blocks so even the test layout crosses many seams."""
+    import hashlib
+
+    from ..sources.tables import ensure_layout
+    from ..sources.bgzf_text import convert_text_to_bgzf
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+
+    def _build(d: str) -> None:
+        import shutil
+        import tempfile
+
+        from ..sources.tables import assert_layout_shape
+        from ..sources.bgzf_text import scan_blocks
+
+        tmp = tempfile.mkdtemp(prefix="rsmr_bgzf_txt_src_")
+        try:
+            load(spark, sf_dir, "documents").select("text").repartition(
+                4
+            ).write.mode("overwrite").text(tmp)
+            convert_text_to_bgzf(tmp, d, block_bytes=16 * 1024)
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+        # build-time shape assertion (review r10): every part must split
+        # into multiple DATA blocks (the EOF marker doesn't count), and
+        # there must be multiple parts
+        assert_layout_shape(
+            d,
+            min_parts=2,
+            count_units=lambda p: sum(1 for e in scan_blocks(p) if e.d_size),
+            what="bgzf text layout",
+        )
+
+    return ensure_layout(f"/tmp/rsmr_text_bgzf_{key}", _build)
+
+
+@register(
+    "word_count_gzip_exact",
+    f"""
+    SELECT word, count(*)::BIGINT AS cnt
+    FROM (
+      SELECT unnest(string_split_regex(lower(text), '{_WORD_SPLIT_SQL}')) AS word
+      FROM documents
+      WHERE NOT regexp_matches(text, '[0-9]')
+    )
+    WHERE word <> '' AND NOT regexp_matches(word, '^[0-9]+$')
+    GROUP BY word
+    """,
+    doc="word_count through the BGZF BLOCKED-GZIP source at ratio 1.0 "
+    "(sources/bgzf_text.py): the block hop (SAM spec 4.1 — every gzip "
+    "member's header carries its compressed size in the BC FEXTRA "
+    "subfield) gives exact per-block offsets, so picked blocks become "
+    "the scan's partitions with ~18 bytes of header read per block — "
+    "closing the LAST codec gap in the byte-skip ladder (plain "
+    "monolithic .gz stays refused; the files here are valid gzip that "
+    "zcat reads whole). At ratio 1.0 the read is the exact file, so "
+    "this is VALUE-ORACLED against the same word_count SQL as the "
+    "uncompressed, bzip2 and zstd layouts — proving the shared "
+    "seam_text ownership algebra through a third codec (round 11). "
+    "Reference parity: Hadoop-splittable-codec semantics "
+    "(RandomizedXMLRecordReader.java:76-106) extended to gzip, which "
+    "Hadoop itself cannot split",
+)
+def q_word_count_gzip_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.bgzf_text import read_text_bgzf_sampled
+
+    src = _bgzf_text_layout(spark, sf_dir)
+    sf = read_text_bgzf_sampled(spark, src, 1.0)
+    kept = T.drop_digit_lines(sf.df, "value")
+    return T.explode_words(kept, "value").groupBy("word").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+@register(
+    "word_count_gzip_sampled",
+    None,
+    doc="BGZF block cluster sampling: hash-picked gzip members are the "
+    "only partitions — unpicked blocks are never inflated (the header "
+    "hop is the skip index; CRC32 verified by zlib on every block "
+    "actually read). Rows-only ceiling: a line's cluster is its block "
+    "index in the compressed layout, which no SQL oracle can recompute; "
+    "the ownership algebra is value-proven in tests/test_bgzf_text.py "
+    "and the ratio-1.0 twin word_count_gzip_exact is fully "
+    "value-oracled",
+    tags=("sampled",),
+)
+def q_word_count_gzip_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.bgzf_text import read_text_bgzf_sampled
+
+    src = _bgzf_text_layout(spark, sf_dir)
+    sf = read_text_bgzf_sampled(spark, src, 0.5, seed=11)
+    words = sf.transform(lambda df: T.explode_words(T.drop_digit_lines(df, "value"), "value"))
+    return words.approx_count("word", alias="est_cnt")
+
+
 @register(
     "docs_partitioned_lang",
     """

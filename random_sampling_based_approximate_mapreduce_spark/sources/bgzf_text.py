@@ -1,0 +1,533 @@
+"""BGZF (blocked-gzip) text sampling — byte-skip inside .gz via the
+public BGZF spec.
+
+Closes the LAST codec gap in the byte-skip ladder: a PLAIN gzip stream
+has no independently decodable blocks and no in-band index, so a seek
+into it is meaningless and stays refused (``byteblock_text``'s honesty
+rule). But BGZF — the blocked-gzip variant specified publicly in the
+SAM format specification §4.1 (samtools/hts-specs, SAMv1.pdf; the
+format htslib's ``bgzip`` writes) — is a sequence of ordinary,
+INDEPENDENT gzip members where every member's own header carries its
+compressed size, so a reader can hop header-to-header reading ~18 bytes
+per block and decode any block in isolation. Every BGZF file is also a
+valid multi-member gzip file: ``gzip -d``, ``zcat`` and Python's
+``gzip`` module read it whole with no special handling.
+
+Format facts used (all from the public SAM spec §4.1):
+
+- each block is a gzip member with FLG.FEXTRA set; the extra field
+  contains the subfield SI1=66 ('B'), SI2=67 ('C'), SLEN=2 whose
+  payload is BSIZE (LE uint16) = total block length minus 1 — so the
+  next block starts at ``offset + BSIZE + 1``;
+- a block's payload is raw DEFLATE, followed by the standard gzip
+  CRC32 and ISIZE (uncompressed length) trailer — ISIZE gives the
+  exact decompressed size without decoding (blocks are <= 64 KiB, so
+  the mod-2^32 truncation never bites);
+- total block length <= 65536 (BSIZE is uint16), which bgzip
+  guarantees by capping the uncompressed input per block at 65280
+  bytes (deflate's worst-case expansion then still fits);
+- EOF is marked by the spec's fixed 28-byte empty block.
+
+Sampling semantics: BLOCKS are the clusters. ``pick_blocks``
+hash-picks block indices deterministically (md5 of (seed, file, block
+index) — the shared ``pick_units`` algebra, never-empty per pick) from
+the header hop alone. A picked block becomes one partition that seeks
+straight to its compressed offset and inflates ONLY itself (stdlib
+zlib; CRC32 and ISIZE are VERIFIED by zlib's gzip-wrapper decode, a
+check the zstd rung cannot afford without xxhash). Unpicked blocks are
+never decoded; the hop reads only each block's 18-byte header + 4-byte
+ISIZE, ~0.03% of file bytes at the 64 KiB default block size.
+
+Line-boundary contract: the shared seam algebra (``seam_text`` — one
+definition across byteblock / zstd frames / BGZF blocks) in
+decompressed-offset space; union over all blocks at ratio 1.0 is
+exactly the file for arbitrary splits. Estimators HT-scale by 1/ratio;
+``row_config`` composes a within-block Bernoulli stage.
+
+The WRITER here (``write_bgzf`` / ``convert_text_to_bgzf``) produces
+spec-conforming files (multi-member-gzip-decodable, verified in tests
+against Python's gzip module both ways) so layouts can be built without
+htslib; files produced by ``bgzip`` itself are read by the same hop.
+Plain .gz files — single-member, no BC subfield — are refused loudly
+with the same fallback ladder as byteblock_text (file-level clusters or
+row Bernoulli through Spark's own codec): skipping inside a monolithic
+gzip stream cannot be honest.
+
+100 TB shape: one picked block = one task = one contiguous compressed
+read of header-known size; the hop is O(blocks) tiny reads driver-side,
+cached per worker like the zstd seek table. Reference parity: this is
+the sampled-split-of-compressed-stream semantics the reference gets
+from Hadoop's splittable codecs (RandomizedXMLRecordReader.java:76-106)
+extended to gzip, the one mainstream codec Hadoop itself cannot split.
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+import os
+import struct
+import zlib
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+from ..sampling.config import SamplingConfig
+from ..sampling.sampled_frame import SampledFrame
+from .seam_text import SpanEntry, unit_lines
+
+# SAM spec §4.1: gzip member, FEXTRA set, BC subfield carrying BSIZE.
+_GZIP_ID1 = 0x1F
+_GZIP_ID2 = 0x8B
+_GZIP_CM_DEFLATE = 8
+_GZIP_FLG_FEXTRA = 0x04
+_BC_SI1 = 66  # 'B'
+_BC_SI2 = 67  # 'C'
+_HEADER_BYTES = 12  # fixed gzip header through XLEN
+_BC_SUBFIELD = 6  # SI1 SI2 SLEN(2) BSIZE(2)
+_TRAILER_BYTES = 8  # CRC32 + ISIZE
+_OVERHEAD = _HEADER_BYTES + _BC_SUBFIELD + _TRAILER_BYTES  # 26
+# the spec's cap: BSIZE is uint16, so block length <= 65536; bgzip caps
+# the uncompressed input per block at 65280 so worst-case deflate
+# expansion still fits
+MAX_BLOCK_BYTES = 65536
+MAX_INPUT_BYTES = 65280
+DEFAULT_BLOCK_BYTES = MAX_INPUT_BYTES
+
+# the spec's fixed 28-byte EOF marker: an empty BGZF block
+BGZF_EOF = bytes.fromhex(
+    "1f8b08040000000000ff0600424302001b0003000000000000000000"
+)
+
+
+# ---------------------------------------------------------------------------
+# block hop: scan + write
+# ---------------------------------------------------------------------------
+
+
+_BLOCK_CACHE: dict[tuple[str, int, int], tuple[SpanEntry, ...]] = {}
+
+
+def scan_blocks(path: str) -> tuple[SpanEntry, ...]:
+    """Hop the BGZF block headers: ~18 bytes of header + 4 bytes of
+    ISIZE per block, no payload decode. Raises ValueError (with the
+    fallback ladder) for files that are not BGZF — including plain
+    single-member .gz.
+
+    Cached per (path, size, mtime_ns) like the zstd seek table: Spark
+    reuses Python workers across tasks, and every block partition of a
+    file needs the same hop — keyed on st_mtime_ns and stored/returned
+    as an immutable tuple (the r10 cache contract).
+    """
+    st = os.stat(path)
+    cache_key = (path, st.st_size, st.st_mtime_ns)
+    hit = _BLOCK_CACHE.get(cache_key)
+    if hit is not None:
+        return hit
+    size = st.st_size
+    parsed: list[SpanEntry] = []
+    c_off = 0
+    d_off = 0
+    with open(path, "rb") as fh:
+        while c_off < size:
+            fh.seek(c_off)
+            hdr = fh.read(_HEADER_BYTES)
+            if len(hdr) < _HEADER_BYTES:
+                raise ValueError(
+                    f"{path}: truncated gzip member header at offset "
+                    f"{c_off} (corrupt or not BGZF)"
+                )
+            id1, id2, cm, flg, _mtime, _xfl, _os, xlen = struct.unpack(
+                "<BBBBIBBH", hdr
+            )
+            if id1 != _GZIP_ID1 or id2 != _GZIP_ID2 or cm != _GZIP_CM_DEFLATE:
+                raise ValueError(
+                    f"{path}: not a gzip member at offset {c_off} "
+                    f"(magic {id1:02x}{id2:02x}, cm {cm})"
+                )
+            if not flg & _GZIP_FLG_FEXTRA:
+                raise ValueError(
+                    f"{path}: gzip member at offset {c_off} has no FEXTRA "
+                    "field — plain gzip, not BGZF. Block-skip needs the "
+                    "BGZF blocked-gzip variant (SAM spec 4.1; htslib's "
+                    "bgzip or this module's write_bgzf produces it). For "
+                    "plain .gz use read_text_file_sampled (file-level "
+                    "clusters) or read_text_sampled (row Bernoulli) "
+                    "through Spark's codec"
+                )
+            extra = fh.read(xlen)
+            if len(extra) < xlen:
+                raise ValueError(
+                    f"{path}: truncated FEXTRA at offset {c_off} (corrupt)"
+                )
+            bsize = None
+            pos = 0
+            while pos + 4 <= xlen:
+                si1, si2, slen = struct.unpack_from("<BBH", extra, pos)
+                if si1 == _BC_SI1 and si2 == _BC_SI2 and slen == 2:
+                    (bsize,) = struct.unpack_from("<H", extra, pos + 4)
+                    break
+                pos += 4 + slen
+            if bsize is None:
+                raise ValueError(
+                    f"{path}: gzip FEXTRA at offset {c_off} has no BC "
+                    "subfield — gzip-with-extras, not BGZF (same fallback "
+                    "ladder as plain gzip)"
+                )
+            block_size = bsize + 1
+            if c_off + block_size > size:
+                raise ValueError(
+                    f"{path}: block at offset {c_off} claims {block_size} "
+                    f"bytes but the file ends at {size} (corrupt BSIZE)"
+                )
+            if block_size < _OVERHEAD - _BC_SUBFIELD + xlen:
+                raise ValueError(
+                    f"{path}: block at offset {c_off} claims {block_size} "
+                    "bytes, smaller than its own header+trailer (corrupt "
+                    "BSIZE)"
+                )
+            fh.seek(c_off + block_size - 4)
+            (isize,) = struct.unpack("<I", fh.read(4))
+            parsed.append(SpanEntry(c_off, block_size, d_off, isize))
+            c_off += block_size
+            d_off += isize
+    entries = tuple(parsed)
+    while len(_BLOCK_CACHE) > 256:  # bound worker memory across many files
+        # FIFO single-entry eviction, not clear() — the zstd cache rule
+        _BLOCK_CACHE.pop(next(iter(_BLOCK_CACHE)))
+    _BLOCK_CACHE[cache_key] = entries
+    return entries
+
+
+def decode_block(path_or_blob, e: SpanEntry) -> bytes:
+    """Inflate ONE block in isolation. zlib's gzip-wrapper decode
+    verifies the member's CRC32 and ISIZE trailer; we additionally pin
+    the output length to the hop's ISIZE so a lying trailer can't
+    silently skew ownership offsets."""
+    if isinstance(path_or_blob, (bytes, bytearray)):
+        mem = bytes(path_or_blob[e.c_off : e.c_off + e.c_size])
+    else:
+        with open(path_or_blob, "rb") as fh:
+            fh.seek(e.c_off)
+            mem = fh.read(e.c_size)
+    d = zlib.decompressobj(wbits=31)  # 31 = gzip wrapper
+    out = d.decompress(mem)
+    out += d.flush()
+    if d.unused_data:
+        raise ValueError(
+            f"block at offset {e.c_off}: {len(d.unused_data)} trailing "
+            "bytes after the gzip member — BSIZE disagrees with the "
+            "member's real extent (corrupt)"
+        )
+    if len(out) != e.d_size:
+        raise ValueError(
+            f"block at offset {e.c_off}: inflated to {len(out)} bytes "
+            f"but ISIZE says {e.d_size} (corrupt trailer)"
+        )
+    return out
+
+
+class _BlockTailStream:
+    """Readable stream over the decompressed bytes of blocks ``j..`` —
+    the seam algebra's boundary-line fetch. Inflates one <=64 KiB block
+    at a time (blocks are small, so per-block decode IS the streaming
+    granularity the zstd rung needs libzstd streaming for)."""
+
+    def __init__(self, path: str, entries, j: int):
+        self._path = path
+        self._entries = entries
+        self._j = j
+        self._buf = b""
+
+    def read(self, n: int) -> bytes:
+        while not self._buf and self._j < len(self._entries):
+            e = self._entries[self._j]
+            self._j += 1
+            if e.d_size == 0:
+                continue
+            self._buf = decode_block(self._path, e)
+        out, self._buf = self._buf[:n], self._buf[n:]
+        return out
+
+    def close(self) -> None:
+        self._buf = b""
+        self._j = len(self._entries)
+
+
+def read_block_lines(path: str, entries, idx: int) -> list[str]:
+    """All lines OWNED by block ``idx`` — the shared ``seam_text``
+    pairing; only block ``idx`` and the blocks its edge lines actually
+    span are inflated."""
+    return unit_lines(
+        entries,
+        idx,
+        lambda e: decode_block(path, e),
+        lambda j: _BlockTailStream(path, entries, j),
+    )
+
+
+def write_bgzf(
+    data: bytes,
+    out_path: str,
+    block_bytes: int = DEFAULT_BLOCK_BYTES,
+    align_lines: bool = True,
+    level: int | None = None,
+) -> list[SpanEntry]:
+    """Compress ``data`` as BGZF: independent gzip members of
+    ~``block_bytes`` uncompressed bytes + the spec's EOF marker.
+    Thin wrapper over ``stream_bgzf`` for in-memory inputs."""
+    import io
+
+    return stream_bgzf(
+        io.BytesIO(data),
+        out_path,
+        block_bytes=block_bytes,
+        align_lines=align_lines,
+        level=level,
+    )
+
+
+def stream_bgzf(
+    src,
+    out_path: str,
+    block_bytes: int = DEFAULT_BLOCK_BYTES,
+    align_lines: bool = True,
+    level: int | None = None,
+) -> list[SpanEntry]:
+    """Streaming BGZF writer: reads ``src`` (a binary file-like) one
+    block at a time, so peak memory is O(block_bytes) regardless of
+    input size (the r10 layout-builder memory rule).
+
+    ``align_lines=True`` extends each block to the next newline — but
+    never past the spec's 65280-byte input cap (``readline`` with a
+    size bound), so a pathological long line simply ends the block
+    unaligned and the seam algebra owns the straddle. Blocks therefore
+    end on line boundaries for ordinary line data and remain
+    spec-legal for hostile data. Returns the entries written
+    (excluding the EOF marker).
+    """
+    if not 1 <= block_bytes <= MAX_INPUT_BYTES:
+        raise ValueError(
+            f"block_bytes must be in [1, {MAX_INPUT_BYTES}] (BSIZE is "
+            f"uint16 — SAM spec 4.1), got {block_bytes}"
+        )
+    entries: list[SpanEntry] = []
+    c_off = 0
+    d_off = 0
+    with open(out_path, "wb") as fh:
+        while True:
+            chunk = src.read(block_bytes)
+            if not chunk:
+                break
+            if align_lines and not chunk.endswith(b"\n"):
+                room = MAX_INPUT_BYTES - len(chunk)
+                if room > 0:
+                    # bounded readline: through the next newline or at
+                    # most `room` bytes, whichever comes first — the
+                    # block must stay spec-legal even for a >64 KiB line
+                    chunk += src.readline(room)
+            co = zlib.compressobj(
+                level if level is not None else -1, zlib.DEFLATED, -15
+            )
+            comp = co.compress(chunk) + co.flush()
+            block_size = len(comp) + _OVERHEAD
+            if block_size > MAX_BLOCK_BYTES:
+                # unreachable with the 65280 input cap (deflate's
+                # worst-case expansion of 65280 bytes is ~65300), but a
+                # loud guard beats a silently corrupt BSIZE
+                raise ValueError(
+                    f"compressed block of {block_size} bytes exceeds the "
+                    f"BGZF {MAX_BLOCK_BYTES} limit"
+                )
+            fh.write(
+                struct.pack(
+                    "<BBBBIBBHBBHH",
+                    _GZIP_ID1,
+                    _GZIP_ID2,
+                    _GZIP_CM_DEFLATE,
+                    _GZIP_FLG_FEXTRA,
+                    0,  # MTIME: fixed 0 for reproducible layouts
+                    0,  # XFL
+                    0xFF,  # OS: unknown
+                    _BC_SUBFIELD,  # XLEN
+                    _BC_SI1,
+                    _BC_SI2,
+                    2,  # SLEN
+                    block_size - 1,  # BSIZE
+                )
+            )
+            fh.write(comp)
+            fh.write(struct.pack("<II", zlib.crc32(chunk), len(chunk)))
+            entries.append(SpanEntry(c_off, block_size, d_off, len(chunk)))
+            c_off += block_size
+            d_off += len(chunk)
+        fh.write(BGZF_EOF)
+    return entries
+
+
+def convert_text_to_bgzf(
+    src_dir: str, dst_dir: str, block_bytes: int = DEFAULT_BLOCK_BYTES
+) -> list[str]:
+    """Convert every plain-text part file under ``src_dir`` to a BGZF
+    .gz under ``dst_dir`` (driver-side, one streaming pass per file) —
+    the layout builder for fixtures and measurements. Writes a
+    ``_SUCCESS`` marker like Spark's own writers (callers wrap this in
+    ``ensure_layout``, whose published-check is that marker)."""
+    os.makedirs(dst_dir, exist_ok=True)
+    out: list[str] = []
+    for f in sorted(os.listdir(src_dir)):
+        p = os.path.join(src_dir, f)
+        if not os.path.isfile(p) or f.startswith(("_", ".")):
+            continue
+        dst = os.path.join(dst_dir, f + ".gz")
+        with open(p, "rb") as fh:
+            stream_bgzf(fh, dst, block_bytes=block_bytes)
+        out.append(dst)
+    if not out:
+        raise ValueError(f"no text part files under {src_dir}")
+    with open(os.path.join(dst_dir, "_SUCCESS"), "w"):
+        pass
+    return out
+
+
+def decompress_file(path: str) -> bytes:
+    """Whole-file decode via the block hop (tests compare this against
+    the original bytes AND against Python's gzip module, which reads
+    the same file as ordinary multi-member gzip)."""
+    entries = scan_blocks(path)
+    return b"".join(decode_block(path, e) for e in entries if e.d_size)
+
+
+# ---------------------------------------------------------------------------
+# block pick (cluster sampling over the header hop)
+# ---------------------------------------------------------------------------
+
+
+def _list_bgzf_files(path: str) -> list[str]:
+    if os.path.isdir(path):
+        found = sorted(
+            f
+            for f in _glob.glob(os.path.join(path, "*"))
+            if os.path.isfile(f) and not os.path.basename(f).startswith(("_", "."))
+        )
+    else:
+        # bare nonexistent path: fail here as "no files", not as a
+        # confusing suffix refusal / FileNotFoundError downstream
+        found = sorted(f for f in _glob.glob(path) if os.path.isfile(f))
+        if not found and os.path.isfile(path):
+            found = [path]
+    if not found:
+        raise ValueError(f"no files under {path}")
+    bad = [f for f in found if not f.endswith((".gz", ".bgz", ".bgzf"))]
+    if bad:
+        raise ValueError(f"bgzf_text expects .gz/.bgz/.bgzf files, got {bad[:3]}")
+    return found
+
+
+def pick_blocks(
+    path: str, ratio: float, seed: int = 42
+) -> tuple[list[tuple[str, int]], int, int]:
+    """Deterministic hash-pick of blocks across all files from their
+    header hops alone. Returns (picked [(file, block_idx)], picked
+    compressed bytes, total compressed bytes of data blocks). Never
+    empty — the shared ``pick_units`` algebra."""
+    from ..sampling.deterministic import pick_units
+
+    units = [
+        (f, i, e.c_size)
+        for f in _list_bgzf_files(path)
+        for i, e in enumerate(scan_blocks(f))
+        if e.d_size  # the EOF marker (and any empty member) owns no rows
+    ]
+    if not units:
+        # every block empty: keep the never-empty contract on unit 0
+        units = [
+            (f, i, e.c_size)
+            for f in _list_bgzf_files(path)
+            for i, e in enumerate(scan_blocks(f))
+        ]
+    return pick_units(units, ratio, lambda f, i: f"{seed}:{f}#blk{i}")
+
+
+# ---------------------------------------------------------------------------
+# Spark source
+# ---------------------------------------------------------------------------
+
+
+class _BlockPartition(InputPartition):
+    def __init__(self, path: str, idx: int):
+        self.path = path
+        self.idx = idx
+
+
+class BgzfTextDataSource(DataSource):
+    """format name ``bgzf_text``; options: path, ratio, seed. Schema
+    fixed: ``value string`` (one row per line), matching
+    ``spark.read.text``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "bgzf_text"
+
+    def schema(self) -> str:
+        return "value string"
+
+    def reader(self, schema) -> "BgzfTextReader":
+        return BgzfTextReader(self.options)
+
+
+class BgzfTextReader(DataSourceReader):
+    _BATCH_ROWS = 8192
+
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("bgzf_text requires .option('path', ...)")
+        self.ratio = float(options.get("ratio", "1.0"))
+        self.seed = int(options.get("seed", "42"))
+
+    def partitions(self):
+        picked, _, _ = pick_blocks(self.path, self.ratio, self.seed)
+        return [_BlockPartition(f, i) for f, i in picked]
+
+    def read(self, partition: _BlockPartition):
+        import pyarrow as pa
+
+        entries = scan_blocks(partition.path)
+        lines = read_block_lines(partition.path, entries, partition.idx)
+        for i in range(0, len(lines), self._BATCH_ROWS):
+            yield pa.record_batch(
+                [pa.array(lines[i : i + self._BATCH_ROWS], pa.string())],
+                names=["value"],
+            )
+
+
+def register_bgzf_text(spark) -> None:
+    """Register the source with a session (idempotent)."""
+    spark.dataSource.register(BgzfTextDataSource)
+
+
+def read_text_bgzf_sampled(
+    spark,
+    path: str,
+    block_ratio: float,
+    seed: int = 42,
+    row_config: SamplingConfig | None = None,
+) -> SampledFrame:
+    """BGZF block cluster sample -> SampledFrame.
+
+    Every line's inclusion probability is ``block_ratio`` (its block's
+    independent acceptance), so estimators HT-scale by 1/block_ratio;
+    ``row_config`` composes a within-block Bernoulli row stage — the
+    same two-stage algebra as the byteblock / bzip2 / zstd / file
+    samplers."""
+    register_bgzf_text(spark)
+    pick_blocks(path, block_ratio, seed)  # eager driver-side validation
+    df = (
+        spark.read.format("bgzf_text")
+        .option("path", path)
+        .option("ratio", str(block_ratio))
+        .option("seed", str(seed))
+        .load()
+    )
+    from ..sampling.sampled_frame import compose_cluster_row_stage
+
+    return compose_cluster_row_stage(df, block_ratio, seed, row_config)

@@ -66,12 +66,12 @@ from __future__ import annotations
 import glob as _glob
 import os
 import struct
-from dataclasses import dataclass
 
 from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
 
 from ..sampling.config import SamplingConfig
 from ..sampling.sampled_frame import SampledFrame
+from .seam_text import SpanEntry, unit_lines
 
 SKIPPABLE_MAGIC = 0x184D2A5E
 SEEKABLE_MAGIC = 0x8F92EAB1
@@ -79,16 +79,9 @@ ZSTD_FRAME_MAGIC = 0xFD2FB528  # bytes 28 B5 2F FD read as LE uint32
 _FOOTER_BYTES = 9
 DEFAULT_FRAME_BYTES = 4 << 20
 
-
-@dataclass(frozen=True)
-class FrameEntry:
-    """One data frame: compressed span [c_off, c_off+c_size) in the file,
-    decompressed span [d_off, d_off+d_size) in the logical stream."""
-
-    c_off: int
-    c_size: int
-    d_off: int
-    d_size: int
+# One data frame: the shared skip-unit descriptor (seam_text.SpanEntry);
+# the frame-specific name is kept for this module's public surface.
+FrameEntry = SpanEntry
 
 
 # ---------------------------------------------------------------------------
@@ -368,87 +361,54 @@ def pick_frames(
 # ---------------------------------------------------------------------------
 
 
-def _next_line_bytes(path: str, entries: list[FrameEntry], j: int):
-    """Decompressed bytes of frames ``j..`` up to and EXCLUDING the first
-    newline (i.e. one line's content); ``None`` if there are no
-    decompressed bytes at all past ``j`` (EOF).
+class _FrameTailStream:
+    """Readable stream over the decompressed bytes of frames ``j..`` —
+    the seam algebra's boundary-line fetch, STREAMING (review r10: the
+    aligned-layout common case needs only the successor frame's first
+    line, and a one-shot ``Codec.decompress`` of that whole frame
+    doubled every partition's decode work). ``CompressedInputStream``
+    over the concatenated frames (libzstd streaming — it also skips the
+    trailing seek-table skippable frame) decodes ~one 64 KB chunk
+    instead; closing also closes the underlying file handle."""
 
-    STREAMING decode (review r10): the aligned-layout common case needs
-    only the successor frame's first line, and a one-shot
-    ``Codec.decompress`` of that whole frame doubled every partition's
-    decode work. ``CompressedInputStream`` over the concatenated frames
-    (libzstd streaming — it also skips the trailing seek-table skippable
-    frame) decodes ~one 64 KB chunk instead.
-    """
+    def __init__(self, path: str, c_off: int):
+        import pyarrow as pa
+
+        self._raw = pa.OSFile(path, "rb")
+        self._raw.seek(c_off)
+        self._stream = pa.CompressedInputStream(self._raw, "zstd")
+
+    def read(self, n: int) -> bytes:
+        return self._stream.read(n)
+
+    def close(self) -> None:
+        try:
+            self._stream.close()
+        finally:
+            if not self._raw.closed:
+                self._raw.close()
+
+
+def _decode_frame(path: str, e: FrameEntry) -> bytes:
     import pyarrow as pa
 
-    if all(e.d_size == 0 for e in entries[j:]):
-        return None
-    raw = pa.OSFile(path, "rb")
-    try:
-        raw.seek(entries[j].c_off)
-        stream = pa.CompressedInputStream(raw, "zstd")
-        out = bytearray()
-        while True:
-            chunk = stream.read(64 * 1024)
-            if not chunk:
-                return bytes(out)
-            nl = chunk.find(b"\n")
-            if nl >= 0:
-                out += chunk[:nl]
-                return bytes(out)
-            out += chunk
-    finally:
-        raw.close()
+    with open(path, "rb") as fh:
+        fh.seek(e.c_off)
+        return pa.Codec("zstd").decompress(fh.read(e.c_size), e.d_size, asbytes=True)
 
 
 def read_frame_lines(path: str, entries: list[FrameEntry], idx: int) -> list[str]:
-    """All lines OWNED by frame ``idx``: start offset strictly inside its
-    decompressed span, plus the boundary line starting exactly at its end
-    (byteblock's reader pairing — the follower discards that line).
-
-    One C-level ``split`` over the frame body instead of a per-line
-    buffer scan (review r10: an O(n^2) readline re-slice made a 4 MB
-    frame cost ~100x its decode). Only frame ``idx`` and the frames its
-    edge lines actually span are decompressed.
-    """
-    import pyarrow as pa
-
-    e = entries[idx]
-    if e.d_size == 0:
-        return []  # empty span: no line starts inside it, boundary owned
-        # by the preceding non-empty frame (tests pin this)
-    codec = pa.Codec("zstd")
-    with open(path, "rb") as fh:
-        fh.seek(e.c_off)
-        data = codec.decompress(fh.read(e.c_size), e.d_size, asbytes=True)
-        if e.d_off > 0:
-            # land mid-line (or on a boundary): the previous frame's
-            # reader owns the line we land in — drop through its newline
-            cut = data.find(b"\n")
-            if cut < 0:
-                return []  # the whole frame is inside one line
-            body = data[cut + 1 :]
-        else:
-            body = data
-        parts = body.split(b"\n")
-        if data.endswith(b"\n"):
-            parts.pop()  # split's trailing empty piece, not a line
-            # a line starts exactly at this frame's end boundary: owned
-            # here (the follower discards it); its bytes live entirely in
-            # later frames
-            boundary = _next_line_bytes(path, entries, idx + 1)
-            if boundary is not None:
-                parts.append(boundary)
-        elif parts:
-            # final straddler: complete it from the following frames
-            tail = _next_line_bytes(path, entries, idx + 1)
-            if tail is not None:
-                parts[-1] = parts[-1] + tail
-    return [
-        (p[:-1] if p.endswith(b"\r") else p).decode("utf-8", errors="replace")
-        for p in parts
-    ]
+    """All lines OWNED by frame ``idx`` — the shared ``seam_text``
+    pairing (one C-level split over the frame body; review r10: an
+    O(n^2) readline re-slice made a 4 MB frame cost ~100x its decode).
+    Only frame ``idx`` and the frames its edge lines actually span are
+    decompressed."""
+    return unit_lines(
+        entries,
+        idx,
+        lambda e: _decode_frame(path, e),
+        lambda j: _FrameTailStream(path, entries[j].c_off),
+    )
 
 
 class _FramePartition(InputPartition):

@@ -1,0 +1,461 @@
+"""BGZF block sampling: header-hop round-trip against Python's gzip
+module (both directions — our files are ordinary multi-member gzip),
+the block-seam ownership algebra (no line lost or duplicated at any
+seam, line-aligned AND hostile mid-line splits), exact agreement with
+an ownership oracle through Spark, two-stage composition, and the
+honesty guards (plain .gz refused, corrupt BSIZE/trailers refused).
+Mirrors tests/test_zstd_seekable_text.py over the SAM spec 4.1 blocked
+gzip format — both sources delegate to the shared seam_text algebra,
+so this suite and the zstd one pin the same pairing through two
+independent codecs."""
+
+import gzip
+import os
+import struct
+
+import pytest
+
+from random_sampling_based_approximate_mapreduce_spark.sampling.config import SamplingConfig
+from random_sampling_based_approximate_mapreduce_spark.sampling.deterministic import md5_accept
+from random_sampling_based_approximate_mapreduce_spark.sources.bgzf_text import (
+    BGZF_EOF,
+    MAX_INPUT_BYTES,
+    decode_block,
+    decompress_file,
+    pick_blocks,
+    read_block_lines,
+    read_text_bgzf_sampled,
+    scan_blocks,
+    write_bgzf,
+)
+
+
+def _make_text(n_lines=3000, seed=7):
+    import random
+
+    rnd = random.Random(seed)
+    lines = [f"line-{j:05d}-" + "x" * rnd.randint(0, 40) for j in range(n_lines)]
+    return ("\n".join(lines) + "\n").encode()
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    """Two BGZF .gz files with SMALL blocks (hundreds of seams): one
+    line-aligned, one with hostile mid-line block splits."""
+    d = tmp_path_factory.mktemp("bgzftext")
+    paths, raws = [], []
+    for i, align in enumerate((True, False)):
+        raw = _make_text(seed=7 + i)
+        p = str(d / f"part-{i}.txt.gz")
+        write_bgzf(raw, p, block_bytes=700, align_lines=align)
+        paths.append(p)
+        raws.append(raw)
+    return str(d), paths, raws
+
+
+class TestFormat:
+    def test_roundtrip_and_hop_consistency(self, corpus):
+        _, paths, raws = corpus
+        for p, raw in zip(paths, raws):
+            entries = scan_blocks(p)
+            assert len(entries) > 50, "fixture must have many blocks"
+            assert decompress_file(p) == raw
+            # compressed spans tile the file exactly (EOF marker last)
+            off = 0
+            for e in entries:
+                assert e.c_off == off
+                off += e.c_size
+            assert off == os.path.getsize(p)
+            assert entries[-1].d_size == 0, "spec EOF marker scanned"
+            assert entries[-1].c_size == len(BGZF_EOF)
+            # decompressed spans tile the stream exactly
+            d = 0
+            for e in entries:
+                assert e.d_off == d
+                d += e.d_size
+            assert d == len(raw)
+
+    def test_gzip_module_reads_our_files(self, corpus):
+        """Every BGZF file is a valid multi-member gzip file — the
+        interop claim that makes this the gzip rung, not a bespoke
+        format."""
+        _, paths, raws = corpus
+        for p, raw in zip(paths, raws):
+            assert gzip.decompress(open(p, "rb").read()) == raw
+
+    def test_we_read_generic_bgzf_style_members(self, tmp_path):
+        """A file whose members carry EXTRA subfields beyond BC (in
+        either order) still hops — the scanner walks subfields instead
+        of assuming ours."""
+        chunk = b"alpha\nbeta\n"
+        import zlib
+
+        co = zlib.compressobj(6, zlib.DEFLATED, -15)
+        comp = co.compress(chunk) + co.flush()
+        # extra: first an unrelated subfield, then BC
+        other = struct.pack("<BBH", 88, 89, 3) + b"xyz"
+        block_wo_bc = 12 + len(other) + 6 + len(comp) + 8
+        extra = other + struct.pack("<BBHH", 66, 67, 2, block_wo_bc - 1)
+        p = str(tmp_path / "generic.gz")
+        with open(p, "wb") as fh:
+            fh.write(
+                struct.pack(
+                    "<BBBBIBBH", 0x1F, 0x8B, 8, 4, 0, 0, 0xFF, len(extra)
+                )
+            )
+            fh.write(extra)
+            fh.write(comp)
+            fh.write(struct.pack("<II", zlib.crc32(chunk), len(chunk)))
+            fh.write(BGZF_EOF)
+        entries = scan_blocks(p)
+        assert [e.d_size for e in entries] == [len(chunk), 0]
+        assert decompress_file(p) == chunk
+
+    def test_each_block_decodes_independently(self, corpus):
+        _, paths, raws = corpus
+        p, raw = paths[1], raws[1]
+        entries = scan_blocks(p)
+        blob = open(p, "rb").read()
+        got = b"".join(decode_block(blob, e) for e in entries if e.d_size)
+        assert got == raw
+
+    def test_plain_gz_refused(self, tmp_path):
+        p = str(tmp_path / "plain.gz")
+        open(p, "wb").write(gzip.compress(b"hello\nworld\n"))
+        with pytest.raises(ValueError, match="FEXTRA.*plain gzip"):
+            scan_blocks(p)
+
+    def test_fextra_without_bc_refused(self, tmp_path):
+        """gzip-with-extras but no BC subfield: not BGZF, refused with
+        the ladder message (not a KeyError or a silent mis-hop)."""
+        import zlib
+
+        chunk = b"x\n"
+        co = zlib.compressobj(6, zlib.DEFLATED, -15)
+        comp = co.compress(chunk) + co.flush()
+        extra = struct.pack("<BBH", 88, 89, 1) + b"q"
+        p = str(tmp_path / "nobc.gz")
+        with open(p, "wb") as fh:
+            fh.write(struct.pack("<BBBBIBBH", 0x1F, 0x8B, 8, 4, 0, 0, 0xFF, len(extra)))
+            fh.write(extra)
+            fh.write(comp)
+            fh.write(struct.pack("<II", zlib.crc32(chunk), len(chunk)))
+        with pytest.raises(ValueError, match="no BC subfield"):
+            scan_blocks(p)
+
+    def test_corrupt_bsize_refused(self, corpus, tmp_path):
+        _, paths, _ = corpus
+        blob = bytearray(open(paths[0], "rb").read())
+        # BSIZE of the first block lives at bytes 16-17; shrink it so the
+        # hop lands mid-payload where no gzip magic exists
+        (bsize,) = struct.unpack_from("<H", blob, 16)
+        struct.pack_into("<H", blob, 16, bsize - 7)
+        p = str(tmp_path / "corrupt.gz")
+        open(p, "wb").write(bytes(blob))
+        with pytest.raises(ValueError, match="not a gzip member|corrupt"):
+            scan_blocks(p)
+
+    def test_corrupt_payload_fails_crc(self, corpus, tmp_path):
+        """zlib's gzip-wrapper decode verifies CRC32 — a flipped payload
+        bit surfaces as a decode error, never as silent wrong lines."""
+        _, paths, _ = corpus
+        blob = bytearray(open(paths[0], "rb").read())
+        entries = scan_blocks(paths[0])
+        e = entries[2]
+        blob[e.c_off + 20] ^= 0x01  # inside block 2's deflate payload
+        p = str(tmp_path / "crc.gz")
+        open(p, "wb").write(bytes(blob))
+        es = scan_blocks(p)
+        with pytest.raises(Exception):  # zlib.error or ValueError
+            decode_block(p, es[2])
+
+    def test_block_bytes_cap_enforced(self, tmp_path):
+        with pytest.raises(ValueError, match="block_bytes"):
+            write_bgzf(b"x\n", str(tmp_path / "c.gz"), block_bytes=MAX_INPUT_BYTES + 1)
+        with pytest.raises(ValueError, match="block_bytes"):
+            write_bgzf(b"x\n", str(tmp_path / "c.gz"), block_bytes=0)
+
+
+def _ownership_oracle(raw: bytes, entries, path, seed, ratio):
+    """A line belongs to the block whose decompressed span contains its
+    first byte, with the boundary line owned by the PRECEDING block
+    (the shared pairing). Returns the sorted kept lines."""
+    bounds = [(e.d_off, e.d_off + e.d_size, i) for i, e in enumerate(entries) if e.d_size]
+    out = []
+    pos = 0
+    for rawline in raw.splitlines(keepends=True):
+        s = pos
+        pos += len(rawline)
+        if s == 0:
+            owner = bounds[0][2]
+        else:
+            owner = next(i for lo, hi, i in bounds if lo < s <= hi)
+        if md5_accept(f"{seed}:{path}#blk{owner}", ratio):
+            out.append(rawline.decode().rstrip("\r\n"))
+    return sorted(out)
+
+
+class TestSeamAlgebra:
+    def test_union_at_ratio_one_is_exact(self, corpus):
+        _, paths, raws = corpus
+        for p, raw in zip(paths, raws):
+            entries = scan_blocks(p)
+            got = sorted(
+                ln for i in range(len(entries)) for ln in read_block_lines(p, entries, i)
+            )
+            assert got == sorted(raw.decode().splitlines())
+
+    def test_ownership_matches_oracle_per_block(self, corpus):
+        _, paths, raws = corpus
+        p, raw = paths[1], raws[1]  # the hostile mid-line splits
+        entries = scan_blocks(p)
+        for seed, ratio in ((9, 0.4), (42, 0.15)):
+            got = sorted(
+                ln
+                for i in range(len(entries))
+                if md5_accept(f"{seed}:{p}#blk{i}", ratio)
+                for ln in read_block_lines(p, entries, i)
+            )
+            assert got == _ownership_oracle(raw, entries, p, seed, ratio)
+
+    def test_many_block_sizes_cover_exactly(self, tmp_path):
+        raw = _make_text(n_lines=400, seed=3)
+        for bb in (37, 128, 1000, 10_000, MAX_INPUT_BYTES):
+            for align in (True, False):
+                p = str(tmp_path / f"c{bb}{align}.gz")
+                write_bgzf(raw, p, block_bytes=bb, align_lines=align)
+                entries = scan_blocks(p)
+                got = sorted(
+                    ln
+                    for i in range(len(entries))
+                    for ln in read_block_lines(p, entries, i)
+                )
+                assert got == sorted(raw.decode().splitlines()), (bb, align)
+
+    def test_no_trailing_newline(self, tmp_path):
+        raw = b"alpha\nbeta\ngamma-no-newline"
+        p = str(tmp_path / "nt.gz")
+        write_bgzf(raw, p, block_bytes=8, align_lines=False)
+        entries = scan_blocks(p)
+        got = sorted(
+            ln for i in range(len(entries)) for ln in read_block_lines(p, entries, i)
+        )
+        assert got == ["alpha", "beta", "gamma-no-newline"]
+
+    def test_crlf_lines(self, tmp_path):
+        raw = b"a\r\nbb\r\nccc\r\n"
+        p = str(tmp_path / "crlf.gz")
+        write_bgzf(raw, p, block_bytes=4, align_lines=False)
+        entries = scan_blocks(p)
+        got = sorted(
+            ln for i in range(len(entries)) for ln in read_block_lines(p, entries, i)
+        )
+        assert got == ["a", "bb", "ccc"]
+
+    def test_line_spanning_many_blocks(self, tmp_path):
+        raw = b"short\n" + b"L" * 5000 + b"\nshort2\n"
+        p = str(tmp_path / "span.gz")
+        write_bgzf(raw, p, block_bytes=64, align_lines=False)
+        entries = scan_blocks(p)
+        assert len(entries) > 10
+        got = sorted(
+            ln for i in range(len(entries)) for ln in read_block_lines(p, entries, i)
+        )
+        assert got == sorted(["short", "L" * 5000, "short2"])
+
+    def test_align_respects_spec_cap(self, tmp_path):
+        """A line longer than the 65280-byte input cap must end the
+        block unaligned (bounded readline) and stay spec-legal — the
+        seam algebra owns the straddle."""
+        raw = b"s\n" + b"Q" * (2 * MAX_INPUT_BYTES) + b"\ntail\n"
+        p = str(tmp_path / "cap.gz")
+        write_bgzf(raw, p, block_bytes=MAX_INPUT_BYTES, align_lines=True)
+        entries = scan_blocks(p)
+        assert all(e.c_size <= 65536 for e in entries)
+        assert all(e.d_size <= MAX_INPUT_BYTES for e in entries)
+        assert gzip.decompress(open(p, "rb").read()) == raw
+        got = sorted(
+            ln for i in range(len(entries)) for ln in read_block_lines(p, entries, i)
+        )
+        assert got == sorted(["s", "Q" * (2 * MAX_INPUT_BYTES), "tail"])
+
+    def test_eof_marker_owns_nothing(self, corpus):
+        _, paths, _ = corpus
+        p = paths[0]
+        entries = scan_blocks(p)
+        assert read_block_lines(p, entries, len(entries) - 1) == []
+
+
+class TestSeamProperties:
+    """Hypothesis hammering of the block-ownership pairing WITHOUT Spark
+    (the zstd/byteblock TestSeamProperties over the gzip codec): at
+    ratio 1.0 the union over all block partitions is the file's exact
+    line sequence — every line exactly once, for random corpora
+    (ragged/empty lines, missing trailing newline) and random block
+    splits including mid-line splits."""
+
+    def test_random_block_splits_cover_exactly(self, tmp_path):
+        import random
+
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        counter = [0]
+
+        @settings(max_examples=120, deadline=None)
+        @given(
+            seed=st.integers(0, 10**6),
+            n_lines=st.integers(0, 50),
+            block_bytes=st.integers(1, 64),
+            align=st.booleans(),
+        )
+        def prop(seed, n_lines, block_bytes, align):
+            rnd = random.Random(seed)
+            lines = ["x" * rnd.randint(0, 2 * block_bytes) for _ in range(n_lines)]
+            body = ("\n".join(lines) + ("\n" if rnd.random() < 0.8 or not lines else "")).encode()
+            counter[0] += 1
+            p = str(tmp_path / f"prop-{counter[0]}.gz")
+            write_bgzf(body, p, block_bytes=block_bytes, align_lines=align)
+            entries = scan_blocks(p)
+            got = [
+                ln
+                for i in range(len(entries))
+                for ln in read_block_lines(p, entries, i)
+            ]
+            assert got == body.decode().splitlines(), (seed, n_lines, block_bytes, align)
+
+        prop()
+
+
+class TestWriterContract:
+    def test_stream_writer_matches_in_memory(self, tmp_path):
+        """stream_bgzf (O(block_bytes) memory) must produce
+        byte-identical output to the in-memory wrapper for aligned and
+        hostile splits, terminated and unterminated final lines."""
+        import io
+
+        from random_sampling_based_approximate_mapreduce_spark.sources.bgzf_text import stream_bgzf
+
+        cases = [
+            (_make_text(200, seed=3), 700, True),
+            (_make_text(200, seed=4), 700, False),
+            (_make_text(50, seed=5)[:-1], 64, True),  # no trailing \n
+            (b"", 16, True),  # empty input: just the EOF marker
+            (b"one line no newline", 4, True),
+            (b"\n\n\n", 1, True),
+        ]
+        for i, (raw, bb, align) in enumerate(cases):
+            p_mem = str(tmp_path / f"mem-{i}.gz")
+            p_str = str(tmp_path / f"str-{i}.gz")
+            e_mem = write_bgzf(raw, p_mem, block_bytes=bb, align_lines=align)
+            e_str = stream_bgzf(io.BytesIO(raw), p_str, block_bytes=bb, align_lines=align)
+            assert e_mem == e_str, (i, bb, align)
+            assert open(p_mem, "rb").read() == open(p_str, "rb").read(), i
+            assert decompress_file(p_str) == raw, i
+            assert gzip.decompress(open(p_str, "rb").read()) == raw, i
+
+    def test_empty_input_is_bare_eof_marker(self, tmp_path):
+        p = str(tmp_path / "empty.gz")
+        assert write_bgzf(b"", p) == []
+        assert open(p, "rb").read() == BGZF_EOF
+        assert gzip.decompress(open(p, "rb").read()) == b""
+        assert decompress_file(p) == b""
+
+    def test_compression_level_honored(self, tmp_path):
+        """level=0 (stored) and level=9 must reach zlib, not be dropped
+        by a truthiness check (the zstd r10 ADVICE class of bug)."""
+        raw = _make_text(500, seed=11)
+        sizes = {}
+        for lvl in (None, 0, 1, 9):
+            p = str(tmp_path / f"lvl{lvl}.gz")
+            write_bgzf(raw, p, block_bytes=8192, level=lvl)
+            assert decompress_file(p) == raw
+            sizes[lvl] = os.path.getsize(p)
+        assert sizes[0] > len(raw), "level 0 must be stored, not defaulted"
+        assert sizes[9] < sizes[0]
+
+    def test_block_hop_cache_contract(self, corpus):
+        """Cached hops are immutable tuples keyed on st_mtime_ns — the
+        zstd seek-table cache contract."""
+        from random_sampling_based_approximate_mapreduce_spark.sources.bgzf_text import _BLOCK_CACHE
+
+        _, paths, _ = corpus
+        p = paths[0]
+        t1 = scan_blocks(p)
+        assert isinstance(t1, tuple), "cache must hand out immutable entries"
+        assert scan_blocks(p) is t1, "second call must be the cache hit"
+        st = os.stat(p)
+        assert (p, st.st_size, st.st_mtime_ns) in _BLOCK_CACHE
+
+    def test_nonexistent_path_says_no_files(self, tmp_path):
+        with pytest.raises(ValueError, match="no files under"):
+            pick_blocks(str(tmp_path / "does-not-exist.gz"), 0.5)
+
+
+class TestSparkSource:
+    def test_ratio_one_is_the_exact_files(self, spark, corpus):
+        d, _, raws = corpus
+        sf = read_text_bgzf_sampled(spark, d, 1.0)
+        got = sorted(r["value"] for r in sf.df.collect())
+        want = sorted(ln for raw in raws for ln in raw.decode().splitlines())
+        assert got == want
+
+    def test_sample_equals_ownership_oracle(self, spark, corpus):
+        d, paths, raws = corpus
+        for ratio, seed in ((0.4, 9), (0.15, 42)):
+            sf = read_text_bgzf_sampled(spark, d, ratio, seed=seed)
+            got = sorted(r["value"] for r in sf.df.collect())
+            want = sorted(
+                ln
+                for p, raw in zip(paths, raws)
+                for ln in _ownership_oracle(raw, scan_blocks(p), p, seed, ratio)
+            )
+            assert got == want, (ratio, seed)
+
+    def test_partitions_are_only_picked_blocks(self, spark, corpus):
+        d, _, _ = corpus
+        picked, picked_bytes, total_bytes = pick_blocks(d, 0.4, seed=9)
+        assert 0 < picked_bytes < total_bytes
+        sf = read_text_bgzf_sampled(spark, d, 0.4, seed=9)
+        assert sf.df.rdd.getNumPartitions() == len(picked)
+
+    def test_ht_scale_and_two_stage(self, spark, corpus):
+        d, _, _ = corpus
+        sf = read_text_bgzf_sampled(spark, d, 0.4, seed=9)
+        n = sf.df.count()
+        est = sf.approx_count(alias="est").collect()[0]["est"]
+        assert est == pytest.approx(n / 0.4)
+        two = read_text_bgzf_sampled(
+            spark, d, 0.4, seed=9, row_config=SamplingConfig(ratio=0.5, seed=9)
+        )
+        n2 = two.df.count()
+        est2 = two.approx_count(alias="est").collect()[0]["est"]
+        assert est2 == pytest.approx(n2 / 0.2)
+        assert n2 < n
+
+    def test_never_empty_pick(self, corpus):
+        d, _, _ = corpus
+        picked, _, _ = pick_blocks(d, 1e-9, seed=1)
+        assert len(picked) == 1
+
+    def test_eof_marker_never_a_unit(self, corpus):
+        """The pick excludes zero-decompressed-size blocks, so the
+        never-empty fallback can't land on the EOF marker and return an
+        empty sample."""
+        _, paths, _ = corpus
+        p = paths[0]
+        n_data = sum(1 for e in scan_blocks(p) if e.d_size)
+        picked, _, _ = pick_blocks(p, 1.0, seed=1)
+        assert len(picked) == n_data
+
+    def test_non_gz_refused(self, tmp_path):
+        (tmp_path / "x.txt").write_text("a\n")
+        with pytest.raises(ValueError, match="gz"):
+            pick_blocks(str(tmp_path), 0.5)
+
+    def test_bad_ratio(self, corpus):
+        d, _, _ = corpus
+        with pytest.raises(ValueError, match="ratio"):
+            pick_blocks(d, 0.0)
+        with pytest.raises(ValueError, match="ratio"):
+            pick_blocks(d, 1.5)
