@@ -34,6 +34,46 @@ def _count_frames(p: str) -> int:
     return len(parse_seek_table(p))
 
 
+class TestBgzfLayoutShape:
+    """The catalog's bgzf layout counts DATA blocks only — the spec's
+    EOF marker (a zero-decompressed-size member every BGZF file ends
+    with) must never count as the 'second seam unit', or a
+    single-data-block layout would silently pass the shape gate."""
+
+    def _count_data_blocks(self, p: str) -> int:
+        from random_sampling_based_approximate_mapreduce_spark.sources.bgzf_text import scan_blocks
+
+        return sum(1 for e in scan_blocks(p) if e.d_size)
+
+    def test_single_data_block_part_fails(self, tmp_path):
+        from random_sampling_based_approximate_mapreduce_spark.sources.bgzf_text import write_bgzf
+
+        for i in range(2):
+            # whole content in ONE block: scan sees 2 members (data +
+            # EOF) but only 1 seam unit
+            write_bgzf(b"a\n" * 50, str(tmp_path / f"p{i}.gz"), block_bytes=4096)
+        with pytest.raises(ValueError, match="seam unit"):
+            assert_layout_shape(
+                str(tmp_path),
+                min_parts=2,
+                count_units=self._count_data_blocks,
+                what="bgzf t",
+            )
+
+    def test_multi_data_block_part_passes(self, tmp_path):
+        from random_sampling_based_approximate_mapreduce_spark.sources.bgzf_text import write_bgzf
+
+        for i in range(2):
+            write_bgzf(b"a\n" * 500, str(tmp_path / f"p{i}.gz"), block_bytes=64)
+        parts = assert_layout_shape(
+            str(tmp_path),
+            min_parts=2,
+            count_units=self._count_data_blocks,
+            what="bgzf t",
+        )
+        assert len(parts) == 2
+
+
 class TestAssertLayoutShape:
     def test_good_multiframe_layout_passes(self, tmp_path):
         for i in range(3):

@@ -21,6 +21,7 @@ JVM/codegen warmup pass first:
   byteblock_text       picked byte blocks only    spark.read.text + sample(r)
   bzip2_block_text     picked compressed ranges   spark.read.text(.bz2) + sample(r)
   zstd_seekable_text   picked seekable frames     spark.read.text(.zst) + sample(r)
+  bgzf_text            picked gzip blocks only    spark.read.text(.gz) + sample(r)
   rowgroup_parquet     picked row groups only     spark.read.parquet + sample(r)
 
 at r in {0.1, 0.01}, over a text corpus built by replicating
@@ -131,6 +132,10 @@ def main() -> None:
         pick_frames,
         read_text_zstd_sampled,
     )
+    from random_sampling_based_approximate_mapreduce_spark.sources.bgzf_text import (
+        pick_blocks as pick_bgzf_blocks,
+        read_text_bgzf_sampled,
+    )
     from random_sampling_based_approximate_mapreduce_spark.sources.tables import (
         ensure_layout,
     )
@@ -172,6 +177,7 @@ def main() -> None:
         "byteblock_text",
         "bzip2_block_text",
         "zstd_seekable_text",
+        "bgzf_text",
         "rowgroup_parquet",
     )
     wanted = set(args.sources or _ALL_SOURCES)
@@ -186,7 +192,7 @@ def main() -> None:
     # sources need are built: text feeds byteblock AND the zst
     # conversion; bz2/parquet stand alone.
     text_dir = bz2_dir = pq_dir = None
-    if wanted & {"byteblock_text", "zstd_seekable_text"}:
+    if wanted & {"byteblock_text", "zstd_seekable_text", "bgzf_text"}:
         text_dir = ensure_layout(
             f"/tmp/rsmr_cold_txt_{key}",
             lambda d: corpus_df().write.mode("overwrite").text(d),
@@ -245,12 +251,46 @@ def main() -> None:
         if "zstd_seekable_text" in wanted
         else None
     )
+
+    def _build_bgzf(d: str) -> None:
+        # BGZF conversion of the text layout — same parallel streaming
+        # shape as the zst builder (O(block_bytes) peak memory per
+        # thread; zlib releases the GIL during compression)
+        from concurrent.futures import ThreadPoolExecutor
+
+        from random_sampling_based_approximate_mapreduce_spark.sources.bgzf_text import (
+            stream_bgzf,
+        )
+
+        os.makedirs(d, exist_ok=True)
+
+        def conv(f: str) -> None:
+            with open(os.path.join(text_dir, f), "rb") as fh:
+                stream_bgzf(fh, os.path.join(d, f + ".gz"))
+
+        parts = [
+            f
+            for f in sorted(os.listdir(text_dir))
+            if os.path.isfile(os.path.join(text_dir, f))
+            and not f.startswith(("_", "."))
+        ]
+        with ThreadPoolExecutor(8) as ex:
+            list(ex.map(conv, parts))
+        with open(os.path.join(d, "_SUCCESS"), "w"):
+            pass
+
+    bgzf_dir = (
+        ensure_layout(f"/tmp/rsmr_cold_bgzf_{key}", _build_bgzf)
+        if "bgzf_text" in wanted
+        else None
+    )
     os.sync()  # flush dirty pages so fadvise(DONTNEED) can evict them
 
     layout_dirs = {
         "byteblock_text": text_dir,
         "bzip2_block_text": bz2_dir,
         "zstd_seekable_text": zst_dir,
+        "bgzf_text": bgzf_dir,
         "rowgroup_parquet": pq_dir,
     }
     layouts = {
@@ -282,6 +322,12 @@ def main() -> None:
             # the JVM reads .zst transparently (whole-stream decode)
             base = lambda: _consume(spark.read.text(path).sample(r, seed=9))  # noqa: E731
             _, picked, total = pick_frames(path, r, seed=9)
+        elif name == "bgzf_text":
+            skip = lambda: _consume(read_text_bgzf_sampled(spark, path, r, seed=9).df)  # noqa: E731
+            # the JVM reads multi-member .gz transparently (Hadoop's
+            # codec concatenates members — verified against the writer)
+            base = lambda: _consume(spark.read.text(path).sample(r, seed=9))  # noqa: E731
+            _, picked, total = pick_bgzf_blocks(path, r, seed=9)
         else:
             skip = lambda: _consume(read_parquet_rowgroup_sampled(spark, path, r, seed=9).df)  # noqa: E731
             base = lambda: _consume(spark.read.parquet(path).sample(r, seed=9))  # noqa: E731

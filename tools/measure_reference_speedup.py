@@ -31,6 +31,10 @@ measured once per corpus size, sampled runs once per ratio):
   (VERDICT r10 item 3: the fourth byte-skip ladder rung gets the same
   curve as the other three): exact JVM whole-stream .zst scan vs
   picked frames only.
+- gzip — the same shape through the BGZF blocked-gzip source (round
+  11: the fifth rung joins the series the day it lands): exact JVM
+  whole-stream .gz scan (Hadoop's codec reads multi-member gzip
+  fully — verified) vs picked blocks only.
 
 The byte-skip series also record the ACHIEVED byte ratio per
 (corpus, ratio) cell: the never-empty pick floor means a tiny r on a
@@ -115,6 +119,12 @@ def main() -> None:
         pick_frames,
         read_text_zstd_sampled,
     )
+    from random_sampling_based_approximate_mapreduce_spark.sources.bgzf_text import (
+        convert_text_to_bgzf,
+        pick_blocks,
+        read_text_bgzf_sampled,
+        scan_blocks,
+    )
 
     spark = get_spark("rsmr-reference-speedup")
     spark.sparkContext.setLogLevel("ERROR")
@@ -161,6 +171,37 @@ def main() -> None:
             )
 
         return ensure_layout(f"/tmp/rsmr_spd_zstd_{key}", _build)
+
+    # --- BGZF layout of documents.text, one-time per corpus dir. Block
+    # size is the spec's 64 KiB ceiling (BSIZE is uint16), so this rung
+    # has ~4x more units than the 256 KB zstd/bzip2 rungs at the same
+    # corpus — a LOWER pick floor (achieved ratio recorded per cell).
+    def bgzf_text_layout(sf_dir: str) -> str:
+        import hashlib
+
+        key = hashlib.md5(f"{sf_dir}:bgzf".encode()).hexdigest()[:10]
+
+        def _build(d: str) -> None:
+            import shutil
+            import tempfile
+
+            tmp = tempfile.mkdtemp(prefix="rsmr_spd_bgzf_src_")
+            try:
+                load(spark, sf_dir, "documents").select("text").repartition(
+                    4
+                ).write.mode("overwrite").text(tmp)
+                convert_text_to_bgzf(tmp, d)
+            finally:
+                shutil.rmtree(tmp, ignore_errors=True)
+            assert_layout_shape(
+                d,
+                min_parts=2,
+                count_units=lambda p: sum(1 for e in scan_blocks(p) if e.d_size),
+                min_units=2,
+                what="speedup bgzf layout",
+            )
+
+        return ensure_layout(f"/tmp/rsmr_spd_bgzf_{key}", _build)
 
     # --- per-series exact and sampled plans (identical downstreams)
     def word_count_exact(sf_dir):
@@ -229,6 +270,22 @@ def main() -> None:
         )
         return words.approx_count("word", alias="est_cnt")
 
+    def gzip_exact(src):
+        # the JVM reads multi-member .gz transparently (Hadoop's codec
+        # concatenates members — verified against the writer)
+        lines = spark.read.text(src)
+        kept = T.drop_digit_lines(lines, "value")
+        return T.explode_words(kept, "value").groupBy("word").agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+
+    def gzip_sampled(src, r):
+        sf = read_text_bgzf_sampled(spark, src, r, seed=42)
+        words = sf.transform(
+            lambda df: T.explode_words(T.drop_digit_lines(df, "value"), "value")
+        )
+        return words.approx_count("word", alias="est_cnt")
+
     out = {
         "sf": SF_DIR,
         "range_bytes": RANGE_BYTES,
@@ -246,6 +303,7 @@ def main() -> None:
         log_src = raw_log_layout(spark, sf_dir)
         xml_src = xml_bzip2_layout(spark, sf_dir)
         zst_src = zstd_text_layout(sf_dir)
+        gz_src = bgzf_text_layout(sf_dir)
 
         # fixed-ratio legacy block: catalog queries at their registered
         # ratios, for continuity with the pre-r11 series
@@ -270,12 +328,14 @@ def main() -> None:
             "log_file": timed_min3(lambda: run_noop(log_file_exact(log_src))),
             "xml_bzip2": timed_min3(lambda: run_noop(xml_exact(xml_src))),
             "zstd": timed_min3(lambda: run_noop(zstd_exact(zst_src))),
+            "gzip": timed_min3(lambda: run_noop(gzip_exact(gz_src))),
         }
 
         ratio_rows = []
         for r in ratios:
             _, xml_picked, xml_total = pick_ranges(xml_src, r, RANGE_BYTES, seed=42)
             _, zst_picked, zst_total = pick_frames(zst_src, r, seed=42)
+            _, gz_picked, gz_total = pick_blocks(gz_src, r, seed=42)
             cell = {
                 "ratio": r,
                 "word_count_sampled": timed_min3(
@@ -290,11 +350,17 @@ def main() -> None:
                 "zstd_sampled_frames": timed_min3(
                     lambda: run_noop(zstd_sampled(zst_src, r))
                 ),
+                "gzip_sampled_blocks": timed_min3(
+                    lambda: run_noop(gzip_sampled(gz_src, r))
+                ),
                 "xml_achieved_ratio": round(xml_picked / xml_total, 5)
                 if xml_total
                 else None,
                 "zstd_achieved_ratio": round(zst_picked / zst_total, 5)
                 if zst_total
+                else None,
+                "gzip_achieved_ratio": round(gz_picked / gz_total, 5)
+                if gz_total
                 else None,
             }
             for series, sampled_key in (
@@ -302,6 +368,7 @@ def main() -> None:
                 ("log_file", "log_file_sampled"),
                 ("xml_bzip2", "xml_bz2_sampled_block"),
                 ("zstd", "zstd_sampled_frames"),
+                ("gzip", "gzip_sampled_blocks"),
             ):
                 cell[f"speedup_{series}"] = (
                     round(exact[series] / cell[sampled_key], 2)
