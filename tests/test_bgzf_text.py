@@ -286,6 +286,48 @@ class TestSeamAlgebra:
         assert read_block_lines(p, entries, len(entries) - 1) == []
 
 
+class TestRunReader:
+    """read_block_run_lines: a contiguous run decodes each block once
+    and owns exactly the union of its blocks' per-block ownership —
+    the equivalence that lets the batched Spark reader merge runs."""
+
+    def test_run_equals_union_of_blocks(self, corpus):
+        from random_sampling_based_approximate_mapreduce_spark.sources.bgzf_text import (
+            read_block_run_lines,
+        )
+
+        _, paths, _ = corpus
+        p = paths[1]  # hostile mid-line splits
+        entries = scan_blocks(p)
+        n = len(entries)
+        spans = [(0, 1), (0, 3), (2, 7), (n - 3, n), (0, n), (5, 5)]
+        for start, stop in spans:
+            want = [
+                ln
+                for i in range(start, stop)
+                for ln in read_block_lines(p, entries, i)
+            ]
+            got = read_block_run_lines(p, entries, start, stop)
+            assert got == want, (start, stop)
+
+    def test_run_spanning_long_line(self, tmp_path):
+        from random_sampling_based_approximate_mapreduce_spark.sources.bgzf_text import (
+            read_block_run_lines,
+        )
+
+        raw = b"short\n" + b"L" * 5000 + b"\nshort2\n"
+        p = str(tmp_path / "runspan.gz")
+        write_bgzf(raw, p, block_bytes=64, align_lines=False)
+        entries = scan_blocks(p)
+        for start, stop in ((0, 4), (3, len(entries)), (0, len(entries))):
+            want = [
+                ln
+                for i in range(start, stop)
+                for ln in read_block_lines(p, entries, i)
+            ]
+            assert read_block_run_lines(p, entries, start, stop) == want
+
+
 class TestSeamProperties:
     """Hypothesis hammering of the block-ownership pairing WITHOUT Spark
     (the zstd/byteblock TestSeamProperties over the gzip codec): at
@@ -412,12 +454,32 @@ class TestSparkSource:
             )
             assert got == want, (ratio, seed)
 
-    def test_partitions_are_only_picked_blocks(self, spark, corpus):
+    def test_partitions_are_batched_picked_blocks(self, spark, corpus):
+        """The pick is per-block but the PARTITION is a ~batch_bytes
+        pack of picked blocks (one task per 64 KiB block would be ~1.6B
+        tasks at 100 TB); values are identical across batch sizes."""
+        from random_sampling_based_approximate_mapreduce_spark.sources.bgzf_text import (
+            batch_picked_blocks,
+        )
+
         d, _, _ = corpus
         picked, picked_bytes, total_bytes = pick_blocks(d, 0.4, seed=9)
         assert 0 < picked_bytes < total_bytes
-        sf = read_text_bgzf_sampled(spark, d, 0.4, seed=9)
-        assert sf.df.rdd.getNumPartitions() == len(picked)
+        # small batch target -> several batches per file; each batch
+        # stays within one file and covers every picked block exactly once
+        batches = batch_picked_blocks(picked, batch_bytes=2000)
+        assert 1 < len(batches) < len(picked)
+        assert [(f, i) for f, idxs in batches for i in idxs] == picked
+        assert all(len({f}) == 1 for f, idxs in batches)
+        sf_small = read_text_bgzf_sampled(spark, d, 0.4, seed=9, batch_bytes=2000)
+        assert sf_small.df.rdd.getNumPartitions() == len(batches)
+        sf_default = read_text_bgzf_sampled(spark, d, 0.4, seed=9)
+        assert sf_default.df.rdd.getNumPartitions() == len(
+            batch_picked_blocks(picked)
+        )
+        assert sorted(r["value"] for r in sf_small.df.collect()) == sorted(
+            r["value"] for r in sf_default.df.collect()
+        )
 
     def test_ht_scale_and_two_stage(self, spark, corpus):
         d, _, _ = corpus
