@@ -233,28 +233,64 @@ def decode_block(path_or_blob, e: SpanEntry) -> bytes:
 
 class _BlockTailStream:
     """Readable stream over the decompressed bytes of blocks ``j..`` —
-    the seam algebra's boundary-line fetch. Inflates one <=64 KiB block
-    at a time (blocks are small, so per-block decode IS the streaming
-    granularity the zstd rung needs libzstd streaming for)."""
+    the seam algebra's boundary-line fetch, INCREMENTAL: compressed
+    bytes are read and inflated ``_CHUNK`` at a time and the caller
+    stops at the first newline, so a scattered singleton pick reads a
+    few KB of its successor instead of the whole 64 KiB block (the
+    whole-block version roughly doubled the blocks touched at small
+    scattered picks). Early stop skips zlib's trailer CRC check — fine
+    for a boundary fetch; fully-read members still get it via flush."""
+
+    _CHUNK = 16384
 
     def __init__(self, path: str, entries, j: int):
         self._path = path
         self._entries = entries
         self._j = j
+        self._fh = None
+        self._d = None  # active member's decompressobj
+        self._remaining = 0  # compressed bytes left in the active member
         self._buf = b""
 
+    def _fill(self) -> bool:
+        """Make ``_buf`` non-empty; False at EOF."""
+        while not self._buf:
+            if self._d is None:
+                while (
+                    self._j < len(self._entries)
+                    and self._entries[self._j].d_size == 0
+                ):
+                    self._j += 1
+                if self._j >= len(self._entries):
+                    return False
+                e = self._entries[self._j]
+                self._j += 1
+                if self._fh is None:
+                    self._fh = open(self._path, "rb")
+                self._fh.seek(e.c_off)
+                self._d = zlib.decompressobj(wbits=31)
+                self._remaining = e.c_size
+            if self._remaining > 0:
+                chunk = self._fh.read(min(self._CHUNK, self._remaining))
+                self._remaining -= len(chunk)
+                self._buf += self._d.decompress(chunk)
+            else:
+                self._buf += self._d.flush()
+                self._d = None
+        return True
+
     def read(self, n: int) -> bytes:
-        while not self._buf and self._j < len(self._entries):
-            e = self._entries[self._j]
-            self._j += 1
-            if e.d_size == 0:
-                continue
-            self._buf = decode_block(self._path, e)
+        if not self._buf and not self._fill():
+            return b""
         out, self._buf = self._buf[:n], self._buf[n:]
         return out
 
     def close(self) -> None:
+        if self._fh is not None:
+            self._fh.close()
+            self._fh = None
         self._buf = b""
+        self._d = None
         self._j = len(self._entries)
 
 
