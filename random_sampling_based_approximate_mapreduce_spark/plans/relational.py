@@ -839,6 +839,9 @@ def _bgzf_text_layout(spark: SparkSession, sf_dir: str) -> str:
     "this is VALUE-ORACLED against the same word_count SQL as the "
     "uncompressed, bzip2 and zstd layouts — proving the shared "
     "seam_text ownership algebra through a third codec (round 11). "
+    "Like word_count_zstd_exact, this is a CORRECTNESS prover, not a "
+    "performance path: the JVM reads multi-member .gz natively and "
+    "faster; the source's wins live at small ratios (docs/SCALE.md). "
     "Reference parity: Hadoop-splittable-codec semantics "
     "(RandomizedXMLRecordReader.java:76-106) extended to gzip, which "
     "Hadoop itself cannot split",
