@@ -53,78 +53,20 @@ from .warehouse import _LQ_W_LEN  # noqa: E402,F401
 # queries first, so every family gets an external signal each round.
 # Already-verified queries and rows-only variants go last.
 _CHECK_PRIORITY = [
-    # === ROUND 11 rotation (VERDICT r10 item 1): the 50 driver slots are
-    # exactly (a) word_count_gzip_exact (this round's new seam query —
-    # r10 precedent: the new addition takes slot 1), (b) doc_quality
-    # (displaced to slot 51 in r10), (c) the 33 remaining queries whose
-    # last driver hash-green is r7, in r7 check order, then (d) the
-    # oldest of the 50 r8-green queries in r8 check order (15 fit; the
-    # 16th, bucketed_orders_join, is displaced to slot 51 and stays
-    # r8-green — the "nothing older than r8" invariant holds either
-    # way). The r10-green cohort (freshest signal) re-checks last among
-    # oracled queries.
+    # === ROUND 12 rotation (VERDICT r11 items 1+5): the 50 driver slots
+    # are exactly (a) the 35 queries whose last driver hash-green is r8,
+    # in r8 check order (slots 1-35), (b) the 13 oldest r9-green queries
+    # in r9 check order (slots 36-48), and (c) the two streaming
+    # applyInPandasWithState twins streaming_stratified_counts /
+    # streaming_dedup_minhash (slots 49-50, r10-green — pulled forward
+    # per verdict item 5 so the custom stateful paths keep a fresh
+    # tamper-resistant signal; they take the slots of the 14th/15th
+    # oldest r9 greens, multimodal_knn_frozen / video_container_meta,
+    # which stay r9-green at slots 51-52 — the post-rotation invariant
+    # "nothing value-oracled older than r9" holds either way).
     #
-    # --- slot 1: the round-11 addition (BGZF blocked-gzip seam query,
-    # never driver-checked — the r10 precedent: the new value-oracled
-    # query takes slot 1 so its first driver hash-check is immediate)
-    "word_count_gzip_exact",
-    # --- slot 2: doc_quality (r7-green; displaced at slot 51 in r10)
-    "doc_quality",
-    # --- slots 2-34: the remaining r7-stale cohort (r7 check order)
-    "token_stats",
-    "knn_brute_force",
-    "knn_lsh",
-    "tpch_q1_sql",
-    "multimodal_meta",
-    "multimodal_frame_counts",
-    "multimodal_decode_bmp",
-    "multimodal_decode_wav",
-    "training_pipeline",
-    "dedup_embedding_blocked",
-    "skewed_events_salted_join",
-    "skewed_events_two_phase",
-    "corpus_pipeline_full",
-    "pii_redaction",
-    "heavy_hitter_tokens",
-    "sequence_packing",
-    "boilerplate_ngrams",
-    "dedup_keep_best",
-    "decontaminate_ngrams",
-    "doc_repetition",
-    "dedup_incremental",
-    "events_zorder_buckets",
-    "boilerplate_strip",
-    "word_count",
-    "char_count",
-    "xml_page_words",
-    "word_count_multifile",
-    "word_count_reference_delims",
-    "word_count_rowgroup_sampled",
-    "sampling_report",
-    "tpch_q1",
-    "tpch_q1_hash_sampled",
-    "tpch_q3_topk",
-    # --- slots 36-50: the 15 oldest r8-green queries (r8 check order);
-    # the 16th (bucketed_orders_join) sits at slot 51, displaced by the
-    # round-11 addition at slot 1
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_simhash_pairs",
-    "dedup_clusters_blocked",
-    "cross_doc_dup_spans",
-    "dedup_exact",
-    "dedup_fingerprint",
-    "revenue_by_nation",
-    "top_orders_per_priority",
-    "order_rollup",
-    "urgent_only_customers",
-    "priority_distinct_customers",
-    "exists_subquery_customers",
-    "events_grouping_sets",
-    "events_props_json",
+    # --- slots 1-35: the r8-stale cohort (r8 check order)
     "bucketed_orders_join",
-    # ---- below here: past the 50-slot harness budget.
-    # --- the remaining 34 r8-green queries (r8 check order)
     "events_props_typed",
     "docs_partitioned_lang",
     "order_price_quantiles",
@@ -159,7 +101,7 @@ _CHECK_PRIORITY = [
     "user_state_scd2",
     "orders_profile",
     "doc_quality_logistic",
-    # --- the r9-green cohort (freshest signal): re-checked last
+    # --- slots 36-48: the 13 oldest r9-green queries (r9 check order)
     "word_count_bzip2_exact",
     "xml_page_words_bzip2",
     "sampled_join_cluster_ci",
@@ -173,8 +115,14 @@ _CHECK_PRIORITY = [
     "volume_shipping_q7",
     "documents_jsonl_roundtrip",
     "knn_ivf_frozen",
+    # --- slots 49-50: the streaming stateful twins (verdict r11 item 5)
+    "streaming_stratified_counts",
+    "streaming_dedup_minhash",
+    # ---- below here: past the 50-slot harness budget.
+    # --- slots 51-52: the two r9 greens displaced by the streaming twins
     "multimodal_knn_frozen",
     "video_container_meta",
+    # --- the remaining 35 r9-green queries (r9 check order)
     "approx_sum_ci_families",
     "order_counts_distribution",
     "promo_revenue_share",
@@ -210,8 +158,8 @@ _CHECK_PRIORITY = [
     "streaming_attribution_last_touch",
     "events_value_psi",
     "streaming_value_psi",
-    # --- the r10-green cohort (freshest signal): re-checked last among
-    # oracled queries (r10 check order)
+    # --- the r10-green cohort (r10 check order; minus the two streaming
+    # twins promoted into the head)
     "word_count_zstd_exact",
     "events_type_hour_chi2",
     "docs_token_entropy_by_lang",
@@ -253,15 +201,65 @@ _CHECK_PRIORITY = [
     "sampled_full_join_hash_twin",
     "stratified_value_quantile_hash_sampled",
     "sampled_topk_tokens",
-    "streaming_stratified_counts",
     "distinct_users_chao_hash_sampled",
     "bootstrap_qty_ci_by_flag",
     "exact_k_event_sample",
     "weighted_sampled_tokens",
     "streaming_events_hourly",
-    "streaming_dedup_minhash",
     "streaming_dedup_incremental",
     "lang_id_counts",
+    # --- the r11-green cohort (freshest signal): re-checked last among
+    # oracled queries (r11 check order)
+    "word_count_gzip_exact",
+    "doc_quality",
+    "token_stats",
+    "knn_brute_force",
+    "knn_lsh",
+    "tpch_q1_sql",
+    "multimodal_meta",
+    "multimodal_frame_counts",
+    "multimodal_decode_bmp",
+    "multimodal_decode_wav",
+    "training_pipeline",
+    "dedup_embedding_blocked",
+    "skewed_events_salted_join",
+    "skewed_events_two_phase",
+    "corpus_pipeline_full",
+    "pii_redaction",
+    "heavy_hitter_tokens",
+    "sequence_packing",
+    "boilerplate_ngrams",
+    "dedup_keep_best",
+    "decontaminate_ngrams",
+    "doc_repetition",
+    "dedup_incremental",
+    "events_zorder_buckets",
+    "boilerplate_strip",
+    "word_count",
+    "char_count",
+    "xml_page_words",
+    "word_count_multifile",
+    "word_count_reference_delims",
+    "word_count_rowgroup_sampled",
+    "sampling_report",
+    "tpch_q1",
+    "tpch_q1_hash_sampled",
+    "tpch_q3_topk",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "dedup_clusters_blocked",
+    "cross_doc_dup_spans",
+    "dedup_exact",
+    "dedup_fingerprint",
+    "revenue_by_nation",
+    "top_orders_per_priority",
+    "order_rollup",
+    "urgent_only_customers",
+    "priority_distinct_customers",
+    "exists_subquery_customers",
+    "events_grouping_sets",
+    "events_props_json",
     # ---- permanently rows-only-by-nature (engine RNG / approx sketches /
     # data-trained state; each tagged at its @register site). All got a
     # driver rows-signal by r4 - a repeat no_oracle row carries no further
