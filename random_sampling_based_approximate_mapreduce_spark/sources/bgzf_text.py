@@ -168,6 +168,15 @@ def scan_blocks(path: str) -> tuple[SpanEntry, ...]:
             pos = 0
             while pos + 4 <= xlen:
                 si1, si2, slen = struct.unpack_from("<BBH", extra, pos)
+                if pos + 4 + slen > xlen:
+                    # a subfield whose declared SLEN overruns XLEN: the
+                    # same ValueError + fallback ladder as every other
+                    # malformed-input path, not a struct.error
+                    raise ValueError(
+                        f"{path}: corrupt FEXTRA at offset {c_off} — "
+                        f"subfield at byte {pos} declares {slen} payload "
+                        f"bytes but only {xlen - pos - 4} remain in XLEN"
+                    )
                 if si1 == _BC_SI1 and si2 == _BC_SI2 and slen == 2:
                     (bsize,) = struct.unpack_from("<H", extra, pos + 4)
                     break
@@ -192,6 +201,34 @@ def scan_blocks(path: str) -> tuple[SpanEntry, ...]:
                 )
             fh.seek(c_off + block_size - 4)
             (isize,) = struct.unpack("<I", fh.read(4))
+            payload = block_size - (_HEADER_BYTES + xlen + _TRAILER_BYTES)
+            if isize == 0 and payload > 8:
+                # Every d_size==0 block is skipped by the readers (its
+                # payload is never inflated, so zlib's CRC/ISIZE check
+                # never runs) — a single zeroed ISIZE trailer would
+                # otherwise silently drop the block's lines AND shift
+                # d_off ownership for every later block. An empty
+                # deflate stream is ~2 bytes; a "claims empty" block
+                # with a real payload is decoded here so zlib surfaces
+                # the CRC/length lie loudly (the module contract:
+                # corruption is refused, never absorbed).
+                fh.seek(c_off)
+                mem = fh.read(block_size)
+                d = zlib.decompressobj(wbits=31)
+                try:
+                    out = d.decompress(mem) + d.flush()
+                except zlib.error as exc:  # zlib's own CRC/length verdict
+                    raise ValueError(
+                        f"{path}: block at offset {c_off} claims ISIZE 0 "
+                        f"but fails gzip verification ({exc}) — corrupt "
+                        "trailer"
+                    ) from exc
+                if out:
+                    raise ValueError(
+                        f"{path}: block at offset {c_off} inflates to "
+                        f"{len(out)} bytes but its ISIZE trailer claims 0 "
+                        "(corrupt trailer)"
+                    )
             parsed.append(SpanEntry(c_off, block_size, d_off, isize))
             c_off += block_size
             d_off += isize
@@ -488,28 +525,53 @@ def _list_bgzf_files(path: str) -> list[str]:
 
 
 def pick_blocks(
-    path: str, ratio: float, seed: int = 42
+    path: str, ratio: float, seed: int = 42, run_blocks: int = 1
 ) -> tuple[list[tuple[str, int]], int, int]:
     """Deterministic hash-pick of blocks across all files from their
     header hops alone. Returns (picked [(file, block_idx)], picked
     compressed bytes, total compressed bytes of data blocks). Never
-    empty — the shared ``pick_units`` algebra."""
+    empty — the shared ``pick_units`` algebra.
+
+    ``run_blocks > 1`` makes the sampling UNIT a contiguous run of that
+    many adjacent data blocks (the last run per file may be shorter).
+    HT semantics are unchanged — every line's inclusion probability is
+    still ``ratio``, with the run as the cluster (exactly the zstd
+    ladder's coarser-unit trade) — but a picked unit's compressed bytes
+    are now sequential on disk, recovering streaming I/O at moderate
+    ratios where singleton 64 KiB picks scatter reads (the r11 x4000
+    cold grid measured 0.52x at r=0.1; VERDICT r11 item 4). The price
+    is a coarser pick floor: the smallest achievable ratio grows by
+    ~run_blocks x. Returned picks stay per-BLOCK so batching and the
+    reader are unchanged; a run's blocks are adjacent, so the reader's
+    contiguity merge already decodes each picked run in one pass."""
     from ..sampling.deterministic import pick_units
 
-    units = [
-        (f, i, e.c_size)
+    if run_blocks < 1:
+        raise ValueError(f"run_blocks must be >= 1, got {run_blocks}")
+    by_file = [
+        (f, [i for i, e in enumerate(scan_blocks(f)) if e.d_size])
         for f in _list_bgzf_files(path)
-        for i, e in enumerate(scan_blocks(f))
-        if e.d_size  # the EOF marker (and any empty member) owns no rows
     ]
-    if not units:
+    if all(not idxs for _, idxs in by_file):
         # every block empty: keep the never-empty contract on unit 0
+        by_file = [(f, list(range(len(scan_blocks(f))))) for f, _ in by_file]
+    if run_blocks == 1:
         units = [
-            (f, i, e.c_size)
-            for f in _list_bgzf_files(path)
-            for i, e in enumerate(scan_blocks(f))
+            (f, i, scan_blocks(f)[i].c_size) for f, idxs in by_file for i in idxs
         ]
-    return pick_units(units, ratio, lambda f, i: f"{seed}:{f}#blk{i}")
+        return pick_units(units, ratio, lambda f, i: f"{seed}:{f}#blk{i}")
+    run_members: dict[tuple[str, int], list[int]] = {}
+    units = []
+    for f, idxs in by_file:
+        entries = scan_blocks(f)
+        for j, s in enumerate(range(0, len(idxs), run_blocks)):
+            blocks = idxs[s : s + run_blocks]
+            run_members[(f, j)] = blocks
+            units.append((f, j, sum(entries[b].c_size for b in blocks)))
+    picked_runs, pw, tw = pick_units(
+        units, ratio, lambda f, j: f"{seed}:{f}#run{run_blocks}:{j}"
+    )
+    return [(f, b) for f, j in picked_runs for b in run_members[(f, j)]], pw, tw
 
 
 # ---------------------------------------------------------------------------
@@ -555,8 +617,8 @@ class _BlockBatchPartition(InputPartition):
 
 class BgzfTextDataSource(DataSource):
     """format name ``bgzf_text``; options: path, ratio, seed,
-    batch_bytes. Schema fixed: ``value string`` (one row per line),
-    matching ``spark.read.text``."""
+    batch_bytes, run_blocks. Schema fixed: ``value string`` (one row
+    per line), matching ``spark.read.text``."""
 
     @classmethod
     def name(cls) -> str:
@@ -579,9 +641,12 @@ class BgzfTextReader(DataSourceReader):
         self.ratio = float(options.get("ratio", "1.0"))
         self.seed = int(options.get("seed", "42"))
         self.batch_bytes = int(options.get("batch_bytes", str(DEFAULT_BATCH_BYTES)))
+        self.run_blocks = int(options.get("run_blocks", "1"))
 
     def partitions(self):
-        picked, _, _ = pick_blocks(self.path, self.ratio, self.seed)
+        picked, _, _ = pick_blocks(
+            self.path, self.ratio, self.seed, run_blocks=self.run_blocks
+        )
         return [
             _BlockBatchPartition(f, idxs)
             for f, idxs in batch_picked_blocks(picked, self.batch_bytes)
@@ -624,23 +689,29 @@ def read_text_bgzf_sampled(
     seed: int = 42,
     row_config: SamplingConfig | None = None,
     batch_bytes: int = DEFAULT_BATCH_BYTES,
+    run_blocks: int = 1,
 ) -> SampledFrame:
     """BGZF block cluster sample -> SampledFrame.
 
-    Every line's inclusion probability is ``block_ratio`` (its block's
-    independent acceptance), so estimators HT-scale by 1/block_ratio;
-    ``row_config`` composes a within-block Bernoulli row stage — the
-    same two-stage algebra as the byteblock / bzip2 / zstd / file
-    samplers. ``batch_bytes`` packs picked blocks into per-task
-    batches (scheduling only — sampling semantics are per-block)."""
+    Every line's inclusion probability is ``block_ratio`` (its
+    cluster's independent acceptance), so estimators HT-scale by
+    1/block_ratio; ``row_config`` composes a within-block Bernoulli row
+    stage — the same two-stage algebra as the byteblock / bzip2 / zstd
+    / file samplers. ``batch_bytes`` packs picked blocks into per-task
+    batches (scheduling only — sampling semantics are per-cluster).
+    ``run_blocks`` widens the cluster to a contiguous run of that many
+    blocks, trading pick-floor granularity for sequential cold I/O at
+    moderate ratios (see ``pick_blocks``)."""
     register_bgzf_text(spark)
-    pick_blocks(path, block_ratio, seed)  # eager driver-side validation
+    # eager driver-side validation
+    pick_blocks(path, block_ratio, seed, run_blocks=run_blocks)
     df = (
         spark.read.format("bgzf_text")
         .option("path", path)
         .option("ratio", str(block_ratio))
         .option("seed", str(seed))
         .option("batch_bytes", str(batch_bytes))
+        .option("run_blocks", str(run_blocks))
         .load()
     )
     from ..sampling.sampled_frame import compose_cluster_row_stage

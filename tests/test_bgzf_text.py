@@ -143,6 +143,44 @@ class TestFormat:
         with pytest.raises(ValueError, match="no BC subfield"):
             scan_blocks(p)
 
+    def test_truncated_bc_subfield_refused(self, tmp_path):
+        """FEXTRA declaring a BC subfield with SLEN=2 but no payload
+        bytes left in XLEN: the module's ValueError + ladder message,
+        never a bare struct.error (ADVICE r11)."""
+        import zlib
+
+        chunk = b"x\n"
+        co = zlib.compressobj(6, zlib.DEFLATED, -15)
+        comp = co.compress(chunk) + co.flush()
+        extra = struct.pack("<BBH", 66, 67, 2)  # BC header, payload missing
+        p = str(tmp_path / "truncbc.gz")
+        with open(p, "wb") as fh:
+            fh.write(struct.pack("<BBBBIBBH", 0x1F, 0x8B, 8, 4, 0, 0, 0xFF, len(extra)))
+            fh.write(extra)
+            fh.write(comp)
+            fh.write(struct.pack("<II", zlib.crc32(chunk), len(chunk)))
+        with pytest.raises(ValueError, match="corrupt FEXTRA"):
+            scan_blocks(p)
+
+    def test_zeroed_isize_refused(self, corpus, tmp_path):
+        """A zeroed ISIZE trailer on a block with a real payload must be
+        refused at scan time, not silently treated as an empty block —
+        d_size==0 blocks are never inflated, so without this check the
+        block's lines vanish and every later block's d_off ownership
+        shifts (ADVICE r11, medium)."""
+        _, paths, raws = corpus
+        blob = bytearray(open(paths[0], "rb").read())
+        entries = scan_blocks(paths[0])
+        e = entries[2]
+        struct.pack_into("<I", blob, e.c_off + e.c_size - 4, 0)
+        p = str(tmp_path / "isize0.gz")
+        open(p, "wb").write(bytes(blob))
+        with pytest.raises(ValueError, match="ISIZE|corrupt trailer"):
+            scan_blocks(p)
+        # and the untouched file still round-trips (scan cache keyed on
+        # path+size+mtime, so the corrupt sibling can't poison it)
+        assert decompress_file(paths[0]) == raws[0]
+
     def test_corrupt_bsize_refused(self, corpus, tmp_path):
         _, paths, _ = corpus
         blob = bytearray(open(paths[0], "rb").read())
@@ -514,6 +552,118 @@ class TestSparkSource:
         (tmp_path / "x.txt").write_text("a\n")
         with pytest.raises(ValueError, match="gz"):
             pick_blocks(str(tmp_path), 0.5)
+
+    def test_bad_run_blocks(self, corpus):
+        d, _, _ = corpus
+        with pytest.raises(ValueError, match="run_blocks"):
+            pick_blocks(d, 0.5, run_blocks=0)
+
+
+def _run_oracle_keys(path, run_blocks, seed, ratio):
+    """Per-block accept decision under the run-cluster pick: block ->
+    its run's md5 verdict (runs = consecutive chunks of run_blocks
+    data blocks, per file)."""
+    data_idxs = [i for i, e in enumerate(scan_blocks(path)) if e.d_size]
+    accept = {}
+    for j, s in enumerate(range(0, len(data_idxs), run_blocks)):
+        ok = md5_accept(f"{seed}:{path}#run{run_blocks}:{j}", ratio)
+        for i in data_idxs[s : s + run_blocks]:
+            accept[i] = ok
+    return accept
+
+
+class TestRunBlocks:
+    """run_blocks > 1: the sampling cluster is a CONTIGUOUS run of K
+    adjacent blocks (VERDICT r11 item 4 — sequential cold I/O at
+    moderate r). Ownership equivalence: a picked run keeps exactly the
+    union of its blocks' owned lines; HT semantics unchanged with the
+    run as the unit."""
+
+    def test_run_pick_expands_accepted_runs(self, corpus):
+        d, paths, _ = corpus
+        K, seed, ratio = 3, 11, 0.4
+        picked, pw, tw = pick_blocks(d, ratio, seed=seed, run_blocks=K)
+        want = []
+        for p in paths:
+            acc = _run_oracle_keys(p, K, seed, ratio)
+            want.extend((p, i) for i in sorted(acc) if acc[i])
+        assert picked == want
+        # weight accounting: picked bytes = sum of picked blocks' c_size
+        sizes = {p: scan_blocks(p) for p in paths}
+        assert pw == sum(sizes[f][i].c_size for f, i in picked)
+        assert tw == sum(
+            e.c_size for p in paths for e in sizes[p] if e.d_size
+        )
+
+    def test_run_blocks_one_is_backcompat(self, corpus):
+        """run_blocks=1 keys are the historical per-block keys — same
+        picks, same partitions, bit-for-bit."""
+        d, _, _ = corpus
+        assert pick_blocks(d, 0.3, seed=5, run_blocks=1) == pick_blocks(
+            d, 0.3, seed=5
+        )
+
+    def test_picked_runs_are_contiguous(self, corpus):
+        """A picked run's blocks are adjacent on disk, so the reader's
+        contiguity merge decodes each run in ONE sequential pass — the
+        whole point of the knob."""
+        d, _, _ = corpus
+        K = 4
+        picked, _, _ = pick_blocks(d, 0.3, seed=7, run_blocks=K)
+        runs = []
+        for f, i in picked:
+            if runs and runs[-1][0] == f and i == runs[-1][2]:
+                runs[-1][2] = i + 1
+            else:
+                runs.append([f, i, i + 1])
+        # every merged run is at least K blocks unless it's a file tail
+        for f, start, stop in runs:
+            n_data = sum(1 for e in scan_blocks(f) if e.d_size)
+            assert stop - start >= min(K, n_data - start)
+
+    def test_ratio_one_any_run_width_is_exact(self, spark, corpus):
+        d, _, raws = corpus
+        sf = read_text_bgzf_sampled(spark, d, 1.0, run_blocks=4)
+        got = sorted(r["value"] for r in sf.df.collect())
+        want = sorted(ln for raw in raws for ln in raw.decode().splitlines())
+        assert got == want
+
+    def test_run_sample_equals_ownership_oracle(self, spark, corpus):
+        """Sampled lines = lines whose OWNER block sits in an accepted
+        run — per-block ownership composed with the run-level verdict,
+        through Spark."""
+        d, paths, raws = corpus
+        K, seed, ratio = 3, 11, 0.4
+        sf = read_text_bgzf_sampled(spark, d, ratio, seed=seed, run_blocks=K)
+        got = sorted(r["value"] for r in sf.df.collect())
+        want = []
+        for p, raw in zip(paths, raws):
+            entries = scan_blocks(p)
+            acc = _run_oracle_keys(p, K, seed, ratio)
+            bounds = [
+                (e.d_off, e.d_off + e.d_size, i)
+                for i, e in enumerate(entries)
+                if e.d_size
+            ]
+            pos = 0
+            for rawline in raw.splitlines(keepends=True):
+                s = pos
+                pos += len(rawline)
+                owner = (
+                    bounds[0][2]
+                    if s == 0
+                    else next(i for lo, hi, i in bounds if lo < s <= hi)
+                )
+                if acc[owner]:
+                    want.append(rawline.decode().rstrip("\r\n"))
+        assert got == sorted(want)
+
+    def test_run_ht_scale(self, spark, corpus):
+        d, _, _ = corpus
+        sf = read_text_bgzf_sampled(spark, d, 0.4, seed=11, run_blocks=3)
+        n = sf.df.count()
+        est = sf.approx_count(alias="est").collect()[0]["est"]
+        assert est == pytest.approx(n / 0.4)
 
     def test_bad_ratio(self, corpus):
         d, _, _ = corpus
