@@ -464,6 +464,31 @@ def sweep_query(spark, sf: str, query: str, ratios: list[float]) -> dict:
     return out
 
 
+def finalize_artifact(doc: dict) -> dict:
+    """Stamp per-cell ``gated`` and a top-level gate summary so the
+    artifact is SELF-describing (VERDICT r11 item 3: a reader of the
+    JSON alone could mistake 25 ``ok`` cells for 25 gated cells when
+    two were low-support excluded — the 23-vs-25 arithmetic must live
+    in the artifact, not the round notes). ``gated`` is false exactly
+    when ``low_support`` is set; ``n_green`` counts gated cells whose
+    every present gate key (``ok``, ``share_ok``) is true."""
+    n_cells = n_gated = n_green = 0
+    for q in doc["queries"]:
+        for run in q["runs"]:
+            n_cells += 1
+            run["gated"] = not run.get("low_support")
+            if run["gated"]:
+                n_gated += 1
+                if run.get("ok", True) and run.get("share_ok", True):
+                    n_green += 1
+    doc["gate_summary"] = {
+        "n_cells": n_cells,
+        "n_gated": n_gated,
+        "n_green": n_green,
+    }
+    return doc
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
@@ -495,7 +520,12 @@ def main() -> None:
             results.append(sweep_joined(spark, args.sf, ratios))
         else:
             results.append(sweep_query(spark, args.sf, q, ratios))
-    doc = {"sf": args.sf, "ratios": ratios, "seed": 123, "queries": results}
+    doc = finalize_artifact(
+        {"sf": args.sf, "ratios": ratios, "seed": 123, "queries": results}
+    )
+    gs = doc["gate_summary"]
+    print(f"gate summary: {gs['n_green']}/{gs['n_gated']} gated cells green "
+          f"({gs['n_cells']} measured)")
     if args.out:
         with open(args.out, "w") as fh:
             json.dump(doc, fh, indent=1)
@@ -526,7 +556,7 @@ def main() -> None:
              "grouped" if not run.get("ok", True) else "share")
             for q in results
             for run in q["runs"]
-            if not run.get("low_support")
+            if run["gated"]
             and not (run.get("ok", True) and run.get("share_ok", True))
         ]
         if bad:
