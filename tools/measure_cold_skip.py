@@ -111,6 +111,25 @@ def main() -> None:
         "need are built (a --copies 16000 bzip2-only cell then skips the "
         "~25 GB text/parquet twins)",
     )
+    ap.add_argument(
+        "--bgzf-run-blocks",
+        type=int,
+        default=None,
+        help="also measure the bgzf_text skip with the contiguous-run "
+        "pick (run_blocks=K): one extra row per ratio, reusing the plain "
+        "row's baseline timings (same workload). The knob trades pick "
+        "granularity for sequential cold reads at moderate r (VERDICT "
+        "r11 item 4: singleton 64 KiB picks measured 0.52x cold at "
+        "r=0.1).",
+    )
+    ap.add_argument(
+        "--drop-text",
+        action="store_true",
+        help="delete the uncompressed text layout after the compressed "
+        "conversions are built (only legal when byteblock_text is not "
+        "being measured) — a --copies 16000 bgzf+zstd run then holds "
+        "~14 GB instead of ~43 GB",
+    )
     args = ap.parse_args()
 
     spark = get_spark("measure-cold-skip")
@@ -284,6 +303,13 @@ def main() -> None:
         if "bgzf_text" in wanted
         else None
     )
+    if args.drop_text and text_dir is not None:
+        if "byteblock_text" in wanted:
+            raise SystemExit("--drop-text would delete byteblock_text's own layout")
+        import shutil
+
+        shutil.rmtree(text_dir)
+        text_dir = None
     os.sync()  # flush dirty pages so fadvise(DONTNEED) can evict them
 
     layout_dirs = {
@@ -363,6 +389,47 @@ def main() -> None:
             )
             results.append(row)
             print(json.dumps(row), file=sys.stderr)  # progress
+            if name == "bgzf_text" and (args.bgzf_run_blocks or 1) > 1:
+                K = args.bgzf_run_blocks
+                from random_sampling_based_approximate_mapreduce_spark.sources.bgzf_text import (
+                    read_text_bgzf_sampled as _bgzf_read,
+                )
+
+                run_skip = lambda: _consume(  # noqa: E731
+                    _bgzf_read(spark, path, r, seed=9, run_blocks=K).df
+                )
+                _, rpicked, rtotal = pick_bgzf_blocks(
+                    path, r, seed=9, run_blocks=K
+                )
+                rrow = {
+                    "source": name,
+                    "ratio": r,
+                    "run_blocks": K,
+                    "input_mb": sizes[name],
+                    "picked_unit": "bytes",
+                    "picked": rpicked,
+                    "total": rtotal,
+                    "warm_skip_s": _timed(run_skip, args.passes),
+                    # the baseline workload is identical — reuse the
+                    # plain row's timings rather than re-pay ~4 full
+                    # cold scans per ratio
+                    "warm_base_s": row["warm_base_s"],
+                    "cold_skip_s": _timed(run_skip, args.passes, evict_paths=files),
+                    "cold_base_s": row["cold_base_s"],
+                    "base_reused_from": "run_blocks=1 row",
+                }
+                rrow["warm_speedup"] = (
+                    round(rrow["warm_base_s"] / rrow["warm_skip_s"], 2)
+                    if rrow["warm_skip_s"]
+                    else None
+                )
+                rrow["cold_speedup"] = (
+                    round(rrow["cold_base_s"] / rrow["cold_skip_s"], 2)
+                    if rrow["cold_skip_s"]
+                    else None
+                )
+                results.append(rrow)
+                print(json.dumps(rrow), file=sys.stderr)  # progress
 
     print(
         json.dumps(
