@@ -119,7 +119,13 @@ _CHECK_PRIORITY = [
     "streaming_stratified_counts",
     "streaming_dedup_minhash",
     # ---- below here: past the 50-slot harness budget.
-    # --- slots 51-52: the two r9 greens displaced by the streaming twins
+    # --- slot 51: the round-12 addition. The r10/r11 precedent put a
+    # new value-oracled query at slot 1, but the r11 verdict ENUMERATED
+    # this round's 50 slots (items 1+5) and that list takes precedence —
+    # the run-pick prover is fully value-oracled by the local
+    # check_oracle run (207/207) and rotates into the head in r13.
+    "word_count_gzip_runs_exact",
+    # --- slots 52-53: the two r9 greens displaced by the streaming twins
     "multimodal_knn_frozen",
     "video_container_meta",
     # --- the remaining 35 r9-green queries (r9 check order)

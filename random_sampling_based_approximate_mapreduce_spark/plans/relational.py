@@ -880,6 +880,43 @@ def q_word_count_gzip_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "word_count_gzip_runs_exact",
+    f"""
+    SELECT word, count(*)::BIGINT AS cnt
+    FROM (
+      SELECT unnest(string_split_regex(lower(text), '{_WORD_SPLIT_SQL}')) AS word
+      FROM documents
+      WHERE NOT regexp_matches(text, '[0-9]')
+    )
+    WHERE word <> '' AND NOT regexp_matches(word, '^[0-9]+$')
+    GROUP BY word
+    """,
+    doc="word_count through the BGZF source at ratio 1.0 with the "
+    "CONTIGUOUS-RUN pick (run_blocks=4, round 12 / VERDICT r11 item 4): "
+    "the sampling cluster is a run of 4 adjacent blocks, picked by run "
+    "key and decoded in one sequential pass per run. At ratio 1.0 every "
+    "run is picked, so the result is the exact file and this query "
+    "VALUE-ORACLES the run pick + run decode + seam ownership "
+    "composition end-to-end against the same word_count SQL as "
+    "word_count_gzip_exact — a wrong run boundary, a double-decoded "
+    "interior seam line, or a dropped file-tail run would hash-mismatch "
+    "here. The knob's purpose is sequential cold I/O at moderate "
+    "ratios (docs/SCALE.md round-12 addendum has the measured cells); "
+    "this prover pins its correctness the same way the ratio-1.0 twins "
+    "pin the other four ladder rungs",
+)
+def q_word_count_gzip_runs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.bgzf_text import read_text_bgzf_sampled
+
+    src = _bgzf_text_layout(spark, sf_dir)
+    sf = read_text_bgzf_sampled(spark, src, 1.0, run_blocks=4)
+    kept = T.drop_digit_lines(sf.df, "value")
+    return T.explode_words(kept, "value").groupBy("word").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+@register(
     "docs_partitioned_lang",
     """
     SELECT lang, source, count(*)::BIGINT AS n_docs,
