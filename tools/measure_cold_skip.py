@@ -210,8 +210,19 @@ def main() -> None:
     # the same file layout (review r10). Only the layouts the requested
     # sources need are built: text feeds byteblock AND the zst
     # conversion; bz2/parquet stand alone.
+    def _published(d: str) -> bool:
+        return os.path.exists(os.path.join(d, "_SUCCESS"))
+
+    # the text layout is only a CONVERSION SOURCE for the zst/bgzf
+    # rungs: when their layouts are already published (e.g. a prior
+    # --drop-text run kept the 7 GB conversions but reclaimed the
+    # 29 GB text), don't rebuild 29 GB of text nobody will read
+    need_text = "byteblock_text" in wanted or any(
+        s in wanted and not _published(f"/tmp/rsmr_cold_{tag}_{key}")
+        for s, tag in (("zstd_seekable_text", "zst"), ("bgzf_text", "bgzf"))
+    )
     text_dir = bz2_dir = pq_dir = None
-    if wanted & {"byteblock_text", "zstd_seekable_text", "bgzf_text"}:
+    if need_text:
         text_dir = ensure_layout(
             f"/tmp/rsmr_cold_txt_{key}",
             lambda d: corpus_df().write.mode("overwrite").text(d),
