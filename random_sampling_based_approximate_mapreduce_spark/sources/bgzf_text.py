@@ -524,6 +524,30 @@ def _list_bgzf_files(path: str) -> list[str]:
     return found
 
 
+def suggest_run_blocks(
+    ratio: float,
+    block_bytes: int = DEFAULT_BLOCK_BYTES,
+    target_cluster_bytes: int = 1 << 20,
+) -> int:
+    """Measured guidance for the contiguous-run knob, NOT an automatic
+    default (a default change would silently change which rows a
+    seeded sample returns — the run key differs from the block key, so
+    callers opt in explicitly). docs/SCALE.md round-12 addendum, both
+    cold grids: at moderate ratios (r >= ~0.01) cold I/O wants ~1 MB
+    sequential clusters — runs of 16 default-size blocks flipped the
+    x16000 r=0.025 cell from 1.09x to 2.33x cold — while at small
+    ratios the pick FLOOR matters more than seek locality (a run pick
+    cannot achieve a ratio below run_bytes/corpus_bytes, and the
+    r<=0.001 cells already win as singletons). Returns 1 below
+    r=0.01, else the run length that makes a cluster ~
+    ``target_cluster_bytes`` of uncompressed data."""
+    if not 0.0 < ratio <= 1.0:
+        raise ValueError(f"ratio must be in (0, 1], got {ratio}")
+    if ratio < 0.01:
+        return 1
+    return max(1, round(target_cluster_bytes / block_bytes))
+
+
 def pick_blocks(
     path: str, ratio: float, seed: int = 42, run_blocks: int = 1
 ) -> tuple[list[tuple[str, int]], int, int]:

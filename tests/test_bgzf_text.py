@@ -658,6 +658,89 @@ class TestRunBlocks:
                     want.append(rawline.decode().rstrip("\r\n"))
         assert got == sorted(want)
 
+    def test_suggest_run_blocks_guidance(self):
+        from random_sampling_based_approximate_mapreduce_spark.sources.bgzf_text import (
+            DEFAULT_BLOCK_BYTES,
+            suggest_run_blocks,
+        )
+
+        # the measured crossover: singletons below r=0.01 (pick floor
+        # wins), ~1 MB clusters at moderate r (runs of 16 at the
+        # default block size — the committed x16000 grid's K)
+        assert suggest_run_blocks(0.001) == 1
+        assert suggest_run_blocks(0.005) == 1
+        assert suggest_run_blocks(0.025) == 16
+        assert suggest_run_blocks(0.1) == 16
+        assert suggest_run_blocks(1.0) == 16
+        # scales with block size toward the same cluster bytes
+        assert suggest_run_blocks(0.1, block_bytes=DEFAULT_BLOCK_BYTES // 4) == 64
+        assert suggest_run_blocks(0.1, target_cluster_bytes=DEFAULT_BLOCK_BYTES) == 1
+        with pytest.raises(ValueError, match="ratio"):
+            suggest_run_blocks(0.0)
+
+    def test_run_ownership_equivalence_property(self, tmp_path):
+        """Hypothesis: for random corpora, block sizes, run widths and
+        ratios, the run-cluster pick keeps EXACTLY the lines whose
+        owner block sits in an accepted run — i.e. run sampling is the
+        per-block ownership algebra composed with the run verdict,
+        never a reimplementation that could drift at seams."""
+        import random as _random
+
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from random_sampling_based_approximate_mapreduce_spark.sources.bgzf_text import (
+            read_block_run_lines,
+        )
+
+        counter = [0]
+
+        @settings(max_examples=60, deadline=None)
+        @given(
+            seed=st.integers(0, 10**6),
+            n_lines=st.integers(0, 40),
+            block_bytes=st.integers(1, 64),
+            align=st.booleans(),
+            run_blocks=st.integers(1, 7),
+            ratio=st.sampled_from([0.2, 0.5, 0.9, 1.0]),
+        )
+        def prop(seed, n_lines, block_bytes, align, run_blocks, ratio):
+            rnd = _random.Random(seed)
+            lines = ["y" * rnd.randint(0, 2 * block_bytes) for _ in range(n_lines)]
+            body = (
+                "\n".join(lines) + ("\n" if rnd.random() < 0.8 or not lines else "")
+            ).encode()
+            counter[0] += 1
+            p = str(tmp_path / f"runprop-{counter[0]}.gz")
+            write_bgzf(body, p, block_bytes=block_bytes, align_lines=align)
+            picked, _, _ = pick_blocks(p, ratio, seed=seed, run_blocks=run_blocks)
+            # decode picked blocks as the reader does: contiguous runs
+            runs = []
+            for _, i in picked:
+                if runs and i == runs[-1][1]:
+                    runs[-1][1] = i + 1
+                else:
+                    runs.append([i, i + 1])
+            entries = scan_blocks(p)
+            got = [
+                ln
+                for start, stop in runs
+                for ln in read_block_run_lines(p, entries, start, stop)
+            ]
+            # oracle: per-block ownership filtered by the run verdict
+            # (never-empty fallback handled by trusting picked itself)
+            picked_idx = {i for _, i in picked}
+            want = [
+                ln
+                for i in sorted(picked_idx)
+                for ln in read_block_lines(p, entries, i)
+            ]
+            assert got == want, (seed, n_lines, block_bytes, align, run_blocks, ratio)
+            if ratio == 1.0:
+                assert got == body.decode().splitlines()
+
+        prop()
+
     def test_run_ht_scale(self, spark, corpus):
         d, _, _ = corpus
         sf = read_text_bgzf_sampled(spark, d, 0.4, seed=11, run_blocks=3)
