@@ -201,17 +201,19 @@ def scan_blocks(path: str) -> tuple[SpanEntry, ...]:
                 )
             fh.seek(c_off + block_size - 4)
             (isize,) = struct.unpack("<I", fh.read(4))
-            payload = block_size - (_HEADER_BYTES + xlen + _TRAILER_BYTES)
-            if isize == 0 and payload > 8:
+            if isize == 0:
                 # Every d_size==0 block is skipped by the readers (its
                 # payload is never inflated, so zlib's CRC/ISIZE check
                 # never runs) — a single zeroed ISIZE trailer would
                 # otherwise silently drop the block's lines AND shift
-                # d_off ownership for every later block. An empty
-                # deflate stream is ~2 bytes; a "claims empty" block
-                # with a real payload is decoded here so zlib surfaces
-                # the CRC/length lie loudly (the module contract:
-                # corruption is refused, never absorbed).
+                # d_off ownership for every later block. Decode every
+                # claims-empty block here so zlib surfaces the
+                # CRC/length lie loudly (the module contract:
+                # corruption is refused, never absorbed). Cost is one
+                # ~28-byte inflate per file in the normal case (the
+                # spec's EOF marker); a payload-size threshold instead
+                # would let a zeroed trailer on a tiny real block (a
+                # 2-byte line deflates to ~4 bytes) slip through.
                 fh.seek(c_off)
                 mem = fh.read(block_size)
                 d = zlib.decompressobj(wbits=31)

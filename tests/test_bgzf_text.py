@@ -177,6 +177,17 @@ class TestFormat:
         open(p, "wb").write(bytes(blob))
         with pytest.raises(ValueError, match="ISIZE|corrupt trailer"):
             scan_blocks(p)
+        # and a TINY real block (payload smaller than any size
+        # threshold could allow) with a zeroed trailer is refused too
+        tiny = str(tmp_path / "tiny.gz")
+        write_bgzf(b"a\n", tiny, block_bytes=16)
+        blob2 = bytearray(open(tiny, "rb").read())
+        e0 = scan_blocks(tiny)[0]
+        struct.pack_into("<I", blob2, e0.c_off + e0.c_size - 4, 0)
+        p2 = str(tmp_path / "tiny0.gz")
+        open(p2, "wb").write(bytes(blob2))
+        with pytest.raises(ValueError, match="ISIZE|corrupt trailer"):
+            scan_blocks(p2)
         # and the untouched file still round-trips (scan cache keyed on
         # path+size+mtime, so the corrupt sibling can't poison it)
         assert decompress_file(paths[0]) == raws[0]
