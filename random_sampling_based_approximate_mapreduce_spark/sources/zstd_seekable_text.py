@@ -164,6 +164,40 @@ def parse_seek_table(path: str) -> tuple[FrameEntry, ...]:
             f"{path}: frames sum to {c_off} compressed bytes but the seek "
             f"table starts at {table_start} (corrupt table)"
         )
+    claims_empty = [e for e in parsed if e.d_size == 0 and e.c_size]
+    if claims_empty:
+        # Every d_size==0 entry is skipped by all readers (the frame is
+        # never decoded), so a seek-table entry LYING d_size=0 for a
+        # real frame would silently drop its lines and shift d_off
+        # ownership for every later frame — the same corruption class
+        # as a zeroed BGZF ISIZE trailer (bgzf_text.scan_blocks), and
+        # unlike bgzf the seek table is a detached footer, so the lie
+        # costs one flipped field. Decode each claims-empty frame into
+        # a zero-byte budget: a truly empty frame (~9 bytes) passes; a
+        # real payload makes zstd fail loudly. Normal files have no
+        # such entries, so this path costs nothing.
+        import pyarrow as pa
+
+        codec = pa.Codec("zstd")
+        with open(path, "rb") as fh:
+            for e in claims_empty:
+                fh.seek(e.c_off)
+                buf = fh.read(e.c_size)
+                try:
+                    out = codec.decompress(buf, 0, asbytes=True)
+                except Exception as exc:
+                    raise ValueError(
+                        f"{path}: frame at offset {e.c_off} claims "
+                        f"decompressed size 0 in the seek table but fails "
+                        f"a zero-budget decode ({exc}) — lying seek-table "
+                        "entry (corrupt)"
+                    ) from exc
+                if out:
+                    raise ValueError(
+                        f"{path}: frame at offset {e.c_off} inflates to "
+                        f"{len(out)} bytes but the seek table claims 0 "
+                        "(lying seek-table entry)"
+                    )
     while len(_TABLE_CACHE) > 256:  # bound worker memory across many files
         # FIFO single-entry eviction, not clear(): a task mix cycling
         # over >256 files would otherwise wipe every hot entry at once

@@ -92,6 +92,26 @@ class TestFormat:
         with pytest.raises(ValueError, match="seekable"):
             parse_seek_table(p)
 
+    def test_lying_empty_entry_refused(self, corpus, tmp_path):
+        """A seek-table entry claiming d_size=0 for a REAL frame must
+        be refused at parse time, not skipped: d_size==0 frames are
+        never decoded by any reader, so the lie would silently drop
+        the frame's lines and shift d_off ownership for every later
+        frame — the zstd twin of the zeroed BGZF ISIZE trailer
+        (ADVICE r11 medium, fixed in both codecs in round 12)."""
+        _, paths, raws = corpus
+        blob = bytearray(open(paths[0], "rb").read())
+        entries = parse_seek_table(paths[0])
+        table_start = len(blob) - (len(entries) * 8 + 9) - 8
+        # zero entry 2's decompressed-size field (bytes 4-8 of the entry)
+        struct.pack_into("<I", blob, table_start + 8 + 2 * 8 + 4, 0)
+        p = str(tmp_path / "lying0.zst")
+        open(p, "wb").write(bytes(blob))
+        with pytest.raises(ValueError, match="lying seek-table entry"):
+            parse_seek_table(p)
+        # the untouched sibling still parses (cache keyed per path+mtime)
+        assert len(parse_seek_table(paths[0])) == len(entries)
+
     def test_corrupt_size_field_refused(self, corpus, tmp_path):
         _, paths, _ = corpus
         blob = bytearray(open(paths[0], "rb").read())
