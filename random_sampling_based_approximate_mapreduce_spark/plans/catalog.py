@@ -53,82 +53,23 @@ from .warehouse import _LQ_W_LEN  # noqa: E402,F401
 # queries first, so every family gets an external signal each round.
 # Already-verified queries and rows-only variants go last.
 _CHECK_PRIORITY = [
-    # === ROUND 12 rotation (VERDICT r11 items 1+5): the 50 driver slots
-    # are exactly (a) the 35 queries whose last driver hash-green is r8,
-    # in r8 check order (slots 1-35), (b) the 13 oldest r9-green queries
-    # in r9 check order (slots 36-48), and (c) the two streaming
-    # applyInPandasWithState twins streaming_stratified_counts /
-    # streaming_dedup_minhash (slots 49-50, r10-green — pulled forward
-    # per verdict item 5 so the custom stateful paths keep a fresh
-    # tamper-resistant signal; they take the slots of the 14th/15th
-    # oldest r9 greens, multimodal_knn_frozen / video_container_meta,
-    # which stay r9-green at slots 51-52 — the post-rotation invariant
-    # "nothing value-oracled older than r9" holds either way).
+    # === ROUND 13 rotation (VERDICT r12 item 1, the staleness ratchet):
+    # the 50 driver slots are exactly (a) slot 1 = the round-12 run-pick
+    # prover word_count_gzip_runs_exact (value-oracled, never
+    # driver-checked — the r10/r11 slot-1 precedent resumes), (b) slots
+    # 2-38 = the 37 queries whose last driver hash-green is r9, in r9
+    # check order, and (c) slots 39-50 = the 12 oldest r10-green queries
+    # in r10 check order. Cohorts recomputed this round from all twelve
+    # CORRECTNESS_r*.json files (last[q] = max round with
+    # rows+schema+hash all true) and confirmed against the verdict's
+    # enumeration element-for-element. After a green r13 run nothing
+    # value-oracled is older than r10.
     #
-    # --- slots 1-35: the r8-stale cohort (r8 check order)
-    "bucketed_orders_join",
-    "events_props_typed",
-    "docs_partitioned_lang",
-    "order_price_quantiles",
-    "price_per_qty_hash_sampled",
-    "salted_orders_join",
-    "bloom_semi_join",
-    "skewed_events_suggested_salts",
-    "customer_upsert",
-    "dataset_split_md5",
-    "docs_cap_per_lang",
-    "customer_rfm_segments",
-    "event_transition_matrix",
-    "orders_monthly_growth",
-    "user_retention_cohorts",
-    "event_funnel",
-    "triangle_count_devices",
-    "orders_quality_checks",
-    "supplier_abc_by_nation",
-    "priority_wait_orders_q4",
-    "local_supplier_volume_q5",
-    "forecast_revenue_q6",
-    "market_share_q8",
-    "product_profit_q9",
-    "returned_items_topk_q10",
-    "important_parts_q11",
-    "priority_case_count_q12",
-    "disjunctive_parts_q19",
-    "promo_parts_suppliers_q20",
-    "waiting_suppliers_q21",
-    "kmv_users_daily",
-    "events_gapfill_hourly",
-    "user_state_scd2",
-    "orders_profile",
-    "doc_quality_logistic",
-    # --- slots 36-48: the 13 oldest r9-green queries (r9 check order)
-    "word_count_bzip2_exact",
-    "xml_page_words_bzip2",
-    "sampled_join_cluster_ci",
-    "stratified_quantile_bootstrap_ci",
-    "stratified_value_mean_hash_sampled",
-    "stratified_purchase_share_hash_sampled",
-    "streaming_stratified_mean",
-    "sampled_left_join_unmatched_boot_ci",
-    "top_supplier_revenue",
-    "small_qty_revenue",
-    "volume_shipping_q7",
-    "documents_jsonl_roundtrip",
-    "knn_ivf_frozen",
-    # --- slots 49-50: the streaming stateful twins (verdict r11 item 5)
-    "streaming_stratified_counts",
-    "streaming_dedup_minhash",
-    # ---- below here: past the 50-slot harness budget.
-    # --- slot 51: the round-12 addition. The r10/r11 precedent put a
-    # new value-oracled query at slot 1, but the r11 verdict ENUMERATED
-    # this round's 50 slots (items 1+5) and that list takes precedence —
-    # the run-pick prover is fully value-oracled by the local
-    # check_oracle run (207/207) and rotates into the head in r13.
+    # --- slot 1: the r12 prover (new value-oracled query precedent)
     "word_count_gzip_runs_exact",
-    # --- slots 52-53: the two r9 greens displaced by the streaming twins
+    # --- slots 2-38: the r9-stale cohort (r9 check order)
     "multimodal_knn_frozen",
     "video_container_meta",
-    # --- the remaining 35 r9-green queries (r9 check order)
     "approx_sum_ci_families",
     "order_counts_distribution",
     "promo_revenue_share",
@@ -164,8 +105,7 @@ _CHECK_PRIORITY = [
     "streaming_attribution_last_touch",
     "events_value_psi",
     "streaming_value_psi",
-    # --- the r10-green cohort (r10 check order; minus the two streaming
-    # twins promoted into the head)
+    # --- slots 39-50: the 12 oldest r10-green queries (r10 check order)
     "word_count_zstd_exact",
     "events_type_hour_chi2",
     "docs_token_entropy_by_lang",
@@ -178,6 +118,14 @@ _CHECK_PRIORITY = [
     "documents_orc_roundtrip",
     "events_csv_roundtrip",
     "approx_host_counts_flagged",
+    # ---- below here: past the 50-slot harness budget.
+    # --- slot 51: the round-13 addition (the zstd contiguous-run
+    # prover, VERDICT r12 item 2) — value-oracled by the local
+    # check_oracle run; rotates into the head in r14 per the r12
+    # precedent (the verdict enumerated this round's 50 slots, which
+    # takes precedence over the new-query-at-slot-1 rule).
+    "word_count_zstd_runs_exact",
+    # --- the remaining 36 r10-green queries (r10 check order)
     "video_pixel_stats",
     "sampled_join_hash_twin",
     "audio_frame_features",
@@ -214,8 +162,7 @@ _CHECK_PRIORITY = [
     "streaming_events_hourly",
     "streaming_dedup_incremental",
     "lang_id_counts",
-    # --- the r11-green cohort (freshest signal): re-checked last among
-    # oracled queries (r11 check order)
+    # --- the r11-green cohort (r11 check order)
     "word_count_gzip_exact",
     "doc_quality",
     "token_stats",
@@ -266,6 +213,61 @@ _CHECK_PRIORITY = [
     "exists_subquery_customers",
     "events_grouping_sets",
     "events_props_json",
+    # --- the r12-green cohort (freshest signal — re-checked last
+    # among oracled queries; r12 check order). The two
+    # applyInPandasWithState streaming twins streaming_stratified_counts
+    # / streaming_dedup_minhash sit here as r12-green; per VERDICT r12
+    # item 5 they re-enter the head with the r12-stale cohort (~r15).
+    "bucketed_orders_join",
+    "events_props_typed",
+    "docs_partitioned_lang",
+    "order_price_quantiles",
+    "price_per_qty_hash_sampled",
+    "salted_orders_join",
+    "bloom_semi_join",
+    "skewed_events_suggested_salts",
+    "customer_upsert",
+    "dataset_split_md5",
+    "docs_cap_per_lang",
+    "customer_rfm_segments",
+    "event_transition_matrix",
+    "orders_monthly_growth",
+    "user_retention_cohorts",
+    "event_funnel",
+    "triangle_count_devices",
+    "orders_quality_checks",
+    "supplier_abc_by_nation",
+    "priority_wait_orders_q4",
+    "local_supplier_volume_q5",
+    "forecast_revenue_q6",
+    "market_share_q8",
+    "product_profit_q9",
+    "returned_items_topk_q10",
+    "important_parts_q11",
+    "priority_case_count_q12",
+    "disjunctive_parts_q19",
+    "promo_parts_suppliers_q20",
+    "waiting_suppliers_q21",
+    "kmv_users_daily",
+    "events_gapfill_hourly",
+    "user_state_scd2",
+    "orders_profile",
+    "doc_quality_logistic",
+    "word_count_bzip2_exact",
+    "xml_page_words_bzip2",
+    "sampled_join_cluster_ci",
+    "stratified_quantile_bootstrap_ci",
+    "stratified_value_mean_hash_sampled",
+    "stratified_purchase_share_hash_sampled",
+    "streaming_stratified_mean",
+    "sampled_left_join_unmatched_boot_ci",
+    "top_supplier_revenue",
+    "small_qty_revenue",
+    "volume_shipping_q7",
+    "documents_jsonl_roundtrip",
+    "knn_ivf_frozen",
+    "streaming_stratified_counts",
+    "streaming_dedup_minhash",
     # ---- permanently rows-only-by-nature (engine RNG / approx sketches /
     # data-trained state; each tagged at its @register site). All got a
     # driver rows-signal by r4 - a repeat no_oracle row carries no further
