@@ -775,6 +775,44 @@ def q_word_count_zstd_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     return words.approx_count("word", alias="est_cnt")
 
 
+@register(
+    "word_count_zstd_runs_exact",
+    f"""
+    SELECT word, count(*)::BIGINT AS cnt
+    FROM (
+      SELECT unnest(string_split_regex(lower(text), '{_WORD_SPLIT_SQL}')) AS word
+      FROM documents
+      WHERE NOT regexp_matches(text, '[0-9]')
+    )
+    WHERE word <> '' AND NOT regexp_matches(word, '^[0-9]+$')
+    GROUP BY word
+    """,
+    doc="word_count through the SEEKABLE-ZSTD source at ratio 1.0 with "
+    "the CONTIGUOUS-RUN pick (run_frames=4, round 13 / VERDICT r12 "
+    "item 2): the sampling cluster is a run of 4 adjacent frames, "
+    "picked by run key and decoded in one sequential pass per run — "
+    "the BGZF run_blocks knob generalized to the frame rung (the "
+    "seek-table frame list is the same SpanEntry offsets shape as the "
+    "block hop). At ratio 1.0 every run is picked, so the result is "
+    "the exact file and this query VALUE-ORACLES the run pick + run "
+    "decode + seam ownership composition end-to-end against the same "
+    "word_count SQL as word_count_zstd_exact — a wrong run boundary, a "
+    "double-decoded interior seam line, or a dropped file-tail run "
+    "would hash-mismatch here, exactly as word_count_gzip_runs_exact "
+    "pins the BGZF twin. Like every ratio-1.0 ladder prover this is a "
+    "CORRECTNESS path, never a performance story",
+)
+def q_word_count_zstd_runs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.zstd_seekable_text import read_text_zstd_sampled
+
+    src = _zstd_text_layout(spark, sf_dir)
+    sf = read_text_zstd_sampled(spark, src, 1.0, run_frames=4)
+    kept = T.drop_digit_lines(sf.df, "value")
+    return T.explode_words(kept, "value").groupBy("word").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
 def _bgzf_text_layout(spark: SparkSession, sf_dir: str) -> str:
     """documents.text as BGZF part files (SAM spec 4.1 blocked gzip:
     independent gzip members whose headers carry their own compressed

@@ -56,6 +56,15 @@ row Bernoulli through Spark's own codec).
 
 100 TB shape: one picked frame = one task = one contiguous compressed
 read of table-known size; the pick is O(files) tail reads driver-side.
+``run_frames=K`` (round 13, VERDICT r12 item 2) widens the sampling
+unit to a contiguous run of K adjacent frames — the BGZF rung's
+contiguous-run pick carried over verbatim (the seek-table frame list is
+the same SpanEntry shape as the block hop) — so a picked unit reads
+K frames' compressed bytes in ONE sequential pass. At this rung's 4 MB
+default frame the knob is rarely needed (a singleton is already a ~1 MB
+sequential read); it exists for small-frame layouts and for symmetry
+with ``bgzf_text``, and the ratio-1.0 prover
+(``word_count_zstd_runs_exact``) value-oracles the run composition.
 Frame checksums (XXH64 low bits) are parsed but not verified — no
 xxhash in this environment's public deps; corruption still surfaces as
 a zstd decode error.
@@ -372,22 +381,64 @@ def _list_zst_files(path: str) -> list[str]:
 
 
 def pick_frames(
-    path: str, ratio: float, seed: int = 42
+    path: str, ratio: float, seed: int = 42, run_frames: int = 1
 ) -> tuple[list[tuple[str, int]], int, int]:
     """Deterministic hash-pick of frames across all files from their seek
     tables alone. Returns (picked [(file, frame_idx)], picked_compressed
     bytes, total_compressed_bytes of data frames). Never empty. The
     accept rule + never-empty fallback is the shared ``pick_units``
     algebra (one definition across all cluster pickers).
-    """
+
+    ``run_frames > 1`` makes the sampling UNIT a contiguous run of that
+    many adjacent data frames (the last run per file may be shorter) —
+    the BGZF rung's contiguous-run pick (``bgzf_text.pick_blocks``,
+    VERDICT r12 item 2) generalized to the frame rung; the seek-table
+    frame list is the same SpanEntry offsets shape as the block hop, so
+    the run algebra carries over verbatim. HT semantics are unchanged —
+    every line's inclusion probability is still ``ratio``, with the run
+    as the cluster — but a picked unit's compressed bytes are sequential
+    on disk. The price is the same coarser pick floor (~run_frames x),
+    and at this rung's 4 MB default frame a SINGLETON pick is already a
+    ~1 MB sequential compressed read, so the knob matters mainly for
+    small-frame layouts (the BGZF crossover analysis in
+    ``bgzf_text.suggest_run_blocks`` applies with frame_bytes in place
+    of block_bytes). ``run_frames=1`` is bit-for-bit the historical
+    per-frame pick (same keys, same picks). Returned picks stay
+    per-FRAME so downstream accounting is unchanged; a run's frames are
+    adjacent, so the reader decodes each picked run in one pass."""
     from ..sampling.deterministic import pick_units
 
-    units = [
-        (f, i, e.c_size)
-        for f in _list_zst_files(path)
-        for i, e in enumerate(parse_seek_table(f))
+    if run_frames < 1:
+        raise ValueError(f"run_frames must be >= 1, got {run_frames}")
+    files = _list_zst_files(path)
+    if run_frames == 1:
+        units = [
+            (f, i, e.c_size)
+            for f in files
+            for i, e in enumerate(parse_seek_table(f))
+        ]
+        return pick_units(units, ratio, lambda f, i: f"{seed}:{f}#frm{i}")
+    by_file = [
+        (f, [i for i, e in enumerate(parse_seek_table(f)) if e.d_size])
+        for f in files
     ]
-    return pick_units(units, ratio, lambda f, i: f"{seed}:{f}#frm{i}")
+    if all(not idxs for _, idxs in by_file):
+        # every frame empty: keep the never-empty contract on unit 0
+        by_file = [
+            (f, list(range(len(parse_seek_table(f))))) for f, _ in by_file
+        ]
+    run_members: dict[tuple[str, int], list[int]] = {}
+    units = []
+    for f, idxs in by_file:
+        entries = parse_seek_table(f)
+        for j, s in enumerate(range(0, len(idxs), run_frames)):
+            frames = idxs[s : s + run_frames]
+            run_members[(f, j)] = frames
+            units.append((f, j, sum(entries[i].c_size for i in frames)))
+    picked_runs, pw, tw = pick_units(
+        units, ratio, lambda f, j: f"{seed}:{f}#frmrun{run_frames}:{j}"
+    )
+    return [(f, i) for f, j in picked_runs for i in run_members[(f, j)]], pw, tw
 
 
 # ---------------------------------------------------------------------------
@@ -437,24 +488,54 @@ def read_frame_lines(path: str, entries: list[FrameEntry], idx: int) -> list[str
     O(n^2) readline re-slice made a 4 MB frame cost ~100x its decode).
     Only frame ``idx`` and the frames its edge lines actually span are
     decompressed."""
+    return read_frame_run_lines(path, entries, idx, idx + 1)
+
+
+def read_frame_run_lines(
+    path: str, entries: list[FrameEntry], start: int, stop: int
+) -> list[str]:
+    """All lines OWNED by the CONTIGUOUS frame run ``[start, stop)`` —
+    exactly the union of per-frame ownership (the pairing depends only
+    on span boundaries, so merging interior boundaries merges
+    ownership; tests pin the equivalence), but each frame is decoded
+    ONCE: per-frame reads of a contiguous run would fetch every
+    interior boundary line by decoding into the following frame a
+    second time — the same double-decode the BGZF run reader avoids
+    (``bgzf_text.read_block_run_lines``)."""
+    run = entries[start:stop]
+    if not run:
+        return []
+    merged = FrameEntry(
+        run[0].c_off,
+        sum(e.c_size for e in run),
+        run[0].d_off,
+        sum(e.d_size for e in run),
+    )
+    # view: the run as one unit, followed by the REAL frames after it
+    # (only their d_sizes + the tail stream are consulted)
+    tmp = [merged] + list(entries[stop:])
     return unit_lines(
-        entries,
-        idx,
-        lambda e: _decode_frame(path, e),
-        lambda j: _FrameTailStream(path, entries[j].c_off),
+        tmp,
+        0,
+        lambda _e: b"".join(_decode_frame(path, e) for e in run if e.d_size),
+        lambda j: _FrameTailStream(path, entries[stop + (j - 1)].c_off),
     )
 
 
 class _FramePartition(InputPartition):
-    def __init__(self, path: str, idx: int):
+    """One task: the contiguous frame range [start, stop) of one file —
+    a single frame historically, a picked run under ``run_frames``."""
+
+    def __init__(self, path: str, start: int, stop: int):
         self.path = path
-        self.idx = idx
+        self.start = start
+        self.stop = stop
 
 
 class ZstdSeekableTextDataSource(DataSource):
-    """format name ``zstd_seekable_text``; options: path, ratio, seed.
-    Schema fixed: ``value string`` (one row per line), matching
-    ``spark.read.text``."""
+    """format name ``zstd_seekable_text``; options: path, ratio, seed,
+    run_frames. Schema fixed: ``value string`` (one row per line),
+    matching ``spark.read.text``."""
 
     @classmethod
     def name(cls) -> str:
@@ -476,16 +557,39 @@ class ZstdSeekableTextReader(DataSourceReader):
             raise ValueError("zstd_seekable_text requires .option('path', ...)")
         self.ratio = float(options.get("ratio", "1.0"))
         self.seed = int(options.get("seed", "42"))
+        self.run_frames = int(options.get("run_frames", "1"))
 
     def partitions(self):
-        picked, _, _ = pick_frames(self.path, self.ratio, self.seed)
-        return [_FramePartition(f, i) for f, i in picked]
+        picked, _, _ = pick_frames(
+            self.path, self.ratio, self.seed, run_frames=self.run_frames
+        )
+        # one task per picked run: adjacent picked frames merge up to
+        # run_frames per partition, so a run decodes in ONE sequential
+        # pass (the knob's point) while adjacent ACCEPTED runs stay
+        # separate tasks — at ratio 1.0 a file is ceil(frames/K)
+        # partitions, never one giant task. run_frames=1 reproduces the
+        # historical one-partition-per-frame layout exactly.
+        parts: list[_FramePartition] = []
+        for f, i in picked:
+            last = parts[-1] if parts else None
+            if (
+                last is not None
+                and last.path == f
+                and i == last.stop
+                and last.stop - last.start < self.run_frames
+            ):
+                last.stop = i + 1
+            else:
+                parts.append(_FramePartition(f, i, i + 1))
+        return parts
 
     def read(self, partition: _FramePartition):
         import pyarrow as pa
 
         entries = parse_seek_table(partition.path)
-        lines = read_frame_lines(partition.path, entries, partition.idx)
+        lines = read_frame_run_lines(
+            partition.path, entries, partition.start, partition.stop
+        )
         for i in range(0, len(lines), self._BATCH_ROWS):
             yield pa.record_batch(
                 [pa.array(lines[i : i + self._BATCH_ROWS], pa.string())],
@@ -504,6 +608,7 @@ def read_text_zstd_sampled(
     frame_ratio: float,
     seed: int = 42,
     row_config: SamplingConfig | None = None,
+    run_frames: int = 1,
 ) -> SampledFrame:
     """Seekable-zstd frame cluster sample -> SampledFrame.
 
@@ -511,14 +616,21 @@ def read_text_zstd_sampled(
     independent acceptance), so estimators HT-scale by 1/frame_ratio;
     ``row_config`` composes a within-frame Bernoulli row stage — the
     same two-stage algebra as the byteblock / bzip2 / file samplers.
+    ``run_frames`` widens the cluster to a contiguous run of that many
+    frames, trading pick-floor granularity for sequential cold I/O on
+    small-frame layouts — the BGZF rung's opt-in knob generalized here
+    (see ``pick_frames``; ``bgzf_text.suggest_run_blocks`` gives the
+    measured crossover with frame_bytes in place of block_bytes).
     """
     register_zstd_seekable_text(spark)
-    pick_frames(path, frame_ratio, seed)  # eager driver-side validation
+    # eager driver-side validation
+    pick_frames(path, frame_ratio, seed, run_frames=run_frames)
     df = (
         spark.read.format("zstd_seekable_text")
         .option("path", path)
         .option("ratio", str(frame_ratio))
         .option("seed", str(seed))
+        .option("run_frames", str(run_frames))
         .load()
     )
     from ..sampling.sampled_frame import compose_cluster_row_stage

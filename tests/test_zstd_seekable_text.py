@@ -22,6 +22,7 @@ from random_sampling_based_approximate_mapreduce_spark.sources.zstd_seekable_tex
     parse_seek_table,
     pick_frames,
     read_frame_lines,
+    read_frame_run_lines,
     read_text_zstd_sampled,
     write_seekable_zstd,
 )
@@ -432,3 +433,197 @@ class TestSparkSource:
             pick_frames(d, 0.0)
         with pytest.raises(ValueError, match="ratio"):
             pick_frames(d, 1.5)
+
+
+def _run_oracle_keys(path, run_frames, seed, ratio):
+    """Per-frame accept decision under the run-cluster pick: frame ->
+    its run's md5 verdict (runs = consecutive chunks of run_frames
+    data frames, per file)."""
+    data_idxs = [i for i, e in enumerate(parse_seek_table(path)) if e.d_size]
+    accept = {}
+    for j, s in enumerate(range(0, len(data_idxs), run_frames)):
+        ok = md5_accept(f"{seed}:{path}#frmrun{run_frames}:{j}", ratio)
+        for i in data_idxs[s : s + run_frames]:
+            accept[i] = ok
+    return accept
+
+
+class TestRunFrames:
+    """run_frames > 1: the sampling cluster is a CONTIGUOUS run of K
+    adjacent frames (VERDICT r12 item 2 — the BGZF run_blocks knob
+    generalized to the frame rung). Ownership equivalence: a picked run
+    keeps exactly the union of its frames' owned lines; HT semantics
+    unchanged with the run as the unit. Mirrors
+    tests/test_bgzf_text.py::TestRunBlocks test-for-test."""
+
+    def test_run_pick_expands_accepted_runs(self, corpus):
+        d, paths, _ = corpus
+        K, seed, ratio = 3, 11, 0.4
+        picked, pw, tw = pick_frames(d, ratio, seed=seed, run_frames=K)
+        want = []
+        for p in paths:
+            acc = _run_oracle_keys(p, K, seed, ratio)
+            want.extend((p, i) for i in sorted(acc) if acc[i])
+        assert picked == want
+        # weight accounting: picked bytes = sum of picked frames' c_size
+        sizes = {p: parse_seek_table(p) for p in paths}
+        assert pw == sum(sizes[f][i].c_size for f, i in picked)
+        assert tw == sum(e.c_size for p in paths for e in sizes[p] if e.d_size)
+
+    def test_run_frames_one_is_backcompat(self, corpus):
+        """run_frames=1 keys are the historical per-frame keys — same
+        picks, same partitions, bit-for-bit."""
+        d, _, _ = corpus
+        assert pick_frames(d, 0.3, seed=5, run_frames=1) == pick_frames(
+            d, 0.3, seed=5
+        )
+
+    def test_picked_runs_are_contiguous(self, corpus):
+        """A picked run's frames are adjacent on disk, so the reader
+        decodes each run in ONE sequential pass — the whole point of
+        the knob."""
+        d, _, _ = corpus
+        K = 4
+        picked, _, _ = pick_frames(d, 0.3, seed=7, run_frames=K)
+        runs = []
+        for f, i in picked:
+            if runs and runs[-1][0] == f and i == runs[-1][2]:
+                runs[-1][2] = i + 1
+            else:
+                runs.append([f, i, i + 1])
+        # every merged run is at least K frames unless it's a file tail
+        for f, start, stop in runs:
+            n_data = sum(1 for e in parse_seek_table(f) if e.d_size)
+            assert stop - start >= min(K, n_data - start)
+
+    def test_ratio_one_any_run_width_is_exact(self, spark, corpus):
+        d, _, raws = corpus
+        sf = read_text_zstd_sampled(spark, d, 1.0, run_frames=4)
+        got = sorted(r["value"] for r in sf.df.collect())
+        want = sorted(ln for raw in raws for ln in raw.decode().splitlines())
+        assert got == want
+
+    def test_run_partitions_stay_bounded(self, corpus):
+        """At ratio 1.0 adjacent accepted runs must NOT merge into one
+        giant task: partitions are the picked runs themselves, <= K
+        frames each — ceil(data_frames / K) tasks per file (unlike
+        BGZF, whose reader re-batches by batch_bytes, this rung's run
+        IS the partition)."""
+        import math
+
+        from random_sampling_based_approximate_mapreduce_spark.sources.zstd_seekable_text import (
+            ZstdSeekableTextReader,
+        )
+
+        d, paths, _ = corpus
+        K = 4
+        parts = ZstdSeekableTextReader(
+            {"path": d, "ratio": "1.0", "seed": "42", "run_frames": str(K)}
+        ).partitions()
+        assert all(p.stop - p.start <= K for p in parts)
+        want = sum(
+            math.ceil(sum(1 for e in parse_seek_table(p) if e.d_size) / K)
+            for p in paths
+        )
+        assert len(parts) == want
+
+    def test_run_sample_equals_ownership_oracle(self, spark, corpus):
+        """Sampled lines = lines whose OWNER frame sits in an accepted
+        run — per-frame ownership composed with the run-level verdict,
+        through Spark."""
+        d, paths, raws = corpus
+        K, seed, ratio = 3, 11, 0.4
+        sf = read_text_zstd_sampled(spark, d, ratio, seed=seed, run_frames=K)
+        got = sorted(r["value"] for r in sf.df.collect())
+        want = []
+        for p, raw in zip(paths, raws):
+            entries = parse_seek_table(p)
+            acc = _run_oracle_keys(p, K, seed, ratio)
+            bounds = [
+                (e.d_off, e.d_off + e.d_size, i)
+                for i, e in enumerate(entries)
+                if e.d_size
+            ]
+            pos = 0
+            for rawline in raw.splitlines(keepends=True):
+                s = pos
+                pos += len(rawline)
+                owner = (
+                    bounds[0][2]
+                    if s == 0
+                    else next(i for lo, hi, i in bounds if lo < s <= hi)
+                )
+                if acc[owner]:
+                    want.append(rawline.decode().rstrip("\r\n"))
+        assert got == sorted(want)
+
+    def test_run_ownership_equivalence_property(self, tmp_path):
+        """Hypothesis: for random corpora, frame sizes, run widths and
+        ratios, the run-cluster pick keeps EXACTLY the lines whose
+        owner frame sits in an accepted run — i.e. run sampling is the
+        per-frame ownership algebra composed with the run verdict,
+        never a reimplementation that could drift at seams."""
+        import random as _random
+
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        counter = [0]
+
+        @settings(max_examples=60, deadline=None)
+        @given(
+            seed=st.integers(0, 10**6),
+            n_lines=st.integers(0, 40),
+            frame_bytes=st.integers(1, 64),
+            align=st.booleans(),
+            run_frames=st.integers(1, 7),
+            ratio=st.sampled_from([0.2, 0.5, 0.9, 1.0]),
+        )
+        def prop(seed, n_lines, frame_bytes, align, run_frames, ratio):
+            rnd = _random.Random(seed)
+            lines = ["y" * rnd.randint(0, 2 * frame_bytes) for _ in range(n_lines)]
+            body = (
+                "\n".join(lines) + ("\n" if rnd.random() < 0.8 or not lines else "")
+            ).encode()
+            counter[0] += 1
+            p = str(tmp_path / f"runprop-{counter[0]}.zst")
+            write_seekable_zstd(body, p, frame_bytes=frame_bytes, align_lines=align)
+            picked, _, _ = pick_frames(p, ratio, seed=seed, run_frames=run_frames)
+            # decode picked frames as the reader does: contiguous runs
+            runs = []
+            for _, i in picked:
+                if runs and i == runs[-1][1]:
+                    runs[-1][1] = i + 1
+                else:
+                    runs.append([i, i + 1])
+            entries = parse_seek_table(p)
+            got = [
+                ln
+                for start, stop in runs
+                for ln in read_frame_run_lines(p, entries, start, stop)
+            ]
+            # oracle: per-frame ownership filtered by the run verdict
+            # (never-empty fallback handled by trusting picked itself)
+            picked_idx = {i for _, i in picked}
+            want = [
+                ln
+                for i in sorted(picked_idx)
+                for ln in read_frame_lines(p, entries, i)
+            ]
+            assert got == want, (seed, n_lines, frame_bytes, align, run_frames, ratio)
+            if ratio == 1.0:
+                assert got == body.decode().splitlines()
+
+        prop()
+
+    def test_run_ht_scale(self, spark, corpus):
+        d, _, _ = corpus
+        sf = read_text_zstd_sampled(spark, d, 0.4, seed=11, run_frames=3)
+        n = sf.df.count()
+        est = sf.approx_count(alias="est").collect()[0]["est"]
+        assert est == pytest.approx(n / 0.4)
+
+    def test_bad_run_frames(self, corpus):
+        d, _, _ = corpus
+        with pytest.raises(ValueError, match="run_frames"):
+            pick_frames(d, 0.5, run_frames=0)
