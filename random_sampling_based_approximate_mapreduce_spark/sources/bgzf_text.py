@@ -214,11 +214,18 @@ def scan_blocks(path: str) -> tuple[SpanEntry, ...]:
                 # spec's EOF marker); a payload-size threshold instead
                 # would let a zeroed trailer on a tiny real block (a
                 # 2-byte line deflates to ~4 bytes) slip through.
+                # BOUNDED probe (ADVICE r12): max_length=1 — one output
+                # byte already proves the trailer lies, so the refusal
+                # path stays O(1) memory instead of inflating a crafted
+                # block's up-to-~67 MB (deflate max ~1032x of 64 KiB).
+                # For a truly-empty stream zlib consumes the whole
+                # member (output never hits the cap), reaching eof and
+                # verifying CRC32 exactly as the unbounded decode did.
                 fh.seek(c_off)
                 mem = fh.read(block_size)
                 d = zlib.decompressobj(wbits=31)
                 try:
-                    out = d.decompress(mem) + d.flush()
+                    out = d.decompress(mem, 1)
                 except zlib.error as exc:  # zlib's own CRC/length verdict
                     raise ValueError(
                         f"{path}: block at offset {c_off} claims ISIZE 0 "
@@ -227,9 +234,15 @@ def scan_blocks(path: str) -> tuple[SpanEntry, ...]:
                     ) from exc
                 if out:
                     raise ValueError(
-                        f"{path}: block at offset {c_off} inflates to "
-                        f"{len(out)} bytes but its ISIZE trailer claims 0 "
+                        f"{path}: block at offset {c_off} inflates to at "
+                        "least 1 byte but its ISIZE trailer claims 0 "
                         "(corrupt trailer)"
+                    )
+                if not d.eof:
+                    raise ValueError(
+                        f"{path}: block at offset {c_off} claims ISIZE 0 "
+                        "but its deflate stream does not terminate within "
+                        "the block (truncated or corrupt)"
                     )
             parsed.append(SpanEntry(c_off, block_size, d_off, isize))
             c_off += block_size

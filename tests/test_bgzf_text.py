@@ -192,6 +192,53 @@ class TestFormat:
         # path+size+mtime, so the corrupt sibling can't poison it)
         assert decompress_file(paths[0]) == raws[0]
 
+    def test_zeroed_isize_probe_is_bounded(self, tmp_path):
+        """The claims-empty verification must NOT inflate the whole
+        block (ADVICE r12, low): a crafted max-expansion block
+        (spec-max 65280 input bytes of one repeated byte deflate to
+        ~70 compressed bytes) with a zeroed trailer is refused from a
+        max_length=1 probe — peak allocation stays O(KB), never the
+        ~64 KiB+ full inflate (or ~67 MB for a 64 KiB crafted
+        compressed payload)."""
+        import tracemalloc
+
+        big = str(tmp_path / "big.gz")
+        write_bgzf(b"\x00" * 65280, big, block_bytes=65280, align_lines=False)
+        blob = bytearray(open(big, "rb").read())
+        e0 = scan_blocks(big)[0]
+        assert e0.d_size == 65280 and e0.c_size < 2048  # genuinely expansive
+        struct.pack_into("<I", blob, e0.c_off + e0.c_size - 4, 0)
+        p = str(tmp_path / "big0.gz")
+        open(p, "wb").write(bytes(blob))
+        tracemalloc.start()
+        with pytest.raises(ValueError, match="ISIZE|corrupt trailer"):
+            scan_blocks(p)
+        _, peak = tracemalloc.get_traced_memory()
+        tracemalloc.stop()
+        # zlib's internal window (~32-64 KB) + the compressed read; the
+        # unbounded decode held the full 65280-byte output on top
+        assert peak < 48 * 1024, peak
+
+    def test_zeroed_isize_truncated_stream_refused(self, tmp_path):
+        """A block whose trailer claims ISIZE 0 but whose deflate
+        stream never terminates inside the block (truncation) is
+        refused — the bounded probe's eof check, covering what the old
+        unbounded decode caught via flush()."""
+        donor = str(tmp_path / "donor.gz")
+        write_bgzf(b"hello world\n", donor, block_bytes=16)
+        e0 = scan_blocks(donor)[0]
+        blob = open(donor, "rb").read()
+        # keep only the first 2 bytes of the deflate payload, then a
+        # trailer claiming CRC 0 / ISIZE 0; fix BSIZE to the new extent
+        hdr_len = 18  # fixed header (12) + BC subfield (6)
+        payload = blob[e0.c_off + hdr_len : e0.c_off + hdr_len + 2]
+        member = bytearray(blob[e0.c_off : e0.c_off + hdr_len] + payload + b"\x00" * 8)
+        struct.pack_into("<H", member, 16, len(member) - 1)  # BSIZE
+        p = str(tmp_path / "trunc0.gz")
+        open(p, "wb").write(bytes(member) + BGZF_EOF)
+        with pytest.raises(ValueError, match="ISIZE|corrupt|terminate"):
+            scan_blocks(p)
+
     def test_corrupt_bsize_refused(self, corpus, tmp_path):
         _, paths, _ = corpus
         blob = bytearray(open(paths[0], "rb").read())

@@ -123,6 +123,18 @@ def main() -> None:
         "r=0.1).",
     )
     ap.add_argument(
+        "--zstd-run-frames",
+        type=int,
+        default=None,
+        help="also measure the zstd_seekable_text skip with the "
+        "contiguous-run pick (run_frames=K): one extra row per ratio, "
+        "reusing the plain row's baseline timings (same workload). The "
+        "BGZF run knob generalized to the frame rung (VERDICT r12 "
+        "item 2); at the writer's 4 MB default frame a singleton pick "
+        "is already ~1 MB sequential, so expect smaller deltas than "
+        "the bgzf rows.",
+    )
+    ap.add_argument(
         "--drop-text",
         action="store_true",
         help="delete the uncompressed text layout after the compressed "
@@ -131,6 +143,34 @@ def main() -> None:
         "~14 GB instead of ~43 GB",
     )
     args = ap.parse_args()
+
+    _ALL_SOURCES = (
+        "byteblock_text",
+        "bzip2_block_text",
+        "zstd_seekable_text",
+        "bgzf_text",
+        "rowgroup_parquet",
+    )
+    wanted = set(args.sources or _ALL_SOURCES)
+    unknown = wanted - set(_ALL_SOURCES)
+    if unknown:
+        raise SystemExit(f"unknown sources {sorted(unknown)}; have {list(_ALL_SOURCES)}")
+    # no-silent-skip (ADVICE r12, low): the run-pick rows only emit inside
+    # their source's branch, so a run flag without its source measured
+    # would silently produce no run rows — refuse loudly instead,
+    # matching the --drop-text guard's style
+    if (args.bgzf_run_blocks or 1) > 1 and "bgzf_text" not in wanted:
+        raise SystemExit(
+            "--bgzf-run-blocks only emits rows for bgzf_text, which is "
+            "not among the measured sources — add bgzf_text to --sources "
+            "or drop the flag"
+        )
+    if (args.zstd_run_frames or 1) > 1 and "zstd_seekable_text" not in wanted:
+        raise SystemExit(
+            "--zstd-run-frames only emits rows for zstd_seekable_text, "
+            "which is not among the measured sources — add it to "
+            "--sources or drop the flag"
+        )
 
     spark = get_spark("measure-cold-skip")
     spark.sparkContext.setLogLevel("ERROR")
@@ -192,17 +232,7 @@ def main() -> None:
             )
         )
 
-    _ALL_SOURCES = (
-        "byteblock_text",
-        "bzip2_block_text",
-        "zstd_seekable_text",
-        "bgzf_text",
-        "rowgroup_parquet",
-    )
-    wanted = set(args.sources or _ALL_SOURCES)
-    unknown = wanted - set(_ALL_SOURCES)
-    if unknown:
-        raise SystemExit(f"unknown sources {sorted(unknown)}; have {list(_ALL_SOURCES)}")
+
 
     # corpus_df() already leaves 32 evenly-split partitions (the range
     # side is repartitioned before the broadcast expansion) — a second
@@ -428,6 +458,39 @@ def main() -> None:
                     "cold_skip_s": _timed(run_skip, args.passes, evict_paths=files),
                     "cold_base_s": row["cold_base_s"],
                     "base_reused_from": "run_blocks=1 row",
+                }
+                rrow["warm_speedup"] = (
+                    round(rrow["warm_base_s"] / rrow["warm_skip_s"], 2)
+                    if rrow["warm_skip_s"]
+                    else None
+                )
+                rrow["cold_speedup"] = (
+                    round(rrow["cold_base_s"] / rrow["cold_skip_s"], 2)
+                    if rrow["cold_skip_s"]
+                    else None
+                )
+                results.append(rrow)
+                print(json.dumps(rrow), file=sys.stderr)  # progress
+            if name == "zstd_seekable_text" and (args.zstd_run_frames or 1) > 1:
+                K = args.zstd_run_frames
+                run_skip = lambda: _consume(  # noqa: E731
+                    read_text_zstd_sampled(spark, path, r, seed=9, run_frames=K).df
+                )
+                _, rpicked, rtotal = pick_frames(path, r, seed=9, run_frames=K)
+                rrow = {
+                    "source": name,
+                    "ratio": r,
+                    "run_frames": K,
+                    "input_mb": sizes[name],
+                    "picked_unit": "bytes",
+                    "picked": rpicked,
+                    "total": rtotal,
+                    "warm_skip_s": _timed(run_skip, args.passes),
+                    # baseline workload identical — reuse the plain row's
+                    "warm_base_s": row["warm_base_s"],
+                    "cold_skip_s": _timed(run_skip, args.passes, evict_paths=files),
+                    "cold_base_s": row["cold_base_s"],
+                    "base_reused_from": "run_frames=1 row",
                 }
                 rrow["warm_speedup"] = (
                     round(rrow["warm_base_s"] / rrow["warm_skip_s"], 2)
