@@ -163,7 +163,11 @@ EXPERIMENTS = {
 # its own closed-form expected grouped rel-L1, derived from the same
 # design variance its CI estimator uses, so the sweep ratchets the
 # THEORY the estimators ship with against measured spread.
-FAMILY_SWEEPS = ("stratified_daily", "joined_pairs")
+# bgzf_runs_word_count (round 13, VERDICT r12 item 3): the contiguous-run
+# pick changes the sampling unit from a 64 KiB block to a K-block
+# cluster, raising per-cluster correlation — HT stays unbiased but the
+# variance story needs a measured cell, not just the ownership proof.
+FAMILY_SWEEPS = ("stratified_daily", "joined_pairs", "bgzf_runs_word_count")
 
 
 def sweep_stratified(spark, sf: str, ratios: list[float]) -> dict:
@@ -325,6 +329,221 @@ def sweep_joined(spark, sf: str, ratios: list[float]) -> dict:
             {"ratio": r2, "wall_s": round(wall, 3), "actual_err": round(err, 6),
              "expected_grouped_err": round(expected, 6), "ok": bool(ok),
              "low_support": low_support}
+        )
+    print(json.dumps(out))
+    return out
+
+
+# the run-pick family's fixed operating points: the cells the cold-I/O
+# grid measured for the knob (docs/SCALE.md round-12 addendum) — below
+# them the pick floor makes singletons the honest regime and the knob
+# is off by guidance (suggest_run_blocks returns 1 under r=0.01)
+_BGZF_RUN_RATIOS = (0.1, 0.025)
+
+
+def sweep_bgzf_runs(spark, sf: str, run_blocks: int = 16, copies: int = 48) -> dict:
+    """Word count through the BGZF CONTIGUOUS-RUN sampler (round 13,
+    VERDICT r12 item 3): the run pick changes the sampling unit from a
+    single block to a K-block cluster, which raises within-cluster
+    correlation — the HT estimate stays unbiased, but its variance is
+    the CLUSTER design variance
+        Var(T^_g) = (1-r)/r * sum_runs t_{g,c}^2,
+    t_{g,c} = the exact count of key g in run c (clusters accepted
+    independently with probability r; a kept cluster contributes ALL
+    its occurrences, perfectly correlated — the cluster twin of the
+    row-Bernoulli m2 term in sweep_query). This sweep runs the SHIPPED
+    read_text_bgzf_sampled(run_blocks=K) path at the knob's operating
+    points (_BGZF_RUN_RATIOS; --ratios does not apply to this family)
+    and gates actual grouped rel-L1 <= 3x that closed form, with the
+    same low-support honesty as every other family — here the support
+    that matters is the number of EXPECTED PICKED CLUSTERS (n_runs * r
+    < 5 leaves the normal approximation nothing to stand on, however
+    many rows the corpus has).
+
+    Corpus: documents.text replicated x``copies`` with a letters-only
+    per-copy tag word (cluster diversity; letters because the word
+    pipeline drops digit lines), converted once to a published BGZF
+    layout (16 KiB blocks -> ~16-block ~256 KiB clusters). Per-cluster
+    exact counts come through the engine's OWN run reader
+    (read_block_run_lines), so the oracle composes the same ownership
+    algebra the sampler executes — never a re-derivation that could
+    drift at seams."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from random_sampling_based_approximate_mapreduce_spark.functions import text as TT
+    from random_sampling_based_approximate_mapreduce_spark.sources.bgzf_text import (
+        convert_text_to_bgzf,
+        pick_blocks,
+        read_block_run_lines,
+        read_text_bgzf_sampled,
+        scan_blocks,
+    )
+    from random_sampling_based_approximate_mapreduce_spark.sources.tables import (
+        ensure_layout,
+    )
+
+    key = hashlib.md5(f"{sf}:{copies}:accruns".encode()).hexdigest()[:10]
+
+    def _build(d: str) -> None:
+        tmp = tempfile.mkdtemp(prefix="rsmr_accruns_src_")
+        try:
+            (
+                spark.range(copies)
+                .repartition(8)
+                .select(F.col("id").alias("__c"))
+                .crossJoin(
+                    F.broadcast(
+                        spark.read.parquet(
+                            os.path.join(sf, "documents.parquet")
+                        ).select("text")
+                    )
+                )
+                .select(
+                    F.concat(
+                        F.col("text"),
+                        F.lit(" tag"),
+                        # 3 hex chars -> letters (the pipeline drops any
+                        # line containing a digit): ~4k distinct tag
+                        # words spread across clusters
+                        F.translate(
+                            F.substring(
+                                F.md5(
+                                    F.concat(
+                                        F.col("text"),
+                                        F.col("__c").cast("string"),
+                                    )
+                                ),
+                                1,
+                                3,
+                            ),
+                            "0123456789",
+                            "ghijklmnop",
+                        ),
+                    ).alias("value")
+                )
+                .write.mode("overwrite")
+                .text(tmp)
+            )
+            convert_text_to_bgzf(tmp, d, block_bytes=16 * 1024)
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    layout = ensure_layout(f"/tmp/rsmr_acc_bgzfruns_{key}", _build)
+    files = sorted(
+        os.path.join(layout, f)
+        for f in os.listdir(layout)
+        if os.path.isfile(os.path.join(layout, f)) and not f.startswith(("_", "."))
+    )
+
+    # per-cluster exact lines through the engine's own run reader
+    cluster_rows = []
+    n_runs = 0
+    for fi, p in enumerate(files):
+        entries = scan_blocks(p)
+        data_idxs = [i for i, e in enumerate(entries) if e.d_size]
+        for j, s in enumerate(range(0, len(data_idxs), run_blocks)):
+            blocks = data_idxs[s : s + run_blocks]
+            n_runs += 1
+            for ln in read_block_run_lines(p, entries, blocks[0], blocks[-1] + 1):
+                cluster_rows.append((f"{fi}:{j}", ln))
+    lines_df = spark.createDataFrame(cluster_rows, schema="cluster string, value string")
+    kept = TT.drop_digit_lines(lines_df, "value")
+    # the explode_words tokenizer with the cluster column retained
+    # (explode_words itself projects to the token alone)
+    tok = kept.select(
+        "cluster", F.explode_outer(TT.words(F.col("value"))).alias("key")
+    ).where((F.length("key") > 0) & ~F.col("key").rlike("^[0-9]+$"))
+    stats = (
+        tok.groupBy("cluster", "key")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .groupBy("key")
+        .agg(F.sum("t").alias("n"), F.sum(F.col("t") * F.col("t")).alias("t2"))
+        .collect()
+    )
+    exact_g = {r["key"]: r["n"] for r in stats}
+    t2_g = {r["key"]: r["t2"] for r in stats}
+    total = sum(exact_g.values())
+    total_lines = len(cluster_rows)
+
+    def _pipe(df):
+        return (
+            TT.explode_words(TT.drop_digit_lines(df, "value"), "value")
+            .groupBy(F.col("word").alias("key"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+
+    def _run(r: float):
+        t0 = time.monotonic()
+        sfr = read_text_bgzf_sampled(
+            spark, layout, r, seed=123, run_blocks=run_blocks
+        )
+        rows = _pipe(sfr.df).collect()
+        return rows, time.monotonic() - t0
+
+    # warmup (JVM + codegen + block-hop cache), then the exact baseline
+    _run(1.0)
+    base_rows, base_wall = _run(1.0)
+    base_counts = {r["key"]: r["cnt"] for r in base_rows}
+    if base_counts != exact_g:
+        sys.exit(
+            "accuracy_sweep: bgzf_runs ratio-1.0 read disagrees with the "
+            "per-cluster oracle — ownership drift"
+        )
+
+    print(
+        f"query=bgzf_runs_word_count sf={sf} run_blocks={run_blocks} "
+        f"copies={copies} groups={len(exact_g)} clusters={n_runs} "
+        f"lines={total_lines} exact_wall={base_wall:.3f}s"
+    )
+    print(f"{'ratio':>7} {'wall_s':>8} {'speedup':>8} {'byte_rate':>10} "
+          f"{'actual_err':>11} {'exp_grouped':>12} {'ok':>4}")
+    out = {
+        "query": "bgzf_runs_word_count",
+        "sf": sf,
+        "run_blocks": run_blocks,
+        "copies": copies,
+        "n_clusters": n_runs,
+        "exact_wall_s": round(base_wall, 3),
+        "runs": [],
+    }
+    for r in _BGZF_RUN_RATIOS:
+        rows, wall = _run(r)
+        got = {row["key"]: row["cnt"] / r for row in rows}
+        err = sum(abs(got.get(g, 0.0) - c) for g, c in exact_g.items()) / total
+        expected = expected_grouped_rel_l1(
+            ((1.0 - r) / r * t2_g[g] for g in exact_g), total
+        )
+        ok = err <= 3.0 * expected
+        _, picked_b, total_b = pick_blocks(
+            layout, r, seed=123, run_blocks=run_blocks
+        )
+        exp_clusters = n_runs * r
+        low_support = None
+        if exp_clusters < 5.0:
+            low_support = (
+                f"expected picked clusters {exp_clusters:.1f} < 5 — the "
+                "cluster-design normal approximation has no support"
+            )
+        elif total_lines * r < 50.0:
+            low_support = f"expected kept rows {total_lines * r:.1f} < 50"
+        print(
+            f"{r:>7} {wall:>8.3f} {base_wall / wall:>7.2f}x "
+            f"{picked_b / total_b:>10.4f} {err:>11.5f} {expected:>12.5f} "
+            f"{'y' if ok else 'N'}{' (low support)' if low_support else ''}"
+        )
+        out["runs"].append(
+            {
+                "ratio": r,
+                "wall_s": round(wall, 3),
+                "speedup": round(base_wall / wall, 2),
+                "actual_byte_ratio": round(picked_b / total_b, 5),
+                "actual_err": round(err, 6),
+                "expected_grouped_err": round(expected, 6),
+                "ok": bool(ok),
+                "low_support": low_support,
+            }
         )
     print(json.dumps(out))
     return out
@@ -518,6 +737,10 @@ def main() -> None:
             results.append(sweep_stratified(spark, args.sf, ratios))
         elif q == "joined_pairs":
             results.append(sweep_joined(spark, args.sf, ratios))
+        elif q == "bgzf_runs_word_count":
+            # fixed operating points (_BGZF_RUN_RATIOS), not --ratios:
+            # the knob is only on-guidance at moderate r
+            results.append(sweep_bgzf_runs(spark, args.sf))
         else:
             results.append(sweep_query(spark, args.sf, q, ratios))
     doc = finalize_artifact(
