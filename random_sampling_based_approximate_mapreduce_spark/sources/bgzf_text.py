@@ -740,7 +740,15 @@ def read_text_bgzf_sampled(
     batches (scheduling only — sampling semantics are per-cluster).
     ``run_blocks`` widens the cluster to a contiguous run of that many
     blocks, trading pick-floor granularity for sequential cold I/O at
-    moderate ratios (see ``pick_blocks``)."""
+    moderate ratios (see ``pick_blocks``). When to pass it:
+    ``suggest_run_blocks(block_ratio)`` returns the measured guidance —
+    1 below r=0.01 (the pick floor dominates), else the run length
+    giving ~1 MB clusters (16 at the default block size: the knob
+    flipped the x16000 r=0.025 cold cell from 1.09x to 2.33x —
+    docs/SCALE.md round-12/13 addenda have the grid and a worked
+    example). Deliberately NOT applied automatically: the run key
+    differs from the block key, so a default change would silently
+    change which rows a seeded sample returns."""
     register_bgzf_text(spark)
     # eager driver-side validation
     pick_blocks(path, block_ratio, seed, run_blocks=run_blocks)

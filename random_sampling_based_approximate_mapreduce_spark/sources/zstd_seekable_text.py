@@ -380,6 +380,32 @@ def _list_zst_files(path: str) -> list[str]:
     return found
 
 
+def suggest_run_frames(
+    ratio: float,
+    frame_bytes: int = DEFAULT_FRAME_BYTES,
+    target_cluster_bytes: int = 16 << 20,
+) -> int:
+    """Measured guidance for ``run_frames`` — the shared crossover rule
+    (``bgzf_text.suggest_run_blocks``: singletons below r=0.01 where
+    the pick floor dominates, contiguous clusters at moderate ratios)
+    with THIS rung's measured cluster target. The round-13 ×16000 grid
+    (docs/bench/COLD_SKIP_zstd_runframes_x16000.json) found runs of 4
+    default-size frames (~16 MB clusters) flip the losing moderate-r
+    cells — r=0.1 warm 0.57x -> 1.04x, cold 1.07x -> 2.68x — so the
+    target here is 16 MB, not the BGZF helper's 1 MB (each helper
+    carries its own grid's measured point; at 4 MB frames the win is
+    per-task + boundary-fetch overhead and sequential locality, which
+    keeps paying past the seek-scatter scale that set BGZF's target).
+    Advisory only, never applied automatically (the run key differs
+    from the frame key, so a default change would silently change
+    which rows a seeded sample returns)."""
+    from .bgzf_text import suggest_run_blocks
+
+    return suggest_run_blocks(
+        ratio, block_bytes=frame_bytes, target_cluster_bytes=target_cluster_bytes
+    )
+
+
 def pick_frames(
     path: str, ratio: float, seed: int = 42, run_frames: int = 1
 ) -> tuple[list[tuple[str, int]], int, int]:

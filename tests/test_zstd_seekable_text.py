@@ -627,3 +627,23 @@ class TestRunFrames:
         d, _, _ = corpus
         with pytest.raises(ValueError, match="run_frames"):
             pick_frames(d, 0.5, run_frames=0)
+
+    def test_suggest_run_frames_guidance(self):
+        from random_sampling_based_approximate_mapreduce_spark.sources.zstd_seekable_text import (
+            DEFAULT_FRAME_BYTES,
+            suggest_run_frames,
+        )
+
+        # the shared crossover: singletons below r=0.01 (pick floor
+        # dominates), clusters at moderate ratios — with THIS rung's
+        # measured ~16 MB target (the x16000 grid's run_frames=4 at
+        # the 4 MB default frame, which flipped both moderate-r cells)
+        assert suggest_run_frames(0.001) == 1
+        assert suggest_run_frames(0.005) == 1
+        assert suggest_run_frames(0.025) == 4
+        assert suggest_run_frames(0.1) == 4
+        # scales with frame size toward the same measured cluster bytes
+        assert suggest_run_frames(0.1, frame_bytes=1 << 20) == 16
+        assert suggest_run_frames(0.1, target_cluster_bytes=DEFAULT_FRAME_BYTES) == 1
+        with pytest.raises(ValueError, match="ratio"):
+            suggest_run_frames(0.0)
