@@ -54,8 +54,14 @@ loudly — skipping inside a monolithic zstd stream cannot be honest —
 with the same fallback ladder as byteblock_text (file-level clusters or
 row Bernoulli through Spark's own codec).
 
-100 TB shape: one picked frame = one task = one contiguous compressed
-read of table-known size; the pick is O(files) tail reads driver-side.
+100 TB shape: the FRAME is the sampling unit, but the PARTITION is a
+batch of picked frames packed to ``batch_bytes`` (~4 MB compressed)
+per task, never crossing a file (round 13 — the BGZF task-batching
+carried over: the ×16000 grid measured a worker round-trip + boundary
+fetch per one-frame task, and at 100 TB / r=0.1 one task per 4 MB
+frame would be ~2.5M tasks); contiguous picked frames inside a batch
+decode in one sequential pass. The pick is O(files) tail reads
+driver-side.
 ``run_frames=K`` (round 13, VERDICT r12 item 2) widens the sampling
 unit to a contiguous run of K adjacent frames — the BGZF rung's
 contiguous-run pick carried over verbatim (the seek-table frame list is
@@ -388,17 +394,21 @@ def suggest_run_frames(
     """Measured guidance for ``run_frames`` — the shared crossover rule
     (``bgzf_text.suggest_run_blocks``: singletons below r=0.01 where
     the pick floor dominates, contiguous clusters at moderate ratios)
-    with THIS rung's measured cluster target. The round-13 ×16000 grid
-    (docs/bench/COLD_SKIP_zstd_runframes_x16000.json) found runs of 4
-    default-size frames (~16 MB clusters) flip the losing moderate-r
-    cells — r=0.1 warm 0.57x -> 1.04x, cold 1.07x -> 2.68x — so the
-    target here is 16 MB, not the BGZF helper's 1 MB (each helper
-    carries its own grid's measured point; at 4 MB frames the win is
-    per-task + boundary-fetch overhead and sequential locality, which
-    keeps paying past the seek-scatter scale that set BGZF's target).
-    Advisory only, never applied automatically (the run key differs
-    from the frame key, so a default change would silently change
-    which rows a seeded sample returns)."""
+    with THIS rung's measured cluster target (~16 MB = runs of 4 at
+    the default frame). History matters for reading the numbers: the
+    round-13 ×16000 grid first measured runs of 4 flipping the losing
+    moderate-r cells (r=0.1 warm 0.57x -> 1.04x, cold 1.07x -> 2.68x,
+    COLD_SKIP_zstd_runframes_x16000.json), which exposed that the
+    dominant cost was ONE-TASK-PER-FRAME scheduling, fixed the same
+    round by ``batch_picked_frames`` (the BGZF task batching). On the
+    batched reader (COLD_SKIP_zstd_batched_x16000.json) singletons
+    already win every cell (r=0.1: 1.23x warm / 2.59x cold) and runs
+    of 4 add a measured ~5-25% on top (1.29x / 3.0x; r=0.025: 2.46x ->
+    3.02x warm, 5.41x -> 6.33x cold) — locality still pays, but the
+    knob is now a margin, not a rescue. Advisory only, never applied
+    automatically (the run key differs from the frame key, so a
+    default change would silently change which rows a seeded sample
+    returns)."""
     from .bgzf_text import suggest_run_blocks
 
     return suggest_run_blocks(
@@ -548,20 +558,51 @@ def read_frame_run_lines(
     )
 
 
-class _FramePartition(InputPartition):
-    """One task: the contiguous frame range [start, stop) of one file —
-    a single frame historically, a picked run under ``run_frames``."""
+DEFAULT_BATCH_BYTES = 4 << 20
 
-    def __init__(self, path: str, start: int, stop: int):
+
+def batch_picked_frames(
+    picked: list[tuple[str, int]], batch_bytes: int = DEFAULT_BATCH_BYTES
+) -> list[tuple[str, list[int]]]:
+    """Pack picked (file, frame_idx) units into per-task batches of
+    ~``batch_bytes`` compressed bytes, never crossing a file boundary
+    (a task holds one open file) — ``bgzf_text.batch_picked_blocks``
+    carried to the frame rung (round 13: the ×16000 grid showed the
+    one-task-per-frame layout pays a worker round-trip + boundary
+    fetch per 4 MB frame, which is what the run knob was compensating
+    for; at 100 TB and r=0.1 it would be ~2.5M tasks). The pick stays
+    per-FRAME — batching changes scheduling, not sampling semantics;
+    tests pin that the batched read equals the per-frame ownership
+    oracle exactly."""
+    if batch_bytes < 1:
+        raise ValueError(f"batch_bytes must be >= 1, got {batch_bytes}")
+    out: list[tuple[str, list[int]]] = []
+    cur_file: str | None = None
+    cur_idxs: list[int] = []
+    cur_bytes = 0
+    for f, i in picked:
+        sz = parse_seek_table(f)[i].c_size
+        if cur_file is not None and (f != cur_file or cur_bytes >= batch_bytes):
+            out.append((cur_file, cur_idxs))
+            cur_idxs, cur_bytes = [], 0
+        cur_file = f
+        cur_idxs.append(i)
+        cur_bytes += sz
+    if cur_file is not None:
+        out.append((cur_file, cur_idxs))
+    return out
+
+
+class _FrameBatchPartition(InputPartition):
+    def __init__(self, path: str, idxs: list[int]):
         self.path = path
-        self.start = start
-        self.stop = stop
+        self.idxs = idxs
 
 
 class ZstdSeekableTextDataSource(DataSource):
     """format name ``zstd_seekable_text``; options: path, ratio, seed,
-    run_frames. Schema fixed: ``value string`` (one row per line),
-    matching ``spark.read.text``."""
+    batch_bytes, run_frames. Schema fixed: ``value string`` (one row
+    per line), matching ``spark.read.text``."""
 
     @classmethod
     def name(cls) -> str:
@@ -583,44 +624,41 @@ class ZstdSeekableTextReader(DataSourceReader):
             raise ValueError("zstd_seekable_text requires .option('path', ...)")
         self.ratio = float(options.get("ratio", "1.0"))
         self.seed = int(options.get("seed", "42"))
+        self.batch_bytes = int(options.get("batch_bytes", str(DEFAULT_BATCH_BYTES)))
         self.run_frames = int(options.get("run_frames", "1"))
 
     def partitions(self):
         picked, _, _ = pick_frames(
             self.path, self.ratio, self.seed, run_frames=self.run_frames
         )
-        # one task per picked run: adjacent picked frames merge up to
-        # run_frames per partition, so a run decodes in ONE sequential
-        # pass (the knob's point) while adjacent ACCEPTED runs stay
-        # separate tasks — at ratio 1.0 a file is ceil(frames/K)
-        # partitions, never one giant task. run_frames=1 reproduces the
-        # historical one-partition-per-frame layout exactly.
-        parts: list[_FramePartition] = []
-        for f, i in picked:
-            last = parts[-1] if parts else None
-            if (
-                last is not None
-                and last.path == f
-                and i == last.stop
-                and last.stop - last.start < self.run_frames
-            ):
-                last.stop = i + 1
-            else:
-                parts.append(_FramePartition(f, i, i + 1))
-        return parts
+        return [
+            _FrameBatchPartition(f, idxs)
+            for f, idxs in batch_picked_frames(picked, self.batch_bytes)
+        ]
 
-    def read(self, partition: _FramePartition):
+    def read(self, partition: _FrameBatchPartition):
         import pyarrow as pa
 
         entries = parse_seek_table(partition.path)
-        lines = read_frame_run_lines(
-            partition.path, entries, partition.start, partition.stop
-        )
-        for i in range(0, len(lines), self._BATCH_ROWS):
-            yield pa.record_batch(
-                [pa.array(lines[i : i + self._BATCH_ROWS], pa.string())],
-                names=["value"],
-            )
+        # contiguous picked frames decode once as a run (a per-frame
+        # loop would re-decode into every interior successor for its
+        # boundary line — the BGZF reader's merge, same reason)
+        runs: list[list[int]] = []
+        for idx in partition.idxs:
+            if runs and idx == runs[-1][1]:
+                runs[-1][1] = idx + 1
+            else:
+                runs.append([idx, idx + 1])
+        buf: list[str] = []
+        for start, stop in runs:
+            buf.extend(read_frame_run_lines(partition.path, entries, start, stop))
+            while len(buf) >= self._BATCH_ROWS:
+                chunk, buf = buf[: self._BATCH_ROWS], buf[self._BATCH_ROWS :]
+                yield pa.record_batch(
+                    [pa.array(chunk, pa.string())], names=["value"]
+                )
+        if buf:
+            yield pa.record_batch([pa.array(buf, pa.string())], names=["value"])
 
 
 def register_zstd_seekable_text(spark) -> None:
@@ -634,6 +672,7 @@ def read_text_zstd_sampled(
     frame_ratio: float,
     seed: int = 42,
     row_config: SamplingConfig | None = None,
+    batch_bytes: int = DEFAULT_BATCH_BYTES,
     run_frames: int = 1,
 ) -> SampledFrame:
     """Seekable-zstd frame cluster sample -> SampledFrame.
@@ -642,12 +681,13 @@ def read_text_zstd_sampled(
     independent acceptance), so estimators HT-scale by 1/frame_ratio;
     ``row_config`` composes a within-frame Bernoulli row stage — the
     same two-stage algebra as the byteblock / bzip2 / file samplers.
-    ``run_frames`` widens the cluster to a contiguous run of that many
-    frames, trading pick-floor granularity for sequential cold I/O on
-    small-frame layouts — the BGZF rung's opt-in knob generalized here
-    (see ``pick_frames``; ``bgzf_text.suggest_run_blocks`` gives the
-    measured crossover with frame_bytes in place of block_bytes).
-    """
+    ``batch_bytes`` packs picked frames into per-task batches
+    (scheduling only — sampling semantics are per-cluster; round 13,
+    the BGZF task-batching carried over). ``run_frames`` widens the
+    cluster to a contiguous run of that many frames, trading
+    pick-floor granularity for sequential I/O locality (see
+    ``pick_frames``; ``suggest_run_frames`` gives this rung's measured
+    crossover)."""
     register_zstd_seekable_text(spark)
     # eager driver-side validation
     pick_frames(path, frame_ratio, seed, run_frames=run_frames)
@@ -656,6 +696,7 @@ def read_text_zstd_sampled(
         .option("path", path)
         .option("ratio", str(frame_ratio))
         .option("seed", str(seed))
+        .option("batch_bytes", str(batch_bytes))
         .option("run_frames", str(run_frames))
         .load()
     )

@@ -400,8 +400,40 @@ class TestSparkSource:
         d, _, _ = corpus
         picked, picked_bytes, total_bytes = pick_frames(d, 0.4, seed=9)
         assert 0 < picked_bytes < total_bytes
+        # batching packs picked frames into per-task batches (round 13);
+        # the partitions cover EXACTLY the picked frames, nothing else
+        from random_sampling_based_approximate_mapreduce_spark.sources.zstd_seekable_text import (
+            ZstdSeekableTextReader,
+            batch_picked_frames,
+        )
+
+        parts = ZstdSeekableTextReader(
+            {"path": d, "ratio": "0.4", "seed": "9"}
+        ).partitions()
+        assert [(p.path, i) for p in parts for i in p.idxs] == picked
         sf = read_text_zstd_sampled(spark, d, 0.4, seed=9)
-        assert sf.df.rdd.getNumPartitions() == len(picked)
+        assert sf.df.rdd.getNumPartitions() == len(
+            batch_picked_frames(picked)
+        )
+
+    def test_batches_respect_bytes_and_files(self, corpus):
+        """Batches never cross a file and roll over at batch_bytes of
+        compressed data; a tiny batch_bytes degenerates to one frame
+        per task (the pre-round-13 layout)."""
+        from random_sampling_based_approximate_mapreduce_spark.sources.zstd_seekable_text import (
+            batch_picked_frames,
+        )
+
+        d, paths, _ = corpus
+        picked, _, _ = pick_frames(d, 0.7, seed=3)
+        assert len({f for f, _ in picked}) == len(paths)
+        batches = batch_picked_frames(picked, batch_bytes=1)
+        assert [(f, [i]) for f, i in picked] == batches
+        big = batch_picked_frames(picked, batch_bytes=1 << 30)
+        assert len(big) == len(paths)  # one batch per file
+        assert [(f, i) for f, idxs in big for i in idxs] == picked
+        with pytest.raises(ValueError, match="batch_bytes"):
+            batch_picked_frames(picked, batch_bytes=0)
 
     def test_ht_scale_and_two_stage(self, spark, corpus):
         d, _, _ = corpus
@@ -504,28 +536,31 @@ class TestRunFrames:
         assert got == want
 
     def test_run_partitions_stay_bounded(self, corpus):
-        """At ratio 1.0 adjacent accepted runs must NOT merge into one
-        giant task: partitions are the picked runs themselves, <= K
-        frames each — ceil(data_frames / K) tasks per file (unlike
-        BGZF, whose reader re-batches by batch_bytes, this rung's run
-        IS the partition)."""
-        import math
-
+        """At ratio 1.0 the batch roll-over caps each task: a file
+        never collapses into one giant partition, and every picked
+        frame lands in exactly one batch (batching is scheduling only;
+        runs compose with it because a run's frames are adjacent)."""
         from random_sampling_based_approximate_mapreduce_spark.sources.zstd_seekable_text import (
             ZstdSeekableTextReader,
         )
 
         d, paths, _ = corpus
-        K = 4
         parts = ZstdSeekableTextReader(
-            {"path": d, "ratio": "1.0", "seed": "42", "run_frames": str(K)}
+            {
+                "path": d,
+                "ratio": "1.0",
+                "seed": "42",
+                "run_frames": "4",
+                "batch_bytes": "2048",
+            }
         ).partitions()
-        assert all(p.stop - p.start <= K for p in parts)
-        want = sum(
-            math.ceil(sum(1 for e in parse_seek_table(p) if e.d_size) / K)
-            for p in paths
-        )
-        assert len(parts) == want
+        picked, _, _ = pick_frames(d, 1.0, seed=42, run_frames=4)
+        assert [(p.path, i) for p in parts for i in p.idxs] == picked
+        assert len(parts) > len(paths)  # roll-over actually split files
+        for p in parts:
+            sizes = parse_seek_table(p.path)
+            # a batch exceeds the cap by at most its last frame
+            assert sum(sizes[i].c_size for i in p.idxs[:-1]) < 2048
 
     def test_run_sample_equals_ownership_oracle(self, spark, corpus):
         """Sampled lines = lines whose OWNER frame sits in an accepted
