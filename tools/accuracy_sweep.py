@@ -167,7 +167,12 @@ EXPERIMENTS = {
 # pick changes the sampling unit from a 64 KiB block to a K-block
 # cluster, raising per-cluster correlation — HT stays unbiased but the
 # variance story needs a measured cell, not just the ownership proof.
-FAMILY_SWEEPS = ("stratified_daily", "joined_pairs", "bgzf_runs_word_count")
+FAMILY_SWEEPS = (
+    "stratified_daily",
+    "joined_pairs",
+    "bgzf_runs_word_count",
+    "zstd_runs_word_count",
+)
 
 
 def sweep_stratified(spark, sf: str, ratios: list[float]) -> dict:
@@ -341,48 +346,92 @@ def sweep_joined(spark, sf: str, ratios: list[float]) -> dict:
 _BGZF_RUN_RATIOS = (0.1, 0.025)
 
 
-def sweep_bgzf_runs(spark, sf: str, run_blocks: int = 16, copies: int = 48) -> dict:
-    """Word count through the BGZF CONTIGUOUS-RUN sampler (round 13,
-    VERDICT r12 item 3): the run pick changes the sampling unit from a
-    single block to a K-block cluster, which raises within-cluster
-    correlation — the HT estimate stays unbiased, but its variance is
-    the CLUSTER design variance
+def sweep_cluster_runs(spark, sf: str, codec: str = "bgzf", copies: int = 48) -> dict:
+    """Word count through a CONTIGUOUS-RUN cluster sampler (round 13,
+    VERDICT r12 item 3; the zstd twin added the same round): the run
+    pick changes the sampling unit from a single block/frame to a
+    K-unit cluster, which raises within-cluster correlation — the HT
+    estimate stays unbiased, but its variance is the CLUSTER design
+    variance
         Var(T^_g) = (1-r)/r * sum_runs t_{g,c}^2,
     t_{g,c} = the exact count of key g in run c (clusters accepted
     independently with probability r; a kept cluster contributes ALL
     its occurrences, perfectly correlated — the cluster twin of the
     row-Bernoulli m2 term in sweep_query). This sweep runs the SHIPPED
-    read_text_bgzf_sampled(run_blocks=K) path at the knob's operating
-    points (_BGZF_RUN_RATIOS; --ratios does not apply to this family)
-    and gates actual grouped rel-L1 <= 3x that closed form, with the
-    same low-support honesty as every other family — here the support
-    that matters is the number of EXPECTED PICKED CLUSTERS (n_runs * r
-    < 5 leaves the normal approximation nothing to stand on, however
-    many rows the corpus has).
+    run-pick read path at the knob's operating points
+    (_BGZF_RUN_RATIOS; --ratios does not apply to this family) and
+    gates actual grouped rel-L1 <= 3x that closed form, with the same
+    low-support honesty as every other family — here the support that
+    matters is the number of EXPECTED PICKED CLUSTERS (n_runs * r < 5
+    leaves the normal approximation nothing to stand on, however many
+    rows the corpus has).
 
     Corpus: documents.text replicated x``copies`` with a letters-only
     per-copy tag word (cluster diversity; letters because the word
-    pipeline drops digit lines), converted once to a published BGZF
-    layout (16 KiB blocks -> ~16-block ~256 KiB clusters). Per-cluster
-    exact counts come through the engine's OWN run reader
-    (read_block_run_lines), so the oracle composes the same ownership
-    algebra the sampler executes — never a re-derivation that could
-    drift at seams."""
+    pipeline drops digit lines), converted once to a published layout
+    whose units make ~256 KiB clusters at the codec's K (bgzf: 16 KiB
+    blocks x run_blocks=16; zstd: 64 KiB frames x run_frames=4 — both
+    ~275 clusters at copies=48, the same gate support). Per-cluster
+    exact counts come through the engine's OWN run reader, so the
+    oracle composes the same ownership algebra the sampler executes —
+    never a re-derivation that could drift at seams."""
     import hashlib
     import shutil
     import tempfile
 
     from random_sampling_based_approximate_mapreduce_spark.functions import text as TT
-    from random_sampling_based_approximate_mapreduce_spark.sources.bgzf_text import (
-        convert_text_to_bgzf,
-        pick_blocks,
-        read_block_run_lines,
-        read_text_bgzf_sampled,
-        scan_blocks,
-    )
     from random_sampling_based_approximate_mapreduce_spark.sources.tables import (
         ensure_layout,
     )
+
+    if codec == "bgzf":
+        from random_sampling_based_approximate_mapreduce_spark.sources.bgzf_text import (
+            convert_text_to_bgzf,
+            pick_blocks,
+            read_block_run_lines,
+            read_text_bgzf_sampled,
+            scan_blocks,
+        )
+
+        family = "bgzf_runs_word_count"
+        run_units = 16
+        layout_tag = "bgzfruns"
+        _convert = lambda tmp, d: convert_text_to_bgzf(  # noqa: E731
+            tmp, d, block_bytes=16 * 1024
+        )
+        _scan = scan_blocks
+        _read_run = read_block_run_lines
+        _read_sampled = lambda layout, r: read_text_bgzf_sampled(  # noqa: E731
+            spark, layout, r, seed=123, run_blocks=run_units
+        )
+        _pick = lambda layout, r: pick_blocks(  # noqa: E731
+            layout, r, seed=123, run_blocks=run_units
+        )
+    elif codec == "zstd":
+        from random_sampling_based_approximate_mapreduce_spark.sources.zstd_seekable_text import (
+            convert_text_to_seekable,
+            parse_seek_table,
+            pick_frames,
+            read_frame_run_lines,
+            read_text_zstd_sampled,
+        )
+
+        family = "zstd_runs_word_count"
+        run_units = 4
+        layout_tag = "zstdruns"
+        _convert = lambda tmp, d: convert_text_to_seekable(  # noqa: E731
+            tmp, d, frame_bytes=64 * 1024
+        )
+        _scan = parse_seek_table
+        _read_run = read_frame_run_lines
+        _read_sampled = lambda layout, r: read_text_zstd_sampled(  # noqa: E731
+            spark, layout, r, seed=123, run_frames=run_units
+        )
+        _pick = lambda layout, r: pick_frames(  # noqa: E731
+            layout, r, seed=123, run_frames=run_units
+        )
+    else:
+        raise ValueError(f"unknown run-sweep codec {codec!r}")
 
     key = hashlib.md5(f"{sf}:{copies}:accruns".encode()).hexdigest()[:10]
 
@@ -426,11 +475,11 @@ def sweep_bgzf_runs(spark, sf: str, run_blocks: int = 16, copies: int = 48) -> d
                 .write.mode("overwrite")
                 .text(tmp)
             )
-            convert_text_to_bgzf(tmp, d, block_bytes=16 * 1024)
+            _convert(tmp, d)
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
 
-    layout = ensure_layout(f"/tmp/rsmr_acc_bgzfruns_{key}", _build)
+    layout = ensure_layout(f"/tmp/rsmr_acc_{layout_tag}_{key}", _build)
     files = sorted(
         os.path.join(layout, f)
         for f in os.listdir(layout)
@@ -441,12 +490,12 @@ def sweep_bgzf_runs(spark, sf: str, run_blocks: int = 16, copies: int = 48) -> d
     cluster_rows = []
     n_runs = 0
     for fi, p in enumerate(files):
-        entries = scan_blocks(p)
+        entries = _scan(p)
         data_idxs = [i for i, e in enumerate(entries) if e.d_size]
-        for j, s in enumerate(range(0, len(data_idxs), run_blocks)):
-            blocks = data_idxs[s : s + run_blocks]
+        for j, s in enumerate(range(0, len(data_idxs), run_units)):
+            blocks = data_idxs[s : s + run_units]
             n_runs += 1
-            for ln in read_block_run_lines(p, entries, blocks[0], blocks[-1] + 1):
+            for ln in _read_run(p, entries, blocks[0], blocks[-1] + 1):
                 cluster_rows.append((f"{fi}:{j}", ln))
     lines_df = spark.createDataFrame(cluster_rows, schema="cluster string, value string")
     kept = TT.drop_digit_lines(lines_df, "value")
@@ -476,33 +525,31 @@ def sweep_bgzf_runs(spark, sf: str, run_blocks: int = 16, copies: int = 48) -> d
 
     def _run(r: float):
         t0 = time.monotonic()
-        sfr = read_text_bgzf_sampled(
-            spark, layout, r, seed=123, run_blocks=run_blocks
-        )
+        sfr = _read_sampled(layout, r)
         rows = _pipe(sfr.df).collect()
         return rows, time.monotonic() - t0
 
-    # warmup (JVM + codegen + block-hop cache), then the exact baseline
+    # warmup (JVM + codegen + unit-scan cache), then the exact baseline
     _run(1.0)
     base_rows, base_wall = _run(1.0)
     base_counts = {r["key"]: r["cnt"] for r in base_rows}
     if base_counts != exact_g:
         sys.exit(
-            "accuracy_sweep: bgzf_runs ratio-1.0 read disagrees with the "
+            f"accuracy_sweep: {family} ratio-1.0 read disagrees with the "
             "per-cluster oracle — ownership drift"
         )
 
     print(
-        f"query=bgzf_runs_word_count sf={sf} run_blocks={run_blocks} "
+        f"query={family} sf={sf} run_units={run_units} "
         f"copies={copies} groups={len(exact_g)} clusters={n_runs} "
         f"lines={total_lines} exact_wall={base_wall:.3f}s"
     )
     print(f"{'ratio':>7} {'wall_s':>8} {'speedup':>8} {'byte_rate':>10} "
           f"{'actual_err':>11} {'exp_grouped':>12} {'ok':>4}")
     out = {
-        "query": "bgzf_runs_word_count",
+        "query": family,
         "sf": sf,
-        "run_blocks": run_blocks,
+        "run_units": run_units,
         "copies": copies,
         "n_clusters": n_runs,
         "exact_wall_s": round(base_wall, 3),
@@ -516,9 +563,7 @@ def sweep_bgzf_runs(spark, sf: str, run_blocks: int = 16, copies: int = 48) -> d
             ((1.0 - r) / r * t2_g[g] for g in exact_g), total
         )
         ok = err <= 3.0 * expected
-        _, picked_b, total_b = pick_blocks(
-            layout, r, seed=123, run_blocks=run_blocks
-        )
+        _, picked_b, total_b = _pick(layout, r)
         exp_clusters = n_runs * r
         low_support = None
         if exp_clusters < 5.0:
@@ -737,10 +782,12 @@ def main() -> None:
             results.append(sweep_stratified(spark, args.sf, ratios))
         elif q == "joined_pairs":
             results.append(sweep_joined(spark, args.sf, ratios))
-        elif q == "bgzf_runs_word_count":
+        elif q in ("bgzf_runs_word_count", "zstd_runs_word_count"):
             # fixed operating points (_BGZF_RUN_RATIOS), not --ratios:
             # the knob is only on-guidance at moderate r
-            results.append(sweep_bgzf_runs(spark, args.sf))
+            results.append(
+                sweep_cluster_runs(spark, args.sf, codec=q.split("_")[0])
+            )
         else:
             results.append(sweep_query(spark, args.sf, q, ratios))
     doc = finalize_artifact(
