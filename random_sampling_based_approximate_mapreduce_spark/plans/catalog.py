@@ -119,12 +119,14 @@ _CHECK_PRIORITY = [
     "events_csv_roundtrip",
     "approx_host_counts_flagged",
     # ---- below here: past the 50-slot harness budget.
-    # --- slot 51: the round-13 addition (the zstd contiguous-run
-    # prover, VERDICT r12 item 2) — value-oracled by the local
-    # check_oracle run; rotates into the head in r14 per the r12
-    # precedent (the verdict enumerated this round's 50 slots, which
-    # takes precedence over the new-query-at-slot-1 rule).
+    # --- slots 51-52: the round-13 additions (the zstd contiguous-run
+    # prover, VERDICT r12 item 2, and the .gzi indexed-scan prover) —
+    # value-oracled by the local check_oracle run; they rotate into
+    # the head in r14 per the r12 precedent (the verdict enumerated
+    # this round's 50 slots, which takes precedence over the
+    # new-query-at-slot-1 rule).
     "word_count_zstd_runs_exact",
+    "word_count_gzip_indexed_exact",
     # --- the remaining 36 r10-green queries (r10 check order)
     "video_pixel_stats",
     "sampled_join_hash_twin",

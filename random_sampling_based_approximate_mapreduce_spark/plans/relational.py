@@ -954,6 +954,87 @@ def q_word_count_gzip_runs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bgzf_indexed_text_layout(spark: SparkSession, sf_dir: str) -> str:
+    """documents.text as BGZF part files WITH htslib .gzi sidecars
+    (round 13): same blocks as _bgzf_text_layout, plus the index the
+    scanner prefers — the build asserts every part has its sidecar, so
+    the layout genuinely exercises the O(1) index-scan path."""
+    import hashlib
+    import os
+
+    from ..sources.tables import ensure_layout
+    from ..sources.bgzf_text import GZI_SUFFIX, convert_text_to_bgzf
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+
+    def _build(d: str) -> None:
+        import shutil
+        import tempfile
+
+        from ..sources.tables import assert_layout_shape
+        from ..sources.bgzf_text import scan_blocks
+
+        tmp = tempfile.mkdtemp(prefix="rsmr_bgzfidx_txt_src_")
+        try:
+            load(spark, sf_dir, "documents").select("text").repartition(
+                4
+            ).write.mode("overwrite").text(tmp)
+            parts = convert_text_to_bgzf(tmp, d, block_bytes=16 * 1024, index=True)
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+        missing = [p for p in parts if not os.path.exists(p + GZI_SUFFIX)]
+        if missing:
+            raise ValueError(f"bgzf indexed layout missing sidecars: {missing}")
+        assert_layout_shape(
+            d,
+            min_parts=2,
+            count_units=lambda p: sum(1 for e in scan_blocks(p) if e.d_size),
+            what="bgzf indexed text layout",
+            # sidecars sit beside the parts but are not parts
+            skip=lambda p: p.endswith(GZI_SUFFIX),
+        )
+
+    return ensure_layout(f"/tmp/rsmr_text_bgzfidx_{key}", _build)
+
+
+@register(
+    "word_count_gzip_indexed_exact",
+    f"""
+    SELECT word, count(*)::BIGINT AS cnt
+    FROM (
+      SELECT unnest(string_split_regex(lower(text), '{_WORD_SPLIT_SQL}')) AS word
+      FROM documents
+      WHERE NOT regexp_matches(text, '[0-9]')
+    )
+    WHERE word <> '' AND NOT regexp_matches(word, '^[0-9]+$')
+    GROUP BY word
+    """,
+    doc="word_count through the BGZF source at ratio 1.0 on a layout "
+    "carrying htslib .gzi SIDECAR INDEXES (round 13): scan_blocks "
+    "prefers the index when it sits next to the file, so the block "
+    "table comes from O(1) metadata reads per file instead of the "
+    "O(blocks) header hop — the zstd seek table's pick-cost model for "
+    "the gzip rung (at 100 TB the hop is ~1.6B driver-side seeks on "
+    "object storage; the indexed scan is one small GET per file). The "
+    "layout build asserts every part has its sidecar, so this query "
+    "VALUE-ORACLES the index parse -> block table -> pick -> batched "
+    "read -> seam ownership composition end-to-end against the same "
+    "word_count SQL as word_count_gzip_exact; index/hop table identity "
+    "is additionally pinned by a Hypothesis sweep in "
+    "tests/test_bgzf_text.py::TestGziIndex. Like every ratio-1.0 "
+    "ladder prover this is a CORRECTNESS path, not a performance story",
+)
+def q_word_count_gzip_indexed_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.bgzf_text import read_text_bgzf_sampled
+
+    src = _bgzf_indexed_text_layout(spark, sf_dir)
+    sf = read_text_bgzf_sampled(spark, src, 1.0)
+    kept = T.drop_digit_lines(sf.df, "value")
+    return T.explode_words(kept, "value").groupBy("word").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
 @register(
     "docs_partitioned_lang",
     """

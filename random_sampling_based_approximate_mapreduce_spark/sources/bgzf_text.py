@@ -61,7 +61,13 @@ data per task, like a Hadoop split — one task per 64 KiB block would
 mean ~1.6B tasks at 100 TB and per-task overhead would swamp the skip
 win (measured: an unbatched x4000 run scheduled 11k tasks for a 250 MB
 pick). The hop is O(blocks) tiny reads driver-side, cached per worker
-like the zstd seek table. Reference parity: this is the
+like the zstd seek table — and when an htslib ``.gzi`` SIDECAR INDEX
+sits next to the file (the public format ``bgzip -r`` writes; this
+module's writers emit it with ``index=True``), the scan drops to O(1)
+metadata reads per file (round 13), closing the pick-cost asymmetry
+with the zstd rung: at 100 TB the hop is ~1.6B driver-side seeks on
+object storage, the indexed scan one small GET per file. Reference
+parity: this is the
 sampled-split-of-compressed-stream semantics the reference gets from
 Hadoop's splittable codecs (RandomizedXMLRecordReader.java:76-106)
 extended to gzip, the one mainstream codec Hadoop itself cannot split.
@@ -109,141 +115,259 @@ BGZF_EOF = bytes.fromhex(
 # ---------------------------------------------------------------------------
 
 
-_BLOCK_CACHE: dict[tuple[str, int, int], tuple[SpanEntry, ...]] = {}
+_BLOCK_CACHE: dict[tuple, tuple[SpanEntry, ...]] = {}
+
+GZI_SUFFIX = ".gzi"
+
+
+def _block_size_at(fh, c_off: int, size: int, path: str) -> int:
+    """Parse ONE block header at ``c_off`` (magic + FEXTRA walk + BC
+    subfield) and return its total block size — the hop's per-block
+    step, factored out so the GZI index path can validate its last
+    block with the same definition. ~18 bytes read, no payload."""
+    fh.seek(c_off)
+    hdr = fh.read(_HEADER_BYTES)
+    if len(hdr) < _HEADER_BYTES:
+        raise ValueError(
+            f"{path}: truncated gzip member header at offset "
+            f"{c_off} (corrupt or not BGZF)"
+        )
+    id1, id2, cm, flg, _mtime, _xfl, _os, xlen = struct.unpack("<BBBBIBBH", hdr)
+    if id1 != _GZIP_ID1 or id2 != _GZIP_ID2 or cm != _GZIP_CM_DEFLATE:
+        raise ValueError(
+            f"{path}: not a gzip member at offset {c_off} "
+            f"(magic {id1:02x}{id2:02x}, cm {cm})"
+        )
+    if not flg & _GZIP_FLG_FEXTRA:
+        raise ValueError(
+            f"{path}: gzip member at offset {c_off} has no FEXTRA "
+            "field — plain gzip, not BGZF. Block-skip needs the "
+            "BGZF blocked-gzip variant (SAM spec 4.1; htslib's "
+            "bgzip or this module's write_bgzf produces it). For "
+            "plain .gz use read_text_file_sampled (file-level "
+            "clusters) or read_text_sampled (row Bernoulli) "
+            "through Spark's codec"
+        )
+    extra = fh.read(xlen)
+    if len(extra) < xlen:
+        raise ValueError(f"{path}: truncated FEXTRA at offset {c_off} (corrupt)")
+    bsize = None
+    pos = 0
+    while pos + 4 <= xlen:
+        si1, si2, slen = struct.unpack_from("<BBH", extra, pos)
+        if pos + 4 + slen > xlen:
+            # a subfield whose declared SLEN overruns XLEN: the
+            # same ValueError + fallback ladder as every other
+            # malformed-input path, not a struct.error
+            raise ValueError(
+                f"{path}: corrupt FEXTRA at offset {c_off} — "
+                f"subfield at byte {pos} declares {slen} payload "
+                f"bytes but only {xlen - pos - 4} remain in XLEN"
+            )
+        if si1 == _BC_SI1 and si2 == _BC_SI2 and slen == 2:
+            (bsize,) = struct.unpack_from("<H", extra, pos + 4)
+            break
+        pos += 4 + slen
+    if bsize is None:
+        raise ValueError(
+            f"{path}: gzip FEXTRA at offset {c_off} has no BC "
+            "subfield — gzip-with-extras, not BGZF (same fallback "
+            "ladder as plain gzip)"
+        )
+    block_size = bsize + 1
+    if c_off + block_size > size:
+        raise ValueError(
+            f"{path}: block at offset {c_off} claims {block_size} "
+            f"bytes but the file ends at {size} (corrupt BSIZE)"
+        )
+    if block_size < _OVERHEAD - _BC_SUBFIELD + xlen:
+        raise ValueError(
+            f"{path}: block at offset {c_off} claims {block_size} "
+            "bytes, smaller than its own header+trailer (corrupt "
+            "BSIZE)"
+        )
+    return block_size
+
+
+def _verify_claims_empty(fh, c_off: int, block_size: int, path: str) -> None:
+    """Bounded decode-to-verify for a block whose recorded decompressed
+    size is 0 (zeroed ISIZE trailer / duplicate GZI uncompressed
+    offset): d_size==0 blocks are never inflated by any reader, so a
+    lie here would silently drop lines AND shift d_off ownership for
+    every later block. max_length=1 keeps the refusal O(1) memory
+    (ADVICE r12): one output byte already proves the lie; a truly
+    empty member is consumed fully, reaching eof with zlib's CRC
+    verdict."""
+    fh.seek(c_off)
+    mem = fh.read(block_size)
+    d = zlib.decompressobj(wbits=31)
+    try:
+        out = d.decompress(mem, 1)
+    except zlib.error as exc:  # zlib's own CRC/length verdict
+        raise ValueError(
+            f"{path}: block at offset {c_off} claims ISIZE 0 "
+            f"but fails gzip verification ({exc}) — corrupt trailer"
+        ) from exc
+    if out:
+        raise ValueError(
+            f"{path}: block at offset {c_off} inflates to at "
+            "least 1 byte but its recorded decompressed size is 0 "
+            "(corrupt trailer or lying index)"
+        )
+    if not d.eof:
+        raise ValueError(
+            f"{path}: block at offset {c_off} claims ISIZE 0 "
+            "but its deflate stream does not terminate within "
+            "the block (truncated or corrupt)"
+        )
+
+
+def _scan_via_index(path: str, idx_path: str, size: int) -> tuple[SpanEntry, ...]:
+    """Block table from an htslib-format ``.gzi`` sidecar (the public
+    index ``bgzip -r`` writes: LE uint64 entry count, then that many
+    (compressed_offset, uncompressed_offset) LE uint64 pairs — the
+    start of every data block EXCEPT the implicit first at (0, 0); the
+    EOF marker is not indexed). O(1) metadata reads per file: the
+    index, three spot-checked block headers, and the last block's
+    header + ISIZE — vs the hop's O(blocks) seeks, which at 100 TB
+    (~1.6B blocks) is the driver-side pick's real cost on object
+    storage. This closes the BGZF/zstd asymmetry: the zstd rung always
+    had its seek table; BGZF now has the same cost model when the
+    sidecar exists.
+
+    Trust model — the zstd seek table's exactly: structure is
+    verified (monotonic offsets, in-bounds, index size arithmetic),
+    boundaries are spot-checked for real BGZF headers (first, middle,
+    last — catches gross staleness after a data rewrite), the LAST
+    block's extent must tile the file to its end (a truncated index
+    cannot cover the file silently), claims-empty blocks (duplicate
+    uncompressed offsets) are decode-to-verified with the bounded
+    probe, and every block actually READ is still CRC32-verified by
+    zlib with its length pinned to the table (decode_block) — so a
+    consistent-but-lying index surfaces as a loud per-task refusal,
+    never as silently shifted ownership."""
+    with open(idx_path, "rb") as fh:
+        raw = fh.read()
+    if len(raw) < 8:
+        raise ValueError(f"{idx_path}: too small to be a .gzi index")
+    (n,) = struct.unpack_from("<Q", raw, 0)
+    if len(raw) != 8 + 16 * n:
+        raise ValueError(
+            f"{idx_path}: declares {n} entries but holds "
+            f"{len(raw) - 8} payload bytes (want {16 * n}) — corrupt or "
+            "truncated index"
+        )
+    pairs = [(0, 0)] + [
+        struct.unpack_from("<QQ", raw, 8 + 16 * i) for i in range(n)
+    ]
+    for (c0, d0), (c1, d1) in zip(pairs, pairs[1:]):
+        if c1 <= c0 or d1 < d0 or c1 >= size:
+            raise ValueError(
+                f"{idx_path}: non-monotonic or out-of-bounds entry "
+                f"(({c0},{d0}) -> ({c1},{d1}), file size {size}) — "
+                "corrupt or stale index"
+            )
+    with open(path, "rb") as fh:
+        # spot-check three boundaries for real BGZF headers (gross
+        # staleness: the data file was rewritten under a kept index)
+        for c, _ in {pairs[0], pairs[len(pairs) // 2], pairs[-1]}:
+            _block_size_at(fh, c, size, path)
+        last_c, last_d = pairs[-1]
+        last_size = _block_size_at(fh, last_c, size, path)
+        fh.seek(last_c + last_size - 4)
+        (last_isize,) = struct.unpack("<I", fh.read(4))
+        end = last_c + last_size
+        eof_entry: SpanEntry | None = None
+        if end == size:
+            pass  # no EOF marker — tolerated, exactly like the hop
+        elif end + len(BGZF_EOF) == size:
+            fh.seek(end)
+            if fh.read(len(BGZF_EOF)) != BGZF_EOF:
+                raise ValueError(
+                    f"{path}: {len(BGZF_EOF)} bytes after the last indexed "
+                    "block are not the spec EOF marker — the .gzi index "
+                    "does not cover this file (stale or foreign index)"
+                )
+            eof_entry = SpanEntry(end, len(BGZF_EOF), last_d + last_isize, 0)
+        else:
+            raise ValueError(
+                f"{path}: last indexed block ends at {end} but the file "
+                f"ends at {size} — the .gzi index does not cover this "
+                "file (stale or truncated index)"
+            )
+        parsed: list[SpanEntry] = []
+        for (c0, d0), (c1, d1) in zip(pairs, pairs[1:]):
+            if d1 == d0:
+                # claims-empty data block: same decode-to-verify as the
+                # hop's zeroed-ISIZE path (a lying duplicate offset
+                # would silently drop lines and shift ownership)
+                _verify_claims_empty(fh, c0, c1 - c0, path)
+            parsed.append(SpanEntry(c0, c1 - c0, d0, d1 - d0))
+        if last_isize == 0:
+            _verify_claims_empty(fh, last_c, last_size, path)
+        parsed.append(SpanEntry(last_c, last_size, last_d, last_isize))
+        if eof_entry is not None:
+            parsed.append(eof_entry)
+    return tuple(parsed)
 
 
 def scan_blocks(path: str) -> tuple[SpanEntry, ...]:
-    """Hop the BGZF block headers: ~18 bytes of header + 4 bytes of
-    ISIZE per block, no payload decode. Raises ValueError (with the
-    fallback ladder) for files that are not BGZF — including plain
-    single-member .gz.
+    """Block table for a BGZF file: from the ``.gzi`` SIDECAR INDEX
+    when one sits next to the file (htslib's public format, what
+    ``bgzip -r`` writes — O(1) metadata reads per file, the zstd
+    rung's seek-table cost model), else by hopping the block headers
+    (~18 bytes of header + 4 bytes of ISIZE per block, no payload
+    decode). Raises ValueError (with the fallback ladder) for files
+    that are not BGZF — including plain single-member .gz; a PRESENT
+    but corrupt/stale index is refused loudly, never silently
+    re-hopped (the module contract: corruption is refused, not
+    absorbed — delete or rebuild the sidecar to fall back).
 
-    Cached per (path, size, mtime_ns) like the zstd seek table: Spark
-    reuses Python workers across tasks, and every block partition of a
-    file needs the same hop — keyed on st_mtime_ns and stored/returned
-    as an immutable tuple (the r10 cache contract).
+    Cached per (path, size, mtime_ns) — plus the sidecar's
+    (size, mtime_ns) when present, so an index rebuild invalidates —
+    like the zstd seek table: Spark reuses Python workers across
+    tasks, and every block partition of a file needs the same table
+    (the r10 cache contract: immutable tuple out).
     """
     st = os.stat(path)
-    cache_key = (path, st.st_size, st.st_mtime_ns)
+    idx_path = path + GZI_SUFFIX
+    try:
+        ist = os.stat(idx_path)
+        idx_key: tuple | None = (ist.st_size, ist.st_mtime_ns)
+    except FileNotFoundError:
+        idx_key = None
+    cache_key = (path, st.st_size, st.st_mtime_ns, idx_key)
     hit = _BLOCK_CACHE.get(cache_key)
     if hit is not None:
         return hit
     size = st.st_size
+    if idx_key is not None:
+        entries = _scan_via_index(path, idx_path, size)
+        while len(_BLOCK_CACHE) > 256:
+            _BLOCK_CACHE.pop(next(iter(_BLOCK_CACHE)))
+        _BLOCK_CACHE[cache_key] = entries
+        return entries
     parsed: list[SpanEntry] = []
     c_off = 0
     d_off = 0
     with open(path, "rb") as fh:
         while c_off < size:
-            fh.seek(c_off)
-            hdr = fh.read(_HEADER_BYTES)
-            if len(hdr) < _HEADER_BYTES:
-                raise ValueError(
-                    f"{path}: truncated gzip member header at offset "
-                    f"{c_off} (corrupt or not BGZF)"
-                )
-            id1, id2, cm, flg, _mtime, _xfl, _os, xlen = struct.unpack(
-                "<BBBBIBBH", hdr
-            )
-            if id1 != _GZIP_ID1 or id2 != _GZIP_ID2 or cm != _GZIP_CM_DEFLATE:
-                raise ValueError(
-                    f"{path}: not a gzip member at offset {c_off} "
-                    f"(magic {id1:02x}{id2:02x}, cm {cm})"
-                )
-            if not flg & _GZIP_FLG_FEXTRA:
-                raise ValueError(
-                    f"{path}: gzip member at offset {c_off} has no FEXTRA "
-                    "field — plain gzip, not BGZF. Block-skip needs the "
-                    "BGZF blocked-gzip variant (SAM spec 4.1; htslib's "
-                    "bgzip or this module's write_bgzf produces it). For "
-                    "plain .gz use read_text_file_sampled (file-level "
-                    "clusters) or read_text_sampled (row Bernoulli) "
-                    "through Spark's codec"
-                )
-            extra = fh.read(xlen)
-            if len(extra) < xlen:
-                raise ValueError(
-                    f"{path}: truncated FEXTRA at offset {c_off} (corrupt)"
-                )
-            bsize = None
-            pos = 0
-            while pos + 4 <= xlen:
-                si1, si2, slen = struct.unpack_from("<BBH", extra, pos)
-                if pos + 4 + slen > xlen:
-                    # a subfield whose declared SLEN overruns XLEN: the
-                    # same ValueError + fallback ladder as every other
-                    # malformed-input path, not a struct.error
-                    raise ValueError(
-                        f"{path}: corrupt FEXTRA at offset {c_off} — "
-                        f"subfield at byte {pos} declares {slen} payload "
-                        f"bytes but only {xlen - pos - 4} remain in XLEN"
-                    )
-                if si1 == _BC_SI1 and si2 == _BC_SI2 and slen == 2:
-                    (bsize,) = struct.unpack_from("<H", extra, pos + 4)
-                    break
-                pos += 4 + slen
-            if bsize is None:
-                raise ValueError(
-                    f"{path}: gzip FEXTRA at offset {c_off} has no BC "
-                    "subfield — gzip-with-extras, not BGZF (same fallback "
-                    "ladder as plain gzip)"
-                )
-            block_size = bsize + 1
-            if c_off + block_size > size:
-                raise ValueError(
-                    f"{path}: block at offset {c_off} claims {block_size} "
-                    f"bytes but the file ends at {size} (corrupt BSIZE)"
-                )
-            if block_size < _OVERHEAD - _BC_SUBFIELD + xlen:
-                raise ValueError(
-                    f"{path}: block at offset {c_off} claims {block_size} "
-                    "bytes, smaller than its own header+trailer (corrupt "
-                    "BSIZE)"
-                )
+            block_size = _block_size_at(fh, c_off, size, path)
             fh.seek(c_off + block_size - 4)
             (isize,) = struct.unpack("<I", fh.read(4))
             if isize == 0:
                 # Every d_size==0 block is skipped by the readers (its
                 # payload is never inflated, so zlib's CRC/ISIZE check
-                # never runs) — a single zeroed ISIZE trailer would
-                # otherwise silently drop the block's lines AND shift
-                # d_off ownership for every later block. Decode every
-                # claims-empty block here so zlib surfaces the
-                # CRC/length lie loudly (the module contract:
-                # corruption is refused, never absorbed). Cost is one
-                # ~28-byte inflate per file in the normal case (the
-                # spec's EOF marker); a payload-size threshold instead
-                # would let a zeroed trailer on a tiny real block (a
-                # 2-byte line deflates to ~4 bytes) slip through.
-                # BOUNDED probe (ADVICE r12): max_length=1 — one output
-                # byte already proves the trailer lies, so the refusal
-                # path stays O(1) memory instead of inflating a crafted
-                # block's up-to-~67 MB (deflate max ~1032x of 64 KiB).
-                # For a truly-empty stream zlib consumes the whole
-                # member (output never hits the cap), reaching eof and
-                # verifying CRC32 exactly as the unbounded decode did.
-                fh.seek(c_off)
-                mem = fh.read(block_size)
-                d = zlib.decompressobj(wbits=31)
-                try:
-                    out = d.decompress(mem, 1)
-                except zlib.error as exc:  # zlib's own CRC/length verdict
-                    raise ValueError(
-                        f"{path}: block at offset {c_off} claims ISIZE 0 "
-                        f"but fails gzip verification ({exc}) — corrupt "
-                        "trailer"
-                    ) from exc
-                if out:
-                    raise ValueError(
-                        f"{path}: block at offset {c_off} inflates to at "
-                        "least 1 byte but its ISIZE trailer claims 0 "
-                        "(corrupt trailer)"
-                    )
-                if not d.eof:
-                    raise ValueError(
-                        f"{path}: block at offset {c_off} claims ISIZE 0 "
-                        "but its deflate stream does not terminate within "
-                        "the block (truncated or corrupt)"
-                    )
+                # never runs) — decode-to-verify every claims-empty
+                # block so the lie surfaces loudly (the module
+                # contract: corruption is refused, never absorbed).
+                # Cost is one ~28-byte bounded probe per file in the
+                # normal case (the spec's EOF marker); a payload-size
+                # threshold instead would let a zeroed trailer on a
+                # tiny real block slip through. Shared with the GZI
+                # index path (_verify_claims_empty): O(1) memory via
+                # max_length=1 (ADVICE r12).
+                _verify_claims_empty(fh, c_off, block_size, path)
             parsed.append(SpanEntry(c_off, block_size, d_off, isize))
             c_off += block_size
             d_off += isize
@@ -387,6 +511,7 @@ def write_bgzf(
     block_bytes: int = DEFAULT_BLOCK_BYTES,
     align_lines: bool = True,
     level: int | None = None,
+    index: bool = False,
 ) -> list[SpanEntry]:
     """Compress ``data`` as BGZF: independent gzip members of
     ~``block_bytes`` uncompressed bytes + the spec's EOF marker.
@@ -399,7 +524,20 @@ def write_bgzf(
         block_bytes=block_bytes,
         align_lines=align_lines,
         level=level,
+        index=index,
     )
+
+
+def write_gzi(entries: list[SpanEntry], idx_path: str) -> None:
+    """Write the htslib ``.gzi`` sidecar for ``entries`` (the DATA
+    blocks, EOF marker excluded): LE uint64 count, then one
+    (compressed_offset, uncompressed_offset) LE uint64 pair per block
+    start except the implicit first at (0, 0) — byte-compatible with
+    what ``bgzip -r`` produces, so indexes travel both ways."""
+    with open(idx_path, "wb") as fh:
+        fh.write(struct.pack("<Q", max(0, len(entries) - 1)))
+        for e in entries[1:]:
+            fh.write(struct.pack("<QQ", e.c_off, e.d_off))
 
 
 def stream_bgzf(
@@ -408,6 +546,7 @@ def stream_bgzf(
     block_bytes: int = DEFAULT_BLOCK_BYTES,
     align_lines: bool = True,
     level: int | None = None,
+    index: bool = False,
 ) -> list[SpanEntry]:
     """Streaming BGZF writer: reads ``src`` (a binary file-like) one
     block at a time, so peak memory is O(block_bytes) regardless of
@@ -419,7 +558,9 @@ def stream_bgzf(
     unaligned and the seam algebra owns the straddle. Blocks therefore
     end on line boundaries for ordinary line data and remain
     spec-legal for hostile data. Returns the entries written
-    (excluding the EOF marker).
+    (excluding the EOF marker). ``index=True`` also writes the htslib
+    ``.gzi`` sidecar (``write_gzi``), which turns the read-side block
+    scan into O(1) metadata reads per file (``_scan_via_index``).
     """
     if not 1 <= block_bytes <= MAX_INPUT_BYTES:
         raise ValueError(
@@ -477,17 +618,21 @@ def stream_bgzf(
             c_off += block_size
             d_off += len(chunk)
         fh.write(BGZF_EOF)
+    if index:
+        write_gzi(entries, out_path + GZI_SUFFIX)
     return entries
 
 
 def convert_text_to_bgzf(
-    src_dir: str, dst_dir: str, block_bytes: int = DEFAULT_BLOCK_BYTES
+    src_dir: str, dst_dir: str, block_bytes: int = DEFAULT_BLOCK_BYTES,
+    index: bool = False
 ) -> list[str]:
     """Convert every plain-text part file under ``src_dir`` to a BGZF
     .gz under ``dst_dir`` (driver-side, one streaming pass per file) —
     the layout builder for fixtures and measurements. Writes a
     ``_SUCCESS`` marker like Spark's own writers (callers wrap this in
-    ``ensure_layout``, whose published-check is that marker)."""
+    ``ensure_layout``, whose published-check is that marker).
+    ``index=True`` also writes a ``.gzi`` sidecar per part."""
     os.makedirs(dst_dir, exist_ok=True)
     out: list[str] = []
     for f in sorted(os.listdir(src_dir)):
@@ -496,7 +641,7 @@ def convert_text_to_bgzf(
             continue
         dst = os.path.join(dst_dir, f + ".gz")
         with open(p, "rb") as fh:
-            stream_bgzf(fh, dst, block_bytes=block_bytes)
+            stream_bgzf(fh, dst, block_bytes=block_bytes, index=index)
         out.append(dst)
     if not out:
         raise ValueError(f"no text part files under {src_dir}")
@@ -531,6 +676,9 @@ def _list_bgzf_files(path: str) -> list[str]:
         found = sorted(f for f in _glob.glob(path) if os.path.isfile(f))
         if not found and os.path.isfile(path):
             found = [path]
+    # .gzi sidecars are metadata, not data (scan_blocks finds them by
+    # suffix next to their block file) — never listed, never refused
+    found = [f for f in found if not f.endswith(GZI_SUFFIX)]
     if not found:
         raise ValueError(f"no files under {path}")
     bad = [f for f in found if not f.endswith((".gz", ".bgz", ".bgzf"))]

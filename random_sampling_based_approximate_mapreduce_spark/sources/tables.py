@@ -131,6 +131,7 @@ def assert_layout_shape(
     min_units: int | None = None,
     count_units=None,
     what: str = "layout",
+    skip=None,
 ) -> list[str]:
     """Raise at BUILD time if an oracled layout is trivially shaped.
 
@@ -141,7 +142,9 @@ def assert_layout_shape(
     dir so a shape regression fails the BUILD, before publish, instead of
     silently weakening the oracle. ``count_units(part_path) -> int``
     counts the seam units (frames, block ranges) per part file when the
-    layout has sub-file structure; ``min_units`` is the total floor.
+    layout has sub-file structure; ``min_units`` is the total floor;
+    ``skip(path) -> bool`` excludes metadata sidecars (e.g. ``.gzi``
+    indexes) from both the part count and the unit walk.
     Returns the part files checked.
     """
     import os
@@ -151,6 +154,10 @@ def assert_layout_shape(
         for f in os.listdir(d)
         if os.path.isfile(os.path.join(d, f)) and not f.startswith(("_", "."))
     )
+    if skip is not None:
+        # metadata sidecars (e.g. BGZF .gzi indexes) sit beside parts
+        # but are not parts: no seam units, not counted toward shape
+        parts = [p for p in parts if not skip(p)]
     nonempty = [p for p in parts if os.path.getsize(p) > 0]
     if len(nonempty) < min_parts:
         raise ValueError(

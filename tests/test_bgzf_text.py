@@ -20,6 +20,7 @@ from random_sampling_based_approximate_mapreduce_spark.sampling.deterministic im
 from random_sampling_based_approximate_mapreduce_spark.sources.bgzf_text import (
     BGZF_EOF,
     MAX_INPUT_BYTES,
+    _list_bgzf_files,
     decode_block,
     decompress_file,
     pick_blocks,
@@ -523,7 +524,9 @@ class TestWriterContract:
         assert isinstance(t1, tuple), "cache must hand out immutable entries"
         assert scan_blocks(p) is t1, "second call must be the cache hit"
         st = os.stat(p)
-        assert (p, st.st_size, st.st_mtime_ns) in _BLOCK_CACHE
+        # key = (path, size, mtime_ns, sidecar (size, mtime_ns) or None)
+        # since round 13 — an index rebuild must invalidate the entry
+        assert (p, st.st_size, st.st_mtime_ns, None) in _BLOCK_CACHE
 
     def test_nonexistent_path_says_no_files(self, tmp_path):
         with pytest.raises(ValueError, match="no files under"):
@@ -812,3 +815,161 @@ class TestRunBlocks:
             pick_blocks(d, 0.0)
         with pytest.raises(ValueError, match="ratio"):
             pick_blocks(d, 1.5)
+
+
+class TestGziIndex:
+    """The htslib .gzi sidecar (the public format `bgzip -r` writes):
+    O(1) metadata reads per file instead of the O(blocks) header hop —
+    the zstd seek table's pick-cost model for the BGZF rung (round 13).
+    Trust model mirrors the seek table: structural verification +
+    spot-checked boundary headers + decode-time CRC as the safety net;
+    a present-but-corrupt index is REFUSED, never silently re-hopped."""
+
+    def _indexed(self, tmp_path, name, body, block_bytes=512, align=True):
+        p = str(tmp_path / name)
+        write_bgzf(body, p, block_bytes=block_bytes, align_lines=align, index=True)
+        return p
+
+    def test_index_scan_equals_hop(self, tmp_path):
+        """Entry-for-entry identity with the hop, on line-aligned AND
+        hostile mid-line block splits (and a multi-of-16 block count
+        so the middle spot-check lands on a real boundary)."""
+        import random
+
+        rnd = random.Random(5)
+        body = (
+            "\n".join("w" * rnd.randint(0, 80) for _ in range(3000)) + "\n"
+        ).encode()
+        for align in (True, False):
+            p = self._indexed(tmp_path, f"eq{align}.gz", body, align=align)
+            via_idx = scan_blocks(p)
+            os.remove(p + ".gzi")
+            assert via_idx == scan_blocks(p), align
+            assert decompress_file(p) == body
+
+    def test_gzi_bytes_are_htslib_format(self, tmp_path):
+        """The sidecar is exactly LE u64 count + (c_off, d_off) u64
+        pairs for every data block except the implicit first — parsed
+        back by hand against the writer's entries."""
+        body = b"alpha\nbeta\ngamma\ndelta\n"
+        p = str(tmp_path / "fmt.gz")
+        entries = write_bgzf(body, p, block_bytes=8, index=True)
+        raw = open(p + ".gzi", "rb").read()
+        (n,) = struct.unpack_from("<Q", raw, 0)
+        assert n == len(entries) - 1 and len(raw) == 8 + 16 * n
+        pairs = [struct.unpack_from("<QQ", raw, 8 + 16 * i) for i in range(n)]
+        assert pairs == [(e.c_off, e.d_off) for e in entries[1:]]
+
+    def test_corrupt_index_refused(self, tmp_path):
+        p = self._indexed(tmp_path, "bad.gz", b"one\ntwo\nthree\n", block_bytes=4)
+        raw = bytearray(open(p + ".gzi", "rb").read())
+        # (a) truncated payload
+        open(p + ".gzi", "wb").write(bytes(raw[:-8]))
+        with pytest.raises(ValueError, match="corrupt|truncated"):
+            scan_blocks(p)
+        # (b) non-monotonic compressed offset
+        bad = bytearray(raw)
+        struct.pack_into("<Q", bad, 8, 1 << 60)
+        open(p + ".gzi", "wb").write(bytes(bad))
+        with pytest.raises(ValueError, match="non-monotonic|out-of-bounds"):
+            scan_blocks(p)
+        # (c) a SPOT-CHECKED boundary that is not a block header (stale
+        # index): the scan verifies first/middle/last boundaries — with
+        # 4 data blocks the middle is pairs[2] = raw pair 1. Interior
+        # unchecked boundaries are covered by decode-time CRC instead
+        # (the documented trust model).
+        bad = bytearray(raw)
+        (c_mid,) = struct.unpack_from("<Q", raw, 8 + 16)
+        struct.pack_into("<Q", bad, 8 + 16, c_mid + 1)
+        open(p + ".gzi", "wb").write(bytes(bad))
+        with pytest.raises(ValueError, match="not a gzip member|corrupt"):
+            scan_blocks(p)
+        # (d) index that stops short of the file's blocks
+        n = struct.unpack_from("<Q", raw, 0)[0]
+        short = struct.pack("<Q", n - 1) + bytes(raw[8 : 8 + 16 * (n - 1)])
+        open(p + ".gzi", "wb").write(short)
+        with pytest.raises(ValueError, match="does not cover"):
+            scan_blocks(p)
+        # removing the sidecar falls back to the hop cleanly
+        os.remove(p + ".gzi")
+        assert decompress_file(p) == b"one\ntwo\nthree\n"
+
+    def test_lying_duplicate_offset_refused(self, tmp_path):
+        """An index entry claiming a REAL block decompresses to zero
+        (duplicate uncompressed offsets) is decode-to-verified and
+        refused — the index twin of the zeroed-ISIZE trailer."""
+        p = self._indexed(tmp_path, "dup.gz", b"aa\nbb\ncc\ndd\n", block_bytes=3)
+        raw = bytearray(open(p + ".gzi", "rb").read())
+        # make entry 1's d_off equal entry 0's implicit predecessor span
+        # end by copying entry 0's d_off into entry 1 (claims block 1
+        # is empty)
+        d0 = struct.unpack_from("<QQ", raw, 8)[1]
+        # entry pairs: (c,d) at 8+16i; zero the FIRST pair's d to claim
+        # block 0 (a real block) is empty
+        struct.pack_into("<Q", raw, 8 + 8, 0)
+        open(p + ".gzi", "wb").write(bytes(raw))
+        with pytest.raises(ValueError, match="inflates to at least 1 byte"):
+            scan_blocks(p)
+        assert d0 > 0  # the original index really claimed a non-empty block
+
+    def test_cache_invalidates_on_index_change(self, tmp_path):
+        p = self._indexed(tmp_path, "cache.gz", b"x\ny\nz\n", block_bytes=2)
+        first = scan_blocks(p)
+        os.remove(p + ".gzi")
+        second = scan_blocks(p)  # hop path, fresh cache key
+        assert first == second
+
+    def test_sidecars_not_listed_as_data(self, tmp_path):
+        p = self._indexed(tmp_path, "data.gz", b"hello\nworld\n")
+        files = _list_bgzf_files(str(tmp_path))
+        assert files == [p]
+        picked, _, _ = pick_blocks(str(tmp_path), 1.0)
+        assert {f for f, _ in picked} == {p}
+
+    def test_spark_reads_indexed_layout_exactly(self, spark, tmp_path):
+        import random
+
+        rnd = random.Random(7)
+        body = (
+            "\n".join("q" * rnd.randint(0, 50) for _ in range(1500)) + "\n"
+        ).encode()
+        d = tmp_path / "layout"
+        d.mkdir()
+        self._indexed(d, "part-0.gz", body, align=False)
+        sf = read_text_bgzf_sampled(spark, str(d), 1.0)
+        got = sorted(r["value"] for r in sf.df.collect())
+        assert got == sorted(body.decode().splitlines())
+
+    def test_index_hop_identity_property(self, tmp_path):
+        """Hypothesis: for random corpora and block sizes, the .gzi
+        scan and the header hop produce IDENTICAL block tables (so
+        every downstream pick/read is bit-identical whichever path
+        ran)."""
+        import random as _random
+
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        counter = [0]
+
+        @settings(max_examples=40, deadline=None)
+        @given(
+            seed=st.integers(0, 10**6),
+            n_lines=st.integers(0, 40),
+            block_bytes=st.integers(1, 64),
+            align=st.booleans(),
+        )
+        def prop(seed, n_lines, block_bytes, align):
+            rnd = _random.Random(seed)
+            lines = ["y" * rnd.randint(0, 2 * block_bytes) for _ in range(n_lines)]
+            body = (
+                "\n".join(lines) + ("\n" if rnd.random() < 0.8 or not lines else "")
+            ).encode()
+            counter[0] += 1
+            p = str(tmp_path / f"gzi-{counter[0]}.gz")
+            write_bgzf(body, p, block_bytes=block_bytes, align_lines=align, index=True)
+            via_idx = scan_blocks(p)
+            os.remove(p + ".gzi")
+            assert via_idx == scan_blocks(p), (seed, n_lines, block_bytes, align)
+
+        prop()
