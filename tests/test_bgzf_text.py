@@ -940,6 +940,35 @@ class TestGziIndex:
         got = sorted(r["value"] for r in sf.df.collect())
         assert got == sorted(body.decode().splitlines())
 
+    def test_spark_sampled_read_identical_with_and_without_index(
+        self, spark, tmp_path
+    ):
+        """At a SAMPLED ratio, the indexed and hop layouts return the
+        same rows through Spark: picks key on (file, block idx) over
+        identical tables, so which scan path ran is invisible to the
+        sample — the end-to-end form of the index/hop table identity."""
+        import random
+
+        rnd = random.Random(11)
+        body = (
+            "\n".join("z" * rnd.randint(0, 60) for _ in range(2000)) + "\n"
+        ).encode()
+        d = tmp_path / "idxlay"
+        d.mkdir()
+        p = self._indexed(d, "part-0.gz", body, align=True)
+        with_idx = sorted(
+            r["value"]
+            for r in read_text_bgzf_sampled(spark, str(d), 0.35, seed=13).df.collect()
+        )
+        os.remove(p + ".gzi")
+        without = sorted(
+            r["value"]
+            for r in read_text_bgzf_sampled(spark, str(d), 0.35, seed=13).df.collect()
+        )
+        assert with_idx == without and 0 < len(with_idx) < len(
+            body.decode().splitlines()
+        )
+
     def test_index_hop_identity_property(self, tmp_path):
         """Hypothesis: for random corpora and block sizes, the .gzi
         scan and the header hop produce IDENTICAL block tables (so
