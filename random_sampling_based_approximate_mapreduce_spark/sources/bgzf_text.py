@@ -220,6 +220,20 @@ def _verify_claims_empty(fh, c_off: int, block_size: int, path: str) -> None:
             "but its deflate stream does not terminate within "
             "the block (truncated or corrupt)"
         )
+    if d.unused_data or d.unconsumed_tail:
+        # eof after zero output only proves the FIRST gzip member is
+        # empty; trailing bytes mean the span is [empty member][more
+        # bytes] — e.g. a lying .gzi interval with a duplicate
+        # uncompressed offset hiding a real data block behind an EOF
+        # marker (ADVICE r13). The hop path is immune (BSIZE bounds
+        # one member), so this refusal is the index path's.
+        trailing = len(d.unused_data) + len(d.unconsumed_tail)
+        raise ValueError(
+            f"{path}: span at offset {c_off} claims decompressed "
+            f"size 0 but holds {trailing} byte(s) beyond its first "
+            "(empty) gzip member — lying index interval concealing "
+            "a data block"
+        )
 
 
 def _scan_via_index(path: str, idx_path: str, size: int) -> tuple[SpanEntry, ...]:
@@ -529,11 +543,18 @@ def write_bgzf(
 
 
 def write_gzi(entries: list[SpanEntry], idx_path: str) -> None:
-    """Write the htslib ``.gzi`` sidecar for ``entries`` (the DATA
-    blocks, EOF marker excluded): LE uint64 count, then one
+    """Write an htslib-format ``.gzi`` sidecar for ``entries`` (the
+    DATA blocks, EOF marker excluded): LE uint64 count, then one
     (compressed_offset, uncompressed_offset) LE uint64 pair per block
-    start except the implicit first at (0, 0) — byte-compatible with
-    what ``bgzip -r`` produces, so indexes travel both ways."""
+    start except the implicit first at (0, 0). NOTE (ADVICE r13):
+    real ``bgzip -r`` output may additionally carry a final entry at
+    the EOF-marker offset / total uncompressed size (htslib indexes
+    every flush, including the last); this writer omits it.
+    ``_scan_via_index`` parses BOTH layouts to the identical block
+    table (the trailing entry resolves to the EOF block — pinned by
+    ``test_gzi_htslib_trailing_eof_entry_parses_identically``), so
+    indexes travel both ways even though the bytes may differ by one
+    trailing pair."""
     with open(idx_path, "wb") as fh:
         fh.write(struct.pack("<Q", max(0, len(entries) - 1)))
         for e in entries[1:]:

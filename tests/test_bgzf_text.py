@@ -912,6 +912,55 @@ class TestGziIndex:
             scan_blocks(p)
         assert d0 > 0  # the original index really claimed a non-empty block
 
+    def test_lying_empty_interval_hiding_data_block_refused(self, tmp_path):
+        """ADVICE r13 repro: a crafted index interval laid out as
+        [empty member][data block] with a DUPLICATE uncompressed
+        offset. The bounded probe proves the first member empty and
+        reaches eof — but trailing bytes in the span mean a real data
+        block is being concealed (its lines would silently vanish and
+        every later block's d_off ownership would shift). Must be
+        refused on the unconsumed remainder, not accepted."""
+        p = str(tmp_path / "hide.gz")
+        entries = write_bgzf(b"secret\nlines\nhere\n", p, block_bytes=6)
+        assert len(entries) >= 2
+        data = open(p, "rb").read()
+        # prepend a spec EOF marker: the file becomes
+        # [empty member][data blocks...][EOF] — still valid BGZF
+        open(p, "wb").write(BGZF_EOF + data)
+        shift = len(BGZF_EOF)
+        hidden_d = entries[1].d_off  # first data block's true size
+        pairs = [(shift + entries[1].c_off, 0)]  # the lying interval
+        pairs += [
+            (shift + e.c_off, e.d_off - hidden_d) for e in entries[2:]
+        ]
+        with open(p + ".gzi", "wb") as fh:
+            fh.write(struct.pack("<Q", len(pairs)))
+            for c, d in pairs:
+                fh.write(struct.pack("<QQ", c, d))
+        with pytest.raises(
+            ValueError, match="beyond its first|lying index"
+        ):
+            scan_blocks(p)
+
+    def test_gzi_htslib_trailing_eof_entry_parses_identically(self, tmp_path):
+        """htslib's `bgzip -r` may index every flush INCLUDING the
+        last, i.e. carry a final entry at (EOF-marker offset, total
+        uncompressed size) that write_gzi omits (ADVICE r13). Both
+        layouts must parse to the identical block table — pinning the
+        'indexes travel both ways' claim at the byte level."""
+        p = self._indexed(
+            tmp_path, "trail.gz", b"aa\nbb\ncc\ndd\nee\n", block_bytes=3
+        )
+        ours = scan_blocks(p)
+        eof = ours[-1]
+        assert eof.d_size == 0  # the EOF-marker entry
+        raw = bytearray(open(p + ".gzi", "rb").read())
+        (n,) = struct.unpack_from("<Q", raw, 0)
+        struct.pack_into("<Q", raw, 0, n + 1)
+        raw += struct.pack("<QQ", eof.c_off, eof.d_off)
+        open(p + ".gzi", "wb").write(bytes(raw))
+        assert scan_blocks(p) == ours
+
     def test_cache_invalidates_on_index_change(self, tmp_path):
         p = self._indexed(tmp_path, "cache.gz", b"x\ny\nz\n", block_bytes=2)
         first = scan_blocks(p)
