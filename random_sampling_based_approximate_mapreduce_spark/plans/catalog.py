@@ -53,81 +53,23 @@ from .warehouse import _LQ_W_LEN  # noqa: E402,F401
 # queries first, so every family gets an external signal each round.
 # Already-verified queries and rows-only variants go last.
 _CHECK_PRIORITY = [
-    # === ROUND 13 rotation (VERDICT r12 item 1, the staleness ratchet):
-    # the 50 driver slots are exactly (a) slot 1 = the round-12 run-pick
-    # prover word_count_gzip_runs_exact (value-oracled, never
-    # driver-checked — the r10/r11 slot-1 precedent resumes), (b) slots
-    # 2-38 = the 37 queries whose last driver hash-green is r9, in r9
-    # check order, and (c) slots 39-50 = the 12 oldest r10-green queries
-    # in r10 check order. Cohorts recomputed this round from all twelve
+    # === ROUND 14 rotation (VERDICT r13 item 1, the staleness ratchet):
+    # the 50 driver slots are exactly (a) slots 1-2 = the round-13
+    # provers word_count_zstd_runs_exact and word_count_gzip_indexed_exact
+    # (value-oracled locally, never driver-checked — the new-prover
+    # slot-1 precedent), (b) slots 3-38 = the 36 queries whose last
+    # driver hash-green is r10, in r10 check order, and (c) slots
+    # 39-50 = the 12 oldest r11-green queries in r11 check order.
+    # Cohorts recomputed this round from all thirteen
     # CORRECTNESS_r*.json files (last[q] = max round with
-    # rows+schema+hash all true) and confirmed against the verdict's
-    # enumeration element-for-element. After a green r13 run nothing
-    # value-oracled is older than r10.
+    # rows+schema+hash all true) and confirmed against the r13
+    # verdict's enumeration element-for-element. After a green r14 run
+    # nothing value-oracled is older than r11.
     #
-    # --- slot 1: the r12 prover (new value-oracled query precedent)
-    "word_count_gzip_runs_exact",
-    # --- slots 2-38: the r9-stale cohort (r9 check order)
-    "multimodal_knn_frozen",
-    "video_container_meta",
-    "approx_sum_ci_families",
-    "order_counts_distribution",
-    "promo_revenue_share",
-    "supplier_cnt_by_brand",
-    "large_orders_topk",
-    "idle_rich_customers",
-    "cheapest_supplier_per_part",
-    "countmin_tokens",
-    "tfidf_top_terms",
-    "bigram_inverted_index",
-    "events_value_histogram",
-    "streaming_user_sessions",
-    "doc_chunking",
-    "events_sliding_peak",
-    "both_priority_customers",
-    "events_daily_unpivot",
-    "events_outlier_rate",
-    "promo_share_hash_sampled",
-    "word_count_hash_sampled",
-    "char_count_hash_sampled",
-    "log_host_hash_sampled",
-    "wireless_links_hash_sampled",
-    "xml_page_words_hash_sampled",
-    "word_count_file_hash_sampled",
-    "stratified_events_hash_sampled",
-    "events_histogram_hash_sampled",
-    "order_price_quantiles_hash_sampled",
-    "retention_user_sampled",
-    "events_rolling_wau",
-    "sessions_bounce_rate",
-    "cohort_ltv_weekly",
-    "purchase_attribution_last_touch",
-    "streaming_attribution_last_touch",
-    "events_value_psi",
-    "streaming_value_psi",
-    # --- slots 39-50: the 12 oldest r10-green queries (r10 check order)
-    "word_count_zstd_exact",
-    "events_type_hour_chi2",
-    "docs_token_entropy_by_lang",
-    "lang_id_eval",
-    "embedding_dim_stats",
-    "price_quantity_regression",
-    "events_hourly_incremental",
-    "events_dedup_consecutive",
-    "corpus_dedup_summary",
-    "documents_orc_roundtrip",
-    "events_csv_roundtrip",
-    "approx_host_counts_flagged",
-    # ---- below here: past the 50-slot harness budget.
-    # --- slots 51-52: the round-13 additions (the zstd contiguous-run
-    # prover, VERDICT r12 item 2, and the .gzi indexed-scan prover) —
-    # value-oracled by the local check_oracle run; they rotate into
-    # the head in r14 per the r12 precedent (the verdict enumerated
-    # this round's 50 slots, which takes precedence over the
-    # new-query-at-slot-1 rule).
+    # --- slots 1-2: the r13 provers (new value-oracled query precedent)
     "word_count_zstd_runs_exact",
     "word_count_gzip_indexed_exact",
-    # --- the remaining 36 r10-green queries (r10 check order)
+    # --- slots 3-38: the r10-stale cohort (r10 check order)
     "video_pixel_stats",
     "sampled_join_hash_twin",
     "audio_frame_features",
@@ -164,7 +106,7 @@ _CHECK_PRIORITY = [
     "streaming_events_hourly",
     "streaming_dedup_incremental",
     "lang_id_counts",
-    # --- the r11-green cohort (r11 check order)
+    # --- slots 39-50: the 12 oldest r11-green queries (r11 check order)
     "word_count_gzip_exact",
     "doc_quality",
     "token_stats",
@@ -177,6 +119,8 @@ _CHECK_PRIORITY = [
     "multimodal_decode_wav",
     "training_pipeline",
     "dedup_embedding_blocked",
+    # ---- below here: past the 50-slot harness budget.
+    # --- the remaining 38 r11-green queries (r11 check order)
     "skewed_events_salted_join",
     "skewed_events_two_phase",
     "corpus_pipeline_full",
@@ -215,8 +159,7 @@ _CHECK_PRIORITY = [
     "exists_subquery_customers",
     "events_grouping_sets",
     "events_props_json",
-    # --- the r12-green cohort (freshest signal — re-checked last
-    # among oracled queries; r12 check order). The two
+    # --- the r12-green cohort (r12 check order). The two
     # applyInPandasWithState streaming twins streaming_stratified_counts
     # / streaming_dedup_minhash sit here as r12-green; per VERDICT r12
     # item 5 they re-enter the head with the r12-stale cohort (~r15).
@@ -270,6 +213,58 @@ _CHECK_PRIORITY = [
     "knn_ivf_frozen",
     "streaming_stratified_counts",
     "streaming_dedup_minhash",
+    # --- the r13-green cohort (freshest signal — re-checked last
+    # among oracled queries; r13 check order)
+    "word_count_gzip_runs_exact",
+    "multimodal_knn_frozen",
+    "video_container_meta",
+    "approx_sum_ci_families",
+    "order_counts_distribution",
+    "promo_revenue_share",
+    "supplier_cnt_by_brand",
+    "large_orders_topk",
+    "idle_rich_customers",
+    "cheapest_supplier_per_part",
+    "countmin_tokens",
+    "tfidf_top_terms",
+    "bigram_inverted_index",
+    "events_value_histogram",
+    "streaming_user_sessions",
+    "doc_chunking",
+    "events_sliding_peak",
+    "both_priority_customers",
+    "events_daily_unpivot",
+    "events_outlier_rate",
+    "promo_share_hash_sampled",
+    "word_count_hash_sampled",
+    "char_count_hash_sampled",
+    "log_host_hash_sampled",
+    "wireless_links_hash_sampled",
+    "xml_page_words_hash_sampled",
+    "word_count_file_hash_sampled",
+    "stratified_events_hash_sampled",
+    "events_histogram_hash_sampled",
+    "order_price_quantiles_hash_sampled",
+    "retention_user_sampled",
+    "events_rolling_wau",
+    "sessions_bounce_rate",
+    "cohort_ltv_weekly",
+    "purchase_attribution_last_touch",
+    "streaming_attribution_last_touch",
+    "events_value_psi",
+    "streaming_value_psi",
+    "word_count_zstd_exact",
+    "events_type_hour_chi2",
+    "docs_token_entropy_by_lang",
+    "lang_id_eval",
+    "embedding_dim_stats",
+    "price_quantity_regression",
+    "events_hourly_incremental",
+    "events_dedup_consecutive",
+    "corpus_dedup_summary",
+    "documents_orc_roundtrip",
+    "events_csv_roundtrip",
+    "approx_host_counts_flagged",
     # ---- permanently rows-only-by-nature (engine RNG / approx sketches /
     # data-trained state; each tagged at its @register site). All got a
     # driver rows-signal by r4 - a repeat no_oracle row carries no further
