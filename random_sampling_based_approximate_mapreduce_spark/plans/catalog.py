@@ -120,6 +120,12 @@ _CHECK_PRIORITY = [
     "training_pipeline",
     "dedup_embedding_blocked",
     # ---- below here: past the 50-slot harness budget.
+    # --- slot 51: the round-14 addition (the apache-log family routed
+    # through the BGZF rung, VERDICT r13 item 2) — value-oracled by the
+    # local check_oracle run; rotates into the head in r15 per the
+    # new-prover precedent (the r13 verdict enumerated this round's 50
+    # slots, which takes precedence over the new-query-at-slot-1 rule).
+    "log_host_gzip_exact",
     # --- the remaining 38 r11-green queries (r11 check order)
     "skewed_events_salted_join",
     "skewed_events_two_phase",

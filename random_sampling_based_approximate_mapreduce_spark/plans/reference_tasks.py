@@ -324,6 +324,77 @@ def q_log_host_file_sampled(spark, sf_dir):
     return parsed.approx_count("host", ci=True, alias="est_cnt")
 
 
+def bgzf_log_layout(spark, sf_dir: str) -> str:
+    """The synthesized Apache access log as BGZF part files WITH htslib
+    .gzi sidecars (round 14, VERDICT r13 item 2): the raw-log text
+    layout converted by the module's own spec-conforming writer, so the
+    reference's biggest example family (the seven log tasks,
+    RandomizedApacheLogAnalysis.java:34-47) can ride the byte-skip
+    ladder — the one workload where line sampling saturates (~6.8x at
+    r=0.001, REF_SPEEDUP_r13.json) because it still reads every byte.
+    Small blocks so even the test layout crosses many seams; sidecars
+    asserted so the pick metadata path is the O(1) index scan."""
+    import hashlib
+    import os
+
+    from ..sources.tables import ensure_layout
+    from ..sources.bgzf_text import GZI_SUFFIX, convert_text_to_bgzf
+
+    # 4 KiB blocks (vs the word-count layouts' 16 KiB): the sf0.001 raw
+    # log is ~10 KB per part, and every part must cross >= 2 seams for
+    # the prover to prove anything (assert_layout_shape below). Block
+    # size is in the cache key so retuning invalidates the layout.
+    block_bytes = 4 * 1024
+    key = hashlib.md5(f"{sf_dir}:{block_bytes}".encode()).hexdigest()[:10]
+
+    def _build(d: str) -> None:
+        from ..sources.tables import assert_layout_shape
+        from ..sources.bgzf_text import scan_blocks
+
+        src = raw_log_layout(spark, sf_dir)
+        parts = convert_text_to_bgzf(src, d, block_bytes=block_bytes, index=True)
+        missing = [p for p in parts if not os.path.exists(p + GZI_SUFFIX)]
+        if missing:
+            raise ValueError(f"bgzf log layout missing sidecars: {missing}")
+        assert_layout_shape(
+            d,
+            min_parts=2,
+            count_units=lambda p: sum(1 for e in scan_blocks(p) if e.d_size),
+            what="bgzf log layout",
+            skip=lambda p: p.endswith(GZI_SUFFIX),
+        )
+
+    return ensure_layout(f"/tmp/rsmr_log_bgzf_{key}", _build)
+
+
+@register(
+    "log_host_gzip_exact",
+    AL.ORACLE_ACCESS_LOG_CTE
+    + "SELECT host, count(*)::BIGINT AS cnt FROM access_log GROUP BY host",
+    doc="P6+G3 (log_host) through the BGZF BLOCKED-GZIP source at ratio "
+    "1.0 (round 14, VERDICT r13 item 2): the access-log family routed "
+    "over the byte-skip ladder — the reference's biggest example family "
+    "(RandomizedApacheLogAnalysis.java:34-47) on the rung where the "
+    "flagship line-sampling mode saturates (it reads every byte; "
+    "picked gzip blocks are the only partitions, unpicked blocks never "
+    "inflated). At ratio 1.0 the read is the exact log, so this "
+    "VALUE-ORACLES block pick -> batched read -> seam ownership -> "
+    "regex parse -> per-host count end-to-end against the SAME SQL as "
+    "log_host — a wrong seam or a dropped block tail would "
+    "hash-mismatch. Layout carries .gzi sidecars (pick metadata is the "
+    "O(1) index scan). Like every ratio-1.0 ladder prover this is a "
+    "CORRECTNESS path, never a performance story; the measured cells "
+    "live in docs/SCALE.md (round-14 addendum)",
+)
+def q_log_host_gzip_exact(spark, sf_dir):
+    from ..sources.bgzf_text import read_text_bgzf_sampled
+
+    src = bgzf_log_layout(spark, sf_dir)
+    sf = read_text_bgzf_sampled(spark, src, 1.0)
+    parsed = AL.parse_apache_log(sf.df, col="value")
+    return AL.task_host(parsed)
+
+
 # ===========================================================================
 # 3. Reference surface — wireless link pairs + XML page words
 # ===========================================================================
