@@ -1,0 +1,340 @@
+#!/usr/bin/env python
+"""Cold-cache wall-clock for the APACHE-LOG workload on the BGZF rung
+(VERDICT r13 items 2+3).
+
+Thirteen rounds of cold-skip measurement covered the byte-skip ladder on
+word-count corpora only, while the reference's biggest example family —
+the seven log tasks (RandomizedApacheLogAnalysis.java:34-47) — rode line
+sampling, which reads (and decodes) every byte and saturates at ~6.8x
+(REF_SPEEDUP_r13.json, log_file at x100/r=0.001). This tool measures the
+SAME workload (regex parse -> per-host count, the log_host task) over a
+BGZF access-log layout, where picked gzip blocks are the only partitions
+and unpicked blocks are never read or inflated:
+
+  skip      read_text_bgzf_sampled(r) -> parse_apache_log -> count by host
+  baseline  spark.read.text(.gz).sample(r) -> parse -> count by host
+            (the JVM decodes every member of every file, sampling after)
+  exact     spark.read.text(.gz) -> parse -> count by host (full answer)
+
+at r in {0.1, 0.01, 0.001}, warm (page-cached) and cold
+(posix_fadvise(DONTNEED) per timed pass), min-of-N after an untimed
+warmup. The value-correctness of the path is pinned separately by the
+ratio-1.0 prover `log_host_gzip_exact` (plans/reference_tasks.py) — this
+tool is only the wall-clock story.
+
+It also carries the GZI SIDECAR comparison end-to-end (VERDICT r13 item
+3): the layout is written `index=True`, and for each pick-metadata cell
+the .gzi sidecars are temporarily STASHED into a sibling directory to
+time the header-hop path on identical .gz bytes — so the 64x
+metadata-scan cut measured in isolation (GZI_SCAN_COST_x16000.json)
+shows up in an end-to-end pick+read wall number next to its hop row.
+The driver-side block-table cache is cleared before every timed pass:
+within one session the second pick is ~free, but the cell models a
+fresh driver (the 100-TB planner pays the scan once per file per job).
+
+Corpus: the sf events table -> synthesize_raw_log lines, replicated
+--copies times with a per-copy ident token injected into the line
+(`host - -` -> `host u<md5> -`), which (a) keeps every line parseable by
+_LOG_RE with identical parse semantics and (b) makes replica blocks
+byte-distinct so the compressed layout is full-entropy like the
+cold-skip word corpora. The text layout is only a conversion source and
+is deleted after the BGZF conversion (the baseline reads the same .gz
+files as the skip path).
+
+Eviction caveat (same as measure_cold_skip): fadvise drops the page
+cache, not the device cache; local NVMe cold reads are a LOWER bound on
+the gap vs object storage, where every unpicked byte is network
+transfer and every hop read is a round trip.
+
+Usage: python tools/measure_log_bgzf_cold.py [--copies 1000] [--passes 2]
+Prints one JSON line; paste into docs/SCALE.md and commit the artifact
+as docs/bench/LOG_BGZF_COLD_x{copies}.json.
+"""
+
+from __future__ import annotations
+
+import argparse
+import contextlib
+import hashlib
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from random_sampling_based_approximate_mapreduce_spark.session import get_spark  # noqa: E402
+
+
+def _input_files(path: str) -> list[str]:
+    out = []
+    for root, _, files in os.walk(path):
+        for f in files:
+            if not f.startswith((".", "_")):
+                out.append(os.path.join(root, f))
+    return sorted(out)
+
+
+def _evict(paths: list[str]) -> None:
+    for p in paths:
+        fd = os.open(p, os.O_RDONLY)
+        try:
+            os.posix_fadvise(fd, 0, 0, os.POSIX_FADV_DONTNEED)
+        finally:
+            os.close(fd)
+
+
+def _clear_block_cache() -> None:
+    # the driver caches each file's block table per (path, mtime); a
+    # timed pick must re-pay the metadata scan or the cell measures a
+    # dict lookup
+    from random_sampling_based_approximate_mapreduce_spark.sources import bgzf_text
+
+    bgzf_text._BLOCK_CACHE.clear()
+
+
+def _timed(fn, n: int, evict_paths: list[str] | None = None) -> float:
+    """min-of-n, one untimed warmup (JVM/codegen; in cold mode the
+    per-pass eviction is what makes the pass cold, not session state)."""
+    fn()
+    best = float("inf")
+    for _ in range(n):
+        _clear_block_cache()
+        if evict_paths is not None:
+            _evict(evict_paths)
+        t0 = time.monotonic()
+        fn()
+        best = min(best, time.monotonic() - t0)
+    return round(best, 3)
+
+
+@contextlib.contextmanager
+def _stash_sidecars(bgzf_dir: str):
+    """Temporarily move every .gzi out of the layout so scan_blocks
+    falls back to the header hop on identical .gz bytes. Moved to a
+    SIBLING dir (an in-place rename would trip the reader's
+    only-.gz-files listing guard)."""
+    from random_sampling_based_approximate_mapreduce_spark.sources.bgzf_text import GZI_SUFFIX
+
+    stash = bgzf_dir.rstrip("/") + ".gzi_stash"
+    os.makedirs(stash, exist_ok=True)
+    moved = []
+    for f in sorted(os.listdir(bgzf_dir)):
+        if f.endswith(GZI_SUFFIX):
+            os.rename(os.path.join(bgzf_dir, f), os.path.join(stash, f))
+            moved.append(f)
+    if not moved:
+        raise ValueError(f"no {GZI_SUFFIX} sidecars under {bgzf_dir} to stash")
+    try:
+        yield
+    finally:
+        for f in moved:
+            os.rename(os.path.join(stash, f), os.path.join(bgzf_dir, f))
+        os.rmdir(stash)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--sf", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    )
+    ap.add_argument("--copies", type=int, default=1000)
+    ap.add_argument("--passes", type=int, default=2)
+    ap.add_argument("--ratios", type=float, nargs="*", default=[0.1, 0.01, 0.001])
+    ap.add_argument(
+        "--run-blocks",
+        type=int,
+        default=None,
+        help="also measure the contiguous-run pick at each ratio >= 0.01 "
+        "(suggest_run_blocks guidance: ~1 MB clusters at moderate r)",
+    )
+    args = ap.parse_args()
+
+    spark = get_spark("measure-log-bgzf-cold")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from random_sampling_based_approximate_mapreduce_spark.sources import apache_log as AL
+    from random_sampling_based_approximate_mapreduce_spark.sources.bgzf_text import (
+        GZI_SUFFIX,
+        convert_text_to_bgzf,
+        pick_blocks,
+        read_text_bgzf_sampled,
+        scan_blocks,
+    )
+    from random_sampling_based_approximate_mapreduce_spark.sources.tables import (
+        ensure_layout,
+        load,
+    )
+
+    key = hashlib.md5(f"{args.sf}:{args.copies}:v1".encode()).hexdigest()[:10]
+    txt_dir = f"/tmp/rsmr_logcold_txt_{key}"
+    bgzf_dir = f"/tmp/rsmr_logcold_bgzf_{key}"
+
+    def _build_bgzf(d: str) -> None:
+        # 1) replicated raw-log text, written once by Spark 32-wide.
+        #    Per-copy ident token: `host - - [..` -> `host u<md5> - [..`
+        #    keeps _LOG_RE semantics identical (ident matches \S+) while
+        #    making every replica's bytes distinct (full-entropy
+        #    compressed layout, the cold-skip corpora rule). Injected by
+        #    string surgery on the fixed format — host is everything
+        #    before the first " - - ", which never occurs elsewhere in
+        #    the synthesized line (paths/queries have no spaces).
+        def build_txt(d2: str) -> None:
+            lines = AL.synthesize_raw_log(load(spark, args.sf, "events"))
+            (
+                spark.range(args.copies)
+                .repartition(32)
+                .select(F.col("id").alias("__c"))
+                .crossJoin(F.broadcast(lines))
+                .select(
+                    F.concat(
+                        F.substring_index("line", " - - ", 1),
+                        F.lit(" u"),
+                        F.md5(F.concat("line", F.col("__c").cast("string"))),
+                        F.lit(" - "),
+                        F.substring_index("line", " - - ", -1),
+                    ).alias("value")
+                )
+                .write.mode("overwrite")
+                .text(d2)
+            )
+
+        ensure_layout(txt_dir, build_txt)
+        # 2) BGZF conversion WITH .gzi sidecars (default 64 KiB blocks,
+        #    the production block size)
+        parts = convert_text_to_bgzf(txt_dir, d, index=True)
+        missing = [p for p in parts if not os.path.exists(p + GZI_SUFFIX)]
+        if missing:
+            raise ValueError(f"missing sidecars: {missing}")
+        # 3) the text layout is only a conversion source — the baseline
+        #    reads the same .gz files as the skip path
+        shutil.rmtree(txt_dir)
+
+    ensure_layout(bgzf_dir, _build_bgzf)
+    os.sync()  # flush dirty pages so fadvise can evict them
+
+    files = _input_files(bgzf_dir)
+    gz_files = [f for f in files if not f.endswith(GZI_SUFFIX)]
+    gz_mb = round(sum(os.path.getsize(f) for f in gz_files) / 1e6, 1)
+    gzi_bytes = sum(os.path.getsize(f) for f in files if f.endswith(GZI_SUFFIX))
+    n_blocks = sum(
+        sum(1 for e in scan_blocks(f) if e.d_size) for f in gz_files
+    )
+
+    def _host_count(df):
+        # the log_host task (G3 over P6): regex parse, drop malformed,
+        # count per host — collect is <=256 host rows
+        AL.parse_apache_log(df, col="value").groupBy("host").count().collect()
+
+    def skip_fn(r: float, run_blocks: int = 1):
+        return lambda: _host_count(
+            read_text_bgzf_sampled(spark, bgzf_dir, r, seed=9, run_blocks=run_blocks).df
+        )
+
+    def base_fn(r: float):
+        return lambda: _host_count(spark.read.text(bgzf_dir).sample(r, seed=9))
+
+    exact_fn = lambda: _host_count(spark.read.text(bgzf_dir))  # noqa: E731
+
+    # ---- pick-metadata cells: .gzi index scan vs header hop, cold ----
+    def pick_all():
+        _clear_block_cache()
+        pick_blocks(bgzf_dir, 0.01, seed=9)
+
+    _evict(files)
+    t0 = time.monotonic()
+    pick_all()
+    gzi_pick_s = round(time.monotonic() - t0, 3)
+    with _stash_sidecars(bgzf_dir):
+        _evict(gz_files)
+        t0 = time.monotonic()
+        pick_all()
+        hop_pick_s = round(time.monotonic() - t0, 3)
+
+    results: list[dict] = []
+    exact_cold_s = _timed(exact_fn, args.passes, evict_paths=files)
+    for r in args.ratios:
+        _, picked, total = pick_blocks(bgzf_dir, r, seed=9)
+        row = {
+            "ratio": r,
+            "picked_bytes": picked,
+            "total_bytes": total,
+            "achieved_ratio": round(picked / total, 5) if total else None,
+            "warm_skip_s": _timed(skip_fn(r), args.passes),
+            "warm_base_s": _timed(base_fn(r), args.passes),
+            "cold_skip_s": _timed(skip_fn(r), args.passes, evict_paths=files),
+            "cold_base_s": _timed(base_fn(r), args.passes, evict_paths=files),
+        }
+        row["warm_speedup"] = round(row["warm_base_s"] / row["warm_skip_s"], 2)
+        row["cold_speedup"] = round(row["cold_base_s"] / row["cold_skip_s"], 2)
+        row["cold_speedup_vs_exact"] = round(exact_cold_s / row["cold_skip_s"], 2)
+        results.append(row)
+        print(json.dumps(row), file=sys.stderr)
+        if args.run_blocks and r >= 0.01:
+            K = args.run_blocks
+            _, rpicked, rtotal = pick_blocks(bgzf_dir, r, seed=9, run_blocks=K)
+            rrow = {
+                "ratio": r,
+                "run_blocks": K,
+                "picked_bytes": rpicked,
+                "total_bytes": rtotal,
+                "achieved_ratio": round(rpicked / rtotal, 5) if rtotal else None,
+                "warm_skip_s": _timed(skip_fn(r, K), args.passes),
+                "warm_base_s": row["warm_base_s"],
+                "cold_skip_s": _timed(skip_fn(r, K), args.passes, evict_paths=files),
+                "cold_base_s": row["cold_base_s"],
+                "base_reused_from": "run_blocks=1 row",
+            }
+            rrow["warm_speedup"] = round(rrow["warm_base_s"] / rrow["warm_skip_s"], 2)
+            rrow["cold_speedup"] = round(rrow["cold_base_s"] / rrow["cold_skip_s"], 2)
+            rrow["cold_speedup_vs_exact"] = round(
+                exact_cold_s / rrow["cold_skip_s"], 2
+            )
+            results.append(rrow)
+            print(json.dumps(rrow), file=sys.stderr)
+
+    # ---- end-to-end hop comparison row (VERDICT r13 item 3): the same
+    # cold pick+read with the sidecars stashed, at the middle ratio ----
+    r_mid = args.ratios[min(1, len(args.ratios) - 1)]
+    with _stash_sidecars(bgzf_dir):
+        hop_cold_skip_s = _timed(
+            skip_fn(r_mid), args.passes, evict_paths=gz_files
+        )
+
+    out = {
+        "workload": "log_host (regex parse -> per-host count) on BGZF access log",
+        "sf": args.sf,
+        "copies": args.copies,
+        "passes": args.passes,
+        "files": len(gz_files),
+        "input_mb": gz_mb,
+        "blocks": n_blocks,
+        "gzi_sidecar_bytes_total": gzi_bytes,
+        "exact_cold_s": exact_cold_s,
+        "pick_metadata_cold": {
+            "gzi_scan_s": gzi_pick_s,
+            "hop_scan_s": hop_pick_s,
+            "scan_cut": round(hop_pick_s / gzi_pick_s, 1) if gzi_pick_s else None,
+        },
+        "e2e_hop_row": {
+            "ratio": r_mid,
+            "cold_skip_s_no_gzi": hop_cold_skip_s,
+            "cold_skip_s_with_gzi": next(
+                rr["cold_skip_s"]
+                for rr in results
+                if rr["ratio"] == r_mid and "run_blocks" not in rr
+            ),
+        },
+        "eviction": "posix_fadvise(POSIX_FADV_DONTNEED) per timed pass; "
+        "driver block-table cache cleared per pass",
+        "results": results,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
