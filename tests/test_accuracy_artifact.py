@@ -70,3 +70,66 @@ class TestGatedFlag:
         }))
         assert doc["gate_summary"] == {"n_cells": 1, "n_gated": 1, "n_green": 0}
         assert doc["queries"][0]["runs"][0]["gated"] is True
+
+
+class TestAchievedPointModel:
+    """The run-pick families gate on the error model evaluated at the
+    ACHIEVED pick (VERDICT r13 "what's wrong" #2): conditional on the
+    realized picked-cluster count, the HT estimate's error is the bias
+    (r_hat/r - 1) plus SRSWOR noise. Pure-function pins — the Spark
+    sweep itself runs in tools/, not CI."""
+
+    def test_folded_mean_degenerate_and_centered(self):
+        import math
+
+        from accuracy_sweep import _folded_normal_mean
+
+        assert _folded_normal_mean(3.0, 0.0) == 3.0
+        assert _folded_normal_mean(-3.0, 0.0) == 3.0
+        # mu=0: E|N(0, s^2)| = s*sqrt(2/pi)
+        assert abs(_folded_normal_mean(0.0, 2.0) - 2.0 * math.sqrt(2 / math.pi)) < 1e-12
+        # large |mu|/sigma: E|X| -> |mu|
+        assert abs(_folded_normal_mean(100.0, 1.0) - 100.0) < 1e-6
+
+    def test_bias_term_exact_when_clusters_equal(self):
+        from accuracy_sweep import expected_grouped_rel_l1_at_achieved
+
+        # 40 clusters each holding t=5 of the single key: S2 == 0, so
+        # the conditional model is PURE bias |r_hat/r - 1|
+        n, t, total = 40, 5.0, 200.0
+        stats = [(total, n * t * t)]
+        got = expected_grouped_rel_l1_at_achieved(stats, total, n, 0.025, 0.00875)
+        assert abs(got - abs(0.00875 / 0.025 - 1.0)) < 1e-12  # 0.65
+        # on-nominal realized pick: zero bias, zero variance
+        assert expected_grouped_rel_l1_at_achieved(stats, total, n, 0.025, 0.025) < 1e-12
+
+    def test_overpick_bias_symmetric(self):
+        from accuracy_sweep import expected_grouped_rel_l1_at_achieved
+
+        n, t, total = 32, 4.0, 128.0
+        stats = [(total, n * t * t)]
+        # 3 picked of 32 at nominal 0.025: r_hat/r = 3.75 -> bias 2.75
+        got = expected_grouped_rel_l1_at_achieved(stats, total, n, 0.025, 3 / 32)
+        assert abs(got - 2.75) < 1e-12
+
+    def test_variance_widens_the_expectation_off_zero_bias(self):
+        from accuracy_sweep import expected_grouped_rel_l1_at_achieved
+
+        # unequal clusters (S2 > 0), realized pick on nominal: the model
+        # is the SRSWOR folded-normal noise, strictly positive
+        n = 10
+        ts = [1.0, 9.0] * 5
+        total = sum(ts)
+        stats = [(total, sum(x * x for x in ts))]
+        got = expected_grouped_rel_l1_at_achieved(stats, total, n, 0.5, 0.5)
+        assert got > 0.0
+
+    def test_rejects_out_of_range_fractions(self):
+        import pytest
+
+        from accuracy_sweep import expected_grouped_rel_l1_at_achieved
+
+        with pytest.raises(ValueError):
+            expected_grouped_rel_l1_at_achieved([(1.0, 1.0)], 1.0, 4, 0.0, 0.5)
+        with pytest.raises(ValueError):
+            expected_grouped_rel_l1_at_achieved([(1.0, 1.0)], 1.0, 4, 0.5, 1.5)

@@ -103,6 +103,50 @@ def expected_grouped_rel_l1(group_vars, total: float) -> float:
     return (2.0 / math.pi) ** 0.5 * sum(v ** 0.5 for v in group_vars) / float(total)
 
 
+def _folded_normal_mean(mu: float, sigma: float) -> float:
+    """E|X| for X ~ N(mu, sigma^2)."""
+    if sigma <= 0.0:
+        return abs(mu)
+    return sigma * (2.0 / math.pi) ** 0.5 * math.exp(
+        -mu * mu / (2.0 * sigma * sigma)
+    ) + abs(mu) * math.erf(abs(mu) / (sigma * 2.0 ** 0.5))
+
+
+def expected_grouped_rel_l1_at_achieved(
+    group_stats, total: float, n: int, r: float, r_hat: float
+) -> float:
+    """The cluster sweep's error model evaluated AT THE ACHIEVED pick
+    (VERDICT r13 "what's wrong" #2): with few expected clusters the
+    realized acceptance fraction r_hat = m/n wanders far from the
+    nominal r, and the unconditional model is then being tested off its
+    operating point. CONDITIONAL on the realized pick size m = r_hat*n
+    (given the count, independent Bernoulli picks are a uniform size-m
+    subset), the HT estimate — which still scales by the design's 1/r,
+    the weight that keeps it unconditionally unbiased — has
+
+        E[T^_g | m]  = (r_hat/r) * T_g          (bias T_g*(r_hat/r - 1))
+        Var(T^_g|m)  = m * (1 - m/n) * S2_g / r^2   (SRSWOR sum variance)
+
+    with S2_g the population variance of the per-cluster counts t_{g,c}.
+    Per-group expected |error| is the folded-normal mean at that
+    (mu, sigma); the grouped rel-L1 sums them over total. At r_hat == r
+    the bias vanishes and this reduces to ~the unconditional form. The
+    r13 zstd r=0.025 cell is the worked example: achieved 0.0087 vs
+    nominal 0.025 gives bias factor |1 - 0.349| = 0.651 — and the
+    measured error was 0.653; the unconditional model said 0.305.
+    ``group_stats`` yields (T_g, sum_c t_{g,c}^2) pairs."""
+    if not 0.0 < r <= 1.0 or not 0.0 < r_hat <= 1.0:
+        raise ValueError(f"fractions must be in (0, 1]: r={r}, r_hat={r_hat}")
+    m = r_hat * n
+    acc = 0.0
+    for t_g, t2_g in group_stats:
+        mu = t_g * (r_hat / r - 1.0)
+        s2 = max(0.0, (t2_g - t_g * t_g / n) / (n - 1)) if n > 1 else 0.0
+        var = m * max(0.0, 1.0 - m / n) * s2 / (r * r)
+        acc += _folded_normal_mean(mu, var ** 0.5)
+    return acc / float(total)
+
+
 # Each experiment: (table, key-count pipeline, per-row-multiplicity m2
 # pipeline or None). The pipeline runs UNDER the sample (transform of the
 # SampledFrame), so the sampled run only pays parse/explode cost for
@@ -360,11 +404,15 @@ def sweep_cluster_runs(spark, sf: str, codec: str = "bgzf", copies: int = 48) ->
     row-Bernoulli m2 term in sweep_query). This sweep runs the SHIPPED
     run-pick read path at the knob's operating points
     (_BGZF_RUN_RATIOS; --ratios does not apply to this family) and
-    gates actual grouped rel-L1 <= 3x that closed form, with the same
-    low-support honesty as every other family — here the support that
-    matters is the number of EXPECTED PICKED CLUSTERS (n_runs * r < 5
-    leaves the normal approximation nothing to stand on, however many
-    rows the corpus has).
+    gates actual grouped rel-L1 <= 3x the model EVALUATED AT THE
+    ACHIEVED pick (expected_grouped_rel_l1_at_achieved: conditional on
+    the realized picked-cluster count, where the HT bias (r_hat/r - 1)
+    dominates when the draw lands off-nominal — VERDICT r13 "what's
+    wrong" #2; the unconditional closed form stays in the cell as
+    reference), with the same low-support honesty as every other
+    family — here the support that matters is the number of EXPECTED
+    PICKED CLUSTERS (n_runs * r < 5 leaves the normal approximation
+    nothing to stand on, however many rows the corpus has).
 
     Corpus: documents.text replicated x``copies`` with a letters-only
     per-copy tag word (cluster diversity; letters because the word
@@ -486,8 +534,11 @@ def sweep_cluster_runs(spark, sf: str, codec: str = "bgzf", copies: int = 48) ->
         if os.path.isfile(os.path.join(layout, f)) and not f.startswith(("_", "."))
     )
 
-    # per-cluster exact lines through the engine's own run reader
+    # per-cluster exact lines through the engine's own run reader;
+    # pick_map lets the ratio loop count the REALIZED picked clusters
+    # (the pickers return flattened per-unit lists)
     cluster_rows = []
+    pick_map: dict[tuple[str, int], str] = {}
     n_runs = 0
     for fi, p in enumerate(files):
         entries = _scan(p)
@@ -495,6 +546,8 @@ def sweep_cluster_runs(spark, sf: str, codec: str = "bgzf", copies: int = 48) ->
         for j, s in enumerate(range(0, len(data_idxs), run_units)):
             blocks = data_idxs[s : s + run_units]
             n_runs += 1
+            for b in blocks:
+                pick_map[(p, b)] = f"{fi}:{j}"
             for ln in _read_run(p, entries, blocks[0], blocks[-1] + 1):
                 cluster_rows.append((f"{fi}:{j}", ln))
     lines_df = spark.createDataFrame(cluster_rows, schema="cluster string, value string")
@@ -545,7 +598,7 @@ def sweep_cluster_runs(spark, sf: str, codec: str = "bgzf", copies: int = 48) ->
         f"lines={total_lines} exact_wall={base_wall:.3f}s"
     )
     print(f"{'ratio':>7} {'wall_s':>8} {'speedup':>8} {'byte_rate':>10} "
-          f"{'actual_err':>11} {'exp_grouped':>12} {'ok':>4}")
+          f"{'actual_err':>11} {'exp_achieved':>12} {'ok':>4}")
     out = {
         "query": family,
         "sf": sf,
@@ -562,8 +615,18 @@ def sweep_cluster_runs(spark, sf: str, codec: str = "bgzf", copies: int = 48) ->
         expected = expected_grouped_rel_l1(
             ((1.0 - r) / r * t2_g[g] for g in exact_g), total
         )
-        ok = err <= 3.0 * expected
-        _, picked_b, total_b = _pick(layout, r)
+        picked_list, picked_b, total_b = _pick(layout, r)
+        # the gate evaluates the model AT THE ACHIEVED pick (VERDICT r13
+        # "what's wrong" #2): with ~n_runs*r expected clusters the
+        # realized acceptance fraction wanders, and conditional on it
+        # the dominant error is the HT bias (r_hat/r - 1) — the
+        # unconditional closed form stays in the cell as reference
+        m_picked = len({pick_map[u] for u in picked_list})
+        r_hat = m_picked / n_runs
+        expected_achieved = expected_grouped_rel_l1_at_achieved(
+            ((exact_g[g], t2_g[g]) for g in exact_g), total, n_runs, r, r_hat
+        )
+        ok = err <= 3.0 * expected_achieved
         exp_clusters = n_runs * r
         low_support = None
         if exp_clusters < 5.0:
@@ -575,7 +638,7 @@ def sweep_cluster_runs(spark, sf: str, codec: str = "bgzf", copies: int = 48) ->
             low_support = f"expected kept rows {total_lines * r:.1f} < 50"
         print(
             f"{r:>7} {wall:>8.3f} {base_wall / wall:>7.2f}x "
-            f"{picked_b / total_b:>10.4f} {err:>11.5f} {expected:>12.5f} "
+            f"{picked_b / total_b:>10.4f} {err:>11.5f} {expected_achieved:>12.5f} "
             f"{'y' if ok else 'N'}{' (low support)' if low_support else ''}"
         )
         out["runs"].append(
@@ -584,8 +647,12 @@ def sweep_cluster_runs(spark, sf: str, codec: str = "bgzf", copies: int = 48) ->
                 "wall_s": round(wall, 3),
                 "speedup": round(base_wall / wall, 2),
                 "actual_byte_ratio": round(picked_b / total_b, 5),
+                "picked_clusters": m_picked,
+                "achieved_cluster_ratio": round(r_hat, 5),
                 "actual_err": round(err, 6),
                 "expected_grouped_err": round(expected, 6),
+                "expected_err_at_achieved": round(expected_achieved, 6),
+                "gate_model": "at_achieved",
                 "ok": bool(ok),
                 "low_support": low_support,
             }
