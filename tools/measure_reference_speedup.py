@@ -120,6 +120,7 @@ def main() -> None:
         read_text_zstd_sampled,
     )
     from random_sampling_based_approximate_mapreduce_spark.sources.bgzf_text import (
+        GZI_SUFFIX,
         convert_text_to_bgzf,
         pick_blocks,
         read_text_bgzf_sampled,
@@ -190,7 +191,12 @@ def main() -> None:
                 load(spark, sf_dir, "documents").select("text").repartition(
                     4
                 ).write.mode("overwrite").text(tmp)
-                convert_text_to_bgzf(tmp, d)
+                # index=True (round 14): the flagship layouts carry .gzi
+                # sidecars like production layouts should — pick metadata
+                # is the O(1) index scan, not the header hop. Same layout
+                # key and same .gz bytes, so every seeded pick (and every
+                # achieved ratio in the committed series) is unchanged.
+                convert_text_to_bgzf(tmp, d, index=True)
             finally:
                 shutil.rmtree(tmp, ignore_errors=True)
             assert_layout_shape(
@@ -199,6 +205,8 @@ def main() -> None:
                 count_units=lambda p: sum(1 for e in scan_blocks(p) if e.d_size),
                 min_units=2,
                 what="speedup bgzf layout",
+                # metadata sidecars are not part files
+                skip=lambda p: p.endswith(GZI_SUFFIX),
             )
 
         return ensure_layout(f"/tmp/rsmr_spd_bgzf_{key}", _build)
