@@ -126,6 +126,10 @@ _CHECK_PRIORITY = [
     # new-prover precedent (the r13 verdict enumerated this round's 50
     # slots, which takes precedence over the new-query-at-slot-1 rule).
     "log_host_gzip_exact",
+    # --- slot 52: the bzip2 twin of slot 51 (same round, same SQL
+    # oracle) — the log family value-oracled on BOTH blocked rungs;
+    # rotates into the head with slot 51 in r15
+    "log_host_bzip2_exact",
     # --- the remaining 38 r11-green queries (r11 check order)
     "skewed_events_salted_join",
     "skewed_events_two_phase",

@@ -395,6 +395,54 @@ def q_log_host_gzip_exact(spark, sf_dir):
     return AL.task_host(parsed)
 
 
+def bz2_log_layout(spark, sf_dir: str) -> str:
+    """The synthesized Apache access log as Hadoop-Bzip2Codec part
+    files (round 14): the bzip2 twin of ``bgzf_log_layout``, so the log
+    family is value-oracled on BOTH blocked rungs — real codec-written
+    files, not Python bz2, like every other .bz2 fixture."""
+    import hashlib
+
+    from ..sources.tables import ensure_layout
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+
+    def _build(d: str) -> None:
+        from ..sources.bzip2_block_text import assert_bz2_layout_shape
+
+        AL.synthesize_raw_log(load(spark, sf_dir, "events")).repartition(
+            4
+        ).write.mode("overwrite").option("compression", "bzip2").text(d)
+        assert_bz2_layout_shape(d, "bz2 log layout")
+
+    return ensure_layout(f"/tmp/rsmr_log_bz2_{key}", _build)
+
+
+@register(
+    "log_host_bzip2_exact",
+    AL.ORACLE_ACCESS_LOG_CTE
+    + "SELECT host, count(*)::BIGINT AS cnt FROM access_log GROUP BY host",
+    doc="P6+G3 (log_host) through the BZIP2-BLOCK source at ratio 1.0 "
+    "(round 14): the bzip2 twin of log_host_gzip_exact — compressed "
+    "byte ranges become the scan's partitions, each decoding only its "
+    "own bzip2 blocks, with range-boundary line ownership resolved by "
+    "the shared seam algebra. Small ranges (16 KiB) so even the sf0.01 "
+    "fixture crosses multiple range seams per part. VALUE-ORACLES range "
+    "pick -> block decode -> seam ownership -> regex parse -> per-host "
+    "count against the SAME SQL as log_host; a wrong seam or a dropped "
+    "range tail would hash-mismatch. Like every ratio-1.0 ladder prover "
+    "this is a CORRECTNESS path, never a performance story — the log "
+    "family's measured cells live in docs/bench/LOG_BGZF_COLD_x1000."
+    "json and docs/SCALE.md (round-14 addendum)",
+)
+def q_log_host_bzip2_exact(spark, sf_dir):
+    from ..sources.bzip2_block_text import read_text_bzip2_sampled
+
+    src = bz2_log_layout(spark, sf_dir)
+    sf = read_text_bzip2_sampled(spark, src, 1.0, range_bytes=16 * 1024)
+    parsed = AL.parse_apache_log(sf.df, col="value")
+    return AL.task_host(parsed)
+
+
 # ===========================================================================
 # 3. Reference surface — wireless link pairs + XML page words
 # ===========================================================================
