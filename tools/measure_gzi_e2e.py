@@ -32,7 +32,6 @@ Prints one JSON line; commit as docs/bench/GZI_E2E_x{copies}.json.
 from __future__ import annotations
 
 import argparse
-import contextlib
 import hashlib
 import json
 import os
@@ -41,68 +40,18 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import functions as F  # noqa: E402
 
+from measure_common import (  # noqa: E402
+    clear_block_cache as _clear_block_cache,
+    evict as _evict,
+    input_files as _input_files,
+    stash_sidecars as _stash_sidecars,
+    timed_fresh_driver as _timed,
+)
 from random_sampling_based_approximate_mapreduce_spark.session import get_spark  # noqa: E402
-
-
-def _input_files(path: str) -> list[str]:
-    out = []
-    for root, _, files in os.walk(path):
-        for f in files:
-            if not f.startswith((".", "_")):
-                out.append(os.path.join(root, f))
-    return sorted(out)
-
-
-def _evict(paths: list[str]) -> None:
-    for p in paths:
-        fd = os.open(p, os.O_RDONLY)
-        try:
-            os.posix_fadvise(fd, 0, 0, os.POSIX_FADV_DONTNEED)
-        finally:
-            os.close(fd)
-
-
-def _clear_block_cache() -> None:
-    from random_sampling_based_approximate_mapreduce_spark.sources import bgzf_text
-
-    bgzf_text._BLOCK_CACHE.clear()
-
-
-def _timed(fn, n: int, evict_paths: list[str] | None = None) -> float:
-    fn()  # untimed warmup: JVM/codegen; eviction below is what makes a pass cold
-    best = float("inf")
-    for _ in range(n):
-        _clear_block_cache()
-        if evict_paths is not None:
-            _evict(evict_paths)
-        t0 = time.monotonic()
-        fn()
-        best = min(best, time.monotonic() - t0)
-    return round(best, 3)
-
-
-@contextlib.contextmanager
-def _stash_sidecars(bgzf_dir: str):
-    from random_sampling_based_approximate_mapreduce_spark.sources.bgzf_text import GZI_SUFFIX
-
-    stash = bgzf_dir.rstrip("/") + ".gzi_stash"
-    os.makedirs(stash, exist_ok=True)
-    moved = []
-    for f in sorted(os.listdir(bgzf_dir)):
-        if f.endswith(GZI_SUFFIX):
-            os.rename(os.path.join(bgzf_dir, f), os.path.join(stash, f))
-            moved.append(f)
-    if not moved:
-        raise ValueError(f"no {GZI_SUFFIX} sidecars under {bgzf_dir} to stash")
-    try:
-        yield
-    finally:
-        for f in moved:
-            os.rename(os.path.join(stash, f), os.path.join(bgzf_dir, f))
-        os.rmdir(stash)
 
 
 def main() -> None:

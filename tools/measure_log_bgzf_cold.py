@@ -54,7 +54,6 @@ as docs/bench/LOG_BGZF_COLD_x{copies}.json.
 from __future__ import annotations
 
 import argparse
-import contextlib
 import hashlib
 import json
 import os
@@ -63,77 +62,18 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import functions as F  # noqa: E402
 
+from measure_common import (  # noqa: E402
+    clear_block_cache as _clear_block_cache,
+    evict as _evict,
+    input_files as _input_files,
+    stash_sidecars as _stash_sidecars,
+    timed_fresh_driver as _timed,
+)
 from random_sampling_based_approximate_mapreduce_spark.session import get_spark  # noqa: E402
-
-
-def _input_files(path: str) -> list[str]:
-    out = []
-    for root, _, files in os.walk(path):
-        for f in files:
-            if not f.startswith((".", "_")):
-                out.append(os.path.join(root, f))
-    return sorted(out)
-
-
-def _evict(paths: list[str]) -> None:
-    for p in paths:
-        fd = os.open(p, os.O_RDONLY)
-        try:
-            os.posix_fadvise(fd, 0, 0, os.POSIX_FADV_DONTNEED)
-        finally:
-            os.close(fd)
-
-
-def _clear_block_cache() -> None:
-    # the driver caches each file's block table per (path, mtime); a
-    # timed pick must re-pay the metadata scan or the cell measures a
-    # dict lookup
-    from random_sampling_based_approximate_mapreduce_spark.sources import bgzf_text
-
-    bgzf_text._BLOCK_CACHE.clear()
-
-
-def _timed(fn, n: int, evict_paths: list[str] | None = None) -> float:
-    """min-of-n, one untimed warmup (JVM/codegen; in cold mode the
-    per-pass eviction is what makes the pass cold, not session state)."""
-    fn()
-    best = float("inf")
-    for _ in range(n):
-        _clear_block_cache()
-        if evict_paths is not None:
-            _evict(evict_paths)
-        t0 = time.monotonic()
-        fn()
-        best = min(best, time.monotonic() - t0)
-    return round(best, 3)
-
-
-@contextlib.contextmanager
-def _stash_sidecars(bgzf_dir: str):
-    """Temporarily move every .gzi out of the layout so scan_blocks
-    falls back to the header hop on identical .gz bytes. Moved to a
-    SIBLING dir (an in-place rename would trip the reader's
-    only-.gz-files listing guard)."""
-    from random_sampling_based_approximate_mapreduce_spark.sources.bgzf_text import GZI_SUFFIX
-
-    stash = bgzf_dir.rstrip("/") + ".gzi_stash"
-    os.makedirs(stash, exist_ok=True)
-    moved = []
-    for f in sorted(os.listdir(bgzf_dir)):
-        if f.endswith(GZI_SUFFIX):
-            os.rename(os.path.join(bgzf_dir, f), os.path.join(stash, f))
-            moved.append(f)
-    if not moved:
-        raise ValueError(f"no {GZI_SUFFIX} sidecars under {bgzf_dir} to stash")
-    try:
-        yield
-    finally:
-        for f in moved:
-            os.rename(os.path.join(stash, f), os.path.join(bgzf_dir, f))
-        os.rmdir(stash)
 
 
 def main() -> None:
