@@ -53,84 +53,25 @@ from .warehouse import _LQ_W_LEN  # noqa: E402,F401
 # queries first, so every family gets an external signal each round.
 # Already-verified queries and rows-only variants go last.
 _CHECK_PRIORITY = [
-    # === ROUND 14 rotation (VERDICT r13 item 1, the staleness ratchet):
-    # the 50 driver slots are exactly (a) slots 1-2 = the round-13
-    # provers word_count_zstd_runs_exact and word_count_gzip_indexed_exact
+    # === ROUND 15 rotation (VERDICT r14 item 1, the staleness ratchet):
+    # the 50 driver slots are exactly (a) slots 1-2 = the round-14 log
+    # provers log_host_gzip_exact and log_host_bzip2_exact
     # (value-oracled locally, never driver-checked — the new-prover
-    # slot-1 precedent), (b) slots 3-38 = the 36 queries whose last
-    # driver hash-green is r10, in r10 check order, and (c) slots
-    # 39-50 = the 12 oldest r11-green queries in r11 check order.
-    # Cohorts recomputed this round from all thirteen
+    # slot-1 precedent), (b) slots 3-40 = the 38 queries whose last
+    # driver hash-green is r11, in r11 check order, and (c) slots
+    # 41-50 = the 10 oldest r12-green queries in r12 check order.
+    # Cohorts recomputed this round from all fourteen
     # CORRECTNESS_r*.json files (last[q] = max round with
-    # rows+schema+hash all true) and confirmed against the r13
-    # verdict's enumeration element-for-element. After a green r14 run
-    # nothing value-oracled is older than r11.
+    # rows+schema+hash all true) and confirmed against the r14
+    # verdict's enumeration element-for-element. After a green r15 run
+    # nothing value-oracled is older than r12.
     #
-    # --- slots 1-2: the r13 provers (new value-oracled query precedent)
-    "word_count_zstd_runs_exact",
-    "word_count_gzip_indexed_exact",
-    # --- slots 3-38: the r10-stale cohort (r10 check order)
-    "video_pixel_stats",
-    "sampled_join_hash_twin",
-    "audio_frame_features",
-    "log_hack",
-    "log_host",
-    "log_dateweek",
-    "log_size",
-    "log_totalsize",
-    "log_pagesize",
-    "log_page",
-    "dedup_embedding",
-    "dedup_clusters",
-    "dedup_ngram_jaccard",
-    "wireless_link_pairs",
-    "events_hourly",
-    "user_sessions",
-    "events_asof_purchase",
-    "events_asof_next_purchase",
-    "events_in_campaigns",
-    "events_daily_pivot",
-    "events_ewma",
-    "hash_sampled_events",
-    "sampled_left_join_hash_twin",
-    "order_price_quantile_hash_sampled",
-    "order_price_percentiles_hash_sampled",
-    "order_price_quantile_histogram",
-    "sampled_full_join_hash_twin",
-    "stratified_value_quantile_hash_sampled",
-    "sampled_topk_tokens",
-    "distinct_users_chao_hash_sampled",
-    "bootstrap_qty_ci_by_flag",
-    "exact_k_event_sample",
-    "weighted_sampled_tokens",
-    "streaming_events_hourly",
-    "streaming_dedup_incremental",
-    "lang_id_counts",
-    # --- slots 39-50: the 12 oldest r11-green queries (r11 check order)
-    "word_count_gzip_exact",
-    "doc_quality",
-    "token_stats",
-    "knn_brute_force",
-    "knn_lsh",
-    "tpch_q1_sql",
-    "multimodal_meta",
-    "multimodal_frame_counts",
-    "multimodal_decode_bmp",
-    "multimodal_decode_wav",
-    "training_pipeline",
-    "dedup_embedding_blocked",
-    # ---- below here: past the 50-slot harness budget.
-    # --- slot 51: the round-14 addition (the apache-log family routed
-    # through the BGZF rung, VERDICT r13 item 2) — value-oracled by the
-    # local check_oracle run; rotates into the head in r15 per the
-    # new-prover precedent (the r13 verdict enumerated this round's 50
-    # slots, which takes precedence over the new-query-at-slot-1 rule).
+    # --- slots 1-2: the r14 log-family provers (the apache-log
+    # workload routed through BOTH blocked byte-skip rungs; same SQL
+    # oracle as log_host)
     "log_host_gzip_exact",
-    # --- slot 52: the bzip2 twin of slot 51 (same round, same SQL
-    # oracle) — the log family value-oracled on BOTH blocked rungs;
-    # rotates into the head with slot 51 in r15
     "log_host_bzip2_exact",
-    # --- the remaining 38 r11-green queries (r11 check order)
+    # --- slots 3-40: the r11-stale cohort (r11 check order)
     "skewed_events_salted_join",
     "skewed_events_two_phase",
     "corpus_pipeline_full",
@@ -169,10 +110,7 @@ _CHECK_PRIORITY = [
     "exists_subquery_customers",
     "events_grouping_sets",
     "events_props_json",
-    # --- the r12-green cohort (r12 check order). The two
-    # applyInPandasWithState streaming twins streaming_stratified_counts
-    # / streaming_dedup_minhash sit here as r12-green; per VERDICT r12
-    # item 5 they re-enter the head with the r12-stale cohort (~r15).
+    # --- slots 41-50: the 10 oldest r12-green queries (r12 check order)
     "bucketed_orders_join",
     "events_props_typed",
     "docs_partitioned_lang",
@@ -183,6 +121,11 @@ _CHECK_PRIORITY = [
     "skewed_events_suggested_salts",
     "customer_upsert",
     "dataset_split_md5",
+    # ---- below here: past the 50-slot harness budget.
+    # --- the remaining 40 r12-green queries (r12 check order). The two
+    # applyInPandasWithState streaming twins streaming_stratified_counts
+    # / streaming_dedup_minhash sit here as r12-green; they re-enter
+    # the head with the rest of the r12-stale cohort next round.
     "docs_cap_per_lang",
     "customer_rfm_segments",
     "event_transition_matrix",
@@ -275,6 +218,58 @@ _CHECK_PRIORITY = [
     "documents_orc_roundtrip",
     "events_csv_roundtrip",
     "approx_host_counts_flagged",
+    # --- the r14-green cohort (freshest signal — re-checked last
+    # among oracled queries; r14 check order)
+    "word_count_zstd_runs_exact",
+    "word_count_gzip_indexed_exact",
+    "video_pixel_stats",
+    "sampled_join_hash_twin",
+    "audio_frame_features",
+    "log_hack",
+    "log_host",
+    "log_dateweek",
+    "log_size",
+    "log_totalsize",
+    "log_pagesize",
+    "log_page",
+    "dedup_embedding",
+    "dedup_clusters",
+    "dedup_ngram_jaccard",
+    "wireless_link_pairs",
+    "events_hourly",
+    "user_sessions",
+    "events_asof_purchase",
+    "events_asof_next_purchase",
+    "events_in_campaigns",
+    "events_daily_pivot",
+    "events_ewma",
+    "hash_sampled_events",
+    "sampled_left_join_hash_twin",
+    "order_price_quantile_hash_sampled",
+    "order_price_percentiles_hash_sampled",
+    "order_price_quantile_histogram",
+    "sampled_full_join_hash_twin",
+    "stratified_value_quantile_hash_sampled",
+    "sampled_topk_tokens",
+    "distinct_users_chao_hash_sampled",
+    "bootstrap_qty_ci_by_flag",
+    "exact_k_event_sample",
+    "weighted_sampled_tokens",
+    "streaming_events_hourly",
+    "streaming_dedup_incremental",
+    "lang_id_counts",
+    "word_count_gzip_exact",
+    "doc_quality",
+    "token_stats",
+    "knn_brute_force",
+    "knn_lsh",
+    "tpch_q1_sql",
+    "multimodal_meta",
+    "multimodal_frame_counts",
+    "multimodal_decode_bmp",
+    "multimodal_decode_wav",
+    "training_pipeline",
+    "dedup_embedding_blocked",
     # ---- permanently rows-only-by-nature (engine RNG / approx sketches /
     # data-trained state; each tagged at its @register site). All got a
     # driver rows-signal by r4 - a repeat no_oracle row carries no further
