@@ -98,11 +98,15 @@ def synthesize_raw_log(events: DataFrame) -> DataFrame:
     return events.select(line.alias("line"))
 
 
-def parse_apache_log(raw: DataFrame, col: str = "line") -> DataFrame:
+def parse_apache_log(
+    raw: DataFrame, col: str = "line", keep: tuple[str, ...] = ()
+) -> DataFrame:
     """Raw lines -> typed access_log frame; malformed lines dropped (P7).
 
     Schema: host, ts, method, path (query stripped, P11), query, proto,
-    status, bytes.
+    status, bytes. ``keep`` names input columns carried through unchanged
+    (e.g. a cluster/provenance id), so per-partition oracles can group
+    parsed fields by origin without re-deriving the parse.
 
     Plan-shape note (measured): one regexp_extract per field looks like 7x
     regex work, but the alternative — packing all groups in one
@@ -121,6 +125,7 @@ def parse_apache_log(raw: DataFrame, col: str = "line") -> DataFrame:
     """
     c = F.col(col)
     extracted = raw.select(
+        *[F.col(k) for k in keep],
         F.nullif(F.regexp_extract(c, _LOG_RE, 1), F.lit("")).alias("host"),
         # try_to_timestamp: malformed datetimes -> null -> dropped (P7),
         # instead of to_timestamp's ANSI-mode exception
@@ -134,6 +139,7 @@ def parse_apache_log(raw: DataFrame, col: str = "line") -> DataFrame:
         F.regexp_extract(c, _LOG_RE, 7).try_cast("long").alias("bytes"),
     )
     return extracted.select(
+        *keep,
         "host",
         "ts",
         "method",

@@ -189,6 +189,39 @@ def assert_layout_shape(
     return nonempty
 
 
+def canonicalize_part_names(d: str) -> list[str]:
+    """Rename Spark-written part files to stable names
+    (``part-00000<ext>`` ...), returning the new paths.
+
+    Spark's writers embed a per-job UUID in every part name
+    (``part-00003-<uuid>-c000.txt``), so two byte-identical writes
+    publish DIFFERENT file names — and because the byte-skip pick
+    algebra seeds on the file path, every rebuild of a layout then
+    draws a different pick even when the bytes did not change (the
+    cross-round achieved-ratio drift, VERDICT r14 "what's wrong" #2).
+    Sorting preserves Spark's partition-index prefix, so the rename is
+    a pure (uuid -> stable) substitution; converters that derive their
+    output names from the source names inherit the stability."""
+    import os
+
+    out: list[str] = []
+    files = sorted(f for f in os.listdir(d) if f.startswith("part-"))
+    for i, f in enumerate(files):
+        # extension = everything after Spark's 'c000' attempt token
+        # (covers .txt, .txt.bz2, ...); files without the token keep
+        # their full suffix chain after the part index
+        if "-c000" in f:
+            ext = f.split("-c000", 1)[1]
+        else:
+            ext = f[f.index(".") :] if "." in f else ""
+        dst = os.path.join(d, f"part-{i:05d}{ext}")
+        src_p = os.path.join(d, f)
+        if src_p != dst:
+            os.rename(src_p, dst)
+        out.append(dst)
+    return out
+
+
 def ensure_layout(src: str, write_fn) -> str:
     """Materialize a deterministic one-time /tmp layout race-safely.
 

@@ -216,6 +216,11 @@ FAMILY_SWEEPS = (
     "joined_pairs",
     "bgzf_runs_word_count",
     "zstd_runs_word_count",
+    # round 15 (VERDICT r14 item 2): the log workload's error under block
+    # pick — grouped rel-L1 on per-host counts, plus the hack task's
+    # rare-key drill-down exercising the min_support honesty path
+    "bgzf_runs_log_host",
+    "bgzf_runs_log_hack",
 )
 
 
@@ -390,13 +395,19 @@ def sweep_joined(spark, sf: str, ratios: list[float]) -> dict:
 _BGZF_RUN_RATIOS = (0.1, 0.025)
 
 
-def sweep_cluster_runs(spark, sf: str, codec: str = "bgzf", copies: int = 48) -> dict:
-    """Word count through a CONTIGUOUS-RUN cluster sampler (round 13,
-    VERDICT r12 item 3; the zstd twin added the same round): the run
-    pick changes the sampling unit from a single block/frame to a
-    K-unit cluster, which raises within-cluster correlation — the HT
-    estimate stays unbiased, but its variance is the CLUSTER design
-    variance
+_HACK_MIN_SUPPORT = 5
+
+
+def sweep_cluster_runs(
+    spark, sf: str, codec: str = "bgzf", workload: str = "word_count",
+    copies: int | None = None,
+) -> dict:
+    """A keyed aggregate through a CONTIGUOUS-RUN cluster sampler
+    (round 13, VERDICT r12 item 3; zstd twin same round; log workloads
+    round 15, VERDICT r14 item 2): the run pick changes the sampling
+    unit from a single block/frame to a K-unit cluster, which raises
+    within-cluster correlation — the HT estimate stays unbiased, but
+    its variance is the CLUSTER design variance
         Var(T^_g) = (1-r)/r * sum_runs t_{g,c}^2,
     t_{g,c} = the exact count of key g in run c (clusters accepted
     independently with probability r; a kept cluster contributes ALL
@@ -414,21 +425,52 @@ def sweep_cluster_runs(spark, sf: str, codec: str = "bgzf", copies: int = 48) ->
     PICKED CLUSTERS (n_runs * r < 5 leaves the normal approximation
     nothing to stand on, however many rows the corpus has).
 
-    Corpus: documents.text replicated x``copies`` with a letters-only
-    per-copy tag word (cluster diversity; letters because the word
-    pipeline drops digit lines), converted once to a published layout
-    whose units make ~256 KiB clusters at the codec's K (bgzf: 16 KiB
-    blocks x run_blocks=16; zstd: 64 KiB frames x run_frames=4 — both
-    ~275 clusters at copies=48, the same gate support). Per-cluster
-    exact counts come through the engine's OWN run reader, so the
-    oracle composes the same ownership algebra the sampler executes —
-    never a re-derivation that could drift at seams."""
+    Workloads:
+
+    - ``word_count``: documents.text replicated x``copies`` with a
+      letters-only per-copy tag word (cluster diversity; letters
+      because the word pipeline drops digit lines).
+    - ``log_host``: the reference's host-count task
+      (RandomizedApacheLogAnalysis.java:76-80) over the synthesized
+      access log replicated x``copies`` — raw combined-format lines on
+      disk, the regex parse runs UNDER the block pick exactly as the
+      shipped log_host_gzip_exact path does.
+    - ``log_hack``: the hack-probe task (reference :56-75) at its
+      rare-key drill-down (host, probe path): at the reference's own
+      host granularity the synthesized corpus has no rare groups
+      (~uniform counts), so the drill-down key is where per-group
+      support actually thins — the canonical rare-key family
+      (SURVEY.md §7). The cell goes through the SHIPPED estimator
+      (SampledFrame.transform -> approx_count(min_support=5)) and
+      records the supported/flagged split: per-group rel-error among
+      low_support-flagged groups vs supported ones (recorded, never
+      gated — flagged estimates are exactly the ones the engine tells
+      users not to trust), plus a gated wiring check that the shipped
+      flag equals n_sampled < min_support on every group.
+
+    Layout: ~256 KiB clusters at the codec's K (bgzf: 16 KiB blocks x
+    run_blocks=16; zstd: 64 KiB frames x run_frames=4). Round 15 grew
+    the default layouts ~4x (word_count copies 48 -> 192, ~1,100
+    clusters; log copies 24, ~890 clusters) so the realized pick at
+    r=0.025 sits within ~1 binomial sigma ~ 20%% of nominal (VERDICT
+    r14 "what's wrong" #3 — the conditional gate stays as the safety
+    net). Per-cluster exact counts come through the engine's OWN run
+    reader, so the oracle composes the same ownership algebra the
+    sampler executes — never a re-derivation that could drift at
+    seams. Both log workloads share one published layout (the build
+    key excludes the workload's aggregation)."""
     import hashlib
     import shutil
     import tempfile
 
     from random_sampling_based_approximate_mapreduce_spark.functions import text as TT
+    from random_sampling_based_approximate_mapreduce_spark.sources.apache_log import (
+        HACK_PREFIXES,
+        parse_apache_log,
+        synthesize_raw_log,
+    )
     from random_sampling_based_approximate_mapreduce_spark.sources.tables import (
+        canonicalize_part_names,
         ensure_layout,
     )
 
@@ -441,7 +483,7 @@ def sweep_cluster_runs(spark, sf: str, codec: str = "bgzf", copies: int = 48) ->
             scan_blocks,
         )
 
-        family = "bgzf_runs_word_count"
+        family = f"bgzf_runs_{workload}"
         run_units = 16
         layout_tag = "bgzfruns"
         _convert = lambda tmp, d: convert_text_to_bgzf(  # noqa: E731
@@ -449,11 +491,11 @@ def sweep_cluster_runs(spark, sf: str, codec: str = "bgzf", copies: int = 48) ->
         )
         _scan = scan_blocks
         _read_run = read_block_run_lines
-        _read_sampled = lambda layout, r: read_text_bgzf_sampled(  # noqa: E731
-            spark, layout, r, seed=123, run_blocks=run_units
+        _read_sampled = lambda layout, r, seed=123: read_text_bgzf_sampled(  # noqa: E731
+            spark, layout, r, seed=seed, run_blocks=run_units
         )
-        _pick = lambda layout, r: pick_blocks(  # noqa: E731
-            layout, r, seed=123, run_blocks=run_units
+        _pick = lambda layout, r, seed=123: pick_blocks(  # noqa: E731
+            layout, r, seed=seed, run_blocks=run_units
         )
     elif codec == "zstd":
         from random_sampling_based_approximate_mapreduce_spark.sources.zstd_seekable_text import (
@@ -464,7 +506,7 @@ def sweep_cluster_runs(spark, sf: str, codec: str = "bgzf", copies: int = 48) ->
             read_text_zstd_sampled,
         )
 
-        family = "zstd_runs_word_count"
+        family = f"zstd_runs_{workload}"
         run_units = 4
         layout_tag = "zstdruns"
         _convert = lambda tmp, d: convert_text_to_seekable(  # noqa: E731
@@ -472,61 +514,120 @@ def sweep_cluster_runs(spark, sf: str, codec: str = "bgzf", copies: int = 48) ->
         )
         _scan = parse_seek_table
         _read_run = read_frame_run_lines
-        _read_sampled = lambda layout, r: read_text_zstd_sampled(  # noqa: E731
-            spark, layout, r, seed=123, run_frames=run_units
+        _read_sampled = lambda layout, r, seed=123: read_text_zstd_sampled(  # noqa: E731
+            spark, layout, r, seed=seed, run_frames=run_units
         )
-        _pick = lambda layout, r: pick_frames(  # noqa: E731
-            layout, r, seed=123, run_frames=run_units
+        _pick = lambda layout, r, seed=123: pick_frames(  # noqa: E731
+            layout, r, seed=seed, run_frames=run_units
         )
     else:
         raise ValueError(f"unknown run-sweep codec {codec!r}")
 
-    key = hashlib.md5(f"{sf}:{copies}:accruns".encode()).hexdigest()[:10]
+    if workload == "word_count":
+        copies = 192 if copies is None else copies
+        corpus_key = f"{sf}:{copies}:accruns"
 
-    def _build(d: str) -> None:
-        tmp = tempfile.mkdtemp(prefix="rsmr_accruns_src_")
-        try:
-            (
-                spark.range(copies)
-                .repartition(8)
-                .select(F.col("id").alias("__c"))
-                .crossJoin(
-                    F.broadcast(
-                        spark.read.parquet(
-                            os.path.join(sf, "documents.parquet")
-                        ).select("text")
+        def _build(d: str) -> None:
+            tmp = tempfile.mkdtemp(prefix="rsmr_accruns_src_")
+            try:
+                (
+                    spark.range(copies)
+                    .repartition(8)
+                    .select(F.col("id").alias("__c"))
+                    .crossJoin(
+                        F.broadcast(
+                            spark.read.parquet(
+                                os.path.join(sf, "documents.parquet")
+                            ).select("text")
+                        )
                     )
-                )
-                .select(
-                    F.concat(
-                        F.col("text"),
-                        F.lit(" tag"),
-                        # 3 hex chars -> letters (the pipeline drops any
-                        # line containing a digit): ~4k distinct tag
-                        # words spread across clusters
-                        F.translate(
-                            F.substring(
-                                F.md5(
-                                    F.concat(
-                                        F.col("text"),
-                                        F.col("__c").cast("string"),
-                                    )
+                    .select(
+                        F.concat(
+                            F.col("text"),
+                            F.lit(" tag"),
+                            # 3 hex chars -> letters (the pipeline drops
+                            # any line containing a digit): ~4k distinct
+                            # tag words spread across clusters
+                            F.translate(
+                                F.substring(
+                                    F.md5(
+                                        F.concat(
+                                            F.col("text"),
+                                            F.col("__c").cast("string"),
+                                        )
+                                    ),
+                                    1,
+                                    3,
                                 ),
-                                1,
-                                3,
+                                "0123456789",
+                                "ghijklmnop",
                             ),
-                            "0123456789",
-                            "ghijklmnop",
-                        ),
-                    ).alias("value")
+                        ).alias("value")
+                    )
+                    .write.mode("overwrite")
+                    .text(tmp)
                 )
-                .write.mode("overwrite")
-                .text(tmp)
-            )
-            _convert(tmp, d)
-        finally:
-            shutil.rmtree(tmp, ignore_errors=True)
+                canonicalize_part_names(tmp)  # stable names -> stable picks
+                _convert(tmp, d)
+            finally:
+                shutil.rmtree(tmp, ignore_errors=True)
 
+    elif workload in ("log_host", "log_hack"):
+        copies = 24 if copies is None else copies
+        # key deliberately excludes the workload: host and hack cells
+        # aggregate the SAME published byte layout differently
+        corpus_key = f"{sf}:{copies}:acclog"
+
+        def _build(d: str) -> None:
+            tmp = tempfile.mkdtemp(prefix="rsmr_acclog_src_")
+            try:
+                (
+                    spark.range(copies)
+                    .repartition(8)
+                    .select(F.col("id").alias("__c"))
+                    .crossJoin(
+                        F.broadcast(
+                            synthesize_raw_log(
+                                spark.read.parquet(
+                                    os.path.join(sf, "events.parquet")
+                                )
+                            )
+                        )
+                    )
+                    .select(F.col("line").alias("value"))
+                    .write.mode("overwrite")
+                    .text(tmp)
+                )
+                canonicalize_part_names(tmp)  # stable names -> stable picks
+                _convert(tmp, d)
+            finally:
+                shutil.rmtree(tmp, ignore_errors=True)
+
+    else:
+        raise ValueError(f"unknown run-sweep workload {workload!r}")
+
+    _probe = F.col("path").rlike("^(" + "|".join(HACK_PREFIXES) + ")")
+
+    def _keyed(df, cluster: bool):
+        """(cluster?, key) rows for the workload — ONE keying definition
+        shared by the per-cluster oracle and the sampled pipeline."""
+        keep = ("cluster",) if cluster else ()
+        if workload == "word_count":
+            kept = TT.drop_digit_lines(df, "value")
+            # the explode_words tokenizer with the cluster column
+            # retained (explode_words itself projects to the token)
+            return kept.select(
+                *keep, F.explode_outer(TT.words(F.col("value"))).alias("key")
+            ).where((F.length("key") > 0) & ~F.col("key").rlike("^[0-9]+$"))
+        parsed = parse_apache_log(df, "value", keep=keep)
+        if workload == "log_hack":
+            parsed = parsed.where(_probe)
+            key = F.concat(F.col("host"), F.lit(" "), F.col("path"))
+        else:
+            key = F.col("host")
+        return parsed.select(*keep, key.alias("key"))
+
+    key = hashlib.md5(corpus_key.encode()).hexdigest()[:10]
     layout = ensure_layout(f"/tmp/rsmr_acc_{layout_tag}_{key}", _build)
     files = sorted(
         os.path.join(layout, f)
@@ -551,14 +652,9 @@ def sweep_cluster_runs(spark, sf: str, codec: str = "bgzf", copies: int = 48) ->
             for ln in _read_run(p, entries, blocks[0], blocks[-1] + 1):
                 cluster_rows.append((f"{fi}:{j}", ln))
     lines_df = spark.createDataFrame(cluster_rows, schema="cluster string, value string")
-    kept = TT.drop_digit_lines(lines_df, "value")
-    # the explode_words tokenizer with the cluster column retained
-    # (explode_words itself projects to the token alone)
-    tok = kept.select(
-        "cluster", F.explode_outer(TT.words(F.col("value"))).alias("key")
-    ).where((F.length("key") > 0) & ~F.col("key").rlike("^[0-9]+$"))
     stats = (
-        tok.groupBy("cluster", "key")
+        _keyed(lines_df, cluster=True)
+        .groupBy("cluster", "key")
         .agg(F.count(F.lit(1)).alias("t"))
         .groupBy("key")
         .agg(F.sum("t").alias("n"), F.sum(F.col("t") * F.col("t")).alias("t2"))
@@ -570,15 +666,22 @@ def sweep_cluster_runs(spark, sf: str, codec: str = "bgzf", copies: int = 48) ->
     total_lines = len(cluster_rows)
 
     def _pipe(df):
-        return (
-            TT.explode_words(TT.drop_digit_lines(df, "value"), "value")
-            .groupBy(F.col("word").alias("key"))
-            .agg(F.count(F.lit(1)).alias("cnt"))
+        if workload == "word_count":
+            # the SHIPPED word pipeline (the per-cluster oracle above
+            # uses the cluster-retaining tokenizer twin; the ratio-1.0
+            # equality check below proves them identical on this corpus)
+            return (
+                TT.explode_words(TT.drop_digit_lines(df, "value"), "value")
+                .groupBy(F.col("word").alias("key"))
+                .agg(F.count(F.lit(1)).alias("cnt"))
+            )
+        return _keyed(df, cluster=False).groupBy("key").agg(
+            F.count(F.lit(1)).alias("cnt")
         )
 
-    def _run(r: float):
+    def _run(r: float, seed: int = 123):
         t0 = time.monotonic()
-        sfr = _read_sampled(layout, r)
+        sfr = _read_sampled(layout, r, seed)
         rows = _pipe(sfr.df).collect()
         return rows, time.monotonic() - t0
 
@@ -608,14 +711,24 @@ def sweep_cluster_runs(spark, sf: str, codec: str = "bgzf", copies: int = 48) ->
         "exact_wall_s": round(base_wall, 3),
         "runs": [],
     }
-    for r in _BGZF_RUN_RATIOS:
-        rows, wall = _run(r)
+    # multi-seed at the low-r point (round 15, VERDICT r14 "what's
+    # wrong" #3): with ~n*r expected clusters one seeded draw can still
+    # land >1 sigma off nominal however fine the layout, so the nominal
+    # operating point is exercised by THREE independent draws, each
+    # gated at its own achieved pick — the artifact then shows the
+    # model tracking the error on both sides of nominal
+    for r, seed in [
+        (r, s)
+        for r in _BGZF_RUN_RATIOS
+        for s in ((123,) if r >= 0.1 else (123, 456, 789))
+    ]:
+        rows, wall = _run(r, seed)
         got = {row["key"]: row["cnt"] / r for row in rows}
         err = sum(abs(got.get(g, 0.0) - c) for g, c in exact_g.items()) / total
         expected = expected_grouped_rel_l1(
             ((1.0 - r) / r * t2_g[g] for g in exact_g), total
         )
-        picked_list, picked_b, total_b = _pick(layout, r)
+        picked_list, picked_b, total_b = _pick(layout, r, seed)
         # the gate evaluates the model AT THE ACHIEVED pick (VERDICT r13
         # "what's wrong" #2): with ~n_runs*r expected clusters the
         # realized acceptance fraction wanders, and conditional on it
@@ -627,6 +740,57 @@ def sweep_cluster_runs(spark, sf: str, codec: str = "bgzf", copies: int = 48) ->
             ((exact_g[g], t2_g[g]) for g in exact_g), total, n_runs, r, r_hat
         )
         ok = err <= 3.0 * expected_achieved
+        support = None
+        if workload == "log_hack":
+            # the min_support honesty path through the SHIPPED estimator
+            # (SampledFrame.approx_count): est_count must equal the
+            # manual n/r HT scale-up and low_support must equal
+            # n_sampled < min_support on EVERY group (gated wiring
+            # check); the supported/flagged split errors are recorded,
+            # never gated — flagged estimates are the ones the engine
+            # tells users not to trust, and gating them would punish
+            # the flag for being right
+            est_rows = (
+                _read_sampled(layout, r, seed)
+                .transform(lambda d: _keyed(d, cluster=False))
+                .approx_count("key", min_support=_HACK_MIN_SUPPORT)
+                .collect()
+            )
+            est = {row["key"]: row for row in est_rows}
+            flags_consistent = all(
+                bool(v["low_support"]) == (v["n_sampled"] < _HACK_MIN_SUPPORT)
+                and abs(v["est_count"] - v["n_sampled"] / r)
+                <= 1e-9 * max(1.0, abs(v["est_count"]))
+                for v in est.values()
+            )
+            # groups the sample missed entirely are maximally low-support
+            supported = {g for g in exact_g if g in est and not est[g]["low_support"]}
+
+            def _split_err(groups):
+                tot = sum(exact_g[g] for g in groups)
+                if not tot:
+                    return None
+                return round(
+                    sum(
+                        abs((est[g]["est_count"] if g in est else 0.0) - exact_g[g])
+                        for g in groups
+                    )
+                    / tot,
+                    6,
+                )
+
+            support = {
+                "min_support": _HACK_MIN_SUPPORT,
+                "n_groups": len(exact_g),
+                "n_supported": len(supported),
+                "n_low_support": len(exact_g) - len(supported),
+                "rel_l1_supported": _split_err(sorted(supported)),
+                "rel_l1_low_support": _split_err(
+                    sorted(g for g in exact_g if g not in supported)
+                ),
+                "support_flags_consistent": bool(flags_consistent),
+            }
+            ok = ok and flags_consistent
         exp_clusters = n_runs * r
         low_support = None
         if exp_clusters < 5.0:
@@ -644,6 +808,7 @@ def sweep_cluster_runs(spark, sf: str, codec: str = "bgzf", copies: int = 48) ->
         out["runs"].append(
             {
                 "ratio": r,
+                "seed": seed,
                 "wall_s": round(wall, 3),
                 "speedup": round(base_wall / wall, 2),
                 "actual_byte_ratio": round(picked_b / total_b, 5),
@@ -655,6 +820,7 @@ def sweep_cluster_runs(spark, sf: str, codec: str = "bgzf", copies: int = 48) ->
                 "gate_model": "at_achieved",
                 "ok": bool(ok),
                 "low_support": low_support,
+                **({"support": support} if support is not None else {}),
             }
         )
     print(json.dumps(out))
@@ -849,11 +1015,12 @@ def main() -> None:
             results.append(sweep_stratified(spark, args.sf, ratios))
         elif q == "joined_pairs":
             results.append(sweep_joined(spark, args.sf, ratios))
-        elif q in ("bgzf_runs_word_count", "zstd_runs_word_count"):
+        elif "_runs_" in q:
             # fixed operating points (_BGZF_RUN_RATIOS), not --ratios:
             # the knob is only on-guidance at moderate r
+            codec, wl = q.split("_runs_", 1)
             results.append(
-                sweep_cluster_runs(spark, args.sf, codec=q.split("_")[0])
+                sweep_cluster_runs(spark, args.sf, codec=codec, workload=wl)
             )
         else:
             results.append(sweep_query(spark, args.sf, q, ratios))

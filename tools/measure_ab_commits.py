@@ -42,7 +42,16 @@ def main() -> None:
     )
     args = ap.parse_args()
 
-    sys.path.insert(0, os.path.abspath(args.repo))
+    repo = os.path.abspath(args.repo)
+    sys.path.insert(0, repo)
+    # the checkout must win on the WORKERS too (review r14): sys.path
+    # only swaps the driver, while PySpark workers resolve the package
+    # from the ambient PYTHONPATH — a query whose plan runs worker-side
+    # Python (the datasource-ladder provers) would otherwise execute a
+    # different checkout than --repo, silently mixing A and B. Setting
+    # PYTHONPATH before the JVM launches covers local-mode workers
+    # (they inherit the driver JVM's environment).
+    os.environ["PYTHONPATH"] = repo + os.pathsep + os.environ.get("PYTHONPATH", "")
     from random_sampling_based_approximate_mapreduce_spark.plans.catalog import QUERIES
     from random_sampling_based_approximate_mapreduce_spark.session import get_spark
 

@@ -66,6 +66,37 @@ def timed_fresh_driver(fn, n: int, evict_paths: list[str] | None = None) -> floa
     return round(best, 3)
 
 
+def restore_and_assert_sidecars(bgzf_dir: str) -> None:
+    """Guard to run BEFORE timing any 'indexed' row (review r14): a hard
+    kill (SIGKILL/OOM) inside stash_sidecars' window leaves the
+    published, _SUCCESS-marked layout permanently sidecar-less with the
+    .gzi files stranded in the sibling stash dir — every later
+    invocation's 'indexed' rows would then silently measure the header
+    hop. Restore any leftover stash first, then require one .gzi per
+    .gz part; fail loudly otherwise (the layout key can't change with
+    the recipe without perturbing path-seeded picks, so a post-hoc
+    assertion is the right guard)."""
+    from random_sampling_based_approximate_mapreduce_spark.sources.bgzf_text import GZI_SUFFIX
+
+    stash = bgzf_dir.rstrip("/") + ".gzi_stash"
+    if os.path.isdir(stash):
+        for f in sorted(os.listdir(stash)):
+            os.rename(os.path.join(stash, f), os.path.join(bgzf_dir, f))
+        os.rmdir(stash)
+    missing = [
+        f
+        for f in sorted(os.listdir(bgzf_dir))
+        if f.endswith(".gz")
+        and not os.path.exists(os.path.join(bgzf_dir, f + GZI_SUFFIX))
+    ]
+    if missing:
+        raise RuntimeError(
+            f"{bgzf_dir}: {len(missing)} .gz part(s) missing their "
+            f"{GZI_SUFFIX} sidecar (e.g. {missing[0]}) — rebuild the "
+            "layout before timing indexed rows"
+        )
+
+
 @contextlib.contextmanager
 def stash_sidecars(bgzf_dir: str):
     """Temporarily move every .gzi out of the layout so scan_blocks

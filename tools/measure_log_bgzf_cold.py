@@ -46,9 +46,20 @@ cache, not the device cache; local NVMe cold reads are a LOWER bound on
 the gap vs object storage, where every unpicked byte is network
 transfer and every hop read is a round trip.
 
-Usage: python tools/measure_log_bgzf_cold.py [--copies 1000] [--passes 2]
+Round 15 (VERDICT r14 item 3): ``--codec bzip2`` measures the SAME
+workload over a replicated Hadoop-Bzip2Codec access-log layout through
+the bzip2-block source (compressed byte ranges as partitions; the twin
+the ratio-1.0 prover `log_host_bzip2_exact` value-oracles). Differences
+from the BGZF rung, by construction: ranges are arithmetic on file size
+(no per-file metadata scan, so no .gzi/hop cells), a contiguous cluster
+is sized by --range-bytes rather than a run_blocks knob, and the exact
+baseline is Spark's own SPLITTABLE Bzip2Codec scan (parallel decode —
+a stronger baseline than gzip's whole-stream member walk).
+
+Usage: python tools/measure_log_bgzf_cold.py [--codec bgzf|bzip2]
+       [--copies 1000] [--passes 2]
 Prints one JSON line; paste into docs/SCALE.md and commit the artifact
-as docs/bench/LOG_BGZF_COLD_x{copies}.json.
+as docs/bench/LOG_{CODEC}_COLD_x{copies}.json.
 """
 
 from __future__ import annotations
@@ -70,6 +81,7 @@ from measure_common import (  # noqa: E402
     clear_block_cache as _clear_block_cache,
     evict as _evict,
     input_files as _input_files,
+    restore_and_assert_sidecars as _assert_sidecars,
     stash_sidecars as _stash_sidecars,
     timed_fresh_driver as _timed,
 )
@@ -81,6 +93,7 @@ def main() -> None:
     ap.add_argument(
         "--sf", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     )
+    ap.add_argument("--codec", choices=["bgzf", "bzip2"], default="bgzf")
     ap.add_argument("--copies", type=int, default=1000)
     ap.add_argument("--passes", type=int, default=2)
     ap.add_argument("--ratios", type=float, nargs="*", default=[0.1, 0.01, 0.001])
@@ -88,8 +101,16 @@ def main() -> None:
         "--run-blocks",
         type=int,
         default=None,
-        help="also measure the contiguous-run pick at each ratio >= 0.01 "
-        "(suggest_run_blocks guidance: ~1 MB clusters at moderate r)",
+        help="(bgzf) also measure the contiguous-run pick at each ratio "
+        ">= 0.01 (suggest_run_blocks guidance: ~1 MB clusters at "
+        "moderate r)",
+    )
+    ap.add_argument(
+        "--range-bytes",
+        type=int,
+        default=256 * 1024,
+        help="(bzip2) compressed range size — the cluster the pick "
+        "accepts or skips whole",
     )
     args = ap.parse_args()
 
@@ -105,64 +126,101 @@ def main() -> None:
         scan_blocks,
     )
     from random_sampling_based_approximate_mapreduce_spark.sources.tables import (
+        canonicalize_part_names,
         ensure_layout,
         load,
     )
 
-    key = hashlib.md5(f"{args.sf}:{args.copies}:v1".encode()).hexdigest()[:10]
+    from random_sampling_based_approximate_mapreduce_spark.sources.bzip2_block_text import (
+        pick_ranges,
+        read_text_bzip2_sampled,
+    )
+
+    # v2 = canonical part names (round 15): the build recipe changed,
+    # so the key moves with it — reusing a v1 layout would measure a
+    # different byte/name draw than a fresh box builds
+    key = hashlib.md5(f"{args.sf}:{args.copies}:v2".encode()).hexdigest()[:10]
     txt_dir = f"/tmp/rsmr_logcold_txt_{key}"
-    bgzf_dir = f"/tmp/rsmr_logcold_bgzf_{key}"
+    data_dir = (
+        f"/tmp/rsmr_logcold_bgzf_{key}"
+        if args.codec == "bgzf"
+        else f"/tmp/rsmr_logcold_bz2_{key}"
+    )
+
+    # replicated raw-log text, built by Spark 32-wide. Per-copy ident
+    # token: `host - - [..` -> `host u<md5> - [..` keeps _LOG_RE
+    # semantics identical (ident matches \S+) while making every
+    # replica's bytes distinct (full-entropy compressed layout, the
+    # cold-skip corpora rule). Injected by string surgery on the fixed
+    # format — host is everything before the first " - - ", which never
+    # occurs elsewhere in the synthesized line (paths/queries have no
+    # spaces).
+    def _replicated_lines():
+        lines = AL.synthesize_raw_log(load(spark, args.sf, "events"))
+        return (
+            spark.range(args.copies)
+            .repartition(32)
+            .select(F.col("id").alias("__c"))
+            .crossJoin(F.broadcast(lines))
+            .select(
+                F.concat(
+                    F.substring_index("line", " - - ", 1),
+                    F.lit(" u"),
+                    F.md5(F.concat("line", F.col("__c").cast("string"))),
+                    F.lit(" - "),
+                    F.substring_index("line", " - - ", -1),
+                ).alias("value")
+            )
+        )
 
     def _build_bgzf(d: str) -> None:
-        # 1) replicated raw-log text, written once by Spark 32-wide.
-        #    Per-copy ident token: `host - - [..` -> `host u<md5> - [..`
-        #    keeps _LOG_RE semantics identical (ident matches \S+) while
-        #    making every replica's bytes distinct (full-entropy
-        #    compressed layout, the cold-skip corpora rule). Injected by
-        #    string surgery on the fixed format — host is everything
-        #    before the first " - - ", which never occurs elsewhere in
-        #    the synthesized line (paths/queries have no spaces).
         def build_txt(d2: str) -> None:
-            lines = AL.synthesize_raw_log(load(spark, args.sf, "events"))
-            (
-                spark.range(args.copies)
-                .repartition(32)
-                .select(F.col("id").alias("__c"))
-                .crossJoin(F.broadcast(lines))
-                .select(
-                    F.concat(
-                        F.substring_index("line", " - - ", 1),
-                        F.lit(" u"),
-                        F.md5(F.concat("line", F.col("__c").cast("string"))),
-                        F.lit(" - "),
-                        F.substring_index("line", " - - ", -1),
-                    ).alias("value")
-                )
-                .write.mode("overwrite")
-                .text(d2)
-            )
+            _replicated_lines().write.mode("overwrite").text(d2)
+            canonicalize_part_names(d2)  # stable names -> stable picks
 
         ensure_layout(txt_dir, build_txt)
-        # 2) BGZF conversion WITH .gzi sidecars (default 64 KiB blocks,
-        #    the production block size)
+        # BGZF conversion WITH .gzi sidecars (default 64 KiB blocks,
+        # the production block size)
         parts = convert_text_to_bgzf(txt_dir, d, index=True)
         missing = [p for p in parts if not os.path.exists(p + GZI_SUFFIX)]
         if missing:
             raise ValueError(f"missing sidecars: {missing}")
-        # 3) the text layout is only a conversion source — the baseline
-        #    reads the same .gz files as the skip path
+        # the text layout is only a conversion source — the baseline
+        # reads the same compressed files as the skip path
         shutil.rmtree(txt_dir)
 
-    ensure_layout(bgzf_dir, _build_bgzf)
+    def _build_bz2(d: str) -> None:
+        # Hadoop-Bzip2Codec parts straight from the writer — the codec
+        # IS the layout (no conversion step; same recipe family as the
+        # log_host_bzip2_exact prover's layout)
+        _replicated_lines().write.mode("overwrite").option(
+            "compression", "bzip2"
+        ).text(d)
+        canonicalize_part_names(d)  # stable names -> stable picks
+
+    ensure_layout(
+        data_dir, _build_bgzf if args.codec == "bgzf" else _build_bz2
+    )
+    if args.codec == "bgzf":
+        # a REUSED layout may have been orphaned mid-stash by a hard
+        # kill — restore any leftover stash and re-require one .gzi per
+        # part, or the 'indexed' rows below silently measure the hop
+        _assert_sidecars(data_dir)
     os.sync()  # flush dirty pages so fadvise can evict them
 
-    files = _input_files(bgzf_dir)
+    files = _input_files(data_dir)
     gz_files = [f for f in files if not f.endswith(GZI_SUFFIX)]
     gz_mb = round(sum(os.path.getsize(f) for f in gz_files) / 1e6, 1)
     gzi_bytes = sum(os.path.getsize(f) for f in files if f.endswith(GZI_SUFFIX))
-    n_blocks = sum(
-        sum(1 for e in scan_blocks(f) if e.d_size) for f in gz_files
-    )
+    if args.codec == "bgzf":
+        n_blocks = sum(
+            sum(1 for e in scan_blocks(f) if e.d_size) for f in gz_files
+        )
+    else:
+        # compressed ranges are file-size arithmetic — so is the count
+        n_blocks = sum(
+            -(-os.path.getsize(f) // args.range_bytes) for f in gz_files
+        )
 
     def _host_count(df):
         # the log_host task (G3 over P6): regex parse, drop malformed,
@@ -170,34 +228,60 @@ def main() -> None:
         AL.parse_apache_log(df, col="value").groupBy("host").count().collect()
 
     def skip_fn(r: float, run_blocks: int = 1):
+        if args.codec == "bgzf":
+            return lambda: _host_count(
+                read_text_bgzf_sampled(
+                    spark, data_dir, r, seed=9, run_blocks=run_blocks
+                ).df
+            )
         return lambda: _host_count(
-            read_text_bgzf_sampled(spark, bgzf_dir, r, seed=9, run_blocks=run_blocks).df
+            read_text_bzip2_sampled(
+                spark, data_dir, r, range_bytes=args.range_bytes, seed=9
+            ).df
         )
 
+    def pick(r: float, run_blocks: int = 1):
+        if args.codec == "bgzf":
+            return pick_blocks(data_dir, r, seed=9, run_blocks=run_blocks)
+        return pick_ranges(data_dir, r, range_bytes=args.range_bytes, seed=9)
+
+    # baseline/exact read ONLY the .gz parts (review r14): a bare
+    # directory read would include the .gzi sidecars as raw binary
+    # 'text' lines — garbage the parse drops, but then the baseline's
+    # input set differs from the skip path's
+    gz_glob = os.path.join(
+        data_dir, "*.gz" if args.codec == "bgzf" else "*.bz2"
+    )
+
     def base_fn(r: float):
-        return lambda: _host_count(spark.read.text(bgzf_dir).sample(r, seed=9))
+        return lambda: _host_count(spark.read.text(gz_glob).sample(r, seed=9))
 
-    exact_fn = lambda: _host_count(spark.read.text(bgzf_dir))  # noqa: E731
+    exact_fn = lambda: _host_count(spark.read.text(gz_glob))  # noqa: E731
 
-    # ---- pick-metadata cells: .gzi index scan vs header hop, cold ----
-    def pick_all():
-        _clear_block_cache()
-        pick_blocks(bgzf_dir, 0.01, seed=9)
+    # ---- pick-metadata cells: .gzi index scan vs header hop, cold
+    # (bgzf only — bzip2 range picks are file-size arithmetic with no
+    # per-file metadata scan to measure) ----
+    gzi_pick_s = hop_pick_s = None
+    if args.codec == "bgzf":
 
-    _evict(files)
-    t0 = time.monotonic()
-    pick_all()
-    gzi_pick_s = round(time.monotonic() - t0, 3)
-    with _stash_sidecars(bgzf_dir):
-        _evict(gz_files)
+        def pick_all():
+            _clear_block_cache()
+            pick_blocks(data_dir, 0.01, seed=9)
+
+        _evict(files)
         t0 = time.monotonic()
         pick_all()
-        hop_pick_s = round(time.monotonic() - t0, 3)
+        gzi_pick_s = round(time.monotonic() - t0, 3)
+        with _stash_sidecars(data_dir):
+            _evict(gz_files)
+            t0 = time.monotonic()
+            pick_all()
+            hop_pick_s = round(time.monotonic() - t0, 3)
 
     results: list[dict] = []
     exact_cold_s = _timed(exact_fn, args.passes, evict_paths=files)
     for r in args.ratios:
-        _, picked, total = pick_blocks(bgzf_dir, r, seed=9)
+        _, picked, total = pick(r)
         row = {
             "ratio": r,
             "picked_bytes": picked,
@@ -213,9 +297,9 @@ def main() -> None:
         row["cold_speedup_vs_exact"] = round(exact_cold_s / row["cold_skip_s"], 2)
         results.append(row)
         print(json.dumps(row), file=sys.stderr)
-        if args.run_blocks and r >= 0.01:
+        if args.codec == "bgzf" and args.run_blocks and r >= 0.01:
             K = args.run_blocks
-            _, rpicked, rtotal = pick_blocks(bgzf_dir, r, seed=9, run_blocks=K)
+            _, rpicked, rtotal = pick(r, K)
             rrow = {
                 "ratio": r,
                 "run_blocks": K,
@@ -237,29 +321,42 @@ def main() -> None:
             print(json.dumps(rrow), file=sys.stderr)
 
     # ---- end-to-end hop comparison row (VERDICT r13 item 3): the same
-    # cold pick+read with the sidecars stashed, at the middle ratio ----
+    # cold pick+read with the sidecars stashed, at the middle ratio
+    # (bgzf only) ----
     r_mid = args.ratios[min(1, len(args.ratios) - 1)]
-    with _stash_sidecars(bgzf_dir):
-        hop_cold_skip_s = _timed(
-            skip_fn(r_mid), args.passes, evict_paths=gz_files
-        )
+    hop_cold_skip_s = None
+    if args.codec == "bgzf":
+        with _stash_sidecars(data_dir):
+            hop_cold_skip_s = _timed(
+                skip_fn(r_mid), args.passes, evict_paths=gz_files
+            )
 
+    codec_label = (
+        "BGZF" if args.codec == "bgzf" else "Hadoop-Bzip2Codec"
+    )
     out = {
-        "workload": "log_host (regex parse -> per-host count) on BGZF access log",
+        "workload": "log_host (regex parse -> per-host count) on "
+        f"{codec_label} access log",
+        "codec": args.codec,
         "sf": args.sf,
         "copies": args.copies,
         "passes": args.passes,
         "files": len(gz_files),
         "input_mb": gz_mb,
         "blocks": n_blocks,
-        "gzi_sidecar_bytes_total": gzi_bytes,
         "exact_cold_s": exact_cold_s,
-        "pick_metadata_cold": {
+        "eviction": "posix_fadvise(POSIX_FADV_DONTNEED) per timed pass; "
+        "driver block-table cache cleared per pass",
+        "results": results,
+    }
+    if args.codec == "bgzf":
+        out["gzi_sidecar_bytes_total"] = gzi_bytes
+        out["pick_metadata_cold"] = {
             "gzi_scan_s": gzi_pick_s,
             "hop_scan_s": hop_pick_s,
             "scan_cut": round(hop_pick_s / gzi_pick_s, 1) if gzi_pick_s else None,
-        },
-        "e2e_hop_row": {
+        }
+        out["e2e_hop_row"] = {
             "ratio": r_mid,
             "cold_skip_s_no_gzi": hop_cold_skip_s,
             "cold_skip_s_with_gzi": next(
@@ -267,11 +364,9 @@ def main() -> None:
                 for rr in results
                 if rr["ratio"] == r_mid and "run_blocks" not in rr
             ),
-        },
-        "eviction": "posix_fadvise(POSIX_FADV_DONTNEED) per timed pass; "
-        "driver block-table cache cleared per pass",
-        "results": results,
-    }
+        }
+    else:
+        out["range_bytes"] = args.range_bytes
     print(json.dumps(out))
     spark.stop()
 
