@@ -77,3 +77,40 @@ class TestInputFiles:
             "part-1.gz",
             "part-1.gz.gzi",
         ]
+
+
+from measure_common import restore_and_assert_sidecars  # noqa: E402
+
+
+class TestRestoreAndAssertSidecars:
+    def test_complete_layout_passes(self, tmp_path):
+        d = _layout(tmp_path)
+        restore_and_assert_sidecars(d)  # no raise, no changes
+        assert sorted(os.listdir(d)) == [
+            "_SUCCESS",
+            "part-0.gz",
+            "part-0.gz.gzi",
+            "part-1.gz",
+            "part-1.gz.gzi",
+        ]
+
+    def test_restores_orphaned_stash(self, tmp_path):
+        # simulate a hard kill inside stash_sidecars' window: sidecars
+        # sit in the sibling stash, the published layout has none
+        d = _layout(tmp_path)
+        stash = d + ".gzi_stash"
+        os.makedirs(stash)
+        for n in ("part-0.gz.gzi", "part-1.gz.gzi"):
+            os.rename(os.path.join(d, n), os.path.join(stash, n))
+        restore_and_assert_sidecars(d)
+        assert not os.path.exists(stash)
+        assert sorted(n for n in os.listdir(d) if n.endswith(".gzi")) == [
+            "part-0.gz.gzi",
+            "part-1.gz.gzi",
+        ]
+
+    def test_raises_on_genuinely_missing_sidecar(self, tmp_path):
+        d = _layout(tmp_path)
+        os.remove(os.path.join(d, "part-1.gz.gzi"))
+        with pytest.raises(RuntimeError, match="missing their .gzi"):
+            restore_and_assert_sidecars(d)
