@@ -525,7 +525,8 @@ def sweep_cluster_runs(
 
     if workload == "word_count":
         copies = 192 if copies is None else copies
-        corpus_key = f"{sf}:{copies}:accruns"
+        # ':canon1' moves the key with the canonical-part-names recipe
+        corpus_key = f"{sf}:{copies}:accruns:canon1"
 
         def _build(d: str) -> None:
             tmp = tempfile.mkdtemp(prefix="rsmr_accruns_src_")
@@ -576,7 +577,7 @@ def sweep_cluster_runs(
         copies = 24 if copies is None else copies
         # key deliberately excludes the workload: host and hack cells
         # aggregate the SAME published byte layout differently
-        corpus_key = f"{sf}:{copies}:acclog"
+        corpus_key = f"{sf}:{copies}:acclog:canon1"
 
         def _build(d: str) -> None:
             tmp = tempfile.mkdtemp(prefix="rsmr_acclog_src_")
