@@ -221,6 +221,11 @@ FAMILY_SWEEPS = (
     # rare-key drill-down exercising the min_support honesty path
     "bgzf_runs_log_host",
     "bgzf_runs_log_hack",
+    # round 15 extra: the bzip2 range rung — the codec with the
+    # strongest measured log-family speedups (LOG_BZIP2_COLD_x1000) —
+    # carries a gated error cell on the same workload, so its speed
+    # story and error story sit on the same rung
+    "bzip2_runs_log_host",
 )
 
 
@@ -520,6 +525,57 @@ def sweep_cluster_runs(
         _pick = lambda layout, r, seed=123: pick_frames(  # noqa: E731
             layout, r, seed=seed, run_frames=run_units
         )
+    elif codec == "bzip2":
+        import collections
+
+        from random_sampling_based_approximate_mapreduce_spark.sources.bzip2_block_text import (
+            pick_ranges,
+            read_range_lines,
+            read_text_bzip2_sampled,
+        )
+
+        family = f"bzip2_runs_{workload}"
+        # a compressed RANGE is already a contiguous cluster — the run
+        # knob IS the range size, so the unit grouping stays 1; 64 KiB
+        # ranges keep the cluster count in the same regime as the other
+        # rungs at this corpus size
+        run_units = 1
+        range_bytes = 64 * 1024
+        layout_tag = "bz2runs"
+
+        def _convert(tmp: str, d: str) -> None:
+            # Hadoop-Bzip2Codec parts via Spark's own writer (the same
+            # recipe family as the log_host_bzip2_exact prover layout —
+            # real codec output, not Python bz2); each text part is a
+            # single split, so the mapping is 1:1 and deterministic,
+            # and canonical names keep path-seeded picks stable
+            spark.read.text(tmp).write.mode("overwrite").option(
+                "compression", "bzip2"
+            ).text(d)
+            canonicalize_part_names(d)
+
+        _RangeEntry = collections.namedtuple("_RangeEntry", "d_size")
+
+        def _scan(p: str):
+            # ranges are file-size arithmetic — fabricate one unit per
+            # 64 KiB span so the generic cluster loop applies unchanged
+            size = os.path.getsize(p)
+            return [_RangeEntry(1)] * max(1, -(-size // range_bytes))
+
+        def _read_run(p: str, entries, b0: int, b1: int):
+            size = os.path.getsize(p)
+            return read_range_lines(
+                p, b0 * range_bytes, min(size, b1 * range_bytes)
+            )
+
+        _read_sampled = lambda layout, r, seed=123: read_text_bzip2_sampled(  # noqa: E731
+            spark, layout, r, range_bytes=range_bytes, seed=seed
+        )
+
+        def _pick(layout: str, r: float, seed: int = 123):
+            picked, pb, tb = pick_ranges(layout, r, range_bytes, seed)
+            return [(f, s // range_bytes) for f, s, _ in picked], pb, tb
+
     else:
         raise ValueError(f"unknown run-sweep codec {codec!r}")
 
