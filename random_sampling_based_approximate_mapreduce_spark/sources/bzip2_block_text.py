@@ -378,6 +378,51 @@ def _list_bz2_files(path: str) -> list[str]:
     return found
 
 
+def suggest_range_bytes(
+    path_or_total: "str | int",
+    ratio: float,
+    target_picks: int = 20,
+    min_range: int = 256 * 1024,
+    max_range: int = DEFAULT_RANGE_BYTES,
+) -> int:
+    """Measured guidance for the compressed-range size, NOT an automatic
+    default (a default change would silently change which lines a
+    seeded sample returns — the unit index is part of the pick key, so
+    callers opt in explicitly; the bgzf rung's ``suggest_run_blocks``
+    has the same contract).
+
+    Unlike the bgzf run knob, this rung's cluster size must scale with
+    the CORPUS: the range is the sampling unit, so the expected picked
+    count is total_bytes * ratio / range_bytes — too-large ranges hit
+    the pick floor and quantization (few units), too-small ranges pay
+    one task per pick plus whole-bzip2-block decode waste (a range
+    shorter than its ~100-250 KiB compressed block decodes the block
+    anyway). The x1000 grid
+    (docs/bench/LOG_BZIP2_RANGE_GRID_x1000.json, 2.5 GB corpus) pins
+    both walls: at r=0.1 cold speedup rises 1.04x -> 6.9x from 64 KiB
+    to 4 MiB ranges; at r=0.001 it falls 50.6x -> 15.2x from 256 KiB
+    to 4 MiB (achieved ratio 0.00063 vs 0.00167 — the floor). The best
+    measured cell at each ratio matches range_bytes ~ total * r /
+    ``target_picks`` (~20 expected picks), floored at one compressed
+    block and capped at the 4 MiB task-size default — this function
+    returns that, rounded down to a power of two.
+
+    ``path_or_total``: a layout dir/file (sizes summed) or an explicit
+    total compressed byte count."""
+    if not 0.0 < ratio <= 1.0:
+        raise ValueError(f"ratio must be in (0, 1], got {ratio}")
+    if target_picks < 1:
+        raise ValueError(f"target_picks must be >= 1, got {target_picks}")
+    if isinstance(path_or_total, str):
+        total = sum(os.path.getsize(f) for f in _list_bz2_files(path_or_total))
+    else:
+        total = int(path_or_total)
+    if total < 1:
+        raise ValueError(f"total bytes must be >= 1, got {total}")
+    raw = max(min_range, min(max_range, total * ratio / target_picks))
+    return 1 << int(raw).bit_length() - 1
+
+
 def pick_ranges(
     path: str, ratio: float, range_bytes: int = DEFAULT_RANGE_BYTES, seed: int = 42
 ) -> tuple[list[tuple[str, int, int]], int, int]:

@@ -400,3 +400,63 @@ class TestFalsePositiveEndRetry:
         p = tmp_path / "allempty.bz2"
         p.write_bytes(bz2.compress(b"") * 5)
         assert read_range_lines(str(p), 0, os.path.getsize(str(p))) == []
+
+
+class TestSuggestRangeBytes:
+    """Guidance pinned to the measured x1000 grid
+    (docs/bench/LOG_BZIP2_RANGE_GRID_x1000.json): the best cold cell at
+    each ratio matches range_bytes ~ total * r / 20, floored at one
+    compressed block (256 KiB) and capped at the 4 MiB default."""
+
+    GRID_TOTAL = 2_513_972_347  # the x1000 layout's compressed bytes
+
+    def test_matches_grid_best_cells(self):
+        from random_sampling_based_approximate_mapreduce_spark.sources.bzip2_block_text import (
+            suggest_range_bytes,
+        )
+
+        assert suggest_range_bytes(self.GRID_TOTAL, 0.1) == 4 << 20
+        assert suggest_range_bytes(self.GRID_TOTAL, 0.01) == 1 << 20
+        assert suggest_range_bytes(self.GRID_TOTAL, 0.001) == 256 << 10
+
+    def test_floor_and_cap(self):
+        from random_sampling_based_approximate_mapreduce_spark.sources.bzip2_block_text import (
+            suggest_range_bytes,
+        )
+
+        # tiny corpus x tiny ratio -> one-compressed-block floor
+        assert suggest_range_bytes(10_000_000, 0.001) == 256 << 10
+        # huge corpus x big ratio -> task-size cap (the default unit)
+        assert suggest_range_bytes(10**12, 0.5) == 4 << 20
+
+    def test_power_of_two_and_validation(self):
+        from random_sampling_based_approximate_mapreduce_spark.sources.bzip2_block_text import (
+            suggest_range_bytes,
+        )
+
+        for r in (0.003, 0.02, 0.7):
+            got = suggest_range_bytes(self.GRID_TOTAL, r)
+            assert got & (got - 1) == 0  # power of two
+            assert 256 << 10 <= got <= 4 << 20
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            suggest_range_bytes(self.GRID_TOTAL, 0.0)
+        with _pytest.raises(ValueError):
+            suggest_range_bytes(0, 0.1)
+        with _pytest.raises(ValueError):
+            suggest_range_bytes(self.GRID_TOTAL, 0.1, target_picks=0)
+
+    def test_path_form_sums_bz2_files(self, tmp_path):
+        import bz2 as _bz2
+
+        from random_sampling_based_approximate_mapreduce_spark.sources.bzip2_block_text import (
+            suggest_range_bytes,
+        )
+
+        for i in range(2):
+            (tmp_path / f"part-{i}.bz2").write_bytes(
+                _bz2.compress(b"line\n" * 100)
+            )
+        # small corpus -> floor, computed from the summed file sizes
+        assert suggest_range_bytes(str(tmp_path), 0.5) == 256 << 10

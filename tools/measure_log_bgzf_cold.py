@@ -108,9 +108,11 @@ def main() -> None:
     ap.add_argument(
         "--range-bytes",
         type=int,
-        default=256 * 1024,
-        help="(bzip2) compressed range size — the cluster the pick "
-        "accepts or skips whole",
+        nargs="+",
+        default=[256 * 1024],
+        help="(bzip2) compressed range size(s) — the cluster the pick "
+        "accepts or skips whole; several values sweep the knob on one "
+        "layout (ranges are arithmetic, so no rebuild)",
     )
     args = ap.parse_args()
 
@@ -218,8 +220,9 @@ def main() -> None:
         )
     else:
         # compressed ranges are file-size arithmetic — so is the count
+        # (reported at the first grid size)
         n_blocks = sum(
-            -(-os.path.getsize(f) // args.range_bytes) for f in gz_files
+            -(-os.path.getsize(f) // args.range_bytes[0]) for f in gz_files
         )
 
     def _host_count(df):
@@ -227,7 +230,7 @@ def main() -> None:
         # count per host — collect is <=256 host rows
         AL.parse_apache_log(df, col="value").groupBy("host").count().collect()
 
-    def skip_fn(r: float, run_blocks: int = 1):
+    def skip_fn(r: float, run_blocks: int = 1, rb: int | None = None):
         if args.codec == "bgzf":
             return lambda: _host_count(
                 read_text_bgzf_sampled(
@@ -236,14 +239,14 @@ def main() -> None:
             )
         return lambda: _host_count(
             read_text_bzip2_sampled(
-                spark, data_dir, r, range_bytes=args.range_bytes, seed=9
+                spark, data_dir, r, range_bytes=rb, seed=9
             ).df
         )
 
-    def pick(r: float, run_blocks: int = 1):
+    def pick(r: float, run_blocks: int = 1, rb: int | None = None):
         if args.codec == "bgzf":
             return pick_blocks(data_dir, r, seed=9, run_blocks=run_blocks)
-        return pick_ranges(data_dir, r, range_bytes=args.range_bytes, seed=9)
+        return pick_ranges(data_dir, r, range_bytes=rb, seed=9)
 
     # baseline/exact read ONLY the .gz parts (review r14): a bare
     # directory read would include the .gzi sidecars as raw binary
@@ -280,17 +283,33 @@ def main() -> None:
 
     results: list[dict] = []
     exact_cold_s = _timed(exact_fn, args.passes, evict_paths=files)
-    for r in args.ratios:
-        _, picked, total = pick(r)
+    grid = (
+        [(r, None) for r in args.ratios]
+        if args.codec == "bgzf"
+        else [(r, rb) for rb in args.range_bytes for r in args.ratios]
+    )
+    base_cache: dict = {}
+    for r, rb in grid:
+        _, picked, total = pick(r, rb=rb)
+        if r not in base_cache:
+            # the decode-all baseline is range-size independent —
+            # measure once per ratio across the range grid
+            base_cache[r] = (
+                _timed(base_fn(r), args.passes),
+                _timed(base_fn(r), args.passes, evict_paths=files),
+            )
         row = {
             "ratio": r,
+            **({"range_bytes": rb} if rb is not None else {}),
             "picked_bytes": picked,
             "total_bytes": total,
             "achieved_ratio": round(picked / total, 5) if total else None,
-            "warm_skip_s": _timed(skip_fn(r), args.passes),
-            "warm_base_s": _timed(base_fn(r), args.passes),
-            "cold_skip_s": _timed(skip_fn(r), args.passes, evict_paths=files),
-            "cold_base_s": _timed(base_fn(r), args.passes, evict_paths=files),
+            "warm_skip_s": _timed(skip_fn(r, rb=rb), args.passes),
+            "warm_base_s": base_cache[r][0],
+            "cold_skip_s": _timed(
+                skip_fn(r, rb=rb), args.passes, evict_paths=files
+            ),
+            "cold_base_s": base_cache[r][1],
         }
         row["warm_speedup"] = round(row["warm_base_s"] / row["warm_skip_s"], 2)
         row["cold_speedup"] = round(row["cold_base_s"] / row["cold_skip_s"], 2)
@@ -366,7 +385,7 @@ def main() -> None:
             ),
         }
     else:
-        out["range_bytes"] = args.range_bytes
+        out["range_bytes_grid"] = args.range_bytes
     print(json.dumps(out))
     spark.stop()
 
