@@ -648,6 +648,14 @@ def read_text_bzip2_sampled(
     independent acceptance); estimators HT-scale by 1/range_ratio.
     ``row_config`` composes a within-range Bernoulli row stage — the
     same two-stage algebra as the byteblock / file-level samplers.
+
+    ``range_bytes`` is this rung's cluster-size knob:
+    ``suggest_range_bytes(path, range_ratio)`` returns the measured
+    guidance (~ total*r/20, floored at one compressed block, capped at
+    the 4 MiB default — docs/SCALE.md round-15 addendum has the grid).
+    Deliberately NOT applied automatically: the unit index is part of
+    the pick key, so a default change would silently change which
+    lines a seeded sample returns.
     """
     register_bzip2_block_text(spark)
     pick_ranges(path, range_ratio, range_bytes, seed)  # eager validation
