@@ -712,6 +712,7 @@ def suggest_run_blocks(
     ratio: float,
     block_bytes: int = DEFAULT_BLOCK_BYTES,
     target_cluster_bytes: int = 1 << 20,
+    total_bytes: int | None = None,
 ) -> int:
     """Measured guidance for the contiguous-run knob, NOT an automatic
     default (a default change would silently change which rows a
@@ -724,12 +725,29 @@ def suggest_run_blocks(
     cannot achieve a ratio below run_bytes/corpus_bytes, and the
     r<=0.001 cells already win as singletons). Returns 1 below
     r=0.01, else the run length that makes a cluster ~
-    ``target_cluster_bytes`` of uncompressed data."""
+    ``target_cluster_bytes`` of uncompressed data.
+
+    ``total_bytes`` (round 15): pass the corpus's compressed byte count
+    to scale the cluster with the expected pick count — the round-15
+    run-length grid (docs/bench/LOG_BGZF_RUNS_GRID_x1000.json, 3.45 GB)
+    shows 4 MiB runs beating the fixed 1 MiB target at r=0.1 (cold
+    8.0x vs 7.2x vs exact) while 16 MiB runs collapse into pick
+    quantization (achieved 0.124 at nominal 0.1), and the bzip2 rung's
+    range grid pins the same law on a second codec: the best measured
+    cell at every (codec, ratio) matches cluster_bytes ~
+    clamp(total * ratio / 20, 1 MiB, 4 MiB) — twenty expected picks,
+    floored where sequential I/O amortizes, capped where quantization
+    outweighs further streaming gains."""
     if not 0.0 < ratio <= 1.0:
         raise ValueError(f"ratio must be in (0, 1], got {ratio}")
     if ratio < 0.01:
         return 1
-    return max(1, round(target_cluster_bytes / block_bytes))
+    target = target_cluster_bytes
+    if total_bytes is not None:
+        if total_bytes < 1:
+            raise ValueError(f"total bytes must be >= 1, got {total_bytes}")
+        target = max(1 << 20, min(4 << 20, int(total_bytes * ratio / 20.0)))
+    return max(1, round(target / block_bytes))
 
 
 def pick_blocks(

@@ -738,6 +738,22 @@ class TestRunBlocks:
         assert suggest_run_blocks(0.1, target_cluster_bytes=DEFAULT_BLOCK_BYTES) == 1
         with pytest.raises(ValueError, match="ratio"):
             suggest_run_blocks(0.0)
+        # corpus-aware form (round 15): cluster ~ clamp(total*r/20,
+        # 1 MiB, 4 MiB). Pins = the x1000 run-length grid's best cells
+        # (LOG_BGZF_RUNS_GRID_x1000: 3.45 GB, 64 KiB blocks — K=64 at
+        # r=0.1 where the fixed 1 MiB target measured slower, and the
+        # 16 MiB rung's quantization collapse bounds the cap)
+        total = 3_449_115_181
+        assert suggest_run_blocks(0.1, 64 * 1024, total_bytes=total) == 64
+        # at r=0.01 the clamp keeps the target between the measured
+        # best (1 MiB) and the measured-worse 4 MiB
+        assert 16 <= suggest_run_blocks(0.01, 64 * 1024, total_bytes=total) < 64
+        # small corpus -> the 1 MiB sequential-I/O floor
+        assert suggest_run_blocks(0.1, 64 * 1024, total_bytes=10_000_000) == 16
+        # the floor rule still wins below r=0.01 regardless of total
+        assert suggest_run_blocks(0.005, 64 * 1024, total_bytes=total) == 1
+        with pytest.raises(ValueError, match="total"):
+            suggest_run_blocks(0.1, total_bytes=0)
 
     def test_run_ownership_equivalence_property(self, tmp_path):
         """Hypothesis: for random corpora, block sizes, run widths and

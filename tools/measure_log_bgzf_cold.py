@@ -100,10 +100,11 @@ def main() -> None:
     ap.add_argument(
         "--run-blocks",
         type=int,
+        nargs="*",
         default=None,
-        help="(bgzf) also measure the contiguous-run pick at each ratio "
-        ">= 0.01 (suggest_run_blocks guidance: ~1 MB clusters at "
-        "moderate r)",
+        help="(bgzf) also measure contiguous-run picks of these lengths "
+        "at each ratio >= 0.01 (suggest_run_blocks guidance: ~1 MB "
+        "clusters at moderate r; several values sweep the knob)",
     )
     ap.add_argument(
         "--range-bytes",
@@ -316,8 +317,9 @@ def main() -> None:
         row["cold_speedup_vs_exact"] = round(exact_cold_s / row["cold_skip_s"], 2)
         results.append(row)
         print(json.dumps(row), file=sys.stderr)
-        if args.codec == "bgzf" and args.run_blocks and r >= 0.01:
-            K = args.run_blocks
+        for K in (args.run_blocks or []) if (
+            args.codec == "bgzf" and r >= 0.01
+        ) else []:
             _, rpicked, rtotal = pick(r, K)
             rrow = {
                 "ratio": r,
