@@ -221,18 +221,29 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
         )
         .where(F.col("tok").isNotNull())
     )
-    h = hash64(F.col("tok"))
-    votes = toks.groupBy(id_col).agg(
+    # The 60 vote sums and the 60-term bit assembly are built as SQL
+    # strings parsed JVM-side (round 16): the previous per-bit Column-op
+    # construction issued ~800 py4j round trips and cost 1.5-2.2 s of
+    # DRIVER time per invocation — more than the query's whole execution
+    # (measured sf0.1: build 1.48-2.24 s vs exec 1.10 s). The parsed
+    # expressions are the same CaseWhen/shiftright/sum trees, so plan
+    # and results are identical; hash64 is hoisted into its own
+    # projection so md5 runs once per token regardless of codegen CSE.
+    hashed = toks.select(F.col(id_col), hash64(F.col("tok")).alias("__h"))
+    votes = hashed.groupBy(id_col).agg(
         *[
-            F.sum(F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"v{j}")
+            F.expr(
+                f"sum(CASE WHEN (shiftright(__h, {j}) & 1) = 1 "
+                f"THEN 1 ELSE -1 END) AS v{j}"
+            )
             for j in range(SIMHASH_BITS)
         ]
     )
-    sim = None
-    for j in range(SIMHASH_BITS):
-        bit = F.when(F.col(f"v{j}") > 0, F.lit(2**j).cast("long")).otherwise(F.lit(0).cast("long"))
-        sim = bit if sim is None else sim + bit
-    return votes.select(F.col(id_col), sim.alias("simhash"))
+    sim_sql = " + ".join(
+        f"(CASE WHEN v{j} > 0 THEN {2**j}L ELSE 0L END)"
+        for j in range(SIMHASH_BITS)
+    )
+    return votes.select(F.col(id_col), F.expr(sim_sql).alias("simhash"))
 
 
 def simhash_sql() -> str:
@@ -516,14 +527,29 @@ def blocked_dup_clusters(
     # normalize to the canonical (doc_id, text) names at the boundary:
     # ngram_jaccard_verify (and the pair columns downstream) are written
     # against them, so custom text_col/id_col inputs work uniformly
+    # LAZY persist, not eager localCheckpoint (round 16): reps and cand
+    # are each consumed twice inside the verify DAG (reps: minhash side
+    # + shingle side; cand: the broadcast cand_docs side + the pair
+    # list), so they need a reuse barrier — but an InMemoryRelation is
+    # barrier enough, and the EAGER checkpoints serialized the pipeline
+    # into three extra materialization jobs before connected_components'
+    # probe collect ran a fourth. With lazy persists the probe collect
+    # is the ONE job that computes the whole chain, filling both caches
+    # on first touch (measured sf0.1: plan-build 2.26 s -> ~1.2 s,
+    # query total 3.3 s -> ~2.2 s). The blocks die with the DataFrame
+    # refs (ContextCleaner), same lifecycle the checkpoint blocks had.
     reps = (
         with_fp.join(groups.select("__fp", "__rep"), "__fp")
         .where(F.col(id_col) == F.col("__rep"))
         .select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
-        .localCheckpoint(eager=True)
+        .persist()
     )
-    cand = minhash_lsh_candidates(reps).localCheckpoint(eager=True)
-    verified = ngram_jaccard_verify(reps, cand, threshold).localCheckpoint(eager=True)
+    cand = minhash_lsh_candidates(reps).persist()
+    # verified persists lazily too: the driver-union-find path consumes
+    # it once (the probe collect), but the distributed CC fallback would
+    # otherwise recompute the whole LSH+verify chain when it builds its
+    # edge list after the probe.
+    verified = ngram_jaccard_verify(reps, cand, threshold).persist()
     rep_comp = connected_components(verified).withColumnRenamed("node", "__rep")
     shingleable = F.size(T.word_tokens(F.col(text_col))) >= F.lit(SHINGLE_K)
     membership = (

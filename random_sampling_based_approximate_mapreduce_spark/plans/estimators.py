@@ -21,6 +21,7 @@ from ._base import (
     _WORD_SPLIT_SQL,
     _dec,
     _ensure_layout,
+    ensure_parallelism,
     load,
     psi_bucketize,
     psi_from_counts,
@@ -704,7 +705,14 @@ def q_stratified_quantile_bootstrap_ci(spark, sf_dir):
     from ..sampling.bootstrap import weighted_quantile_bootstrap
     from ..sampling.deterministic import stratified_hash_weight
 
-    e = load(spark, sf_dir, "events").withColumn(
+    # ensure_parallelism (round 16): the bootstrap computes 33 md5
+    # multiplier hashes per sampled row BELOW the quantile window's
+    # exchange — i.e. in the SCAN stage, which for the small events
+    # parquet is a single task. This is exactly the CPU-heavy-pipeline
+    # case the helper exists for (measured sf0.1: 2.97 s -> 1.72 s;
+    # the cheap 1-hash twins measured the repartition as a LOSS, so
+    # only this query gets it). No-op at cluster scale.
+    e = ensure_parallelism(load(spark, sf_dir, "events")).withColumn(
         "__k", F.col("event_id").cast("string")
     )
     w = stratified_hash_weight("event_type", "__k", _STRAT_FRACTIONS, seed=11)
