@@ -1,10 +1,14 @@
 #!/usr/bin/env python
 """Engine benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
 
-Prints the FULL result as one JSON line, then a COMPACT summary JSON as
-the FINAL stdout line (VERDICT r5 item 2: the round driver keeps only the
-last ~2000 chars of stdout, which truncated the head of the full line and
-left BENCH_r05.json with ``parsed: null``). The compact line carries every
+Prints the FULL result as one JSON line, then a COMPACT aggregate summary
+line (VERDICT r5 item 2: the round driver keeps only the last ~2000 chars
+of stdout, which truncated the head of the full line and left
+BENCH_r05.json with ``parsed: null``), then — as the FINAL stdout line —
+a compact per-query map ``{"metric", "value", "unit", "sf", "queries":
+{name: min_sec}}`` sized to fit the driver's tail window (VERDICT r16
+item 2: without per-query times in the tail, PERF_r*.json could never
+populate ``per_query``/``scaling``). The aggregate line carries every
 graded aggregate (total, vs_prev, 10x-block totals/speedups) plus the path
 and sha256 of the full artifact, which is also WRITTEN to
 ``docs/bench/BENCH_r{N}_full.json`` so the judge can recompute any ratio
@@ -64,6 +68,18 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Is this a reduced-core SCALING re-run? The driver benches the round at
+# the box's full core count, records BENCH_r{N}.json, then re-runs at a
+# LOWER $SPARK_GRAFT_CPUS to measure per-query scaling. That second run
+# must not mint the next round's artifact name (VERDICT r16 item 2) —
+# detect it here and (a) keep the round number of the newest recorded
+# round, (b) suffix the full artifact with the core count.
+try:
+    _ENV_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", 0))
+except ValueError:
+    _ENV_CPUS = 0
+_SCALING_RERUN = 0 < _ENV_CPUS < (os.cpu_count() or _ENV_CPUS)
 
 # the 22 TPC-H query shapes (catalog names), run on the 10x replica
 TPCH_SUITE = [
@@ -399,7 +415,14 @@ def main() -> None:
             env_round = 0  # malformed env var -> fall back to glob detection
         if env_round < 0:
             env_round = 0  # a negative round would name a junk artifact
-        cur_round = env_round or (rounds[-1][0] + 1 if rounds else 1)
+        # A reduced-core run (the driver's scaling pass: SPARK_GRAFT_CPUS
+        # below the box's core count) happens AFTER the round's BENCH_r{N}
+        # .json is recorded, so "newest + 1" would squat the NEXT round's
+        # artifact name (r16: the 8-core run minted BENCH_r17_full.json).
+        # It is a re-measurement OF the newest recorded round — name it so.
+        cur_round = env_round or (
+            rounds[-1][0] + (0 if _SCALING_RERUN else 1) if rounds else 1
+        )
         rounds = [(n, p) for n, p in rounds if n < cur_round]
         if rounds:
             prev_round, prev_path = rounds[-1]
@@ -613,7 +636,8 @@ def main() -> None:
     full_rel = None
     sha = hashlib.sha256(full_json.encode()).hexdigest()[:16]
     try:
-        full_rel = f"docs/bench/BENCH_r{cur_round:02d}_full.json"
+        suffix = f"_c{_ENV_CPUS}" if _SCALING_RERUN else ""
+        full_rel = f"docs/bench/BENCH_r{cur_round:02d}{suffix}_full.json"
         full_path = os.path.join(here, full_rel)
         os.makedirs(os.path.dirname(full_path), exist_ok=True)
         with open(full_path, "w") as fh:
@@ -638,6 +662,29 @@ def main() -> None:
         "full_sha256_16": sha,
     }
     print(json.dumps(compact))
+    # FINAL line: the driver-parseable per-query map (VERDICT r16 item 2:
+    # PERF_r*.json had per_query/scaling permanently empty because neither
+    # printed line carried {"queries": ...} inside the driver's ~2000-char
+    # stdout tail). Values are the per-query MIN of all passes (the
+    # noise-robust series vs_prev already compares), rounded to 10 ms and
+    # compact-separated so the whole 69-query line stays under the tail
+    # window (measured 1926 bytes on the r16 name set; 10 ms keeps every
+    # scaling/regression ratio faithful on 0.1 s+ queries). Medians, full
+    # precision, and the artifact sha stay in the aggregate line above and
+    # in the committed full artifact. This ADDS a line — the full-doc and
+    # aggregate compact lines above are unchanged.
+    print(
+        json.dumps(
+            {
+                "metric": full_doc["metric"],
+                "value": full_doc["value"],
+                "unit": "sec",
+                "sf": sf_val,
+                "queries": {k: round(v, 2) for k, v in timings_min.items()},
+            },
+            separators=(",", ":"),
+        )
+    )
     spark.stop()
 
 

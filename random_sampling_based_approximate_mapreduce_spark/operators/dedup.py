@@ -527,29 +527,37 @@ def blocked_dup_clusters(
     # normalize to the canonical (doc_id, text) names at the boundary:
     # ngram_jaccard_verify (and the pair columns downstream) are written
     # against them, so custom text_col/id_col inputs work uniformly
-    # LAZY persist, not eager localCheckpoint (round 16): reps and cand
-    # are each consumed twice inside the verify DAG (reps: minhash side
-    # + shingle side; cand: the broadcast cand_docs side + the pair
-    # list), so they need a reuse barrier — but an InMemoryRelation is
-    # barrier enough, and the EAGER checkpoints serialized the pipeline
-    # into three extra materialization jobs before connected_components'
-    # probe collect ran a fourth. With lazy persists the probe collect
-    # is the ONE job that computes the whole chain, filling both caches
-    # on first touch (measured sf0.1: plan-build 2.26 s -> ~1.2 s,
-    # query total 3.3 s -> ~2.2 s). The blocks die with the DataFrame
-    # refs (ContextCleaner), same lifecycle the checkpoint blocks had.
+    # LAZY localCheckpoint, not eager (round 16) and not persist()
+    # (ADVICE r16): reps and cand are each consumed twice inside the
+    # verify DAG (reps: minhash side + shingle side; cand: the broadcast
+    # cand_docs side + the pair list), so they need a reuse barrier —
+    # but the EAGER checkpoints serialized the pipeline into three extra
+    # materialization jobs before connected_components' probe collect
+    # ran a fourth. Lazy makes the probe collect the ONE job that
+    # computes the whole chain, storing the blocks on first touch
+    # (measured sf0.1: plan-build 2.26 s -> ~1.2 s, query total
+    # 3.3 s -> ~2.2 s). localCheckpoint rather than persist() because
+    # persist entries are held by the SQL CacheManager until an explicit
+    # unpersist (a long-lived driver would leak three entries per
+    # distinct input) AND are deduped by canonicalized plan, so a repeat
+    # call over the same input path would silently reuse stale cached
+    # data if the underlying files changed; checkpoint blocks instead
+    # die with the DataFrame refs (ContextCleaner) and are never shared
+    # across calls — the lifecycle the eager checkpoints always had.
     reps = (
         with_fp.join(groups.select("__fp", "__rep"), "__fp")
         .where(F.col(id_col) == F.col("__rep"))
         .select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
-        .persist()
+        .localCheckpoint(eager=False)
     )
-    cand = minhash_lsh_candidates(reps).persist()
-    # verified persists lazily too: the driver-union-find path consumes
-    # it once (the probe collect), but the distributed CC fallback would
-    # otherwise recompute the whole LSH+verify chain when it builds its
-    # edge list after the probe.
-    verified = ngram_jaccard_verify(reps, cand, threshold).persist()
+    cand = minhash_lsh_candidates(reps).localCheckpoint(eager=False)
+    # verified gets the lazy barrier too: the driver-union-find path
+    # consumes it once (the probe collect), but the distributed CC
+    # fallback would otherwise recompute the whole LSH+verify chain when
+    # it builds its edge list after the probe.
+    verified = ngram_jaccard_verify(reps, cand, threshold).localCheckpoint(
+        eager=False
+    )
     rep_comp = connected_components(verified).withColumnRenamed("node", "__rep")
     shingleable = F.size(T.word_tokens(F.col(text_col))) >= F.lit(SHINGLE_K)
     membership = (

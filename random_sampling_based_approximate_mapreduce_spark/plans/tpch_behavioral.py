@@ -300,9 +300,15 @@ def q_product_profit_q9(spark, sf_dir):
         )
         .select("l_orderkey", "nation", "amount")
     )
+    # SHUFFLE_HASH on the orders side (guide §3.1; r16 measured the SHJ
+    # flip winning here consistently, r17 pins it per-query): the build
+    # side is the 2-column (orderkey, year) projection — 12 bytes/row per
+    # post-shuffle partition — so the hash build beats the SMJ sort of
+    # the wide lineitem side at any scale where the per-partition build
+    # fits, which AQE partition sizing keeps true.
     of = load(spark, sf_dir, "orders").select("o_orderkey", F.year("o_orderdate").alias("o_year"))
     return (
-        lf.join(of, F.col("l_orderkey") == F.col("o_orderkey"))
+        lf.join(of.hint("shuffle_hash"), F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("nation", "o_year")
         .agg(F.sum("amount").cast("double").alias("sum_profit"))
     )
@@ -447,7 +453,11 @@ def q_priority_case_count_q12(spark, sf_dir):
         )
         .select("l_orderkey", "l_returnflag")
     )
-    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    # SHUFFLE_HASH on the orders side (guide §3.1; r16's measured SHJ win,
+    # pinned per-query in r17): the build side carries (orderkey,
+    # priority) only — the doubly-filtered lineitem probe side streams
+    # through the hash table instead of paying the SMJ sort of both sides.
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority").hint("shuffle_hash")
     return (
         l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("l_returnflag")
@@ -619,8 +629,13 @@ def q_waiting_suppliers_q21(spark, sf_dir):
         .select("o_orderkey")
     )
     l = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_returnflag")
+    # SHUFFLE_HASH on the single-column filtered-orders side of the semi
+    # join (guide §3.1; r16's measured SHJ win, pinned per-query in r17):
+    # a left-semi SHJ builds the keys-only right side and streams
+    # lineitem; SMJ would sort BOTH sides for a join that only tests
+    # existence.
     ol = (
-        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"), "left_semi")
+        l.join(o.hint("shuffle_hash"), F.col("l_orderkey") == F.col("o_orderkey"), "left_semi")
         .groupBy("l_orderkey", "l_suppkey")
         .agg(F.max(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("is_r"))
     )

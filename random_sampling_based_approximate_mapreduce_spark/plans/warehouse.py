@@ -425,8 +425,21 @@ def q_tfidf_top_terms(spark, sf_dir):
         .where(F.length("word") > 0)
         .where(~F.col("word").rlike("^[0-9]+$"))
     )
+    # df counts DISTINCT docs per word. Deduplicate INSIDE the row with
+    # array_distinct before the explode (round 17, guide §2.3/§2.4):
+    # the former tok.distinct() shuffled every (doc_id, word) pair of the
+    # corpus just to collapse within-doc repeats — a dedup the row can do
+    # itself — and then shuffled again on word. Now the per-word partial
+    # count aggregates map-side over already-distinct-per-doc words and
+    # ONE exchange (word) remains; the exchange also no longer carries
+    # doc_id. Same df values by construction: distinct-per-doc explode
+    # emits each (doc, word) once.
     df_tbl = (
-        tok.select("doc_id", "word").distinct()
+        docs.select(
+            F.explode_outer(F.array_distinct(T.words(F.col("text")))).alias("word")
+        )
+        .where(F.length("word") > 0)
+        .where(~F.col("word").rlike("^[0-9]+$"))
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("df"))
     )

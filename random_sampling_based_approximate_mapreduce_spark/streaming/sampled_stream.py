@@ -25,6 +25,51 @@ from ..sampling.config import SamplingConfig
 _HASH_BUCKETS = 1_000_000
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def _state_partitions(spark):
+    """Production state-store partition knob (VERDICT r16 item 9).
+
+    A streaming query's state-store partition count is fixed at FIRST
+    start from ``spark.sql.shuffle.partitions`` (and pinned thereafter by
+    the checkpoint), so the right value is a per-deployment throughput
+    decision: state partitions ~ peak distinct-key state / target
+    partition size, NOT the verification run's core count. This knob
+    applies ``RSMR_STREAM_STATE_PARTITIONS`` (env) or
+    ``spark.rsmr.stream.statePartitions`` (conf) around stream start and
+    restores the session default afterwards.
+
+    DEFAULT: unset — the session's shuffle-partition setting stands,
+    and bench.py never sets it (a local-core-count-tuned value would be
+    exactly the config-only "win" the optimization rounds exclude;
+    measured for the record: 8 state partitions halve the sf0.1
+    streaming_events_hourly wall time, r16 rejected experiment #8).
+    """
+    import os
+
+    raw = os.environ.get("RSMR_STREAM_STATE_PARTITIONS")
+    if raw is None:
+        try:
+            raw = spark.conf.get("spark.rsmr.stream.statePartitions")
+        except Exception:
+            raw = None
+    try:
+        n = int(raw) if raw is not None else 0
+    except (TypeError, ValueError):
+        n = 0  # malformed knob: ignore rather than fail the stream
+    if n <= 0:
+        yield
+        return
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
 def sample_stream(
     stream: DataFrame,
     config: SamplingConfig | None = None,
@@ -163,14 +208,15 @@ def events_hourly_stream(spark, sf_dir: str, *, sampled: bool = False, ratio: fl
             (F.sum(F.col("value").cast("decimal(12,2)")) * F.lit(scale)).cast("double").alias("total_value"),
         )
     )
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _state_partitions(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     cnt = (
         F.col("raw_cnt").cast("long").alias("cnt")
         if not sampled
@@ -215,14 +261,15 @@ def user_sessions_stream(spark, sf_dir: str) -> DataFrame:
         )
     )
     name = "rsmr_stream_user_sessions"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _state_partitions(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name).select(
         "user_id",
         F.col("w.start").alias("session_start"),
@@ -336,14 +383,15 @@ def value_psi_counts_stream(spark, sf_dir: str) -> "DataFrame":
         F.sum(F.lit(1) - F.col("is_ref")).alias("n_cur"),
     )
     name = "rsmr_stream_value_psi"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _state_partitions(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name)
 
 
@@ -384,14 +432,15 @@ def stratified_weighted_counts_stream(
         .alias("est_value_sum"),
     )
     name = "rsmr_stream_stratified_counts"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _state_partitions(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name)
 
 
@@ -473,12 +522,13 @@ def stratified_weighted_mean_stream(
         (F.col("n_sampled") < F.lit(int(min_support))).alias("low_support"),
     )
     name = "rsmr_stream_stratified_mean"
-    q = (
-        out.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _state_partitions(spark):
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name)

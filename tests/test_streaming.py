@@ -497,3 +497,38 @@ def test_streaming_stratified_mean_equals_batch(spark, sf_dir):
     }
     assert got == want
     assert any(v["est_mean_ci"] is not None for v in got.values())
+
+
+class TestStatePartitionKnob:
+    """VERDICT r16 item 9: the production state-partition knob must (a)
+    change ONLY the state-store partition count — results identical to the
+    default run — and (b) restore the session's shuffle-partition setting
+    afterwards. Default (knob unset) is a no-op by construction."""
+
+    def test_knob_result_identical_and_conf_restored(self, spark, sf_dir, monkeypatch):
+        from random_sampling_based_approximate_mapreduce_spark.streaming.sampled_stream import (
+            events_hourly_stream,
+        )
+
+        base = {
+            (r["hour"], r["event_type"]): (r["cnt"], round(r["total_value"], 2))
+            for r in events_hourly_stream(spark, sf_dir, sampled=False).collect()
+        }
+        before = spark.conf.get("spark.sql.shuffle.partitions")
+        monkeypatch.setenv("RSMR_STREAM_STATE_PARTITIONS", "4")
+        got = {
+            (r["hour"], r["event_type"]): (r["cnt"], round(r["total_value"], 2))
+            for r in events_hourly_stream(spark, sf_dir, sampled=False).collect()
+        }
+        assert spark.conf.get("spark.sql.shuffle.partitions") == before
+        assert got == base
+
+    def test_malformed_knob_ignored(self, spark, sf_dir, monkeypatch):
+        from random_sampling_based_approximate_mapreduce_spark.streaming.sampled_stream import (
+            _state_partitions,
+        )
+
+        monkeypatch.setenv("RSMR_STREAM_STATE_PARTITIONS", "not-a-number")
+        before = spark.conf.get("spark.sql.shuffle.partitions")
+        with _state_partitions(spark):
+            assert spark.conf.get("spark.sql.shuffle.partitions") == before

@@ -1,24 +1,26 @@
 #!/usr/bin/env python
-"""Round-16 optimization profiler: per-query isolated timing + formatted plans.
+"""Round-17 optimization profiler: per-query isolated timing + formatted plans.
 
 For each headline bench query (bench.BENCH_QUERIES by default, or --only),
 this runs the query through the noop sink (guide §1.4) N times after a
 warmup, records min/median wall seconds AND the number of Spark jobs the
-action scheduled (job-count delta via the status store — a cheap proxy
-for "how many sequential passes / eager materializations this plan pays"),
-and writes the formatted physical plan to plans/r16/<name>_<tag>.txt
+action scheduled (job-count delta via the status store — a cheap proxy for
+"how many sequential passes / eager materializations this plan pays"), and
+writes the formatted physical plan to plans/r17/<name>_<tag>.txt
 (guide §1: capture .explain("formatted") for every query you touch).
 
-KNOWN LIMITATION (ADVICE r16, kept for the historical record — use
-profile_r17.py for new measurements): timing passes do NOT clear the SQL
-cache, so for queries that persist() intermediates (dedup_clusters_blocked)
-passes 2..N read pass-1's cache and min_sec understates a fresh run.
+ADVICE r16 fixes over profile_r16.py: ``spark.catalog.clearCache()`` runs
+between timing passes, so queries that persist() intermediates are timed
+on FRESH computations every pass instead of reading pass-1's cache (the
+CacheManager dedupes identical plans, which silently turned passes 2..N of
+dedup_clusters_blocked into cache reads); and the docstring no longer
+claims stage/task deltas that were never recorded.
 
 Usage:
-  python tools/profile_r16.py --tag before [--only a,b] [--passes 3]
-  python tools/profile_r16.py --tag after --only dedup_clusters_blocked
+  python tools/profile_r17.py --tag before [--only a,b] [--passes 3]
+  python tools/profile_r17.py --tag after --only dedup_clusters_blocked
 
-Writes a JSON summary to docs/bench/PROFILE_r16_<tag>.json so before/after
+Writes a JSON summary to docs/bench/PROFILE_r17_<tag>.json so before/after
 numbers are committed artifacts, not narration.
 """
 
@@ -51,12 +53,12 @@ def main() -> None:
     from random_sampling_based_approximate_mapreduce_spark.session import get_spark
 
     names = args.only.split(",") if args.only else list(bench.BENCH_QUERIES)
-    spark = get_spark("rsmr-profile-r16")
+    spark = get_spark("rsmr-profile-r17")
     spark.sparkContext.setLogLevel("ERROR")
     sc = spark.sparkContext
 
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    plans_dir = os.path.join(here, "plans", "r16")
+    plans_dir = os.path.join(here, "plans", "r17")
     os.makedirs(plans_dir, exist_ok=True)
 
     # warm up JVM/codegen + Python worker pool (same as bench.py)
@@ -97,6 +99,9 @@ def main() -> None:
             n_jobs1 = sc._jsc.sc().statusStore().jobsList(None).size()
             times = []
             for _ in range(args.passes):
+                # ADVICE r16: drop persisted intermediates so every pass
+                # times a fresh computation, not pass-1's cache
+                spark.catalog.clearCache()
                 t0 = time.monotonic()
                 qd.spark(spark, args.sf).write.format("noop").mode(
                     "overwrite"
@@ -124,10 +129,11 @@ def main() -> None:
             print(f"{name:40s} ERROR {exc}")
         finally:
             sc.setJobDescription(None)
+        spark.catalog.clearCache()
         spark.sparkContext._jvm.System.gc()
 
     out_path = os.path.join(
-        here, "docs", "bench", f"PROFILE_r16_{args.tag}.json"
+        here, "docs", "bench", f"PROFILE_r17_{args.tag}.json"
     )
     with open(out_path, "w") as fh:
         json.dump(
