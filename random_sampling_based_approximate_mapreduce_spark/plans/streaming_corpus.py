@@ -632,11 +632,19 @@ def q_corpus_pipeline_full(spark, sf_dir):
         .drop("bucket", "split")
     )
     # clean is referenced twice (keep_best input + the semi-join left
-    # side) but needs no checkpoint: the repeated subtrees are identical,
-    # so Spark's ReusedExchange shares them (verified — an explicit
-    # localCheckpoint of the contaminated-id list measured no faster).
+    # side). AQE's stage reuse shares the duplicated GRAM subtrees (the
+    # broadcast contamination stages — which is why checkpointing the
+    # contaminated-id list alone measured no faster in r16), but the
+    # plan's two copies of the SPINE (documents scan -> train filter ->
+    # anti join) have no exchange boundary to reuse, so the corpus was
+    # scanned and anti-joined twice. A lazy localCheckpoint merges the
+    # spines: one scan+anti, second consumer reads stored blocks
+    # (round 17 A/B: 2.98 -> 2.51 s min-of-6 alternated, action jobs
+    # 13 -> 12). At cluster scale this materializes the cleaned corpus
+    # once — the boundary real corpus pipelines persist anyway — and
+    # the blocks free via ContextCleaner when the query's refs die.
     cont = C.ngram_contamination(train, eval_docs, k=3).select("doc_id")
-    clean = train.join(cont, "doc_id", "left_anti")
+    clean = train.join(cont, "doc_id", "left_anti").localCheckpoint(eager=False)
     kept = C.keep_best_by_fingerprint(clean).select(
         F.col("kept_doc").alias("doc_id")
     )

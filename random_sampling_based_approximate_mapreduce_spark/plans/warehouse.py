@@ -449,14 +449,26 @@ def q_tfidf_top_terms(spark, sf_dir):
         .groupBy("doc_id", "word")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    scored = tf.join(F.broadcast(df_tbl), "word").select(
-        "doc_id",
-        "word",
-        "tf",
-        "df",
-        sql_round(
-            F.col("tf") * F.log(n.scalar().cast("double") / F.col("df")), 6
-        ).alias("tfidf"),
+    # bind the raw score ONCE before rounding (round 17): sql_round
+    # macro-expands its argument ~10x, and with the ScalarSubquery + ln
+    # inline that minted 21 subquery instances and a 927-line plan
+    # (ReuseSubquery dedupes them at runtime, but plan build, codegen
+    # size, and per-row ln count all pay). A separate projection makes
+    # the rounding operate on a plain column ref — CollapseProject keeps
+    # non-cheap multi-referenced aliases intact — cutting the plan to
+    # ~500 lines with ONE subquery instance. Arithmetic unchanged.
+    scored = (
+        tf.join(F.broadcast(df_tbl), "word")
+        .withColumn(
+            "__raw", F.col("tf") * F.log(n.scalar().cast("double") / F.col("df"))
+        )
+        .select(
+            "doc_id",
+            "word",
+            "tf",
+            "df",
+            sql_round(F.col("__raw"), 6).alias("tfidf"),
+        )
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("word"))
     return (
