@@ -346,6 +346,16 @@ def main() -> None:
             # otherwise bleed executor memory into later passes (observed:
             # the checkpoint-heavy clustering query 3.4 s isolated vs
             # 7.8 s late in a pressured pass)
+            # ALSO clear the SQL cache (declared measurement-bug fix,
+            # round 17 / ADVICE r16): CacheManager dedupes persist()ed
+            # plans by canonicalized form, so a query that persists an
+            # intermediate had passes 2..3 silently reading pass-1's
+            # cache and its reported min measured CACHE HITS, not the
+            # computation (r15/r16 dedup_clusters_blocked mins were
+            # inflated this way; its honest fresh-run number at r17 HEAD
+            # is ~3.3-3.8 s, not 2.5-2.9 s). Every pass now computes
+            # from the parquet inputs.
+            spark.catalog.clearCache()
             spark.sparkContext._jvm.System.gc()
         run_sentinel_post = _sentinel_battery(warm=False)
         sentinel_batteries.extend((run_sentinel_pre, run_sentinel_post))
@@ -525,6 +535,7 @@ def main() -> None:
                     "overwrite"
                 ).save()
                 x10_samples[name].append(time.monotonic() - t0)
+            spark.catalog.clearCache()  # same fresh-pass rule as the headline loop
             spark.sparkContext._jvm.System.gc()
         x10 = {n: round(min(ts), 3) for n, ts in x10_samples.items()}
         tpch_x10 = {
@@ -570,6 +581,7 @@ def main() -> None:
                     "overwrite"
                 ).save()
                 ref_samples[name].append(time.monotonic() - t0)
+            spark.catalog.clearCache()  # same fresh-pass rule as the headline loop
             spark.sparkContext._jvm.System.gc()
         refm = {n: round(min(ts), 3) for n, ts in ref_samples.items()}
         reference_x10 = {
