@@ -300,15 +300,16 @@ def q_product_profit_q9(spark, sf_dir):
         )
         .select("l_orderkey", "nation", "amount")
     )
-    # SHUFFLE_HASH on the orders side (guide §3.1; r16 measured the SHJ
-    # flip winning here consistently, r17 pins it per-query): the build
-    # side is the 2-column (orderkey, year) projection — 12 bytes/row per
-    # post-shuffle partition — so the hash build beats the SMJ sort of
-    # the wide lineitem side at any scale where the per-partition build
-    # fits, which AQE partition sizing keeps true.
+    # NO join-strategy hint (round 17): a SHUFFLE_HASH pin on the orders
+    # side was prototyped and measured at the noise floor once the A/B
+    # was order-balanced (hint 1.204 vs none 1.135 min-of-10 at x10,
+    # noise band ±0.12 from a join-free control; the apparent win in
+    # earlier runs was warm-order bias — docs/bench/
+    # AB_r17_q9q12_balanced.json). The planner's SMJ/broadcast choice
+    # stands.
     of = load(spark, sf_dir, "orders").select("o_orderkey", F.year("o_orderdate").alias("o_year"))
     return (
-        lf.join(of.hint("shuffle_hash"), F.col("l_orderkey") == F.col("o_orderkey"))
+        lf.join(of, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("nation", "o_year")
         .agg(F.sum("amount").cast("double").alias("sum_profit"))
     )
@@ -453,11 +454,11 @@ def q_priority_case_count_q12(spark, sf_dir):
         )
         .select("l_orderkey", "l_returnflag")
     )
-    # SHUFFLE_HASH on the orders side (guide §3.1; r16's measured SHJ win,
-    # pinned per-query in r17): the build side carries (orderkey,
-    # priority) only — the doubly-filtered lineitem probe side streams
-    # through the hash table instead of paying the SMJ sort of both sides.
-    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority").hint("shuffle_hash")
+    # NO join-strategy hint (round 17): the SHUFFLE_HASH pin measured at
+    # the noise floor under the order-balanced protocol (hint 0.897 vs
+    # none 0.797 min-of-10 at x10; docs/bench/AB_r17_q9q12_balanced
+    # .json), so the planner's choice stands — see q9's note.
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
     return (
         l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("l_returnflag")
@@ -629,13 +630,15 @@ def q_waiting_suppliers_q21(spark, sf_dir):
         .select("o_orderkey")
     )
     l = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_returnflag")
-    # SHUFFLE_HASH on the single-column filtered-orders side of the semi
-    # join (guide §3.1; r16's measured SHJ win, pinned per-query in r17):
-    # a left-semi SHJ builds the keys-only right side and streams
-    # lineitem; SMJ would sort BOTH sides for a join that only tests
-    # existence.
+    # NO join-strategy hint (round 17): a SHUFFLE_HASH pin on the semi
+    # join's orders side read −1.33 s in a first x10 A/B, but that run
+    # alternated arms in a fixed order on a loud box; the order-balanced
+    # rerun (docs/bench/AB_r17_q21_balanced.json, min-of-10 each way,
+    # join-free control) reads hint 1.268 vs none 1.260 — a dead heat,
+    # corroborated by the round's bench pair (x10 q21 2.768 -> 2.756 on
+    # untouched-vs-hinted runs). The planner/AQE choice stands.
     ol = (
-        l.join(o.hint("shuffle_hash"), F.col("l_orderkey") == F.col("o_orderkey"), "left_semi")
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"), "left_semi")
         .groupBy("l_orderkey", "l_suppkey")
         .agg(F.max(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("is_r"))
     )
